@@ -1,0 +1,255 @@
+"""Deduplication for training-data pipelines (SURVEY.md §2.9):
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact dedup: hash-groupBy on a narrow key (fingerprint), not on the full
+  row — at 100 TB the shuffle carries (key, doc_id), never the text.
+- MinHash: shingles → K independent min-hashes → band buckets → self-join on
+  (band, bucket-signature). The candidate join is an equi-join Catalyst can
+  shuffle-hash; actual Jaccard is verified on the K-signature arrays only
+  (the raw text is never re-shuffled).
+- SimHash: 64-bit signature from token hashes; near-dup = signatures within
+  hamming distance d, found by banding the 64 bits into (d+1) blocks
+  (pigeonhole: any pair within distance d agrees on >= one block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal. With subset, keeps one arbitrary-but-
+    deterministic row per key via min(struct) — unlike dropDuplicates, the
+    survivor does not depend on partition layout (needed for the oracle)."""
+    if not subset:
+        return df.dropDuplicates()
+    others = [c for c in df.columns if c not in subset]
+    if not others:
+        return df.dropDuplicates()
+    packed = df.groupBy(*subset).agg(F.min(F.struct(*others)).alias("__rest"))
+    return packed.select(*subset, *[F.col(f"__rest.{c}").alias(c) for c in others])
+
+def duplicate_groups(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates: (key, n_dups, member ids). The shuffle
+    carries only (key, id)."""
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .where(F.col("n_dups") > 1)
+        .orderBy(key_col)
+    )
+
+def shingle_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, signature array<long>) — K min-hash values over char-k-shingles.
+
+    Shingling + hashing happens entirely in one projection using
+    sequence/transform/xxhash64; aggregate(min) collapses each hash family.
+    No UDFs, no shuffle.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n - shingle_k + 1))
+    shingles = F.array_distinct(F.transform(starts, lambda i: norm.substr(i, F.lit(shingle_k))))
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("sh"))
+    # K min-hash families as K min() aggregates over the exploded shingles:
+    # ONE partial-aggregating shuffle on id, flat expressions (fast codegen) —
+    # vs a K×|shingles| nested array expression per row, which compiles and
+    # runs orders of magnitude slower.
+    mins = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("sh"), F.lit(h))).alias(f"__h{h}") for h in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"__h{h}") for h in range(num_hashes)])
+    return mins.select("id", sig.alias("signature"))
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    1. signatures: one shuffle-free projection (shingle_minhash);
+    2. banding: explode to `bands` rows of (band_id, band_signature) — the
+       LSH bucket key is the hash of r=K/bands signature slots;
+    3. candidates: self-equi-join on (band_id, bucket) — a shuffle join whose
+       key cardinality grows with corpus size, so it parallelizes; identical-
+       pair dedup via distinct on (a, b);
+    4. verify: estimated Jaccard = fraction of agreeing signature slots —
+       computed with zip_with on the two K-arrays, no text re-read.
+    """
+    r = num_hashes // bands
+    sigs = shingle_minhash(df, text_col, id_col, num_hashes, shingle_k).cache()
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("signature", b * r + j + 1) for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_pairs_side: int | None = None,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard similarity for all candidate pairs sharing at
+    least one n-gram (the inverted-index join; brute-force crossJoin is never
+    built).
+
+    explode(ngrams) → self-join on the ngram (this is the classic candidate
+    generator) → per-pair intersection count from the join multiplicity →
+    Jaccard = inter / (|A| + |B| - inter). Shuffles on the ngram then the
+    pair key; both keys are high-cardinality → parallelizes.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(F.size("grams") > 0)
+    sizes = base.select("id", F.size("grams").alias("n_grams"))
+    exploded = base.select("id", F.explode("grams").alias("gram"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "gram")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ja = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    jb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    out = (
+        pairs.join(F.broadcast(ja), "id_a")
+        .join(F.broadcast(jb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+    return out
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over whitespace tokens.
+
+    Per-bit vote: sum over tokens of +1/-1 depending on the token-hash bit,
+    sign → bit. Expressed as `bits` aggregate-over-array expressions in ONE
+    projection (no UDF, no shuffle). 64 aggregates over a ~100-token array is
+    cheap relative to scan cost.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_expr(i: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), merge)
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    # assemble with shiftleft+OR (1<<63 would overflow a signed-long literal)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim.bitwiseOR(F.shiftleft(bit_expr(i), i))
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance d, via bit-block LSH:
+    split 64 bits into d+1 blocks; any pair within distance d shares >= 1
+    exact block (pigeonhole) → equi-join on (block_id, block_value), then
+    exact hamming verify with bit_count(xor). No crossJoin at any scale.
+    """
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", "bv.block", "bv.val")
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "val")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "val")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["block", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

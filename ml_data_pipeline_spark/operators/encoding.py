@@ -1,0 +1,149 @@
+"""Categorical encoding + date expansion (SURVEY.md §2.5, E1-E6, E17).
+
+The reference encodes eagerly in pandas (one-hot via pd.get_dummies at
+/root/reference/preprocessing/dataset_processing_fix_non_numeric_ui.py:227-238,
+label/target/frequency/binary at :240-282, date expansion at :284-323).
+
+Scale design notes:
+- Encoders that need a per-value statistic (target mean, frequency, index)
+  build a SMALL distinct-value table (cardinality rows, not data rows) and
+  broadcast-join it back — the big table is never shuffled.
+- One-hot emits plain 0/1 integer columns (SQL-visible, oracle-checkable),
+  with the distinct-value set either supplied or collected from the small
+  aggregate; MLlib's OneHotEncoder (vector) is the model-input variant in ml/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def distinct_values(df: DataFrame, column: str) -> list:
+    """Sorted distinct non-null values — a cardinality-sized driver list.
+    Only safe for true categoricals (the reference's use case)."""
+    rows = df.where(F.col(column).isNotNull()).select(column).distinct().orderBy(column).collect()
+    return [r[0] for r in rows]
+
+def one_hot_encode(
+    df: DataFrame, column: str, values: list | None = None, drop_original: bool = True
+) -> DataFrame:
+    """E1 — one 0/1 column per distinct value, original dropped
+    (ref pd.get_dummies, dataset_processing_fix_non_numeric_ui.py:227-238).
+
+    values=None collects the distinct set first (one small agg job). The
+    encode itself is a pure projection — no shuffle, codegen-fused.
+    """
+    values = values if values is not None else distinct_values(df, column)
+    cols = [c for c in df.columns if c != column or not drop_original]
+    onehot = [
+        F.when(F.col(column) == F.lit(v), F.lit(1)).otherwise(F.lit(0)).alias(f"{column}_{v}")
+        for v in values
+    ]
+    return df.select(*cols, *onehot)
+
+def label_encode(df: DataFrame, column: str, out_column: str | None = None) -> DataFrame:
+    """E2 — distinct values → 0..K-1 in lexicographic order, exactly
+    sklearn LabelEncoder's sorted order
+    (ref dataset_processing_fix_non_numeric_ui.py:240-248).
+
+    dense_rank over the DISTINCT-value table (K rows) then broadcast-join
+    back; the data table is untouched by the window. Equivalent to
+    StringIndexer(stringOrderType='alphabetAsc') but SQL-expressible.
+    """
+    out_column = out_column or column
+    w = Window.orderBy(F.col("__val"))
+    mapping = (
+        df.where(F.col(column).isNotNull())
+        .select(F.col(column).cast("string").alias("__val"))
+        .distinct()
+        .select("__val", (F.dense_rank().over(w) - 1).alias("__code"))
+    )
+    joined = df.join(
+        F.broadcast(mapping), df[column].cast("string") == mapping["__val"], "left"
+    )
+    cols = [c for c in df.columns if c != column]
+    return joined.select(
+        *cols, F.col("__code").cast("long").alias(out_column)
+    ) if out_column == column else joined.select(*df.columns, F.col("__code").cast("long").alias(out_column))
+
+def target_encode(df: DataFrame, column: str, target: str, out_column: str | None = None) -> DataFrame:
+    """E3 — per-category mean of target appended as `{c}_encoded`
+    (ref df.groupby(c)[target].mean(),
+    dataset_processing_fix_non_numeric_ui.py:250-261).
+
+    groupBy produces a cardinality-sized table; broadcast-joined back, so the
+    fact table is scanned twice but never shuffled.
+    """
+    out_column = out_column or f"{column}_encoded"
+    means = df.groupBy(column).agg(F.avg(target).alias(out_column))
+    return df.join(F.broadcast(means), on=column, how="left")
+
+def frequency_encode(
+    df: DataFrame, column: str, out_column: str | None = None, normalize: bool = True
+) -> DataFrame:
+    """E4 — per-category relative frequency appended as `{c}_freq_encoded`
+    (ref value_counts(normalize=True), dataset_processing_fix_non_numeric_ui.py:263-271)."""
+    out_column = out_column or f"{column}_freq_encoded"
+    counts = df.groupBy(column).agg(F.count(F.lit(1)).alias("__cnt"))
+    if normalize:
+        total = df.count()
+        counts = counts.select(column, (F.col("__cnt") / F.lit(float(total))).alias(out_column))
+    else:
+        counts = counts.select(column, F.col("__cnt").cast("double").alias(out_column))
+    return df.join(F.broadcast(counts), on=column, how="left")
+
+def binary_encode(df: DataFrame, column: str, n_bits: int | None = None) -> DataFrame:
+    """E5 — label index → binary digit columns `{c}_0..{c}_k` (MSB first),
+    mirroring category_encoders.BinaryEncoder's 1-based ordinal
+    (ref dataset_processing_fix_non_numeric_ui.py:273-282).
+
+    Same broadcast-mapping shape as E2; bits extracted with shiftright/bitwise
+    ops — all JVM-side.
+    """
+    tmp = "__be_code"
+    encoded = label_encode(df, column, tmp)
+    # category_encoders assigns ordinals 1..K (0 reserved), then binary-expands
+    encoded = encoded.withColumn(tmp, F.col(tmp) + 1)
+    k = n_bits
+    if k is None:
+        max_code = encoded.agg(F.max(tmp)).collect()[0][0] or 1
+        k = max(1, int(max_code).bit_length())
+    bit_cols = [
+        (F.shiftright(F.col(tmp), k - 1 - i) % 2).cast("int").alias(f"{column}_{i}")
+        for i in range(k)
+    ]
+    keep = [c for c in encoded.columns if c not in (tmp, column)]
+    return encoded.select(*keep, *bit_cols)
+
+DATE_FORMATS = ("M/d/yyyy", "M/d/yy", "d/M/yyyy", "yyyy-MM-dd", "d.M.yyyy", "yyyy/M/d")
+
+def parse_date(df: DataFrame, column: str, formats: tuple[str, ...] = DATE_FORMATS) -> DataFrame:
+    """E6a — multi-format date parse, first format that matches wins, else null
+    (ref pd.to_datetime(format='mixed', errors='coerce') with formats listed at
+    dataset_processing_fix_non_numeric_ui.py:290-294)."""
+    attempts = [F.try_to_timestamp(F.col(column).cast("string"), F.lit(f)).cast("date") for f in formats]
+    return df.withColumn(column, F.coalesce(F.col(column).cast("date"), *attempts))
+
+def date_features(df: DataFrame, column: str, drop_original: bool = False) -> DataFrame:
+    """E6b — year/month/day/dayofweek/week/quarter expansion
+    (ref dataset_processing_fix_non_numeric_ui.py:284-323).
+
+    dayofweek is pandas convention (Monday=0..Sunday=6); week is ISO week.
+    Pure projection, codegen-fused, no shuffle.
+    """
+    c = F.col(column)
+    out = df.select(
+        "*",
+        F.year(c).cast("int").alias(f"{column}_year"),
+        F.month(c).cast("int").alias(f"{column}_month"),
+        F.dayofmonth(c).cast("int").alias(f"{column}_day"),
+        ((F.dayofweek(c) + 5) % 7).cast("int").alias(f"{column}_dayofweek"),
+        F.weekofyear(c).cast("int").alias(f"{column}_week"),
+        F.quarter(c).cast("int").alias(f"{column}_quarter"),
+    )
+    return out.drop(column) if drop_original else out
+
+def round_labels(df: DataFrame, column: str) -> DataFrame:
+    """E17 — post-balance label rounding (ref np.round(y).astype(int),
+    data_balancing_list_method_logic.py:17-20)."""
+    return df.withColumn(column, F.round(F.col(column)).cast("int"))

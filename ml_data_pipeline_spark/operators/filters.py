@@ -1,0 +1,130 @@
+"""Projection / filtering / row-and-column surgery (SURVEY.md §2.3, F1-F13)
+plus scalar cleanup ops clip/round/coerce (§2.5 E14-E16).
+
+All of these are single narrow transformations: no shuffle, fully fused by
+whole-stage codegen, and the filters push down to the parquet scan when they
+are first in the plan (ref does a full CSV read then masks in pandas, e.g.
+/root/reference/checking_data_formats_ui.py:285-290,493-499).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .profiling import numeric_columns
+
+def drop_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """F1 (ref df.drop(columns=[c]), /root/reference/checking_data_formats_ui.py:418-442)."""
+    return df.drop(*columns)
+
+def select_numeric(df: DataFrame) -> DataFrame:
+    """F2 (ref select_dtypes(include=['number']),
+    /root/reference/researching_models/model_evaluation_logic.py:149).
+    Column pruning reaches the scan: untouched columns are never read."""
+    return df.select(*numeric_columns(df))
+
+def range_filter(
+    df: DataFrame, column: str, lo: float | None = None, hi: float | None = None
+) -> DataFrame:
+    """F3 — numeric range filter, either bound optional
+    (ref /root/reference/checking_data_formats_ui.py:493-499)."""
+    out = df
+    if lo is not None:
+        out = out.where(F.col(column) >= F.lit(lo))
+    if hi is not None:
+        out = out.where(F.col(column) <= F.lit(hi))
+    return out
+
+def equality_filter(df: DataFrame, column: str, value) -> DataFrame:
+    """F4 (ref df[column] == v, /root/reference/splitting_dataset_ui.py:389-391)."""
+    return df.where(F.col(column) == F.lit(value))
+
+def in_list_filter(df: DataFrame, column: str, values: list[str]) -> DataFrame:
+    """F5 — string IN-list (ref df[column].astype(str).isin(values),
+    /root/reference/splitting_dataset_ui.py:397-407)."""
+    return df.where(F.col(column).cast("string").isin([str(v) for v in values]))
+
+def null_partition(df: DataFrame, column: str) -> tuple[DataFrame, DataFrame]:
+    """F6 — (complete, missing) split on one column
+    (ref /root/reference/splitting_dataset_ui.py:416-446)."""
+    return df.where(F.col(column).isNotNull()), df.where(F.col(column).isNull())
+
+def drop_null_rows(df: DataFrame, columns: list[str]) -> DataFrame:
+    """F7 (ref df.dropna(subset=[col]),
+    /root/reference/preprocessing/dataset_processing_check_nan.py:295-312)."""
+    return df.na.drop(subset=columns)
+
+def merge_interval(df: DataFrame, column: str, lo: float, hi: float, target_value) -> DataFrame:
+    """F8 — collapse a numeric range into one value
+    (ref df.loc[(col>=lo)&(col<=hi), col] = v,
+    /root/reference/checking_data_formats_ui.py:535-597).
+    A lazy withColumn: only this column's expression changes; Catalyst leaves
+    the rest of the projection untouched."""
+    c = F.col(column)
+    return df.withColumn(
+        column, F.when(c.between(F.lit(lo), F.lit(hi)), F.lit(target_value)).otherwise(c)
+    )
+
+def align_columns(
+    df: DataFrame, ref_columns: list[str], keep_extras: bool = True
+) -> DataFrame:
+    """F9 — reorder to a reference column order, extras appended or dropped;
+    error if reference columns are missing
+    (ref /root/reference/preprocessing/data_balancing/align_columns_ui.py:259-318)."""
+    missing = [c for c in ref_columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"missing reference columns: {missing}")
+    extras = [c for c in df.columns if c not in ref_columns]
+    cols = list(ref_columns) + (extras if keep_extras else [])
+    return df.select(*cols)
+
+def align_dtypes(df: DataFrame, ref_schema: T.StructType) -> DataFrame:
+    """F10 — cast common columns to a reference schema's types; cast failure
+    yields null, matching pandas errors='coerce'
+    (ref /root/reference/preprocessing/data_balancing/align_columns_ui.py:176-257)."""
+    ref_types = {f.name: f.dataType for f in ref_schema.fields}
+    return df.select(
+        *[
+            F.col(c).cast(ref_types[c]).alias(c) if c in ref_types else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+def strip_column_names(df: DataFrame) -> DataFrame:
+    """F11 (ref df.columns.str.strip(), /root/reference/eda.py:43)."""
+    return df.toDF(*[c.strip() for c in df.columns])
+
+def dedup_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """F13 — exact row dedup (ref README «Удаление дубликатов»;
+    /root/reference/preprocessing/data_balancing/data_balancing_operaiting_classes.py:95).
+
+    dropDuplicates = hash-partition on the key columns + per-partition
+    first-row keep; at 100 TB prefer subset= on a business key so the shuffle
+    key is narrow, and pre-bucket the table on it to remove the shuffle."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+def clip(df: DataFrame, column: str, lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """E14 (ref col.clip(...),
+    /root/reference/preprocessing/repair_nan_methods/mice_method.py:96-100)."""
+    c = F.col(column)
+    if lo is not None:
+        c = F.greatest(F.lit(lo), c)
+    if hi is not None:
+        c = F.least(F.lit(hi), c)
+    return df.withColumn(column, c)
+
+def round_column(df: DataFrame, column: str, scale: int = 0, as_int: bool = False) -> DataFrame:
+    """E15 (ref col.round(k) / .astype('Int64'),
+    /root/reference/preprocessing/repair_nan_methods/mice_method.py:102-106)."""
+    c = F.round(F.col(column), scale)
+    if as_int:
+        c = c.cast("long")
+    return df.withColumn(column, c)
+
+def to_numeric(df: DataFrame, column: str) -> DataFrame:
+    """E16 — numeric coercion; non-parseable → null, matching
+    pd.to_numeric(errors='coerce')
+    (ref /root/reference/preprocessing/data_balancing/align_columns_ui.py:227-229)."""
+    return df.withColumn(column, F.col(column).cast("double"))

@@ -1,0 +1,258 @@
+"""Profiling / inspection operators (SURVEY.md §2.2, P1-P13).
+
+Reference semantics come from a pandas desktop app that profiles one in-memory
+table at a time (e.g. missing counts at
+/root/reference/checking_data_formats_ui.py:382-401, value counts at
+/root/reference/checking_data_formats_ui.py:510, rare values at
+/root/reference/checking_data_formats_ui.py:468-533). Here each profile is a
+single declarative aggregation so Catalyst fuses scan+project+agg and the
+whole thing is one shuffle (or zero, for map-side-only profiles) regardless of
+table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    """Schema-driven numeric-column selection (ref: select_dtypes(include=[np.number]),
+    /root/reference/checking_data_formats_ui.py:296)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)]
+
+def categorical_columns(df: DataFrame) -> list[str]:
+    """String columns = the reference's 'object' columns
+    (/root/reference/checking_data_formats_ui.py:304-308)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+def shape_census(df: DataFrame) -> DataFrame:
+    """P1 — rows x cols and dtype census
+    (ref /root/reference/load_dataset_ui.py:107-126).
+
+    One row per distinct Spark type with its column count; n_rows repeated.
+    Single count() job; schema inspection is metadata-only (no scan).
+    """
+    by_type: dict[str, int] = {}
+    for f in df.schema.fields:
+        name = f.dataType.simpleString()
+        by_type[name] = by_type.get(name, 0) + 1
+    n_rows = df.count()
+    spark = df.sparkSession
+    rows = [(t, c, n_rows, len(df.columns)) for t, c in sorted(by_type.items())]
+    return spark.createDataFrame(rows, "dtype string, n_cols_of_type int, n_rows long, n_cols int")
+
+def missing_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P2 — per-column null count, null %, and >50% flag, sorted desc
+    (ref /root/reference/checking_data_formats_ui.py:382-401).
+
+    ONE pass over the table: all per-column null sums are computed in a single
+    map-side-combinable aggregate (no per-column jobs, no shuffle of raw rows).
+    Output: (column, n_missing, pct_missing, flag_over_half) for columns with
+    any nulls, ordered by n_missing desc then column name.
+    """
+    columns = columns or df.columns
+    aggs = [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in columns]
+    totals = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    # unpivot the single aggregate row: stack(k, 'c1', c1, ...) — stays in JVM
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in columns)
+    unpivoted = totals.selectExpr(
+        "__n", f"stack({len(columns)}, {stack_args}) as (column, n_missing)"
+    )
+    return (
+        unpivoted.where(F.col("n_missing") > 0)
+        .select(
+            "column",
+            "n_missing",
+            F.round(F.col("n_missing") * 100.0 / F.col("__n"), 6).alias("pct_missing"),
+            (F.col("n_missing") * 2 > F.col("__n")).alias("flag_over_half"),
+        )
+        .orderBy(F.desc("n_missing"), "column")
+    )
+
+def total_missing(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P3 — grand total of nulls (ref df.isnull().sum().sum(),
+    /root/reference/checking_data_formats_ui.py:294). Single aggregate row."""
+    columns = columns or df.columns
+    exprs = [F.sum(F.col(c).isNull().cast("long")) for c in columns]
+    total = exprs[0]
+    for e in exprs[1:]:
+        total = total + e
+    return df.agg(total.alias("total_missing"))
+
+def distinct_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P4 — distinct non-null count per categorical column, ascending
+    (ref /root/reference/checking_data_formats_ui.py:310-314).
+
+    Exact counts via one aggregate (Spark plans count(distinct) over several
+    columns as an expand + single shuffle). For display-only profiling at
+    100 TB prefer approx=True (HLL, no expand blow-up).
+    """
+    columns = columns or categorical_columns(df)
+    fn = F.approx_count_distinct
+    aggs = [F.countDistinct(F.col(c)).alias(c) for c in columns]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in columns)
+    return (
+        row.selectExpr(f"stack({len(columns)}, {stack_args}) as (column, n_distinct)")
+        .orderBy("n_distinct", "column")
+    )
+
+def approx_distinct_counts(df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05) -> DataFrame:
+    """P4 at scale — HLL-based distinct counts; one pass, no expand."""
+    columns = columns or categorical_columns(df)
+    aggs = [F.approx_count_distinct(F.col(c), rsd).alias(c) for c in columns]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in columns)
+    return row.selectExpr(f"stack({len(columns)}, {stack_args}) as (column, n_distinct)").orderBy(
+        "n_distinct", "column"
+    )
+
+def value_counts(df: DataFrame, column: str, dropna: bool = False) -> DataFrame:
+    """P6 — frequency table, null-inclusive, sorted by value
+    (ref series.value_counts(dropna=False).sort_index(),
+    /root/reference/checking_data_formats_ui.py:510).
+
+    groupBy+count = partial (map-side) aggregation then one shuffle on the
+    value — the canonical scalable frequency profile.
+    """
+    out = df
+    if dropna:
+        out = out.where(F.col(column).isNotNull())
+    return out.groupBy(column).agg(F.count(F.lit(1)).alias("count")).orderBy(column)
+
+def rare_values(
+    df: DataFrame,
+    column: str,
+    max_count: int,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """P7 — values occurring <= max_count times, with optional numeric range
+    pre-filter (ref /root/reference/checking_data_formats_ui.py:468-533;
+    duplicate impl /root/reference/preprocessing/outlier_categories_ui.py:161-234).
+
+    The range filter is applied before aggregation so it pushes down to the
+    scan; the count<=N filter runs post-aggregation (HAVING).
+    """
+    out = df.where(F.col(column).isNotNull())
+    if lo is not None:
+        out = out.where(F.col(column) >= F.lit(lo))
+    if hi is not None:
+        out = out.where(F.col(column) <= F.lit(hi))
+    return (
+        out.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") <= F.lit(max_count))
+        .orderBy("count", column)
+    )
+
+def rare_value_summary(
+    df: DataFrame, column: str, max_count: int, lo: float | None = None, hi: float | None = None
+) -> DataFrame:
+    """P7 summary — total rare rows, distinct rare values, min/max frequency
+    (ref /root/reference/checking_data_formats_ui.py:516-533)."""
+    rare = rare_values(df, column, max_count, lo, hi)
+    return rare.agg(
+        F.coalesce(F.sum("count"), F.lit(0)).alias("total_rare_rows"),
+        F.count(F.lit(1)).alias("n_rare_values"),
+        F.min("count").alias("min_freq"),
+        F.max("count").alias("max_freq"),
+    )
+
+def class_distribution(df: DataFrame, target: str, top_k: int = 15) -> DataFrame:
+    """P8 — top-k class counts, desc (ref
+    /root/reference/preprocessing/correlation_graph_ui.py:100-116). Ties broken
+    by class value for determinism."""
+    return (
+        df.groupBy(target)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), target)
+        .limit(top_k)
+    )
+
+def class_stats_head_tail(df: DataFrame, target: str, head: int = 10, tail: int = 2) -> DataFrame:
+    """P9 — first `head` + last `tail` classes by frequency, deduplicated
+    (ref /root/reference/preprocessing/data_balancing/data_balancing_operaiting_classes.py:81-107).
+
+    Implemented with rank windows over the aggregated (tiny) frequency table —
+    the window runs on class cardinality, not row count.
+    """
+    counts = df.groupBy(target).agg(F.count(F.lit(1)).alias("count"))
+    w_desc = Window.orderBy(F.desc("count"), F.col(target))
+    w_asc = Window.orderBy(F.asc("count"), F.col(target).desc())
+    ranked = counts.select(
+        target,
+        "count",
+        F.row_number().over(w_desc).alias("__rd"),
+        F.row_number().over(w_asc).alias("__ra"),
+    )
+    return (
+        ranked.where((F.col("__rd") <= head) | (F.col("__ra") <= tail))
+        .select(target, "count")
+        .orderBy(F.desc("count"), target)
+    )
+
+def example_values(df: DataFrame, column: str, n: int = 3, truncate: int = 30) -> DataFrame:
+    """P10 — first n distinct non-null values, truncated
+    (ref /root/reference/preprocessing/dataset_processing_check_nan.py:283-293).
+    Deterministic: ordered by value, not arrival order (Spark has no row order).
+    """
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(F.substring(F.col(column).cast("string"), 1, truncate).alias("example"))
+        .distinct()
+        .orderBy("example")
+        .limit(n)
+    )
+
+def column_range(df: DataFrame, column: str) -> DataFrame:
+    """P11 — min/max for filter hints (ref /root/reference/splitting_dataset_ui.py:332-334).
+    For parquet sources this can be answered from footer statistics."""
+    return df.agg(F.min(column).alias("min_value"), F.max(column).alias("max_value"))
+
+def correlation_pairs(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P12 — pairwise Pearson correlation of numeric columns as a long table
+    (column_a, column_b, corr), a < b (ref numeric_df.corr(),
+    /root/reference/preprocessing/correlation_graph_ui.py:153,180-183).
+
+    Computed in ONE aggregation pass: corr is algebraic (sums/products), so all
+    k*(k-1)/2 pairs share a single scan + single reduce. This beats k^2 calls
+    to df.stat.corr (k^2 jobs) and matches pyspark.ml's Correlation without the
+    vector-assembly detour.
+    """
+    columns = columns or numeric_columns(df)
+    pairs = [(a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]]
+    if not pairs:
+        raise ValueError("need >= 2 numeric columns")
+    aggs = [F.corr(F.col(a), F.col(b)).alias(f"{a}|{b}") for a, b in pairs]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{a}|{b}', `{a}|{b}`" for a, b in pairs)
+    return (
+        row.selectExpr(f"stack({len(pairs)}, {stack_args}) as (pair, corr)")
+        .select(
+            F.split(F.col("pair"), "[|]").getItem(0).alias("column_a"),
+            F.split(F.col("pair"), "[|]").getItem(1).alias("column_b"),
+            F.round(F.col("corr"), 6).alias("corr"),
+        )
+        .orderBy("column_a", "column_b")
+    )
+
+def histogram(df: DataFrame, column: str, bin_width: float, class_column: str | None = None) -> DataFrame:
+    """P13 — fixed-width histogram, optionally grouped by class
+    (ref /root/reference/eda.py:47-55,473-508).
+
+    floor(col/width) keeps binning inside whole-stage codegen; groupBy gives
+    map-side partial counts. At 100 TB this is the only sane histogram: one
+    shuffle of (n_bins x n_classes) partial rows.
+    """
+    bin_expr = F.floor(F.col(column) / F.lit(bin_width)).cast("long").alias("bin")
+    keys = [bin_expr] if class_column is None else [F.col(class_column), bin_expr]
+    out = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("bin_lo", F.round(F.col("bin") * F.lit(bin_width), 6))
+    )
+    order = ["bin"] if class_column is None else [class_column, "bin"]
+    return out.orderBy(*order)

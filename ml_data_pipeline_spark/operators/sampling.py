@@ -1,0 +1,102 @@
+"""Sampling / splitting / trims (SURVEY.md §2.4, T1-T5).
+
+Reference: sklearn train_test_split(test_size=0.2, random_state=42), per-class
+trim loops (/root/reference/preprocessing/data_balancing/dataset_trim/
+dataset_trim_window_logic.py:16-58).
+
+Determinism model (SURVEY §4): Spark sampling is seeded but partition-layout-
+dependent; invariants (counts, ratios, disjointness) are the tested contract,
+not bit-parity with numpy RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def train_test_split(
+    df: DataFrame, test_size: float = 0.2, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """T1 — random split (ref train_test_split,
+    data_balancing_list_method_ui.py:197-199). randomSplit is one pass with a
+    per-row uniform draw — no shuffle."""
+    train, test = df.randomSplit([1.0 - test_size, test_size], seed=seed)
+    return train, test
+
+def stratified_split(
+    df: DataFrame, target: str, test_size: float = 0.2, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """T1 stratified — per-class test_size fractions via a seeded hash rank
+    window (ref stratified train_test_split,
+    cross_validation_optuna_logic.py:58-60).
+
+    Exact per-class proportions: rank rows inside each class by a seeded
+    pseudo-random key, first (1-test_size) fraction → train. One shuffle on
+    the class key; skewed classes are handled by AQE skew splitting.
+    """
+    w = Window.partitionBy(target).orderBy(F.xxhash64(F.concat_ws("|", *df.columns), F.lit(seed)))
+    n = Window.partitionBy(target)
+    ranked = df.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(n)
+    )
+    train = ranked.where(F.col("__rk") <= F.ceil(F.col("__n") * (1 - test_size))).drop("__rk", "__n")
+    test = ranked.where(F.col("__rk") > F.ceil(F.col("__n") * (1 - test_size))).drop("__rk", "__n")
+    return train, test
+
+def trim_equal(df: DataFrame, target: str, n_per_class: int, seed: int = 42) -> DataFrame:
+    """T2 — keep at most n rows per class, random within class
+    (ref sample(n=N, random_state=42) per class, dataset_trim_window_logic.py:16-27).
+
+    row_number over (class, seeded-hash order) — single shuffle on the class
+    key; no driver loop over classes (the reference loops in Python).
+    """
+    w = Window.partitionBy(target).orderBy(
+        F.xxhash64(F.concat_ws("|", *df.columns), F.lit(seed))
+    )
+    return df.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= n_per_class
+    ).drop("__rk")
+
+def trim_proportional(df: DataFrame, target: str, max_total: int, seed: int = 42) -> DataFrame:
+    """T3 — scale every class by max_total/total, min 1 row per class
+    (ref dataset_trim_window_logic.py:29-43)."""
+    total = df.count()
+    if total <= max_total:
+        return df
+    ratio = max_total / total
+    w = Window.partitionBy(target).orderBy(
+        F.xxhash64(F.concat_ws("|", *df.columns), F.lit(seed))
+    )
+    n = Window.partitionBy(target)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__keep", F.greatest(F.lit(1), F.floor(F.count(F.lit(1)).over(n) * F.lit(ratio))))
+        .where(F.col("__rk") <= F.col("__keep"))
+        .drop("__rk", "__keep")
+    )
+
+def trim_majority(df: DataFrame, target: str, max_majority: int, seed: int = 42) -> DataFrame:
+    """T4 — cap only the largest class (ref dataset_trim_window_logic.py:45-58).
+    The majority class is found from the tiny frequency table; only its rows
+    pass through the rank window, the rest are untouched (no shuffle for them
+    after AQE prunes)."""
+    counts = df.groupBy(target).agg(F.count(F.lit(1)).alias("__cnt")).orderBy(
+        F.desc("__cnt"), F.asc(target)
+    )
+    top = counts.limit(1).collect()[0][0]
+    majority = df.where(F.col(target) == F.lit(top))
+    rest = df.where((F.col(target) != F.lit(top)) | F.col(target).isNull())
+    w = Window.partitionBy(target).orderBy(
+        F.xxhash64(F.concat_ws("|", *df.columns), F.lit(seed))
+    )
+    trimmed = majority.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= max_majority
+    ).drop("__rk")
+    return trimmed.unionByName(rest)
+
+def concat(dfs: list[DataFrame]) -> DataFrame:
+    """T5 (ref pd.concat(ignore_index=True), dataset_trim_window_logic.py:26)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

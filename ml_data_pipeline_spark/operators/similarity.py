@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9).
+
+Operators over an `embeddings(vec_id, embedding array<float>, label)` table:
+- brute-force cosine top-k (the exactness baseline);
+- LSH-bucketed ANN (random hyperplane signs) — the scale path: candidates
+  come from an equi-join on the bucket key, so work grows ~linearly with
+  corpus size instead of quadratically;
+- all-pairs cosine join above a threshold (for embedding-based near-dup).
+
+The dot product / norm math is F.aggregate / F.zip_with over the arrays —
+JVM-side, no Python. A query vector is folded in as an array literal (it is
+one vector — broadcast by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+def cosine_to_query(
+    df: DataFrame, query_vector: list[float], vec_col: str = "embedding"
+) -> Column:
+    q = F.array(*[F.lit(float(v)) for v in query_vector])
+    return _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    One projection + a global top-k (TakeOrderedAndProject — Spark keeps only
+    k rows per partition then merges; no full sort, no shuffle of the data).
+    """
+    sim = cosine_to_query(df, query_vector, vec_col)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Append a sign-LSH bucket id: bit i = sign(<v, r_i>) for n_planes
+    deterministic pseudo-random hyperplanes (LCG-generated, seed-stable on
+    driver — tiny, folded into the plan as literals).
+    """
+    # deterministic LCG so buckets are reproducible across sessions
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return df.withColumn("lsh_bucket", bucket), planes
+
+def ann_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the scan to LSH buckets within
+    `max_probe_hamming` bits of the query's bucket (multi-probe), then exact
+    cosine on the survivors.
+
+    At 100 TB with the table WRITTEN partitioned by lsh_bucket, the bucket
+    IN-list prunes partitions at the source — the query touches
+    (probed/2^n_planes) of the data.
+    """
+    bucketed, planes = hyperplane_lsh_buckets(df, len(query_vector), n_planes, vec_col, seed)
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(q * p for q, p in zip(query_vector, plane)) >= 0:
+            qb |= 1 << i
+    probe = [b for b in range(1 << n_planes) if bin(b ^ qb).count("1") <= max_probe_hamming]
+    sim = cosine_to_query(bucketed, query_vector, vec_col)
+    return (
+        bucketed.where(F.col("lsh_bucket").isin(probe))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: bucket with sign-LSH, equi-join within
+    buckets, exact cosine verify >= threshold. High-cosine pairs land in the
+    same bucket with prob (1 - theta/pi)^n_planes — recall tunable via
+    n_planes; candidates never cross buckets so no crossJoin.
+    """
+    bucketed, _ = hyperplane_lsh_buckets(df, dim, n_planes, vec_col, seed)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, "lsh_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+def brute_force_cosine_pairs(
+    df: DataFrame, threshold: float = 0.9, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (O(n^2) — the small-corpus oracle
+    baseline that LSH variants are validated against)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,482 @@
+"""DuckDB oracle SQL for every oracle-checkable query in queries.ALL_QUERIES.
+
+Written against the driver's pre-registered views (region nation customer
+supplier part orders lineitem events documents embeddings). Conventions:
+- aliases match the Spark query exactly (the driver sorts columns by name);
+- integer aggregates are cast to BIGINT (DuckDB sum() returns HUGEINT);
+- floats rounded identically to the Spark side.
+
+Queries WITHOUT an oracle (driver applies rows-only checks) are the
+inherently seeded / hash-specific ones: i8 (EM random draws), tx_fingerprint
+(xxhash64), minhash/simhash (xxhash64 signatures), ann/LSH similarity
+(approximate by design, validated in tests against the brute-force baseline).
+"""
+
+from __future__ import annotations
+
+# lineitem with the deterministic null mask used by p2/p3/i1/i2/i4/f7
+_LI_NULLS = """
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_quantity END AS q
+  FROM lineitem
+"""
+
+_EN = "['the','and','of','to','is','in','that','it','was','for']"
+_DE = "['der','die','das','und','ist','nicht','ein','mit','sich','auf']"
+_FR = "['le','la','les','et','est','une','dans','que','pour','pas']"
+_ES = "['el','la','los','las','es','una','con','por','para','del']"
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
+
+ALL_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q_topk_per_group": """
+        SELECT o_orderpriority, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders
+        )
+        WHERE rk <= 3
+        ORDER BY o_orderpriority, rk
+    """,
+    "q_sessionize": """
+        WITH t AS (
+            SELECT user_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 > 1800.0
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM t GROUP BY user_id ORDER BY user_id
+    """,
+    "q_events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n,
+               round(sum(value), 6) AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "p2_missing_counts": """
+        SELECT 'l_quantity' AS "column",
+               CAST(sum(CASE WHEN l_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+               round(sum(CASE WHEN l_orderkey % 10 = 3 THEN 1 ELSE 0 END) * 100.0 / count(*), 6)
+                   AS pct_missing,
+               sum(CASE WHEN l_orderkey % 10 = 3 THEN 1 ELSE 0 END) * 2 > count(*)
+                   AS flag_over_half
+        FROM lineitem
+        HAVING sum(CASE WHEN l_orderkey % 10 = 3 THEN 1 ELSE 0 END) > 0
+    """,
+    "p3_total_missing": """
+        SELECT CAST(sum(CASE WHEN l_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS total_missing
+        FROM lineitem
+    """,
+    "p4_distinct_counts": """
+        SELECT "column", n_distinct FROM (
+            SELECT 'o_orderstatus' AS "column", count(DISTINCT o_orderstatus) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(DISTINCT o_orderpriority) FROM orders
+        ) ORDER BY n_distinct, "column"
+    """,
+    "p6_value_counts": """
+        SELECT l_returnflag, count(*) AS count
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "p7_rare_values": """
+        SELECT p_name, count(*) AS count FROM part
+        WHERE p_name IS NOT NULL
+        GROUP BY p_name HAVING count(*) <= 30
+        ORDER BY count, p_name
+    """,
+    "p7_rare_summary": """
+        WITH rare AS (
+            SELECT p_name, count(*) AS c FROM part
+            WHERE p_name IS NOT NULL
+            GROUP BY p_name HAVING count(*) <= 30
+        )
+        SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total_rare_rows,
+               count(*) AS n_rare_values,
+               min(c) AS min_freq, max(c) AS max_freq
+        FROM rare
+    """,
+    "p8_class_distribution": """
+        SELECT c_mktsegment, count(*) AS count
+        FROM customer GROUP BY c_mktsegment
+        ORDER BY count DESC, c_mktsegment LIMIT 15
+    """,
+    "p9_head_tail": """
+        WITH counts AS (SELECT lang, count(*) AS count FROM documents GROUP BY lang),
+        ranked AS (
+            SELECT lang, count,
+                   row_number() OVER (ORDER BY count DESC, lang) AS rd,
+                   row_number() OVER (ORDER BY count ASC, lang DESC) AS ra
+            FROM counts
+        )
+        SELECT lang, count FROM ranked
+        WHERE rd <= 3 OR ra <= 2
+        ORDER BY count DESC, lang
+    """,
+    "p10_example_values": """
+        SELECT DISTINCT substr(p_type, 1, 30) AS example
+        FROM part WHERE p_type IS NOT NULL
+        ORDER BY example LIMIT 3
+    """,
+    "p11_column_range": """
+        SELECT min(l_extendedprice) AS min_value, max(l_extendedprice) AS max_value
+        FROM lineitem
+    """,
+    "p12_correlation": """
+        SELECT 'l_discount' AS column_a, 'l_tax' AS column_b,
+               round(corr(l_discount, l_tax), 6) AS corr FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'l_discount',
+               round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'l_tax',
+               round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_discount',
+               round(corr(l_quantity, l_discount), 6) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_extendedprice',
+               round(corr(l_quantity, l_extendedprice), 6) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_tax',
+               round(corr(l_quantity, l_tax), 6) FROM lineitem
+        ORDER BY column_a, column_b
+    """,
+    "p13_histogram": """
+        SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+               count(*) AS count,
+               round(CAST(floor(value / 10.0) AS BIGINT) * CAST(10.0 AS DOUBLE), 6) AS bin_lo
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, floor(value / 10.0)
+        ORDER BY event_type, bin
+    """,
+    "f3_range_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20
+    """,
+    "f5_in_list_filter": """
+        SELECT o_orderkey, o_orderpriority
+        FROM orders WHERE CAST(o_orderpriority AS VARCHAR) IN ('1-URGENT', '2-HIGH')
+    """,
+    "f7_drop_null_rows": f"""
+        SELECT l_orderkey, l_linenumber, q AS l_quantity
+        FROM ({_LI_NULLS}) WHERE q IS NOT NULL
+    """,
+    "f8_merge_interval": """
+        SELECT l_quantity, count(*) AS count FROM (
+            SELECT CASE WHEN l_quantity BETWEEN 10 AND 20 THEN 15.0 ELSE l_quantity END
+                   AS l_quantity
+            FROM lineitem
+        ) GROUP BY l_quantity ORDER BY l_quantity
+    """,
+    "f13_exact_dedup": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        QUALIFY row_number() OVER (PARTITION BY text
+                                   ORDER BY doc_id, lang, source, n_chars) = 1
+    """,
+    "e1_one_hot": """
+        SELECT o_orderkey,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS INTEGER) AS o_orderstatus_F,
+               CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS INTEGER) AS o_orderstatus_O,
+               CAST(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS INTEGER) AS o_orderstatus_P
+        FROM orders
+    """,
+    "e2_label_encode": """
+        WITH m AS (
+            SELECT val, CAST(dense_rank() OVER (ORDER BY val) - 1 AS BIGINT) AS code
+            FROM (SELECT DISTINCT CAST(c_mktsegment AS VARCHAR) AS val
+                  FROM customer WHERE c_mktsegment IS NOT NULL)
+        )
+        SELECT c_custkey, c_mktsegment, m.code AS c_mktsegment_code
+        FROM customer LEFT JOIN m ON CAST(c_mktsegment AS VARCHAR) = m.val
+    """,
+    "e3_target_encode": """
+        WITH m AS (SELECT c_mktsegment, avg(c_acctbal) AS enc FROM customer GROUP BY c_mktsegment)
+        SELECT c.c_custkey, round(m.enc, 6) AS c_mktsegment_encoded
+        FROM customer c LEFT JOIN m USING (c_mktsegment)
+    """,
+    "e4_frequency_encode": """
+        WITH m AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment)
+        SELECT c.c_custkey,
+               round(m.cnt * 1.0 / (SELECT count(*) FROM customer), 6)
+                   AS c_mktsegment_freq_encoded
+        FROM customer c LEFT JOIN m USING (c_mktsegment)
+    """,
+    "e5_binary_encode": """
+        WITH m AS (
+            SELECT val, CAST(dense_rank() OVER (ORDER BY val) AS BIGINT) AS code
+            FROM (SELECT DISTINCT CAST(o_orderpriority AS VARCHAR) AS val
+                  FROM orders WHERE o_orderpriority IS NOT NULL)
+        )
+        SELECT o_orderkey,
+               CAST((code >> 2) & 1 AS INTEGER) AS o_orderpriority_0,
+               CAST((code >> 1) & 1 AS INTEGER) AS o_orderpriority_1,
+               CAST(code & 1 AS INTEGER) AS o_orderpriority_2
+        FROM orders LEFT JOIN m ON CAST(o_orderpriority AS VARCHAR) = m.val
+    """,
+    "e6_date_features": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS o_orderdate_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_orderdate_month,
+               CAST(day(o_orderdate) AS INTEGER) AS o_orderdate_day,
+               CAST(isodow(o_orderdate) - 1 AS INTEGER) AS o_orderdate_dayofweek,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS o_orderdate_week,
+               CAST(quarter(o_orderdate) AS INTEGER) AS o_orderdate_quarter
+        FROM orders
+    """,
+    "e8_feature_hash": """
+        SELECT c_custkey,
+               CAST('0x' || substr(md5(CAST(c_mktsegment AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+                   AS seg_hash
+        FROM customer
+    """,
+    "e11_universal_hash": """
+        SELECT c_custkey,
+               (1103515245 * (CAST('0x' || substr(sha256(CAST(c_mktsegment AS VARCHAR)), 1, 12)
+                                   AS BIGINT) % 2147483647)
+                + 12345) % 2147483647 % 1000 AS seg_uhash
+        FROM customer
+    """,
+    "e14_clip_round": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(least(50000.0, greatest(1000.0, l_extendedprice)), 0) AS BIGINT)
+                   AS l_extendedprice
+        FROM lineitem
+    """,
+    "i1_impute_mean": f"""
+        SELECT l_orderkey, l_linenumber,
+               round(coalesce(q, avg(q) OVER ()), 6) AS l_quantity
+        FROM ({_LI_NULLS})
+    """,
+    "i2_impute_median": f"""
+        SELECT l_orderkey, l_linenumber,
+               round(coalesce(q, (SELECT median(q) FROM ({_LI_NULLS}))), 6) AS l_quantity
+        FROM ({_LI_NULLS})
+    """,
+    "i3_impute_mode": """
+        WITH base AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 2 THEN NULL ELSE o_orderpriority END AS p
+            FROM orders
+        ),
+        mode_val AS (
+            SELECT p FROM base WHERE p IS NOT NULL
+            GROUP BY p ORDER BY count(*) DESC, p ASC LIMIT 1
+        )
+        SELECT o_orderkey, coalesce(p, (SELECT p FROM mode_val)) AS o_orderpriority
+        FROM base
+    """,
+    "i4_interpolate": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_quantity END AS q
+            FROM lineitem
+        ),
+        pos AS (
+            SELECT *, row_number() OVER
+                (ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS p
+            FROM base
+        ),
+        ctx AS (
+            SELECT *,
+                   last_value(q IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                   last_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
+                   first_value(q IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+            FROM pos
+        )
+        SELECT l_orderkey, l_linenumber,
+               round(CASE WHEN q IS NOT NULL THEN q
+                          ELSE coalesce(pv + (nv - pv) * (p - pp) / (np - pp), pv, nv)
+                     END, 6) AS l_quantity
+        FROM ctx
+    """,
+    "t1_split_invariants": """
+        SELECT count(*) AS n_total, count(*) AS n_train_plus_test FROM customer
+    """,
+    "t2_trim_equal_counts": """
+        SELECT c_mktsegment, CAST(least(count(*), 100) AS BIGINT) AS n
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "t3_trim_proportional_counts": """
+        WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS s FROM t)
+        SELECT c_mktsegment,
+               CAST(CASE WHEN s <= 1000 THEN cnt
+                         ELSE greatest(1, floor(cnt * (1000.0 / s))) END AS BIGINT) AS n
+        FROM t, tot ORDER BY c_mktsegment
+    """,
+    "t4_trim_majority_counts": """
+        WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment),
+        m AS (SELECT c_mktsegment FROM t ORDER BY cnt DESC, c_mktsegment LIMIT 1)
+        SELECT c_mktsegment,
+               CAST(CASE WHEN c_mktsegment = (SELECT c_mktsegment FROM m)
+                         THEN least(cnt, 50) ELSE cnt END AS BIGINT) AS n
+        FROM t ORDER BY c_mktsegment
+    """,
+    "tx_token_count": f"""
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    """,
+    "tx_bpe_count": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "tx_quality": rf"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS} AS tk, len(text) AS nc FROM documents
+        ),
+        s AS (
+            SELECT doc_id, nc, len(tk) AS nw,
+                   len(list_filter(tk, x -> list_contains({_EN}, x))) AS ns,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS np,
+                   len(regexp_extract_all(text, '[0-9]')) AS nd
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id, nc, nw,
+                   CASE WHEN nw > 0 THEN nc * 1.0 / nw ELSE 0.0 END AS mwl,
+                   CASE WHEN nc > 0 THEN np * 1.0 / nc ELSE 0.0 END AS pr,
+                   CASE WHEN nc > 0 THEN nd * 1.0 / nc ELSE 0.0 END AS dr,
+                   CASE WHEN nw > 0 THEN ns * 1.0 / nw ELSE 0.0 END AS sr
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(nc AS BIGINT) AS q_n_chars,
+               CAST(nw AS BIGINT) AS q_n_words,
+               round(mwl, 6) AS q_mean_word_len,
+               round(pr, 6) AS q_punct_ratio,
+               round(dr, 6) AS q_digit_ratio,
+               round(sr, 6) AS q_stopword_ratio,
+               round(CASE WHEN mwl >= 3 AND mwl <= 10 THEN CAST(0.4 AS DOUBLE) ELSE 0.0 END
+                     + CASE WHEN sr >= 0.05 THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END
+                     + CASE WHEN pr <= 0.2 THEN CAST(0.2 AS DOUBLE) ELSE 0.0 END
+                     + CASE WHEN nw >= 5 THEN CAST(0.1 AS DOUBLE) ELSE 0.0 END, 6) AS q_score
+        FROM r
+    """,
+    "tx_lang_id": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        h AS (
+            SELECT doc_id,
+                   len(list_filter(tk, x -> list_contains({_EN}, x))) AS he,
+                   len(list_filter(tk, x -> list_contains({_DE}, x))) AS hd,
+                   len(list_filter(tk, x -> list_contains({_FR}, x))) AS hf,
+                   len(list_filter(tk, x -> list_contains({_ES}, x))) AS hs
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+                    WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+                    WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
+                    WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM h
+    """,
+    "dd_ngram_jaccard": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(tk) - 1),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                   ELSE [] END AS gs
+            FROM toks
+        ),
+        base AS (SELECT doc_id, gs FROM grams WHERE len(gs) > 0),
+        sizes AS (SELECT doc_id, len(gs) AS ng FROM base),
+        ex AS (SELECT doc_id, unnest(gs) AS gram FROM base),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM ex a JOIN ex b USING (gram)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (sa.ng + sb.ng - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, jaccard FROM j
+        WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+    """,
+    "ss_brute_topk": """
+        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        s AS (
+            SELECT vec_id,
+                   list_sum(list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))) AS dot,
+                   sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+                   sqrt(list_sum(list_transform(e,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+            FROM embeddings, q
+        )
+        SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+        FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+}

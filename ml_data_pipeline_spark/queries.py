@@ -1,0 +1,444 @@
+"""Query registry: every implemented operator exposed as (spark, sf_dir) -> DataFrame.
+
+Each entry pairs with an ANSI-SQL oracle in ml_data_pipeline_spark.oracles —
+the driver runs both at sf0.01 and hash-compares (row count + schema + order-
+insensitive value hash). Conventions for oracle parity:
+- every computed column is explicitly aliased, identically in both;
+- floats are rounded (6 dp; 2 dp for large money sums) IN the query;
+- timestamps are stringified (Spark session TZ is UTC = DuckDB naive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions import hashing as H
+from .operators import dedup as DD
+from .operators import encoding as E
+from .operators import filters as FL
+from .operators import imputation as I
+from .operators import profiling as P
+from .operators import sampling as SA
+from .operators import similarity as SS
+from .operators import text as TX
+
+# ---------------------------------------------------------------- helpers
+
+def _li(spark, sf):
+    return load_table(spark, sf, "lineitem")
+
+def _li_nulls(spark, sf) -> DataFrame:
+    """lineitem with a DETERMINISTIC, oracle-reproducible null mask:
+    l_quantity nulled where l_orderkey % 10 == 3 (the testdata has no nulls;
+    imputation/missing-profile operators need some)."""
+    df = _li(spark, sf)
+    return df.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 10 == 3, F.lit(None)).otherwise(F.col("l_quantity")),
+    )
+
+def _orders_nulls(spark, sf) -> DataFrame:
+    """orders with o_orderpriority nulled where o_orderkey % 7 == 2."""
+    df = load_table(spark, sf, "orders")
+    return df.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 2, F.lit(None)).otherwise(F.col("o_orderpriority")),
+    )
+
+# ---------------------------------------------------------------- OLAP / flagship
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship (TPC-H Q1 shape): scan-filter-agg with 8 aggregates.
+    Filter pushes to parquet; agg is map-side partial then one 6-row shuffle."""
+    li = _li(spark, sf)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10. customer is broadcast
+    (small dim); orders⋈lineitem shuffles on orderkey."""
+    cust = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1997-01-01"))
+    li = _li(spark, sf).where(F.col("l_shipdate") > F.lit("1997-01-01"))
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table snowflake join. region/nation/supplier/customer
+    broadcast; the only big shuffle is orders⋈lineitem."""
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    li = _li(spark, sf)
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders by totalprice per priority — the window top-k pattern."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rk")
+        .orderBy("o_orderpriority", "rk")
+    )
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via lag + cumulative sum.
+    One shuffle on user_id; windows run per user partition."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (timestamp→double keeps the fractional seconds)
+    gap = (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)) > 1800.0
+    new_session = F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_session)
+    return (
+        sess.groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the streaming path)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON field extraction from the events.props string column."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("k")
+    )
+
+# ---------------------------------------------------------------- profiling (P*)
+
+def p2_missing_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return P.missing_counts(_li_nulls(spark, sf))
+
+def p4_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return P.distinct_counts(load_table(spark, sf, "orders"), ["o_orderstatus", "o_orderpriority"])
+
+def p6_value_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return P.value_counts(_li(spark, sf), "l_returnflag")
+
+def p7_rare_values(spark: SparkSession, sf: str) -> DataFrame:
+    return P.rare_values(load_table(spark, sf, "part"), "p_name", max_count=30)
+
+def p7_rare_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return P.rare_value_summary(load_table(spark, sf, "part"), "p_name", max_count=30)
+
+def p8_class_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    return P.class_distribution(load_table(spark, sf, "customer"), "c_mktsegment", top_k=15)
+
+def p9_head_tail(spark: SparkSession, sf: str) -> DataFrame:
+    return P.class_stats_head_tail(load_table(spark, sf, "documents"), "lang", head=3, tail=2)
+
+def p10_example_values(spark: SparkSession, sf: str) -> DataFrame:
+    return P.example_values(load_table(spark, sf, "part"), "p_type", n=3)
+
+def p11_column_range(spark: SparkSession, sf: str) -> DataFrame:
+    return P.column_range(_li(spark, sf), "l_extendedprice")
+
+def p12_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    return P.correlation_pairs(
+        _li(spark, sf), ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+def p13_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return P.histogram(load_table(spark, sf, "events"), "value", 10.0, class_column="event_type")
+
+def p3_total_missing(spark: SparkSession, sf: str) -> DataFrame:
+    return P.total_missing(_li_nulls(spark, sf))
+
+# ---------------------------------------------------------------- filters (F*)
+
+def f3_range_filter(spark: SparkSession, sf: str) -> DataFrame:
+    out = FL.range_filter(_li(spark, sf), "l_quantity", 10, 20)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+def f5_in_list_filter(spark: SparkSession, sf: str) -> DataFrame:
+    out = FL.in_list_filter(load_table(spark, sf, "orders"), "o_orderpriority", ["1-URGENT", "2-HIGH"])
+    return out.select("o_orderkey", "o_orderpriority")
+
+def f7_drop_null_rows(spark: SparkSession, sf: str) -> DataFrame:
+    out = FL.drop_null_rows(_li_nulls(spark, sf), ["l_quantity"])
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+def f8_merge_interval(spark: SparkSession, sf: str) -> DataFrame:
+    merged = FL.merge_interval(_li(spark, sf), "l_quantity", 10, 20, 15.0)
+    return P.value_counts(merged, "l_quantity")
+
+def f13_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.exact_dedup(load_table(spark, sf, "documents"), subset=["text"]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+# ---------------------------------------------------------------- encoders (E*)
+
+def e1_one_hot(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    return E.one_hot_encode(orders, "o_orderstatus", values=["F", "O", "P"])
+
+def e2_label_encode(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return E.label_encode(cust, "c_mktsegment", out_column="c_mktsegment_code")
+
+def e3_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    out = E.target_encode(cust, "c_mktsegment", "c_acctbal")
+    return out.select(
+        "c_custkey", F.round("c_mktsegment_encoded", 6).alias("c_mktsegment_encoded")
+    )
+
+def e4_frequency_encode(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    out = E.frequency_encode(cust, "c_mktsegment")
+    return out.select(
+        "c_custkey", F.round("c_mktsegment_freq_encoded", 6).alias("c_mktsegment_freq_encoded")
+    )
+
+def e5_binary_encode(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    return E.binary_encode(orders, "o_orderpriority", n_bits=3)
+
+def e6_date_features(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    out = E.date_features(orders, "o_orderdate", drop_original=True)
+    return out
+
+def e8_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    return cust.select(
+        "c_custkey", H.feature_hash(F.col("c_mktsegment"), 1000).alias("seg_hash")
+    )
+
+def e11_universal_hash(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    return cust.select(
+        "c_custkey", H.universal_hash(F.col("c_mktsegment"), 1000).alias("seg_uhash")
+    )
+
+def e14_clip_round(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf).select("l_orderkey", "l_linenumber", "l_extendedprice")
+    out = FL.clip(li, "l_extendedprice", lo=1000.0, hi=50000.0)
+    out = FL.round_column(out, "l_extendedprice", scale=0, as_int=True)
+    return out
+
+# ---------------------------------------------------------------- imputation (I*)
+
+def i1_impute_mean(spark: SparkSession, sf: str) -> DataFrame:
+    out = I.impute_mean(_li_nulls(spark, sf), "l_quantity")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("l_quantity")
+    )
+
+def i2_impute_median(spark: SparkSession, sf: str) -> DataFrame:
+    out = I.impute_median(_li_nulls(spark, sf), "l_quantity")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("l_quantity")
+    )
+
+def i3_impute_mode(spark: SparkSession, sf: str) -> DataFrame:
+    out = I.impute_mode(_orders_nulls(spark, sf), "o_orderpriority")
+    return out.select("o_orderkey", "o_orderpriority")
+
+def i4_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # l_extendedprice tie-breaks to a total order (oracle sorts identically).
+    out = I.impute_interpolate(
+        _li_nulls(spark, sf), "l_quantity", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("l_quantity")
+    )
+
+def i8_impute_em(spark: SparkSession, sf: str) -> DataFrame:
+    out = I.impute_em_normal(_li_nulls(spark, sf), "l_quantity", max_iter=3)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+# ---------------------------------------------------------------- sampling (T*)
+
+def t2_trim_equal_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Row identity is RNG-dependent; the CONTRACT (per-class count =
+    min(n, cap)) is exact and oracle-checked."""
+    trimmed = SA.trim_equal(load_table(spark, sf, "customer"), "c_mktsegment", 100)
+    return trimmed.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).orderBy("c_mktsegment")
+
+def t3_trim_proportional_counts(spark: SparkSession, sf: str) -> DataFrame:
+    trimmed = SA.trim_proportional(load_table(spark, sf, "customer"), "c_mktsegment", 1000)
+    return trimmed.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).orderBy("c_mktsegment")
+
+def t4_trim_majority_counts(spark: SparkSession, sf: str) -> DataFrame:
+    trimmed = SA.trim_majority(load_table(spark, sf, "customer"), "c_mktsegment", 50)
+    return trimmed.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).orderBy("c_mktsegment")
+
+def t1_split_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    """randomSplit contract: disjoint cover. Output (n_total, n_train+n_test)
+    must satisfy equality — checked by the oracle against plain count."""
+    df = load_table(spark, sf, "customer")
+    train, test = SA.train_test_split(df, 0.2, seed=42)
+    n_train, n_test, n = train.count(), test.count(), df.count()
+    return spark.createDataFrame(
+        [(n, n_train + n_test)], "n_total long, n_train_plus_test long"
+    )
+
+# ---------------------------------------------------------------- text (TX*)
+
+def tx_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.token_count(docs).select("doc_id", "n_tokens")
+
+def tx_bpe_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.bpe_ish_token_count(docs).select("doc_id", "n_bpe_tokens")
+
+def tx_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.quality_score(docs).select(
+        "doc_id", "q_n_chars", "q_n_words", "q_mean_word_len", "q_punct_ratio",
+        "q_digit_ratio", "q_stopword_ratio", "q_score",
+    )
+
+def tx_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.detect_language(docs).select("doc_id", "lang_pred")
+
+def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.fingerprint(docs).select("doc_id", "fingerprint")
+
+# ---------------------------------------------------------------- dedup / similarity
+
+def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return DD.minhash_near_duplicates(docs, threshold=0.4)
+
+def dd_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return DD.simhash_near_duplicates(docs, max_hamming=8)
+
+def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+def _query_vector(spark: SparkSession, sf: str) -> list[float]:
+    row = (
+        load_table(spark, sf, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(v) for v in row[0]]
+
+def ss_brute_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return SS.brute_force_topk(emb, _query_vector(spark, sf), k=10)
+
+def ss_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return SS.ann_topk(emb, _query_vector(spark, sf), k=10, n_planes=6)
+
+def ss_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return SS.cosine_pairs_lsh(emb, dim=64, threshold=0.5, n_planes=4)
+
+ALL_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "q_topk_per_group": q_topk_per_group,
+    "q_sessionize": q_sessionize,
+    "q_events_hourly": q_events_hourly,
+    "q_json_extract": q_json_extract,
+    "p2_missing_counts": p2_missing_counts,
+    "p3_total_missing": p3_total_missing,
+    "p4_distinct_counts": p4_distinct_counts,
+    "p6_value_counts": p6_value_counts,
+    "p7_rare_values": p7_rare_values,
+    "p7_rare_summary": p7_rare_summary,
+    "p8_class_distribution": p8_class_distribution,
+    "p9_head_tail": p9_head_tail,
+    "p10_example_values": p10_example_values,
+    "p11_column_range": p11_column_range,
+    "p12_correlation": p12_correlation,
+    "p13_histogram": p13_histogram,
+    "f3_range_filter": f3_range_filter,
+    "f5_in_list_filter": f5_in_list_filter,
+    "f7_drop_null_rows": f7_drop_null_rows,
+    "f8_merge_interval": f8_merge_interval,
+    "f13_exact_dedup": f13_exact_dedup,
+    "e1_one_hot": e1_one_hot,
+    "e2_label_encode": e2_label_encode,
+    "e3_target_encode": e3_target_encode,
+    "e4_frequency_encode": e4_frequency_encode,
+    "e5_binary_encode": e5_binary_encode,
+    "e6_date_features": e6_date_features,
+    "e8_feature_hash": e8_feature_hash,
+    "e11_universal_hash": e11_universal_hash,
+    "e14_clip_round": e14_clip_round,
+    "i1_impute_mean": i1_impute_mean,
+    "i2_impute_median": i2_impute_median,
+    "i3_impute_mode": i3_impute_mode,
+    "i4_interpolate": i4_interpolate,
+    "i8_impute_em": i8_impute_em,
+    "t1_split_invariants": t1_split_invariants,
+    "t2_trim_equal_counts": t2_trim_equal_counts,
+    "t3_trim_proportional_counts": t3_trim_proportional_counts,
+    "t4_trim_majority_counts": t4_trim_majority_counts,
+    "tx_token_count": tx_token_count,
+    "tx_bpe_count": tx_bpe_count,
+    "tx_quality": tx_quality,
+    "tx_lang_id": tx_lang_id,
+    "tx_fingerprint": tx_fingerprint,
+    "dd_minhash_pairs": dd_minhash_pairs,
+    "dd_simhash_pairs": dd_simhash_pairs,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "ss_brute_topk": ss_brute_topk,
+    "ss_ann_topk": ss_ann_topk,
+    "ss_cosine_pairs": ss_cosine_pairs,
+}

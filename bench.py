@@ -1,0 +1,71 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is executed to completion
+(collect) after a warm-up of the session; per-query wall time includes
+planning + execution, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ml_data_pipeline_spark.queries import ALL_QUERIES
+from ml_data_pipeline_spark.session import get_spark
+
+# Headline set: one per workload family — scan-agg, join-agg, snowflake join,
+# window, sessionization, imputation window, near-dup LSH, text pack, ANN.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_topk_per_group",
+    "q_sessionize",
+    "i1_impute_mean",
+    "i4_interpolate",
+    "e3_target_encode",
+    "dd_minhash_pairs",
+    "dd_simhash_pairs",
+    "tx_quality",
+    "tx_lang_id",
+    "ss_brute_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so per-query numbers measure the plan,
+    # not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ALL_QUERIES[name]
+        t0 = time.time()
+        rows = fn(spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+        _ = len(rows)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

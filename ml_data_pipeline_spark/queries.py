@@ -358,12 +358,17 @@ def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- dedup / similarity
 
 def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """threshold=0.7 ≈ real near-dup use; the synthetic docs share a tiny
+    vocabulary, so looser thresholds degenerate to all-pairs output."""
     docs = load_table(spark, sf, "documents")
-    return DD.minhash_near_duplicates(docs, threshold=0.4)
+    return DD.minhash_near_duplicates(docs, threshold=0.7)
 
 def dd_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """max_hamming=3 → 4 blocks of 16 bits: selective bucket keys (65536
+    values). max_hamming=8 would mean 7-bit blocks = 128 bucket values →
+    hot buckets → quadratic candidate blowup on vocabulary-dense corpora."""
     docs = load_table(spark, sf, "documents")
-    return DD.simhash_near_duplicates(docs, max_hamming=8)
+    return DD.simhash_near_duplicates(docs, max_hamming=3)
 
 def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")

@@ -246,6 +246,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    idf_weighted: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs within hamming distance d, via bit-block LSH:
     split 64 bits into d+1 blocks; any pair within distance d shares >= 1
@@ -254,7 +255,7 @@ def simhash_near_duplicates(
     """
     blocks = max_hamming + 1
     width = 64 // blocks
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    sigs = simhash_signatures(df, text_col, id_col, idf_weighted=idf_weighted).cache()
     banded = sigs.select(
         "id",
         "simhash",

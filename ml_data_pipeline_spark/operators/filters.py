@@ -85,9 +85,11 @@ def align_dtypes(df: DataFrame, ref_schema: T.StructType) -> DataFrame:
     yields null, matching pandas errors='coerce'
     (ref /root/reference/preprocessing/data_balancing/align_columns_ui.py:176-257)."""
     ref_types = {f.name: f.dataType for f in ref_schema.fields}
+    # try_cast, not cast: Spark 4 ANSI mode makes cast THROW on malformed
+    # input; pandas errors='coerce' semantics = null on failure.
     return df.select(
         *[
-            F.col(c).cast(ref_types[c]).alias(c) if c in ref_types else F.col(c)
+            F.col(c).try_cast(ref_types[c]).alias(c) if c in ref_types else F.col(c)
             for c in df.columns
         ]
     )
@@ -127,4 +129,4 @@ def to_numeric(df: DataFrame, column: str) -> DataFrame:
     """E16 — numeric coercion; non-parseable → null, matching
     pd.to_numeric(errors='coerce')
     (ref /root/reference/preprocessing/data_balancing/align_columns_ui.py:227-229)."""
-    return df.withColumn(column, F.col(column).cast("double"))
+    return df.withColumn(column, F.col(column).try_cast("double"))

@@ -1,0 +1,196 @@
+"""Unit tests for operator semantics on small in-memory DataFrames."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.operators import (
+    dedup as DD,
+    encoding as E,
+    filters as FL,
+    imputation as I,
+    profiling as P,
+    sampling as SA,
+)
+
+
+def test_missing_counts(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 2.0, None), (3, None, None)], "id int, x double, s string"
+    )
+    out = {r["column"]: (r["n_missing"], r["flag_over_half"]) for r in P.missing_counts(df).collect()}
+    assert out == {"x": (2, True), "s": (2, True)}
+
+
+def test_value_counts_null_inclusive(spark):
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("b",)], "v string")
+    rows = P.value_counts(df, "v").collect()
+    counts = {r["v"]: r["count"] for r in rows}
+    assert counts == {None: 1, "a": 2, "b": 1}
+
+
+def test_class_stats_head_tail(spark):
+    data = [(c,) for c in "aaaabbbccdde"]
+    df = spark.createDataFrame(data, "v string")
+    rows = P.class_stats_head_tail(df, "v", head=2, tail=1).collect()
+    # classes by count desc: a=4,b=3,c=2,d=2,e=1 → head 2 = a,b; tail 1 = e
+    assert [(r["v"], r["count"]) for r in rows] == [("a", 4), ("b", 3), ("e", 1)]
+
+
+def test_merge_interval(spark):
+    df = spark.createDataFrame([(5.0,), (15.0,), (25.0,)], "x double")
+    out = sorted(r["x"] for r in FL.merge_interval(df, "x", 10, 20, 99.0).collect())
+    assert out == [5.0, 25.0, 99.0]
+
+
+def test_align_columns_errors_and_order(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "b int, a int, c int")
+    out = FL.align_columns(df, ["a", "b"])
+    assert out.columns == ["a", "b", "c"]
+    out2 = FL.align_columns(df, ["a", "b"], keep_extras=False)
+    assert out2.columns == ["a", "b"]
+    try:
+        FL.align_columns(df, ["a", "zz"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_align_dtypes_coerce(spark):
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([("1", "x")], "a string, b string")
+    ref = T.StructType([T.StructField("a", T.IntegerType())])
+    out = FL.align_dtypes(df, ref).collect()[0]
+    assert out["a"] == 1 and out["b"] == "x"
+    df2 = spark.createDataFrame([("notanint",)], "a string")
+    assert FL.align_dtypes(df2, ref).collect()[0]["a"] is None  # errors='coerce'
+
+
+def test_label_encode_lexicographic(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], "v string")
+    rows = E.label_encode(df, "v", "code").collect()
+    m = {r["v"]: r["code"] for r in rows}
+    assert m == {"a": 0, "b": 1, "c": 2}  # sklearn LabelEncoder sorted order
+
+
+def test_one_hot(spark):
+    df = spark.createDataFrame([("x",), ("y",)], "v string")
+    out = E.one_hot_encode(df, "v")
+    assert set(out.columns) == {"v_x", "v_y"}
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {(1, 0), (0, 1)}
+
+
+def test_binary_encode_bits(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    out = E.binary_encode(df, "v", n_bits=2)
+    rows = {tuple(r) for r in out.collect()}
+    # ordinals a=1,b=2,c=3 → bits (0,1),(1,0),(1,1)
+    assert rows == {(0, 1), (1, 0), (1, 1)}
+
+
+def test_impute_mean_median_mode(spark):
+    df = spark.createDataFrame([(1.0,), (3.0,), (None,)], "x double")
+    assert I.impute_mean(df, "x").agg(F.sum("x")).collect()[0][0] == 6.0
+    assert sorted(r["x"] for r in I.impute_median(df, "x").collect()) == [1.0, 2.0, 3.0]
+    dfm = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], "v string")
+    vals = [r["v"] for r in I.impute_mode(dfm, "v").collect()]
+    assert vals.count("a") == 3
+
+
+def test_impute_mode_tie_breaks_to_smallest(spark):
+    dfm = spark.createDataFrame([("b",), ("a",), (None,)], "v string")
+    vals = sorted(r["v"] for r in I.impute_mode(dfm, "v").collect())
+    assert vals == ["a", "a", "b"]  # pandas mode()[0] = smallest of ties
+
+
+def test_interpolate_matches_pandas(spark):
+    import pandas as pd
+
+    vals = [10.0, None, None, 40.0, None, None, None, 12.0, None, None]
+    expected = pd.Series(vals).interpolate(method="linear", limit_direction="both").tolist()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "o int, v double")
+    got = [r["v"] for r in I.impute_interpolate(df, "v", "o").orderBy("o").collect()]
+    assert all(math.isclose(a, b) for a, b in zip(got, expected))
+
+
+def test_em_impute_fills_and_preserves(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(50)] + [(None,)] * 5, "x double")
+    out = I.impute_em_normal(df, "x", max_iter=2)
+    rows = out.collect()
+    assert len(rows) == 55 and all(r["x"] is not None for r in rows)
+
+
+def test_trim_equal_caps_classes(spark):
+    data = [("a",)] * 10 + [("b",)] * 3
+    df = spark.createDataFrame(data, "v string")
+    counts = {
+        r["v"]: r["n"]
+        for r in SA.trim_equal(df, "v", 5).groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 5, "b": 3}
+
+
+def test_stratified_split_proportions(spark):
+    data = [("a", i) for i in range(100)] + [("b", i) for i in range(20)]
+    df = spark.createDataFrame(data, "cls string, i int")
+    train, test = SA.stratified_split(df, "cls", test_size=0.2, seed=1)
+    tc = {r["cls"]: r["n"] for r in train.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert tc == {"a": 80, "b": 16}
+    assert train.count() + test.count() == 120
+    # disjoint
+    assert train.join(test, ["cls", "i"]).count() == 0
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [("k", 2, "x"), ("k", 1, "y"), ("j", 5, "z")], "key string, a int, b string"
+    )
+    rows = {(r["key"], r["a"], r["b"]) for r in DD.exact_dedup(df, ["key"]).collect()}
+    assert rows == {("k", 1, "y"), ("j", 5, "z")}  # min(struct) survivor
+
+
+def test_minhash_identical_docs_found(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different words entirely unrelated content zebra xylophone"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_near_duplicates(docs, threshold=0.9, num_hashes=16, bands=4).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_near_identical(spark):
+    # ODD distinct-token count: an odd number of +/-1 votes can never tie at
+    # zero, so each bit vote of `base` has magnitude >= 3 (tokens repeat 3x)
+    # and the single extra token in doc 2 can never flip a bit → hamming = 0,
+    # deterministically. (With an even count, ~25% of bits tie and the extra
+    # token flips half of them — a coin-toss at the threshold.)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "xx yy zz ww vv uu tt ss rr qq jj")],
+        "doc_id long, text string",
+    )
+    # idf_weighted=False: on a 3-doc corpus IDF makes zero-vote bits flip on
+    # single-token differences; the unweighted variant is the deterministic
+    # textbook semantics this test pins down
+    pairs = DD.simhash_near_duplicates(docs, max_hamming=8, idf_weighted=False).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 2) in found and (1, 3) not in found and (2, 3) not in found
+
+
+def test_ngram_jaccard_exact_value(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    # trigrams: {abc, bcd} vs {abc, bce} → jaccard = 1/3
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    # operator rounds to 6 dp for oracle hash parity
+    assert len(pairs) == 1 and abs(pairs[0]["jaccard"] - 1 / 3) < 1e-6

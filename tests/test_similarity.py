@@ -1,0 +1,38 @@
+"""Similarity-search tests: LSH variants validated against brute force."""
+
+from __future__ import annotations
+
+from ml_data_pipeline_spark.catalog import load_table
+from ml_data_pipeline_spark.operators import similarity as SS
+from pyspark.sql import functions as F
+
+
+def _query_vec(spark, sf_dir):
+    row = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).first()
+    return [float(v) for v in row["embedding"]]
+
+
+def test_brute_force_topk_self_first(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = SS.brute_force_topk(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    exact = {r["vec_id"] for r in SS.brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in SS.ann_topk(emb, q, k=10, n_planes=6, max_probe_hamming=2).collect()}
+    # multi-probe LSH on 500 vectors: expect decent overlap, self always found
+    assert 0 in approx
+    assert len(exact & approx) >= 5
+
+
+def test_cosine_pairs_lsh_subset_of_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    lsh = {(r["id_a"], r["id_b"]) for r in SS.cosine_pairs_lsh(emb, dim=64, threshold=0.5, n_planes=3).collect()}
+    brute = {(r["id_a"], r["id_b"]) for r in SS.brute_force_cosine_pairs(emb, threshold=0.5).collect()}
+    assert lsh <= brute  # LSH may miss (approx) but never invents pairs

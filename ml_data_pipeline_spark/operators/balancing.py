@@ -1,0 +1,504 @@
+"""Class balancing (SURVEY.md §2.7 B1-B9) — Spark-native re-expression of the
+imblearn method set (ref /root/reference/preprocessing/data_balancing/
+data_balancing_list_method_logic.py:9-124).
+
+Count contracts are EXACT and deterministic (window row_number / explode of
+computed copy counts), matching imblearn's resulting class sizes; row
+identity is RNG-dependent (documented — Spark RNG != numpy RNG).
+
+Scale notes:
+- under/over-sampling are one window or one explode — a single shuffle on
+  the class key; AQE handles the inherent skew (the majority class IS the
+  hot key).
+- SMOTE-family neighbor search rides the shared LSH knn_join
+  (operators/neighbors.py) — never a crossJoin at scale.
+- synthetic-row generation is explode(sequence(1, n_copies)) + zip_with
+  interpolation: pure codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .neighbors import knn_join
+
+# ---------------------------------------------------------------- helpers
+
+def class_counts(df: DataFrame, target: str) -> DataFrame:
+    return df.groupBy(target).agg(F.count(F.lit(1)).alias("__n"))
+
+
+def _with_counts(df: DataFrame, target: str) -> DataFrame:
+    """Attach per-class count via broadcast join (class cardinality is small
+    by definition of 'class')."""
+    return df.join(F.broadcast(class_counts(df, target)), target)
+
+
+# ---------------------------------------------------------------- B2 / B5
+
+def random_undersample(df: DataFrame, target: str, seed: int = 42) -> DataFrame:
+    """B2 — every class downsampled to the minority count. Exact counts via
+    per-class row_number over rand (ref data_balancing_list_method_logic.py:24-32)."""
+    min_n = class_counts(df, target).agg(F.min("__n")).first()[0]
+    w = Window.partitionBy(target).orderBy(F.rand(seed))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= min_n)
+        .drop("__rk")
+    )
+
+
+def random_oversample(df: DataFrame, target: str, seed: int = 42) -> DataFrame:
+    """B5 — every class upsampled (with replacement) to the majority count,
+    EXACTLY: each row gets floor(maj/n) copies; the first maj mod n rows (by
+    shuffled order) get one extra (ref data_balancing_list_method_logic.py:57-65)."""
+    max_n = class_counts(df, target).agg(F.max("__n")).first()[0]
+    w = Window.partitionBy(target).orderBy(F.rand(seed))
+    base = _with_counts(df, target).withColumn("__rk", F.row_number().over(w))
+    copies = (F.lit(max_n) / F.col("__n")).cast("long") + F.when(
+        F.col("__rk") <= F.lit(max_n) % F.col("__n"), 1
+    ).otherwise(0)
+    return (
+        base.withColumn("__c", F.explode(F.sequence(F.lit(1), copies)))
+        .drop("__n", "__rk", "__c")
+    )
+
+
+# ---------------------------------------------------------------- B1 SMOTE family
+
+def _numeric_feature_cols(df: DataFrame, target: str) -> list[str]:
+    from pyspark.sql.types import NumericType
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name != target
+    ]
+
+
+def smote(
+    df: DataFrame,
+    target: str,
+    feature_cols: list[str] | None = None,
+    k: int = 5,
+    seed: int = 42,
+    method: str = "lsh",
+    seeds_df: DataFrame | None = None,
+) -> DataFrame:
+    """B1 — SMOTE: every class raised to the majority count with synthetic
+    rows interpolated toward within-class k-NN
+    (ref data_balancing_list_method_logic.py:9-22).
+
+    synth = x + u * (neighbor - x), u ~ U(0,1); the neighbor is picked
+    uniformly among the k nearest per copy. Output schema = feature_cols +
+    target (SMOTE is defined on the numeric feature matrix, as in imblearn).
+    ``seeds_df`` optionally restricts which minority rows seed synthesis
+    (Borderline-SMOTE reuses this).
+    """
+    feats = feature_cols or _numeric_feature_cols(df, target)
+    counts = class_counts(df, target)
+    max_n = counts.agg(F.max("__n")).first()[0]
+
+    base = df.select(*feats, target)
+    out_parts = [base]
+    # per-class loop ON THE DRIVER over the (small) class list; each class's
+    # synthesis is one distributed plan — no driver data movement
+    need = [(r[target], r["__n"]) for r in counts.collect() if r["__n"] < max_n]
+    for cls, n in need:
+        cls_df = df.where(F.col(target) == cls).select(*feats, target)
+        cls_df = cls_df.withColumn("__id", F.monotonically_increasing_id())
+        seed_rows = cls_df
+        if seeds_df is not None:
+            seed_rows = cls_df.join(
+                seeds_df.select(*feats).dropDuplicates(feats), feats, "left_semi"
+            )
+        n_seed = seed_rows.count()
+        if n_seed == 0:
+            seed_rows, n_seed = cls_df, n
+        deficit = max_n - n
+        nn = knn_join(
+            seed_rows,
+            cls_df.select(F.col("__id").alias("__nid"), *feats),
+            feats,
+            k=k,
+            left_id="__id",
+            right_id="__nid",
+            method=method,
+            seed=seed,
+        )
+        # kNN of the *seed* rows against the full class, on original features
+        nbrs = nn.join(
+            cls_df.select(F.col("__id").alias("__nid"), *[F.col(c).alias(f"__v_{c}") for c in feats]),
+            "__nid",
+        )
+        # per-seed copy count: deficit spread evenly, remainder to first rows
+        w = Window.orderBy("__id")
+        seeded = (
+            seed_rows.withColumn("__rk", F.row_number().over(w) - 1)
+            .withColumn(
+                "__copies",
+                F.lit(deficit // n_seed)
+                + F.when(F.col("__rk") < F.lit(deficit % n_seed), 1).otherwise(0),
+            )
+            .where(F.col("__copies") > 0)
+        )
+        # pick the neighbor index per (seed row, copy) BEFORE the join — one
+        # draw per synthetic row; drawing after the join would give every
+        # joined candidate its own independent rand() and match 0..k rows
+        expanded = seeded.withColumn(
+            "__c", F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        ).withColumn("__pick", (F.floor(F.rand(seed) * k) + 1).cast("int"))
+        picked = (
+            expanded.join(nbrs, "__id")
+            .withColumn("__navail", F.max("rk").over(Window.partitionBy("__id", "__c")))
+            .where(F.col("rk") == F.least(F.col("__pick"), F.col("__navail")))
+        )
+        u = F.rand(seed + 1)
+        synth_cols = [
+            (F.col(c) + u * (F.col(f"__v_{c}") - F.col(c))).alias(c) for c in feats
+        ]
+        out_parts.append(picked.select(*synth_cols, F.lit(cls).alias(target)))
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def borderline_smote(
+    df: DataFrame,
+    target: str,
+    feature_cols: list[str] | None = None,
+    k: int = 5,
+    seed: int = 42,
+    method: str = "lsh",
+) -> DataFrame:
+    """B7 — SMOTE seeded only from DANGER rows: minority rows whose k-NN in
+    the FULL dataset contain >= k/2 (but < k) other-class members
+    (ref data_balancing_list_method_logic.py:79-87)."""
+    feats = feature_cols or _numeric_feature_cols(df, target)
+    counts = class_counts(df, target)
+    max_n = counts.agg(F.max("__n")).first()[0]
+    minority = [r[target] for r in counts.collect() if r["__n"] < max_n]
+
+    all_rows = df.select(*feats, target).withColumn("__gid", F.monotonically_increasing_id())
+    nn = knn_join(
+        all_rows,
+        all_rows.select(F.col("__gid").alias("__gnid"), *feats, F.col(target).alias("__ncls")),
+        feats,
+        k=k,
+        left_id="__gid",
+        right_id="__gnid",
+        method=method,
+        seed=seed,
+    )
+    votes = (
+        nn.join(all_rows.select(F.col("__gid").alias("__gnid"), F.col(target).alias("__ncls")), "__gnid")
+        .join(all_rows.select("__gid", F.col(target).alias("__cls")), "__gid")
+        .groupBy("__gid", "__cls")
+        .agg(F.sum((F.col("__ncls") != F.col("__cls")).cast("int")).alias("__other"))
+    )
+    danger_ids = votes.where(
+        (F.col("__other") * 2 >= F.lit(k)) & (F.col("__other") < F.lit(k))
+        & F.col("__cls").isin(minority)
+    ).select("__gid")
+    danger = all_rows.join(danger_ids, "__gid").select(*feats, target)
+    return smote(df, target, feats, k=k, seed=seed, method=method, seeds_df=danger)
+
+
+# ---------------------------------------------------------------- B3 / B4
+
+def cluster_centroids(
+    df: DataFrame, target: str, feature_cols: list[str] | None = None, seed: int = 42
+) -> DataFrame:
+    """B3 — every class larger than the minority is REPLACED by the centroids
+    of a KMeans(k=min_count) fit on that class
+    (ref data_balancing_list_method_logic.py:35-43). MLlib KMeans — the
+    distributed Lloyd's iteration, no driver data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = feature_cols or _numeric_feature_cols(df, target)
+    counts = class_counts(df, target)
+    min_n = counts.agg(F.min("__n")).first()[0]
+    parts = []
+    for r in counts.collect():
+        cls, n = r[target], r["__n"]
+        cls_df = df.where(F.col(target) == cls).select(*feats, target)
+        if n <= min_n:
+            parts.append(cls_df)
+            continue
+        vec = cls_df.withColumn(
+            "__v", array_to_vector(F.array(*[F.col(c).cast("double") for c in feats]))
+        )
+        model = KMeans(k=min_n, seed=seed, featuresCol="__v").fit(vec)
+        centers = model.clusterCenters()
+        rows = [[float(x) for x in c] for c in centers]
+        cdf = df.sparkSession.createDataFrame(
+            [(row,) for row in rows], "arr array<double>"
+        ).select(
+            *[F.col("arr").getItem(i).alias(c) for i, c in enumerate(feats)],
+            F.lit(cls).alias(target),
+        )
+        # MLlib KMeans DROPS empty clusters, so it can return < k centers
+        # (sklearn reassigns instead) — pad with real class rows to keep the
+        # min_n-per-class count contract exact
+        shortfall = min_n - len(rows)
+        if shortfall > 0:
+            w = Window.partitionBy(target).orderBy(F.rand(seed))
+            pad = (
+                cls_df.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= shortfall)
+                .drop("__rk")
+            )
+            cdf = cdf.unionByName(pad)
+        parts.append(cdf)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def nearmiss(
+    df: DataFrame,
+    target: str,
+    feature_cols: list[str] | None = None,
+    k: int = 3,
+    seed: int = 42,
+    method: str = "lsh",
+) -> DataFrame:
+    """B4 — NearMiss-1: keep the majority rows whose MEAN distance to their k
+    nearest minority rows is smallest, trimming every class to the minority
+    count (ref data_balancing_list_method_logic.py:46-54)."""
+    feats = feature_cols or _numeric_feature_cols(df, target)
+    counts = class_counts(df, target)
+    min_n = counts.agg(F.min("__n")).first()[0]
+    parts = []
+    for r in counts.collect():
+        cls, n = r[target], r["__n"]
+        cls_df = df.where(F.col(target) == cls).select(*feats, target)
+        if n <= min_n:
+            parts.append(cls_df)
+            continue
+        others = df.where(F.col(target) != cls)
+        others_min = others.join(
+            F.broadcast(
+                class_counts(others, target).orderBy("__n").limit(1).select(target)
+            ),
+            target,
+        ).select(*feats).withColumn("__oid", F.monotonically_increasing_id())
+        tagged = cls_df.withColumn("__mid", F.monotonically_increasing_id())
+        nn = knn_join(
+            tagged, others_min, feats, k=k, left_id="__mid", right_id="__oid",
+            method=method, seed=seed,
+        )
+        keep = (
+            nn.groupBy("__mid")
+            .agg(F.avg("dist").alias("__avgd"))
+            .orderBy(F.asc("__avgd"), F.asc("__mid"))
+            .limit(min_n)
+            .select("__mid")
+        )
+        parts.append(tagged.join(keep, "__mid").select(*feats, target))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------- B6 ADASYN
+
+def adasyn(
+    df: DataFrame,
+    target: str,
+    feature_cols: list[str] | None = None,
+    k: int = 5,
+    seed: int = 42,
+    method: str = "lsh",
+) -> DataFrame:
+    """B6 — ADASYN: SMOTE with per-seed synthesis counts proportional to the
+    local other-class density r_i = (#other-class among k-NN)/k
+    (ref data_balancing_list_method_logic.py:68-76). Total synthesized per
+    class still equals the deficit, so counts stay exact."""
+    feats = feature_cols or _numeric_feature_cols(df, target)
+    counts = class_counts(df, target)
+    max_n = counts.agg(F.max("__n")).first()[0]
+    base = df.select(*feats, target)
+    out = base
+    need = [(r[target], r["__n"]) for r in counts.collect() if r["__n"] < max_n]
+
+    all_rows = df.select(*feats, target).withColumn("__gid", F.monotonically_increasing_id())
+    nn = knn_join(
+        all_rows,
+        all_rows.select(F.col("__gid").alias("__gnid"), *feats),
+        feats,
+        k=k,
+        left_id="__gid",
+        right_id="__gnid",
+        method=method,
+        seed=seed,
+    ).join(
+        all_rows.select(F.col("__gid").alias("__gnid"), F.col(target).alias("__ncls")), "__gnid"
+    )
+    for cls, n in need:
+        deficit = max_n - n
+        cls_rows = all_rows.where(F.col(target) == cls)
+        dens = (
+            nn.join(cls_rows.select("__gid"), "__gid")
+            .groupBy("__gid")
+            .agg((F.sum((F.col("__ncls") != F.lit(cls)).cast("int")) / F.lit(k)).alias("__r"))
+        )
+        tot = dens.agg(F.sum("__r")).first()[0] or 0.0
+        if tot == 0.0:
+            # uniform fallback — no class overlap anywhere
+            dens = dens.withColumn("__g", F.lit(deficit) / F.count(F.lit(1)).over(Window.partitionBy()))
+        else:
+            dens = dens.withColumn("__g", F.col("__r") / F.lit(tot) * F.lit(deficit))
+        # integerize: floor + distribute remainder by largest fractional part
+        w = Window.orderBy(F.desc(F.col("__g") - F.floor("__g")), F.asc("__gid"))
+        rem = deficit - int(dens.select(F.sum(F.floor("__g"))).first()[0] or 0)
+        dens = dens.withColumn(
+            "__copies",
+            (F.floor("__g") + F.when(F.row_number().over(w) <= rem, 1).otherwise(0)).cast("int"),
+        ).where(F.col("__copies") > 0)
+        seeds = cls_rows.join(dens.select("__gid", "__copies"), "__gid")
+        cls_nn = nn.join(cls_rows.select("__gid", F.col(target).alias("__c2")), "__gid").where(
+            F.col("__ncls") == F.col("__c2")
+        )
+        nbr_feats = cls_nn.join(
+            all_rows.select(F.col("__gid").alias("__gnid"), *[F.col(c).alias(f"__v_{c}") for c in feats]),
+            "__gnid",
+        ).withColumn(
+            # filtering to same-class leaves gaps in the global rk (e.g. {2,3});
+            # a pick of 1 would then match nothing — re-rank densely
+            "rk",
+            F.row_number().over(Window.partitionBy("__gid").orderBy("rk")),
+        )
+        # one neighbor draw per synthetic row (see smote: draw BEFORE join);
+        # LEFT join so a seed with no same-class neighbor in its global kNN
+        # still yields its copies (as plain duplicates) — keeps counts exact
+        expanded = seeds.withColumn(
+            "__c", F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        ).withColumn("__pick", (F.floor(F.rand(seed) * k) + 1).cast("int"))
+        picked = (
+            expanded.join(nbr_feats, "__gid", "left")
+            .withColumn("__navail", F.max("rk").over(Window.partitionBy("__gid", "__c")))
+            .where(
+                F.col("rk").isNull()
+                | (F.col("rk") == F.least(F.col("__pick"), F.col("__navail")))
+            )
+        )
+        u = F.rand(seed + 1)
+        synth = picked.select(
+            *[
+                F.when(F.col("rk").isNull(), F.col(c))
+                .otherwise(F.col(c) + u * (F.col(f"__v_{c}") - F.col(c)))
+                .alias(c)
+                for c in feats
+            ],
+            F.lit(cls).alias(target),
+        )
+        out = out.unionByName(synth)
+    return out
+
+
+# ---------------------------------------------------------------- B8 / B9 cleaning
+
+def tomek_links(
+    df: DataFrame,
+    target: str,
+    feature_cols: list[str] | None = None,
+    seed: int = 42,
+    method: str = "lsh",
+) -> DataFrame:
+    """Pairs (id_a, id_b) that are mutual 1-NN of each other AND of different
+    classes — the Tomek links. Majority members of links are what SMOTE-Tomek
+    removes (ref data_balancing_list_method_logic.py:91-99)."""
+    feats = feature_cols or _numeric_feature_cols(df, target)
+    rows = df.select(*feats, target).withColumn("__gid", F.monotonically_increasing_id())
+    nn1 = knn_join(
+        rows,
+        rows.select(F.col("__gid").alias("__gnid"), *feats),
+        feats,
+        k=1,
+        left_id="__gid",
+        right_id="__gnid",
+        method=method,
+        seed=seed,
+    ).select("__gid", "__gnid")
+    rev = nn1.select(F.col("__gnid").alias("__gid"), F.col("__gid").alias("__gnid"))
+    mutual = nn1.intersect(rev).where(F.col("__gid") < F.col("__gnid"))
+    cls = rows.select("__gid", F.col(target).alias("__cls"))
+    return (
+        mutual.join(cls, "__gid")
+        .join(
+            cls.select(F.col("__gid").alias("__gnid"), F.col("__cls").alias("__ncls")),
+            "__gnid",
+        )
+        .where(F.col("__cls") != F.col("__ncls"))
+        .select(F.col("__gid").alias("id_a"), F.col("__gnid").alias("id_b"))
+    )
+
+
+def smote_tomek(
+    df: DataFrame,
+    target: str,
+    feature_cols: list[str] | None = None,
+    k: int = 5,
+    seed: int = 42,
+    method: str = "lsh",
+) -> DataFrame:
+    """B8 — SMOTE then remove Tomek-link members from the originally-majority
+    classes."""
+    feats = feature_cols or _numeric_feature_cols(df, target)
+    balanced = smote(df, target, feats, k=k, seed=seed, method=method)
+    rows = balanced.withColumn("__gid", F.monotonically_increasing_id())
+    links = tomek_links(rows.drop("__gid"), target, feats, seed=seed, method=method)
+    # remove BOTH endpoints (imblearn removes majority side; post-SMOTE all
+    # classes are equal so the symmetric rule is the faithful analogue)
+    rows2 = balanced.withColumn("__gid", F.monotonically_increasing_id())
+    bad = links.select(F.col("id_a").alias("__gid")).union(
+        links.select(F.col("id_b").alias("__gid"))
+    )
+    return rows2.join(bad, "__gid", "left_anti").drop("__gid")
+
+
+def smote_enn(
+    df: DataFrame,
+    target: str,
+    feature_cols: list[str] | None = None,
+    k: int = 3,
+    seed: int = 42,
+    method: str = "lsh",
+) -> DataFrame:
+    """B9 — SMOTE then Edited-Nearest-Neighbours cleaning: drop every row
+    whose k-NN majority vote disagrees with its own class
+    (ref data_balancing_list_method_logic.py:102-110)."""
+    feats = feature_cols or _numeric_feature_cols(df, target)
+    balanced = smote(df, target, feats, k=k, seed=seed, method=method)
+    rows = balanced.withColumn("__gid", F.monotonically_increasing_id())
+    nn = knn_join(
+        rows,
+        rows.select(F.col("__gid").alias("__gnid"), *feats, F.col(target).alias("__ncls")),
+        feats,
+        k=k,
+        left_id="__gid",
+        right_id="__gnid",
+        method=method,
+        seed=seed,
+    )
+    votes = (
+        nn.join(
+            rows.select(F.col("__gid").alias("__gnid"), F.col(target).alias("__ncls")), "__gnid"
+        )
+        .groupBy("__gid", "__ncls")
+        .agg(F.count(F.lit(1)).alias("__votes"))
+    )
+    w = Window.partitionBy("__gid").orderBy(F.desc("__votes"), F.asc("__ncls"))
+    majority_vote = votes.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1)
+    keep = (
+        rows.join(majority_vote.select("__gid", "__ncls"), "__gid")
+        .where(F.col(target) == F.col("__ncls"))
+        .select("__gid")
+    )
+    return rows.join(keep, "__gid", "left_semi").drop("__gid")

@@ -353,6 +353,38 @@ ALL_ORACLES: dict[str, str] = {
     "t1_split_invariants": """
         SELECT count(*) AS n_total, count(*) AS n_train_plus_test FROM customer
     """,
+    # balancing count contracts: class sizes after each method are exact
+    # (row identity is RNG-dependent and intentionally unchecked)
+    "b1_smote_counts": """
+        WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, CAST((SELECT max(cnt) FROM t) AS BIGINT) AS n
+        FROM t ORDER BY c_mktsegment
+    """,
+    "b2_undersample_counts": """
+        WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, CAST((SELECT min(cnt) FROM t) AS BIGINT) AS n
+        FROM t ORDER BY c_mktsegment
+    """,
+    "b3_centroids_counts": """
+        WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, CAST((SELECT min(cnt) FROM t) AS BIGINT) AS n
+        FROM t ORDER BY c_mktsegment
+    """,
+    "b4_nearmiss_counts": """
+        WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, CAST((SELECT min(cnt) FROM t) AS BIGINT) AS n
+        FROM t ORDER BY c_mktsegment
+    """,
+    "b5_oversample_counts": """
+        WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, CAST((SELECT max(cnt) FROM t) AS BIGINT) AS n
+        FROM t ORDER BY c_mktsegment
+    """,
+    "b6_adasyn_counts": """
+        WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, CAST((SELECT max(cnt) FROM t) AS BIGINT) AS n
+        FROM t ORDER BY c_mktsegment
+    """,
     "t2_trim_equal_counts": """
         SELECT c_mktsegment, CAST(least(count(*), 100) AS BIGINT) AS n
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment

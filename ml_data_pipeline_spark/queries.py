@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions import hashing as H
+from .operators import balancing as B
 from .operators import dedup as DD
 from .operators import encoding as E
 from .operators import filters as FL
@@ -330,6 +331,60 @@ def t1_split_invariants(spark: SparkSession, sf: str) -> DataFrame:
         [(n, n_train + n_test)], "n_total long, n_train_plus_test long"
     )
 
+# ---------------------------------------------------------------- balancing (B*)
+
+def _cust_bal(spark, sf) -> DataFrame:
+    """customer projected to (target, 2 numeric features) for balancing ops."""
+    return load_table(spark, sf, "customer").select(
+        "c_mktsegment", F.col("c_acctbal").cast("double"), F.col("c_nationkey").cast("double")
+    )
+
+def _class_n(df) -> DataFrame:
+    return (
+        df.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).orderBy("c_mktsegment")
+    )
+
+def b1_smote_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """SMOTE raises every class EXACTLY to the majority count (synthetic rows
+    are RNG-dependent; the count contract is the oracle-checkable part)."""
+    out = B.smote(_cust_bal(spark, sf), "c_mktsegment", ["c_acctbal", "c_nationkey"], k=5)
+    return _class_n(out)
+
+def b2_undersample_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return _class_n(B.random_undersample(_cust_bal(spark, sf), "c_mktsegment"))
+
+def b3_centroids_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return _class_n(
+        B.cluster_centroids(_cust_bal(spark, sf), "c_mktsegment", ["c_acctbal", "c_nationkey"])
+    )
+
+def b4_nearmiss_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return _class_n(
+        B.nearmiss(_cust_bal(spark, sf), "c_mktsegment", ["c_acctbal", "c_nationkey"], k=3)
+    )
+
+def b5_oversample_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return _class_n(B.random_oversample(_cust_bal(spark, sf), "c_mktsegment"))
+
+def b6_adasyn_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return _class_n(
+        B.adasyn(_cust_bal(spark, sf), "c_mktsegment", ["c_acctbal", "c_nationkey"], k=5)
+    )
+
+def b8_smote_tomek(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only: Tomek-link removal count is data/LSH-recall dependent."""
+    out = B.smote_tomek(
+        _cust_bal(spark, sf), "c_mktsegment", ["c_acctbal", "c_nationkey"], k=5
+    )
+    return _class_n(out)
+
+def b9_smote_enn(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only: ENN removal count is data-dependent."""
+    out = B.smote_enn(
+        _cust_bal(spark, sf), "c_mktsegment", ["c_acctbal", "c_nationkey"], k=3
+    )
+    return _class_n(out)
+
 # ---------------------------------------------------------------- text (TX*)
 
 def tx_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -432,6 +487,14 @@ ALL_QUERIES = {
     "i4_interpolate": i4_interpolate,
     "i8_impute_em": i8_impute_em,
     "t1_split_invariants": t1_split_invariants,
+    "b1_smote_counts": b1_smote_counts,
+    "b2_undersample_counts": b2_undersample_counts,
+    "b3_centroids_counts": b3_centroids_counts,
+    "b4_nearmiss_counts": b4_nearmiss_counts,
+    "b5_oversample_counts": b5_oversample_counts,
+    "b6_adasyn_counts": b6_adasyn_counts,
+    "b8_smote_tomek": b8_smote_tomek,
+    "b9_smote_enn": b9_smote_enn,
     "t2_trim_equal_counts": t2_trim_equal_counts,
     "t3_trim_proportional_counts": t3_trim_proportional_counts,
     "t4_trim_majority_counts": t4_trim_majority_counts,

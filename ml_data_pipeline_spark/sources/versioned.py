@@ -1,0 +1,194 @@
+"""Versioned Parquet datasets with lineage metadata (SURVEY.md §1.2, §2.1 S6-S9).
+
+The reference embeds lineage as ``# META: vN: <changes>`` comment lines in
+each saved CSV and encodes the version in the filename ``{base}_v{N}.csv``
+(ref /root/reference/utils/meta_tracker.py:8-17,66-101,132-153;
+/root/reference/utils/dataset_version_checker.py:7-26). The Spark-native
+equivalent is a directory-per-version Parquet layout:
+
+    {root}/{base}/v{N}/        ← parquet data (partitioned, splittable)
+    {root}/{base}/v{N}/_meta.json  ← {version, changes[], parent, base}
+
+Parquet keeps column stats + pushdown at 100 TB; the JSON sidecar is pure
+driver-side metadata (a few KB). Version commits are atomic-enough via
+write-then-rename-free layout: a version dir is only discoverable once
+_meta.json lands (written last).
+
+The train/test version gate (T6, ref /root/reference/utils/
+dataset_version_checker.py:29-122) compares base + version of two datasets
+before paired operations.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_RE = re.compile(r"^v(\d+)$")
+# reference filename convention, still accepted for CSV interchange
+_FILE_VERSION_RE = re.compile(r"_v(\d+)(?:\.[A-Za-z0-9]+)?$")
+
+
+@dataclass
+class VersionInfo:
+    version: int
+    changes: list[str] = field(default_factory=list)
+    parent: int | None = None
+    base: str = ""
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "changes": self.changes,
+                "parent": self.parent,
+                "base": self.base,
+            },
+            indent=2,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "VersionInfo":
+        d = json.loads(s)
+        return VersionInfo(
+            version=int(d["version"]),
+            changes=list(d.get("changes", [])),
+            parent=d.get("parent"),
+            base=d.get("base", ""),
+        )
+
+
+def parse_file_version(name: str) -> int | None:
+    """Reference-compatible ``{base}_v{N}.csv`` version parse
+    (ref /root/reference/utils/dataset_version_checker.py:7-26)."""
+    m = _FILE_VERSION_RE.search(name)
+    return int(m.group(1)) if m else None
+
+
+def strip_file_version(name: str) -> str:
+    """Base name with the ``_vN`` suffix and extension removed."""
+    name = re.sub(r"\.[A-Za-z0-9]+$", "", name.rsplit("/", 1)[-1])
+    return re.sub(r"_v\d+$", "", name)
+
+
+def check_paired_versions(train_name: str, test_name: str) -> tuple[bool, str]:
+    """T6 — train/test gate: same base, same version
+    (ref /root/reference/utils/dataset_version_checker.py:29-122)."""
+    tb, eb = strip_file_version(train_name), strip_file_version(test_name)
+    # the reference names pairs {base}_train_vN / {base}_test_vN
+    tb = re.sub(r"_(train|test)$", "", tb)
+    eb = re.sub(r"_(train|test)$", "", eb)
+    tv, ev = parse_file_version(train_name), parse_file_version(test_name)
+    if tb != eb:
+        return False, f"base mismatch: {tb!r} != {eb!r}"
+    if tv is None or ev is None:
+        return False, "missing _vN version suffix"
+    if tv != ev:
+        return False, f"version mismatch: v{tv} != v{ev}"
+    return True, f"ok: {tb} v{tv}"
+
+
+class VersionedDataset:
+    """Directory-per-version Parquet dataset with a JSON lineage sidecar.
+
+    Uses the Hadoop FS API through the active SparkSession so the same code
+    works on local paths, HDFS, and object stores (s3a/gs/abfs) — no direct
+    ``os`` filesystem calls.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, base: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.base = base
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    # ---------------------------------------------------------------- fs
+    def _fs(self, path: str):
+        p = self._jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(self._conf), p
+
+    def _exists(self, path: str) -> bool:
+        fs, p = self._fs(path)
+        return fs.exists(p)
+
+    def _write_text(self, path: str, text: str) -> None:
+        fs, p = self._fs(path)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_text(self, path: str) -> str:
+        fs, p = self._fs(path)
+        stream = fs.open(p)
+        try:
+            # py4j passes bytearrays by VALUE — readFully(buf) would fill a
+            # Java-side copy. IOUtils returns the bytes to Python instead.
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+
+    # ---------------------------------------------------------------- api
+    def _dir(self, version: int) -> str:
+        return f"{self.root}/{self.base}/v{version}"
+
+    def versions(self) -> list[int]:
+        base_dir = f"{self.root}/{self.base}"
+        if not self._exists(base_dir):
+            return []
+        fs, p = self._fs(base_dir)
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            m = _VERSION_RE.match(name)
+            # only versions whose _meta.json landed count as committed
+            if m and self._exists(f"{base_dir}/{name}/_meta.json"):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def write_version(
+        self,
+        df: DataFrame,
+        changes: list[str],
+        partition_by: list[str] | None = None,
+    ) -> VersionInfo:
+        """Commit the DataFrame as the next version. Data first, _meta.json
+        last — a version without its sidecar is invisible to readers."""
+        parent = self.latest_version()
+        version = 0 if parent is None else parent + 1
+        target = self._dir(version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        info = VersionInfo(version=version, changes=list(changes), parent=parent, base=self.base)
+        self._write_text(f"{target}/_meta.json", info.to_json())
+        return info
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed versions under {self.root}/{self.base}")
+        if not self._exists(f"{self._dir(v)}/_meta.json"):
+            raise FileNotFoundError(f"version v{v} not committed for {self.base}")
+        return self.spark.read.parquet(self._dir(v))
+
+    def meta(self, version: int | None = None) -> VersionInfo:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed versions under {self.root}/{self.base}")
+        return VersionInfo.from_json(self._read_text(f"{self._dir(v)}/_meta.json"))
+
+    def history(self) -> list[VersionInfo]:
+        """Full lineage, oldest first — the Spark-native ``# META`` trail."""
+        return [self.meta(v) for v in self.versions()]

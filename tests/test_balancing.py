@@ -1,0 +1,84 @@
+"""Balancing operators (SURVEY.md §2.7) — exact count contracts + invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.operators import balancing as B
+
+
+def _counts(df, target="cls"):
+    return {r[target]: r["n"] for r in df.groupBy(target).agg(F.count("*").alias("n")).collect()}
+
+
+def _toy(spark, na=12, nb=4, nc=6):
+    data = (
+        [("a", float(i), float(i % 5)) for i in range(na)]
+        + [("b", 100.0 + i, float(i % 3)) for i in range(nb)]
+        + [("c", 200.0 + i, float(i % 4)) for i in range(nc)]
+    )
+    return spark.createDataFrame(data, "cls string, x double, y double")
+
+
+def test_random_undersample_counts(spark):
+    out = B.random_undersample(_toy(spark), "cls", seed=7)
+    assert _counts(out) == {"a": 4, "b": 4, "c": 4}
+
+
+def test_random_oversample_counts(spark):
+    out = B.random_oversample(_toy(spark), "cls", seed=7)
+    assert _counts(out) == {"a": 12, "b": 12, "c": 12}
+    # oversampling duplicates existing rows only
+    orig = {(r["cls"], r["x"], r["y"]) for r in _toy(spark).collect()}
+    assert {(r["cls"], r["x"], r["y"]) for r in out.collect()} <= orig
+
+
+def test_smote_counts_and_ranges(spark):
+    df = _toy(spark)
+    out = B.smote(df, "cls", ["x", "y"], k=3, method="exact", seed=1)
+    assert _counts(out) == {"a": 12, "b": 12, "c": 12}
+    # synthetic rows interpolate within the class's convex hull per feature
+    b = out.where(F.col("cls") == "b").agg(F.min("x"), F.max("x")).first()
+    assert 100.0 <= b[0] and b[1] <= 103.0
+
+
+def test_cluster_centroids_counts(spark):
+    out = B.cluster_centroids(_toy(spark), "cls", ["x", "y"], seed=1)
+    assert _counts(out) == {"a": 4, "b": 4, "c": 4}
+
+
+def test_nearmiss_counts_and_selection(spark):
+    # majority 'a' rows at x=0..11; minority 'b' clustered at x=100.
+    # NearMiss-1 must keep the 4 'a' rows CLOSEST to b: x=8,9,10,11.
+    out = B.nearmiss(_toy(spark, na=12, nb=4, nc=4), "cls", ["x", "y"], k=2, method="exact")
+    assert _counts(out) == {"a": 4, "b": 4, "c": 4}
+    kept_a = sorted(r["x"] for r in out.where(F.col("cls") == "a").collect())
+    assert kept_a == [8.0, 9.0, 10.0, 11.0]
+
+
+def test_adasyn_counts(spark):
+    out = B.adasyn(_toy(spark), "cls", ["x", "y"], k=3, method="exact", seed=1)
+    assert _counts(out) == {"a": 12, "b": 12, "c": 12}
+
+
+def test_borderline_smote_counts(spark):
+    out = B.borderline_smote(_toy(spark), "cls", ["x", "y"], k=3, method="exact", seed=1)
+    assert _counts(out) == {"a": 12, "b": 12, "c": 12}
+
+
+def test_tomek_links_found(spark):
+    # two rows of different classes adjacent at x=5,6; everything else far
+    data = [("a", 5.0), ("b", 6.0), ("a", 100.0), ("a", 101.0), ("b", 200.0), ("b", 201.0)]
+    df = spark.createDataFrame(data, "cls string, x double")
+    links = B.tomek_links(df, "cls", ["x"], method="exact").collect()
+    assert len(links) == 1  # exactly the (5.0, 6.0) cross-class mutual-NN pair
+
+
+def test_smote_enn_no_worse_than_smote(spark):
+    df = _toy(spark)
+    sm = B.smote(df, "cls", ["x", "y"], k=3, method="exact", seed=1)
+    enn = B.smote_enn(df, "cls", ["x", "y"], k=3, method="exact", seed=1)
+    # ENN only removes rows
+    assert enn.count() <= sm.count()
+    # toy classes are far apart → nothing is misclassified → nothing removed
+    assert enn.count() == sm.count()

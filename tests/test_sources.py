@@ -1,0 +1,75 @@
+"""Versioned dataset layer + CSV ingest + META interchange (SURVEY.md §1.2, §2.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.sources import csv_io, meta_csv
+from ml_data_pipeline_spark.sources.versioned import (
+    VersionedDataset,
+    check_paired_versions,
+    parse_file_version,
+    strip_file_version,
+)
+
+
+def test_read_csv_null_spellings(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "# META: v0: imported\n"
+        "a,b,c\n"
+        "1,NA,x\n"
+        "2,?,N/A\n"
+        "3,hello,null\n"
+    )
+    df = csv_io.read_csv(spark, str(p))
+    rows = {r["a"]: (r["b"], r["c"]) for r in df.collect()}
+    assert rows == {1: (None, "x"), 2: (None, None), 3: ("hello", None)}
+
+
+def test_read_csv_as_strings(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,\n2,x\n")
+    rows = {r["a"]: r["b"] for r in csv_io.read_csv_as_strings(spark, str(p)).collect()}
+    assert rows == {"1": "", "2": "x"}  # dtype=str + fillna("") semantics
+
+
+def test_versioned_dataset_roundtrip(spark, tmp_path):
+    vd = VersionedDataset(spark, str(tmp_path), "cust")
+    assert vd.latest_version() is None
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    info0 = vd.write_version(df, ["imported"])
+    assert (info0.version, info0.parent) == (0, None)
+    info1 = vd.write_version(df.where(F.col("id") == 1), ["filtered id=1"])
+    assert (info1.version, info1.parent) == (1, 0)
+    assert vd.versions() == [0, 1]
+    assert vd.read().count() == 1          # latest
+    assert vd.read(0).count() == 2         # explicit
+    hist = vd.history()
+    assert [h.changes for h in hist] == [["imported"], ["filtered id=1"]]
+    assert vd.meta().base == "cust"
+
+
+def test_file_version_parse():
+    assert parse_file_version("data_v3.csv") == 3
+    assert parse_file_version("data.csv") is None
+    assert strip_file_version("/x/y/housing_train_v2.csv") == "housing_train"
+
+
+def test_paired_version_gate():
+    ok, _ = check_paired_versions("h_train_v2.csv", "h_test_v2.csv")
+    assert ok
+    bad, msg = check_paired_versions("h_train_v2.csv", "h_test_v3.csv")
+    assert not bad and "mismatch" in msg
+    bad2, _ = check_paired_versions("h_train_v2.csv", "other_test_v2.csv")
+    assert not bad2
+
+
+def test_meta_csv_roundtrip(tmp_path):
+    hist = {0: ["imported"], 1: ["dropped x", "imputed mean y"]}
+    text = meta_csv.format_meta_lines(hist)
+    assert text == "# META: v0: imported\n# META: v1: dropped x, imputed mean y\n"
+    p = tmp_path / "d_v1.csv"
+    p.write_text(text + "a,b\n1,2\n")
+    assert meta_csv.load_meta_header(str(p)) == hist
+    assert meta_csv.max_version(hist) == 1

@@ -1,0 +1,248 @@
+"""ML pipeline operators (SURVEY.md §2.8 M1-M3, M11-M13).
+
+The reference trains sklearn estimators on a numeric matrix after
+StandardScaler (fit on train only) — ref /root/reference/researching_models/
+model_evaluation_logic.py:27-79. Spark-native shape: one MLlib ``Pipeline``
+of VectorAssembler → StandardScaler → estimator; evaluation via MLlib
+evaluators composed to reproduce sklearn's metric suite (weighted averaging
+for multiclass, binary otherwise — ref model_evaluation_logic.py:40-61).
+
+Scale: fit/transform are distributed MLlib jobs; the driver only holds
+hyperparameters and metric scalars. GBT multiclass (sklearn supports it,
+Spark's GBTClassifier is binary-only) falls back to OneVsRest — documented
+divergence (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LogisticRegression,
+    OneVsRest,
+    RandomForestClassifier,
+)
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+    RegressionEvaluator,
+)
+from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
+from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+LABEL, FEATURES = "label", "features"
+
+
+def numeric_feature_cols(df: DataFrame, target: str) -> list[str]:
+    """F2/F12 — numeric projection, excluding the target
+    (ref /root/reference/selection_of_parameters/selection_parameters_parameter_tuning_worker.py:103-105)."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name != target
+    ]
+
+
+def detect_task_type(df: DataFrame, target: str, class_threshold: int = 20) -> str:
+    """Auto task-type: string target or few distinct values → classification
+    (ref selection_parameters_parameter_tuning_worker.py:125-130)."""
+    if isinstance(df.schema[target].dataType, StringType):
+        return "classification"
+    n = df.select(target).distinct().limit(class_threshold + 1).count()
+    return "classification" if n <= class_threshold else "regression"
+
+
+def make_estimator(model_type: str, task: str, params: dict[str, Any] | None = None):
+    """M2 — model zoo keyed the reference's way
+    (ref /root/reference/researching_models/model_evaluation_logic.py:172-237)."""
+    p = dict(params or {})
+    p.setdefault("seed", 42)  # dropped below for estimators without a seed param
+    key = (model_type.lower().replace(" ", "_"), task)
+    if key[1] == "classification":
+        zoo = {
+            "random_forest": RandomForestClassifier,
+            "gradient_boosting": GBTClassifier,
+            "logistic_regression": LogisticRegression,
+        }
+    else:
+        zoo = {
+            "random_forest": RandomForestRegressor,
+            "gradient_boosting": GBTRegressor,
+            "linear_regression": LinearRegression,
+        }
+    for name, cls in zoo.items():
+        if name in key[0]:
+            allowed = {x.name for x in cls().params}
+            return cls(
+                labelCol=LABEL,
+                featuresCol=FEATURES,
+                **{k: v for k, v in p.items() if k in allowed},
+            )
+    raise ValueError(f"unknown model_type {model_type!r} for task {task!r}")
+
+
+def build_pipeline(
+    df: DataFrame,
+    target: str,
+    model_type: str,
+    params: dict[str, Any] | None = None,
+    feature_cols: list[str] | None = None,
+    scale: bool = True,
+    task: str | None = None,
+) -> tuple[Pipeline, list[str], str]:
+    """M1/M11 — assembler → scaler → estimator (+ StringIndexer for string
+    targets, alphabetic order = sklearn LabelEncoder parity)."""
+    task = task or detect_task_type(df, target)
+    feats = feature_cols or numeric_feature_cols(df, target)
+    stages = []
+    if isinstance(df.schema[target].dataType, StringType):
+        stages.append(
+            StringIndexer(inputCol=target, outputCol=LABEL, stringOrderType="alphabetAsc")
+        )
+        est_label = LABEL
+    else:
+        est_label = target
+    stages.append(VectorAssembler(inputCols=feats, outputCol="__raw", handleInvalid="skip"))
+    if scale:
+        stages.append(
+            StandardScaler(inputCol="__raw", outputCol=FEATURES, withMean=True, withStd=True)
+        )
+    else:
+        stages.append(VectorAssembler(inputCols=["__raw"], outputCol=FEATURES))
+    est = make_estimator(model_type, task, params)
+    est.setLabelCol(est_label)
+    # GBT is binary-only in Spark; multiclass → OneVsRest (documented)
+    if task == "classification" and isinstance(est, GBTClassifier):
+        n_classes = df.select(target).distinct().count()
+        if n_classes > 2:
+            est = OneVsRest(classifier=est, labelCol=est_label, featuresCol=FEATURES)
+    stages.append(est)
+    return Pipeline(stages=stages), feats, task
+
+
+def evaluate_classification(predictions: DataFrame, label_col: str = LABEL) -> dict[str, float]:
+    """M3 metric suite: accuracy, weighted precision/recall/F1, ROC-AUC
+    (binary: areaUnderROC; multiclass: one-vs-rest weighted average — ref
+    model_evaluation_logic.py:40-61 / M13 scorer adaptation)."""
+    out = {}
+    for metric, name in [
+        ("accuracy", "accuracy"),
+        ("weightedPrecision", "precision"),
+        ("weightedRecall", "recall"),
+        ("f1", "f1"),
+    ]:
+        out[name] = MulticlassClassificationEvaluator(
+            labelCol=label_col, predictionCol="prediction", metricName=metric
+        ).evaluate(predictions)
+    classes = [r[0] for r in predictions.select(label_col).distinct().collect()]
+    if len(classes) == 2:
+        out["roc_auc"] = BinaryClassificationEvaluator(
+            labelCol=label_col, rawPredictionCol="rawPrediction"
+        ).evaluate(predictions)
+    elif "rawPrediction" in predictions.columns:
+        # ovr-weighted AUC: per-class binarized evaluator, weighted by support
+        total = predictions.count()
+        auc = 0.0
+        for c in classes:
+            bin_pred = predictions.withColumn(
+                "__bin", (F.col(label_col) == c).cast("double")
+            )
+            support = bin_pred.agg(F.sum("__bin")).first()[0]
+            # rawPrediction element for class c as the score
+            from pyspark.ml.functions import vector_to_array
+
+            scored = bin_pred.withColumn(
+                "__score", vector_to_array("rawPrediction").getItem(int(c))
+            )
+            c_auc = BinaryClassificationEvaluator(
+                labelCol="__bin", rawPredictionCol="__score"
+            ).evaluate(scored)
+            auc += c_auc * (support / total)
+        out["roc_auc"] = auc
+    return out
+
+
+def evaluate_regression(predictions: DataFrame, label_col: str) -> dict[str, float]:
+    """M3 regression metrics: R², MSE, MAE (ref model_evaluation_logic.py:63-76)."""
+    return {
+        name: RegressionEvaluator(
+            labelCol=label_col, predictionCol="prediction", metricName=metric
+        ).evaluate(predictions)
+        for metric, name in [("r2", "r2"), ("mse", "mse"), ("mae", "mae")]
+    }
+
+
+def train_and_evaluate(
+    train: DataFrame,
+    test: DataFrame,
+    target: str,
+    model_type: str,
+    params: dict[str, Any] | None = None,
+    feature_cols: list[str] | None = None,
+) -> tuple[PipelineModel, dict[str, float]]:
+    """M3/M11 — fit on train, metric suite on test (fit-on-train-only
+    including the scaler, ref model_evaluation_logic.py:31-33)."""
+    pipe, feats, task = build_pipeline(train, target, model_type, params, feature_cols)
+    model = pipe.fit(train)
+    preds = model.transform(test)
+    if task == "classification":
+        label_col = LABEL if isinstance(train.schema[target].dataType, StringType) else target
+        metrics = evaluate_classification(preds, label_col)
+    else:
+        metrics = evaluate_regression(preds, target)
+    return model, metrics
+
+
+def save_model(model: PipelineModel, path: str) -> None:
+    """S10 — PipelineModel directory format (replaces joblib .pkl,
+    ref /root/reference/load_params_and_train_final_model.py:306-339)."""
+    model.write().overwrite().save(path)
+
+
+def load_model(spark, path: str) -> PipelineModel:
+    return PipelineModel.load(path)
+
+
+def save_params_json(
+    path: str,
+    model_type: str,
+    target: str,
+    task: str,
+    best_params: dict[str, Any],
+    primary_metric: tuple[str, float],
+) -> None:
+    """S11 — hyperparameter artifact, same JSON shape as the reference
+    (ref /root/reference/selection_of_parameters/selection_parameters_parameter_tuning_window.py:417-432)."""
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "model_type": model_type,
+                "target_variable": target,
+                "task_type": task,
+                "best_params": best_params,
+                "primary_metric": {"name": primary_metric[0], "value": primary_metric[1]},
+            },
+            f,
+            indent=2,
+        )
+
+
+def load_params_json(path: str) -> dict[str, Any]:
+    """S11 scan (ref /root/reference/load_params_and_train_final_model.py:114-145)."""
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def predict_single_row(model: PipelineModel, spark, row: dict[str, Any], schema) -> float:
+    """M12 — single-row inference: build a 1-row DF, transform, first()
+    (ref /root/reference/inference_models/inference_trained_models.py:347-457).
+    Feature-set equality is enforced by the assembler (handleInvalid swap →
+    error surfaces as analysis exception)."""
+    df = spark.createDataFrame([row], schema=schema)
+    return model.transform(df).select("prediction").first()[0]

@@ -1,0 +1,242 @@
+"""Cross-validation, random search, learning curves, importances
+(SURVEY.md §2.8 M4-M9).
+
+The reference's parallelism boundary is a joblib process pool; here every
+fold/trial fit is a distributed MLlib job and the driver only orchestrates —
+``CrossValidator(parallelism=...)`` overlaps fold fits across the cluster.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .pipeline import (
+    LABEL,
+    build_pipeline,
+    evaluate_classification,
+    evaluate_regression,
+    train_and_evaluate,
+)
+
+
+def add_fold_column(
+    df: DataFrame, n_folds: int, target: str | None = None, seed: int = 42
+) -> DataFrame:
+    """Fold assignment column. With a target: STRATIFIED folds (per-class
+    round-robin over a shuffled window — every fold gets ~n/k of each class),
+    reproducing sklearn StratifiedKFold semantics (ref /root/reference/
+    researching_models/cross_validation/cross_validation_optuna_logic.py:166-190).
+    One window shuffle; no driver data."""
+    if target is None:
+        return df.withColumn("__fold", (F.rand(seed) * n_folds).cast("int"))
+    w = Window.partitionBy(target).orderBy(F.rand(seed))
+    return df.withColumn("__fold", (F.row_number().over(w) - 1) % n_folds)
+
+
+def cross_val_scores(
+    df: DataFrame,
+    target: str,
+    model_type: str,
+    params: dict[str, Any] | None = None,
+    n_folds: int = 5,
+    metric: str = "f1",
+    stratified: bool | str = "auto",
+    seed: int = 42,
+) -> dict[str, Any]:
+    """M5 — k-fold CV: mean ± std of the chosen metric across folds.
+    Driver loops over folds; each fit is a cluster job.
+
+    stratified='auto' stratifies ONLY for classification — stratifying on a
+    continuous target would put every 1-row "class" in fold 0 and leave the
+    other folds empty (sklearn draws the same KFold/StratifiedKFold line)."""
+    if stratified == "auto":
+        from .pipeline import detect_task_type
+
+        stratified = detect_task_type(df, target) == "classification"
+    folded = add_fold_column(df, n_folds, target if stratified else None, seed).cache()
+    scores = []
+    for k in range(n_folds):
+        train = folded.where(F.col("__fold") != k).drop("__fold")
+        test = folded.where(F.col("__fold") == k).drop("__fold")
+        _, metrics = train_and_evaluate(train, test, target, model_type, params)
+        scores.append(metrics[metric])
+    folded.unpersist()
+    n = len(scores)
+    mean = sum(scores) / n
+    var = sum((s - mean) ** 2 for s in scores) / n
+    return {"scores": scores, "mean": mean, "std": var**0.5, "metric": metric}
+
+
+# hyperparameter space mirroring the reference's random grids
+# (ref /root/reference/researching_models/cross_validation/cross_validation_random_search_logic.py:103-172)
+DEFAULT_SPACE = {
+    "numTrees": [50, 100, 200, 300],
+    "maxDepth": [3, 5, 7, 10],
+    "stepSize": (0.01, 0.3),  # uniform range (GBT learning rate)
+    "regParam": (1e-4, 10.0),  # log-uniform (LogisticRegression C⁻¹)
+}
+
+
+def random_search(
+    df: DataFrame,
+    target: str,
+    model_type: str,
+    space: dict[str, Any] | None = None,
+    n_trials: int = 10,
+    n_folds: int = 3,
+    metric: str = "f1",
+    direction: str = "max",
+    seed: int = 42,
+) -> dict[str, Any]:
+    """M6/M8 — random hyperparameter search, each trial scored by k-fold CV.
+    Driver samples params; cluster fits. Returns best trial + history."""
+    rng = random.Random(seed)
+    space = space or DEFAULT_SPACE
+    # probe which params this estimator supports
+    from .pipeline import make_estimator, detect_task_type
+
+    task = detect_task_type(df, target)
+    probe = make_estimator(model_type, task)
+    allowed = {p.name for p in probe.params}
+    trials = []
+    best = None
+    for t in range(n_trials):
+        params: dict[str, Any] = {}
+        for name, choices in space.items():
+            if name not in allowed:
+                continue
+            if isinstance(choices, tuple):
+                lo, hi = choices
+                if lo > 0 and hi / lo > 100:  # log-uniform
+                    import math
+
+                    params[name] = math.exp(rng.uniform(math.log(lo), math.log(hi)))
+                else:
+                    params[name] = rng.uniform(lo, hi)
+            else:
+                params[name] = rng.choice(choices)
+        cv = cross_val_scores(
+            df, target, model_type, params, n_folds=n_folds, metric=metric, seed=seed + t
+        )
+        rec = {"trial": t, "params": params, "mean": cv["mean"], "std": cv["std"]}
+        trials.append(rec)
+        if best is None or (
+            cv["mean"] > best["mean"] if direction == "max" else cv["mean"] < best["mean"]
+        ):
+            best = rec
+    return {"best": best, "trials": trials, "metric": metric}
+
+
+def optuna_search(
+    df: DataFrame,
+    target: str,
+    model_type: str,
+    n_trials: int = 10,
+    n_folds: int = 3,
+    metric: str = "f1",
+    direction: str = "maximize",
+    seed: int = 42,
+) -> dict[str, Any]:
+    """M7 — Optuna study on the driver; each objective call launches Spark CV
+    jobs (ref cross_validation_optuna_logic.py:116-164). Gated import: falls
+    back to random_search when optuna is absent."""
+    try:
+        import optuna
+    except ImportError:
+        return random_search(
+            df, target, model_type, n_trials=n_trials, n_folds=n_folds,
+            metric=metric, direction="max" if direction == "maximize" else "min", seed=seed,
+        )
+    from .pipeline import detect_task_type, make_estimator
+
+    task = detect_task_type(df, target)
+    allowed = {p.name for p in make_estimator(model_type, task).params}
+
+    def objective(trial):
+        params = {}
+        if "numTrees" in allowed:
+            params["numTrees"] = trial.suggest_int("numTrees", 50, 300)
+        if "maxDepth" in allowed:
+            params["maxDepth"] = trial.suggest_int("maxDepth", 3, 10)
+        if "stepSize" in allowed:
+            params["stepSize"] = trial.suggest_float("stepSize", 0.01, 0.3)
+        if "regParam" in allowed:
+            params["regParam"] = trial.suggest_float("regParam", 1e-4, 10.0, log=True)
+        return cross_val_scores(
+            df, target, model_type, params, n_folds=n_folds, metric=metric, seed=seed
+        )["mean"]
+
+    study = optuna.create_study(
+        direction=direction, sampler=optuna.samplers.TPESampler(seed=seed)
+    )
+    study.optimize(objective, n_trials=n_trials)
+    return {
+        "best": {"params": study.best_params, "mean": study.best_value},
+        "trials": [{"trial": t.number, "params": t.params, "mean": t.value} for t in study.trials],
+        "metric": metric,
+    }
+
+
+def learning_curve(
+    df: DataFrame,
+    target: str,
+    model_type: str,
+    params: dict[str, Any] | None = None,
+    fractions: list[float] | None = None,
+    test_size: float = 0.2,
+    metric: str = "f1",
+    seed: int = 42,
+) -> list[dict[str, float]]:
+    """M9 — train on growing fractions, score train & held-out test
+    (ref /root/reference/researching_models/learning_curve/learning_curve_optuna_logic.py:162-191)."""
+    from pyspark.sql.types import StringType
+
+    from .pipeline import detect_task_type
+
+    fractions = fractions or [0.1 * i for i in range(1, 11)]
+    task = detect_task_type(df, target)
+    is_string_target = isinstance(df.schema[target].dataType, StringType)
+    train_full, test = df.randomSplit([1 - test_size, test_size], seed=seed)
+    train_full = train_full.cache()
+    out = []
+    for frac in fractions:
+        sub = train_full if frac >= 1.0 else train_full.sample(fraction=frac, seed=seed)
+        model, test_metrics = train_and_evaluate(sub, test, target, model_type, params)
+        preds_train = model.transform(sub)
+        if task == "classification":
+            train_metrics = evaluate_classification(
+                preds_train, LABEL if is_string_target else target
+            )
+        else:
+            train_metrics = evaluate_regression(preds_train, target)
+        out.append(
+            {
+                "fraction": frac,
+                "train_score": train_metrics.get(metric, float("nan")),
+                "test_score": test_metrics.get(metric, float("nan")),
+            }
+        )
+    train_full.unpersist()
+    return out
+
+
+def feature_importances(model, feature_names: list[str]) -> list[tuple[str, float]]:
+    """M4 — impurity importances (tree models) or mean |coefficient|
+    (ref /root/reference/researching_models/check_models_logic.py:233-254)."""
+    last = model.stages[-1] if hasattr(model, "stages") else model
+    if hasattr(last, "featureImportances"):
+        imp = last.featureImportances.toArray().tolist()
+    elif hasattr(last, "coefficientMatrix"):
+        m = last.coefficientMatrix.toArray()
+        imp = [float(abs(m[:, j]).mean()) for j in range(m.shape[1])]
+    elif hasattr(last, "coefficients"):
+        imp = [abs(float(c)) for c in last.coefficients]
+    else:
+        raise ValueError(f"model {type(last).__name__} exposes no importances")
+    pairs = list(zip(feature_names, imp))
+    pairs.sort(key=lambda x: -x[1])
+    return pairs

@@ -353,6 +353,12 @@ ALL_ORACLES: dict[str, str] = {
     "t1_split_invariants": """
         SELECT count(*) AS n_total, count(*) AS n_train_plus_test FROM customer
     """,
+    # M2: OLS is closed-form — MLlib normal solver == DuckDB regr_* exactly
+    "m2_ols_coefficients": """
+        SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        FROM lineitem
+    """,
     # balancing count contracts: class sizes after each method are exact
     # (row identity is RNG-dependent and intentionally unchecked)
     "b1_smote_counts": """

@@ -410,6 +410,96 @@ def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return TX.fingerprint(docs).select("doc_id", "fingerprint")
 
+# ---------------------------------------------------------------- ML (M*)
+
+def m2_ols_coefficients(spark: SparkSession, sf: str) -> DataFrame:
+    """OLS fit with MLlib LinearRegression(solver='normal', regParam=0) —
+    coefficients are CLOSED-FORM, so DuckDB regr_slope/regr_intercept is an
+    exact oracle. The one ML query with hash-level parity."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    li = _li(spark, sf).select("l_quantity", "l_extendedprice")
+    assembled = VectorAssembler(inputCols=["l_quantity"], outputCol="features").transform(li)
+    model = LinearRegression(
+        featuresCol="features", labelCol="l_extendedprice", regParam=0.0, solver="normal"
+    ).fit(assembled)
+    return spark.createDataFrame(
+        [(round(float(model.coefficients[0]), 4), round(float(model.intercept), 4))],
+        "slope double, intercept double",
+    )
+
+def m3_eval_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only: binary classification metric suite (schema contract —
+    5 stable metric rows; values are model/RNG-dependent)."""
+    from ml_data_pipeline_spark.ml.pipeline import train_and_evaluate
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double"),
+            F.year("o_orderdate").cast("double").alias("o_year"),
+        )
+    )
+    train, test = orders.randomSplit([0.8, 0.2], seed=42)
+    _, metrics = train_and_evaluate(train, test, "o_orderstatus", "logistic_regression")
+    rows = [(k, float(v)) for k, v in sorted(metrics.items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+def m4_feature_importances(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only: RF impurity importances over 3 lineitem features."""
+    from ml_data_pipeline_spark.ml.pipeline import train_and_evaluate
+    from ml_data_pipeline_spark.ml.tuning import feature_importances
+
+    li = _li(spark, sf).select(
+        "l_returnflag", "l_quantity", "l_discount", F.col("l_extendedprice").cast("double")
+    )
+    train, test = li.randomSplit([0.8, 0.2], seed=42)
+    model, _ = train_and_evaluate(
+        train, test, "l_returnflag", "random_forest", {"numTrees": 10, "maxDepth": 5}
+    )
+    imp = feature_importances(model, ["l_quantity", "l_discount", "l_extendedprice"])
+    return spark.createDataFrame(
+        [(f, float(round(v, 6))) for f, v in imp], "feature string, importance double"
+    )
+
+def m5_cross_val(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only: stratified 3-fold CV accuracy (fold scores + mean)."""
+    from ml_data_pipeline_spark.ml.tuning import cross_val_scores
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderstatus", F.col("o_totalprice").cast("double"),
+                F.year("o_orderdate").cast("double").alias("o_year"))
+    )
+    cv = cross_val_scores(
+        orders, "o_orderstatus", "logistic_regression", n_folds=3, metric="accuracy"
+    )
+    rows = [(f"fold_{i}", float(s)) for i, s in enumerate(cv["scores"])]
+    rows.append(("mean", float(cv["mean"])))
+    return spark.createDataFrame(rows, "k string, accuracy double")
+
+def m12_single_row_inference(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only: train then score ONE row through the pipeline (M12)."""
+    from ml_data_pipeline_spark.ml.pipeline import predict_single_row, train_and_evaluate
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderstatus", F.col("o_totalprice").cast("double"),
+                F.year("o_orderdate").cast("double").alias("o_year"))
+    )
+    train, test = orders.randomSplit([0.8, 0.2], seed=42)
+    model, _ = train_and_evaluate(train, test, "o_orderstatus", "logistic_regression")
+    pred = predict_single_row(
+        model, spark, {"o_orderstatus": "F", "o_totalprice": 150000.0, "o_year": 1995.0},
+        orders.schema,
+    )
+    return spark.createDataFrame([(float(pred),)], "prediction double")
+
 # ---------------------------------------------------------------- dedup / similarity
 
 def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -503,6 +593,11 @@ ALL_QUERIES = {
     "tx_quality": tx_quality,
     "tx_lang_id": tx_lang_id,
     "tx_fingerprint": tx_fingerprint,
+    "m2_ols_coefficients": m2_ols_coefficients,
+    "m3_eval_classification": m3_eval_classification,
+    "m4_feature_importances": m4_feature_importances,
+    "m5_cross_val": m5_cross_val,
+    "m12_single_row_inference": m12_single_row_inference,
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,

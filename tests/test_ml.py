@@ -1,0 +1,119 @@
+"""ML pipeline pack (SURVEY.md §2.8): train/evaluate/CV/tune/importances."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.ml import pipeline as MP
+from ml_data_pipeline_spark.ml import tuning as MT
+
+
+@pytest.fixture(scope="module")
+def clf_df(spark):
+    """Separable 2-class problem: class = (x + y > 10)."""
+    rows = [
+        (float(i % 10), float((3 * i) % 7), "pos" if (i % 10) + ((3 * i) % 7) > 10 else "neg")
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "x double, y double, cls string")
+
+
+@pytest.fixture(scope="module")
+def reg_df(spark):
+    rows = [(float(i), float(i % 13), 3.0 * i + 2.0 * (i % 13) + 1.0) for i in range(300)]
+    return spark.createDataFrame(rows, "x double, y double, tgt double")
+
+
+def test_detect_task_type(clf_df, reg_df):
+    assert MP.detect_task_type(clf_df, "cls") == "classification"
+    assert MP.detect_task_type(reg_df, "tgt") == "regression"
+
+
+def test_train_and_evaluate_classification(clf_df):
+    train, test = clf_df.randomSplit([0.8, 0.2], seed=42)
+    model, metrics = MP.train_and_evaluate(train, test, "cls", "logistic_regression")
+    assert set(metrics) >= {"accuracy", "precision", "recall", "f1", "roc_auc"}
+    assert metrics["accuracy"] > 0.9  # separable by construction
+    assert 0.9 < metrics["roc_auc"] <= 1.0
+
+
+def test_train_and_evaluate_regression(reg_df):
+    train, test = reg_df.randomSplit([0.8, 0.2], seed=42)
+    model, metrics = MP.train_and_evaluate(train, test, "tgt", "linear_regression")
+    assert metrics["r2"] > 0.99  # exact linear relationship
+    assert metrics["mae"] < 1.0
+
+
+def test_random_forest_importances(clf_df):
+    train, test = clf_df.randomSplit([0.8, 0.2], seed=42)
+    model, _ = MP.train_and_evaluate(train, test, "cls", "random_forest", {"numTrees": 10})
+    imp = MT.feature_importances(model, ["x", "y"])
+    assert len(imp) == 2 and all(v >= 0 for _, v in imp)
+    assert abs(sum(v for _, v in imp) - 1.0) < 1e-6
+
+
+def test_stratified_folds_balanced(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(10)], "cls string, i int"
+    )
+    folded = MT.add_fold_column(df, 5, "cls", seed=1)
+    per_fold = {
+        (r["__fold"], r["cls"]): r["n"]
+        for r in folded.groupBy("__fold", "cls").agg(F.count("*").alias("n")).collect()
+    }
+    for k in range(5):
+        assert per_fold[(k, "a")] == 10 and per_fold[(k, "b")] == 2
+
+
+def test_cross_val_scores(clf_df):
+    cv = MT.cross_val_scores(
+        clf_df, "cls", "logistic_regression", n_folds=3, metric="accuracy"
+    )
+    assert len(cv["scores"]) == 3
+    assert cv["mean"] > 0.9 and cv["std"] < 0.1
+
+
+def test_random_search_returns_best(reg_df):
+    res = MT.random_search(
+        reg_df, "tgt", "random_forest",
+        space={"numTrees": [5, 10], "maxDepth": [3, 5]},
+        n_trials=2, n_folds=2, metric="r2",
+    )
+    assert res["best"] is not None and len(res["trials"]) == 2
+    assert "numTrees" in res["best"]["params"]
+
+
+def test_model_save_load_roundtrip(clf_df, tmp_path, spark):
+    train, test = clf_df.randomSplit([0.8, 0.2], seed=42)
+    model, m1 = MP.train_and_evaluate(train, test, "cls", "logistic_regression")
+    path = str(tmp_path / "model")
+    MP.save_model(model, path)
+    loaded = MP.load_model(spark, path)
+    preds = loaded.transform(test)
+    acc = MP.evaluate_classification(preds)["accuracy"]
+    assert abs(acc - m1["accuracy"]) < 1e-9
+
+
+def test_params_json_roundtrip(tmp_path):
+    p = str(tmp_path / "params.json")
+    MP.save_params_json(p, "random_forest", "cls", "classification", {"numTrees": 100}, ("f1", 0.93))
+    d = MP.load_params_json(p)
+    assert d["best_params"] == {"numTrees": 100}
+    assert d["primary_metric"]["name"] == "f1"
+
+
+def test_predict_single_row(clf_df, spark):
+    train, test = clf_df.randomSplit([0.8, 0.2], seed=42)
+    model, _ = MP.train_and_evaluate(train, test, "cls", "logistic_regression")
+    pred = MP.predict_single_row(model, spark, {"x": 9.0, "y": 6.0, "cls": "pos"}, clf_df.schema)
+    assert pred in (0.0, 1.0)
+
+
+def test_gbt_multiclass_falls_back_to_ovr(spark):
+    rows = [(float(i % 9), float(i % 4), str(i % 3)) for i in range(120)]
+    df = spark.createDataFrame(rows, "x double, y double, cls string")
+    pipe, feats, task = MP.build_pipeline(df, "cls", "gradient_boosting")
+    from pyspark.ml.classification import OneVsRest
+
+    assert isinstance(pipe.getStages()[-1], OneVsRest)

@@ -1,0 +1,224 @@
+"""Model/neighbor-based imputation (SURVEY.md §2.6 I5-I7, I9).
+
+These are the reference's expensive imputers — KNNImputer, IterativeImputer
+(MICE), hot deck's O(missing x donors) Python loop, and joblib-model predict
+(ref /root/reference/preprocessing/dataset_processing_check_nan_logic.py:66-86,
+90-226; /root/reference/preprocessing/repair_nan_methods/mice_method.py:25-144;
+/root/reference/preprocessing/imputation_by_model_ui.py:240-294).
+
+Spark shape:
+- KNN / hot deck ride the shared LSH knn_join (operators/neighbors.py):
+  missing rows join complete donors through hash buckets — never a nested
+  loop, never a crossJoin at scale.
+- Model-based: fit MLlib on complete rows, transform the missing partition,
+  unionByName back — the "write predictions into the holes" index alignment
+  is a join-free union because the two partitions are disjoint by
+  construction (F6 null-partition split).
+- MICE: driver loop over (column, iteration); each step is a distributed
+  regression fit + transform. Expensive but mechanical — and each iteration
+  is linear scans, no shuffled state carried between iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from .neighbors import knn_join
+
+
+def _numeric_cols(df: DataFrame, exclude: list[str]) -> list[str]:
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name not in exclude
+    ]
+
+
+def impute_knn(
+    df: DataFrame,
+    column: str,
+    feature_cols: list[str] | None = None,
+    k: int = 5,
+    method: str = "lsh",
+    seed: int = 42,
+    num_hash_tables: int = 2,
+    bucket_length: float = 0.25,
+) -> DataFrame:
+    """I5 — KNN imputation: each missing value becomes the mean of the k
+    nearest complete rows (z-scaled euclidean over the other numeric
+    columns), mirroring sklearn KNNImputer(k=5)
+    (ref dataset_processing_check_nan_logic.py:66-86)."""
+    feats = feature_cols or _numeric_cols(df, [column])
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    missing = tagged.where(F.col(column).isNull())
+    complete = tagged.where(F.col(column).isNotNull())
+    nn = knn_join(
+        missing.select("__rid", *feats),
+        complete.select(F.col("__rid").alias("__did"), *feats),
+        feats,
+        k=k,
+        left_id="__rid",
+        right_id="__did",
+        method=method,
+        seed=seed,
+        exclude_self=False,
+        num_hash_tables=num_hash_tables,
+        bucket_length=bucket_length,
+    )
+    donor_vals = complete.select(F.col("__rid").alias("__did"), F.col(column).alias("__dv"))
+    fills = (
+        nn.join(donor_vals, "__did")
+        .groupBy("__rid")
+        .agg(F.avg("__dv").alias("__fill"))
+    )
+    # rows whose LSH buckets held no donor fall back to the global mean —
+    # recall shortfalls degrade fill quality, never completeness
+    mean_val = complete.agg(F.avg(column)).first()[0]
+    filled_missing = (
+        missing.join(fills, "__rid", "left")
+        .withColumn(column, F.coalesce(F.col("__fill"), F.lit(mean_val)))
+        .drop("__fill")
+    )
+    return filled_missing.unionByName(complete).drop("__rid")
+
+
+def impute_hot_deck(
+    df: DataFrame,
+    column: str,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    k_candidates: int = 10,
+    method: str = "lsh",
+    seed: int = 42,
+    num_hash_tables: int = 2,
+    bucket_length: float = 0.25,
+) -> DataFrame:
+    """I7 — hot deck: copy the value from the single nearest DONOR by mixed
+    distance = z-scaled numeric euclidean + categorical mismatch count
+    (ref dataset_processing_check_nan_logic.py:90-226, distance core 181-217).
+
+    The reference nests Python loops (O(missing x donors)); here the numeric
+    part prunes to k_candidates via the LSH join, then the categorical
+    mismatch re-ranks the candidate set only."""
+    feats = numeric_cols or _numeric_cols(df, [column])
+    cats = categorical_cols or []
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    missing = tagged.where(F.col(column).isNull())
+    complete = tagged.where(F.col(column).isNotNull())
+    nn = knn_join(
+        missing.select("__rid", *feats),
+        complete.select(F.col("__rid").alias("__did"), *feats),
+        feats,
+        k=k_candidates,
+        left_id="__rid",
+        right_id="__did",
+        method=method,
+        seed=seed,
+        exclude_self=False,
+        num_hash_tables=num_hash_tables,
+        bucket_length=bucket_length,
+    )
+    donor_side = complete.select(
+        F.col("__rid").alias("__did"),
+        F.col(column).alias("__dv"),
+        *[F.col(c).alias(f"__dc_{c}") for c in cats],
+    )
+    recv_side = missing.select("__rid", *[F.col(c).alias(f"__mc_{c}") for c in cats])
+    cand = nn.join(donor_side, "__did").join(recv_side, "__rid")
+    mismatch = sum(
+        [F.lit(0)] + [(F.col(f"__mc_{c}") != F.col(f"__dc_{c}")).cast("int") for c in cats]
+    )
+    # mixed distance: numeric dist + 1.0 per categorical mismatch (the
+    # reference's unit-weight mismatch term)
+    scored = cand.withColumn("__mixed", F.col("dist") + mismatch.cast("double"))
+    w = Window.partitionBy("__rid").orderBy(F.asc("__mixed"), F.asc("__did"))
+    best = scored.withColumn("__rk2", F.row_number().over(w)).where(F.col("__rk2") == 1)
+    fills = best.select("__rid", F.col("__dv").alias("__fill"))
+    # no-candidate fallback: the global mode (still an observed value, so the
+    # hot-deck "fills are copies" invariant holds)
+    mode_val = (
+        complete.groupBy(column).count().orderBy(F.desc("count"), F.asc(column)).first()[0]
+    )
+    filled_missing = (
+        missing.join(fills, "__rid", "left")
+        .withColumn(column, F.coalesce(F.col("__fill"), F.lit(mode_val)))
+        .drop("__fill")
+    )
+    return filled_missing.unionByName(complete).drop("__rid")
+
+
+def impute_by_model(
+    df: DataFrame,
+    column: str,
+    model_type: str = "random_forest",
+    feature_cols: list[str] | None = None,
+    params: dict | None = None,
+) -> DataFrame:
+    """I9 — model-based: fit on complete rows (features = other numeric
+    cols), predict the missing partition, union back
+    (ref imputation_by_model_ui.py:240-294). Train is the MLlib pipeline;
+    the reference's feature-count validation becomes the assembler schema."""
+    from ..ml.pipeline import build_pipeline
+
+    feats = feature_cols or _numeric_cols(df, [column])
+    complete = df.where(F.col(column).isNotNull())
+    missing = df.where(F.col(column).isNull())
+    pipe, _, _ = build_pipeline(
+        complete, column, model_type, params, feature_cols=feats, task="regression"
+    )
+    model = pipe.fit(complete)
+    preds = model.transform(missing)
+    filled = preds.withColumn(column, F.col("prediction")).select(*df.columns)
+    return filled.unionByName(complete.select(*df.columns))
+
+
+def impute_mice(
+    df: DataFrame,
+    columns: list[str],
+    max_iter: int = 3,
+    feature_cols: list[str] | None = None,
+    clip: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """I6 — MICE: chained-equations imputation. Initialize with column means,
+    then per sweep re-impute each target column from a LinearRegression on
+    the other columns, using ONLY originally-complete rows as training
+    (ref mice_method.py:25-144: IterativeImputer(estimator=BayesianRidge),
+    initial_strategy='mean', then clip to observed min/max).
+
+    Driver loop over sweeps x columns; every fit/transform is distributed.
+    The null masks are materialized once as __was_null_{c} flags."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    all_feats = feature_cols or _numeric_cols(df, [])
+    work = df
+    for c in columns:
+        work = work.withColumn(f"__was_null_{c}", F.col(c).isNull())
+    # bounds for clip (observed values only), then mean-init
+    bounds = {}
+    for c in columns:
+        r = work.agg(
+            F.avg(c).alias("mu"), F.min(c).alias("lo"), F.max(c).alias("hi")
+        ).first()
+        bounds[c] = (r["lo"], r["hi"])
+        work = work.withColumn(c, F.coalesce(F.col(c), F.lit(r["mu"])))
+    work = work.cache()
+    for _ in range(max_iter):
+        for c in columns:
+            feats = [f for f in all_feats if f != c]
+            train = work.where(~F.col(f"__was_null_{c}"))
+            holes = work.where(F.col(f"__was_null_{c}"))
+            assembler = VectorAssembler(inputCols=feats, outputCol="__feat_vec", handleInvalid="skip")
+            lr = LinearRegression(featuresCol="__feat_vec", labelCol=c, regParam=1e-6)
+            model = lr.fit(assembler.transform(train))
+            preds = model.transform(assembler.transform(holes))
+            fill = F.col("prediction")
+            if clip:
+                lo, hi = bounds[c]
+                fill = F.greatest(F.lit(lo), F.least(F.lit(hi), fill))
+            holes_filled = preds.withColumn(c, fill).select(*work.columns)
+            work = holes_filled.unionByName(train.select(*work.columns))
+    return work.drop(*[f"__was_null_{c}" for c in columns])

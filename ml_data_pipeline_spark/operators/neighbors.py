@@ -62,7 +62,11 @@ def knn_join(
     right_id: str,
     method: str = "lsh",
     num_hash_tables: int = 3,
-    bucket_length: float = 2.0,
+    # z-scaled features live in ~[-4, 4]; 0.25 gives ~30 buckets per random
+    # projection. 2.0 (the MLlib example default) collapses everything into a
+    # handful of buckets → the candidate join goes quadratic (measured: the
+    # sf0.01 KNN-impute join never finished with 2.0, ~20s with 0.25).
+    bucket_length: float = 0.25,
     seed: int = 42,
     exclude_self: bool = True,
 ) -> DataFrame:

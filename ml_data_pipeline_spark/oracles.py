@@ -353,6 +353,31 @@ ALL_ORACLES: dict[str, str] = {
     "t1_split_invariants": """
         SELECT count(*) AS n_total, count(*) AS n_train_plus_test FROM customer
     """,
+    "i5_impute_knn": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_nulls_after
+        FROM lineitem
+    """,
+    "i6_impute_mice": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS nulls_q, CAST(0 AS BIGINT) AS nulls_tax
+        FROM lineitem
+    """,
+    "i7_hot_deck": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS n_nulls_after, CAST(0 AS BIGINT) AS n_foreign_fills
+        FROM lineitem
+    """,
+    # I9 with LinearRegression: the model IS OLS → predicted fills equal
+    # the DuckDB regression line over the complete rows
+    "i9_impute_by_model": """
+        WITH c AS (SELECT l_quantity q, l_extendedprice ep FROM lineitem
+                   WHERE l_orderkey % 10 <> 3),
+             fit AS (SELECT regr_slope(q, ep) AS s, regr_intercept(q, ep) AS i FROM c)
+        SELECT l_orderkey, l_linenumber,
+               round(i + s * l_extendedprice, 3) AS l_quantity_filled
+        FROM lineitem, fit
+        WHERE l_orderkey % 10 = 3
+    """,
     # M2: OLS is closed-form — MLlib normal solver == DuckDB regr_* exactly
     "m2_ols_coefficients": """
         SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

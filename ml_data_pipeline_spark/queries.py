@@ -301,6 +301,86 @@ def i4_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("l_quantity")
     )
 
+def i5_impute_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """KNN-impute contract: row count preserved, zero nulls remain. (Fill
+    values ride the LSH candidate set — approximate by design; the contract
+    row is the oracle-checkable part.)"""
+    from ml_data_pipeline_spark.operators import imputation_ml as IM
+
+    out = IM.impute_knn(
+        _li_nulls(spark, sf).select("l_orderkey", "l_quantity", "l_extendedprice", "l_tax"),
+        "l_quantity",
+        ["l_extendedprice", "l_tax"],
+        k=5,
+        num_hash_tables=1,
+        bucket_length=0.02,
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_nulls_after"),
+    )
+
+def i7_hot_deck(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-deck contract: rows preserved, no nulls, and every fill is a COPY
+    of an observed donor value (the defining hot-deck invariant)."""
+    from ml_data_pipeline_spark.operators import imputation_ml as IM
+
+    src = _li_nulls(spark, sf).select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_tax", "l_returnflag"
+    )
+    observed = src.where(F.col("l_quantity").isNotNull()).select(
+        F.col("l_quantity").alias("__obs")
+    ).distinct()
+    out = IM.impute_hot_deck(
+        src, "l_quantity", ["l_extendedprice", "l_tax"], ["l_returnflag"],
+        k_candidates=5, num_hash_tables=1, bucket_length=0.02,
+    )
+    # one action: broadcast-mark observed values, aggregate all three contract
+    # numbers in a single pass (three separate .count()s would re-run the
+    # whole hot-deck join three times)
+    marked = out.join(F.broadcast(observed), out.l_quantity == F.col("__obs"), "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_nulls_after"),
+        F.sum((F.col("l_quantity").isNotNull() & F.col("__obs").isNull()).cast("long")).alias(
+            "n_foreign_fills"
+        ),
+    )
+
+def i9_impute_by_model(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based imputation with LinearRegression — OLS is closed-form, so
+    the filled values themselves hash-match DuckDB regr_slope/intercept
+    predictions (the strongest imputation oracle in the suite)."""
+    from ml_data_pipeline_spark.operators import imputation_ml as IM
+
+    src = _li_nulls(spark, sf).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = IM.impute_by_model(src, "l_quantity", "linear_regression", ["l_extendedprice"])
+    return (
+        out.where(F.col("l_orderkey") % 10 == 3)
+        .select("l_orderkey", "l_linenumber", F.round("l_quantity", 3).alias("l_quantity_filled"))
+    )
+
+def i6_impute_mice(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only: MICE chained-equation fill (2 sweeps, 2 columns)."""
+    from ml_data_pipeline_spark.operators import imputation_ml as IM
+
+    src = _li(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax")
+    src = src.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 10 == 3, F.lit(None)).otherwise(F.col("l_quantity")),
+    ).withColumn(
+        "l_tax",
+        F.when(F.col("l_orderkey") % 13 == 5, F.lit(None)).otherwise(F.col("l_tax")),
+    )
+    out = IM.impute_mice(src, ["l_quantity", "l_tax"], max_iter=2)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("nulls_q"),
+        F.sum(F.col("l_tax").isNull().cast("long")).alias("nulls_tax"),
+    )
+
 def i8_impute_em(spark: SparkSession, sf: str) -> DataFrame:
     out = I.impute_em_normal(_li_nulls(spark, sf), "l_quantity", max_iter=3)
     return out.select("l_orderkey", "l_linenumber", "l_quantity")
@@ -575,7 +655,11 @@ ALL_QUERIES = {
     "i2_impute_median": i2_impute_median,
     "i3_impute_mode": i3_impute_mode,
     "i4_interpolate": i4_interpolate,
+    "i5_impute_knn": i5_impute_knn,
+    "i6_impute_mice": i6_impute_mice,
+    "i7_hot_deck": i7_hot_deck,
     "i8_impute_em": i8_impute_em,
+    "i9_impute_by_model": i9_impute_by_model,
     "t1_split_invariants": t1_split_invariants,
     "b1_smote_counts": b1_smote_counts,
     "b2_undersample_counts": b2_undersample_counts,

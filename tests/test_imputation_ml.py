@@ -1,0 +1,61 @@
+"""Neighbor/model-based imputation (SURVEY.md §2.6 I5-I7, I9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.operators import imputation_ml as IM
+
+
+def _df(spark):
+    # y = 2x exactly; two holes at x=3 (y null) and x=7
+    rows = [(float(i), 2.0 * i if i not in (3, 7) else None, "g1" if i < 5 else "g2")
+            for i in range(10)]
+    return spark.createDataFrame(rows, "x double, y double, g string")
+
+
+def test_impute_knn_fills_close(spark):
+    out = IM.impute_knn(_df(spark), "y", ["x"], k=2, method="exact")
+    assert out.where(F.col("y").isNull()).count() == 0
+    got = {r["x"]: r["y"] for r in out.collect()}
+    # neighbors of x=3 are x=2,4 → mean(4,8)=6 = true value
+    assert abs(got[3.0] - 6.0) < 1e-9
+    assert abs(got[7.0] - 14.0) < 1e-9
+    assert out.count() == 10
+
+
+def test_impute_hot_deck_copies_donor(spark):
+    out = IM.impute_hot_deck(_df(spark), "y", ["x"], ["g"], k_candidates=3, method="exact")
+    assert out.where(F.col("y").isNull()).count() == 0
+    got = {r["x"]: r["y"] for r in out.collect()}
+    # donor values are COPIED, so fills are existing values (multiples of 2
+    # from the complete set)
+    assert got[3.0] in {0.0, 2.0, 4.0, 8.0, 10.0, 12.0, 16.0, 18.0}
+    # nearest donor of x=3 by scaled distance is x=2 or x=4, same group g1
+    assert got[3.0] in {4.0, 8.0}
+
+
+def test_impute_by_model_linear(spark):
+    out = IM.impute_by_model(_df(spark), "y", "linear_regression", ["x"])
+    got = {r["x"]: r["y"] for r in out.collect()}
+    # exact linear data → linear model recovers y=2x
+    assert abs(got[3.0] - 6.0) < 0.5
+    assert abs(got[7.0] - 14.0) < 0.5
+    assert out.count() == 10
+
+
+def test_impute_mice_converges(spark):
+    rows = []
+    for i in range(40):
+        a = float(i)
+        b = 3.0 * i + 1.0
+        rows.append((a if i % 11 != 3 else None, b if i % 7 == 5 else b))
+    # knock holes in 'a' only (keep it simple/deterministic)
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = IM.impute_mice(df, ["a"], max_iter=2)
+    assert out.where(F.col("a").isNull()).count() == 0
+    # a = (b-1)/3 exactly; regression should land very close
+    vals = {r["b"]: r["a"] for r in out.collect()}
+    for b, a in vals.items():
+        assert abs(a - (b - 1.0) / 3.0) < 0.5
+    assert out.count() == 40

@@ -103,6 +103,14 @@ ALL_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    # streaming twin drained in complete mode == the batch aggregation
+    "st_hourly_counts": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n,
+               round(sum(value), 6) AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "q_json_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                count(*) AS n, round(avg(value), 6) AS avg_value

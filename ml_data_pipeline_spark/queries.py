@@ -159,6 +159,28 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("k")
     )
 
+def st_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming twin of q_events_hourly: file-source stream →
+    1h tumbling windows → complete-mode drain (trigger=availableNow). The
+    result equals the batch aggregation, so it shares the batch oracle —
+    hash-level proof of batch/stream parity."""
+    import hashlib
+    import os
+
+    from ml_data_pipeline_spark.streaming import events_stream as ES
+
+    # the file stream source lists a DIRECTORY; stage the single-file test
+    # table once per sf (driver-local staging, test scale only)
+    stage = f"/tmp/mdp_stream_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/events"
+    if not os.path.exists(stage):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(f"{sf}/events.parquet").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    stream = ES.read_events_stream(spark, stage)
+    out = ES.run_to_memory(ES.hourly_counts(stream), "st_hourly_counts", "complete")
+    return out.select("hour", "event_type", "n", "total_value").orderBy("hour", "event_type")
+
 # ---------------------------------------------------------------- profiling (P*)
 
 def p2_missing_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -625,6 +647,7 @@ ALL_QUERIES = {
     "q_sessionize": q_sessionize,
     "q_events_hourly": q_events_hourly,
     "q_json_extract": q_json_extract,
+    "st_hourly_counts": st_hourly_counts,
     "p2_missing_counts": p2_missing_counts,
     "p3_total_missing": p3_total_missing,
     "p4_distinct_counts": p4_distinct_counts,

@@ -1,0 +1,109 @@
+"""Structured Streaming pipelines over `events` (SURVEY.md §2.9 extension).
+
+Batch/stream parity by construction: every streaming aggregation here has a
+batch twin in queries.py (q_events_hourly / q_sessionize) built from the SAME
+expressions, so correctness of the streaming path is tested by running the
+stream to completion (trigger=availableNow) and comparing to the batch
+answer — the Structured Streaming "unbounded table" model makes the two
+semantically identical modulo late-data policy.
+
+Scale notes:
+- watermarks bound the aggregation state: without one, a 100 TB stream's
+  window state grows forever. `withWatermark` + append mode emits finalized
+  windows and drops state.
+- the file source is used for tests; swap `readStream.format("parquet")` for
+  kafka/kinesis in production — every transformation below is source-agnostic.
+- session windows use F.session_window (native state store op), not a custom
+  stateful UDF — the built-in operator merges sessions across micro-batches
+  and spills state to the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet (TESTDATA.md): nanosecond ts is read as long (see
+# catalog.load_table) — the stream reader does the identical conversion.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events parquet with the ns→µs conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(
+    stream: DataFrame, watermark: str = "2 hours", slide: str | None = None
+) -> DataFrame:
+    """Tumbling (or sliding) 1-hour window counts per event_type — the
+    streaming twin of queries.q_events_hourly. Watermark bounds state and
+    defines the late-data drop line."""
+    win = (
+        F.window("ts", "1 hour", slide) if slide else F.window("ts", "1 hour")
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation (30-min inactivity gap) per user — the
+    streaming twin of queries.q_sessionize, via the NATIVE session_window
+    state-store operator (no custom stateful UDF)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    result: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drain the stream with trigger=availableNow into a memory sink and
+    return the materialized table (test/verification path)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = result.sparkSession
+    return spark.table(query_name)

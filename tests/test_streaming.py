@@ -1,0 +1,72 @@
+"""Structured Streaming: batch/stream parity on the events table.
+
+The streaming aggregations must produce the SAME rows as their batch twins
+when the stream is drained to completion (trigger=availableNow) — Structured
+Streaming's unbounded-table semantics guarantee it; these tests pin it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.catalog import load_table
+from ml_data_pipeline_spark.streaming import events_stream as ES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    # re-write the single-file events table as a directory (the file stream
+    # source needs a directory it can list)
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF}/events.parquet")  # keep ns-as-long schema
+    raw.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_hourly_counts_match_batch(spark, events_path):
+    # complete mode: append would withhold the trailing windows that are
+    # still inside the watermark when the bounded stream ends
+    stream = ES.read_events_stream(spark, events_path)
+    got = ES.run_to_memory(ES.hourly_counts(stream), "t_hourly", "complete")
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    g = {(r["hour"], r["event_type"]): (r["n"], r["total_value"]) for r in got.collect()}
+    b = {(r["hour"], r["event_type"]): (r["n"], r["total_value"]) for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_session_counts_match_batch(spark, events_path):
+    stream = ES.read_events_stream(spark, events_path)
+    got = ES.run_to_memory(ES.session_counts(stream), "t_sessions", "complete")
+    # batch twin: session_window works in batch mode too
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    g = {(r["user_id"], r["session_start"]): r["n_events"] for r in got.collect()}
+    b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_watermark_bounds_state(spark, events_path):
+    """Append mode + watermark: every emitted window is FINAL (no duplicate
+    window keys across micro-batches)."""
+    stream = ES.read_events_stream(spark, events_path, max_files_per_trigger=1)
+    got = ES.run_to_memory(ES.hourly_counts(stream, watermark="1 hour"), "t_wm", "append")
+    rows = got.groupBy("hour", "event_type").count().where(F.col("count") > 1)
+    assert rows.count() == 0

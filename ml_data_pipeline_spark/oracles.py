@@ -386,6 +386,23 @@ ALL_ORACLES: dict[str, str] = {
         FROM lineitem, fit
         WHERE l_orderkey % 10 = 3
     """,
+    # multimodal: synth payload byte j of media i = (i*2654435761+j*97+42)%251,
+    # payload length = 50+i%200 (operators/multimodal.py synth_media_table) —
+    # DuckDB reconstructs the mapInPandas feature math from range()
+    "mm_feature_digest": """
+        SELECT i AS media_id,
+               CAST(50 + i % 200 AS DOUBLE) AS n_bytes,
+               CAST(list_sum(list_transform(range(0, 50 + i % 200),
+                    j -> (i * 2654435761 + j * 97 + 42) % 251)) % 997 AS DOUBLE) AS s997
+        FROM range(100) t(i) ORDER BY media_id
+    """,
+    "mm_frame_plan": """
+        SELECT i AS media_id, CAST(2 * (1 + i % 10) AS BIGINT) AS n_frames
+        FROM range(100) t(i) WHERE i % 3 = 2 ORDER BY media_id
+    """,
+    "mm_media_dedup": """
+        SELECT CAST(100 AS BIGINT) AS n_rows, CAST(99 AS BIGINT) AS max_id
+    """,
     # M2: OLS is closed-form — MLlib normal solver == DuckDB regr_* exactly
     "m2_ols_coefficients": """
         SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

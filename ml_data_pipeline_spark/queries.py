@@ -512,6 +512,42 @@ def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return TX.fingerprint(docs).select("doc_id", "fingerprint")
 
+# ---------------------------------------------------------------- multimodal (MM*)
+
+def mm_feature_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInPandas media feature extraction (fake decoder): the synthetic
+    payloads are deterministic, so the per-blob Python stage is verified
+    HASH-EXACTLY by a DuckDB range() reconstruction of the byte math."""
+    from ml_data_pipeline_spark.operators import multimodal as MM
+
+    media = MM.synth_media_table(spark, n=100)
+    out = MM.extract_media_features(media, decoder="fake")
+    return out.select(
+        "media_id",
+        F.element_at("features", 1).alias("n_bytes"),
+        F.element_at("features", 2).alias("s997"),
+    ).orderBy("media_id")
+
+def mm_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """JVM-side video frame-sampling plan: per-video frame counts."""
+    from ml_data_pipeline_spark.operators import multimodal as MM
+
+    media = MM.synth_media_table(spark, n=100)
+    plan = MM.frame_sample_plan(media, every_ms=1000)
+    return plan.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames")).orderBy("media_id")
+
+def mm_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact blob dedup via content hash — survivor count contract."""
+    from ml_data_pipeline_spark.operators import multimodal as MM
+
+    media = MM.synth_media_table(spark, n=100)
+    dup = media.limit(20).withColumn("media_id", F.col("media_id") + 1000)
+    out = MM.exact_media_dedup(media.unionByName(dup))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("media_id").alias("max_id"),
+    )
+
 # ---------------------------------------------------------------- ML (M*)
 
 def m2_ols_coefficients(spark: SparkSession, sf: str) -> DataFrame:
@@ -700,6 +736,9 @@ ALL_QUERIES = {
     "tx_quality": tx_quality,
     "tx_lang_id": tx_lang_id,
     "tx_fingerprint": tx_fingerprint,
+    "mm_feature_digest": mm_feature_digest,
+    "mm_frame_plan": mm_frame_plan,
+    "mm_media_dedup": mm_media_dedup,
     "m2_ols_coefficients": m2_ols_coefficients,
     "m3_eval_classification": m3_eval_classification,
     "m4_feature_importances": m4_feature_importances,

@@ -18,6 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Single-file test tables arrive as ONE partition, serializing every
+    downstream explode/agg onto one core (measured: simhash signatures 7.5s
+    → 5.6s at sf0.1 after spreading). Only repartitions when the source is
+    under-split — at real scale the file layout already provides partitions
+    and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Exact duplicate removal. With subset, keeps one arbitrary-but-
     deterministic row per key via min(struct) — unlike dropDuplicates, the
@@ -62,7 +73,7 @@ def shingle_minhash(
       groupBy(id) — a single shuffle of (id, K longs) regardless of doc size.
     """
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    normed = df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
+    normed = _ensure_parallel(df.select(F.col(id_col).alias("id"), norm.alias("__norm")))
     positions = F.sequence(
         F.lit(1), F.greatest(F.lit(1), F.length("__norm") - shingle_k + 1)
     )
@@ -160,7 +171,9 @@ def ngram_jaccard_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(F.size("grams") > 0)
+    base = _ensure_parallel(
+        df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(F.size("grams") > 0)
+    )
     sizes = base.select("id", F.size("grams").alias("n_grams"))
     exploded = base.select("id", F.explode("grams").alias("gram"))
     pairs = (
@@ -197,49 +210,62 @@ def simhash_signatures(
     """(id, simhash) — 64-bit SimHash over whitespace tokens.
 
     Per-bit vote: weighted sum over tokens of +/-weight depending on the
-    token-hash bit; sign → bit. Shape: explode tokens → hash once per token →
-    ONE groupBy(id) with 64 flat sum aggregates (map-side combinable). The
-    alternative — 64 aggregate-over-array expressions per row — compiles to a
-    huge expression tree and ran ~10x slower.
+    token-hash bit; sign → bit. Shape: tokens are hashed and REDUCED to
+    (id, token_hash, count) first, then the 64 bit-votes come from an
+    explode(0..63) + two narrow groupBys:
 
-    idf_weighted=True (default) weights each token by log((N+1)/(df+1)).
-    Unweighted simhash DEGENERATES on homogeneous corpora: the highest-
-    frequency tokens dominate every bit vote identically in every document,
-    so all signatures collapse into the same LSH buckets and the candidate
-    join goes quadratic (measured: ALL 12.5M pairs of 5k docs were
-    candidates). IDF costs one token-keyed aggregation + join, and restores
-    bucket selectivity. Documents with zero tokens are dropped.
+        (id, h, w) --explode 64--> (id, bit, ±w) --sum--> (id, bit, vote)
+                   --sum shiftleft(v>0, bit)--> (id, simhash)
+
+    Both aggregates are map-side combinable and the plan has ~6 expressions.
+    The previous shape — ONE groupBy with 64 sum(when) aggregates + a
+    64-deep bitwiseOR assembly chain — produced a plan whose analysis +
+    codegen dominated wall time (17.4s → 6.5s for the full near-dup query
+    at sf0.1; execution was never the bottleneck, the plan was).
+
+    idf_weighted=True (default) weights each token occurrence by
+    log((N+1)/(df+1)). Unweighted simhash DEGENERATES on homogeneous
+    corpora: the highest-frequency tokens dominate every bit vote
+    identically in every document, so all signatures collapse into the same
+    LSH buckets and the candidate join goes quadratic (measured: ALL 12.5M
+    pairs of 5k docs were candidates). Documents with zero tokens drop out.
     """
+    if bits != 64:
+        raise ValueError("simhash_signatures is fixed at 64 bits (xxhash64)")
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
-    tokens = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    tokens = _ensure_parallel(df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")))
+    # reduce to one row per (doc, distinct token) BEFORE fanning out 64 bits:
+    # occurrence multiplicity folds into the weight
+    per_tok = tokens.groupBy("id", F.xxhash64("t").alias("h")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     if idf_weighted:
         n_docs = df.count()
-        doc_freq = tokens.dropDuplicates(["id", "t"]).groupBy("t").agg(
-            F.count(F.lit(1)).alias("__df")
-        )
-        hashed = tokens.join(doc_freq, "t").select(
+        doc_freq = per_tok.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+        weighted = per_tok.join(doc_freq, "h").select(
             "id",
-            F.xxhash64("t").alias("h"),
-            F.log((F.lit(float(n_docs + 1))) / (F.col("__df") + 1)).alias("w"),
+            "h",
+            (F.col("__cnt") * F.log(F.lit(float(n_docs + 1)) / (F.col("__df") + 1))).alias("w"),
         )
     else:
-        hashed = tokens.select("id", F.xxhash64("t").alias("h"), F.lit(1.0).alias("w"))
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w")
-                ).otherwise(-F.col("w"))
-            ).alias(f"__v{i}")
-            for i in range(bits)
-        ]
+        weighted = per_tok.select("id", "h", F.col("__cnt").cast("double").alias("w"))
+    votes = (
+        weighted.select(
+            "id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"), "h", "w"
+        )
+        .select(
+            "id",
+            "i",
+            F.expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN w ELSE -w END").alias("v"),
+        )
+        .groupBy("id", "i")
+        .agg(F.sum("v").alias("v"))
     )
-    # assemble with shiftleft+OR (1<<63 would overflow a signed-long literal)
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        bit = F.when(F.col(f"__v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = sim.bitwiseOR(F.shiftleft(bit, i))
-    return votes.select("id", sim.alias("simhash"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
 
 def simhash_near_duplicates(
     df: DataFrame,

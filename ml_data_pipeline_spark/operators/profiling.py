@@ -256,3 +256,123 @@ def histogram(df: DataFrame, column: str, bin_width: float, class_column: str | 
     )
     order = ["bin"] if class_column is None else [class_column, "bin"]
     return out.orderBy(*order)
+
+DATE_SNIFF_FORMATS = ("M/d/yyyy", "M/d/yy", "d/M/yyyy", "yyyy-MM-dd", "d.M.yyyy", "yyyy/M/d")
+
+def classify_column_types(
+    df: DataFrame, sample_rows: int = 100, parse_threshold: float = 0.8
+) -> DataFrame:
+    """P5 — column classification: numeric / bool / date / categorical /
+    text-ish string (ref /root/reference/checking_data_formats_ui.py:296-308,
+    403-416,444-466).
+
+    Schema answers numeric/bool for free; string columns are sniffed on a
+    LIMITed sample (one tiny job, never a full scan): date = >80% of the
+    sample parses under one of the reference's 6 formats; otherwise
+    categorical if the sample is not fully numeric-parseable, else numeric-
+    as-string. Mirrors the reference's sample-based heuristics exactly.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    spark = df.sparkSession
+    out: list[tuple[str, str]] = []
+    string_cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, BooleanType):
+            out.append((f.name, "bool"))
+        elif isinstance(f.dataType, NumericType):
+            out.append((f.name, "numeric"))
+        elif isinstance(f.dataType, (DateType, TimestampType, TimestampNTZType)):
+            out.append((f.name, "date"))
+        elif isinstance(f.dataType, StringType):
+            string_cols.append(f.name)
+        else:
+            out.append((f.name, "other"))
+    if string_cols:
+        sample = df.select(string_cols).limit(sample_rows).cache()
+        n = sample.count()
+        if n:
+            aggs = []
+            for c in string_cols:
+                parsed = F.coalesce(
+                    *[F.try_to_timestamp(F.col(c), F.lit(fmt)) for fmt in DATE_SNIFF_FORMATS]
+                )
+                aggs.append(F.sum(parsed.isNotNull().cast("int")).alias(f"__d_{c}"))
+                aggs.append(
+                    F.sum(F.col(c).try_cast("double").isNotNull().cast("int")).alias(f"__n_{c}")
+                )
+                aggs.append(F.sum(F.col(c).isNotNull().cast("int")).alias(f"__nn_{c}"))
+            row = sample.agg(*aggs).first()
+            for c in string_cols:
+                nn = row[f"__nn_{c}"] or 0
+                if nn == 0:
+                    out.append((c, "categorical"))
+                elif (row[f"__d_{c}"] or 0) / nn > parse_threshold:
+                    out.append((c, "date"))
+                elif (row[f"__n_{c}"] or 0) == nn:
+                    out.append((c, "numeric_string"))
+                else:
+                    out.append((c, "categorical"))
+        sample.unpersist()
+    return spark.createDataFrame(sorted(out), "column string, type_class string")
+
+ID_NAME_HINTS = ("id", "key", "index", "row", "number")
+
+def common_columns_and_targets(
+    train: DataFrame, test: DataFrame, distinct_ratio: float = 0.9
+) -> DataFrame:
+    """T7 — schema intersection + target-candidate detection: common columns
+    whose distinct count < ratio*rows and whose name is not id-ish
+    (ref /root/reference/researching_models/model_evaluation_ui.py:233-243).
+
+    Distinct counts via ONE approx_count_distinct aggregate over the common
+    columns (sketch-based, single scan)."""
+    common = [c for c in train.columns if c in set(test.columns)]
+    n = train.count()
+    row = train.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in common]
+    ).first()
+    rows = []
+    for c in common:
+        idish = any(h in c.lower() for h in ID_NAME_HINTS)
+        candidate = (row[c] < distinct_ratio * n) and not idish
+        rows.append((c, bool(candidate)))
+    return train.sparkSession.createDataFrame(
+        sorted(rows), "column string, is_target_candidate boolean"
+    )
+
+def question_template(
+    df: DataFrame, exclude: list[str] | None = None, choice_threshold: int = 10
+) -> DataFrame:
+    """S13 — per-feature inference prompts: <=10 distinct non-null values →
+    enumerated choice prompt, else numeric range prompt
+    (ref /root/reference/inference_models/inference_trained_models.py:147-183,216-228).
+
+    One pass per column over a cardinality-capped distinct (LIMIT k+1 stops
+    the scan early for high-cardinality columns)."""
+    exclude = set(exclude or [])
+    spark = df.sparkSession
+    rows = []
+    for f in df.schema.fields:
+        c = f.name
+        if c in exclude:
+            continue
+        vals = [
+            r[0]
+            for r in df.select(c).where(F.col(c).isNotNull()).distinct()
+            .orderBy(c).limit(choice_threshold + 1).collect()
+        ]
+        if 0 < len(vals) <= choice_threshold:
+            prompt = f"Choose one of: {', '.join(str(v) for v in vals)}"
+        else:
+            r = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+            prompt = f"Enter a value between {r['lo']} and {r['hi']}"
+        rows.append((c, prompt))
+    return spark.createDataFrame(sorted(rows), "column string, prompt string")

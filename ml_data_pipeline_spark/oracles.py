@@ -116,6 +116,37 @@ ALL_ORACLES: dict[str, str] = {
                count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "p1_shape_census": """
+        SELECT dtype, n_cols_of_type, (SELECT count(*) FROM orders) AS n_rows, n_cols
+        FROM (VALUES ('bigint', 2, 6), ('double', 1, 6), ('string', 2, 6),
+                     ('timestamp_ntz', 1, 6)) t(dtype, n_cols_of_type, n_cols)
+    """,
+    # P5 classifications derive from the orders schema (deterministic)
+    "p5_type_classification": """
+        SELECT * FROM (VALUES
+            ('o_custkey', 'numeric'), ('o_orderdate', 'date'),
+            ('o_orderkey', 'numeric'), ('o_orderpriority', 'categorical'),
+            ('o_orderstatus', 'categorical'), ('o_totalprice', 'numeric')
+        ) t("column", type_class)
+    """,
+    # T7 on orders⋈orders: id-ish names excluded; approx-distinct < 0.9n
+    # (margins far from the boundary at sf0.01 — see queries.py)
+    "t7_target_candidates": """
+        SELECT * FROM (VALUES
+            ('o_custkey', false), ('o_orderdate', true), ('o_orderkey', false),
+            ('o_orderpriority', true), ('o_orderstatus', true), ('o_totalprice', false)
+        ) t("column", is_target_candidate)
+    """,
+    "s13_question_template": """
+        SELECT 'c_custkey' AS "column",
+               'Enter a value between ' || CAST(min(c_custkey) AS VARCHAR) ||
+               ' and ' || CAST(max(c_custkey) AS VARCHAR) AS prompt
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment',
+               'Choose one of: ' || string_agg(DISTINCT c_mktsegment, ', ' ORDER BY c_mktsegment)
+        FROM customer
+    """,
     "p2_missing_counts": """
         SELECT 'l_quantity' AS "column",
                CAST(sum(CASE WHEN l_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
@@ -360,6 +391,35 @@ ALL_ORACLES: dict[str, str] = {
     """,
     "t1_split_invariants": """
         SELECT count(*) AS n_total, count(*) AS n_train_plus_test FROM customer
+    """,
+    "e7_simple_hash": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_out_of_range
+        FROM customer
+    """,
+    "e9_onehot_hash": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_oor,
+               CAST(0 AS BIGINT) AS pair_excess
+        FROM part
+    """,
+    "e10_embedding_hash": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_out_of_range
+        FROM part
+    """,
+    # CMS width 1000 >> 25 brands: collision-free → estimates == exact counts
+    "e12_count_min": """
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS brand_cms
+        FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    "e16_to_numeric": """
+        SELECT p_partkey, round(p_retailprice, 2) AS price_roundtrip FROM part
+    """,
+    "f1_f2_drop_select_numeric": """
+        SELECT c_custkey, c_nationkey FROM customer
+    """,
+    "f6_null_partition": """
+        SELECT CAST(sum(CASE WHEN o_orderkey % 7 <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_complete,
+               CAST(sum(CASE WHEN o_orderkey % 7 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        FROM orders
     """,
     "i5_impute_knn": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_nulls_after

@@ -221,6 +221,20 @@ def p13_histogram(spark: SparkSession, sf: str) -> DataFrame:
 def p3_total_missing(spark: SparkSession, sf: str) -> DataFrame:
     return P.total_missing(_li_nulls(spark, sf))
 
+def p1_shape_census(spark: SparkSession, sf: str) -> DataFrame:
+    return P.shape_census(load_table(spark, sf, "orders"))
+
+def p5_type_classification(spark: SparkSession, sf: str) -> DataFrame:
+    return P.classify_column_types(load_table(spark, sf, "orders"))
+
+def t7_target_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return P.common_columns_and_targets(orders, orders)
+
+def s13_question_template(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return P.question_template(cust)
+
 # ---------------------------------------------------------------- filters (F*)
 
 def f3_range_filter(spark: SparkSession, sf: str) -> DataFrame:
@@ -287,6 +301,61 @@ def e11_universal_hash(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     return cust.select(
         "c_custkey", H.universal_hash(F.col("c_mktsegment"), 1000).alias("seg_uhash")
+    )
+
+def e7_simple_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract: hash buckets all land in [0, n) (Spark murmur3 is not
+    reproducible in DuckDB — range + count are)."""
+    cust = load_table(spark, sf, "customer")
+    out = cust.select(H.simple_hash(F.col("c_name"), 100).alias("h"))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(((F.col("h") < 0) | (F.col("h") >= 100)).cast("long")).alias("n_out_of_range"),
+    )
+
+def e9_onehot_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract: distinct-value index is hashed into [0, n) buckets; same
+    value → same bucket (n_distinct pairs == n_distinct values)."""
+    part = load_table(spark, sf, "part")
+    out = H.onehot_hash(part, "p_brand", 50, "brand_oh")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(((F.col("brand_oh") < 0) | (F.col("brand_oh") >= 50)).cast("long")).alias("n_oor"),
+        F.countDistinct("p_brand", "brand_oh").alias("n_pairs"),
+        F.countDistinct("p_brand").alias("n_vals"),
+    ).select("n_rows", "n_oor", (F.col("n_pairs") - F.col("n_vals")).alias("pair_excess"))
+
+def e10_embedding_hash(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    out = part.select("p_partkey", H.embedding_hash(F.col("p_type"), 64).alias("h"))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(((F.col("h") < 0) | (F.col("h") >= 64)).cast("long")).alias("n_out_of_range"),
+    )
+
+def e12_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """CMS-encoded counts. p_brand's 25 values in width-1000 tables are
+    collision-free, so estimates EQUAL exact counts — value-level oracle."""
+    part = load_table(spark, sf, "part")
+    out = H.count_min_sketch_counts(part, "p_brand", "brand_cms")
+    return out.groupBy("p_brand").agg(F.min("brand_cms").alias("brand_cms")).orderBy("p_brand")
+
+def e16_to_numeric(spark: SparkSession, sf: str) -> DataFrame:
+    """String→double coercion round-trip (errors='coerce' semantics)."""
+    part = load_table(spark, sf, "part").select(
+        "p_partkey", F.col("p_retailprice").cast("string").alias("price_str")
+    )
+    out = FL.to_numeric(part, "price_str")
+    return out.select("p_partkey", F.round("price_str", 2).alias("price_roundtrip"))
+
+def f1_f2_drop_select_numeric(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    return FL.select_numeric(FL.drop_columns(cust, ["c_acctbal"]))
+
+def f6_null_partition(spark: SparkSession, sf: str) -> DataFrame:
+    complete, missing = FL.null_partition(_orders_nulls(spark, sf), "o_orderpriority")
+    return spark.createDataFrame(
+        [(complete.count(), missing.count())], "n_complete long, n_missing long"
     )
 
 def e14_clip_round(spark: SparkSession, sf: str) -> DataFrame:
@@ -684,9 +753,11 @@ ALL_QUERIES = {
     "q_events_hourly": q_events_hourly,
     "q_json_extract": q_json_extract,
     "st_hourly_counts": st_hourly_counts,
+    "p1_shape_census": p1_shape_census,
     "p2_missing_counts": p2_missing_counts,
     "p3_total_missing": p3_total_missing,
     "p4_distinct_counts": p4_distinct_counts,
+    "p5_type_classification": p5_type_classification,
     "p6_value_counts": p6_value_counts,
     "p7_rare_values": p7_rare_values,
     "p7_rare_summary": p7_rare_summary,
@@ -696,7 +767,11 @@ ALL_QUERIES = {
     "p11_column_range": p11_column_range,
     "p12_correlation": p12_correlation,
     "p13_histogram": p13_histogram,
+    "t7_target_candidates": t7_target_candidates,
+    "s13_question_template": s13_question_template,
+    "f1_f2_drop_select_numeric": f1_f2_drop_select_numeric,
     "f3_range_filter": f3_range_filter,
+    "f6_null_partition": f6_null_partition,
     "f5_in_list_filter": f5_in_list_filter,
     "f7_drop_null_rows": f7_drop_null_rows,
     "f8_merge_interval": f8_merge_interval,
@@ -707,7 +782,12 @@ ALL_QUERIES = {
     "e4_frequency_encode": e4_frequency_encode,
     "e5_binary_encode": e5_binary_encode,
     "e6_date_features": e6_date_features,
+    "e7_simple_hash": e7_simple_hash,
     "e8_feature_hash": e8_feature_hash,
+    "e9_onehot_hash": e9_onehot_hash,
+    "e10_embedding_hash": e10_embedding_hash,
+    "e12_count_min": e12_count_min,
+    "e16_to_numeric": e16_to_numeric,
     "e11_universal_hash": e11_universal_hash,
     "e14_clip_round": e14_clip_round,
     "i1_impute_mean": i1_impute_mean,

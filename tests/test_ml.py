@@ -117,3 +117,27 @@ def test_gbt_multiclass_falls_back_to_ovr(spark):
     from pyspark.ml.classification import OneVsRest
 
     assert isinstance(pipe.getStages()[-1], OneVsRest)
+
+
+def test_permutation_importance_ranks_signal_feature(spark):
+    from ml_data_pipeline_spark.ml import explain as ME
+
+    # y depends ONLY on x; z is pure noise
+    rows = [(float(i % 20), float((7 * i) % 13), "hi" if i % 20 >= 10 else "lo")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "x double, z double, cls string")
+    train, test = df.randomSplit([0.7, 0.3], seed=1)
+    model, _ = MP.train_and_evaluate(train, test, "cls", "logistic_regression")
+    imp = ME.permutation_importance(model, test, "cls", ["x", "z"], "classification")
+    assert imp[0][0] == "x"            # signal feature ranked first
+    assert imp[0][1] > 0.2             # permuting x destroys the metric
+    assert abs(imp[1][1]) < 0.15       # permuting noise barely moves it
+
+
+def test_shap_gated_import(spark):
+    from ml_data_pipeline_spark.ml import explain as ME
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1.0, "a")], "x double, cls string")
+    with _pytest.raises(NotImplementedError):
+        ME.shap_sampled(None, df, ["x"])

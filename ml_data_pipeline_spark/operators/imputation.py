@@ -150,3 +150,120 @@ def with_nulls(df: DataFrame, column: str, fraction: float, seed: int = 42) -> D
     """
     u = (F.abs(F.xxhash64(F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns]))) % 10000) / 10000.0
     return df.withColumn(column, F.when(u < fraction, F.lit(None)).otherwise(F.col(column)))
+
+def impute_interpolate_ranged(
+    df: DataFrame,
+    column: str,
+    order_column: str | list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """I4 at scale — the same pandas-parity linear interpolation as
+    impute_interpolate, but WITHOUT the global single-task window sort.
+
+    Shape:
+    1. repartitionByRange on the order key → P sorted, disjoint ranges;
+    2. per-partition prefix windows (partitionBy partition id) find the
+       local prev/next non-null — fully parallel;
+    3. ONE tiny aggregate (P rows) collects each partition's row count and
+       its first/last non-null (value, local position) — the only data that
+       must cross partitions;
+    4. the driver turns that into per-partition carry-ins (cumulative row
+       offsets + nearest non-null on each side) and folds them back in via
+       a broadcast map — rows near a partition boundary fall back to the
+       carried values.
+
+    Equivalent output to impute_interpolate (tested), but the critical path
+    is a parallel sort + per-range windows: it survives 100x data where the
+    global-window version serializes on one task.
+    """
+    order_cols = [order_column] if isinstance(order_column, str) else list(order_column)
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    c = F.col(column)
+    asc = [F.col(x).asc() for x in order_cols]
+    desc = [F.col(x).desc() for x in order_cols]
+
+    rp = df.repartitionByRange(P, *[F.col(x) for x in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # spark_partition_id must stay stable across the multiple reads below
+    rp = rp.cache()
+
+    w_asc_all = Window.partitionBy("__pid").orderBy(*asc)
+    w_fwd = w_asc_all.rowsBetween(Window.unboundedPreceding, 0)
+    w_bwd = Window.partitionBy("__pid").orderBy(*desc).rowsBetween(Window.unboundedPreceding, 0)
+    lpos = F.row_number().over(w_asc_all)
+    with_pos = rp.withColumn("__lpos", lpos)
+
+    # 3. boundary summary: P rows to the driver
+    summary = (
+        with_pos.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(c.isNotNull(), F.struct(F.col("__lpos").alias("p"), c.alias("v")))).alias("first_nn"),
+            F.max(F.when(c.isNotNull(), F.struct(F.col("__lpos").alias("p"), c.alias("v")))).alias("last_nn"),
+        )
+        .collect()
+    )
+    info = {r["__pid"]: r for r in summary}
+    pids = sorted(info)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in pids:
+        offsets[pid] = acc
+        acc += info[pid]["n"]
+    # carry-ins: nearest non-null strictly before / after each partition,
+    # as (global_pos, value)
+    carry_prev: dict[int, tuple[int, float] | None] = {}
+    best = None
+    for pid in pids:
+        carry_prev[pid] = best
+        last = info[pid]["last_nn"]
+        if last is not None:
+            best = (offsets[pid] + last["p"], float(last["v"]))
+    carry_next: dict[int, tuple[int, float] | None] = {}
+    best = None
+    for pid in reversed(pids):
+        carry_next[pid] = best
+        first = info[pid]["first_nn"]
+        if first is not None:
+            best = (offsets[pid] + first["p"], float(first["v"]))
+
+    carry_rows = [
+        (
+            pid,
+            offsets[pid],
+            carry_prev[pid][0] if carry_prev[pid] else None,
+            carry_prev[pid][1] if carry_prev[pid] else None,
+            carry_next[pid][0] if carry_next[pid] else None,
+            carry_next[pid][1] if carry_next[pid] else None,
+        )
+        for pid in pids
+    ]
+    carries = spark.createDataFrame(
+        carry_rows,
+        "__pid int, __off long, __cp_p long, __cp_v double, __cn_p long, __cn_v double",
+    )
+
+    val_pos = F.when(c.isNotNull(), F.col("__lpos"))
+    local_prev_v = F.last(F.when(c.isNotNull(), c), ignorenulls=True).over(w_fwd)
+    local_prev_p = F.last(val_pos, ignorenulls=True).over(w_fwd)
+    local_next_v = F.last(F.when(c.isNotNull(), c), ignorenulls=True).over(w_bwd)
+    local_next_p = F.last(val_pos, ignorenulls=True).over(w_bwd)
+
+    joined = (
+        with_pos.withColumn("__lprev_v", local_prev_v)
+        .withColumn("__lprev_p", local_prev_p)
+        .withColumn("__lnext_v", local_next_v)
+        .withColumn("__lnext_p", local_next_p)
+        .join(F.broadcast(carries), "__pid")
+    )
+    gpos = F.col("__off") + F.col("__lpos")
+    prev_p = F.coalesce(F.col("__off") + F.col("__lprev_p"), F.col("__cp_p"))
+    prev_v = F.when(F.col("__lprev_p").isNotNull(), F.col("__lprev_v")).otherwise(F.col("__cp_v"))
+    next_p = F.coalesce(F.col("__off") + F.col("__lnext_p"), F.col("__cn_p"))
+    next_v = F.when(F.col("__lnext_p").isNotNull(), F.col("__lnext_v")).otherwise(F.col("__cn_v"))
+    interp = prev_v + (next_v - prev_v) * (gpos - prev_p) / (next_p - prev_p)
+    filled = F.when(c.isNotNull(), c).otherwise(F.coalesce(interp, prev_v, next_v))
+    out = joined.withColumn(column, filled).select(*df.columns)
+    return out

@@ -109,3 +109,10 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     """
     norm = F.concat_ws(" ", _tokens(F.col(text_col)))
     return df.withColumn(out_col, F.xxhash64(norm))
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Fingerprint variant on md5 instead of xxhash64 — bit-identical across
+    engines (DuckDB md5 == Spark md5), so the oracle checks VALUES, not just
+    shape. Same normalization as fingerprint()."""
+    norm = F.concat_ws(" ", _tokens(F.col(text_col)))
+    return df.withColumn(out_col, F.md5(norm))

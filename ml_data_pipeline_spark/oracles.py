@@ -421,6 +421,10 @@ ALL_ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN o_orderkey % 7 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         FROM orders
     """,
+    "tx_fingerprint_md5": f"""
+        SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+        FROM documents
+    """,
     "i5_impute_knn": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_nulls_after
         FROM lineitem

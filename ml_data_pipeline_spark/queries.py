@@ -385,6 +385,10 @@ def i3_impute_mode(spark: SparkSession, sf: str) -> DataFrame:
 def i4_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
     # l_extendedprice tie-breaks to a total order (oracle sorts identically).
+    # Global-window form: at <=1M rows one sort task beats the ranged
+    # variant's extra jobs (0.7s vs 7.9s at sf0.1). impute_interpolate_ranged
+    # is the equivalence-tested swap-in once a single sort task can't hold
+    # the data.
     out = I.impute_interpolate(
         _li_nulls(spark, sf), "l_quantity", ["l_orderkey", "l_linenumber", "l_extendedprice"]
     )
@@ -580,6 +584,10 @@ def tx_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return TX.fingerprint(docs).select("doc_id", "fingerprint")
+
+def tx_fingerprint_md5(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.fingerprint_md5(docs).select("doc_id", "fingerprint")
 
 # ---------------------------------------------------------------- multimodal (MM*)
 
@@ -816,6 +824,7 @@ ALL_QUERIES = {
     "tx_quality": tx_quality,
     "tx_lang_id": tx_lang_id,
     "tx_fingerprint": tx_fingerprint,
+    "tx_fingerprint_md5": tx_fingerprint_md5,
     "mm_feature_digest": mm_feature_digest,
     "mm_frame_plan": mm_frame_plan,
     "mm_media_dedup": mm_media_dedup,

@@ -194,3 +194,34 @@ def test_ngram_jaccard_exact_value(spark):
     pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
     # operator rounds to 6 dp for oracle hash parity
     assert len(pairs) == 1 and abs(pairs[0]["jaccard"] - 1 / 3) < 1e-6
+
+
+def test_interpolate_ranged_matches_pandas_and_global(spark):
+    import pandas as pd
+
+    # holes at the edges, interior runs, and straddling partition boundaries
+    vals = [None, None, 3.0, None, None, 9.0, None, 4.0] + [None] * 5 + [2.0, None]
+    expected = pd.Series(vals).interpolate(method="linear", limit_direction="both").tolist()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "o int, v double")
+    got = {
+        r["o"]: r["v"]
+        for r in I.impute_interpolate_ranged(df, "v", "o", num_partitions=4).collect()
+    }
+    for i, e in enumerate(expected):
+        assert math.isclose(got[i], e), (i, got[i], e)
+    # agrees with the global-window variant too
+    glob = {r["o"]: r["v"] for r in I.impute_interpolate(df, "v", "o").collect()}
+    assert all(math.isclose(got[i], glob[i]) for i in range(len(vals)))
+
+
+def test_interpolate_ranged_all_null_partition(spark):
+    # a whole range-partition of nulls must pull from NEIGHBOR partitions
+    vals = [1.0] + [None] * 20 + [43.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "o int, v double")
+    got = [
+        r["v"]
+        for r in I.impute_interpolate_ranged(df, "v", "o", num_partitions=5)
+        .orderBy("o")
+        .collect()
+    ]
+    assert all(math.isclose(got[i], 1.0 + 2.0 * i) for i in range(22))

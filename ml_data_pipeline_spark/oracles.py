@@ -103,6 +103,57 @@ ALL_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "q_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total, count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "q_having": """
+        SELECT c_custkey, c_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        HAVING count(*) > 12
+        ORDER BY n_orders DESC, c_custkey
+    """,
+    "q_set_ops": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """,
+    # sliding 2h/1h windows: each event contributes to the two windows
+    # [floor(ts)-1h, floor(ts)] — reconstructed via a 2-element unnest
+    "q_sliding_window": """
+        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+               count(*) AS n
+        FROM (
+            SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                           date_trunc('hour', ts)]) AS w_start,
+                   event_type
+            FROM events
+        )
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_moving_avg": """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+        FROM events ORDER BY user_id, event_id
+    """,
     # streaming twin drained in complete mode == the batch aggregation
     "st_hourly_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -159,6 +159,90 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("k")
     )
 
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical rollup (returnflag → linestatus) with subtotals + grand
+    total — one pass, Expand node feeds a single hash aggregate."""
+    li = _li(spark, sf)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Full cube over (orderstatus, orderpriority)."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+def q_having(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter) + join back: customers
+    with > 12 orders (TPC-H Q18 shape, reduced)."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .where(F.col("n_orders") > 12)
+    )
+    return (
+        big.join(F.broadcast(cust), big.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "n_orders", "total")
+        .orderBy(F.desc("n_orders"), "c_custkey")
+    )
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operators: customers with orders INTERSECT high-balance, then
+    EXCEPT low-priority-only — exercised as one composed query."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey"
+    )
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    urgent_cust = cust.join(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"),
+        cust.c_custkey == orders.o_custkey,
+        "left_semi",
+    ).select("c_custkey")
+    return with_orders.intersect(rich).exceptAll(urgent_cust).orderBy("c_custkey")
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding (hopping) 2h window / 1h slide over events — each event lands
+    in 2 windows; the batch twin of a sliding streaming aggregation."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user 3-event moving average over event time (ordered window
+    frame) — the time-series smoothing pattern."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("mavg3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
 def st_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming twin of q_events_hourly: file-source stream →
     1h tumbling windows → complete-mode drain (trigger=availableNow). The
@@ -760,6 +844,12 @@ ALL_QUERIES = {
     "q_sessionize": q_sessionize,
     "q_events_hourly": q_events_hourly,
     "q_json_extract": q_json_extract,
+    "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_having": q_having,
+    "q_set_ops": q_set_ops,
+    "q_sliding_window": q_sliding_window,
+    "q_moving_avg": q_moving_avg,
     "st_hourly_counts": st_hourly_counts,
     "p1_shape_census": p1_shape_census,
     "p2_missing_counts": p2_missing_counts,

@@ -524,6 +524,15 @@ ALL_ORACLES: dict[str, str] = {
                round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
         FROM lineitem
     """,
+    "s1_csv_roundtrip": """
+        SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+               c_mktsegment
+        FROM customer
+    """,
+    "s6_version_roundtrip": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey <= 2 ORDER BY n_nationkey
+    """,
     # balancing count contracts: class sizes after each method are exact
     # (row identity is RNG-dependent and intentionally unchecked)
     "b1_smote_counts": """

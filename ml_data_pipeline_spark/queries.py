@@ -590,6 +590,51 @@ def t1_split_invariants(spark: SparkSession, sf: str) -> DataFrame:
         [(n, n_train + n_test)], "n_total long, n_train_plus_test long"
     )
 
+# ---------------------------------------------------------------- sources (S*)
+
+def s1_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV sink→scan round-trip with the reference's conventions (# META
+    header comment, null spellings): values must hash-match the original
+    table — proves the ingest path end-to-end inside the gate."""
+    import hashlib
+
+    from ml_data_pipeline_spark.sources import csv_io
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    stage = f"/tmp/mdp_csv_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/customer"
+    cust.write.mode("overwrite").option("header", True).csv(stage)
+    schema = "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    back = csv_io.read_csv(spark, stage, schema=schema)  # type: ignore[arg-type]
+    return back.select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+def s6_version_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Versioned-dataset layer exercised in the gate: commit v0 (full) and
+    v1 (filtered) to a scratch root, read v1 back — values hash-match the
+    equivalent filter on the source table."""
+    import hashlib
+
+    from ml_data_pipeline_spark.plans import Dataset
+
+    root = f"/tmp/mdp_ver_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # fresh commit chain per run
+    nation = load_table(spark, sf, "nation")
+    ds = Dataset.from_df(nation)
+    ds.save(root, "nation")
+    ds.transform(
+        lambda d: d.where(F.col("n_regionkey") <= 2), "kept regions 0-2"
+    ).save(root, "nation")
+    back = Dataset.load(spark, root, "nation")  # latest = v1
+    assert back.base_version == 1
+    return back.df.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
 # ---------------------------------------------------------------- balancing (B*)
 
 def _cust_bal(spark, sf) -> DataFrame:
@@ -898,6 +943,8 @@ ALL_QUERIES = {
     "i8_impute_em": i8_impute_em,
     "i9_impute_by_model": i9_impute_by_model,
     "t1_split_invariants": t1_split_invariants,
+    "s1_csv_roundtrip": s1_csv_roundtrip,
+    "s6_version_roundtrip": s6_version_roundtrip,
     "b1_smote_counts": b1_smote_counts,
     "b2_undersample_counts": b2_undersample_counts,
     "b3_centroids_counts": b3_centroids_counts,

@@ -45,3 +45,24 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+class job_group:
+    """M14 — soft-cancel scope: operators launched inside the context can be
+    cancelled from another thread with .cancel() (the Spark-native form of
+    the reference's worker _should_stop + psutil child-kill,
+    ref /root/reference/selection_of_parameters/selection_parameters_parameter_tuning_worker.py:37-42,95-117).
+    """
+
+    def __init__(self, spark, group_id: str, description: str = ""):
+        self.spark, self.group_id, self.description = spark, group_id, description
+
+    def __enter__(self):
+        self.spark.sparkContext.setJobGroup(self.group_id, self.description, True)
+        return self
+
+    def cancel(self) -> None:
+        self.spark.sparkContext.cancelJobGroup(self.group_id)
+
+    def __exit__(self, *exc) -> None:
+        self.spark.sparkContext.setJobGroup("", "")

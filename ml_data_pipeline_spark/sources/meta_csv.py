@@ -59,3 +59,35 @@ def load_meta_header(path: str, max_lines: int = 1000) -> dict[int, list[str]]:
 
 def max_version(history: dict[int, list[str]]) -> int:
     return max(history) if history else 0
+
+
+def load_description_sidecar(path: str) -> dict[str, str]:
+    """S12 — column-description sidecar: ``name: description`` lines → dict
+    (ref /root/reference/checking_data_formats_ui.py:240-269). Lines without
+    a colon are skipped; whitespace trimmed; later duplicates win (matching
+    the reference's dict build)."""
+    out: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            name, _, desc = line.partition(":")
+            name, desc = name.strip(), desc.strip()
+            if name:
+                out[name] = desc
+    return out
+
+
+def apply_descriptions(df, descriptions: dict[str, str]):
+    """Attach descriptions as column comments in StructField metadata —
+    schema-level, zero execution cost."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"comment": descriptions[c]})
+            if c in descriptions
+            else F.col(c)
+            for c in df.columns
+        ]
+    )

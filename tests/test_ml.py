@@ -141,3 +141,12 @@ def test_shap_gated_import(spark):
     df = spark.createDataFrame([(1.0, "a")], "x double, cls string")
     with _pytest.raises(NotImplementedError):
         ME.shap_sampled(None, df, ["x"])
+
+
+def test_learning_curve_shapes(reg_df):
+    curve = MT.learning_curve(
+        reg_df, "tgt", "linear_regression", fractions=[0.5, 1.0], metric="r2"
+    )
+    assert [c["fraction"] for c in curve] == [0.5, 1.0]
+    # exact linear data: both fractions fit near-perfectly on train and test
+    assert all(c["train_score"] > 0.99 and c["test_score"] > 0.99 for c in curve)

@@ -73,3 +73,21 @@ def test_meta_csv_roundtrip(tmp_path):
     p.write_text(text + "a,b\n1,2\n")
     assert meta_csv.load_meta_header(str(p)) == hist
     assert meta_csv.max_version(hist) == 1
+
+
+def test_description_sidecar(tmp_path, spark):
+    p = tmp_path / "desc.txt"
+    p.write_text("age: years since birth\nbad line\nincome: usd / year\n")
+    d = meta_csv.load_description_sidecar(str(p))
+    assert d == {"age": "years since birth", "income": "usd / year"}
+    df = spark.createDataFrame([(1, 2)], "age int, income int")
+    out = meta_csv.apply_descriptions(df, d)
+    assert out.schema["age"].metadata["comment"] == "years since birth"
+
+
+def test_job_group_scope(spark):
+    from ml_data_pipeline_spark.session import job_group
+
+    with job_group(spark, "t-group", "test jobs") as jg:
+        assert spark.createDataFrame([(1,)], "a int").count() == 1
+        jg.cancel()  # no running jobs — must be a no-op, not an error

@@ -23,21 +23,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def impute_mean(df: DataFrame, column: str) -> DataFrame:
-    """I1 (ref fillna(col.mean()), dataset_processing_check_nan_logic.py:29-35)."""
-    return df.withColumn(
-        column, F.coalesce(F.col(column), F.avg(column).over(Window.partitionBy()))
-    )
+    """I1 (ref fillna(col.mean()), dataset_processing_check_nan_logic.py:29-35).
+
+    Scalar aggregate folded back as a literal — a partial/final agg tree
+    (parallel) + a projection. The window form (avg over an empty
+    partitionBy) funnels the WHOLE table through one window task.
+    """
+    mean_val = df.agg(F.avg(column)).first()[0]
+    return df.withColumn(column, F.coalesce(F.col(column), F.lit(mean_val)))
 
 def impute_median(df: DataFrame, column: str) -> DataFrame:
     """I2 (ref fillna(col.median()), dataset_processing_check_nan_logic.py:38-44).
 
     Exact median (F.median = percentile 0.5 with interpolation, matching
-    pandas/DuckDB). At 100 TB switch exact=False → percentile_approx, which is
-    a single-pass sketch.
+    pandas/DuckDB), computed as a scalar aggregate (same shape note as
+    impute_mean). At 100 TB switch to impute_median_approx — a single-pass
+    mergeable sketch.
     """
-    return df.withColumn(
-        column, F.coalesce(F.col(column), F.median(column).over(Window.partitionBy()))
-    )
+    med_val = df.agg(F.median(column)).first()[0]
+    return df.withColumn(column, F.coalesce(F.col(column), F.lit(med_val)))
 
 def impute_median_approx(df: DataFrame, column: str, accuracy: int = 10000) -> DataFrame:
     """I2 at scale — percentile_approx sketch, one pass, mergeable."""

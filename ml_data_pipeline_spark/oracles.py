@@ -103,6 +103,14 @@ ALL_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "q_asof_join": """
+        SELECT e.event_id, e.user_id,
+               round(o.o_totalprice, 2) AS last_order_price
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
+    """,
     "q_rollup": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

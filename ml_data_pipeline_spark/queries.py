@@ -159,6 +159,24 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("k")
     )
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each event picks up the most recent order (by orderdate)
+    of the matching customer — the point-in-time-correct feature lookup.
+    Union-sort-carry plan (operators/temporal.py): one shuffle on the key,
+    no per-key pair blowup. Oracle: DuckDB's native ASOF JOIN."""
+    from ml_data_pipeline_spark.operators import temporal as TP
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_totalprice"
+    )
+    out = TP.asof_join(
+        ev, orders, "user_id", "ts", "o_orderdate", right_values=["o_totalprice"]
+    )
+    return out.select(
+        "event_id", "user_id", F.round("o_totalprice", 2).alias("last_order_price")
+    ).orderBy("event_id")
+
 def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical rollup (returnflag → linestatus) with subtotals + grand
     total — one pass, Expand node feeds a single hash aggregate."""
@@ -889,6 +907,7 @@ ALL_QUERIES = {
     "q_sessionize": q_sessionize,
     "q_events_hourly": q_events_hourly,
     "q_json_extract": q_json_extract,
+    "q_asof_join": q_asof_join,
     "q_rollup": q_rollup,
     "q_cube": q_cube,
     "q_having": q_having,

@@ -225,3 +225,9 @@ def test_interpolate_ranged_all_null_partition(spark):
         .collect()
     ]
     assert all(math.isclose(got[i], 1.0 + 2.0 * i) for i in range(22))
+
+
+def test_round_labels(spark):
+    df = spark.createDataFrame([(0.4,), (0.6,), (2.5,)], "y double")
+    got = sorted(r["y"] for r in E.round_labels(df, "y").collect())
+    assert got == [0, 1, 3]  # Spark round = half-up (2.5 -> 3)

@@ -162,6 +162,13 @@ ALL_ORACLES: dict[str, str] = {
                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
         FROM events ORDER BY user_id, event_id
     """,
+    "ss_brute_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(round(list_cosine_similarity(a.embedding, b.embedding), 6), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.5
+        ORDER BY id_a, id_b
+    """,
     # streaming twin drained in complete mode == the batch aggregation
     "st_hourly_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

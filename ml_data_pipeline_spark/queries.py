@@ -895,6 +895,13 @@ def ss_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return SS.ann_topk(emb, _query_vector(spark, sf), k=10, n_planes=6)
 
+def ss_brute_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact all-pairs cosine >= 0.5 — the O(n^2) baseline the LSH variant
+    is validated against; value-checked via DuckDB list_cosine_similarity."""
+    emb = load_table(spark, sf, "embeddings")
+    out = SS.brute_force_cosine_pairs(emb, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
 def ss_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return SS.cosine_pairs_lsh(emb, dim=64, threshold=0.5, n_planes=4)
@@ -993,6 +1000,7 @@ ALL_QUERIES = {
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "ss_brute_topk": ss_brute_topk,
+    "ss_brute_pairs": ss_brute_pairs,
     "ss_ann_topk": ss_ann_topk,
     "ss_cosine_pairs": ss_cosine_pairs,
 }

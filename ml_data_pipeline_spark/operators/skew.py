@@ -1,0 +1,75 @@
+"""Skew- and shuffle-management utilities (SURVEY.md §4 / 100 TB design).
+
+Three tools for the joins that dominate wall time at scale:
+
+- ``salted_join``: explicit key salting for joins whose hot keys AQE can't
+  fix (e.g. when the skewed side must stay on disk layout). The small side
+  is replicated SALT ways (explode), the big side gets a random salt —
+  the hot key's rows spread over SALT reducers.
+- ``write_bucketed`` / ``bucketed_join_ready``: persist a table bucketed +
+  sorted by its join key. Two tables bucketed the same way join with ZERO
+  exchange (verified by plan inspection in tests) — the co-located join
+  that turns the nightly 100 TB fact-fact join from a full shuffle into a
+  local merge.
+- ``explain_has_exchange``: plan-inspection helper the tests (and users)
+  use to ASSERT a join is shuffle-free instead of hoping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Join with the big side's hot keys spread across ``salt`` sub-keys.
+    small is exploded x salt (it must be the replicable side); result
+    columns match a plain ``big.join(small, on, how)``."""
+    big_s = big.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return big_s.join(small_s, [on, "__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed+sorted managed table — the co-located join
+    layout. Requires saveAsTable (bucket metadata lives in the catalog)."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join_ready(spark: SparkSession, left_table: str, right_table: str, on: str):
+    """Read two same-bucketed tables and join — Catalyst elides both
+    exchanges when bucket specs line up."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, on)
+
+
+def explain_has_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle Exchange (hash or range
+    repartitioning). Use in tests to PROVE a join is co-located rather than
+    assuming."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan

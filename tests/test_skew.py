@@ -1,0 +1,52 @@
+"""Skew/shuffle management: salted joins and bucketed co-located joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.operators import skew as SK
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed big side: 900 rows of key 'hot', 100 spread
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(100)], "k string, w double"
+    )
+    plain = big.join(small, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    ).first()
+    salted = SK.salted_join(big, small, "k", salt=4).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    ).first()
+    assert (plain["n"], plain["sw"]) == (salted["n"], salted["sw"])
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    small = spark.createDataFrame([("a", 9.0)], "k string, w double")
+    rows = {r["k"]: r["w"] for r in SK.salted_join(big, small, "k", salt=3, how="left").collect()}
+    assert rows == {"a": 9.0, "b": None}
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(100)], "id long, a string")
+    df2 = spark.createDataFrame([(i, f"b{i}") for i in range(100)], "id long, b string")
+    SK.write_bucketed(df1, "t_left", "id", 4, path=str(tmp_path / "l"))
+    SK.write_bucketed(df2, "t_right", "id", 4, path=str(tmp_path / "r"))
+    joined = SK.bucketed_join_ready(spark, "t_left", "t_right", "id")
+    # co-located: same bucket spec on both sides -> NO shuffle exchange
+    assert not SK.explain_has_exchange(joined)
+    assert joined.count() == 100
+    # control: the same join on plain (non-bucketed) frames DOES shuffle
+    # (or broadcasts; force shuffle-hash off broadcast by size threshold)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = df1.join(df2, "id")
+        assert SK.explain_has_exchange(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): operator invariants over random
+inputs — the contracts the oracle gate pins at one dataset, checked across
+many. Settings keep each Spark round-trip count low (local JVM latency)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.operators import balancing as B
+from ml_data_pipeline_spark.operators import dedup as DD
+from ml_data_pipeline_spark.operators import imputation as I
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_interpolate_matches_pandas_any_sequence(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "o int, v double")
+    got = [r["v"] for r in I.impute_interpolate(df, "v", "o").orderBy("o").collect()]
+    expected = pd.Series(vals, dtype=float).interpolate(
+        method="linear", limit_direction="both"
+    ).tolist()
+    for g, e in zip(got, expected):
+        if e is None or (isinstance(e, float) and math.isnan(e)):
+            assert g is None  # all-null input stays null
+        else:
+            assert g is not None and math.isclose(g, e, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=12), min_size=2, max_size=4),
+    seed=st.integers(min_value=0, max_value=2**30),
+)
+@SET
+def test_under_oversample_count_contracts(spark, counts, seed):
+    data = [(f"c{ci}", float(i)) for ci, n in enumerate(counts) for i in range(n)]
+    df = spark.createDataFrame(data, "cls string, x double")
+    under = {
+        r["cls"]: r["n"]
+        for r in B.random_undersample(df, "cls", seed)
+        .groupBy("cls").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(under.values()) == {min(counts)}
+    over = {
+        r["cls"]: r["n"]
+        for r in B.random_oversample(df, "cls", seed)
+        .groupBy("cls").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(over.values()) == {max(counts)}
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=1, max_size=10
+    )
+)
+@SET
+def test_exact_dedup_idempotent_and_minimal(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = DD.exact_dedup(df, ["text"])
+    n_distinct = df.select("text").distinct().count()
+    assert once.count() == n_distinct
+    # idempotence
+    assert DD.exact_dedup(once, ["text"]).count() == n_distinct
+    # survivors keep the minimal id per text (min-struct determinism)
+    survivors = {r["text"]: r["doc_id"] for r in once.collect()}
+    for t, i in survivors.items():
+        assert i == min(j for j, tt in enumerate(texts) if tt == t)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        min_size=2,
+        max_size=25,
+    ).filter(lambda v: any(x is not None for x in v))
+)
+@SET
+def test_mean_impute_preserves_mean(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = I.impute_mean(df, "x")
+    before = df.agg(F.avg("x")).first()[0]
+    after = out.agg(F.avg("x")).first()[0]
+    assert out.where(F.col("x").isNull()).count() == 0
+    assert math.isclose(before, after, rel_tol=1e-9, abs_tol=1e-9)

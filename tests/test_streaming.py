@@ -70,3 +70,46 @@ def test_watermark_bounds_state(spark, events_path):
     got = ES.run_to_memory(ES.hourly_counts(stream, watermark="1 hour"), "t_wm", "append")
     rows = got.groupBy("hour", "event_type").count().where(F.col("count") > 1)
     assert rows.count() == 0
+
+
+def test_stateful_running_stats_match_batch(spark, events_path):
+    """applyInPandasWithState final per-user stats == batch groupBy."""
+    from ml_data_pipeline_spark.streaming import stateful as ST
+
+    stream = ES.read_events_stream(spark, events_path)
+    out = ST.running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per touched micro-batch; the LAST
+    # row per user is the final running value
+    got_df = spark.table("t_stateful")
+    import pyspark.sql.functions as F2
+
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["max_value"])
+        for r in got_df.groupBy("user_id")
+        .agg(
+            F2.max("n_events").alias("n_events"),
+            F2.max("total_value").alias("total_value"),
+            F2.max("max_value").alias("max_value"),
+        )
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["tv"], 6), r["mv"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+            F.max("value").alias("mv"),
+        )
+        .collect()
+    }
+    assert final == batch and len(final) > 0

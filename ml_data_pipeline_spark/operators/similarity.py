@@ -174,3 +174,53 @@ def brute_force_cosine_pairs(
         .where(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+def build_ivf_index(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) index: KMeans coarse quantizer + per-row cluster
+    assignment. Returns (assigned_df, centroids) where assigned_df carries
+    an `ivf_cluster` column.
+
+    The scale story: write assigned_df partitioned by ivf_cluster; a query
+    then reads only nprobe/n_clusters of the data (partition pruning), the
+    same skip-most-of-the-corpus effect as the LSH bucket path but with
+    data-adaptive cells (LSH cells are data-oblivious hyperplanes).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = df.withColumn("__v", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="ivf_cluster").fit(vec)
+    assigned = model.transform(vec).drop("__v")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over an IVF index: probe the nprobe cells whose centroids
+    are closest to the query (driver-side — centroids are tiny), exact
+    cosine on the survivors. Candidates ≈ nprobe/n_clusters of the corpus."""
+    dists = [
+        (ci, sum((q - c) ** 2 for q, c in zip(query_vector, cent)))
+        for ci, cent in enumerate(centroids)
+    ]
+    probe = [ci for ci, _ in sorted(dists, key=lambda x: x[1])[:nprobe]]
+    sim = cosine_to_query(assigned, query_vector, vec_col)
+    return (
+        assigned.where(F.col("ivf_cluster").isin(probe))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -902,6 +902,14 @@ def ss_brute_pairs(spark: SparkSession, sf: str) -> DataFrame:
     out = SS.brute_force_cosine_pairs(emb, threshold=0.5)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
+def ss_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only: IVF ANN top-k (KMeans cells, nprobe probing) — validated
+    against brute force in tests; clustering is float-order sensitive."""
+    emb = load_table(spark, sf, "embeddings")
+    q = _query_vector(spark, sf)
+    assigned, cents = SS.build_ivf_index(emb, dim=len(q), n_clusters=8)
+    return SS.ivf_topk(assigned, cents, q, k=10, nprobe=4)
+
 def ss_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return SS.cosine_pairs_lsh(emb, dim=64, threshold=0.5, n_planes=4)
@@ -1002,5 +1010,6 @@ ALL_QUERIES = {
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     "ss_ann_topk": ss_ann_topk,
+    "ss_ivf_topk": ss_ivf_topk,
     "ss_cosine_pairs": ss_cosine_pairs,
 }

@@ -36,3 +36,20 @@ def test_cosine_pairs_lsh_subset_of_brute(spark, sf_dir):
     lsh = {(r["id_a"], r["id_b"]) for r in SS.cosine_pairs_lsh(emb, dim=64, threshold=0.5, n_planes=3).collect()}
     brute = {(r["id_a"], r["id_b"]) for r in SS.brute_force_cosine_pairs(emb, threshold=0.5).collect()}
     assert lsh <= brute  # LSH may miss (approx) but never invents pairs
+
+
+def test_ivf_topk_recall(spark):
+    from ml_data_pipeline_spark.catalog import load_table
+    from ml_data_pipeline_spark.operators import similarity as SS
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [r["vec_id"] for r in SS.brute_force_topk(emb, q, k=10).collect()]
+    assigned, cents = SS.build_ivf_index(emb, dim=len(q), n_clusters=8)
+    approx = [r["vec_id"] for r in SS.ivf_topk(assigned, cents, q, k=10, nprobe=4).collect()]
+    # probing half the cells must recover most of the true top-10
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 6
+    # the query's own vector lives in a probed cell -> rank 1, cosine 1.0
+    assert approx[0] == 1

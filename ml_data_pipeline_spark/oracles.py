@@ -487,6 +487,21 @@ ALL_ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN o_orderkey % 7 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         FROM orders
     """,
+    # dedup survivor = min doc_id per text (min-struct with doc_id leading)
+    "pipe_prepare_corpus": f"""
+        WITH surv AS (
+            SELECT * FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        ),
+        gated AS (
+            SELECT source, n_chars, len({_TOKS}) AS n_tokens
+            FROM surv WHERE n_chars > 100 AND lang = 'en'
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM gated GROUP BY source ORDER BY source
+    """,
     "tx_fingerprint_md5": f"""
         SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
         FROM documents

@@ -862,6 +862,24 @@ def m12_single_row_inference(spark: SparkSession, sf: str) -> DataFrame:
     )
     return spark.createDataFrame([(float(pred),)], "prediction double")
 
+def pipe_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite training-data pipeline: exact dedup → length/quality gate →
+    language gate → per-source corpus stats. One Catalyst plan end-to-end
+    (the Dataset API chains these; the oracle mirrors every step in SQL)."""
+    docs = load_table(spark, sf, "documents")
+    deduped = DD.exact_dedup(docs, subset=["text"])
+    gated = deduped.where((F.col("n_chars") > 100) & (F.col("lang") == "en"))
+    with_tokens = TX.token_count(gated)
+    return (
+        with_tokens.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
 # ---------------------------------------------------------------- dedup / similarity
 
 def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1004,6 +1022,7 @@ ALL_QUERIES = {
     "m4_feature_importances": m4_feature_importances,
     "m5_cross_val": m5_cross_val,
     "m12_single_row_inference": m12_single_row_inference,
+    "pipe_prepare_corpus": pipe_prepare_corpus,
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,

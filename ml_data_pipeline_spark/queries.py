@@ -272,8 +272,9 @@ def st_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     from ml_data_pipeline_spark.streaming import events_stream as ES
 
     # the file stream source lists a DIRECTORY; stage the single-file test
-    # table once per sf (driver-local staging, test scale only)
-    stage = f"/tmp/mdp_stream_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/events"
+    # table once per PROCESS (driver-local staging, test scale only —
+    # re-staged per process so stale /tmp data can never poison a run)
+    stage = f"/tmp/mdp_stream_stage/{os.getpid()}_{hashlib.md5(sf.encode()).hexdigest()[:8]}/events"
     if not os.path.exists(stage):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(f"{sf}/events.parquet").repartition(4).write.mode(

@@ -1,5 +1,5 @@
 """Driver-contract tests: entry() smoke + a fast subset of oracle parity at
-sf0.001 (the full 53-query gate runs via tools/verify_local.py)."""
+sf0.001 (the full gate over every registered query runs via tools/verify_local.py)."""
 
 from __future__ import annotations
 

@@ -1,16 +1,21 @@
 """Shared k-nearest-neighbor join — the foundation for SMOTE-family balancing
 (SURVEY.md §2.7 B1/B4/B6-B9), KNN imputation (§2.6 I5) and hot-deck (§2.6 I7).
 
-Two physical strategies behind one logical contract
+Three physical strategies behind one logical contract
 ``knn_join(left, right, feature_cols, k) -> (left_id, right_id, dist, rk)``:
 
-- ``method='lsh'`` (the 100 TB path): MLlib BucketedRandomProjectionLSH.
-  Candidates come from OR-amplified hash-bucket equi-joins
-  (approxSimilarityJoin) — work scales with corpus x bucket occupancy, never
-  O(n^2). Recall is tunable via num_hash_tables / bucket_length.
-- ``method='exact'`` (small side / oracle baseline): plain crossJoin +
-  per-left top-k window. Only valid when one side fits comfortably in a
-  broadcast — guarded by a row-count ceiling.
+- ``method='lsh'`` (default, the 100 TB path): hand-rolled random-projection
+  LSH — per hash table t, bucket = floor(<z-feat, r_t> / bucket_length);
+  candidates come from an equi-join on (partition_cols…, t, bucket), OR'd
+  across tables via pair-dedup. Work scales with corpus x bucket occupancy,
+  never O(n^2). Supports ``partition_cols`` (e.g. the class column) so one
+  plan computes per-group kNN for EVERY group — no per-group driver loop,
+  no per-group model fit.
+- ``method='brp'``: MLlib BucketedRandomProjectionLSH (approxSimilarityJoin)
+  — same candidates, kept for parity/benchmarks; no partition_cols support
+  and each call pays a fit job.
+- ``method='exact'``: crossJoin (within partition_cols) + top-k window. The
+  small-side / oracle baseline.
 
 Features are z-scaled before distance (the reference scales before KNN /
 hot-deck: ref /root/reference/preprocessing/dataset_processing_check_nan_logic.py:66-86,181-217)
@@ -53,6 +58,38 @@ def _sq_dist(a, b):
     )
 
 
+def _projection_dirs(dim: int, n_tables: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish directions (LCG — reproducible
+    across sessions, folded into the plan as literals)."""
+    state = (seed * 2654435761 + 1013904223) & 0x7FFFFFFF
+    dirs: list[list[float]] = []
+    for _ in range(n_tables):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        norm = sum(x * x for x in row) ** 0.5 or 1.0
+        dirs.append([x / norm for x in row])
+    return dirs
+
+
+def _bucket_entries(feat_col, dirs: list[list[float]], bucket_length: float):
+    """array<struct<t,b>> of (table_idx, bucket) for one feature vector."""
+    entries = []
+    for t, d in enumerate(dirs):
+        proj = F.aggregate(
+            F.zip_with(feat_col, F.array(*[F.lit(x) for x in d]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(
+            F.struct(
+                F.lit(t).alias("t"), F.floor(proj / F.lit(bucket_length)).cast("long").alias("b")
+            )
+        )
+    return F.array(*entries)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -63,32 +100,69 @@ def knn_join(
     method: str = "lsh",
     num_hash_tables: int = 3,
     # z-scaled features live in ~[-4, 4]; 0.25 gives ~30 buckets per random
-    # projection. 2.0 (the MLlib example default) collapses everything into a
-    # handful of buckets → the candidate join goes quadratic (measured: the
-    # sf0.01 KNN-impute join never finished with 2.0, ~20s with 0.25).
+    # projection. Coarse buckets (e.g. MLlib's 2.0 example default) collapse
+    # everything into a handful of buckets → the candidate join goes
+    # quadratic (measured: the sf0.01 KNN-impute join never finished at 2.0).
     bucket_length: float = 0.25,
     seed: int = 42,
     exclude_self: bool = True,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(left_id, right_id, dist, rk<=k): for each left row, its k nearest
-    right rows by euclidean distance over z-scaled feature_cols.
+    """(left_id, right_id[, partition_cols…], dist, rk<=k): for each left
+    row, its k nearest right rows by euclidean distance over z-scaled
+    feature_cols — searched WITHIN each partition_cols group when given.
 
     Ties broken by right_id so the result is deterministic given the
     candidate set (LSH candidates themselves are seed-stable).
     """
     if left_id == right_id:
         raise ValueError("left_id and right_id must differ (they name output columns)")
+    pcols = list(partition_cols or [])
     scaled_l, stats = zscale(left, feature_cols)
     scaled_r, _ = zscale(right, feature_cols, stats)
 
     if method == "exact":
-        a = scaled_l.select(F.col(left_id).alias("__lid"), F.col("__feat").alias("__fa"))
-        b = scaled_r.select(F.col(right_id).alias("__rid"), F.col("__feat").alias("__fb"))
-        pairs = a.crossJoin(F.broadcast(b))
+        a = scaled_l.select(
+            F.col(left_id).alias("__lid"), F.col("__feat").alias("__fa"), *pcols
+        )
+        b = scaled_r.select(
+            F.col(right_id).alias("__rid"), F.col("__feat").alias("__fb"), *pcols
+        )
+        pairs = a.crossJoin(F.broadcast(b)) if not pcols else a.join(F.broadcast(b), pcols)
+        pairs = pairs.select(
+            "__lid", "__rid", *pcols,
+            F.sqrt(_sq_dist(F.col("__fa"), F.col("__fb"))).alias("dist"),
+        )
     elif method == "lsh":
+        dirs = _projection_dirs(len(feature_cols), num_hash_tables, seed)
+        lb = scaled_l.select(
+            F.col(left_id).alias("__lid"),
+            F.col("__feat").alias("__fa"),
+            *pcols,
+            F.explode(_bucket_entries(F.col("__feat"), dirs, bucket_length)).alias("__tb"),
+        )
+        rb = scaled_r.select(
+            F.col(right_id).alias("__rid"),
+            F.col("__feat").alias("__fb"),
+            *pcols,
+            F.explode(_bucket_entries(F.col("__feat"), dirs, bucket_length)).alias("__tb"),
+        )
+        pairs = (
+            lb.join(rb, pcols + ["__tb"])
+            # a pair colliding in several tables appears once per table —
+            # dedup BEFORE the (more expensive) exact distance
+            .dropDuplicates(["__lid", "__rid"])
+            .select(
+                "__lid", "__rid", *pcols,
+                F.sqrt(_sq_dist(F.col("__fa"), F.col("__fb"))).alias("dist"),
+            )
+        )
+    elif method == "brp":
         from pyspark.ml.feature import BucketedRandomProjectionLSH
         from pyspark.ml.functions import array_to_vector
 
+        if pcols:
+            raise ValueError("method='brp' does not support partition_cols; use 'lsh'")
         a = scaled_l.select(
             F.col(left_id).alias("__lid"), array_to_vector("__feat").alias("__v")
         )
@@ -111,10 +185,6 @@ def knn_join(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    if method == "exact":
-        pairs = pairs.select(
-            "__lid", "__rid", F.sqrt(_sq_dist(F.col("__fa"), F.col("__fb"))).alias("dist")
-        )
     if exclude_self:
         pairs = pairs.where(F.col("__lid") != F.col("__rid"))
     w = Window.partitionBy("__lid").orderBy(F.asc("dist"), F.asc("__rid"))
@@ -124,6 +194,7 @@ def knn_join(
         .select(
             F.col("__lid").alias(left_id),
             F.col("__rid").alias(right_id),
+            *pcols,
             F.col("dist"),
             F.col("rk"),
         )

@@ -107,3 +107,26 @@ def run_to_memory(
     q.awaitTermination(timeout_sec)
     spark = result.sparkSession
     return spark.table(query_name)
+
+
+def write_stream_parquet(
+    result: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """Durable sink: checkpointed parquet append — exactly-once via the
+    write-ahead commit log in checkpoint_path; a restarted query resumes
+    from the last committed micro-batch instead of reprocessing the source.
+    (The memory sink above is the test harness; THIS is the production
+    shape.) Returns the StreamingQuery."""
+    writer = (
+        result.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

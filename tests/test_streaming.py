@@ -113,3 +113,19 @@ def test_stateful_running_stats_match_batch(spark, events_path):
         .collect()
     }
     assert final == batch and len(final) > 0
+
+
+def test_durable_sink_resumes_from_checkpoint(spark, events_path, tmp_path):
+    """Restarting the same query (same checkpoint) must NOT duplicate data."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ES.read_events_stream(spark, events_path)
+    q = ES.write_stream_parquet(ES.hourly_counts(stream), out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    # restart against the SAME checkpoint: source exhausted -> nothing new
+    stream2 = ES.read_events_stream(spark, events_path)
+    q2 = ES.write_stream_parquet(ES.hourly_counts(stream2), out, ckpt)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0

@@ -111,6 +111,25 @@ ALL_ORACLES: dict[str, str] = {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY e.event_id
     """,
+    "q_pivot": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q_unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, value FROM (
+            SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        ) ORDER BY l_returnflag, metric
+    """,
     "q_rollup": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

@@ -177,6 +177,31 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", F.round("o_totalprice", 2).alias("last_order_price")
     ).orderBy("event_id")
 
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: one column per linestatus value (explicit value list keeps the
+    plan static — no extra distinct-scan job at 100 TB)."""
+    li = _li(spark, sf)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+        .orderBy("l_returnflag")
+    )
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (melt): wide per-metric columns back to (metric, value) rows
+    via the native unpivot/melt operator."""
+    li = _li(spark, sf)
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return (
+        wide.unpivot("l_returnflag", ["sum_qty", "sum_price"], "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    )
+
 def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical rollup (returnflag → linestatus) with subtotals + grand
     total — one pass, Expand node feeds a single hash aggregate."""
@@ -942,6 +967,8 @@ ALL_QUERIES = {
     "q_events_hourly": q_events_hourly,
     "q_json_extract": q_json_extract,
     "q_asof_join": q_asof_join,
+    "q_pivot": q_pivot,
+    "q_unpivot": q_unpivot,
     "q_rollup": q_rollup,
     "q_cube": q_cube,
     "q_having": q_having,

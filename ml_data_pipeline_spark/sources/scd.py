@@ -1,0 +1,76 @@
+"""CDC merge emulation over plain Parquet (no Delta in this environment).
+
+Two upsert shapes for the versioned-dataset layer:
+
+- ``merge_upsert`` (SCD1): updates overwrite matching keys, inserts append —
+  emulated as anti-join (keep unmatched current) + union (all updates).
+  With the table bucketed on the key, both sides co-locate and the merge is
+  shuffle-free.
+- ``scd2_apply`` (SCD2): full history — matching current rows are CLOSED
+  (valid_to stamped) and new row versions opened; every key's history stays
+  queryable with an as-of filter (``scd2_snapshot``).
+
+At 100 TB the merge pattern is: partition the table by key-hash bucket,
+rewrite ONLY the buckets containing updated keys (updates join → distinct
+bucket list is driver metadata). These functions express the row-level
+semantics; the versioned layer writes each merge result as a new version,
+so time travel comes from [[VersionedDataset]] for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_TS = "9999-12-31 00:00:00"
+
+
+def merge_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """SCD1 MERGE: rows in ``updates`` win on key match; unmatched current
+    rows survive; brand-new keys insert. (anti-join + union — the Delta
+    MERGE INTO emulation for plain Parquet.)"""
+    survivors = current.join(updates.select(key), key, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD2 MERGE: close the open row of each updated key (valid_to :=
+    update's effective ts) and open a new row version. ``current`` must
+    carry valid_from/valid_to (use scd2_init for the first load)."""
+    upd_keys = updates.select(key, F.col(effective_ts).alias("__eff"))
+    closed = (
+        current.join(F.broadcast(upd_keys), key, "left")
+        .withColumn(
+            valid_to,
+            F.when(
+                (F.col(valid_to) == OPEN_TS) & F.col("__eff").isNotNull(), F.col("__eff")
+            ).otherwise(F.col(valid_to)),
+        )
+        .drop("__eff")
+    )
+    opened = updates.withColumn(valid_from, F.col(effective_ts)).withColumn(
+        valid_to, F.lit(OPEN_TS)
+    )
+    return closed.unionByName(opened.select(*closed.columns))
+
+
+def scd2_init(
+    df: DataFrame, effective_ts: str, valid_from: str = "valid_from", valid_to: str = "valid_to"
+) -> DataFrame:
+    return df.withColumn(valid_from, F.col(effective_ts)).withColumn(
+        valid_to, F.lit(OPEN_TS)
+    )
+
+
+def scd2_snapshot(history: DataFrame, as_of: str, valid_from: str = "valid_from", valid_to: str = "valid_to") -> DataFrame:
+    """Point-in-time view: rows whose validity interval covers ``as_of``."""
+    return history.where(
+        (F.col(valid_from) <= F.lit(as_of)) & (F.col(valid_to) > F.lit(as_of))
+    )

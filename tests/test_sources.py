@@ -91,3 +91,28 @@ def test_job_group_scope(spark):
     with job_group(spark, "t-group", "test jobs") as jg:
         assert spark.createDataFrame([(1,)], "a int").count() == 1
         jg.cancel()  # no running jobs — must be a no-op, not an error
+
+
+def test_merge_upsert(spark):
+    from ml_data_pipeline_spark.sources import scd
+
+    cur = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    got = {r["id"]: r["v"] for r in scd.merge_upsert(cur, upd, "id").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_scd2_history_and_snapshot(spark):
+    from ml_data_pipeline_spark.sources import scd
+
+    base = spark.createDataFrame([(1, "a", "2024-01-01"), (2, "b", "2024-01-01")],
+                                 "id int, v string, ts string")
+    hist = scd.scd2_init(base, "ts")
+    upd = spark.createDataFrame([(1, "A", "2024-06-01")], "id int, v string, ts string")
+    hist2 = scd.scd2_apply(hist, upd, "id", "ts")
+    # key 1 has two versions, key 2 one
+    assert hist2.count() == 3
+    old = {r["id"]: r["v"] for r in scd.scd2_snapshot(hist2, "2024-03-01").collect()}
+    new = {r["id"]: r["v"] for r in scd.scd2_snapshot(hist2, "2024-07-01").collect()}
+    assert old == {1: "a", 2: "b"}
+    assert new == {1: "A", 2: "b"}

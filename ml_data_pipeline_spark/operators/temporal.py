@@ -69,11 +69,14 @@ def asof_join(
     # get __rv = null, right rows get null left attributes
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # ties: strict -> right rows with equal time must NOT match, so left
-    # sorts BEFORE right at the same instant; non-strict -> right first
+    # sorts BEFORE right at the same instant; non-strict -> right first.
+    # __rv as the final key makes equal-(key, time) right rows resolve
+    # deterministically (struct compare → the max-value row wins, matching
+    # pandas merge_asof's keep-last-sorted behavior)
     tie = F.when(F.col("__is_l") == (0 if not strict else 1), 0).otherwise(1)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__t").asc(), tie.asc())
+        .orderBy(F.col("__t").asc(), tie.asc(), F.col("__rv").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("__match", F.last("__rv", ignorenulls=True).over(w))

@@ -104,10 +104,14 @@ ALL_ORACLES: dict[str, str] = {
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q_asof_join": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
         SELECT e.event_id, e.user_id,
                round(o.o_totalprice, 2) AS last_order_price
         FROM events e
-        ASOF LEFT JOIN orders o
+        ASOF LEFT JOIN o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY e.event_id
     """,

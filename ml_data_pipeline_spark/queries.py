@@ -167,8 +167,12 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     from ml_data_pipeline_spark.operators import temporal as TP
 
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
-    orders = load_table(spark, sf, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_totalprice"
+    # pre-aggregate (custkey, orderdate) ties: which row an ASOF join picks
+    # on an exact-time tie is engine-unspecified — max() pins it in both
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
     )
     out = TP.asof_join(
         ev, orders, "user_id", "ts", "o_orderdate", right_values=["o_totalprice"]

@@ -101,3 +101,42 @@ def test_mean_impute_preserves_mean(spark, vals):
     after = out.agg(F.avg("x")).first()[0]
     assert out.where(F.col("x").isNull()).count() == 0
     assert math.isclose(before, after, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(
+    n_left=st.integers(min_value=1, max_value=15),
+    n_right=st.integers(min_value=0, max_value=15),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@SET
+def test_asof_join_matches_pandas_random(spark, n_left, n_right, seed):
+    import random
+
+    from ml_data_pipeline_spark.operators import temporal as TP
+
+    rng = random.Random(seed)
+    keys = ["a", "b"]
+    left = [(rng.choice(keys), float(rng.randint(0, 50))) for _ in range(n_left)]
+    right = [
+        (rng.choice(keys), float(rng.randint(0, 50)), float(i)) for i in range(n_right)
+    ]
+    ldf = spark.createDataFrame(left, "k string, lt double")
+    rdf = spark.createDataFrame(right, "k string, rt double, v double")
+    got = {
+        (r["k"], r["lt"]): r["v"]
+        for r in TP.asof_join(ldf, rdf, "k", "lt", "rt").collect()
+    }
+    lp = pd.DataFrame(left, columns=["k", "lt"]).sort_values("lt", kind="stable")
+    rp = pd.DataFrame(right, columns=["k", "rt", "v"]).sort_values("rt", kind="stable")
+    if len(rp):
+        # pandas merge_asof keeps the LAST right row on rt ties; our operator
+        # picks the one sorting last by (rt) too — drop exact-duplicate
+        # (k, rt) rows keeping the max v to make the expectation well-defined
+        rp = rp.sort_values(["rt", "v"]).drop_duplicates(["k", "rt"], keep="last")
+        exp = pd.merge_asof(lp, rp, left_on="lt", right_on="rt", by="k")
+    else:
+        exp = lp.assign(v=float("nan"))
+    for _, row in exp.iterrows():
+        e = None if pd.isna(row["v"]) else row["v"]
+        g = got[(row["k"], row["lt"])]
+        assert g == e, (dict(row), g)

@@ -1,0 +1,27 @@
+"""SURVEY §7.3 end-to-end slice: every engine layer in one pipeline."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+import end_to_end
+
+
+def test_end_to_end_slice(spark, tmp_path):
+    out = end_to_end.run(spark, "/root/testdata/sf0.001", str(tmp_path))
+    assert out["missing"]["c_acctbal"] > 0          # holes were created
+    assert len(out["segments"]) == 5                # 5 market segments
+    assert out["version"] == 0
+    assert list(out["changes"]) == ["imputed mean c_acctbal", "label-encoded segment"]
+    assert 0.0 <= out["metrics"]["accuracy"] <= 1.0
+    assert set(out["metrics"]) >= {"accuracy", "precision", "recall", "f1"}
+    # artifacts landed
+    from ml_data_pipeline_spark.ml.pipeline import load_model, load_params_json
+
+    m = load_model(spark, str(tmp_path / "models" / "segment_lr"))
+    assert m is not None
+    p = load_params_json(str(tmp_path / "segment_lr_params.json"))
+    assert p["task_type"] == "classification"

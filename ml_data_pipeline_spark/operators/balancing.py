@@ -199,11 +199,16 @@ def _synthesize_within_class(
             | (F.col("rk") == F.least(F.col("__pick"), F.col("__navail")))
         )
     )
-    u = F.rand(seed + 1)
+    # Materialize the interpolation draw ONCE per row before the projection:
+    # referencing a bare F.rand() Column in N feature expressions only yields
+    # one shared value under whole-stage codegen; interpreted/fallback eval
+    # (e.g. projections past spark.sql.codegen.maxFields) would re-draw per
+    # column, moving synthetic points off the x->neighbor segment.
+    picked = picked.withColumn("__u", F.rand(seed + 1))
     return picked.select(
         *[
             F.when(F.col("rk").isNull(), F.col(c))
-            .otherwise(F.col(c) + u * (F.col(f"__v_{c}") - F.col(c)))
+            .otherwise(F.col(c) + F.col("__u") * (F.col(f"__v_{c}") - F.col(c)))
             .alias(c)
             for c in feats
         ],

@@ -122,6 +122,16 @@ def knn_join(
     scaled_r, _ = zscale(right, feature_cols, stats)
 
     if method == "exact":
+        # 'exact' is the small-side/oracle baseline: O(|L|x|R|) within each
+        # partition group. Guard against an oversized request silently running
+        # a quadratic crossJoin — the count is one cheap job and 'exact' is
+        # by contract only for corpora far below the ceiling.
+        n_right = scaled_r.count()
+        if n_right > EXACT_CEILING:
+            raise ValueError(
+                f"method='exact' refused: right side has {n_right} rows "
+                f"(> EXACT_CEILING={EXACT_CEILING}); use method='lsh'"
+            )
         a = scaled_l.select(
             F.col(left_id).alias("__lid"), F.col("__feat").alias("__fa"), *pcols
         )

@@ -20,14 +20,19 @@ from __future__ import annotations
 
 import re
 
-_META_LINE = re.compile(r"^#\s*META:\s*v(\d+):\s*(.*)$")
+# colon after vN optional: the reference's legacy header form is
+# ``# META: v1 dropped x`` (no colon) and meta_tracker.py accepts both
+_META_LINE = re.compile(r"^#\s*META:\s*v(\d+):?\s*(.*)$")
 
 
 def parse_meta_lines(lines: list[str]) -> dict[int, list[str]]:
-    """``# META: vN: a, b`` → {N: [a, b]}. Stops at the first non-comment
+    """``# META: vN: a, b`` → {N: [a, b]}. Blank lines inside the comment
+    header are tolerated; parsing stops at the first non-blank non-comment
     line (META only appears in the file header)."""
     out: dict[int, list[str]] = {}
     for line in lines:
+        if not line.strip():
+            continue
         if not line.startswith("#"):
             break
         m = _META_LINE.match(line.strip())
@@ -51,7 +56,11 @@ def load_meta_header(path: str, max_lines: int = 1000) -> dict[int, list[str]]:
     with open(path, encoding="utf-8") as f:
         for _ in range(max_lines):
             line = f.readline()
-            if not line or not line.startswith("#"):
+            if not line:
+                break
+            if not line.strip():
+                continue  # blank line inside the comment header
+            if not line.startswith("#"):
                 break
             lines.append(line)
     return parse_meta_lines(lines)

@@ -43,7 +43,22 @@ def scd2_apply(
 ) -> DataFrame:
     """SCD2 MERGE: close the open row of each updated key (valid_to :=
     update's effective ts) and open a new row version. ``current`` must
-    carry valid_from/valid_to (use scd2_init for the first load)."""
+    carry valid_from/valid_to (use scd2_init for the first load).
+
+    A merge batch may carry several rows for one key; joining them all
+    against current would fan every history row out into duplicate closed
+    copies (Delta's MERGE raises on multiple matches). We keep only the
+    LATEST update per key (max effective_ts, ties broken arbitrarily but
+    deterministically by row_number) — the standard "last write wins per
+    batch" CDC compaction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(effective_ts).desc())
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     upd_keys = updates.select(key, F.col(effective_ts).alias("__eff"))
     closed = (
         current.join(F.broadcast(upd_keys), key, "left")

@@ -115,9 +115,9 @@ class VersionedDataset:
         fs, p = self._fs(path)
         return fs.exists(p)
 
-    def _write_text(self, path: str, text: str) -> None:
+    def _write_text(self, path: str, text: str, overwrite: bool = True) -> None:
         fs, p = self._fs(path)
-        out = fs.create(p, True)
+        out = fs.create(p, overwrite)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
@@ -163,10 +163,29 @@ class VersionedDataset:
         partition_by: list[str] | None = None,
     ) -> VersionInfo:
         """Commit the DataFrame as the next version. Data first, _meta.json
-        last — a version without its sidecar is invisible to readers."""
+        last — a version without its sidecar is invisible to readers.
+
+        Writer/writer safety: the commit-marker protocol alone only protects
+        READERS; two concurrent writers could both pick version N and the
+        second would clobber the first's data. A best-effort claim file
+        (``.vN.claim``, created with overwrite=false — atomic on HDFS and
+        local FS) turns that race into an explicit error. On object stores
+        without atomic create-if-absent, run a single writer per base (the
+        intended deployment: version commits are a driver-side, once-per-
+        pipeline-stage operation)."""
         parent = self.latest_version()
         version = 0 if parent is None else parent + 1
         target = self._dir(version)
+        claim = f"{self.root}/{self.base}/.v{version}.claim"
+        try:
+            self._write_text(claim, "", overwrite=False)
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            raise RuntimeError(
+                f"version v{version} of {self.base!r} is already claimed "
+                f"({claim}): either a concurrent writer is committing it "
+                f"(retry after it lands) or a crashed writer left a stale "
+                f"claim (delete the claim file to release it)"
+            ) from e
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -116,3 +116,63 @@ def test_scd2_history_and_snapshot(spark):
     new = {r["id"]: r["v"] for r in scd.scd2_snapshot(hist2, "2024-07-01").collect()}
     assert old == {1: "a", 2: "b"}
     assert new == {1: "A", 2: "b"}
+
+
+def test_meta_csv_legacy_header(tmp_path):
+    """Reference meta_tracker accepts `# META: v1 dropped x` (no colon) and
+    blank lines inside the comment header (ADVICE r1)."""
+    p = tmp_path / "legacy_v1.csv"
+    p.write_text(
+        "# META: v0 imported\n"
+        "\n"
+        "# META: v1: dropped x\n"
+        "a,b\n1,2\n"
+    )
+    assert meta_csv.load_meta_header(str(p)) == {0: ["imported"], 1: ["dropped x"]}
+
+
+def test_scd2_multi_update_per_key_compacts(spark):
+    """A batch with several updates for one key must not fan out history:
+    last-write-wins per key (ADVICE r1 — Delta MERGE raises here)."""
+    from ml_data_pipeline_spark.sources import scd
+
+    base = spark.createDataFrame([(1, "a", "2024-01-01")], "id int, v string, ts string")
+    hist = scd.scd2_init(base, "ts")
+    upd = spark.createDataFrame(
+        [(1, "mid", "2024-03-01"), (1, "late", "2024-06-01")],
+        "id int, v string, ts string",
+    )
+    hist2 = scd.scd2_apply(hist, upd, "id", "ts")
+    # one closed original + ONE opened row (latest update), not three
+    assert hist2.count() == 2
+    assert {r["v"] for r in scd.scd2_snapshot(hist2, "2024-07-01").collect()} == {"late"}
+    assert {r["v"] for r in scd.scd2_snapshot(hist2, "2024-02-01").collect()} == {"a"}
+
+
+def test_versioned_writer_claim_blocks_duplicate(spark, tmp_path):
+    """A stale/concurrent claim on the next version must raise, not clobber."""
+    import pytest
+
+    vd = VersionedDataset(spark, str(tmp_path), "claimed")
+    df = spark.createDataFrame([(1,)], "a int")
+    vd.write_version(df, ["v0"])
+    # plant a claim for v1 as a concurrent writer would
+    vd._write_text(f"{vd.root}/{vd.base}/.v1.claim", "", overwrite=False)
+    with pytest.raises(RuntimeError, match="claimed"):
+        vd.write_version(df, ["v1"])
+
+
+def test_knn_exact_ceiling_enforced(spark, monkeypatch):
+    """method='exact' must refuse oversized inputs instead of crossJoining."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import neighbors
+
+    monkeypatch.setattr(neighbors, "EXACT_CEILING", 3)
+    df = spark.range(10).select(
+        F.col("id").alias("lid"), (F.col("id") * 1.0).alias("x")
+    )
+    r = df.select(F.col("lid").alias("rid"), "x")
+    with pytest.raises(ValueError, match="EXACT_CEILING"):
+        neighbors.knn_join(df, r, ["x"], k=2, left_id="lid", right_id="rid",
+                           method="exact").count()

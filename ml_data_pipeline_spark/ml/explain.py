@@ -72,6 +72,32 @@ def permutation_importance(
     return out
 
 
+def save_importances(
+    spark,
+    importances: list[tuple[str, float]],
+    root: str,
+    base: str,
+    model_type: str,
+    changes: list[str] | None = None,
+):
+    """S14 — persist a (feature, importance, model, rank) table through the
+    versioned layer, mirroring the reference's saved SHAP/importance arrays
+    (ref /root/reference/researching_models/feature_importance/
+    shap_plotting.py:164-198 — .npy/.csv sinks). Returns the VersionInfo of
+    the committed version; read back with VersionedDataset(...).read()."""
+    from ml_data_pipeline_spark.sources.versioned import VersionedDataset
+
+    rows = [
+        (feat, float(imp), model_type, rank)
+        for rank, (feat, imp) in enumerate(importances, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, "feature string, importance double, model string, rank int"
+    )
+    vd = VersionedDataset(spark, root, base)
+    return vd.write_version(df, changes or [f"importances from {model_type}"])
+
+
 def shap_sampled(
     model,
     df: DataFrame,

@@ -216,7 +216,7 @@ def _synthesize_within_class(
     )
 
 
-def borderline_smote(
+def borderline_danger(
     df: DataFrame,
     target: str,
     feature_cols: list[str] | None = None,
@@ -224,9 +224,10 @@ def borderline_smote(
     seed: int = 42,
     method: str = "lsh",
 ) -> DataFrame:
-    """B7 — SMOTE seeded only from DANGER rows: minority rows whose k-NN in
-    the FULL dataset contain >= k/2 (but < k) other-class members
-    (ref data_balancing_list_method_logic.py:79-87)."""
+    """B7 danger-set selection: minority rows whose k-NN in the FULL dataset
+    contain >= k/2 (but < k) other-class members
+    (ref data_balancing_list_method_logic.py:79-87). Returns the danger rows
+    projected to (feature_cols..., target) — the SMOTE seed set."""
     feats = feature_cols or _numeric_feature_cols(df, target)
     counts = class_counts(df, target)
     max_n = counts.agg(F.max("__n")).first()[0]
@@ -253,7 +254,20 @@ def borderline_smote(
         (F.col("__other") * 2 >= F.lit(k)) & (F.col("__other") < F.lit(k))
         & F.col("__cls").isin(minority)
     ).select("__gid")
-    danger = all_rows.join(danger_ids, "__gid").select(*feats, target)
+    return all_rows.join(danger_ids, "__gid").select(*feats, target)
+
+
+def borderline_smote(
+    df: DataFrame,
+    target: str,
+    feature_cols: list[str] | None = None,
+    k: int = 5,
+    seed: int = 42,
+    method: str = "lsh",
+) -> DataFrame:
+    """B7 — SMOTE seeded only from DANGER rows (see borderline_danger)."""
+    feats = feature_cols or _numeric_feature_cols(df, target)
+    danger = borderline_danger(df, target, feats, k=k, seed=seed, method=method)
     return smote(df, target, feats, k=k, seed=seed, method=method, seeds_df=danger)
 
 
@@ -265,7 +279,16 @@ def cluster_centroids(
     """B3 — every class larger than the minority is REPLACED by the centroids
     of a KMeans(k=min_count) fit on that class
     (ref data_balancing_list_method_logic.py:35-43). MLlib KMeans — the
-    distributed Lloyd's iteration, no driver data."""
+    distributed Lloyd's iteration, no driver data.
+
+    Scale bound: this loops ONE KMeans fit per oversized class on the driver
+    — unlike SMOTE/ADASYN/NearMiss this cannot fuse into a single plan,
+    because each class needs an independent iterative model fit (MLlib has
+    no grouped KMeans). Cost is O(n_classes) sequential fits, each itself
+    distributed; fine for the reference's use (class counts are small by
+    definition of a label column), pathological only if someone passes a
+    high-cardinality "target". The min_n-per-class count contract stays
+    exact via the empty-cluster pad below."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -320,41 +343,48 @@ def nearmiss(
 ) -> DataFrame:
     """B4 — NearMiss-1: keep the majority rows whose MEAN distance to their k
     nearest minority rows is smallest, trimming every class to the minority
-    count (ref data_balancing_list_method_logic.py:46-54)."""
+    count (ref data_balancing_list_method_logic.py:46-54).
+
+    Loop-free (same rewrite as SMOTE/ADASYN): every trimmed class measures
+    distance to the GLOBAL minority class (a class at the minimum count is
+    never trimmed, so the per-class "smallest other class" is the global
+    minimum for every class that reaches the kNN) — which makes the whole
+    operator ONE kNN join (all oversized classes vs the minority corpus),
+    one avg-distance aggregate, and one per-class rank window. O(1) plans
+    for any class count; the former driver loop re-planned and re-ran the
+    kNN once per class. Rows the approximate LSH search finds no candidates
+    for rank LAST (nulls_last) instead of silently vanishing, so the
+    min_n-per-class count contract is exact even at low recall."""
     feats = feature_cols or _numeric_feature_cols(df, target)
     counts = class_counts(df, target)
-    min_n = counts.agg(F.min("__n")).first()[0]
-    parts = []
-    for r in counts.collect():
-        cls, n = r[target], r["__n"]
-        cls_df = df.where(F.col(target) == cls).select(*feats, target)
-        if n <= min_n:
-            parts.append(cls_df)
-            continue
-        others = df.where(F.col(target) != cls)
-        others_min = others.join(
-            F.broadcast(
-                class_counts(others, target).orderBy("__n").limit(1).select(target)
-            ),
-            target,
-        ).select(*feats).withColumn("__oid", F.monotonically_increasing_id())
-        tagged = cls_df.withColumn("__mid", F.monotonically_increasing_id())
-        nn = knn_join(
-            tagged, others_min, feats, k=k, left_id="__mid", right_id="__oid",
-            method=method, seed=seed,
-        )
-        keep = (
-            nn.groupBy("__mid")
-            .agg(F.avg("dist").alias("__avgd"))
-            .orderBy(F.asc("__avgd"), F.asc("__mid"))
-            .limit(min_n)
-            .select("__mid")
-        )
-        parts.append(tagged.join(keep, "__mid").select(*feats, target))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    crows = counts.collect()  # class-cardinality metadata only
+    min_n = min(r["__n"] for r in crows)
+    # deterministic minority pick: smallest count, target value tie-break
+    min_cls = sorted(crows, key=lambda r: (r["__n"], str(r[target])))[0][target]
+    base = df.select(*feats, target)
+    keep_classes = [r[target] for r in crows if r["__n"] <= min_n]
+    kept_whole = base.where(F.col(target).isin(keep_classes))
+
+    trimmed = base.where(~F.col(target).isin(keep_classes))
+    tagged = trimmed.withColumn("__mid", F.monotonically_increasing_id()).cache()
+    minority = (
+        base.where(F.col(target) == min_cls)
+        .select(*feats)
+        .withColumn("__oid", F.monotonically_increasing_id())
+    )
+    nn = knn_join(
+        tagged.select("__mid", *feats), minority, feats, k=k,
+        left_id="__mid", right_id="__oid", method=method, seed=seed,
+    )
+    avgd = nn.groupBy("__mid").agg(F.avg("dist").alias("__avgd"))
+    w = Window.partitionBy(target).orderBy(F.asc_nulls_last("__avgd"), F.asc("__mid"))
+    return (
+        tagged.join(avgd, "__mid", "left")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= min_n)
+        .select(*feats, target)
+        .unionByName(kept_whole)
+    )
 
 
 # ---------------------------------------------------------------- B6 ADASYN

@@ -18,22 +18,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-def distinct_values(df: DataFrame, column: str) -> list:
+# one-hot guard: beyond this many distinct values the collected list and the
+# exploded schema stop being "driver metadata" (10k columns also breaks every
+# downstream consumer) — callers hash-encode instead
+MAX_ONE_HOT_CARDINALITY = 10_000
+
+def distinct_values(df: DataFrame, column: str, max_cardinality: int | None = None) -> list:
     """Sorted distinct non-null values — a cardinality-sized driver list.
-    Only safe for true categoricals (the reference's use case)."""
-    rows = df.where(F.col(column).isNotNull()).select(column).distinct().orderBy(column).collect()
+    Only safe for true categoricals (the reference's use case); pass
+    ``max_cardinality`` to fail fast instead of collecting an unbounded set
+    (the limit+1 probe stops the scan early — no full distinct count)."""
+    base = df.where(F.col(column).isNotNull()).select(column).distinct()
+    if max_cardinality is not None:
+        probe = base.limit(max_cardinality + 1).collect()
+        if len(probe) > max_cardinality:
+            raise ValueError(
+                f"column {column!r} has more than {max_cardinality} distinct "
+                f"values — one-hot would explode the schema and the driver; "
+                f"use functions.hashing.feature_hash instead"
+            )
+        return sorted(r[0] for r in probe)
+    rows = base.orderBy(column).collect()
     return [r[0] for r in rows]
 
 def one_hot_encode(
-    df: DataFrame, column: str, values: list | None = None, drop_original: bool = True
+    df: DataFrame,
+    column: str,
+    values: list | None = None,
+    drop_original: bool = True,
+    max_cardinality: int = MAX_ONE_HOT_CARDINALITY,
 ) -> DataFrame:
     """E1 — one 0/1 column per distinct value, original dropped
     (ref pd.get_dummies, dataset_processing_fix_non_numeric_ui.py:227-238).
 
-    values=None collects the distinct set first (one small agg job). The
+    values=None collects the distinct set first (one small agg job),
+    guarded by ``max_cardinality``: at 100 TB a high-cardinality column
+    would OOM the driver and emit an unusable schema — the guard raises
+    with a pointer to feature_hash (fixed-width, collision-tolerant). The
     encode itself is a pure projection — no shuffle, codegen-fused.
     """
-    values = values if values is not None else distinct_values(df, column)
+    values = (
+        values if values is not None
+        else distinct_values(df, column, max_cardinality=max_cardinality)
+    )
     cols = [c for c in df.columns if c != column or not drop_original]
     onehot = [
         F.when(F.col(column) == F.lit(v), F.lit(1)).otherwise(F.lit(0)).alias(f"{column}_{v}")

@@ -478,6 +478,40 @@ ALL_ORACLES: dict[str, str] = {
                      END, 6) AS l_quantity
         FROM ctx
     """,
+    # identical semantics, scale-safe execution — same oracle by design
+    "i4_interpolate_ranged": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_quantity END AS q
+            FROM lineitem
+        ),
+        pos AS (
+            SELECT *, row_number() OVER
+                (ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS p
+            FROM base
+        ),
+        ctx AS (
+            SELECT *,
+                   last_value(q IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                   last_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
+                   first_value(q IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+            FROM pos
+        )
+        SELECT l_orderkey, l_linenumber,
+               round(CASE WHEN q IS NOT NULL THEN q
+                          ELSE coalesce(pv + (nv - pv) * (p - pp) / (np - pp), pv, nv)
+                     END, 6) AS l_quantity
+        FROM ctx
+    """,
     "t1_split_invariants": """
         SELECT count(*) AS n_total, count(*) AS n_train_plus_test FROM customer
     """,
@@ -577,10 +611,22 @@ ALL_ORACLES: dict[str, str] = {
                round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
         FROM lineitem
     """,
+    # M6/M9 contract oracles: deterministic trial/point scaffolding
+    "m6_random_search_trials": """
+        SELECT CAST(i AS INTEGER) AS trial, TRUE AS mean_le_best FROM range(3) t(i)
+    """,
+    "m9_learning_curve": """
+        SELECT CAST(fraction AS DOUBLE) AS fraction, train_finite, test_finite
+        FROM (VALUES (0.25, TRUE, TRUE), (0.5, TRUE, TRUE), (1.0, TRUE, TRUE))
+            AS t(fraction, train_finite, test_finite)
+    """,
     "s1_csv_roundtrip": """
         SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
                c_mktsegment
         FROM customer
+    """,
+    "s5_excel_roundtrip": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
     """,
     "s6_version_roundtrip": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -616,6 +662,15 @@ ALL_ORACLES: dict[str, str] = {
     "b6_adasyn_counts": """
         WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment)
         SELECT c_mktsegment, CAST((SELECT max(cnt) FROM t) AS BIGINT) AS n
+        FROM t ORDER BY c_mktsegment
+    """,
+    # B7: borderline-SMOTE still balances to the majority count; the
+    # danger_nonempty flag proves the danger selection engaged (5 near-
+    # balanced interleaved segments -> mixed neighborhoods guaranteed)
+    "b7_borderline_counts": """
+        WITH t AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, CAST((SELECT max(cnt) FROM t) AS BIGINT) AS n,
+               TRUE AS danger_nonempty
         FROM t ORDER BY c_mktsegment
     """,
     "t2_trim_equal_counts": """

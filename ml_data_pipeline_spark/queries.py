@@ -528,6 +528,18 @@ def i4_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("l_quantity")
     )
 
+def i4_interpolate_ranged(spark: SparkSession, sf: str) -> DataFrame:
+    """I4's 100 TB path under the SAME oracle as i4_interpolate: range-
+    partitioned parallel sort + per-partition windows + a P-row boundary
+    carry, instead of one global sort task. Hash-equality here is the
+    value-level proof that the scale-safe variant is a drop-in swap."""
+    out = I.impute_interpolate_ranged(
+        _li_nulls(spark, sf), "l_quantity", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("l_quantity")
+    )
+
 def i5_impute_knn(spark: SparkSession, sf: str) -> DataFrame:
     """KNN-impute contract: row count preserved, zero nulls remain. (Fill
     values ride the LSH candidate set — approximate by design; the contract
@@ -661,6 +673,29 @@ def s1_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "c_mktsegment",
     )
 
+def s5_excel_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S5 — Excel sink→scan round-trip through the stdlib OOXML layer
+    (sources/excel_io): values must hash-match the source table read as
+    parquet, proving type fidelity (ints, floats, strings) both ways."""
+    import hashlib
+    import os
+
+    from ml_data_pipeline_spark.sources import excel_io
+
+    nation = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    stage_dir = f"/tmp/mdp_xlsx_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    os.makedirs(stage_dir, exist_ok=True)
+    path = f"{stage_dir}/nation.xlsx"
+    excel_io.write_excel(nation, path)
+    back = excel_io.read_excel(spark, path)
+    return back.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    ).orderBy("n_nationkey")
+
 def s6_version_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Versioned-dataset layer exercised in the gate: commit v0 (full) and
     v1 (filtered) to a scratch root, read v1 back — values hash-match the
@@ -722,6 +757,19 @@ def b6_adasyn_counts(spark: SparkSession, sf: str) -> DataFrame:
     return _class_n(
         B.adasyn(_cust_bal(spark, sf), "c_mktsegment", ["c_acctbal", "c_nationkey"], k=5)
     )
+
+def b7_borderline_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """B7 contract (oracle-checked): the danger seed set is NON-EMPTY (so
+    borderline selection actually engaged — with an empty danger set plain
+    SMOTE's unseeded fallback would produce identical counts) and every class
+    is raised exactly to the majority count (borderline-SMOTE changes WHICH
+    rows seed synthesis, never the final class sizes)."""
+    src = _cust_bal(spark, sf)
+    feats = ["c_acctbal", "c_nationkey"]
+    danger = B.borderline_danger(src, "c_mktsegment", feats, k=5)
+    out = B.smote(src, "c_mktsegment", feats, k=5, seeds_df=danger)
+    flag = danger.agg((F.count(F.lit(1)) > 0).alias("danger_nonempty"))
+    return _class_n(out).crossJoin(F.broadcast(flag))
 
 def b8_smote_tomek(spark: SparkSession, sf: str) -> DataFrame:
     """rows-only: Tomek-link removal count is data/LSH-recall dependent."""
@@ -874,6 +922,54 @@ def m5_cross_val(spark: SparkSession, sf: str) -> DataFrame:
     rows.append(("mean", float(cv["mean"])))
     return spark.createDataFrame(rows, "k string, accuracy double")
 
+def m6_random_search_trials(spark: SparkSession, sf: str) -> DataFrame:
+    """M6/M8 contract (oracle-checked): the trial history has exactly
+    n_trials rows numbered 0..n-1 and the reported best is the argmax —
+    every trial's mean score is <= best's (scores themselves are
+    model/RNG-dependent and intentionally unchecked)."""
+    from ml_data_pipeline_spark.ml.tuning import random_search
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderstatus", F.col("o_totalprice").cast("double"),
+                F.year("o_orderdate").cast("double").alias("o_year"))
+    )
+    res = random_search(
+        orders, "o_orderstatus", "logistic_regression",
+        space={"regParam": (1e-4, 10.0)}, n_trials=3, n_folds=2, metric="accuracy",
+    )
+    best = res["best"]["mean"]
+    rows = [(t["trial"], bool(t["mean"] <= best + 1e-12)) for t in res["trials"]]
+    return spark.createDataFrame(rows, "trial int, mean_le_best boolean")
+
+def m9_learning_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """M9 contract (oracle-checked): one row per requested fraction, in
+    order, with finite train and test scores (score VALUES are
+    model/sample-dependent and unchecked)."""
+    from ml_data_pipeline_spark.ml.tuning import learning_curve
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderstatus", F.col("o_totalprice").cast("double"),
+                F.year("o_orderdate").cast("double").alias("o_year"))
+    )
+    pts = learning_curve(
+        orders, "o_orderstatus", "logistic_regression",
+        fractions=[0.25, 0.5, 1.0], metric="accuracy",
+    )
+    import math
+
+    rows = [
+        (round(p["fraction"], 2),
+         bool(math.isfinite(p["train_score"])), bool(math.isfinite(p["test_score"])))
+        for p in pts
+    ]
+    return spark.createDataFrame(
+        rows, "fraction double, train_finite boolean, test_finite boolean"
+    )
+
 def m12_single_row_inference(spark: SparkSession, sf: str) -> DataFrame:
     """rows-only: train then score ONE row through the pipeline (M12)."""
     from ml_data_pipeline_spark.ml.pipeline import predict_single_row, train_and_evaluate
@@ -963,6 +1059,69 @@ def ss_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return SS.cosine_pairs_lsh(emb, dim=64, threshold=0.5, n_planes=4)
 
 ALL_QUERIES = {
+    # ---- round-2 ordering: the driver's correctness gate evaluates entries
+    # in dict order (first 50 in round 1) — queries WITHOUT a green
+    # CORRECTNESS_r01 row lead, round-1-verified queries follow. Rotate
+    # again next round until every entry has a driver row on record.
+    # -- oracle-checked, driver-unverified in r1
+    "e12_count_min": e12_count_min,
+    "e16_to_numeric": e16_to_numeric,
+    "e11_universal_hash": e11_universal_hash,
+    "e14_clip_round": e14_clip_round,
+    "i1_impute_mean": i1_impute_mean,
+    "i2_impute_median": i2_impute_median,
+    "i3_impute_mode": i3_impute_mode,
+    "i4_interpolate": i4_interpolate,
+    "i4_interpolate_ranged": i4_interpolate_ranged,
+    "i5_impute_knn": i5_impute_knn,
+    "i6_impute_mice": i6_impute_mice,
+    "i7_hot_deck": i7_hot_deck,
+    "i9_impute_by_model": i9_impute_by_model,
+    "t1_split_invariants": t1_split_invariants,
+    "s1_csv_roundtrip": s1_csv_roundtrip,
+    "s5_excel_roundtrip": s5_excel_roundtrip,
+    "s6_version_roundtrip": s6_version_roundtrip,
+    "b1_smote_counts": b1_smote_counts,
+    "b2_undersample_counts": b2_undersample_counts,
+    "b3_centroids_counts": b3_centroids_counts,
+    "b4_nearmiss_counts": b4_nearmiss_counts,
+    "b5_oversample_counts": b5_oversample_counts,
+    "b6_adasyn_counts": b6_adasyn_counts,
+    "b7_borderline_counts": b7_borderline_counts,
+    "t2_trim_equal_counts": t2_trim_equal_counts,
+    "t3_trim_proportional_counts": t3_trim_proportional_counts,
+    "t4_trim_majority_counts": t4_trim_majority_counts,
+    "tx_token_count": tx_token_count,
+    "tx_bpe_count": tx_bpe_count,
+    "tx_quality": tx_quality,
+    "tx_lang_id": tx_lang_id,
+    "tx_fingerprint_md5": tx_fingerprint_md5,
+    "mm_feature_digest": mm_feature_digest,
+    "mm_frame_plan": mm_frame_plan,
+    "mm_media_dedup": mm_media_dedup,
+    "m2_ols_coefficients": m2_ols_coefficients,
+    "m6_random_search_trials": m6_random_search_trials,
+    "m9_learning_curve": m9_learning_curve,
+    "pipe_prepare_corpus": pipe_prepare_corpus,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "ss_brute_topk": ss_brute_topk,
+    "ss_brute_pairs": ss_brute_pairs,
+    # -- rows-only, driver-unverified in r1
+    "i8_impute_em": i8_impute_em,
+    "b8_smote_tomek": b8_smote_tomek,
+    "b9_smote_enn": b9_smote_enn,
+    "tx_fingerprint": tx_fingerprint,
+    "m3_eval_classification": m3_eval_classification,
+    "m4_feature_importances": m4_feature_importances,
+    "m5_cross_val": m5_cross_val,
+    "m12_single_row_inference": m12_single_row_inference,
+    # -- rows-only, bench-exercised every round (weakest marginal gate value)
+    "dd_minhash_pairs": dd_minhash_pairs,
+    "dd_simhash_pairs": dd_simhash_pairs,
+    "ss_ann_topk": ss_ann_topk,
+    "ss_ivf_topk": ss_ivf_topk,
+    "ss_cosine_pairs": ss_cosine_pairs,
+    # -- green driver rows in CORRECTNESS_r01
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -1013,54 +1172,4 @@ ALL_QUERIES = {
     "e8_feature_hash": e8_feature_hash,
     "e9_onehot_hash": e9_onehot_hash,
     "e10_embedding_hash": e10_embedding_hash,
-    "e12_count_min": e12_count_min,
-    "e16_to_numeric": e16_to_numeric,
-    "e11_universal_hash": e11_universal_hash,
-    "e14_clip_round": e14_clip_round,
-    "i1_impute_mean": i1_impute_mean,
-    "i2_impute_median": i2_impute_median,
-    "i3_impute_mode": i3_impute_mode,
-    "i4_interpolate": i4_interpolate,
-    "i5_impute_knn": i5_impute_knn,
-    "i6_impute_mice": i6_impute_mice,
-    "i7_hot_deck": i7_hot_deck,
-    "i8_impute_em": i8_impute_em,
-    "i9_impute_by_model": i9_impute_by_model,
-    "t1_split_invariants": t1_split_invariants,
-    "s1_csv_roundtrip": s1_csv_roundtrip,
-    "s6_version_roundtrip": s6_version_roundtrip,
-    "b1_smote_counts": b1_smote_counts,
-    "b2_undersample_counts": b2_undersample_counts,
-    "b3_centroids_counts": b3_centroids_counts,
-    "b4_nearmiss_counts": b4_nearmiss_counts,
-    "b5_oversample_counts": b5_oversample_counts,
-    "b6_adasyn_counts": b6_adasyn_counts,
-    "b8_smote_tomek": b8_smote_tomek,
-    "b9_smote_enn": b9_smote_enn,
-    "t2_trim_equal_counts": t2_trim_equal_counts,
-    "t3_trim_proportional_counts": t3_trim_proportional_counts,
-    "t4_trim_majority_counts": t4_trim_majority_counts,
-    "tx_token_count": tx_token_count,
-    "tx_bpe_count": tx_bpe_count,
-    "tx_quality": tx_quality,
-    "tx_lang_id": tx_lang_id,
-    "tx_fingerprint": tx_fingerprint,
-    "tx_fingerprint_md5": tx_fingerprint_md5,
-    "mm_feature_digest": mm_feature_digest,
-    "mm_frame_plan": mm_frame_plan,
-    "mm_media_dedup": mm_media_dedup,
-    "m2_ols_coefficients": m2_ols_coefficients,
-    "m3_eval_classification": m3_eval_classification,
-    "m4_feature_importances": m4_feature_importances,
-    "m5_cross_val": m5_cross_val,
-    "m12_single_row_inference": m12_single_row_inference,
-    "pipe_prepare_corpus": pipe_prepare_corpus,
-    "dd_minhash_pairs": dd_minhash_pairs,
-    "dd_simhash_pairs": dd_simhash_pairs,
-    "dd_ngram_jaccard": dd_ngram_jaccard,
-    "ss_brute_topk": ss_brute_topk,
-    "ss_brute_pairs": ss_brute_pairs,
-    "ss_ann_topk": ss_ann_topk,
-    "ss_ivf_topk": ss_ivf_topk,
-    "ss_cosine_pairs": ss_cosine_pairs,
 }

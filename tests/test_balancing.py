@@ -82,3 +82,49 @@ def test_smote_enn_no_worse_than_smote(spark):
     assert enn.count() <= sm.count()
     # toy classes are far apart → nothing is misclassified → nothing removed
     assert enn.count() == sm.count()
+
+
+def test_nearmiss_single_plan_selection_parity(spark):
+    """Loop-free NearMiss must pick the same survivors as the per-class
+    definition: with method='exact' the kept majority rows are exactly the
+    min_n with smallest mean distance to the k nearest minority rows."""
+    rows = []
+    # minority class m at (0,0)..(2,0); majority A spread along x; majority B along y
+    for i in range(3):
+        rows.append((float(i), 0.0, "m"))
+    for i in range(8):
+        rows.append((float(i), 1.0, "A"))
+    for i in range(8):
+        rows.append((10.0, float(i), "B"))
+    df = spark.createDataFrame(rows, "x double, y double, cls string")
+    out = B.nearmiss(df, "cls", ["x", "y"], k=2, method="exact")
+    counts = {r["cls"]: r["n"] for r in
+              out.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"m": 3, "A": 3, "B": 3}
+    # class A: nearest-to-minority rows are x=0,1,2 on the y=1 line
+    kept_a = sorted(r["x"] for r in out.where(F.col("cls") == "A").collect())
+    assert kept_a == [0.0, 1.0, 2.0]
+    # class B: all at x=10, closest mean distance to minority = smallest y
+    kept_b = sorted(r["y"] for r in out.where(F.col("cls") == "B").collect())
+    assert kept_b == [0.0, 1.0, 2.0]
+
+
+def test_borderline_danger_selects_boundary_rows(spark):
+    """Danger rows are minority rows with >= k/2 (but < k) other-class
+    neighbors — interior minority rows must NOT seed."""
+    rows = []
+    # tight minority cluster far from majority: interior rows are safe
+    # (k-NN all minority -> 0 other-class votes)
+    for i in range(6):
+        rows.append((0.0 + i * 0.01, 0.0, "min"))
+    # a PAIR of minority rows near the majority mass: each sees its partner
+    # plus 3 majority in its 4-NN -> 3/4 other-class = danger (a lone row
+    # with 4/4 other-class would be NOISE, which borderline-SMOTE excludes)
+    rows.append((4.0, 0.0, "min"))
+    rows.append((4.05, 0.0, "min"))
+    for i in range(20):
+        rows.append((5.0 + i * 0.005, 0.0, "maj"))
+    df = spark.createDataFrame(rows, "x double, y double, cls string")
+    danger = B.borderline_danger(df, "cls", ["x", "y"], k=4, method="exact")
+    got = sorted((r["x"], r["cls"]) for r in danger.collect())
+    assert got == [(4.0, "min"), (4.05, "min")]

@@ -150,3 +150,17 @@ def test_learning_curve_shapes(reg_df):
     assert [c["fraction"] for c in curve] == [0.5, 1.0]
     # exact linear data: both fractions fit near-perfectly on train and test
     assert all(c["train_score"] > 0.99 and c["test_score"] > 0.99 for c in curve)
+
+
+def test_save_importances_roundtrip(spark, tmp_path):
+    """S14: importances persist as a versioned parquet table."""
+    from ml_data_pipeline_spark.ml.explain import save_importances
+    from ml_data_pipeline_spark.sources.versioned import VersionedDataset
+
+    info = save_importances(
+        spark, [("f2", 0.7), ("f1", 0.3)], str(tmp_path), "imp", "random_forest"
+    )
+    assert info.version == 0
+    back = VersionedDataset(spark, str(tmp_path), "imp").read()
+    rows = {r["feature"]: (r["importance"], r["model"], r["rank"]) for r in back.collect()}
+    assert rows == {"f2": (0.7, "random_forest", 1), "f1": (0.3, "random_forest", 2)}

@@ -231,3 +231,21 @@ def test_round_labels(spark):
     df = spark.createDataFrame([(0.4,), (0.6,), (2.5,)], "y double")
     got = sorted(r["y"] for r in E.round_labels(df, "y").collect())
     assert got == [0, 1, 3]  # Spark round = half-up (2.5 -> 3)
+
+
+def test_one_hot_cardinality_guard(spark):
+    """E1 guard: high-cardinality columns must refuse one-hot (ADVICE/VERDICT
+    r1 — unbounded distinct().collect() is a driver OOM at 100 TB)."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import encoding as E
+
+    df = spark.range(100).select(
+        F.concat(F.lit("v"), F.col("id")).alias("c"), F.col("id")
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        E.one_hot_encode(df, "c", max_cardinality=50)
+    # under the cap it still works and matches the unguarded path
+    small = spark.createDataFrame([("a",), ("b",), ("a",)], "c string")
+    out = E.one_hot_encode(small, "c", max_cardinality=50)
+    assert sorted(out.columns) == ["c_a", "c_b"]

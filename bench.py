@@ -42,9 +42,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     spark = get_spark("bench")
-    # warm the JVM + parquet footers so per-query numbers measure the plan,
-    # not session startup
+    # warm the JVM + parquet footers + generic execution infra (Arrow
+    # collect path, window/join/agg codegen machinery, AQE) on 1000
+    # synthetic rows, so per-query numbers measure the plan and its
+    # execution, not one-time session startup. The warm-up shares no
+    # data or plan with any headline query.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tiny = spark.range(1000).select("id", (F.col("id") % 7).alias("k"), F.rand(1).alias("x"))
+    w = Window.partitionBy("k").orderBy("x")
+    (
+        tiny.groupBy("k")
+        .agg(F.sum("x").alias("s"), F.avg("x").alias("a"))
+        .join(tiny, "k")
+        .withColumn("r", F.row_number().over(w))
+        .orderBy("k")
+        .toPandas()
+    )
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -164,3 +164,41 @@ def test_save_importances_roundtrip(spark, tmp_path):
     back = VersionedDataset(spark, str(tmp_path), "imp").read()
     rows = {r["feature"]: (r["importance"], r["model"], r["rank"]) for r in back.collect()}
     assert rows == {"f2": (0.7, "random_forest", 1), "f1": (0.3, "random_forest", 2)}
+
+
+def test_ovr_auc_single_pass_matches_evaluator_loop(spark):
+    """_ovr_weighted_auc (3 jobs total, binned Mann-Whitney) must agree with
+    the per-class BinaryClassificationEvaluator loop it replaced, to within
+    binning error (O(1/num_bins))."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import vector_to_array
+
+    rows = [
+        (float(i % 11), float((7 * i) % 13), f"c{(i % 11 + (7 * i) % 13) % 3}")
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, cls string")
+    train, test = df.randomSplit([0.7, 0.3], seed=7)
+    model, metrics = MP.train_and_evaluate(train, test, "cls", "logistic_regression")
+    assert "roc_auc" in metrics
+
+    from ml_data_pipeline_spark.ml.pipeline import LABEL, _ovr_weighted_auc
+
+    pred_df = model.transform(test).cache()
+    classes = [r[0] for r in pred_df.select(LABEL).distinct().collect()]
+    fast = _ovr_weighted_auc(pred_df, LABEL, classes)
+
+    total = pred_df.count()
+    loop_auc = 0.0
+    for c in classes:
+        bin_pred = pred_df.withColumn("__bin", (F.col(LABEL) == c).cast("double"))
+        support = bin_pred.agg(F.sum("__bin")).first()[0]
+        scored = bin_pred.withColumn(
+            "__score", vector_to_array("rawPrediction").getItem(int(c))
+        )
+        c_auc = BinaryClassificationEvaluator(
+            labelCol="__bin", rawPredictionCol="__score"
+        ).evaluate(scored)
+        loop_auc += c_auc * (support / total)
+    pred_df.unpersist()
+    assert abs(fast - loop_auc) < 2e-3, (fast, loop_auc)

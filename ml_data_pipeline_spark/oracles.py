@@ -27,6 +27,54 @@ _FR = "['le','la','les','et','est','une','dans','que','pour','pas']"
 _ES = "['el','la','los','las','es','una','con','por','para','del']"
 _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
 
+# shared CTE chain: exact 3-gram Jaccard pairs at threshold 0.2 (the
+# candidate graph for dd_ngram_jaccard / dd_components / dd_keep_canonical)
+_NGRAM_PAIRS = r"""
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(tk) - 1),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                   ELSE [] END AS gs
+            FROM toks
+        ),
+        base AS (SELECT doc_id, gs FROM grams WHERE len(gs) > 0),
+        sizes AS (SELECT doc_id, len(gs) AS ng FROM base),
+        ex AS (SELECT doc_id, unnest(gs) AS gram FROM base),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM ex a JOIN ex b USING (gram)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (sa.ng + sb.ng - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        ),
+        jpairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM jpairs
+            UNION ALL
+            SELECT id_b, id_a FROM jpairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM edges
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        ),
+        comp AS (
+            SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
+        )
+"""
+
 ALL_ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -783,6 +831,16 @@ ALL_ORACLES: dict[str, str] = {
         )
         SELECT id_a, id_b, jaccard FROM j
         WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+    """,
+    "dd_components": f"""
+        WITH RECURSIVE {_NGRAM_PAIRS}
+        SELECT id, component FROM comp ORDER BY id
+    """,
+    "dd_keep_canonical": f"""
+        WITH RECURSIVE {_NGRAM_PAIRS}
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+        ORDER BY doc_id
     """,
     "ss_brute_topk": """
         WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),

@@ -1025,6 +1025,32 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
+def dd_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS (id -> min-id component label) over the exact
+    n-gram-Jaccard pair graph — alternating large-star/small-star, checked
+    against a DuckDB WITH RECURSIVE reachability oracle. Deterministic end
+    to end: the pair generator is exact (no LSH), the labeling is the
+    component minimum."""
+    from ml_data_pipeline_spark.operators import components as CC
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return CC.connected_components(pairs).orderBy("id")
+
+def dd_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-level dedup applied to the corpus: one survivor (min doc_id)
+    per near-dup cluster, all unpaired docs kept. Oracle recomputes the
+    same survivor set recursively in DuckDB."""
+    from ml_data_pipeline_spark.operators import components as CC
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return (
+        CC.keep_canonical(docs, pairs, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
 def _query_vector(spark: SparkSession, sf: str) -> list[float]:
     row = (
         load_table(spark, sf, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()
@@ -1104,6 +1130,8 @@ ALL_QUERIES = {
     "m9_learning_curve": m9_learning_curve,
     "pipe_prepare_corpus": pipe_prepare_corpus,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_components": dd_components,
+    "dd_keep_canonical": dd_keep_canonical,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

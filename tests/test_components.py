@@ -1,0 +1,75 @@
+"""Connected-components dedup clustering (operators/components.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.operators import components as CC
+
+
+def _uf_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find oracle: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_chain_collapses_to_min(spark):
+    # a 12-node chain: diameter 11, but large/small-star needs O(log n)
+    # rounds, so max_rounds stays untouched
+    edges = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {(r["id"], r["component"]) for r in CC.connected_components(df).collect()}
+    assert out == {(i, 1) for i in range(1, 13)}
+
+
+def test_multiple_components_and_reversed_edges(spark):
+    edges = [(5, 4), (4, 3), (10, 11), (11, 10), (20, 20), (7, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["id"], r["component"]) for r in CC.connected_components(df).collect()}
+    # (20,20) is a self-loop: dropped; node 20 is isolated and not emitted
+    assert got == {(3, 3), (4, 3), (5, 3), (10, 10), (11, 10), (7, 7), (8, 7)}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(17)
+    nodes = list(range(1000))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(700)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in CC.connected_components(df).collect()}
+    assert got == _uf_reference(edges)
+
+
+def test_keep_canonical_survivors(spark):
+    data = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in CC.keep_canonical(data, pairs, "doc_id").collect()
+    )
+    # components {1,2,3} -> keep 1; {5,6} -> keep 5; 4,7,8 untouched
+    assert kept == [1, 4, 5, 7, 8]
+
+
+def test_empty_pairs(spark):
+    data = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert CC.connected_components(pairs).count() == 0
+    assert CC.keep_canonical(data, pairs, "doc_id").count() == 1

@@ -1,0 +1,80 @@
+"""Text cleaning for training-data pipelines: PII redaction, HTML
+stripping, whitespace normalization (SURVEY.md §2.9 scale extensions).
+
+All operators are pure column expressions (JVM regexp engine, codegen-
+fused) — at 100 TB each is a zero-shuffle projection over the scan.
+
+Patterns are deliberately RE2-compatible (no backreferences, no
+lookaround) so the DuckDB oracles can run the IDENTICAL pattern: Spark
+(java.util.regex) and DuckDB (RE2) both use leftmost-first alternation
+semantics, and these patterns avoid every construct where the engines
+could diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Order matters and is part of the contract: URLs first (they may embed
+# '@' and digits), then emails, then IPs, then phone-like digit runs.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d().\- ]{7,}\d",
+}
+
+
+def _redacted(col: Column, kinds: tuple[str, ...]) -> Column:
+    out = col
+    for kind in PII_PATTERNS:  # fixed application order, independent of `kinds` order
+        if kind in kinds:
+            out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: tuple[str, ...] = ("url", "email", "ip", "phone"),
+) -> DataFrame:
+    """Replace each PII match with a typed token ('<email>', '<url>', ...).
+    Application order is fixed (url, email, ip, phone) regardless of the
+    order `kinds` is given in, so redaction is deterministic."""
+    return df.withColumn(out_col or text_col, _redacted(F.col(text_col), kinds))
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row match counts for every PII pattern — the audit view used to
+    size redaction impact before destructive application."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        *[
+            F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def strip_html(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Remove HTML/XML tags and decode the five core entities, then collapse
+    runs of whitespace. Tag regex is the pragmatic `<[^>]+>` (not an HTML
+    parser — malformed markup degrades gracefully to text)."""
+    t = F.regexp_replace(F.col(text_col), r"<[^>]+>", " ")
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(out_col or text_col, t)
+
+
+def normalize_whitespace(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Collapse all whitespace runs to single spaces and trim."""
+    return df.withColumn(
+        out_col or text_col,
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")),
+    )

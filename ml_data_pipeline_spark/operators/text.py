@@ -116,3 +116,89 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text", out_col: str = "finge
     shape. Same normalization as fingerprint()."""
     norm = F.concat_ws(" ", _tokens(F.col(text_col)))
     return df.withColumn(out_col, F.md5(norm))
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per document:
+
+    - rep_dup_word_frac: fraction of tokens that are repeats
+      (1 - distinct/total) — an array expression, zero shuffle;
+    - rep_top_bigram / rep_top_bigram_count / rep_top_bigram_frac: the most
+      frequent word 2-gram, its count, and the fraction of the document's
+      characters it covers (count * len(gram) / n_chars) — the "top n-gram
+      character fraction" rule from Gopher (Rae et al. 2021, App. A).
+
+    Shape: explode (id, bigram) -> map-side-combinable count per (id, gram)
+    -> per-doc top-1 via a window ordered (count DESC, gram ASC) for
+    deterministic ties -> join back on id. The shuffle carries (id, gram,
+    count), never the text; per-doc group cardinality is bounded by doc
+    length, so no skew beyond the corpus' own length skew. An all-array
+    variant (count occurrences with O(len^2) transform/filter per row)
+    avoids the shuffle but degrades quadratically on long docs — wrong
+    trade at 100 TB, where docs are long and shuffles of narrow rows are
+    cheap.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    base = df.withColumn("__toks", toks)
+    n_tok = F.size("__toks")
+    dup_frac = F.when(
+        n_tok > 0,
+        1.0 - F.size(F.array_distinct("__toks")).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+
+    grams = base.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.when(
+                n_tok >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n_tok - 1),
+                    lambda i: F.concat(
+                        F.element_at("__toks", i), F.lit(" "), F.element_at("__toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("__id", "gram").agg(F.count(F.lit(1)).alias("__c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy(F.col("__c").desc(), F.col("gram").asc())
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__id", F.col("gram").alias("rep_top_bigram"), F.col("__c").alias("rep_top_bigram_count"))
+    )
+    out = (
+        base.withColumn("rep_dup_word_frac", F.round(dup_frac, 6))
+        .join(top, F.col(id_col) == F.col("__id"), "left")
+        .drop("__id", "__toks")
+    )
+    frac = F.when(
+        F.col("rep_top_bigram_count").isNotNull() & (F.length(t) > 0),
+        F.col("rep_top_bigram_count") * F.length("rep_top_bigram") / F.length(t),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("rep_top_bigram_frac", F.round(frac, 6)).withColumn(
+        "rep_top_bigram_count", F.coalesce("rep_top_bigram_count", F.lit(0))
+    )
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.18,
+    min_words: int = 3,
+) -> DataFrame:
+    """Keep documents passing the Gopher-style repetition rules; adds a
+    boolean `rep_keep` rather than dropping rows, so callers can audit the
+    rejected set (filter on rep_keep to actually drop)."""
+    m = repetition_metrics(df, text_col, id_col)
+    keep = (
+        (F.col("rep_dup_word_frac") <= max_dup_word_frac)
+        & (F.col("rep_top_bigram_frac") <= max_top_bigram_frac)
+        & (F.size(_tokens(F.col(text_col))) >= min_words)
+    )
+    return m.withColumn("rep_keep", keep)

@@ -836,6 +836,83 @@ ALL_ORACLES: dict[str, str] = {
         WITH RECURSIVE {_NGRAM_PAIRS}
         SELECT id, component FROM comp ORDER BY id
     """,
+    "tx_redact_pii": r"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com or https://site'
+                        || doc_id || '.test/x ip 10.0.' || (doc_id % 200)
+                        || '.7 tel +1 (555) 01' || (doc_id % 90 + 10) || '-2301' AS text
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, text,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(text, '\+?\d[\d().\- ]{7,}\d')) AS BIGINT) AS n_phone
+            FROM injected
+        )
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   'https?://[^\s]+', '<url>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+                   '\b(\d{1,3}\.){3}\d{1,3}\b', '<ip>', 'g'),
+                   '\+?\d[\d().\- ]{7,}\d', '<phone>', 'g')) AS clean_md5,
+               n_url, n_email, n_ip, n_phone
+        FROM counted ORDER BY doc_id
+    """,
+    "tx_strip_html": r"""
+        WITH injected AS (
+            SELECT doc_id,
+                   '<html><body><p class="x">' || text ||
+                   '</p><br/>&amp; more &lt;tags&gt; &quot;quoted&quot;</body></html>' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   replace(replace(replace(replace(replace(
+                       regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''),
+                   '\s+', ' ', 'g'))) AS clean_md5
+        FROM injected ORDER BY doc_id
+    """,
+    "tx_repetition": r"""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text, tk,
+                   CASE WHEN len(tk) > 0
+                        THEN round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6)
+                        ELSE 0.0 END AS rep_dup_word_frac
+            FROM toks
+        ),
+        bg AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                        ELSE [] END AS gs
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(gs) AS gram FROM bg),
+        cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2),
+        top AS (
+            SELECT doc_id, gram, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+            FROM cnt
+        ),
+        t1 AS (SELECT doc_id, gram AS rep_top_bigram, c FROM top WHERE rn = 1)
+        SELECT m.doc_id, m.rep_dup_word_frac, t1.rep_top_bigram,
+               CAST(coalesce(t1.c, 0) AS BIGINT) AS rep_top_bigram_count,
+               CASE WHEN t1.c IS NOT NULL AND len(m.text) > 0
+                    THEN round(t1.c * len(t1.rep_top_bigram) * 1.0 / len(m.text), 6)
+                    ELSE 0.0 END AS rep_top_bigram_frac
+        FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
+        ORDER BY m.doc_id
+    """,
     "dd_keep_canonical": f"""
         WITH RECURSIVE {_NGRAM_PAIRS}
         SELECT doc_id, lang, source, n_chars FROM documents

@@ -814,6 +814,60 @@ def tx_fingerprint_md5(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return TX.fingerprint_md5(docs).select("doc_id", "fingerprint")
 
+def tx_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction, value-checked: the synthetic corpus contains no PII,
+    so the query INJECTS deterministic email/url/ip/phone material derived
+    from doc_id (identically in the oracle SQL), redacts it, and returns
+    the md5 of the cleaned text plus per-kind match counts. Hash equality
+    proves both the patterns and the fixed application order."""
+    from ml_data_pipeline_spark.operators import cleaning as CL
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://site"), F.col("doc_id").cast("string"),
+            F.lit(".test/x ip 10.0."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 tel +1 (555) 01"), (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit("-2301"),
+        ),
+    )
+    counted = CL.pii_counts(injected)
+    cleaned = CL.redact_pii(counted)
+    return cleaned.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_url", "n_email", "n_ip", "n_phone"
+    )
+
+def tx_strip_html(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML strip, value-checked via injected markup (same injection in the
+    oracle): tags removed, core entities decoded, whitespace collapsed."""
+    from ml_data_pipeline_spark.operators import cleaning as CL
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><body><p class=\"x\">"), F.col("text"),
+            F.lit("</p><br/>&amp; more &lt;tags&gt; &quot;quoted&quot;</body></html>"),
+        ),
+    )
+    return CL.strip_html(injected).select("doc_id", F.md5("text").alias("clean_md5"))
+
+def tx_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition metrics (dup-word fraction, top word-bigram
+    and the character fraction it covers), hash-checked against a DuckDB
+    window-function oracle with the same deterministic tie-break."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.repetition_metrics(docs).select(
+        "doc_id",
+        "rep_dup_word_frac",
+        "rep_top_bigram",
+        "rep_top_bigram_count",
+        "rep_top_bigram_frac",
+    )
+
 # ---------------------------------------------------------------- multimodal (MM*)
 
 def mm_feature_digest(spark: SparkSession, sf: str) -> DataFrame:
@@ -1132,6 +1186,9 @@ ALL_QUERIES = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_components": dd_components,
     "dd_keep_canonical": dd_keep_canonical,
+    "tx_redact_pii": tx_redact_pii,
+    "tx_strip_html": tx_strip_html,
+    "tx_repetition": tx_repetition,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

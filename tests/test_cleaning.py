@@ -1,0 +1,83 @@
+"""Text cleaning (operators/cleaning.py) + repetition metrics (text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.operators import cleaning as CL
+from ml_data_pipeline_spark.operators import text as TX
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io visit https://x.io/p?q=1 from 10.1.2.3 call +1 (555) 123-4567 done")],
+        "id long, text string",
+    )
+    out = CL.redact_pii(df).first()["text"]
+    assert "<email>" in out and "<url>" in out and "<ip>" in out and "<phone>" in out
+    assert "x-corp" not in out and "10.1.2.3" not in out and "555" not in out
+
+
+def test_redact_url_wins_over_email_inside_url(spark):
+    # URL containing an @ (userinfo) must be consumed by the url pass first
+    df = spark.createDataFrame([(1, "see https://u@host.com/path end")], "id long, text string")
+    out = CL.redact_pii(df).first()["text"]
+    assert out == "see <url> end"
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.co c@d.org and http://e.fg"), (2, "nothing here")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in CL.pii_counts(df).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_url"] == 1
+    assert rows[2]["n_email"] == 0 and rows[2]["n_url"] == 0
+
+
+def test_strip_html_tags_and_entities(spark):
+    df = spark.createDataFrame(
+        [(1, "<div><p>Hello &amp; welcome to &lt;Spark&gt;</p>\n\n<br/>bye</div>")],
+        "id long, text string",
+    )
+    out = CL.strip_html(df).first()["text"]
+    assert out == "Hello & welcome to <Spark> bye"
+
+
+def test_normalize_whitespace(spark):
+    df = spark.createDataFrame([(1, "  a\t\tb \n c  ")], "id long, text string")
+    assert CL.normalize_whitespace(df).first()["text"] == "a b c"
+
+
+def test_repetition_metrics_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # dup 3/4; top bigram "spam spam" x3
+            (2, "all words fully distinct here"),
+            (3, "x"),                            # single token: no bigram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.repetition_metrics(df).collect()}
+    assert abs(rows[1]["rep_dup_word_frac"] - 0.75) < 1e-9
+    assert rows[1]["rep_top_bigram"] == "spam spam"
+    assert rows[1]["rep_top_bigram_count"] == 3
+    # 3 * len("spam spam")=9 chars / 19 text chars
+    assert abs(rows[1]["rep_top_bigram_frac"] - 27 / 19) < 1e-6
+    assert rows[2]["rep_dup_word_frac"] == 0.0
+    assert rows[2]["rep_top_bigram_count"] == 1
+    assert rows[3]["rep_top_bigram"] is None
+    assert rows[3]["rep_top_bigram_frac"] == 0.0
+
+
+def test_gopher_repetition_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now buy now"),
+            (2, "a perfectly ordinary sentence with many distinct tokens inside"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["rep_keep"] for r in TX.gopher_repetition_filter(df).collect()}
+    assert rows[1] is False
+    assert rows[2] is True

@@ -836,6 +836,14 @@ ALL_ORACLES: dict[str, str] = {
         WITH RECURSIVE {_NGRAM_PAIRS}
         SELECT id, component FROM comp ORDER BY id
     """,
+    "s_jsonl_roundtrip": """
+        SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier ORDER BY s_suppkey
+    """,
+    "s_orc_roundtrip": """
+        SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
+        FROM part ORDER BY p_partkey
+    """,
     "tx_redact_pii": r"""
         WITH injected AS (
             SELECT doc_id,

@@ -673,6 +673,41 @@ def s1_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "c_mktsegment",
     )
 
+def s_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines sink→scan round-trip: supplier written as .jsonl and read
+    back with an explicit schema (schema-on-read, no inference job at
+    scale) must hash-match the parquet original. JSONL is the lingua franca
+    of LLM training corpora — this is the ingest path a corpus actually
+    uses."""
+    import hashlib
+
+    sup = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+    stage = f"/tmp/mdp_jsonl_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/supplier"
+    sup.write.mode("overwrite").json(stage)
+    schema = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    back = spark.read.schema(schema).json(stage)
+    return back.select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+
+def s_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink→scan round-trip (the other columnar interchange format):
+    values must hash-match the parquet original — type fidelity through
+    ORC's writer/reader including decimals-as-double and strings."""
+    import hashlib
+
+    part = load_table(spark, sf, "part").select(
+        "p_partkey", "p_name", "p_brand", F.round("p_retailprice", 2).alias("p_retailprice")
+    )
+    stage = f"/tmp/mdp_orc_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/part"
+    part.write.mode("overwrite").orc(stage)
+    back = spark.read.orc(stage)
+    return back.select(
+        "p_partkey", "p_name", "p_brand", F.round("p_retailprice", 2).alias("p_retailprice")
+    )
+
 def s5_excel_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S5 — Excel sink→scan round-trip through the stdlib OOXML layer
     (sources/excel_io): values must hash-match the source table read as
@@ -1189,6 +1224,8 @@ ALL_QUERIES = {
     "tx_redact_pii": tx_redact_pii,
     "tx_strip_html": tx_strip_html,
     "tx_repetition": tx_repetition,
+    "s_jsonl_roundtrip": s_jsonl_roundtrip,
+    "s_orc_roundtrip": s_orc_roundtrip,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

@@ -89,6 +89,29 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def dedup_events(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming deduplication on event identity — the streaming twin of
+    exact_dedup for at-least-once sources (kafka redeliveries, file-source
+    replays).
+
+    within_watermark=True uses dropDuplicatesWithinWatermark: the dedup
+    state for a key is DROPPED once the watermark passes it, so state is
+    bounded by the watermark horizon — the only shape that survives an
+    unbounded stream. Plain dropDuplicates on a stream keeps every key
+    forever (state grows with the corpus: correct semantics, wrong at
+    100 TB) and is kept selectable only for bounded replays."""
+    keys = keys or ["event_id"]
+    marked = stream.withWatermark("ts", watermark)
+    if within_watermark:
+        return marked.dropDuplicatesWithinWatermark(keys)
+    return marked.dropDuplicates(keys)
+
+
 def run_to_memory(
     result: DataFrame,
     query_name: str,

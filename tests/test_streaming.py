@@ -129,3 +129,23 @@ def test_durable_sink_resumes_from_checkpoint(spark, events_path, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 > 0
+
+
+def test_dedup_events_within_watermark(spark, events_path, tmp_path):
+    """A replayed (duplicated) source must collapse back to the distinct
+    event set; dropDuplicatesWithinWatermark keeps state bounded."""
+    import shutil
+    from pathlib import Path
+
+    dup_dir = str(tmp_path / "events_dup")
+    Path(dup_dir).mkdir()
+    # stage every source file twice -> every event arrives twice
+    for i, f in enumerate(sorted(Path(events_path).glob("*.parquet"))):
+        shutil.copy(f, f"{dup_dir}/a{i}.parquet")
+        shutil.copy(f, f"{dup_dir}/b{i}.parquet")
+
+    stream = ES.read_events_stream(spark, dup_dir)
+    got = ES.run_to_memory(ES.dedup_events(stream), "t_dedup", "append")
+    n_distinct = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct

@@ -376,3 +376,38 @@ def question_template(
             prompt = f"Enter a value between {r['lo']} and {r['hi']}"
         rows.append((c, prompt))
     return spark.createDataFrame(sorted(rows), "column string, prompt string")
+
+def numeric_summary(
+    df: DataFrame, cols: list[str], exact: bool = False
+) -> DataFrame:
+    """Five-number summary + mean/std per numeric column, ONE pass over the
+    data (all aggregates in a single agg; the per-column rows come from
+    exploding one driver-side struct array — no second scan).
+
+    exact=False (default) uses approx_percentile (t-digest-style sketch,
+    mergeable, bounded memory) — the only percentile that scales: the exact
+    percentile aggregate buffers every value of the column per group.
+    exact=True is for small data and for proving semantics against an
+    exact oracle (quantile_cont parity: both use linear interpolation)."""
+    def pct(c: str, p: float):
+        if exact:
+            return F.percentile(F.col(c).cast("double"), F.lit(p))
+        return F.approx_percentile(F.col(c).cast("double"), F.lit(p), F.lit(10_000))
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.round(F.min(F.col(c).cast("double")), 6).alias("minv"),
+            F.round(pct(c, 0.25), 6).alias("q25"),
+            F.round(pct(c, 0.5), 6).alias("median"),
+            F.round(pct(c, 0.75), 6).alias("q75"),
+            F.round(F.max(F.col(c).cast("double")), 6).alias("maxv"),
+            F.round(F.avg(F.col(c).cast("double")), 6).alias("mean"),
+            F.round(F.stddev(F.col(c).cast("double")), 6).alias("std"),
+        ).alias(f"__s_{c}")
+        for c in cols
+    ]
+    one = df.agg(*structs)
+    return one.select(
+        F.explode(F.array(*[F.col(f"__s_{c}") for c in cols])).alias("s")
+    ).select("s.*")

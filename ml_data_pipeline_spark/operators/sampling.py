@@ -100,3 +100,28 @@ def concat(dfs: list[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    test_frac: float = 0.1,
+    buckets: int = 10_000,
+    salt: str = "",
+    out_col: str = "is_test",
+) -> DataFrame:
+    """Deterministic, seed-free split membership by hashing the key:
+    bucket = md5(key||salt)[:8] as int mod `buckets`; test = bucket below
+    the fraction cut. Unlike randomSplit, membership is a pure function of
+    the key — stable across runs, engines, partitioning and corpus growth,
+    so examples never migrate between train and test as the corpus is
+    re-ingested (the property a growing 100 TB corpus actually needs).
+    md5 (not xxhash64) so any engine reproduces membership bit-for-bit."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    return df.withColumn(out_col, b < int(round(test_frac * buckets)))

@@ -836,6 +836,43 @@ ALL_ORACLES: dict[str, str] = {
         WITH RECURSIVE {_NGRAM_PAIRS}
         SELECT id, component FROM comp ORDER BY id
     """,
+    "t8_hash_split": """
+        SELECT o_orderkey,
+               (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 10000) < 1000 AS is_test
+        FROM orders ORDER BY o_orderkey
+    """,
+    "p15_numeric_summary": """
+        SELECT 'l_quantity' AS "column",
+               round(CAST(min(l_quantity) AS DOUBLE), 6) AS minv,
+               round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q25,
+               round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median,
+               round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS q75,
+               round(CAST(max(l_quantity) AS DOUBLE), 6) AS maxv,
+               round(avg(CAST(l_quantity AS DOUBLE)), 6) AS mean,
+               round(stddev(CAST(l_quantity AS DOUBLE)), 6) AS std
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               round(CAST(min(l_extendedprice) AS DOUBLE), 6),
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6),
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6),
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6),
+               round(CAST(max(l_extendedprice) AS DOUBLE), 6),
+               round(avg(CAST(l_extendedprice AS DOUBLE)), 6),
+               round(stddev(CAST(l_extendedprice AS DOUBLE)), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               round(CAST(min(l_discount) AS DOUBLE), 6),
+               round(quantile_cont(CAST(l_discount AS DOUBLE), 0.25), 6),
+               round(quantile_cont(CAST(l_discount AS DOUBLE), 0.5), 6),
+               round(quantile_cont(CAST(l_discount AS DOUBLE), 0.75), 6),
+               round(CAST(max(l_discount) AS DOUBLE), 6),
+               round(avg(CAST(l_discount AS DOUBLE)), 6),
+               round(stddev(CAST(l_discount AS DOUBLE)), 6)
+        FROM lineitem
+    """,
     "s_jsonl_roundtrip": """
         SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
         FROM supplier ORDER BY s_suppkey

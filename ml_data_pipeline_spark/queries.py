@@ -673,6 +673,23 @@ def s1_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "c_mktsegment",
     )
 
+def t8_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based split membership (seed-free, engine-
+    reproducible): the DuckDB oracle recomputes the identical md5-bucket
+    assignment, proving examples can never migrate between splits."""
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    return SA.split_by_hash(orders, "o_orderkey", test_frac=0.1).orderBy("o_orderkey")
+
+def p15_numeric_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass five-number summary + mean/std for three lineitem measures,
+    exact percentiles (gate scale only — the operator defaults to the
+    mergeable approx_percentile sketch, which is the 100 TB path) vs
+    DuckDB quantile_cont."""
+    li = load_table(spark, sf, "lineitem")
+    return P.numeric_summary(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], exact=True
+    )
+
 def s_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """JSON-lines sink→scan round-trip: supplier written as .jsonl and read
     back with an explicit schema (schema-on-read, no inference job at
@@ -1226,6 +1243,8 @@ ALL_QUERIES = {
     "tx_repetition": tx_repetition,
     "s_jsonl_roundtrip": s_jsonl_roundtrip,
     "s_orc_roundtrip": s_orc_roundtrip,
+    "t8_hash_split": t8_hash_split,
+    "p15_numeric_summary": p15_numeric_summary,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

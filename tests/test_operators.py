@@ -249,3 +249,31 @@ def test_one_hot_cardinality_guard(spark):
     small = spark.createDataFrame([("a",), ("b",), ("a",)], "c string")
     out = E.one_hot_encode(small, "c", max_cardinality=50)
     assert sorted(out.columns) == ["c_a", "c_b"]
+
+
+def test_split_by_hash_deterministic_and_proportional(spark):
+    from ml_data_pipeline_spark.operators.sampling import split_by_hash
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    a = split_by_hash(df, "k", test_frac=0.2)
+    b = split_by_hash(df, "k", test_frac=0.2)
+    # identical membership across invocations (pure function of the key)
+    assert a.exceptAll(b).count() == 0
+    frac = a.where("is_test").count() / 20000
+    assert 0.17 < frac < 0.23
+    # different salt -> different membership
+    c = split_by_hash(df, "k", test_frac=0.2, salt="v2")
+    assert a.exceptAll(c).count() > 0
+
+
+def test_numeric_summary_exact_and_approx_agree(spark):
+    from ml_data_pipeline_spark.operators.profiling import numeric_summary
+
+    df = spark.range(1, 1001).select((F.col("id") * 1.0).alias("x"))
+    ex = {r["column"]: r for r in numeric_summary(df, ["x"], exact=True).collect()}
+    ap = {r["column"]: r for r in numeric_summary(df, ["x"], exact=False).collect()}
+    assert ex["x"]["minv"] == 1.0 and ex["x"]["maxv"] == 1000.0
+    assert abs(ex["x"]["median"] - 500.5) < 1e-6
+    # sketch within 1% of exact on a uniform ramp
+    for k in ("q25", "median", "q75"):
+        assert abs(ex["x"][k] - ap["x"][k]) / ex["x"][k] < 0.01

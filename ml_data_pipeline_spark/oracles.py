@@ -836,6 +836,26 @@ ALL_ORACLES: dict[str, str] = {
         WITH RECURSIVE {_NGRAM_PAIRS}
         SELECT id, component FROM comp ORDER BY id
     """,
+    "ss_quantize_int8": """
+        WITH a AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, e,
+                   coalesce(list_max(list_transform(e, x -> abs(x))), 0.0) AS mx
+            FROM a
+        ),
+        s2 AS (
+            SELECT vec_id, e, CASE WHEN mx > 0 THEN mx ELSE 1.0 END AS scale
+            FROM s
+        )
+        SELECT vec_id,
+               md5(array_to_string(list_transform(e,
+                   x -> CAST(CAST(round(x * 127.0 / scale) AS INTEGER) AS VARCHAR)), ',')) AS q_md5,
+               round(scale, 6) AS q_scale
+        FROM s2 ORDER BY vec_id
+    """,
     "t8_hash_split": """
         SELECT o_orderkey,
                (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)

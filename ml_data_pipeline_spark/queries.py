@@ -673,6 +673,18 @@ def s1_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "c_mktsegment",
     )
 
+def ss_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column, value-checked:
+    md5 over the quantized component string + the per-vector scale must
+    match DuckDB recomputing the identical formula."""
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = SS.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.md5(F.concat_ws(",", F.transform("q8", lambda x: x.cast("string")))).alias("q_md5"),
+        "q_scale",
+    ).orderBy("vec_id")
+
 def t8_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash-based split membership (seed-free, engine-
     reproducible): the DuckDB oracle recomputes the identical md5-bucket
@@ -1245,6 +1257,7 @@ ALL_QUERIES = {
     "s_orc_roundtrip": s_orc_roundtrip,
     "t8_hash_split": t8_hash_split,
     "p15_numeric_summary": p15_numeric_summary,
+    "ss_quantize_int8": ss_quantize_int8,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

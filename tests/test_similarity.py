@@ -53,3 +53,27 @@ def test_ivf_topk_recall(spark):
     assert overlap >= 6
     # the query's own vector lives in a probed cell -> rank 1, cosine 1.0
     assert approx[0] == 1
+
+
+def test_normalize_l2_unit_norm(spark):
+    from ml_data_pipeline_spark.operators.similarity import normalize_l2
+
+    df = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, embedding array<double>")
+    rows = {r["id"]: r["unit"] for r in normalize_l2(df).collect()}
+    assert abs(rows[1][0] - 0.6) < 1e-9 and abs(rows[1][1] - 0.8) < 1e-9
+    assert rows[2] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_quantize_int8_bounds_and_error(spark):
+    from ml_data_pipeline_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.1]), (2, [0.0, 0.0, 0.0])], "id long, embedding array<double>"
+    )
+    rows = {r["id"]: r for r in quantize_int8(df).collect()}
+    assert rows[1]["q8"] == [127, -64, 25]
+    assert abs(rows[1]["q_scale"] - 0.5) < 1e-9
+    assert rows[2]["q8"] == [0, 0, 0] and rows[2]["q_scale"] == 1.0
+    # dequantization error bound: scale/254 per component
+    for q, x in zip(rows[1]["q8"], [0.5, -0.25, 0.1]):
+        assert abs(q * rows[1]["q_scale"] / 127.0 - x) <= rows[1]["q_scale"] / 254 + 1e-12

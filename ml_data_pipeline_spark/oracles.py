@@ -836,6 +836,32 @@ ALL_ORACLES: dict[str, str] = {
         WITH RECURSIVE {_NGRAM_PAIRS}
         SELECT id, component FROM comp ORDER BY id
     """,
+    "q_window_suite": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               lead(o_totalprice, 1) OVER w AS next_price,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cdist
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "q_grouping_sets": """
+        SELECT n_name, o_orderstatus,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (n_name, o_orderstatus))
+        ORDER BY n_name, o_orderstatus, g_status
+    """,
     "ss_quantize_int8": """
         WITH a AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

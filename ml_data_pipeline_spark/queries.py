@@ -290,6 +290,46 @@ def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("user_id", "event_id")
     )
 
+def q_window_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking/analytic window pack over one partition spec: lead, lag,
+    rank, dense_rank, ntile, percent_rank, cume_dist in a single window —
+    one sort per partition serves all seven functions (Catalyst collapses
+    same-spec window expressions into one Window operator)."""
+    ord_df = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 7 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        ord_df.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube: two hand-picked grouping sets +
+    grouping_id to disambiguate the null-as-total rows."""
+    return spark.sql(
+        f"""
+        SELECT n_name, o_orderstatus,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM parquet.`{sf}/orders.parquet` o
+        JOIN parquet.`{sf}/customer.parquet` c ON o.o_custkey = c.c_custkey
+        JOIN parquet.`{sf}/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (n_name, o_orderstatus))
+        ORDER BY n_name, o_orderstatus, g_status
+        """
+    )
+
 def st_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming twin of q_events_hourly: file-source stream →
     1h tumbling windows → complete-mode drain (trigger=availableNow). The
@@ -1258,6 +1298,8 @@ ALL_QUERIES = {
     "t8_hash_split": t8_hash_split,
     "p15_numeric_summary": p15_numeric_summary,
     "ss_quantize_int8": ss_quantize_int8,
+    "q_window_suite": q_window_suite,
+    "q_grouping_sets": q_grouping_sets,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

@@ -140,3 +140,45 @@ def test_asof_join_matches_pandas_random(spark, n_left, n_right, seed):
         e = None if pd.isna(row["v"]) else row["v"]
         g = got[(row["k"], row["lt"])]
         assert g == e, (dict(row), g)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SET
+def test_redact_pii_idempotent(spark, texts):
+    """Redaction is a fixed point: applying it twice equals applying it
+    once (the '<kind>' tokens never re-match any PII pattern)."""
+    from ml_data_pipeline_spark.operators import cleaning as CL
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    once = CL.redact_pii(df)
+    twice = CL.redact_pii(once)
+    a = [r["text"] for r in once.orderBy("id").collect()]
+    b = [r["text"] for r in twice.orderBy("id").collect()]
+    assert a == b
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40, unique=True),
+    f1=st.floats(min_value=0.05, max_value=0.45),
+)
+@SET
+def test_split_by_hash_membership_nested(spark, keys, f1):
+    """Monotone membership: the test set at fraction f is a SUBSET of the
+    test set at any larger fraction — growing the holdout never moves an
+    example out of it."""
+    from ml_data_pipeline_spark.operators.sampling import split_by_hash
+
+    f2 = min(0.95, f1 * 2)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    t1 = {r["k"] for r in split_by_hash(df, "k", f1).where("is_test").collect()}
+    t2 = {r["k"] for r in split_by_hash(df, "k", f2).where("is_test").collect()}
+    assert t1 <= t2

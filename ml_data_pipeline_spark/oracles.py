@@ -1004,6 +1004,56 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "pipe_clean_corpus": f"""
+        WITH RECURSIVE {_NGRAM_PAIRS},
+        surv AS (
+            SELECT d.doc_id, d.text, d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+        ),
+        stoks AS (
+            SELECT doc_id, source, text,
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+            FROM surv
+        ),
+        rep1 AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) > 0
+                        THEN round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6)
+                        ELSE 0.0 END AS dupfrac
+            FROM stoks
+        ),
+        bg2 AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                        ELSE [] END AS gs
+            FROM stoks
+        ),
+        ex2 AS (SELECT doc_id, unnest(gs) AS gram FROM bg2),
+        cnt2 AS (SELECT doc_id, gram, count(*) AS c FROM ex2 GROUP BY 1, 2),
+        top2 AS (
+            SELECT doc_id, gram, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+            FROM cnt2
+        ),
+        t2 AS (SELECT doc_id, gram, c FROM top2 WHERE rn = 1),
+        repm AS (
+            SELECT s.doc_id, s.source, len(s.tk) AS ntok, r.dupfrac,
+                   CASE WHEN t2.c IS NOT NULL AND len(s.text) > 0
+                        THEN round(t2.c * len(t2.gram) * 1.0 / len(s.text), 6)
+                        ELSE 0.0 END AS topfrac
+            FROM stoks s
+            JOIN rep1 r USING (doc_id)
+            LEFT JOIN t2 USING (doc_id)
+        ),
+        kept AS (
+            SELECT * FROM repm
+            WHERE dupfrac <= 0.5 AND topfrac <= 0.18 AND ntok >= 3
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens
+        FROM kept GROUP BY source ORDER BY source
+    """,
     "dd_keep_canonical": f"""
         WITH RECURSIVE {_NGRAM_PAIRS}
         SELECT doc_id, lang, source, n_chars FROM documents

@@ -1164,6 +1164,28 @@ def pipe_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("source")
     )
 
+def pipe_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-2 composite: near-dup GROUP dedup (exact ngram pairs →
+    connected components → canonical survivor) → Gopher repetition filter
+    → per-source token stats. Exercises components.py + text repetition +
+    aggregation as ONE lazy plan, value-checked end-to-end by a single
+    recursive DuckDB oracle."""
+    from ml_data_pipeline_spark.operators import components as CC
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    surv = CC.keep_canonical(docs, pairs, "doc_id")
+    filtered = TX.gopher_repetition_filter(surv).where("rep_keep")
+    toks = TX.token_count(filtered)
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
 # ---------------------------------------------------------------- dedup / similarity
 
 def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1300,6 +1322,7 @@ ALL_QUERIES = {
     "ss_quantize_int8": ss_quantize_int8,
     "q_window_suite": q_window_suite,
     "q_grouping_sets": q_grouping_sets,
+    "pipe_clean_corpus": pipe_clean_corpus,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

@@ -73,6 +73,12 @@ def test_f3_range_filter_pushdown(spark, sf_dir):
         "dd_ngram_jaccard",
         "tx_quality",
         "tx_lang_id",
+        "tx_repetition",
+        "tx_redact_pii",
+        "t8_hash_split",
+        "p15_numeric_summary",
+        "q_window_suite",
+        "q_grouping_sets",
     ],
 )
 def test_no_cartesian_product_in_headline_plans(spark, sf_dir, name):

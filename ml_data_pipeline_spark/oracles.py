@@ -1004,6 +1004,12 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "q_salted_join": """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "pipe_clean_corpus": f"""
         WITH RECURSIVE {_NGRAM_PAIRS},
         surv AS (

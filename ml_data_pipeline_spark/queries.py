@@ -1164,6 +1164,25 @@ def pipe_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("source")
     )
 
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-managed join, value-checked: salting the big side across 8
+    sub-keys and replicating the small side must produce EXACTLY the rows
+    of the plain join — the oracle is the unsalted SQL join, so hash
+    equality proves salting is semantics-preserving, not just faster."""
+    from ml_data_pipeline_spark.operators import skew as SK
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    joined = SK.salted_join(li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
 def pipe_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Round-2 composite: near-dup GROUP dedup (exact ngram pairs →
     connected components → canonical survivor) → Gopher repetition filter
@@ -1323,6 +1342,7 @@ ALL_QUERIES = {
     "q_window_suite": q_window_suite,
     "q_grouping_sets": q_grouping_sets,
     "pipe_clean_corpus": pipe_clean_corpus,
+    "q_salted_join": q_salted_join,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

@@ -1004,6 +1004,23 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "q_not_exists": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+        ORDER BY c_custkey
+    """,
+    "q_correlated_scalar": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 3 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+    """,
     "q_salted_join": """
         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                round(sum(l_extendedprice), 2) AS total_price

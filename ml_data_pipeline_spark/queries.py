@@ -1164,6 +1164,39 @@ def pipe_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("source")
     )
 
+def q_not_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS anti-semijoin: customers with no completed ('F') order.
+    Catalyst plans a shuffle/broadcast anti-join — never a per-row subquery
+    execution. (The status predicate keeps the result non-empty: every
+    synthetic customer has SOME order.)"""
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name
+        FROM parquet.`{sf}/customer.parquet` c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM parquet.`{sf}/orders.parquet` o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+def q_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (orders 3x above their customer's own
+    average) — Catalyst de-correlates into an aggregate + equi-join; the
+    naive per-row re-execution shape never exists in the plan."""
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM parquet.`{sf}/orders.parquet` o
+        WHERE o_totalprice > 3 * (
+            SELECT avg(o2.o_totalprice) FROM parquet.`{sf}/orders.parquet` o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
 def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-managed join, value-checked: salting the big side across 8
     sub-keys and replicating the small side must produce EXACTLY the rows
@@ -1343,6 +1376,8 @@ ALL_QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "pipe_clean_corpus": pipe_clean_corpus,
     "q_salted_join": q_salted_join,
+    "q_not_exists": q_not_exists,
+    "q_correlated_scalar": q_correlated_scalar,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

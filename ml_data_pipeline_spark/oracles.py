@@ -1004,6 +1004,26 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "tx_pack_sequences": r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0)) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT source,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 2048.0) AS BIGINT) AS bin_id,
+                   n_tokens
+            FROM toks
+        )
+        SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM packed GROUP BY source, bin_id ORDER BY source, bin_id
+    """,
     "q_not_exists": """
         SELECT c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (

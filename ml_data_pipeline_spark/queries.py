@@ -1164,6 +1164,19 @@ def pipe_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("source")
     )
 
+def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing per source (budget 2048): bin
+    assignment + per-bin stats, hash-checked against DuckDB recomputing
+    the identical windowed offset packing."""
+    from ml_data_pipeline_spark.operators import packing as PK
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    toks = TX.token_count(docs)
+    packed = PK.pack_sequences(
+        toks, budget=2048, token_col="n_tokens", order_col="doc_id", partition_col="source"
+    )
+    return PK.pack_stats(packed, token_col="n_tokens", partition_col="source")
+
 def q_not_exists(spark: SparkSession, sf: str) -> DataFrame:
     """NOT EXISTS anti-semijoin: customers with no completed ('F') order.
     Catalyst plans a shuffle/broadcast anti-join — never a per-row subquery
@@ -1378,6 +1391,7 @@ ALL_QUERIES = {
     "q_salted_join": q_salted_join,
     "q_not_exists": q_not_exists,
     "q_correlated_scalar": q_correlated_scalar,
+    "tx_pack_sequences": tx_pack_sequences,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

@@ -81,3 +81,31 @@ def test_gopher_repetition_filter(spark):
     rows = {r["doc_id"]: r["rep_keep"] for r in TX.gopher_repetition_filter(df).collect()}
     assert rows[1] is False
     assert rows[2] is True
+
+
+def test_pack_sequences_offset_packing(spark):
+    from ml_data_pipeline_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 250), (5, 10)],
+        "doc_id long, n_tokens long",
+    )
+    packed = {r["doc_id"]: r["bin_id"] for r in PK.pack_sequences(df, budget=256).collect()}
+    # offsets: 0,100,200,300,550 -> bins 0,0,0,1,2
+    assert packed == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+    stats = {r["bin_id"]: (r["n_docs"], r["bin_tokens"]) for r in
+             PK.pack_stats(PK.pack_sequences(df, budget=256)).collect()}
+    assert stats == {0: (3, 300), 1: (1, 250), 2: (1, 10)}
+    # bounded overflow: every bin < budget + max doc tokens
+    for _, (_, tok) in stats.items():
+        assert tok < 256 + 250
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin_start(spark):
+    from ml_data_pipeline_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 10)], "doc_id long, n_tokens long"
+    )
+    packed = {r["doc_id"]: r["bin_id"] for r in PK.pack_sequences(df, budget=256).collect()}
+    assert packed[1] == 0 and packed[2] == 19  # 5000 // 256

@@ -1,0 +1,61 @@
+"""Corpus mixture planning: turn target source weights into per-source
+sampling fractions (SURVEY.md §2.9 scale extensions).
+
+Training-data recipes specify a token budget and a target mix over
+sources ("60% web, 30% books, 10% code"). Given the actual per-source
+token inventory, the plan computes, per source:
+
+- available_tokens: what the corpus holds;
+- target_tokens: budget * weight (weights are renormalized over the
+  sources actually present);
+- sample_frac: min(1, target/available) — the fraction to sample;
+- epochs: target/available when > 1 (the recipe wants MORE than the
+  source holds → repeat passes; surfaced rather than silently capped).
+
+One map-side-combinable aggregation over the corpus; the arithmetic runs
+on the k-row per-source result. Deterministic — the DuckDB oracle
+recomputes it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """(source, available_tokens, weight, target_tokens, sample_frac,
+    epochs) for every source named in `weights` that exists in the corpus.
+    Weights are renormalized over the present sources so the plan always
+    allocates the full budget."""
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be positive")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    inv = (
+        df.where(F.col(source_col).isin(*weights))
+        .groupBy(source_col)
+        .agg(F.sum(token_col).alias("available_tokens"))
+    )
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    with_w = inv.withColumn("__w", wmap[F.col(source_col)])
+    total_w = with_w.agg(F.sum("__w")).first()[0]
+    target = F.col("__w") / float(total_w) * total_tokens
+    ratio = target / F.col("available_tokens")
+    return (
+        with_w.select(
+            source_col,
+            "available_tokens",
+            F.round(F.col("__w") / float(total_w), 6).alias("weight"),
+            F.round(target, 2).alias("target_tokens"),
+            F.round(F.least(ratio, F.lit(1.0)), 6).alias("sample_frac"),
+            F.round(ratio, 6).alias("epochs"),
+        )
+        .orderBy(source_col)
+    )

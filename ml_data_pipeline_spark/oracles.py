@@ -1004,6 +1004,27 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "tx_mixture_plan": r"""
+        WITH toks AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0)) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src2')
+        ),
+        inv AS (
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS available_tokens,
+                   CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END AS w
+            FROM toks GROUP BY source
+        ),
+        tot AS (SELECT sum(w) AS tw FROM inv)
+        SELECT source, available_tokens,
+               round(w / tw, 6) AS weight,
+               round(w / tw * 1000000, 2) AS target_tokens,
+               round(least(w / tw * 1000000 / available_tokens, 1.0), 6) AS sample_frac,
+               round(w / tw * 1000000 / available_tokens, 6) AS epochs
+        FROM inv, tot ORDER BY source
+    """,
     "tx_pack_sequences": r"""
         WITH toks AS (
             SELECT doc_id, source,

@@ -1177,6 +1177,18 @@ def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
     return PK.pack_stats(packed, token_col="n_tokens", partition_col="source")
 
+def tx_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixture plan for a 3-source recipe (src0 50%, src1 30%,
+    src2 20%) against a 1M-token budget — deterministic arithmetic over
+    the per-source token inventory, recomputed exactly by the oracle."""
+    from ml_data_pipeline_spark.operators import mixing as MX
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    toks = TX.token_count(docs)
+    return MX.mixture_plan(
+        toks, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, total_tokens=1_000_000
+    )
+
 def q_not_exists(spark: SparkSession, sf: str) -> DataFrame:
     """NOT EXISTS anti-semijoin: customers with no completed ('F') order.
     Catalyst plans a shuffle/broadcast anti-join — never a per-row subquery
@@ -1392,6 +1404,7 @@ ALL_QUERIES = {
     "q_not_exists": q_not_exists,
     "q_correlated_scalar": q_correlated_scalar,
     "tx_pack_sequences": tx_pack_sequences,
+    "tx_mixture_plan": tx_mixture_plan,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

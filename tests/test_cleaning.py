@@ -109,3 +109,34 @@ def test_pack_sequences_oversized_doc_gets_own_bin_start(spark):
     )
     packed = {r["doc_id"]: r["bin_id"] for r in PK.pack_sequences(df, budget=256).collect()}
     assert packed[1] == 0 and packed[2] == 19  # 5000 // 256
+
+
+def test_mixture_plan_allocation(spark):
+    from ml_data_pipeline_spark.operators import mixing as MX
+
+    df = spark.createDataFrame(
+        [("web", 1000), ("web", 1000), ("books", 500), ("code", 100)],
+        "source string, n_tokens long",
+    )
+    plan = {r["source"]: r for r in
+            MX.mixture_plan(df, {"web": 0.5, "books": 0.5}, total_tokens=2000).collect()}
+    # 'code' absent from weights -> excluded; weights renormalize to 0.5/0.5
+    assert set(plan) == {"web", "books"}
+    assert plan["web"]["available_tokens"] == 2000
+    assert plan["web"]["target_tokens"] == 1000.0
+    assert plan["web"]["sample_frac"] == 0.5
+    # books wants 1000 but holds 500 -> full take + 2 epochs surfaced
+    assert plan["books"]["sample_frac"] == 1.0
+    assert plan["books"]["epochs"] == 2.0
+
+
+def test_mixture_plan_rejects_bad_inputs(spark):
+    import pytest as _pytest
+
+    from ml_data_pipeline_spark.operators import mixing as MX
+
+    df = spark.createDataFrame([("web", 10)], "source string, n_tokens long")
+    with _pytest.raises(ValueError):
+        MX.mixture_plan(df, {"web": 1.0}, total_tokens=0)
+    with _pytest.raises(ValueError):
+        MX.mixture_plan(df, {}, total_tokens=10)

@@ -1004,6 +1004,25 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "q_attribution": """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        ORDER BY purchase_id, click_id
+    """,
+    "m15_grouped_ols": """
+        SELECT o_orderpriority,
+               round(regr_slope(CAST(o_totalprice AS DOUBLE),
+                                CAST(year(o_orderdate) AS DOUBLE)), 6) AS slope,
+               round(regr_intercept(CAST(o_totalprice AS DOUBLE),
+                                    CAST(year(o_orderdate) AS DOUBLE)), 4) AS intercept,
+               count(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "tx_mixture_plan": r"""
         WITH toks AS (
             SELECT source,

@@ -1177,6 +1177,51 @@ def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
     return PK.pack_stats(packed, token_col="n_tokens", partition_col="source")
 
+def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Click→purchase attribution pairs: every (purchase, click) by the
+    same user where the purchase lands within 1 hour after the click —
+    an equi-join on user with a time-range join filter (the batch twin of
+    the stream-stream join in streaming/events_stream.attribution_join)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("pts") < F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("purchase_id", "click_id", "user_id")
+        .orderBy("purchase_id", "click_id")
+    )
+
+def m15_grouped_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS (one regression per order priority) as pure JVM
+    aggregates — slope = covar_pop/var_pop, intercept = avg(y)-slope*avg(x)
+    — checked against DuckDB regr_slope/regr_intercept. The grouped-model
+    pattern WITHOUT Python: thousands of groups fit in one map-side-
+    combinable aggregation, no applyInPandas needed for linear models."""
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("double").alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(slope, 6).alias("slope"),
+            F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
 def tx_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus mixture plan for a 3-source recipe (src0 50%, src1 30%,
     src2 20%) against a 1M-token budget — deterministic arithmetic over
@@ -1405,6 +1450,8 @@ ALL_QUERIES = {
     "q_correlated_scalar": q_correlated_scalar,
     "tx_pack_sequences": tx_pack_sequences,
     "tx_mixture_plan": tx_mixture_plan,
+    "m15_grouped_ols": m15_grouped_ols,
+    "q_attribution": q_attribution,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

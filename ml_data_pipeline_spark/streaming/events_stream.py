@@ -112,6 +112,41 @@ def dedup_events(
     return marked.dropDuplicates(keys)
 
 
+def attribution_join(
+    stream: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: click→purchase attribution within
+    `horizon`, per user — the streaming twin of queries.q_attribution.
+
+    Both sides carry a watermark, and the join condition bounds purchase
+    time to [click_ts, click_ts + horizon), so the state store can evict a
+    buffered click once the watermark passes its horizon — bounded state
+    on an unbounded stream. Without the time bound, EVERY click would be
+    retained forever waiting for a possible future purchase."""
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", watermark)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"))
+        .withWatermark("pts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("pts") < F.col("cts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("purchase_id", "click_id", "user_id")
+
+
 def run_to_memory(
     result: DataFrame,
     query_name: str,

@@ -149,3 +149,16 @@ def test_dedup_events_within_watermark(spark, events_path, tmp_path):
     n_distinct = load_table(spark, SF, "events").select("event_id").distinct().count()
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_attribution_join_matches_batch(spark, events_path):
+    """Stream-stream click->purchase join drained to completion equals the
+    batch time-range join (same expressions, queries.q_attribution)."""
+    from ml_data_pipeline_spark.queries import q_attribution
+
+    stream = ES.read_events_stream(spark, events_path)
+    got = ES.run_to_memory(ES.attribution_join(stream), "t_attr", "append")
+    batch = q_attribution(spark, SF)
+    g = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    b = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert g == b and len(g) > 0

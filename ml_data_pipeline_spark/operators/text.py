@@ -202,3 +202,35 @@ def gopher_repetition_filter(
         & (F.size(_tokens(F.col(text_col))) >= min_words)
     )
     return m.withColumn("rep_keep", keep)
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping character chunks (context-window
+    preparation): chunk i covers [i*stride, i*stride + chunk_chars) with
+    stride = chunk_chars - overlap. One explode over a computed index
+    sequence — no Python, no shuffle; chunk count per doc is
+    floor((len-1)/stride)+1, so the fan-out is proportional to corpus
+    size (the property that keeps the explode partition-local and even).
+    Empty documents produce no chunks."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n_chunks_minus1 = F.floor((F.length(t) - 1) / stride)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_minus1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            t.substr(i * stride + 1, F.lit(chunk_chars)).alias("chunk"),
+        ),
+    )
+    return (
+        df.where(F.length(t) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.chunk")
+    )

@@ -1004,6 +1004,17 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "tx_chunk_documents": """
+        WITH c AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, CAST(floor((len(text) - 1) / 150.0) AS BIGINT) + 1),
+                          i -> struct_pack(chunk_id := CAST(i AS INTEGER),
+                                           chunk := substr(text, CAST(i * 150 + 1 AS BIGINT), 200)))) AS ch
+            FROM documents WHERE len(text) > 0
+        )
+        SELECT doc_id, ch.chunk_id AS chunk_id, md5(ch.chunk) AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_id
+    """,
     "q_attribution": """
         SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         FROM events c

@@ -1177,6 +1177,16 @@ def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
     return PK.pack_stats(packed, token_col="n_tokens", partition_col="source")
 
+def tx_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping character chunking (200-char windows, 50 overlap),
+    value-checked: every (doc, chunk_id, md5(chunk)) must match DuckDB
+    recomputing the identical stride arithmetic and substring slices."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = TX.chunk_documents(docs, chunk_chars=200, overlap=50)
+    return out.select(
+        "doc_id", "chunk_id", F.md5("chunk").alias("chunk_md5")
+    ).orderBy("doc_id", "chunk_id")
+
 def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """Click→purchase attribution pairs: every (purchase, click) by the
     same user where the purchase lands within 1 hour after the click —
@@ -1452,6 +1462,7 @@ ALL_QUERIES = {
     "tx_mixture_plan": tx_mixture_plan,
     "m15_grouped_ols": m15_grouped_ols,
     "q_attribution": q_attribution,
+    "tx_chunk_documents": tx_chunk_documents,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

@@ -140,3 +140,30 @@ def test_mixture_plan_rejects_bad_inputs(spark):
         MX.mixture_plan(df, {"web": 1.0}, total_tokens=0)
     with _pytest.raises(ValueError):
         MX.mixture_plan(df, {}, total_tokens=10)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from ml_data_pipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, "")], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk"])
+        for r in chunk_documents(df, chunk_chars=4, overlap=2).collect()
+    )
+    # stride 2: starts 1,3,5,7,9 -> abcd cdef efgh ghij ij
+    assert rows == [(0, "abcd"), (1, "cdef"), (2, "efgh"), (3, "ghij"), (4, "ij")]
+    # overlap invariant: consecutive chunks share `overlap` chars
+    for (i, a), (_, b) in zip(rows, rows[1:]):
+        assert a[2:] == b[: len(a) - 2]
+    # empty doc -> no chunks; reassembly covers the original text
+    assert "".join(c[: 2] for _, c in rows[:-1]) + rows[-1][1] == "abcdefghij"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from ml_data_pipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=4, overlap=4)

@@ -1004,6 +1004,21 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "p16_grouped_percentiles": """
+        SELECT o_orderpriority,
+               round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 6) AS q25,
+               round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS median,
+               round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 6) AS q75
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q_exists_semi": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        ORDER BY c_custkey
+    """,
     "tx_chunk_documents": """
         WITH c AS (
             SELECT doc_id,

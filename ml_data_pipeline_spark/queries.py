@@ -1177,6 +1177,37 @@ def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
     return PK.pack_stats(packed, token_col="n_tokens", partition_col="source")
 
+def p16_grouped_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group exact quartiles of order value (gate scale; the grouped
+    operator would use approx_percentile at 100 TB for bounded memory per
+    group — same rationale as p15)."""
+    orders = load_table(spark, sf, "orders")
+    x = F.col("o_totalprice").cast("double")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile(x, F.lit(0.25)), 6).alias("q25"),
+            F.round(F.percentile(x, F.lit(0.5)), 6).alias("median"),
+            F.round(F.percentile(x, F.lit(0.75)), 6).alias("q75"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+def q_exists_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS semi-join: customers having at least one high-value order —
+    planned as a semi-join (each customer row emitted once, no fan-out)."""
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_mktsegment
+        FROM parquet.`{sf}/customer.parquet` c
+        WHERE EXISTS (
+            SELECT 1 FROM parquet.`{sf}/orders.parquet` o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        ORDER BY c_custkey
+        """
+    )
+
 def tx_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping character chunking (200-char windows, 50 overlap),
     value-checked: every (doc, chunk_id, md5(chunk)) must match DuckDB
@@ -1463,6 +1494,8 @@ ALL_QUERIES = {
     "m15_grouped_ols": m15_grouped_ols,
     "q_attribution": q_attribution,
     "tx_chunk_documents": tx_chunk_documents,
+    "p16_grouped_percentiles": p16_grouped_percentiles,
+    "q_exists_semi": q_exists_semi,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

@@ -176,3 +176,17 @@ def test_knn_exact_ceiling_enforced(spark, monkeypatch):
     with pytest.raises(ValueError, match="EXACT_CEILING"):
         neighbors.knn_join(df, r, ["x"], k=2, left_id="lid", right_id="rid",
                            method="exact").count()
+
+
+def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: malformed lines land in _corrupt_record
+    instead of failing the job — the at-scale posture (one bad line in a
+    100 TB corpus must not kill the read)."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{not json at all}\n{"a": 2, "b": "y"}\n')
+    df = spark.read.schema("a bigint, b string, _corrupt_record string").json(str(p))
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {(r["a"], r["b"]) for r in good} == {(1, "x"), (2, "y")}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]

@@ -411,3 +411,30 @@ def numeric_summary(
     return one.select(
         F.explode(F.array(*[F.col(f"__s_{c}") for c in cols])).alias("s")
     ).select("s.*")
+
+def outliers_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates more than `threshold` sample standard
+    deviations from their group's mean (global when group_col is None).
+    Two map-side-combinable aggregates + a broadcast-back join — the
+    per-group stats table is group-cardinality, never data-sized."""
+    x = F.col(value_col).cast("double")
+    if group_col:
+        stats = df.groupBy(group_col).agg(
+            F.avg(x).alias("__mu"), F.stddev(x).alias("__sd")
+        )
+        joined = df.join(F.broadcast(stats), group_col)
+    else:
+        stats = df.agg(F.avg(x).alias("__mu"), F.stddev(x).alias("__sd"))
+        joined = df.crossJoin(F.broadcast(stats))
+    z = (x - F.col("__mu")) / F.col("__sd")
+    return (
+        joined.where(F.col("__sd") > 0)
+        .withColumn("zscore", F.round(z, 6))
+        .where(F.abs(F.col("zscore")) > threshold)
+        .drop("__mu", "__sd")
+    )

@@ -234,3 +234,31 @@ def chunk_documents(
         .select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(id_col, "c.chunk_id", "c.chunk")
     )
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by document frequency — vocabulary /
+    boilerplate mining. explode -> per-doc distinct grams -> map-side-
+    combinable count -> global top-k (a k-row sort, not a global data
+    sort). Ties break lexicographically for determinism."""
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -1004,6 +1004,50 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "tx_top_ngrams": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 2 THEN
+                       list_distinct(list_transform(range(1, len(tk)),
+                           i -> tk[i] || ' ' || tk[i+1]))
+                   ELSE [] END AS gs
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(gs) AS gram FROM grams)
+        SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM ex GROUP BY gram
+        ORDER BY doc_freq DESC, gram ASC LIMIT 20
+    """,
+    "p17_outliers": """
+        WITH stats AS (
+            SELECT o_orderpriority,
+                   avg(CAST(o_totalprice AS DOUBLE)) AS mu,
+                   stddev(CAST(o_totalprice AS DOUBLE)) AS sd
+            FROM orders GROUP BY o_orderpriority
+        ),
+        z AS (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   round((CAST(o.o_totalprice AS DOUBLE) - s.mu) / s.sd, 6) AS zscore
+            FROM orders o JOIN stats s USING (o_orderpriority)
+            WHERE s.sd > 0
+        )
+        SELECT * FROM z WHERE abs(zscore) > 1.5 ORDER BY o_orderkey
+    """,
+    "s_diff_versions": """
+        SELECT c_custkey, 'removed' AS change FROM customer WHERE c_custkey % 97 = 0
+        UNION ALL
+        SELECT c_custkey, 'changed' FROM customer
+        WHERE c_custkey % 97 != 0 AND c_custkey % 53 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'added' FROM customer WHERE c_custkey % 101 = 0
+        ORDER BY c_custkey
+    """,
     "p16_grouped_percentiles": """
         SELECT o_orderpriority,
                round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 6) AS q25,

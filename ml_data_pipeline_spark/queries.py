@@ -1177,6 +1177,47 @@ def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
     return PK.pack_stats(packed, token_col="n_tokens", partition_col="source")
 
+def tx_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams by document frequency (boilerplate /
+    vocabulary mining); deterministic tie-break (freq desc, gram asc)."""
+    docs = load_table(spark, sf, "documents").select("text")
+    return TX.top_ngrams(docs, n=2, k=20)
+
+def p17_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score outliers: orders more than 1.5 sample standard
+    deviations from their priority group's mean price (the synthetic
+    near-uniform price distribution caps |z| at ~1.73, so a 2.0 threshold
+    would make the gate vacuously empty)."""
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    out = P.outliers_zscore(orders, "o_totalprice", group_col="o_orderpriority", threshold=1.5)
+    return out.select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("o_totalprice"), "zscore"
+    ).orderBy("o_orderkey")
+
+def s_diff_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """Version diff: synthesize v2 from customer with deterministic
+    removals (custkey%97=0), changes (+100 acctbal when %53=0) and
+    additions (cloned keys+1e6 when %101=0), then diff. The oracle states
+    the expected change set directly from the same rules — value equality
+    proves added/removed/changed classification, including that the diff
+    shuffles only (key, row-hash), never payloads."""
+    from ml_data_pipeline_spark.sources.versioned import diff_versions
+
+    old = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    kept = old.where(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 53 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    added = old.where(F.col("c_custkey") % 101 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    new = kept.unionByName(added)
+    return diff_versions(old, new, ["c_custkey"]).orderBy("c_custkey")
+
 def p16_grouped_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group exact quartiles of order value (gate scale; the grouped
     operator would use approx_percentile at 100 TB for bounded memory per
@@ -1496,6 +1537,9 @@ ALL_QUERIES = {
     "tx_chunk_documents": tx_chunk_documents,
     "p16_grouped_percentiles": p16_grouped_percentiles,
     "q_exists_semi": q_exists_semi,
+    "tx_top_ngrams": tx_top_ngrams,
+    "p17_outliers": p17_outliers,
+    "s_diff_versions": s_diff_versions,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

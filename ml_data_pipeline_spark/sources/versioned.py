@@ -211,3 +211,34 @@ class VersionedDataset:
     def history(self) -> list[VersionInfo]:
         """Full lineage, oldest first — the Spark-native ``# META`` trail."""
         return [self.meta(v) for v in self.versions()]
+
+
+def diff_versions(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two dataset versions keyed by `key_cols`:
+    (keys..., change) with change in {'added','removed','changed'} —
+    unchanged rows are not emitted. Comparison hashes the non-key columns
+    on each side (xxhash64 over a canonical struct), so the shuffle
+    carries (key, one long) per side regardless of row width — the diff
+    of two 100 TB versions moves keys and hashes, not payloads."""
+    from pyspark.sql import functions as F
+
+    others = [c for c in old.columns if c not in key_cols]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("diff_versions requires identical schemas")
+    o = old.select(*key_cols, F.xxhash64(F.struct(*sorted(others))).alias("__h_old"))
+    n = new.select(*key_cols, F.xxhash64(F.struct(*sorted(others))).alias("__h_new"))
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

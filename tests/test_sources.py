@@ -190,3 +190,28 @@ def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {(r["a"], r["b"]) for r in good} == {(1, "x"), (2, "y")}
     assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_diff_versions_classification(spark):
+    from ml_data_pipeline_spark.sources.versioned import diff_versions
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {(r["k"], r["change"]) for r in diff_versions(old, new, ["k"]).collect()}
+    # 1 unchanged (not emitted), 2 changed, 3 removed, 4 added
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+def test_diff_versions_rejects_schema_mismatch(spark):
+    import pytest as _pytest
+
+    from ml_data_pipeline_spark.sources.versioned import diff_versions
+
+    a = spark.createDataFrame([(1, "x")], "k long, s string")
+    b = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with _pytest.raises(ValueError):
+        diff_versions(a, b, ["k"])

@@ -1004,6 +1004,45 @@ ALL_ORACLES: dict[str, str] = {
         FROM m LEFT JOIN t1 ON m.doc_id = t1.doc_id
         ORDER BY m.doc_id
     """,
+    "tx_lang_stats": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+        h AS (
+            SELECT doc_id, text, len(tk) AS ntok,
+                   len(list_filter(tk, x -> list_contains({_EN}, x))) AS he,
+                   len(list_filter(tk, x -> list_contains({_DE}, x))) AS hd,
+                   len(list_filter(tk, x -> list_contains({_FR}, x))) AS hf,
+                   len(list_filter(tk, x -> list_contains({_ES}, x))) AS hs
+            FROM t
+        ),
+        p AS (
+            SELECT text, ntok,
+                   CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+                        WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+                        WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
+                        WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM h
+        )
+        SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               round(avg(len(text)), 6) AS avg_chars
+        FROM p GROUP BY lang_pred ORDER BY lang_pred
+    """,
+    "q_null_safe_join": """
+        WITH li AS (
+            SELECT CASE WHEN l_orderkey % 10 = 3 THEN NULL
+                        ELSE l_linenumber END AS k,
+                   l_extendedprice
+            FROM lineitem
+        ),
+        dim AS (
+            SELECT * FROM (VALUES (NULL, 'null-bucket'), (1, 'one'), (2, 'two')) d(k, label)
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM li JOIN dim ON li.k IS NOT DISTINCT FROM dim.k
+        GROUP BY label ORDER BY label
+    """,
     "tx_top_ngrams": r"""
         WITH toks AS (
             SELECT doc_id,

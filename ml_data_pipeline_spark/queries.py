@@ -1177,6 +1177,46 @@ def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
     return PK.pack_stats(packed, token_col="n_tokens", partition_col="source")
 
+def tx_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus composition by PREDICTED language (detect_language rollup):
+    doc counts, token totals, average quality-relevant length — the
+    monitoring view over the lang-id operator."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pred = TX.detect_language(docs)
+    toks = TX.token_count(pred)
+    return (
+        toks.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        )
+        .orderBy("lang_pred")
+    )
+
+def q_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (<=>): rows join even when BOTH keys are
+    NULL — the semantics a plain equi-join silently drops. Key is a
+    derived nullable column so the null bucket is non-empty."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 == 3, None)
+        .otherwise(F.col("l_linenumber"))
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = spark.createDataFrame(
+        [(None, "null-bucket"), (1, "one"), (2, "two")], "k int, label string"
+    )
+    return (
+        li.join(dim, li["k"].eqNullSafe(dim["k"]))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("label")
+    )
+
 def tx_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams by document frequency (boilerplate /
     vocabulary mining); deterministic tie-break (freq desc, gram asc)."""
@@ -1540,6 +1580,8 @@ ALL_QUERIES = {
     "tx_top_ngrams": tx_top_ngrams,
     "p17_outliers": p17_outliers,
     "s_diff_versions": s_diff_versions,
+    "tx_lang_stats": tx_lang_stats,
+    "q_null_safe_join": q_null_safe_join,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
     # -- rows-only, driver-unverified in r1

@@ -321,3 +321,52 @@ def predict_single_row(model: PipelineModel, spark, row: dict[str, Any], schema)
     error surfaces as analysis exception)."""
     df = spark.createDataFrame([row], schema=schema)
     return model.transform(df).select("prediction").first()[0]
+
+def lift_table(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Lift / gains table: rank rows by score descending, cut into n_bins
+    score-quantile bins, and report per-bin positive rate, lift over the base
+    rate, and cumulative capture of positives — the standard targeting-model
+    evaluation table.
+
+    Binning uses ceil(cume_dist * n_bins), so tied scores land in the same
+    bin on any engine (row_number/ntile would split ties arbitrarily). The
+    global ordered window is one sort of (score, label) pairs — narrow rows;
+    at 100 TB swap the window for approx_percentile score boundaries +
+    filters.bucketize (same table, sketch-bounded memory), kept here exact
+    so the oracle can hash-match values.
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("int")
+    w = Window.orderBy(F.col(score_col).desc())
+    binned = df.select(
+        y.alias("y"),
+        F.ceil(F.cume_dist().over(w) * n_bins).cast("int").alias("bin"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("n_pos")
+    )
+    totals = per.agg(
+        F.sum("n").cast("double").alias("tot"), F.sum("n_pos").cast("double").alias("tot_pos")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .withColumn("cum_pos", F.sum("n_pos").over(wcum))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+            F.round(
+                (F.col("n_pos") / F.col("n")) / (F.col("tot_pos") / F.col("tot")), 6
+            ).alias("lift"),
+            F.round(F.col("cum_pos") / F.col("tot_pos"), 6).alias("cum_capture"),
+        )
+        .orderBy("bin")
+    )

@@ -130,3 +130,20 @@ def to_numeric(df: DataFrame, column: str) -> DataFrame:
     pd.to_numeric(errors='coerce')
     (ref /root/reference/preprocessing/data_balancing/align_columns_ui.py:227-229)."""
     return df.withColumn(column, F.col(column).try_cast("double"))
+
+def bucketize(
+    df: DataFrame, column: str, splits: list[float], out_col: str | None = None
+) -> DataFrame:
+    """Discretize a numeric column into bins at the given ascending split
+    points: bin = number of splits <= value (0 .. len(splits)); nulls stay
+    null. Pure column expression (a sum of comparisons — codegen-fused,
+    zero shuffle, engine-portable), the binning step behind histogram
+    features and quantile bucketing once boundaries are known."""
+    x = F.col(column).cast("double")
+    bin_expr = sum(
+        (x >= F.lit(float(s))).cast("int") for s in sorted(splits)
+    )
+    return df.withColumn(
+        out_col or f"{column}_bin",
+        F.when(x.isNotNull(), bin_expr).cast("int"),
+    )

@@ -438,3 +438,30 @@ def outliers_zscore(
         .where(F.abs(F.col("zscore")) > threshold)
         .drop("__mu", "__sd")
     )
+
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Shuffle-skew planner: per-key row counts for the heaviest top_k keys,
+    each key's share of the table, and the salt factor a salted join/agg on
+    that key would need (ceil(count / rows_per_task)) — the measurement that
+    decides between a plain join, AQE skew handling, and skew.salted_join.
+
+    One map-side-combinable count per key, then a top_k-row sort — the
+    result is top_k rows regardless of data size."""
+    total = df.count()
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_k)
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+            F.ceil(F.col("cnt") / F.lit(float(rows_per_task))).cast("long").alias("salt_factor"),
+        )
+    )

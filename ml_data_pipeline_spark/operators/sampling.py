@@ -125,3 +125,35 @@ def split_by_hash(
         % buckets
     )
     return df.withColumn(out_col, b < int(round(test_frac * buckets)))
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_frac: float = 0.0,
+    buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep fractions applied
+    via the same md5-bucket membership as split_by_hash — a pure function of
+    (key, salt), so the sample is reproducible across runs, engines and
+    repartitioning (df.sampleBy is seed-dependent AND partitioning-dependent;
+    at 100 TB re-ingestion would silently change the sample).
+
+    One projection + filter, zero shuffles; the fractions map is compiled
+    into a CASE expression (strata counts are small by definition)."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    cut = F.lit(int(round(default_frac * buckets)))
+    for val, frac in sorted(fractions.items()):
+        cut = F.when(
+            F.col(strata_col).cast("string") == val, F.lit(int(round(frac * buckets)))
+        ).otherwise(cut)
+    return df.where(b < cut)

@@ -262,3 +262,212 @@ def top_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+def _distinct_word_ngrams(text_col: Column, n: int) -> Column:
+    """Distinct word n-gram array of a text column (empty array below n tokens)."""
+    toks = _tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark-contamination scan: what fraction of each training document's
+    word n-grams also appear in an evaluation corpus (GPT-3 App. C / PaLM-style
+    n-gram overlap decontamination; reference has no equivalent — scale
+    extension per SURVEY.md §2.9).
+
+    Shape: both sides explode to distinct n-grams; the benchmark side is
+    deduplicated globally (one shuffle over grams, narrow rows); the overlap
+    count is an inner equi-join on the gram key followed by a per-doc count,
+    left-joined back so clean documents report 0.0. The benchmark gram table
+    is typically small (eval sets are ~1e4-1e6 grams) — Spark broadcasts it
+    under AQE; at worst it is a high-cardinality string equi-join, never a
+    cross product. Document text never enters a shuffle.
+
+    Returns (id, n_grams, n_overlap, contamination_frac, is_contaminated),
+    one row per document with >= 1 n-gram.
+    """
+    grams = _distinct_word_ngrams(F.col(text_col), n)
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(
+        F.size("grams") > 0
+    )
+    sizes = base.select("id", F.size("grams").alias("n_grams"))
+    doc_grams = base.select("id", F.explode("grams").alias("gram"))
+    bench_grams = (
+        benchmark.select(
+            F.explode(_distinct_word_ngrams(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    overlap = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.col("n_grams"), 6
+    )
+    return (
+        sizes.join(overlap, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            frac.alias("contamination_frac"),
+            (frac >= threshold).alias("is_contaminated"),
+        )
+        .orderBy("id")
+    )
+
+def boilerplate_ngram_fraction(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate score: fraction of the document's distinct word
+    n-grams that occur in >= min_docs distinct documents corpus-wide
+    (RefinedWeb/CCNet-style shared-line removal, adapted to n-grams since the
+    corpus has no line structure).
+
+    Shape: one explode to (id, gram) with per-doc distinct grams, a map-side-
+    combinable document-frequency count per gram, a semi-style join back on
+    the gram key to count each doc's boilerplate grams, then a broadcast-size
+    join with per-doc totals. Two shuffles (gram, then id), both on
+    high-cardinality keys carrying narrow rows — scale-safe; document text
+    never shuffles.
+    """
+    grams = _distinct_word_ngrams(F.col(text_col), n)
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(
+        F.size("grams") > 0
+    )
+    sizes = base.select("id", F.size("grams").alias("n_grams"))
+    exploded = base.select("id", F.explode("grams").alias("gram"))
+    doc_freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (
+        exploded.join(doc_freq.where(F.col("df") >= min_docs), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        sizes.join(boiler, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double") / F.col("n_grams"),
+                6,
+            ).alias("boiler_frac"),
+        )
+        .orderBy("id")
+    )
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction / topic profiling;
+    scikit-style smooth idf = ln((N+1)/(df+1)) + 1).
+
+    Shape: explode to (id, term) -> term frequency per (id, term) (map-side
+    combinable) -> document frequency per term from the same exploded set ->
+    corpus size N as a 1-row agg cross-joined (broadcast by construction) ->
+    per-doc top-k via a window over the (id) partition ordered
+    (score DESC, term ASC) for deterministic ties. The window partitions by
+    document id, so there is no global sort; the widest shuffle carries
+    (id, term, tf). At 100 TB the per-term df agg is the big shuffle and it
+    is exactly the word-count pattern — Spark's best case.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "rank", "term", "tf", "tfidf")
+        .orderBy("id", "rank")
+    )
+
+def c4_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_stopword_frac: float = 0.01,
+) -> DataFrame:
+    """C4/Gopher-style document quality gates as pure column expressions:
+    word-count bounds, mean word length bounds, and minimum stopword
+    fraction (the 'is this natural language' tripwire). Returns the per-rule
+    booleans plus the conjunctive keep flag so a pipeline can either filter
+    or audit rule-level rejection rates. Zero shuffle, codegen-fused; at
+    100 TB this is a single projection over the scan (C4: Raffel et al.
+    2020 §2.2; Gopher: Rae et al. 2021 App. A — adapted: the synthetic
+    corpus has no sentence punctuation, so terminal-punct rules are out)."""
+    toks = _tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).cast("double") / n_words,
+    )
+    stops = F.array([F.lit(s) for s in LANG_MARKERS["en"]])
+    stop_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast("double")
+        / n_words,
+    )
+    ok_n = (n_words >= min_words) & (n_words <= max_words)
+    ok_len = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_stop = stop_frac >= min_stopword_frac
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(stop_frac, 6).alias("stopword_frac"),
+        ok_n.alias("ok_n_words"),
+        ok_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_n & ok_len & ok_stop).alias("keep"),
+    )

@@ -1267,4 +1267,247 @@ ALL_ORACLES: dict[str, str] = {
         SELECT vec_id, round(dot / (na * nb), 6) AS cosine
         FROM s ORDER BY cosine DESC, vec_id LIMIT 10
     """,
+    # ---- round-2 late additions
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    "q14_promo_share": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180
+        )
+        SELECT c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               CAST(total_qty AS DOUBLE) AS total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20
+    """,
+    "q_resample_gapfill": """
+        WITH counts AS (
+            SELECT event_type, epoch_us(ts) // 21600000000 AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+            FROM counts GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type, unnest(range(b0, b1 + 1)) AS bucket FROM bounds
+        )
+        SELECT s.event_type,
+               strftime(make_timestamp(s.bucket * 21600000000),
+                        '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               coalesce(c.n_events, 0) AS n_events
+        FROM spine s
+        LEFT JOIN counts c ON s.event_type = c.event_type AND s.bucket = c.bucket
+        ORDER BY 1, 2
+    """,
+    "tx_contamination": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0) AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 5 THEN
+                       list_distinct(list_transform(range(1, len(tk) - 3),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                || ' ' || tk[i+3] || ' ' || tk[i+4]))
+                   ELSE [] END AS gs
+            FROM toks
+        ),
+        train AS (SELECT doc_id AS id, gs FROM grams
+                  WHERE doc_id % 17 != 0 AND len(gs) > 0),
+        bench AS (SELECT DISTINCT unnest(gs) AS gram FROM grams
+                  WHERE doc_id % 17 = 0),
+        ex AS (SELECT id, unnest(gs) AS gram FROM train),
+        ov AS (
+            SELECT id, count(*) AS n_overlap
+            FROM ex JOIN bench USING (gram) GROUP BY 1
+        )
+        SELECT t.id, len(t.gs) AS n_grams,
+               coalesce(o.n_overlap, 0) AS n_overlap,
+               round(coalesce(o.n_overlap, 0) * 1.0 / len(t.gs), 6)
+                   AS contamination_frac,
+               round(coalesce(o.n_overlap, 0) * 1.0 / len(t.gs), 6) >= 0.2
+                   AS is_contaminated
+        FROM train t LEFT JOIN ov o ON t.id = o.id
+        ORDER BY t.id
+    """,
+    "tx_boilerplate": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0) AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 4 THEN
+                       list_distinct(list_transform(range(1, len(tk) - 2),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                || ' ' || tk[i+3]))
+                   ELSE [] END AS gs
+            FROM toks
+        ),
+        base AS (SELECT doc_id AS id, gs FROM grams WHERE len(gs) > 0),
+        ex AS (SELECT id, unnest(gs) AS gram FROM base),
+        docfreq AS (SELECT gram, count(*) AS df FROM ex GROUP BY 1),
+        boiler AS (
+            SELECT id, count(*) AS n_boiler
+            FROM ex JOIN docfreq USING (gram) WHERE df >= 3 GROUP BY 1
+        )
+        SELECT b.id, len(b.gs) AS n_grams,
+               coalesce(bo.n_boiler, 0) AS n_boiler,
+               round(coalesce(bo.n_boiler, 0) * 1.0 / len(b.gs), 6) AS boiler_frac
+        FROM base b LEFT JOIN boiler bo ON b.id = bo.id
+        ORDER BY b.id
+    """,
+    "tx_tfidf": r"""
+        WITH ex AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> len(x) > 0)) AS term
+            FROM documents
+        ),
+        tf AS (SELECT id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT id, term, tf,
+                   round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1.0), 6) AS tfidf
+            FROM tf JOIN df USING (term), n
+        ),
+        ranked AS (
+            SELECT id, term, tf, tfidf,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT id, rank, term, tf, tfidf FROM ranked
+        WHERE rank <= 3 ORDER BY id, rank
+    """,
+    "t9_stratified_sample": """
+        WITH cut AS (
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 AS bucket,
+                   CASE o_orderpriority
+                       WHEN '1-URGENT' THEN 5000
+                       WHEN '2-HIGH' THEN 2500
+                       WHEN '3-MEDIUM' THEN 1000
+                       ELSE 500 END AS cutv
+            FROM orders
+        )
+        SELECT o_orderpriority, count(*) AS n_kept
+        FROM cut WHERE bucket < cutv
+        GROUP BY 1 ORDER BY 1
+    """,
+    "e18_bucketize": """
+        SELECT (CAST(l_extendedprice >= 1000 AS INT)
+                + CAST(l_extendedprice >= 5000 AS INT)
+                + CAST(l_extendedprice >= 20000 AS INT)
+                + CAST(l_extendedprice >= 50000 AS INT)) AS price_bin,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    "p18_key_skew": """
+        WITH c AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS cnt
+            FROM lineitem GROUP BY 1
+        ),
+        t AS (SELECT count(*) AS total FROM lineitem)
+        SELECT key, cnt, round(cnt * 1.0 / total, 6) AS share,
+               CAST(ceil(cnt / 3.0) AS BIGINT) AS salt_factor
+        FROM c, t
+        ORDER BY cnt DESC, key ASC LIMIT 10
+    """,
+    "tx_c4_filters": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0) AS tk
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id AS id,
+                   len(tk) AS n_words,
+                   CASE WHEN len(tk) > 0 THEN
+                       list_sum(list_transform(tk, x -> len(x))) * 1.0 / len(tk)
+                   END AS mean_len,
+                   CASE WHEN len(tk) > 0 THEN
+                       len(list_filter(tk, x -> list_contains(
+                           ['the','and','of','to','is','in','that','it','was','for'],
+                           x))) * 1.0 / len(tk)
+                   END AS stop_frac
+            FROM toks
+        )
+        SELECT id, CAST(n_words AS BIGINT) AS n_words,
+               round(mean_len, 6) AS mean_word_len,
+               round(stop_frac, 6) AS stopword_frac,
+               (n_words >= 40 AND n_words <= 100000) AS ok_n_words,
+               (mean_len >= 2.0 AND mean_len <= 12.0) AS ok_word_len,
+               (stop_frac >= 0.02) AS ok_stopwords,
+               ((n_words >= 40 AND n_words <= 100000)
+                AND (mean_len >= 2.0 AND mean_len <= 12.0)
+                AND (stop_frac >= 0.02)) AS keep
+        FROM m ORDER BY id
+    """,
+    "tx_domain_stats": """
+        WITH injected AS (
+            SELECT text || ' see https://site' || CAST(doc_id % 23 AS VARCHAR)
+                        || '.example.test/page' || CAST(doc_id AS VARCHAR) AS text,
+                   n_chars
+            FROM documents
+        )
+        SELECT regexp_extract(text, 'https?://([a-z0-9.-]+)', 1) AS domain,
+               count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+        FROM injected GROUP BY 1 ORDER BY 1
+    """,
+    "q_range_frame": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_1h,
+               round(sum(value) OVER w, 6) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    "m16_lift_table": """
+        WITH binned AS (
+            SELECT CAST(l_returnflag = 'R' AS INT) AS y,
+                   CAST(ceil(cume_dist() OVER (ORDER BY l_extendedprice DESC) * 10)
+                        AS INT) AS bin
+            FROM lineitem
+        ),
+        per AS (
+            SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+            FROM binned GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot,
+                     CAST(sum(n_pos) AS DOUBLE) AS tot_pos FROM per)
+        SELECT bin, n, n_pos,
+               round(n_pos / n, 6) AS pos_rate,
+               round((n_pos / n) / (tot_pos / tot), 6) AS lift,
+               round(sum(n_pos) OVER (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot_pos, 6)
+                   AS cum_capture
+        FROM per, t ORDER BY bin
+    """,
 }

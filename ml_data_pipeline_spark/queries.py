@@ -1508,6 +1508,229 @@ def ss_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return SS.cosine_pairs_lsh(emb, dim=64, threshold=0.5, n_planes=4)
 
+# ---------------------------------------------------------------- round-2 late additions
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-filter-agg — every predicate pushes to the
+    parquet scan (shipdate/discount/quantity are all scan columns), the agg
+    is a 1-row map-side-combinable sum. The canonical 'is pushdown working'
+    probe."""
+    li = _li(spark, sf)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate share after a fact->dim join.
+    part is the small side — broadcast explicitly; lineitem never shuffles."""
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: group-having on the fact, then join back to dims.
+    The having-filtered orderkey set is tiny -> joins to orders/customer are
+    broadcast-sized; the only big shuffle is the orderkey agg (map-side
+    combinable)."""
+    li = _li(spark, sf)
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+def q_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resample with gap fill (hypertable-rollup shape): events
+    -> 6h buckets per event_type, missing buckets materialized with zero
+    counts. The bucket spine is sequence()-generated per type from the
+    type's own [min, max] — a groupBy agg + explode over a types-cardinality
+    table, so the spine costs nothing at any scale; the left join back is
+    broadcast-sized. The data-sized work is one map-side-combinable agg."""
+    ev = load_table(spark, sf, "events")
+    bucket = (F.unix_micros(F.col("ts")) / F.lit(21_600_000_000)).cast("long")
+    counts = (
+        ev.select(F.col("event_type"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "event_type", F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("bucket")
+        )
+    )
+    return (
+        spine.join(counts, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("bucket") * F.lit(21_600_000_000))
+            .cast("string")
+            .alias("bucket_start"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "bucket_start")
+    )
+
+def _bench_docs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic eval/train split of documents for the contamination
+    gate: doc_id % 17 == 0 is the 'benchmark', the rest are candidates."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.where(F.col("doc_id") % 17 != 0),
+        docs.where(F.col("doc_id") % 17 == 0),
+    )
+
+def tx_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    train, bench = _bench_docs(spark, sf)
+    return TX.contamination_check(train, bench, n=5, threshold=0.2)
+
+def tx_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return TX.boilerplate_ngram_fraction(docs, n=4, min_docs=3)
+
+def tx_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return TX.tfidf_top_terms(docs, k=3)
+
+def t9_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-stratum hash sampling, summarized as per-class kept
+    counts (the sample itself is row-identical to the oracle; counts keep
+    the gate output small)."""
+    orders = load_table(spark, sf, "orders")
+    kept = SA.stratified_sample_by_hash(
+        orders,
+        strata_col="o_orderpriority",
+        fractions={"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.1},
+        key_col="o_orderkey",
+        default_frac=0.05,
+    )
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("o_orderpriority")
+    )
+
+def e18_bucketize(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    binned = FL.bucketize(li, "l_extendedprice", splits=[1000.0, 5000.0, 20000.0, 50000.0])
+    return (
+        binned.groupBy(F.col("l_extendedprice_bin").alias("price_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("price_bin")
+    )
+
+def p18_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    return P.key_skew_stats(li, "l_orderkey", top_k=10, rows_per_task=3)
+
+def tx_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return TX.c4_quality_flags(docs, min_words=40, min_stopword_frac=0.02)
+
+def tx_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain corpus composition (web-pipeline staple). The synthetic
+    corpus has no URLs, so the gate injects one per document from doc_id
+    (identically in the oracle), extracts the domain with the same RE2-safe
+    regex on both engines, and aggregates — one map-side-combinable count."""
+    docs = load_table(spark, sf, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.test/page"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return (
+        injected.select(
+            F.regexp_extract(F.col("text"), r"https?://([a-z0-9.-]+)", 1).alias("domain"),
+            "n_chars",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("domain")
+    )
+
+def q_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1h event count and value sum
+    (RANGE, not ROWS — ties and gaps handled by time, the semantics ROWS
+    frames get wrong). Partitioned by user_id: no global sort; per-user sort
+    only, the shuffle carries (user, micros, value)."""
+    ev = load_table(spark, sf, "events")
+    micros = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+def m16_lift_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift/gains on a deterministic score (l_extendedprice) against
+    a binary target (l_returnflag = 'R') — no fitted model in the loop, so
+    the oracle can hash-match exactly."""
+    from ml_data_pipeline_spark.ml.pipeline import lift_table
+
+    li = _li(spark, sf)
+    scored = li.select(
+        (F.col("l_returnflag") == "R").alias("y"), F.col("l_extendedprice").alias("score")
+    )
+    return lift_table(scored, "y", "score", n_bins=10)
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -1650,4 +1873,19 @@ ALL_QUERIES = {
     "e8_feature_hash": e8_feature_hash,
     "e9_onehot_hash": e9_onehot_hash,
     "e10_embedding_hash": e10_embedding_hash,
+    # -- round-2 late additions (never driver-verified; rotate forward in r3)
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_share": q14_promo_share,
+    "q18_large_orders": q18_large_orders,
+    "q_resample_gapfill": q_resample_gapfill,
+    "tx_contamination": tx_contamination,
+    "tx_boilerplate": tx_boilerplate,
+    "tx_tfidf": tx_tfidf,
+    "t9_stratified_sample": t9_stratified_sample,
+    "e18_bucketize": e18_bucketize,
+    "p18_key_skew": p18_key_skew,
+    "tx_c4_filters": tx_c4_filters,
+    "tx_domain_stats": tx_domain_stats,
+    "q_range_frame": q_range_frame,
+    "m16_lift_table": m16_lift_table,
 }

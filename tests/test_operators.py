@@ -277,3 +277,128 @@ def test_numeric_summary_exact_and_approx_agree(spark):
     # sketch within 1% of exact on a uniform ramp
     for k in ("q25", "median", "q75"):
         assert abs(ex["x"][k] - ap["x"][k]) / ex["x"][k] < 0.01
+
+
+def test_contamination_check_flags_known_overlap(spark):
+    from ml_data_pipeline_spark.operators.text import contamination_check
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains the bench 5-gram
+            (2, "one two three four five six seven"),      # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in contamination_check(docs, bench, n=5).collect()}
+    assert rows[1]["n_overlap"] == 1 and rows[1]["is_contaminated"]
+    assert rows[2]["n_overlap"] == 0 and not rows[2]["is_contaminated"]
+    # clean doc still reports a row with frac 0.0
+    assert rows[2]["contamination_frac"] == 0.0
+
+
+def test_boilerplate_fraction_counts_shared_ngrams(spark):
+    from ml_data_pipeline_spark.operators.text import boilerplate_ngram_fraction
+
+    shared = "click here to subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one"),
+            (2, shared + " other words here again"),
+            (3, "completely different text with no shared grams"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in boilerplate_ngram_fraction(docs, n=5, min_docs=2).collect()}
+    # the shared 5-gram appears in docs 1 and 2 but not 3
+    assert rows[1]["n_boiler"] >= 1 and rows[2]["n_boiler"] >= 1
+    assert rows[3]["n_boiler"] == 0 and rows[3]["boiler_frac"] == 0.0
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    from ml_data_pipeline_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare1 rare1 rare1"),
+            (2, "common common other other"),
+            (3, "common filler words"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {r["id"]: r["term"] for r in tfidf_top_terms(docs, k=1).collect()}
+    # the corpus-rare high-tf term wins over the everywhere-term
+    assert top[1] == "rare1" and top[2] == "other"
+
+
+def test_stratified_sample_by_hash_deterministic(spark):
+    from ml_data_pipeline_spark.operators.sampling import stratified_sample_by_hash
+
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("cls")
+    )
+    a = stratified_sample_by_hash(df, "cls", {"true": 0.5, "false": 0.1}, key_col="id")
+    b = stratified_sample_by_hash(df, "cls", {"true": 0.5, "false": 0.1}, key_col="id")
+    assert a.exceptAll(b).count() == 0  # pure function of the key
+    counts = {r["cls"]: r["n"] for r in a.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert 2200 < counts["true"] < 2800     # ~50% of 5000
+    assert 300 < counts["false"] < 700      # ~10% of 5000
+
+
+def test_bucketize_bins_and_nulls(spark):
+    from ml_data_pipeline_spark.operators.filters import bucketize
+
+    df = spark.createDataFrame(
+        [(0.5,), (1.0,), (7.0,), (None,)], "x double"
+    )
+    rows = [r["x_bin"] for r in bucketize(df, "x", [1.0, 5.0]).collect()]
+    assert rows == [0, 1, 2, None]
+
+
+def test_key_skew_stats_orders_and_salt(spark):
+    from ml_data_pipeline_spark.operators.profiling import key_skew_stats
+
+    # key "7" has 60 rows, everything else 1 row
+    df = spark.range(100).select(
+        F.when(F.col("id") < 60, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    out = key_skew_stats(df, "k", top_k=3, rows_per_task=25).collect()
+    assert out[0]["key"] == "7" and out[0]["cnt"] == 60
+    assert out[0]["salt_factor"] == 3  # ceil(60/25)
+    assert abs(out[0]["share"] - 0.6) < 1e-6
+
+
+def test_c4_quality_flags_rules(spark):
+    from ml_data_pipeline_spark.operators.text import c4_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was fine for all of them to rest"),
+            (2, "short"),
+            (3, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in c4_quality_flags(
+        docs, min_words=10, min_stopword_frac=0.05
+    ).collect()}
+    assert rows[1]["keep"]                      # long enough, stopword-rich
+    assert not rows[2]["ok_n_words"]            # too short
+    assert not rows[3]["ok_stopwords"]          # no stopwords at all
+    assert rows[3]["stopword_frac"] == 0.0
+
+
+def test_lift_table_perfect_model(spark):
+    from ml_data_pipeline_spark.ml.pipeline import lift_table
+
+    # score perfectly separates: top 20% of scores are exactly the positives
+    df = spark.range(100).select(
+        (F.col("id") < 20).alias("y"), (100 - F.col("id")).cast("double").alias("score")
+    )
+    rows = lift_table(df, "y", "score", n_bins=5).collect()
+    assert [r["bin"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0]["pos_rate"] == 1.0 and rows[0]["lift"] == 5.0
+    assert rows[0]["cum_capture"] == 1.0        # all positives in decile 1
+    assert rows[4]["n_pos"] == 0

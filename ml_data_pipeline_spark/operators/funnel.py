@@ -1,0 +1,117 @@
+"""Event-funnel and cohort analytics over an events stream table.
+
+Reference scope: the reference app has no funnel/cohort tooling; these are
+scale extensions in the SURVEY.md §2.9 spirit (product-analytics staples any
+engine replacing it at 100 TB would be asked for).
+
+Design: both operators reduce events to ONE map-side-combinable groupBy on
+user_id; the funnel walk is a higher-order array fold over each user's
+time-sorted events (per-user event counts are session-bounded, so the
+collected arrays stay small relative to partitions even at 100 TB — the same
+assumption Spark's own sessionization examples make). No joins proportional
+to the number of funnel stages, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion counts: a user reaches stage k when events
+    matching stages[0..k] occur at strictly increasing timestamps (the
+    classic first-view -> first-later-click -> ... definition; equivalent to
+    the k-fold min-after-min join chain, computed in one pass).
+
+    Per user: sort_array(collect_list(struct(ts, type))) then one
+    F.aggregate walk carrying (reached, last_ts); then a stage-cardinality
+    rollup. Shuffles once on user_id; the walk is a codegen'd array
+    expression. Returns (stage_idx, stage, n_users, conversion) with
+    conversion = n_users / previous stage's n_users.
+    """
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("t"), F.col(type_col).alias("s")
+        ).alias("e"),
+    )
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    walk = F.aggregate(
+        F.sort_array(F.collect_list("e")),
+        F.struct(F.lit(0).alias("reached"), F.lit(-1).cast("long").alias("last_t")),
+        lambda acc, e: F.when(
+            (acc["reached"] < len(stages))
+            & (e["s"] == F.element_at(stage_arr, acc["reached"] + 1))
+            & (e["t"] > acc["last_t"]),
+            F.struct(
+                (acc["reached"] + 1).alias("reached"), e["t"].alias("last_t")
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["reached"],
+    )
+    per_user = ev.groupBy("u").agg(walk.alias("reached"))
+    # n_users at stage k = users with reached >= k (cheap: stage count is tiny)
+    counts = per_user.select(
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(len(stages))),
+                lambda k: k <= F.col("reached"),
+            )
+        ).alias("stage_idx")
+    ).groupBy("stage_idx").agg(F.count(F.lit(1)).alias("n_users"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage_idx")
+    return (
+        counts.withColumn(
+            "stage", F.element_at(stage_arr, F.col("stage_idx"))
+        )
+        .withColumn(
+            "conversion",
+            F.round(
+                F.col("n_users")
+                / F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
+                6,
+            ),
+        )
+        .select("stage_idx", "stage", "n_users", "conversion")
+        .orderBy("stage_idx")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    max_offset_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date; for each
+    day offset 0..max_offset_days, how many of the cohort were active.
+
+    Two aggs (first day per user; distinct user-days) and one join on
+    user_id — the joined sides are user-cardinality, not event-cardinality,
+    so the event table is reduced before anything wide happens."""
+    days = df.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    first = days.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    return (
+        days.join(first, "u")
+        .withColumn("day_offset", F.datediff(F.col("d"), F.col("cohort_day")))
+        .where(F.col("day_offset") <= max_offset_days)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("u").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -465,3 +465,45 @@ def key_skew_stats(
             F.ceil(F.col("cnt") / F.lit(float(rows_per_task))).cast("long").alias("salt_factor"),
         )
     )
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    splits: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric column
+    (train-vs-serve / version-vs-version drift monitoring): fixed split-point
+    bins, per-bin population shares, psi_term = (pa - pb) * ln(pa / pb)
+    with shares clipped at eps so empty bins stay finite. PSI = sum of terms
+    (rule of thumb: > 0.2 = shifted).
+
+    Each side is one map-side-combinable count per bin; the join is
+    bin-cardinality. Nothing here scales with data size except the two
+    scans."""
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        x = F.col(column).cast("double")
+        bin_expr = sum((x >= F.lit(float(s))).cast("int") for s in sorted(splits))
+        counts = df.select(bin_expr.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        total = counts.agg(F.sum("n").alias("t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("n") / F.col("t")).alias(name)
+        )
+
+    a = shares(df_a, "pa")
+    b = shares(df_b, "pb")
+    pa = F.greatest(F.coalesce(F.col("pa"), F.lit(0.0)), F.lit(eps))
+    pb = F.greatest(F.coalesce(F.col("pb"), F.lit(0.0)), F.lit(eps))
+    return (
+        a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.round(pa, 6).alias("share_a"),
+            F.round(pb, 6).alias("share_b"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

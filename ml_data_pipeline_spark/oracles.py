@@ -1510,4 +1510,133 @@ ALL_ORACLES: dict[str, str] = {
                    AS cum_capture
         FROM per, t ORDER BY bin
     """,
+    # funnel oracle: independent algorithm (min-after-min join chain) vs the
+    # Spark array-fold walk — equivalent by the greedy-earliest argument.
+    "q_funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+            GROUP BY e.user_id
+        ),
+        c AS (
+            SELECT 1 AS stage_idx, 'view' AS stage,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        )
+        SELECT stage_idx, stage, n_users,
+               round(n_users * 1.0
+                     / coalesce(lag(n_users) OVER (ORDER BY stage_idx), n_users), 6)
+                   AS conversion
+        FROM c ORDER BY stage_idx
+    """,
+    "q_cohort_retention": """
+        WITH days AS (
+            SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+        ),
+        first AS (SELECT u, min(d) AS cohort_day FROM days GROUP BY 1)
+        SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+               datediff('day', cohort_day, d) AS day_offset,
+               count(DISTINCT u) AS n_users
+        FROM days JOIN first USING (u)
+        WHERE datediff('day', cohort_day, d) <= 7
+        GROUP BY first.cohort_day, datediff('day', cohort_day, d)
+        ORDER BY 1, 2
+    """,
+    "p19_psi_drift": """
+        WITH binned AS (
+            SELECT l_orderkey % 2 AS side,
+                   (CAST(l_extendedprice >= 1000 AS INT)
+                    + CAST(l_extendedprice >= 5000 AS INT)
+                    + CAST(l_extendedprice >= 20000 AS INT)
+                    + CAST(l_extendedprice >= 50000 AS INT)) AS bin
+            FROM lineitem
+        ),
+        counts AS (SELECT side, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+        shares AS (
+            SELECT side, bin, n * 1.0 / sum(n) OVER (PARTITION BY side) AS p
+            FROM counts
+        ),
+        j AS (
+            SELECT coalesce(a.bin, b.bin) AS bin,
+                   greatest(coalesce(a.p, 0.0), 1e-6) AS pa,
+                   greatest(coalesce(b.p, 0.0), 1e-6) AS pb
+            FROM (SELECT bin, p FROM shares WHERE side = 0) a
+            FULL OUTER JOIN (SELECT bin, p FROM shares WHERE side = 1) b
+                 ON a.bin = b.bin
+        )
+        SELECT bin, round(pa, 6) AS share_a, round(pb, 6) AS share_b,
+               round((pa - pb) * ln(pa / pb), 6) AS psi_term
+        FROM j ORDER BY bin
+    """,
+    # orders view with the same deterministic null mask the Spark side applies
+    "p20_expectations": """
+        WITH o AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 2 THEN NULL
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM orders
+        ),
+        r AS (
+            SELECT 'not_null(o_orderkey)' AS rule,
+                   count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_violations
+            FROM o
+            UNION ALL
+            SELECT 'not_null(o_orderpriority)',
+                   count(CASE WHEN o_orderpriority IS NULL THEN 1 END) FROM o
+            UNION ALL
+            SELECT 'unique(o_orderkey)',
+                   count(*) - count(DISTINCT o_orderkey) FROM o
+            UNION ALL
+            SELECT 'in_range(o_totalprice,0.0,1000.0)',
+                   count(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0 OR o_totalprice > 1000.0)
+                              THEN 1 END) FROM o
+            UNION ALL
+            SELECT 'in_set(o_orderstatus)',
+                   count(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O','F','P')
+                              THEN 1 END) FROM o
+            UNION ALL
+            SELECT 'regex(o_orderpriority)',
+                   count(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                              THEN 1 END) FROM o
+        )
+        SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM r ORDER BY rule
+    """,
+    # oracle recomputes the rollup FROM SCRATCH — the incremental merge on
+    # the Spark side must land on the identical table
+    "s15_incremental_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(l_quantity) AS n_rows,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
+               round(sum(l_extendedprice) / count(l_quantity), 6) AS avg_price
+        FROM lineitem
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # brute-force all-pairs — the blocked Spark plan must match it exactly
+    "q_fuzzy_pairs": """
+        WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS distance
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY 1, 2
+    """,
 }

@@ -1731,6 +1731,90 @@ def m16_lift_table(spark: SparkSession, sf: str) -> DataFrame:
     )
     return lift_table(scored, "y", "score", n_bins=10)
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel; the Spark side walks each
+    user's sorted events in one array fold (one shuffle), the oracle proves
+    the same counts via the min-after-min join chain — two independent
+    algorithms, one answer."""
+    from ml_data_pipeline_spark.operators import funnel as FN
+
+    ev = load_table(spark, sf, "events")
+    return FN.funnel_counts(ev, ["view", "click", "purchase"])
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    from ml_data_pipeline_spark.operators import funnel as FN
+
+    ev = load_table(spark, sf, "events")
+    return FN.cohort_retention(ev, max_offset_days=7)
+
+def p19_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Drift monitor between two deterministic 'snapshots' of lineitem
+    (orderkey parity split) on the price distribution."""
+    li = _li(spark, sf)
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    return P.psi_drift(a, b, "l_extendedprice", splits=[1000.0, 5000.0, 20000.0, 50000.0])
+
+def p20_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation suite over orders in ONE aggregate pass —
+    includes a deliberately failing range rule so violation counting is
+    value-checked, not just the all-green path."""
+    from ml_data_pipeline_spark.operators import expectations as EX
+
+    orders = _orders_nulls(spark, sf)
+    return EX.run_expectations(
+        orders,
+        [
+            EX.expect_not_null("o_orderkey"),
+            EX.expect_not_null("o_orderpriority"),  # nulled rows -> violations
+            EX.expect_unique(["o_orderkey"]),
+            EX.expect_in_range("o_totalprice", 0.0, 1000.0),  # deliberately tight
+            EX.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+            EX.expect_regex("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+        ],
+    )
+
+def s15_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-rollup maintenance: partial aggregates of a 'historical'
+    slice merged with a 'new batch' slice must equal the from-scratch
+    aggregate (which is what the oracle computes directly). avg is carried
+    as (sum, count) and finalized at read."""
+    from ml_data_pipeline_spark.operators import rollup as RU
+
+    li = _li(spark, sf)
+    spec = {
+        "sum_qty": ("sum", "l_quantity"),
+        "n_rows": ("count", "l_quantity"),
+        "min_price": ("min", "l_extendedprice"),
+        "max_price": ("max", "l_extendedprice"),
+        "sum_price": ("sum", "l_extendedprice"),
+    }
+    keys = ["l_returnflag", "l_linestatus"]
+    base = RU.aggregate_partial(li.where(F.col("l_orderkey") % 4 != 0), keys, spec)
+    delta = RU.aggregate_partial(li.where(F.col("l_orderkey") % 4 == 0), keys, spec)
+    merged = RU.merge_partials(base, delta, keys, spec)
+    return (
+        RU.finalize_avg(merged, "sum_price", "n_rows", "avg_price")
+        .select(
+            *keys,
+            F.round("sum_qty", 2).alias("sum_qty"),
+            "n_rows",
+            F.round("min_price", 2).alias("min_price"),
+            F.round("max_price", 2).alias("max_price"),
+            F.round("avg_price", 6).alias("avg_price"),
+        )
+        .orderBy(*keys)
+    )
+
+def q_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance <= 2 name pairs via length-window blocked equi-join;
+    the oracle brute-forces the same pairs with DuckDB's levenshtein — the
+    blocked plan must lose nothing."""
+    from ml_data_pipeline_spark.operators import fuzzy as FZ
+
+    part = load_table(spark, sf, "part")
+    return FZ.fuzzy_self_pairs(part, "p_name", max_distance=2)
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -1888,4 +1972,10 @@ ALL_QUERIES = {
     "tx_domain_stats": tx_domain_stats,
     "q_range_frame": q_range_frame,
     "m16_lift_table": m16_lift_table,
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
+    "p19_psi_drift": p19_psi_drift,
+    "p20_expectations": p20_expectations,
+    "s15_incremental_rollup": s15_incremental_rollup,
+    "q_fuzzy_pairs": q_fuzzy_pairs,
 }

@@ -188,3 +188,58 @@ def write_stream_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_upsert(
+    updates: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    key: str,
+    order_col: str = "ts",
+    available_now: bool = True,
+):
+    """Streaming CDC apply: foreachBatch MERGE of each micro-batch into a
+    parquet table (keyed SCD1 upsert — the streaming twin of
+    sources.scd.merge_upsert). Within a batch the latest row per key wins
+    (row_number over order_col DESC, key ASC ties), matching what Delta's
+    MERGE would require you to pre-dedupe anyway.
+
+    foreachBatch gives the exactly-once contract: the checkpoint records
+    batch ids, and a replayed batch re-merges idempotently (merge on key
+    with deterministic in-batch dedup is idempotent for identical input).
+    The merged result is localCheckpoint-ed BEFORE the overwrite so the
+    read of the current table completes before its files are replaced
+    (lineage cut — no read-own-overwrite race). The target is re-written
+    per micro-batch, so this sink is for compact keyed state/dimension
+    tables; event-sized appends use write_stream_parquet. Returns the
+    StreamingQuery."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as BF
+
+    from ml_data_pipeline_spark.sources.scd import merge_upsert
+
+    spark = updates.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(BF.col(order_col).desc())
+        deduped = (
+            batch_df.withColumn("__rn", BF.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
+        try:
+            current = spark.read.parquet(table_path)
+            merged = merge_upsert(current, deduped, key)
+        except Exception:  # first batch: no table yet
+            merged = deduped
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(table_path)
+
+    writer = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -402,3 +402,134 @@ def test_lift_table_perfect_model(spark):
     assert rows[0]["pos_rate"] == 1.0 and rows[0]["lift"] == 5.0
     assert rows[0]["cum_capture"] == 1.0        # all positives in decile 1
     assert rows[4]["n_pos"] == 0
+
+
+def test_funnel_requires_stage_order(spark):
+    from ml_data_pipeline_spark.operators.funnel import funnel_counts
+
+    rows = [
+        # u1: view -> click -> purchase (full funnel)
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # u2: click BEFORE the first view -> stops at view
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 09:30:00"),
+        # u3: view only
+        (3, "view", "2024-01-01 08:00:00"),
+        # u4: never views -> not in the funnel at all
+        (4, "purchase", "2024-01-01 07:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, s string").select(
+        "user_id", "event_type", F.to_timestamp("s").alias("ts")
+    )
+    out = {r["stage"]: r for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 1          # only u1: u2's click precedes its view
+    assert out["purchase"]["n_users"] == 1
+    assert abs(out["click"]["conversion"] - 1 / 3) < 1e-5
+
+
+def test_cohort_retention_offsets(spark):
+    from ml_data_pipeline_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        (3, "2024-01-02 09:00:00"), (3, "2024-01-04 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s string").select(
+        "user_id", F.to_timestamp("s").alias("ts")
+    )
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in cohort_retention(df).collect()}
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-02", 0)] == 1
+    assert got[("2024-01-02", 2)] == 1
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from ml_data_pipeline_spark.operators.profiling import psi_drift
+
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    same = psi_drift(a, a, "x", splits=[25.0, 50.0, 75.0]).collect()
+    assert all(r["psi_term"] == 0.0 for r in same)
+    b = a.select((F.col("x") + 50).alias("x"))  # shifted distribution
+    shifted = psi_drift(a, b, "x", splits=[25.0, 50.0, 75.0]).collect()
+    assert sum(r["psi_term"] for r in shifted) > 0.2
+
+
+def test_expectations_single_pass_counts(spark):
+    from ml_data_pipeline_spark.operators import expectations as EX
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, None, -1.0)],
+        "k long, s string, x double",
+    )
+    out = {r["rule"]: r for r in EX.run_expectations(
+        df,
+        [
+            EX.expect_not_null("s"),
+            EX.expect_unique(["k"]),
+            EX.expect_in_range("x", 0.0, 10.0),
+            EX.expect_in_set("s", ["a"]),
+            EX.expect_regex("s", "^a$"),
+        ],
+    ).collect()}
+    assert out["not_null(s)"]["n_violations"] == 1
+    assert out["unique(k)"]["n_violations"] == 1          # k=2 twice
+    assert out["in_range(x,0.0,10.0)"]["n_violations"] == 2  # 50.0 and -1.0
+    assert out["in_set(s)"]["n_violations"] == 1          # "b" (null ignored)
+    assert out["regex(s)"]["n_violations"] == 1
+    assert not out["unique(k)"]["passed"]
+
+
+def test_incremental_merge_order_independent(spark):
+    from ml_data_pipeline_spark.operators import rollup as RU
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 1.0).alias("x")
+    )
+    spec = {"s": ("sum", "x"), "n": ("count", "x"),
+            "lo": ("min", "x"), "hi": ("max", "x")}
+    parts = [df.where(F.col("id") % 4 == i) for i in range(4)]
+    partials = [RU.aggregate_partial(p, ["g"], spec) for p in parts]
+    # merge in two different orders
+    m1 = partials[0]
+    for p in partials[1:]:
+        m1 = RU.merge_partials(m1, p, ["g"], spec)
+    m2 = partials[3]
+    for p in [partials[1], partials[0], partials[2]]:
+        m2 = RU.merge_partials(m2, p, ["g"], spec)
+    full = RU.aggregate_partial(df, ["g"], spec)
+    as_map = lambda d: {r["g"]: (r["s"], r["n"], r["lo"], r["hi"]) for r in d.collect()}
+    assert as_map(m1) == as_map(m2) == as_map(full)
+
+
+def test_fuzzy_join_matches_brute_force(spark):
+    from ml_data_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
+
+    words = ["kitten", "sitten", "sitting", "mitten", "apple", "appel",
+             "banana", "bananas", "bandana"]
+    df = spark.createDataFrame([(w,) for w in words], "name string")
+    got = {(r["name_a"], r["name_b"]): r["distance"]
+           for r in fuzzy_self_pairs(df, "name", max_distance=2).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {}
+    for i, a in enumerate(words):
+        for b in words[i + 1:]:
+            x, y = sorted((a, b))
+            d = lev(x, y)
+            if d <= 2:
+                want[(x, y)] = d
+    assert got == want and ("kitten", "sitten") in got

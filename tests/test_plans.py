@@ -79,6 +79,19 @@ def test_f3_range_filter_pushdown(spark, sf_dir):
         "p15_numeric_summary",
         "q_window_suite",
         "q_grouping_sets",
+        "q6_forecast_revenue",
+        "q14_promo_share",
+        "q18_large_orders",
+        "q_resample_gapfill",
+        "q_range_frame",
+        "q_funnel",
+        "q_cohort_retention",
+        "tx_contamination",
+        "tx_boilerplate",
+        "tx_c4_filters",
+        "t9_stratified_sample",
+        "e18_bucketize",
+        "p18_key_skew",
     ],
 )
 def test_no_cartesian_product_in_headline_plans(spark, sf_dir, name):
@@ -103,3 +116,29 @@ def test_broadcast_hint_survives_in_target_encode(spark, sf_dir):
     the means side is category-cardinality and must broadcast."""
     plan = _plan(Q.e3_target_encode(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(Q.q6_forecast_revenue(spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+
+
+def test_q14_part_side_broadcast(spark, sf_dir):
+    plan = _plan(Q.q14_promo_share(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # part never shuffles lineitem
+
+
+def test_funnel_single_shuffle_on_user(spark, sf_dir):
+    # the funnel walk is one groupBy(user) — no join per stage
+    plan = _plan(Q.q_funnel(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_range_frame_is_partitioned_window(spark, sf_dir):
+    # RANGE frame must ride a partitioned window (per-user sort), not a
+    # global one-task sort
+    plan = _plan(Q.q_range_frame(spark, sf_dir))
+    assert "partitionBy" not in plan  # sanity: string form differs; check Exchange
+    assert "hashpartitioning(user_id" in plan

@@ -147,3 +147,25 @@ def bucketize(
         out_col or f"{column}_bin",
         F.when(x.isNotNull(), bin_expr).cast("int"),
     )
+
+def quantile_bucketize(
+    df: DataFrame,
+    column: str,
+    num_buckets: int = 10,
+    out_col: str | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Equal-frequency binning: compute the quantile boundaries first
+    (approx_percentile sketch by default — mergeable, bounded memory; the
+    100 TB path), then assign bins with the same pure comparison expression
+    as bucketize(). Two passes over the data but NO global sort — the
+    ntile() formulation is one global-sort task and is exactly what this
+    avoids. exact=True swaps in the exact percentile for oracle-grade
+    reproducibility on small data."""
+    x = F.col(column).cast("double")
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    fn = F.percentile(x, F.array(*[F.lit(p) for p in probs])) if exact else \
+        F.approx_percentile(x, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy))
+    splits = [r for r in df.agg(fn.alias("qs")).first()["qs"] if r is not None]
+    return bucketize(df, column, splits, out_col=out_col or f"{column}_qbin")

@@ -251,3 +251,20 @@ def quantize_int8(
     scale = F.when(mx > 0, mx).otherwise(F.lit(1.0))
     q = F.transform(a, lambda x: F.round(x * 127.0 / scale, 0).cast("int"))
     return df.withColumn(scale_col, F.round(scale, 6)).withColumn(out_col, q)
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid of an embedding column, emitted as (label, idx,
+    value) rows: posexplode to (label, dim-index, component) then one
+    map-side-combinable avg per (label, idx). The shuffle carries
+    dim x labels scalar rows — at 100 TB the partial aggregation reduces
+    each partition to |labels| x dim values before anything moves, which is
+    why this beats any collect-and-average design. Rows (not re-built
+    arrays) keep the result engine-comparable."""
+    return (
+        df.select(label_col, F.posexplode(vec_col).alias("idx", "v"))
+        .groupBy(label_col, "idx")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
+        .orderBy(label_col, "idx")
+    )

@@ -73,3 +73,24 @@ def explain_has_exchange(df: DataFrame) -> bool:
     assuming."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+) -> None:
+    """Data-layout optimization for scan pruning: range-partition by the
+    sort columns, sort within each partition, write parquet. Each file then
+    owns a narrow, non-overlapping min/max range of the sort key, so a
+    filtered read skips whole files on parquet row-group statistics (the
+    poor-man's Z-order; for one-dimensional predicates it IS the optimal
+    layout). The effect is checked in tests by reading back per-file
+    min/max spans."""
+    parted = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

@@ -1639,4 +1639,43 @@ ALL_ORACLES: dict[str, str] = {
         WHERE levenshtein(a.p_name, b.p_name) <= 2
         ORDER BY 1, 2
     """,
+    "q_event_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_seasonal_anomaly": """
+        WITH keyed AS (
+            SELECT event_id, event_type, extract(hour FROM ts) AS hod, value
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type, hod, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM keyed GROUP BY 1, 2
+        )
+        SELECT k.event_id, k.event_type, CAST(k.hod AS INT) AS hod,
+               round(k.value, 6) AS value,
+               round((k.value - s.mu) / s.sd, 6) AS zscore
+        FROM keyed k JOIN stats s ON k.event_type = s.event_type AND k.hod = s.hod
+        WHERE s.sd > 0 AND abs((k.value - s.mu) / s.sd) > 3.0
+        ORDER BY k.event_id
+    """,
+    # parallel unnests zip positionally in DuckDB (WITH ORDINALITY is absent)
+    "ss_label_centroids": """
+        WITH ex AS (
+            SELECT label,
+                   unnest(range(0, len(embedding))) AS idx,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        SELECT label, CAST(idx AS INT) AS idx,
+               round(avg(CAST(v AS DOUBLE)), 6) AS centroid_v
+        FROM ex GROUP BY 1, 2 ORDER BY 1, 2
+    """,
 }

@@ -1815,6 +1815,46 @@ def q_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part")
     return FZ.fuzzy_self_pairs(part, "p_name", max_distance=2)
 
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov transition counts: per user, order events by (ts, event_id)
+    and count (prev_type -> type) adjacencies — the next-event profile
+    behind session modeling. One partitioned window (per-user sort), one
+    count; nothing global."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal anomaly scan: events whose value deviates > 3 sample std
+    from their (event_type, hour-of-day) profile. The profile table is
+    type x 24 rows — broadcast back; the data-sized work is one partial
+    agg + one projection."""
+    ev = load_table(spark, sf, "events")
+    keyed = ev.withColumn("hod", F.hour("ts"))
+    stats = keyed.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        keyed.join(F.broadcast(stats), ["event_type", "hod"])
+        .where(F.col("sd") > 0)
+        .withColumn("zscore", F.round(z, 6))
+        .where(F.abs(F.col("zscore")) > 3.0)
+        .select("event_id", "event_type", "hod", F.round("value", 6).alias("value"), "zscore")
+        .orderBy("event_id")
+    )
+
+def ss_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return SS.label_centroids(emb)
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -1978,4 +2018,7 @@ ALL_QUERIES = {
     "p20_expectations": p20_expectations,
     "s15_incremental_rollup": s15_incremental_rollup,
     "q_fuzzy_pairs": q_fuzzy_pairs,
+    "q_event_transitions": q_event_transitions,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
+    "ss_label_centroids": ss_label_centroids,
 }

@@ -533,3 +533,21 @@ def test_fuzzy_join_matches_brute_force(spark):
             if d <= 2:
                 want[(x, y)] = d
     assert got == want and ("kitten", "sitten") in got
+
+
+def test_quantile_bucketize_exact_matches_ntile_semantics(spark):
+    from ml_data_pipeline_spark.operators.filters import quantile_bucketize
+
+    df = spark.range(1, 1001).select((F.col("id") * 1.0).alias("x"))
+    out = quantile_bucketize(df, "x", num_buckets=4, exact=True)
+    counts = sorted(
+        r["n"] for r in out.groupBy("x_qbin").agg(F.count("*").alias("n")).collect()
+    )
+    # equal-frequency: 4 buckets of ~250 on a uniform ramp
+    assert len(counts) == 4 and all(abs(c - 250) <= 1 for c in counts)
+    # approx path lands within 2% bucket-size drift on the same data
+    ap = quantile_bucketize(df, "x", num_buckets=4, exact=False)
+    ac = sorted(
+        r["n"] for r in ap.groupBy("x_qbin").agg(F.count("*").alias("n")).collect()
+    )
+    assert len(ac) == 4 and all(abs(c - 250) <= 20 for c in ac)

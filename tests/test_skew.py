@@ -50,3 +50,36 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         assert SK.explain_has_exchange(plain)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_write_sorted_files_have_disjoint_ranges(spark, tmp_path):
+    """Range-partitioned sorted layout: per-file key spans must be (nearly)
+    disjoint, so predicate scans can skip whole files on row-group stats."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from ml_data_pipeline_spark.operators.skew import write_sorted
+
+    df = spark.range(100_000).select(
+        (F.col("id") * 37 % 100_000).alias("k"), F.col("id").alias("payload")
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted(df, out, ["k"], num_files=8)
+
+    spans = []
+    for f in sorted(Path(out).glob("*.parquet")):
+        md = pq.read_metadata(str(f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 4
+    # consecutive files overlap at most at the boundary value
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2 + 1
+    # and a point-filter scan reads back correctly
+    got = spark.read.parquet(out).where("k = 12345").count()
+    assert got == df.where("k = 12345").count()

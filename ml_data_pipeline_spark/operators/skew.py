@@ -94,3 +94,34 @@ def write_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def auto_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    rows_per_task: int = 5_000_000,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Measure-then-decide join: estimate the big side's heaviest key (on a
+    sample when sample_fraction is set — at 100 TB you sample), derive the
+    salt factor the profiling.key_skew_stats way (ceil(max_key_rows /
+    rows_per_task)), and either join plainly (no skew) or salt with exactly
+    that factor. One extra aggregate over the key column buys a join that
+    cannot stall on one reducer; results are identical to the plain join
+    either way (parity-tested)."""
+    probe = big.sample(fraction=sample_fraction, seed=seed) if sample_fraction else big
+    hot = (
+        probe.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__m"))
+        .first()["__m"]
+    )
+    if sample_fraction:
+        hot = int(hot / sample_fraction)
+    factor = max(1, -(-int(hot) // rows_per_task))  # ceil
+    if factor <= 1:
+        return big.join(small, on, how)
+    return salted_join(big, small, on, salt=factor, how=how, seed=seed)

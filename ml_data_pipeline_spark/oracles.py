@@ -1678,4 +1678,43 @@ ALL_ORACLES: dict[str, str] = {
                round(avg(CAST(v AS DOUBLE)), 6) AS centroid_v
         FROM ex GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "pipe_entity_resolution": """
+        WITH RECURSIVE names AS (
+            SELECT p_name, min(p_partkey) AS name_id FROM part GROUP BY 1
+        ),
+        fpairs AS (
+            SELECT a.name_id AS id_a, b.name_id AS id_b
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM fpairs
+            UNION ALL SELECT id_b, id_a FROM fpairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM edges
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+        SELECT n.p_name,
+               cn.p_name AS canonical_name
+        FROM names n
+        LEFT JOIN comp c ON n.name_id = c.id
+        JOIN names cn ON cn.name_id = coalesce(c.component, n.name_id)
+        ORDER BY n.p_name
+    """,
+    "m17_calibration": """
+        WITH s AS (
+            -- floor, not ::INT: DuckDB's double->int cast ROUNDS, Spark's truncates
+            SELECT CAST(least(floor((l_extendedprice / 100000.0) * 10), 9) AS INT) AS bin,
+                   least(l_extendedprice / 100000.0, 1.0) AS p,
+                   CAST(l_returnflag = 'R' AS INT) AS y
+            FROM lineitem
+        )
+        SELECT bin, count(*) AS n,
+               round(avg(p), 6) AS mean_score,
+               round(avg(y), 6) AS frac_pos
+        FROM s GROUP BY 1 ORDER BY 1
+    """,
 }

@@ -1855,6 +1855,57 @@ def ss_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return SS.label_centroids(emb)
 
+def pipe_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-linkage composite: fuzzy (edit-distance <= 2) name pairs ->
+    connected components -> canonical name per cluster (the name of the
+    min-id member; singletons canonicalize to themselves). Every stage is
+    the scale path already gated elsewhere (blocked fuzzy join, large-star/
+    small-star components); the oracle recomputes the whole chain with
+    brute-force pairs + WITH RECURSIVE reachability."""
+    from ml_data_pipeline_spark.operators import components as CC
+    from ml_data_pipeline_spark.operators import fuzzy as FZ
+
+    part = load_table(spark, sf, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    pairs = (
+        FZ.fuzzy_self_pairs(names, "p_name", max_distance=2)
+        .join(names.select(F.col("p_name").alias("name_a"), F.col("name_id").alias("id_a")), "name_a")
+        .join(names.select(F.col("p_name").alias("name_b"), F.col("name_id").alias("id_b")), "name_b")
+        .select("id_a", "id_b")
+    )
+    cc = CC.connected_components(pairs)
+    id_to_name = names.select(F.col("name_id").alias("component"), F.col("p_name").alias("canonical_name"))
+    resolved = (
+        names.join(cc, names["name_id"] == cc["id"], "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("name_id")))
+        .join(F.broadcast(id_to_name), "component")
+        .select("p_name", "canonical_name")
+    )
+    return resolved.orderBy("p_name")
+
+def m17_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability (calibration) table: a deterministic pseudo-probability
+    (price scaled into [0,1]) binned 10-wide; per bin the mean predicted
+    score vs the observed positive rate (returnflag = 'R'). Completes the
+    eval suite next to m16_lift_table; one scan, one 10-row agg."""
+    li = _li(spark, sf)
+    p = F.least(F.col("l_extendedprice") / F.lit(100_000.0), F.lit(1.0))
+    b = F.least((p * 10).cast("int"), F.lit(9))
+    return (
+        li.select(
+            b.alias("bin"),
+            p.alias("p"),
+            (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_score"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -2021,4 +2072,6 @@ ALL_QUERIES = {
     "q_event_transitions": q_event_transitions,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "ss_label_centroids": ss_label_centroids,
+    "pipe_entity_resolution": pipe_entity_resolution,
+    "m17_calibration": m17_calibration,
 }

@@ -26,6 +26,7 @@ import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _VERSION_RE = re.compile(r"^v(\d+)$")
 # reference filename convention, still accepted for CSV interchange
@@ -201,6 +202,23 @@ class VersionedDataset:
         if not self._exists(f"{self._dir(v)}/_meta.json"):
             raise FileNotFoundError(f"version v{v} not committed for {self.base}")
         return self.spark.read.parquet(self._dir(v))
+
+    def read_evolved(self, versions: list[int] | None = None) -> DataFrame:
+        """Read several versions as ONE DataFrame under schema evolution:
+        union-by-name with missing columns null-filled (a column added in
+        v2 reads as null for v0/v1 rows; a dropped column survives as null
+        for the newer rows). The per-version read stays a plain pruned
+        parquet scan; a `_version` column records provenance. This is the
+        cross-version scan mergeSchema performs inside one directory,
+        lifted across the store's commit boundaries."""
+        vs = versions if versions is not None else self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed versions under {self.root}/{self.base}")
+        out = None
+        for v in vs:
+            cur = self.read(v).withColumn("_version", F.lit(v))
+            out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+        return out
 
     def meta(self, version: int | None = None) -> VersionInfo:
         v = self.latest_version() if version is None else version

@@ -83,3 +83,30 @@ def test_write_sorted_files_have_disjoint_ranges(spark, tmp_path):
     # and a point-filter scan reads back correctly
     got = spark.read.parquet(out).where("k = 12345").count()
     assert got == df.where("k = 12345").count()
+
+
+def test_auto_salted_join_parity_both_paths(spark):
+    from ml_data_pipeline_spark.operators.skew import auto_salted_join
+
+    # skewed: key 0 holds 5000 rows; threshold 1000 -> salting engages
+    big = spark.range(10_000).select(
+        F.when(F.col("id") < 5000, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 10_000, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+    )
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    )
+    salted = auto_salted_join(big, small, "k", rows_per_task=1000).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    )
+    as_map = lambda d: {r["k"]: (r["n"], r["s"]) for r in d.collect()}
+    assert as_map(plain) == as_map(salted)
+
+    # uniform: stays a plain join (no salt column side effects)
+    uni = spark.range(10_000).select(F.col("id").alias("k"), F.lit(1).alias("payload"))
+    out = auto_salted_join(uni, small, "k", rows_per_task=1000)
+    assert out.columns == ["k", "payload", "dim"]
+    assert out.count() == small.count()

@@ -215,3 +215,19 @@ def test_diff_versions_rejects_schema_mismatch(spark):
     b = spark.createDataFrame([(1, 2.0)], "k long, v double")
     with _pytest.raises(ValueError):
         diff_versions(a, b, ["k"])
+
+
+def test_read_evolved_unions_across_schema_change(spark, tmp_path):
+    from ml_data_pipeline_spark.sources.versioned import VersionedDataset
+
+    vd = VersionedDataset(spark, str(tmp_path), "evolving")
+    v0 = spark.createDataFrame([(1, "a")], "id long, name string")
+    vd.write_version(v0, ["initial"])
+    v1 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    vd.write_version(v1, ["add score column"])
+
+    allv = vd.read_evolved()
+    assert set(allv.columns) == {"id", "name", "score", "_version"}
+    rows = {r["id"]: (r["score"], r["_version"]) for r in allv.collect()}
+    assert rows[1] == (None, 0)   # old rows: new column null-filled
+    assert rows[2] == (9.5, 1)

@@ -169,3 +169,22 @@ def quantile_bucketize(
         F.approx_percentile(x, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy))
     splits = [r for r in df.agg(fn.alias("qs")).first()["qs"] if r is not None]
     return bucketize(df, column, splits, out_col=out_col or f"{column}_qbin")
+
+def winsorize(
+    df: DataFrame,
+    column: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Percentile clipping (winsorization): compute the [lower, upper]
+    percentile bounds in one aggregate (approx sketch by default — the
+    100 TB path; exact for oracle-grade runs), then clip with the pure
+    clip() expression. Tames heavy tails before scaling/OLS without
+    dropping rows."""
+    x = F.col(column).cast("double")
+    probs = F.array(F.lit(lower), F.lit(upper))
+    fn = F.percentile(x, probs) if exact else F.approx_percentile(x, probs, F.lit(accuracy))
+    lo, hi = df.agg(fn.alias("b")).first()["b"]
+    return clip(df, column, lo=lo, hi=hi)

@@ -507,3 +507,83 @@ def psi_drift(
         )
         .orderBy("bin")
     )
+
+def outliers_mad(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.0,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust outliers via Median Absolute Deviation: flag rows with
+    |x - median| > k * MAD per group. Unlike z-scores, one wild value
+    cannot drag the threshold (median and MAD have a 50% breakdown point).
+
+    Two grouped percentile aggregates with a broadcast-back join each
+    (stats tables are group-cardinality). exact=True uses the exact
+    percentile (buffers the group's values — right for oracle parity and
+    modest groups); exact=False swaps in approx_percentile, the mergeable
+    sketch that is the only option at 100 TB."""
+    x = F.col(value_col).cast("double")
+
+    def med(c):
+        return F.percentile(c, F.lit(0.5)) if exact else F.approx_percentile(c, F.lit(0.5), F.lit(10_000))
+
+    keys = [group_col] if group_col else []
+    med1 = (df.groupBy(*keys).agg(med(x).alias("__med"))) if keys else df.agg(med(x).alias("__med"))
+    j1 = df.join(F.broadcast(med1), keys) if keys else df.crossJoin(F.broadcast(med1))
+    dev = F.abs(x - F.col("__med"))
+    med2 = (
+        j1.groupBy(*keys).agg(med(dev).alias("__mad")) if keys else j1.agg(med(dev).alias("__mad"))
+    )
+    j2 = j1.join(F.broadcast(med2), keys) if keys else j1.crossJoin(F.broadcast(med2))
+    score = dev / F.col("__mad")
+    return (
+        j2.where(F.col("__mad") > 0)
+        .withColumn("mad_score", F.round(score, 6))
+        .where(F.col("mad_score") > k)
+        .drop("__med", "__mad")
+    )
+
+def association_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square statistic and mutual information between two categorical
+    columns from ONE contingency-table pass (feature-selection /
+    redundancy screening). The observed table is a (|A| x |B|)-row agg;
+    marginals and the two statistics are computed from that tiny table —
+    nothing after the first agg scales with data."""
+    obs = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    ma = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    mb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    cells = (
+        obs.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "o",
+            (F.col("ra").cast("double") * F.col("cb") / F.col("n")).alias("e"),
+            (F.col("o") / F.col("n")).alias("pij"),
+            (F.col("ra") / F.col("n")).alias("pi"),
+            (F.col("cb") / F.col("n")).alias("pj"),
+        )
+    )
+    counts = (
+        cells.agg(
+            F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6).alias("chi2"),
+            F.round(
+                F.sum(F.col("pij") * F.log(F.col("pij") / (F.col("pi") * F.col("pj")))), 6
+            ).alias("mutual_info"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("a").alias("n_a"),
+            F.countDistinct("b").alias("n_b"),
+        )
+        .withColumn("dof", ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long"))
+        .drop("n_a", "n_b")
+    )
+    return counts

@@ -1717,4 +1717,73 @@ ALL_ORACLES: dict[str, str] = {
                round(avg(y), 6) AS frac_pos
         FROM s GROUP BY 1 ORDER BY 1
     """,
+    # quantile_cont = Spark's exact percentile (both linear interpolation)
+    "p21_mad_outliers": """
+        WITH med AS (
+            SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+            FROM lineitem GROUP BY 1
+        ),
+        dev AS (
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   l.l_extendedprice, abs(l.l_extendedprice - med.m) AS d
+            FROM lineitem l JOIN med USING (l_returnflag)
+        ),
+        mad AS (
+            SELECT l_returnflag, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+        )
+        SELECT dev.l_orderkey, dev.l_linenumber, dev.l_returnflag,
+               round(dev.l_extendedprice, 2) AS l_extendedprice,
+               round(dev.d / mad.mad, 6) AS mad_score
+        FROM dev JOIN mad USING (l_returnflag)
+        WHERE mad.mad > 0 AND round(dev.d / mad.mad, 6) > 2.5
+        ORDER BY 1, 2, 4
+    """,
+    "p22_chi2_mi": """
+        WITH obs AS (
+            SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        t AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+        ma AS (SELECT a, CAST(sum(o) AS DOUBLE) AS ra FROM obs GROUP BY 1),
+        mb AS (SELECT b, CAST(sum(o) AS DOUBLE) AS cb FROM obs GROUP BY 1),
+        cells AS (
+            SELECT o, ra * cb / n AS e, o / n AS pij, ra / n AS pi, cb / n AS pj
+            FROM obs JOIN ma USING (a) JOIN mb USING (b), t
+        )
+        SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+               round(sum(pij * ln(pij / (pi * pj))), 6) AS mutual_info,
+               count(*) AS n_cells,
+               CAST((SELECT (count(*) - 1) FROM ma)
+                    * (SELECT (count(*) - 1) FROM mb) AS BIGINT) AS dof
+        FROM cells
+    """,
+    "e19_winsorize": """
+        WITH b AS (
+            SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem
+        ),
+        w AS (
+            SELECT least(greatest(l_extendedprice, lo), hi) AS x
+            FROM lineitem, b
+        )
+        SELECT count(*) AS n,
+               round(min(x), 6) AS min_price,
+               round(max(x), 6) AS max_price,
+               round(avg(x), 6) AS mean_price
+        FROM w
+    """,
+    "q10_returned_revenue": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
 }

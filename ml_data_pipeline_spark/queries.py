@@ -1906,6 +1906,59 @@ def m17_calibration(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("bin")
     )
 
+def p21_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    out = P.outliers_mad(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        "l_extendedprice",
+        group_col="l_returnflag",
+        k=2.5,
+        exact=True,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        "mad_score",
+    ).orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+
+def p22_chi2_mi(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return P.association_stats(orders, "o_orderpriority", "o_orderstatus")
+
+def e19_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized-summary gate: exact-percentile bounds for oracle parity;
+    output is the post-clip profile, proving both the bounds and the clip."""
+    li = _li(spark, sf)
+    w = FL.winsorize(li, "l_extendedprice", lower=0.05, upper=0.95, exact=True)
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+    )
+
+def q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue by customer, top 20. The
+    lineitem filter pushes to the scan; customer/nation broadcast; the one
+    shuffle is the orderkey join + custkey agg."""
+    li = _li(spark, sf)
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -2074,4 +2127,8 @@ ALL_QUERIES = {
     "ss_label_centroids": ss_label_centroids,
     "pipe_entity_resolution": pipe_entity_resolution,
     "m17_calibration": m17_calibration,
+    "p21_mad_outliers": p21_mad_outliers,
+    "p22_chi2_mi": p22_chi2_mi,
+    "e19_winsorize": e19_winsorize,
+    "q10_returned_revenue": q10_returned_revenue,
 }

@@ -32,7 +32,7 @@ from pyspark.ml.evaluation import (
 )
 from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
 from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
@@ -369,4 +369,68 @@ def lift_table(
             F.round(F.col("cum_pos") / F.col("tot_pos"), 6).alias("cum_capture"),
         )
         .orderBy("bin")
+    )
+
+def roc_points(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """ROC curve points: one (fpr, tpr) per distinct score threshold,
+    descending (predict positive when score >= threshold).
+
+    Scale shape: rows collapse to per-score (count, positives) FIRST — one
+    map-side-combinable groupBy — and the cumulative window runs over
+    DISTINCT SCORES, not rows: the sort is bounded by score cardinality
+    (scores rounded upstream bound it explicitly), the same
+    aggregate-then-window trick as profiling.histogram.
+    """
+    per_score = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.col(label_col).cast("long")).alias("__p"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_score.agg(
+        F.sum("__p").alias("__P"), (F.sum("__c") - F.sum("__p")).alias("__N")
+    )
+    return (
+        per_score.withColumn("__cum_p", F.sum("__p").over(w))
+        .withColumn("__cum_n", F.sum(F.col("__c") - F.col("__p")).over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            F.round(F.col("__cum_n") / F.col("__N"), 6).alias("fpr"),
+            F.round(F.col("__cum_p") / F.col("__P"), 6).alias("tpr"),
+        )
+        .orderBy(F.desc("threshold"))
+    )
+
+def exact_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank statistic with tie-averaged
+    ranks: AUC = (R+ - P(P+1)/2) / (P*N), where R+ is the sum of average
+    ranks of the positives. Equals sklearn's roc_auc_score to float
+    precision — this is the hash-level gate for the metric-suite math
+    (M3's evaluator AUCs are rows-only; this pins the same quantity
+    exactly).
+
+    Same aggregate-then-window shape as roc_points: ranks are computed per
+    DISTINCT score (avg rank of a tie group = #smaller + (ties+1)/2), so
+    nothing row-level is ever sorted.
+    """
+    per_score = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.col(label_col).cast("long")).alias("__p"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn("__before", F.coalesce(F.sum("__c").over(w), F.lit(0)))
+    avg_rank = F.col("__before") + (F.col("__c") + 1) / 2.0
+    agg = ranked.agg(
+        F.sum(F.col("__p") * avg_rank).alias("__rpos"),
+        F.sum("__p").alias("__P"),
+        (F.sum("__c") - F.sum("__p")).alias("__N"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("__rpos") - F.col("__P") * (F.col("__P") + 1) / 2.0)
+            / (F.col("__P") * F.col("__N")),
+            6,
+        ).alias("auc"),
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
     )

@@ -587,3 +587,49 @@ def association_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .drop("n_a", "n_b")
     )
     return counts
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two groups: max |ECDF_a(x) - ECDF_b(x)| — the classic
+    distribution-drift test to pair with psi_drift (PSI needs fixed bins;
+    KS is bin-free and catches shape changes PSI's coarse bins smear out).
+
+    Scale shape (aggregate-then-window, like histogram/psi): rows collapse
+    to per-distinct-value counts (one map-side-combinable groupBy) before
+    the cumulative window, so the only ordered pass runs over DISTINCT
+    VALUES — bounded by value cardinality, never row count. Returns one row
+    (ks_stat, n_a, n_b).
+    """
+    per_val = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("__ca"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_val.agg(F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb"))
+    return (
+        per_val.withColumn("__cum_a", F.sum("__ca").over(w))
+        .withColumn("__cum_b", F.sum("__cb").over(w))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("__cum_a") / F.col("__na") - F.col("__cum_b") / F.col("__nb")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.first("__na").alias("n_a"),
+            F.first("__nb").alias("n_b"),
+        )
+    )

@@ -268,3 +268,47 @@ def label_centroids(
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
         .orderBy(label_col, "idx")
     )
+
+def semantic_dedup(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within each
+    block, drop every vector that has a LOWER-id neighbor at cosine >=
+    threshold — deterministic survivor selection without building connected
+    components. Returns the surviving rows (id, block).
+
+    The block column IS the scale story: SemDeDup blocks by k-means cluster
+    id so the pairwise step is quadratic only within a cluster, never across
+    the corpus (use build_ivf_index's assignments, or any upstream category
+    such as `label`, as the block). The pair join is an equi-join on the
+    block key; the dot product runs on L2-normalized arrays via the
+    Arrow-batched kernel (see brute_force_cosine_pairs on why not
+    aggregate/zip_with).
+    """
+    from ..functions.vec_kernels import pair_dot
+
+    normed = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))).alias(
+            "__nv"
+        ),
+    )
+    a = normed.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"), F.col("__nv").alias("va"))
+    b = normed.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"), F.col("__nv").alias("vb"))
+    dominated = (
+        a.join(b, "__blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(pair_dot("va", "vb"), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        df.join(dominated, id_col, "left_anti")
+        .select(F.col(id_col), F.col(block_col))
+        .orderBy(id_col)
+    )

@@ -471,3 +471,102 @@ def c4_quality_flags(
         ok_stop.alias("ok_stopwords"),
         (ok_n & ok_len & ok_stop).alias("keep"),
     )
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per document, the
+    average negative log-probability of its tokens under the corpus unigram
+    distribution (Wenzek et al. 2020 use a 5-gram KenLM; the unigram variant
+    keeps the ranking signal — gibberish/outlier documents score high — with
+    exact, oracle-checkable math).
+
+    Scale shape (word-count-shaped, no driver collect):
+    1. explode tokens once;
+    2. vocabulary counts = one map-side-combinable groupBy(token);
+    3. the corpus total is a 1-row aggregate folded back with a broadcast
+       cross join (never a driver round-trip);
+    4. token → p(token) is a shuffle join on the token key (high cardinality
+       → parallelizes; Catalyst broadcasts the vocab side when it is small);
+    5. per-doc mean is a final groupBy(id).
+
+    Returns (id, n_tokens, avg_neg_logp) — filter on avg_neg_logp quantiles
+    to drop out-of-distribution documents.
+    """
+    ex = df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
+    vocab = ex.groupBy("t").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    scored = (
+        ex.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .select("id", (-F.log(F.col("__cnt") / F.col("__total"))).alias("__nlp"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__nlp"), 6).alias("avg_neg_logp"),
+        )
+        .orderBy("id")
+    )
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1,
+    delim: str = "\n",
+) -> DataFrame:
+    """C4-style line-level deduplication: a line that occurs (verbatim,
+    whitespace-trimmed) in more than ``max_doc_freq`` distinct documents is
+    boilerplate (nav bars, license headers, cookie banners) and is removed
+    from EVERY document (C4: Raffel et al. 2020 §2.2 dedups three-sentence
+    spans corpus-wide; lines are this engine's span unit).
+
+    Scale shape:
+    1. posexplode lines — keeps (id, pos, line), never a per-doc array;
+    2. line doc-frequency = groupBy(line) count(distinct id) — one shuffle
+       keyed on the line text (high cardinality);
+    3. frequent-line set joins back on the line key (shuffle or broadcast —
+       Catalyst decides by size) with a left anti join;
+    4. documents reassemble with one groupBy(id), ordering spans by pos
+       inside the aggregate (array_sort over (pos, line) structs) — no
+       window, no global sort.
+
+    Returns (id, text_clean, n_lines_kept, n_lines_removed).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    ).select("id", "pos", F.trim(F.col("line")).alias("line")).where(F.length("line") > 0)
+    freq = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("id").alias("__df"))
+        .where(F.col("__df") > max_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(freq, "line", "left_anti")
+    n_lines = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines_total"))
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            delim,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        n_lines.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("n_lines_total") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+        .orderBy("id")
+    )

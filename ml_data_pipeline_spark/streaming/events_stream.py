@@ -24,14 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet (TESTDATA.md): nanosecond ts is read as long (see
-# catalog.load_table) — the stream reader does the identical conversion.
+# Streamed events are staged through catalog.load_table (which normalizes
+# ns-as-long and NTZ variants of the raw testdata), so the stream schema is
+# the canonical one: a plain microsecond timestamp.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("ts", T.TimestampType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
@@ -41,13 +42,11 @@ EVENTS_SCHEMA = T.StructType(
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over events parquet with the ns→µs conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over staged (canonical-schema) events parquet."""
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(path)
 
 
 def hourly_counts(

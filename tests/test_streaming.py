@@ -20,9 +20,7 @@ def events_path(spark, tmp_path_factory):
     # re-write the single-file events table as a directory (the file stream
     # source needs a directory it can list)
     out = str(tmp_path_factory.mktemp("events_stream") / "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF}/events.parquet")  # keep ns-as-long schema
-    raw.repartition(4).write.mode("overwrite").parquet(out)
+    load_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(out)
     return out
 
 

@@ -380,23 +380,42 @@ def roc_points(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     DISTINCT SCORES, not rows: the sort is bounded by score cardinality
     (scores rounded upstream bound it explicitly), the same
     aggregate-then-window trick as profiling.histogram.
+
+    Totals (__P positives, __N negatives) come from an unbounded window
+    over the SAME per-score plan — not a separate aggregate crossJoined
+    back in, which created ambiguous self-lineage (the round-2
+    AMBIGUOUS_REFERENCE crash). The window adds no extra shuffle: the
+    cumulative window is already a single unpartitioned sort over the
+    bounded score domain.
+
+    Two-class precondition: with a single class the positive or negative
+    total is 0 and fpr/tpr are deliberately NULL (nullif guard), never a
+    divide-crash.
+
+    Naming note: total columns are __tot_p/__tot_n, NOT __P/__N — Spark
+    resolves column names case-insensitively, so withColumn("__P", ...)
+    silently REPLACES an existing __p (that collision was the round-2
+    AMBIGUOUS_REFERENCE crash in the crossJoin formulation, and corrupts
+    downstream expressions in the window formulation).
     """
     per_score = df.groupBy(F.col(score_col).alias("score")).agg(
         F.count(F.lit(1)).alias("__c"),
         F.sum(F.col(label_col).cast("long")).alias("__p"),
     )
     w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
-    tot = per_score.agg(
-        F.sum("__p").alias("__P"), (F.sum("__c") - F.sum("__p")).alias("__N")
+    wall = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    neg = F.col("__c") - F.col("__p")
     return (
         per_score.withColumn("__cum_p", F.sum("__p").over(w))
-        .withColumn("__cum_n", F.sum(F.col("__c") - F.col("__p")).over(w))
-        .crossJoin(F.broadcast(tot))
+        .withColumn("__cum_n", F.sum(neg).over(w))
+        .withColumn("__tot_p", F.sum("__p").over(wall))
+        .withColumn("__tot_n", F.sum(neg).over(wall))
         .select(
             F.col("score").alias("threshold"),
-            F.round(F.col("__cum_n") / F.col("__N"), 6).alias("fpr"),
-            F.round(F.col("__cum_p") / F.col("__P"), 6).alias("tpr"),
+            F.round(F.col("__cum_n") / F.nullif(F.col("__tot_n"), F.lit(0)), 6).alias("fpr"),
+            F.round(F.col("__cum_p") / F.nullif(F.col("__tot_p"), F.lit(0)), 6).alias("tpr"),
         )
         .orderBy(F.desc("threshold"))
     )
@@ -412,6 +431,10 @@ def exact_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     Same aggregate-then-window shape as roc_points: ranks are computed per
     DISTINCT score (avg rank of a tie group = #smaller + (ties+1)/2), so
     nothing row-level is ever sorted.
+
+    Two-class precondition: a single-class input has __P*__N = 0; the
+    nullif guard makes auc deliberately NULL instead of a silent
+    divide-by-zero, so a downstream gate sees an explicit missing value.
     """
     per_score = df.groupBy(F.col(score_col).alias("s")).agg(
         F.count(F.lit(1)).alias("__c"),
@@ -428,7 +451,7 @@ def exact_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     return agg.select(
         F.round(
             (F.col("__rpos") - F.col("__P") * (F.col("__P") + 1) / 2.0)
-            / (F.col("__P") * F.col("__N")),
+            / F.nullif(F.col("__P") * F.col("__N"), F.lit(0)),
             6,
         ).alias("auc"),
         F.col("__P").cast("long").alias("n_pos"),

@@ -288,16 +288,25 @@ def semantic_dedup(
     block key; the dot product runs on L2-normalized arrays via the
     Arrow-batched kernel (see brute_force_cosine_pairs on why not
     aggregate/zip_with).
+
+    Zero-norm guard: an all-zero embedding cannot be L2-normalized (the
+    division would produce a null-element array that crashes the Arrow
+    kernel's np.stack/einsum). Such rows are excluded from the PAIR join via
+    nullif(norm, 0) + a non-null filter, but always SURVIVE the dedup (they
+    are never anyone's duplicate) — the final anti-join is against dominated
+    ids only, so the output still covers every input id.
     """
     from ..functions.vec_kernels import pair_dot
 
+    safe_norm = F.nullif(_norm(F.col(vec_col)), F.lit(0.0))
     normed = df.select(
         F.col(id_col),
         F.col(block_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))).alias(
-            "__nv"
-        ),
-    )
+        F.when(
+            safe_norm.isNotNull(),
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / safe_norm),
+        ).alias("__nv"),
+    ).where(F.col("__nv").isNotNull())
     a = normed.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"), F.col("__nv").alias("va"))
     b = normed.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"), F.col("__nv").alias("vb"))
     dominated = (

@@ -9,6 +9,8 @@ shuffles.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -493,7 +495,10 @@ def unigram_logprob(
     5. per-doc mean is a final groupBy(id).
 
     Returns (id, n_tokens, avg_neg_logp) — filter on avg_neg_logp quantiles
-    to drop out-of-distribution documents.
+    to drop out-of-distribution documents. Every input id appears in the
+    output: a zero-token document gets n_tokens=0 and a NULL score (the
+    explode drops it from the scored path, so coverage comes from a final
+    left join back onto the input id set).
     """
     ex = df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
     vocab = ex.groupBy("t").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -503,11 +508,17 @@ def unigram_logprob(
         .crossJoin(F.broadcast(total))
         .select("id", (-F.log(F.col("__cnt") / F.col("__total"))).alias("__nlp"))
     )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.avg("__nlp"), 6).alias("avg_neg_logp"),
+    )
     return (
-        scored.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("__nlp"), 6).alias("avg_neg_logp"),
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("__n", F.lit(0)).alias("n_tokens"),
+            "avg_neg_logp",
         )
         .orderBy("id")
     )
@@ -535,11 +546,16 @@ def line_dedup(
        inside the aggregate (array_sort over (pos, line) structs) — no
        window, no global sort.
 
-    Returns (id, text_clean, n_lines_kept, n_lines_removed).
+    Returns (id, text_clean, n_lines_kept, n_lines_removed). Every input id
+    appears in the output — a document with no non-empty lines yields
+    text_clean='' and zero counts (coverage via a final left join on the
+    input id set). ``delim`` is treated as a LITERAL string: it is
+    regex-escaped before F.split so split and the array_join rebuild stay
+    symmetric for delimiters like '.', '|', or '\\r\\n'.
     """
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(delim))).alias("pos", "line"),
     ).select("id", "pos", F.trim(F.col("line")).alias("line")).where(F.length("line") > 0)
     freq = (
         lines.groupBy("line")
@@ -559,14 +575,17 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines_kept"),
     )
     return (
-        n_lines.join(rebuilt, "id", "left")
+        df.select(F.col(id_col).alias("id"))
+        .join(n_lines, "id", "left")
+        .join(rebuilt, "id", "left")
         .select(
             "id",
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
             F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-            (F.col("n_lines_total") - F.coalesce("n_lines_kept", F.lit(0))).alias(
-                "n_lines_removed"
-            ),
+            (
+                F.coalesce("n_lines_total", F.lit(0))
+                - F.coalesce("n_lines_kept", F.lit(0))
+            ).alias("n_lines_removed"),
         )
         .orderBy("id")
     )

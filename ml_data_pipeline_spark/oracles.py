@@ -256,7 +256,9 @@ ALL_ORACLES: dict[str, str] = {
     "p1_shape_census": """
         SELECT dtype, n_cols_of_type, (SELECT count(*) FROM orders) AS n_rows, n_cols
         FROM (VALUES ('bigint', 2, 6), ('double', 1, 6), ('string', 2, 6),
-                     ('timestamp_ntz', 1, 6)) t(dtype, n_cols_of_type, n_cols)
+                     ('timestamp', 1, 6)) t(dtype, n_cols_of_type, n_cols)
+        -- 'timestamp' (not _ntz): catalog.load_table normalizes NTZ scans
+        -- to session-TZ TIMESTAMP, so shape_census reports 'timestamp'
     """,
     # P5 classifications derive from the orders schema (deterministic)
     "p5_type_classification": """
@@ -1785,5 +1787,131 @@ ALL_ORACLES: dict[str, str] = {
         WHERE l_returnflag = 'R'
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    "q12_priority_by_status": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_priority_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_priority_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_type = 'STANDARD' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 25)
+           OR (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "tx_unigram_logprob": """
+        WITH ex AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS t
+            FROM documents
+        ),
+        vocab AS (SELECT t, count(*) AS cnt FROM ex GROUP BY t),
+        total AS (SELECT sum(cnt) AS tot FROM vocab),
+        scored AS (
+            SELECT id, -ln(cnt / tot) AS nlp
+            FROM ex JOIN vocab USING (t) CROSS JOIN total
+        ),
+        per AS (
+            SELECT id, count(*) AS n, round(avg(nlp), 6) AS avg_neg_logp
+            FROM scored GROUP BY id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(per.n, 0) AS n_tokens,
+               per.avg_neg_logp
+        FROM documents d LEFT JOIN per ON per.id = d.doc_id
+        ORDER BY id
+    """,
+    "tx_line_dedup": """
+        WITH docs AS (
+            SELECT doc_id AS id,
+                   list_filter(
+                       list_transform(
+                           string_split(
+                               regexp_replace(text, '((\\S+ ){3})',
+                                              '\\1' || chr(10), 'g'),
+                               chr(10)),
+                           x -> trim(x)),
+                       x -> len(x) > 0) AS lines
+            FROM documents
+        ),
+        ex AS (SELECT id, unnest(lines) AS line FROM docs),
+        freq AS (
+            SELECT line FROM ex GROUP BY line HAVING count(DISTINCT id) > 1
+        ),
+        fs AS (SELECT coalesce(list(line), []) AS fl FROM freq),
+        out AS (
+            SELECT id, len(lines) AS n_total,
+                   list_filter(lines, x -> NOT list_contains(fl, x)) AS keptl
+            FROM docs CROSS JOIN fs
+        )
+        SELECT id,
+               md5(coalesce(array_to_string(keptl, chr(10)), '')) AS clean_md5,
+               len(keptl) AS n_lines_kept,
+               n_total - len(keptl) AS n_lines_removed
+        FROM out ORDER BY id
+    """,
+    "m18_roc_auc": """
+        WITH base AS (
+            SELECT CAST(c_acctbal > 0 AS INT) AS y,
+                   round((c_acctbal + (c_custkey % 1000)) / 12000.0, 4) AS s
+            FROM customer
+        ),
+        per AS (SELECT s, count(*) AS c, sum(y) AS p FROM base GROUP BY s),
+        ranked AS (
+            SELECT *,
+                   coalesce(sum(c) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS bef
+            FROM per
+        ),
+        agg AS (
+            SELECT sum(p * (bef + (c + 1) / 2.0)) AS rpos,
+                   sum(p) AS pos, sum(c) - sum(p) AS neg
+            FROM ranked
+        )
+        SELECT round((rpos - pos * (pos + 1) / 2.0)
+                     / nullif(pos * neg, 0), 6) AS auc,
+               CAST(pos AS BIGINT) AS n_pos,
+               CAST(neg AS BIGINT) AS n_neg
+        FROM agg
+    """,
+    "m19_roc_points": """
+        WITH base AS (
+            SELECT CAST(c_acctbal > 0 AS INT) AS y,
+                   round((c_acctbal + (c_custkey % 1000)) / 12000.0, 4) AS s
+            FROM customer
+        ),
+        per AS (SELECT s AS score, count(*) AS c, sum(y) AS p
+                FROM base GROUP BY s),
+        cum AS (
+            SELECT score,
+                   sum(p) OVER (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+                   sum(c - p) OVER (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                   sum(p) OVER () AS pos,
+                   sum(c - p) OVER () AS neg
+            FROM per
+        )
+        SELECT score AS threshold,
+               round(cum_n / CAST(nullif(neg, 0) AS DOUBLE), 6) AS fpr,
+               round(cum_p / CAST(nullif(pos, 0) AS DOUBLE), 6) AS tpr
+        FROM cum ORDER BY threshold DESC
     """,
 }

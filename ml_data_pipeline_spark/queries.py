@@ -2235,3 +2235,92 @@ ALL_QUERIES = {
     "m19_roc_points": m19_roc_points,
     "p23_ks_drift": p23_ks_drift,
 }
+
+# ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a
+# CORRECTNESS row for the FIRST 50 dict entries only. 70 registered queries
+# still have no driver row after r1+r2; 55 of them are oracle-backed. Lead
+# with those 55 — the six r2-verdict-critical gates (the fixed m19_roc_points
+# plus the five queries that just gained DuckDB oracles) first — so
+# CORRECTNESS_r03 covers 50 of them hash-level; the 5 overflow + 15
+# rows-only unverified queue directly behind for the final r4 rotation.
+# Already-green r1/r2 entries keep their relative order at the back.
+_R3_PRIORITY = [
+    # r2-verdict items 1 & 3: fixed crash + newly-oracled rows-only queries
+    "m19_roc_points",
+    "m18_roc_auc",
+    "tx_line_dedup",
+    "tx_unigram_logprob",
+    "q12_priority_by_status",
+    "q19_disjunctive_revenue",
+    # oracle-backed, never driver-verified (r1 back-half block)
+    "q_window_suite",
+    "q_grouping_sets",
+    "pipe_clean_corpus",
+    "q_salted_join",
+    "q_not_exists",
+    "q_correlated_scalar",
+    "tx_pack_sequences",
+    "tx_mixture_plan",
+    "m15_grouped_ols",
+    "q_attribution",
+    "tx_chunk_documents",
+    "p16_grouped_percentiles",
+    "q_exists_semi",
+    "tx_top_ngrams",
+    "p17_outliers",
+    "s_diff_versions",
+    "tx_lang_stats",
+    "q_null_safe_join",
+    "ss_brute_topk",
+    "ss_brute_pairs",
+    # oracle-backed, never driver-verified (r2 late additions)
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q_resample_gapfill",
+    "tx_contamination",
+    "tx_boilerplate",
+    "tx_tfidf",
+    "t9_stratified_sample",
+    "e18_bucketize",
+    "p18_key_skew",
+    "tx_c4_filters",
+    "tx_domain_stats",
+    "q_range_frame",
+    "m16_lift_table",
+    "q_funnel",
+    "q_cohort_retention",
+    "p19_psi_drift",
+    "p20_expectations",
+    "s15_incremental_rollup",
+    "q_fuzzy_pairs",
+    "q_event_transitions",
+    "q_seasonal_anomaly",
+    "ss_label_centroids",
+    "pipe_entity_resolution",
+    "m17_calibration",
+    "p21_mad_outliers",
+    "p22_chi2_mi",
+    "e19_winsorize",
+    "q10_returned_revenue",
+    # rows-only, never driver-verified (weaker check; after the oracle block)
+    "i8_impute_em",
+    "b8_smote_tomek",
+    "b9_smote_enn",
+    "tx_fingerprint",
+    "m3_eval_classification",
+    "m4_feature_importances",
+    "m5_cross_val",
+    "m12_single_row_inference",
+    "dd_minhash_pairs",
+    "dd_simhash_pairs",
+    "ss_ann_topk",
+    "ss_ivf_topk",
+    "ss_cosine_pairs",
+    "ss_semantic_dedup",
+    "p23_ks_drift",
+]
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R3_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R3_PRIORITY)},
+}

@@ -167,3 +167,50 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=4, overlap=4)
+
+
+def test_line_dedup_covers_empty_documents(spark):
+    """A document with no non-empty lines must still appear in the output
+    (text_clean='', zero counts) — ADVICE r2: the output id set must never
+    shrink versus the input."""
+    from ml_data_pipeline_spark.operators.text import line_dedup
+
+    rows = [
+        (1, "shared line\nunique one"),
+        (2, "shared line\nunique two"),
+        (3, ""),
+        (4, "   \n  \n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in line_dedup(df, max_doc_freq=1).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["text_clean"] == "unique one"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_removed"] == 1
+    assert out[3]["text_clean"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[3]["n_lines_removed"] == 0
+    assert out[4]["n_lines_kept"] == 0 and out[4]["n_lines_removed"] == 0
+
+
+def test_line_dedup_literal_delimiter(spark):
+    """delim is literal, not regex — '.' must split on dots only (ADVICE r2:
+    F.split takes a regex; the delimiter is escaped before splitting)."""
+    from ml_data_pipeline_spark.operators.text import line_dedup
+
+    rows = [(1, "common.only in one"), (2, "common.only in two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in line_dedup(df, max_doc_freq=1, delim=".").collect()}
+    assert out[1]["text_clean"] == "only in one"
+    assert out[1]["n_lines_removed"] == 1
+
+
+def test_unigram_logprob_covers_zero_token_documents(spark):
+    """Zero-token docs stay in the output with n_tokens=0 and NULL score
+    (ADVICE r2: explode silently dropped them)."""
+    from ml_data_pipeline_spark.operators.text import unigram_logprob
+
+    rows = [(1, "alpha beta alpha"), (2, ""), (3, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in unigram_logprob(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_tokens"] == 3 and out[1]["avg_neg_logp"] is not None
+    assert out[2]["n_tokens"] == 0 and out[2]["avg_neg_logp"] is None

@@ -202,3 +202,44 @@ def test_ovr_auc_single_pass_matches_evaluator_loop(spark):
         loop_auc += c_auc * (support / total)
     pred_df.unpersist()
     assert abs(fast - loop_auc) < 2e-3, (fast, loop_auc)
+
+
+def test_roc_points_hand_computed(spark):
+    """roc_points against a hand-computed ROC: per distinct threshold
+    (descending), fpr = cum_neg/N, tpr = cum_pos/P. Also the regression
+    gate for the round-2 AMBIGUOUS_REFERENCE crash (__P vs __p
+    case-insensitive column collision)."""
+    rows = [(1, 0.9), (0, 0.8), (1, 0.8), (1, 0.6), (0, 0.4), (1, 0.4), (0, 0.2)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    got = [
+        (r["threshold"], r["fpr"], r["tpr"])
+        for r in MP.roc_points(df, "y", "s").collect()
+    ]
+    assert got == [
+        (0.9, 0.0, 0.25),
+        (0.8, 0.333333, 0.5),
+        (0.6, 0.333333, 0.75),
+        (0.4, 0.666667, 1.0),
+        (0.2, 1.0, 1.0),
+    ]
+
+
+def test_roc_points_single_class_yields_null_not_crash(spark):
+    df = spark.createDataFrame([(1, 0.3), (1, 0.7)], "y int, s double")
+    out = MP.roc_points(df, "y", "s").collect()
+    assert all(r["fpr"] is None for r in out)  # N == 0 -> explicit NULL
+    assert [r["tpr"] for r in out] == [0.5, 1.0]
+
+
+def test_exact_auc_hand_computed(spark):
+    """Mann-Whitney with tie-averaged ranks: 9 of 12 pos/neg pairs won
+    (counting ties as 0.5) -> AUC 0.75."""
+    rows = [(1, 0.9), (0, 0.8), (1, 0.8), (1, 0.6), (0, 0.4), (1, 0.4), (0, 0.2)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    r = MP.exact_auc(df, "y", "s").first()
+    assert (r["auc"], r["n_pos"], r["n_neg"]) == (0.75, 4, 3)
+
+
+def test_exact_auc_single_class_yields_null(spark):
+    df = spark.createDataFrame([(0, 0.3), (0, 0.7)], "y int, s double")
+    assert MP.exact_auc(df, "y", "s").first()["auc"] is None

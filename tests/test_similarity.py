@@ -77,3 +77,22 @@ def test_quantize_int8_bounds_and_error(spark):
     # dequantization error bound: scale/254 per component
     for q, x in zip(rows[1]["q8"], [0.5, -0.25, 0.1]):
         assert abs(q * rows[1]["q_scale"] / 127.0 - x) <= rows[1]["q_scale"] / 254 + 1e-12
+
+
+def test_semantic_dedup_zero_norm_vector_survives_not_crashes(spark):
+    """An all-zero embedding cannot be normalized; it must be skipped by the
+    pair join (not crash the Arrow kernel) and survive the dedup (ADVICE
+    r2: np.stack over null arrays made einsum raise)."""
+    from ml_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [1.0, 0.0001]),   # near-dup of 1 -> dropped
+        (3, "a", [0.0, 0.0]),      # zero norm -> must survive
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, block_col="label", threshold=0.95).collect()
+    )
+    assert out == [1, 3]

@@ -21,6 +21,12 @@ from ml_data_pipeline_spark.session import get_spark
 
 # Headline set: one per workload family — scan-agg, join-agg, snowflake join,
 # window, sessionization, imputation window, near-dup LSH, text pack, ANN.
+#
+# The set is FROZEN (r1 composition, VERDICT r2 item 7 decision): BENCH_r{N}
+# totals are only comparable round-over-round if the denominator never
+# changes. Composite pipelines (pipe_clean_corpus etc.) are timed by the
+# correctness gate's per-query log instead; adding them here would reset
+# the baseline every time the composite grows a stage.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",

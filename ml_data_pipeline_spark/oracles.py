@@ -1891,6 +1891,32 @@ ALL_ORACLES: dict[str, str] = {
                CAST(neg AS BIGINT) AS n_neg
         FROM agg
     """,
+    "s16_scd2": """
+        WITH cust AS (
+            SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+        ),
+        upd AS (
+            SELECT o_custkey AS c_custkey,
+                   round(max(o_totalprice), 2) AS acctbal,
+                   strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS eff
+            FROM orders GROUP BY o_custkey
+        ),
+        closed AS (
+            SELECT c.c_custkey, c.acctbal,
+                   '1992-01-01 00:00:00' AS valid_from,
+                   coalesce(u.eff, '9999-12-31 00:00:00') AS valid_to
+            FROM cust c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+        ),
+        opened AS (
+            SELECT c_custkey, acctbal, eff AS valid_from,
+                   '9999-12-31 00:00:00' AS valid_to
+            FROM upd
+        )
+        SELECT * FROM closed
+        UNION ALL
+        SELECT * FROM opened
+        ORDER BY c_custkey, valid_from
+    """,
     "m19_roc_points": """
         WITH base AS (
             SELECT CAST(c_acctbal > 0 AS INT) AS y,

@@ -188,3 +188,32 @@ def winsorize(
     fn = F.percentile(x, probs) if exact else F.approx_percentile(x, probs, F.lit(accuracy))
     lo, hi = df.agg(fn.alias("b")).first()["b"]
     return clip(df, column, lo=lo, hi=hi)
+
+def robust_scale(
+    df: DataFrame, column: str, out_col: str | None = None, exact: bool = True
+) -> DataFrame:
+    """Robust scaling: (x - median) / IQR — the outlier-immune companion to
+    the ML pipeline's StandardScaler (reference scales with mean/std only:
+    /root/reference/researching_models/model_evaluation_logic.py:31-33;
+    median/IQR survives the heavy tails that break z-scores).
+
+    exact=True uses percentile() (exact, piecewise-linear interpolation —
+    DuckDB quantile_cont parity, used by the oracle gate). At 100 TB flip
+    exact=False for the approx_percentile t-digest sketch: one pass,
+    bounded memory, no sort — identical plan shape otherwise (the same
+    exact/approx dual as profiling.numeric_summary). A zero IQR (constant
+    column) yields explicit NULLs via nullif, not a divide-crash.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    q = df.agg(
+        F.expr(f"{fn}({column}, 0.25)").alias("__q1"),
+        F.expr(f"{fn}({column}, 0.5)").alias("__med"),
+        F.expr(f"{fn}({column}, 0.75)").alias("__q3"),
+    )
+    out = out_col or f"{column}_scaled"
+    iqr = F.nullif(F.col("__q3") - F.col("__q1"), F.lit(0.0))
+    return (
+        df.crossJoin(F.broadcast(q))
+        .withColumn(out, (F.col(column) - F.col("__med")) / iqr)
+        .drop("__q1", "__med", "__q3")
+    )

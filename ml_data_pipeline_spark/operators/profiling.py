@@ -633,3 +633,89 @@ def ks_statistic(
             F.first("__nb").alias("n_b"),
         )
     )
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman rank correlation between two numeric columns: Pearson
+    correlation of the tie-averaged ranks (the reference's correlation
+    matrix is Pearson-only — /root/reference/preprocessing/
+    correlation_graph_ui.py:153; Spearman is the robust companion for
+    monotone-but-nonlinear relations).
+
+    Scale shape: per-row ranks are NEVER computed with a row-level sort.
+    Each column collapses to per-DISTINCT-value counts (map-side
+    combinable), the tie-averaged rank of a value is
+    #smaller + (ties+1)/2 via a cumulative window over distinct values
+    (bounded by value cardinality — same trick as exact_auc/ks_statistic),
+    and rows get their ranks back through two equi-joins on the value key.
+    The final corr() is one aggregate. Nulls in either column are dropped
+    (pairwise-complete, pandas semantics).
+    """
+    base = df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b")).where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        per = base.groupBy(F.col(col).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            "__v",
+            (F.coalesce(F.sum("__c").over(w), F.lit(0)) + (F.col("__c") + 1) / 2.0).alias(
+                f"__rank{col}"
+            ),
+        )
+
+    ranked = (
+        base.join(rank_map("__a").withColumnRenamed("__v", "__a"), "__a")
+        .join(rank_map("__b").withColumnRenamed("__v", "__b"), "__b")
+    )
+    return ranked.agg(
+        F.round(F.corr("__rank__a", "__rank__b"), 6).alias("spearman"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups: t statistic and
+    Welch-Satterthwaite degrees of freedom — the drift/AB-test companion to
+    ks_statistic (KS is distribution-shape; Welch is mean-shift with a
+    proper variance model).
+
+    One map-side-combinable aggregate pass computes both groups' (n, mean,
+    var_samp) as conditional aggregates — no split, no join, no second
+    scan. Returns one row (t_stat, welch_df, mean_a, mean_b, n_a, n_b).
+    Degenerate inputs (a group with < 2 rows or zero variance in both)
+    yield explicit NULLs via nullif, never a divide-crash.
+    """
+    in_a = (F.col(group_col) == group_a).cast("int")
+    in_b = (F.col(group_col) == group_b).cast("int")
+    v = F.col(value_col)
+    agg = df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull()).agg(
+        F.sum(in_a).alias("na"),
+        F.sum(in_b).alias("nb"),
+        F.avg(F.when(in_a == 1, v)).alias("ma"),
+        F.avg(F.when(in_b == 1, v)).alias("mb"),
+        F.var_samp(F.when(in_a == 1, v)).alias("va"),
+        F.var_samp(F.when(in_b == 1, v)).alias("vb"),
+    )
+    sea = F.col("va") / F.col("na")
+    seb = F.col("vb") / F.col("nb")
+    se2 = sea + seb
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(F.nullif(se2, F.lit(0.0)))
+    wdf = (se2 * se2) / F.nullif(
+        (sea * sea) / F.nullif(F.col("na") - 1, F.lit(0))
+        + (seb * seb) / F.nullif(F.col("nb") - 1, F.lit(0)),
+        F.lit(0.0),
+    )
+    return agg.select(
+        F.round(t, 6).alias("t_stat"),
+        F.round(wdf, 6).alias("welch_df"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+    )

@@ -589,3 +589,53 @@ def line_dedup(
         )
         .orderBy("id")
     )
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a bag of query terms (Robertson & Walker
+    1994; the Lucene-style idf variant ln(1 + (N - df + 0.5)/(df + 0.5)) so
+    scores are never negative). Returns the top-k (id, bm25) rows ordered by
+    score desc, id asc.
+
+    Scale shape:
+    1. one tokenize+explode over the corpus — the unavoidable word-count
+       pass; doc lengths come from the same exploded stream (one groupBy);
+    2. term-frequency rows are FILTERED to the query terms BEFORE the tf
+       aggregate, so everything after the first pass is query-sized, not
+       corpus-sized;
+    3. df(t) and N are tiny aggregates broadcast back; the per-(doc, term)
+       BM25 contribution is a pure expression; the final sum is one
+       query-sized groupBy and a TakeOrderedAndProject top-k (no full sort).
+    """
+    terms = [t.lower() for t in query_terms]
+    ex = df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
+    doclen = ex.groupBy("id").agg(F.count(F.lit(1)).alias("__dl"))
+    n_and_avg = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = ex.where(F.col("t").isin(terms)).groupBy("id", "t").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    contrib = idf * (F.col("__tf") * (k1 + 1)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .groupBy("id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("id"))
+        .limit(k)
+    )

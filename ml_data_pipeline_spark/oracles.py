@@ -1891,6 +1891,101 @@ ALL_ORACLES: dict[str, str] = {
                CAST(neg AS BIGINT) AS n_neg
         FROM agg
     """,
+    "q_bm25": """
+        WITH ex AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS t
+            FROM documents
+        ),
+        doclen AS (SELECT id, count(*) AS dl FROM ex GROUP BY id),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen),
+        tf AS (
+            SELECT id, t, count(*) AS tf FROM ex
+            WHERE t IN ('query', 'join', 'stream') GROUP BY id, t
+        ),
+        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        scored AS (
+            SELECT tf.id,
+                   sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * (1.2 + 1))
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS bm25
+            FROM tf
+            JOIN dfreq USING (t)
+            JOIN doclen USING (id)
+            CROSS JOIN stats
+            GROUP BY tf.id
+        )
+        SELECT id, round(bm25, 6) AS bm25
+        FROM scored ORDER BY round(bm25, 6) DESC, id ASC LIMIT 20
+    """,
+    "p24_spearman": """
+        WITH base AS (
+            SELECT l_quantity AS a, l_extendedprice AS b
+            FROM lineitem
+            WHERE (CASE WHEN l_orderkey % 10 = 3 THEN NULL
+                        ELSE l_quantity END) IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+        ),
+        pa AS (SELECT a AS v, count(*) AS c FROM base GROUP BY a),
+        ra AS (
+            SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + (c + 1) / 2.0 AS r
+            FROM pa
+        ),
+        pb AS (SELECT b AS v, count(*) AS c FROM base GROUP BY b),
+        rb AS (
+            SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + (c + 1) / 2.0 AS r
+            FROM pb
+        )
+        SELECT round(corr(ra.r, rb.r), 6) AS spearman,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM base JOIN ra ON base.a = ra.v JOIN rb ON base.b = rb.v
+    """,
+    "e20_robust_scale": """
+        WITH lin AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_orderkey % 10 = 3 THEN NULL
+                        ELSE l_quantity END AS qty
+            FROM lineitem
+        ),
+        q AS (
+            SELECT quantile_cont(qty, 0.25) AS q1,
+                   quantile_cont(qty, 0.5) AS med,
+                   quantile_cont(qty, 0.75) AS q3
+            FROM lin
+        )
+        SELECT l_orderkey, l_linenumber,
+               round((qty - med) / nullif(q3 - q1, 0), 6) AS l_quantity_scaled
+        FROM lin CROSS JOIN q
+        ORDER BY l_orderkey, l_linenumber, l_quantity_scaled
+    """,
+    "m20_group_ttest": """
+        WITH agg AS (
+            SELECT sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS na,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nb,
+                   avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS ma,
+                   avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS mb,
+                   var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS va,
+                   var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS vb
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'R') AND l_extendedprice IS NOT NULL
+        )
+        SELECT round((ma - mb) / sqrt(nullif(va / na + vb / nb, 0)), 6) AS t_stat,
+               round(pow(va / na + vb / nb, 2)
+                     / nullif(pow(va / na, 2) / nullif(na - 1, 0)
+                              + pow(vb / nb, 2) / nullif(nb - 1, 0), 0),
+                     6) AS welch_df,
+               round(ma, 6) AS mean_a,
+               round(mb, 6) AS mean_b,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b
+        FROM agg
+    """,
     "s16_scd2": """
         WITH cust AS (
             SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer

@@ -2161,6 +2161,38 @@ def p23_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     distributions — the bin-free companion to p19_psi_drift."""
     return P.ks_statistic(_li(spark, sf), "l_quantity", "l_returnflag", "A", "R")
 
+# ---------------------------------------------------------------- round-3 additions
+
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 documents for a 3-term query over the synthetic corpus
+    vocabulary. The corpus-sized work is one tokenize pass (doc lengths);
+    everything downstream is query-sized (tf rows filtered to the 3 terms
+    before aggregation)."""
+    docs = load_table(spark, sf, "documents")
+    return TX.bm25_topk(docs, ["query", "join", "stream"], k=20)
+
+def p24_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extendedprice with nulls
+    injected into quantity — exercises tie-averaged ranks (quantity has
+    ~50 distinct values = heavy ties) and pairwise-complete null drop."""
+    return P.spearman_corr(_li_nulls(spark, sf), "l_quantity", "l_extendedprice")
+
+def e20_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/IQR robust scaling (exact percentiles for the oracle; the
+    operator's approx mode is the 100 TB path). Null quantities stay
+    null."""
+    out = FL.robust_scale(_li_nulls(spark, sf), "l_quantity")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity_scaled", 6).alias("l_quantity_scaled"),
+    ).orderBy("l_orderkey", "l_linenumber", "l_quantity_scaled")
+
+def m20_group_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's t between returned (R) and accepted (A) extended prices —
+    the mean-shift companion to p23_ks_drift, one aggregate pass."""
+    return P.welch_ttest(_li(spark, sf), "l_extendedprice", "l_returnflag", "A", "R")
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -2343,6 +2375,10 @@ ALL_QUERIES = {
     "p23_ks_drift": p23_ks_drift,
     # -- round-3 additions
     "s16_scd2": s16_scd2,
+    "q_bm25": q_bm25,
+    "p24_spearman": p24_spearman,
+    "e20_robust_scale": e20_robust_scale,
+    "m20_group_ttest": m20_group_ttest,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a
@@ -2413,6 +2449,11 @@ _R3_PRIORITY = [
     "p22_chi2_mi",
     "e19_winsorize",
     "q10_returned_revenue",
+    # round-3 new oracle-backed gates (queue for the r4 driver window)
+    "q_bm25",
+    "p24_spearman",
+    "e20_robust_scale",
+    "m20_group_ttest",
     # rows-only, never driver-verified (weaker check; after the oracle block)
     "i8_impute_em",
     "b8_smote_tomek",

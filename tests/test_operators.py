@@ -551,3 +551,77 @@ def test_quantile_bucketize_exact_matches_ntile_semantics(spark):
         r["n"] for r in ap.groupBy("x_qbin").agg(F.count("*").alias("n")).collect()
     )
     assert len(ac) == 4 and all(abs(c - 250) <= 20 for c in ac)
+
+
+# ---------------------------------------------------------------- round-3 stats
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    """Spearman = 1 for any strictly increasing relation (Pearson is not)."""
+    from ml_data_pipeline_spark.operators.profiling import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0)], "a double, b double"
+    )
+    r = spearman_corr(df, "a", "b").first()
+    assert (r["spearman"], r["n_rows"]) == (1.0, 4)
+
+
+def test_spearman_ties_and_nulls(spark):
+    """Tie-averaged ranks + pairwise-complete null drop: descending with a
+    tie pair -> -1.0 on the 4 complete rows."""
+    from ml_data_pipeline_spark.operators.profiling import spearman_corr
+
+    rows = [(1.0, 6.0), (2.0, 4.0), (2.0, 4.0), (3.0, 1.0), (None, 9.0), (5.0, None)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = spearman_corr(df, "a", "b").first()
+    assert (r["spearman"], r["n_rows"]) == (-1.0, 4)
+
+
+def test_welch_ttest_hand_computed(spark):
+    """a=[1,2,3] b=[2,4,6]: t = -2/sqrt(5/3) = -1.549193, Welch df =
+    (5/3)^2 / ((1/9)/2 + (16/9)/2) = 2.941176."""
+    from ml_data_pipeline_spark.operators.profiling import welch_ttest
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_ttest(df, "v", "g", "a", "b").first()
+    assert r["t_stat"] == -1.549193
+    assert r["welch_df"] == 2.941176
+    assert (r["mean_a"], r["mean_b"], r["n_a"], r["n_b"]) == (2.0, 4.0, 3, 3)
+
+
+def test_robust_scale_hand_computed_and_constant_column(spark):
+    from ml_data_pipeline_spark.operators.filters import robust_scale
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 6)], "x double")
+    got = sorted(
+        r["x_scaled"] for r in robust_scale(df, "x").collect()
+    )
+    assert got == [-1.0, -0.5, 0.0, 0.5, 1.0]  # med 3, IQR 2
+
+    const = spark.createDataFrame([(1.0,), (1.0,)], "x double")
+    out = robust_scale(const, "x").collect()
+    assert all(r["x_scaled"] is None for r in out)  # zero IQR -> explicit NULL
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 semantics on a hand-sized corpus: no-match docs are absent;
+    the rare-term short doc wins (idf of df=1 'stream' = ln(3.33) beats
+    df=2 'query' = ln(2)); among same-term docs, higher tf + shorter doc
+    scores higher."""
+    from ml_data_pipeline_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark query engine query"),
+        (2, "spark query engine with a much longer tail of filler words here"),
+        (3, "stream processing only"),
+        (4, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["query", "stream"], k=10).collect()
+    ids = [r["id"] for r in out]
+    assert ids == [3, 1, 2]  # rare term > frequent term; tf/length break 1 vs 2
+    scores = {r["id"]: r["bm25"] for r in out}
+    assert scores[1] > scores[2]  # same term: two hits in 4 tokens beats one in 12
+    assert all(s > 0 for s in scores.values())  # Lucene idf variant is non-negative

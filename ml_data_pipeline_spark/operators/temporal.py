@@ -107,11 +107,63 @@ def range_join_interval(
     """Point-in-interval join: left rows matched to right intervals
     [start, end) per key. Expressed as an equi-join on the key + interval
     predicate — Catalyst turns the conjunction into a hash join with a
-    post-filter; for interval tables small enough, broadcast applies."""
-    return left.join(
-        right,
-        (left[on] == right[on])
-        & (left[left_time] >= right[start_col])
-        & (left[left_time] < right[end_col]),
-        "left",
-    ).drop(right[on])
+    post-filter; for interval tables small enough, broadcast applies.
+
+    Both sides get explicit aliases before the join: when ``right`` is
+    DERIVED FROM ``left`` (e.g. intervals built from the same events
+    table), ``left[on] == right[on]`` column references resolve ambiguously
+    on the shared lineage — the old ``.drop(right[on])`` silently dropped
+    the LEFT key and kept the right one, which is NULL for unmatched rows
+    (found by the q_interval_join oracle: every unmatched event migrated
+    into a NULL key group)."""
+    l_al, r_al = left.alias("__rj_l"), right.alias("__rj_r")
+    lc = lambda c: F.col(f"__rj_l.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"__rj_r.{c}")  # noqa: E731
+    cond = (
+        (lc(on) == rc(on))
+        & (lc(left_time) >= rc(start_col))
+        & (lc(left_time) < rc(end_col))
+    )
+    keep_right = [rc(c).alias(c) for c in right.columns if c != on]
+    return l_al.join(r_al, cond, "left").select(
+        *[lc(c).alias(c) for c in left.columns], *keep_right
+    )
+
+def ewma_last(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Final EWMA value per group: s_n = alpha*x_n + (1-alpha)*s_{n-1},
+    s_1 = x_1, evaluated over the group's rows ordered by ``order_col``.
+
+    The recurrence is computed in CLOSED FORM as one weighted sum —
+    weight(i) = alpha*(1-alpha)^(N-i) for i>1, (1-alpha)^(N-1) for i=1 —
+    so the whole operator is a partitioned window (row_number + per-group
+    count) plus one aggregate: no UDF, no iterative loop, no state. Old
+    terms underflow to 0.0 in the same IEEE754 way every engine computes
+    pow(), which keeps it oracle-checkable. ``order_col`` values must be
+    unique within a group (e.g. a date after a daily pre-aggregation) or
+    the ordering — and therefore the EWMA — is not well-defined.
+
+    Returns (group_col, n_points, ewma).
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    wall = Window.partitionBy(group_col)
+    n = F.row_number().over(w)
+    big_n = F.count(F.lit(1)).over(wall)
+    decay = F.lit(1.0 - alpha)
+    weight = F.when(n == 1, F.pow(decay, (big_n - 1).cast("double"))).otherwise(
+        F.lit(alpha) * F.pow(decay, (big_n - n).cast("double"))
+    )
+    return (
+        df.select(F.col(group_col), (weight * F.col(value_col)).alias("__wx"), big_n.alias("__n"))
+        .groupBy(group_col)
+        .agg(
+            F.max("__n").cast("long").alias("n_points"),
+            F.round(F.sum("__wx"), 6).alias("ewma"),
+        )
+        .orderBy(group_col)
+    )

@@ -1986,6 +1986,59 @@ ALL_ORACLES: dict[str, str] = {
                CAST(nb AS BIGINT) AS n_b
         FROM agg
     """,
+    "q_interval_join": """
+        -- independent algorithm: each event's own day defines its user's
+        -- [day, day+12h) interval, so interval membership == hour(ts) < 12
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(CASE WHEN extract('hour' FROM ts) < 12
+                        THEN 1 ELSE 0 END) AS n_first_half
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "f9_align_columns": """
+        SELECT CAST(NULL AS DOUBLE) AS name_as_double,
+               CAST(c_custkey AS VARCHAR) AS custkey_str,
+               round(c_acctbal, 2) AS c_acctbal
+        FROM customer
+        ORDER BY custkey_str
+    """,
+    "s3_csv_strings": """
+        SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 2 THEN ''
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    "p25_approx_distinct_quality": """
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_partkey,
+               TRUE AS partkey_ok,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_suppkey,
+               TRUE AS suppkey_ok
+        FROM lineitem
+    """,
+    "q_ewma": """
+        WITH daily AS (
+            SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS d,
+                   sum(l_quantity) AS x
+            FROM lineitem GROUP BY 1, 2
+        ),
+        numbered AS (
+            SELECT l_returnflag, x,
+                   row_number() OVER (PARTITION BY l_returnflag ORDER BY d) AS n,
+                   count(*) OVER (PARTITION BY l_returnflag) AS nn
+            FROM daily
+        )
+        SELECT l_returnflag,
+               CAST(max(nn) AS BIGINT) AS n_points,
+               round(sum(CASE WHEN n = 1 THEN pow(0.7, nn - 1) * x
+                              ELSE 0.3 * pow(0.7, nn - n) * x END), 6) AS ewma
+        FROM numbered
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "s16_scd2": """
         WITH cust AS (
             SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer

@@ -2193,6 +2193,116 @@ def m20_group_ttest(spark: SparkSession, sf: str) -> DataFrame:
     the mean-shift companion to p23_ks_drift, one aggregate pass."""
     return P.welch_ttest(_li(spark, sf), "l_extendedprice", "l_returnflag", "A", "R")
 
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join gate (temporal.range_join_interval — was
+    tests-only): per-user [day, day+12h) intervals built from the events
+    table itself, events joined by key + interval predicate, then per-user
+    hit counts. The oracle computes the same truth with an INDEPENDENT
+    algorithm (hour(ts) < 12 — every event's own day defines an interval),
+    so a join-predicate bug cannot cancel out."""
+    from ml_data_pipeline_spark.operators import temporal as TP
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    iv = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("start"))
+        .distinct()
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 12 HOURS"))
+    )
+    joined = TP.range_join_interval(ev, iv, "user_id", "ts", "start", "end")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("start").isNotNull().cast("long")).alias("n_first_half"),
+        )
+        .orderBy("user_id")
+    )
+
+def f9_align_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """F9+F10+F11 composite gate (align ops were tests-only): whitespace-
+    padded headers are stripped (F11), columns reordered to a reference
+    order with extras dropped (F9), and dtypes cast to a reference schema
+    with try_cast coerce semantics (F10 — the non-numeric c_name cast to
+    double must yield NULL, not throw)."""
+    from pyspark.sql import types as T
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    padded = cust.toDF(" c_custkey ", " c_name ", " c_acctbal ", " c_mktsegment ")
+    stripped = FL.strip_column_names(padded)
+    aligned = FL.align_columns(
+        stripped, ["c_name", "c_custkey", "c_acctbal"], keep_extras=False
+    )
+    ref_schema = T.StructType(
+        [
+            T.StructField("c_name", T.DoubleType()),
+            T.StructField("c_custkey", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    out = FL.align_dtypes(aligned, ref_schema)
+    return out.select(
+        F.col("c_name").alias("name_as_double"),
+        F.col("c_custkey").alias("custkey_str"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    ).orderBy("custkey_str")
+
+def s3_csv_strings(spark: SparkSession, sf: str) -> DataFrame:
+    """S3 as-strings CSV scan gate (was tests-only): orders (with nulls
+    injected into o_orderpriority) staged to CSV, read back with
+    read_csv_as_strings — every column is a string and nulls come back as
+    '' (the reference's dtype=str + fillna('') convention). Integer/string
+    columns only: float→text formatting differs between engines and is not
+    what S3 is about."""
+    import hashlib
+
+    from ml_data_pipeline_spark.sources import csv_io
+
+    src = _orders_nulls(spark, sf).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    stage = f"/tmp/mdp_csv_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/orders_str"
+    src.write.mode("overwrite").option("header", True).csv(stage)
+    back = csv_io.read_csv_as_strings(spark, stage)
+    return back.orderBy(F.col("o_orderkey").cast("long"))
+
+def p25_approx_distinct_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketch quality contract, hash-level: the output carries the
+    EXACT distinct counts plus booleans asserting the approx_count_distinct
+    estimate is within 5% relative error. The oracle emits the exact counts
+    with TRUE — if the sketch path ever degrades past the bound, the
+    booleans flip and the value hash mismatches. (approx_count_distinct is
+    the only sane distinct-count at 100 TB; this pins its quality.)"""
+    li = _li(spark, sf)
+    err = lambda approx, exact: F.abs(approx - exact) / exact  # noqa: E731
+    agg = li.agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_partkey"),
+        F.approx_count_distinct("l_partkey").alias("__ap"),
+        F.count_distinct("l_suppkey").cast("long").alias("exact_suppkey"),
+        F.approx_count_distinct("l_suppkey").alias("__as"),
+    )
+    return agg.select(
+        "exact_partkey",
+        (err(F.col("__ap"), F.col("exact_partkey")) <= 0.05).alias("partkey_ok"),
+        "exact_suppkey",
+        (err(F.col("__as"), F.col("exact_suppkey")) <= 0.05).alias("suppkey_ok"),
+    )
+
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA (alpha=0.3) of the daily quantity series per return flag —
+    closed-form weighted sum over a partitioned window (temporal.ewma_last),
+    no iteration, no UDF. Daily pre-aggregation makes the order key unique
+    so the recurrence is well-defined."""
+    from ml_data_pipeline_spark.operators import temporal as TP
+
+    daily = (
+        _li(spark, sf)
+        .groupBy(
+            "l_returnflag", F.date_format("l_shipdate", "yyyy-MM-dd").alias("d")
+        )
+        .agg(F.sum("l_quantity").alias("x"))
+    )
+    return TP.ewma_last(daily, "x", "d", "l_returnflag", alpha=0.3)
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -2379,6 +2489,11 @@ ALL_QUERIES = {
     "p24_spearman": p24_spearman,
     "e20_robust_scale": e20_robust_scale,
     "m20_group_ttest": m20_group_ttest,
+    "q_interval_join": q_interval_join,
+    "f9_align_columns": f9_align_columns,
+    "s3_csv_strings": s3_csv_strings,
+    "p25_approx_distinct_quality": p25_approx_distinct_quality,
+    "q_ewma": q_ewma,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a
@@ -2454,6 +2569,11 @@ _R3_PRIORITY = [
     "p24_spearman",
     "e20_robust_scale",
     "m20_group_ttest",
+    "q_interval_join",
+    "f9_align_columns",
+    "s3_csv_strings",
+    "p25_approx_distinct_quality",
+    "q_ewma",
     # rows-only, never driver-verified (weaker check; after the oracle block)
     "i8_impute_em",
     "b8_smote_tomek",

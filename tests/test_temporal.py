@@ -65,3 +65,36 @@ def test_range_join_interval(spark):
     )
     got = {r["t"]: r["label"] for r in TP.range_join_interval(left, right, "k", "t", "s", "e").collect()}
     assert got == {5.0: "early", 15.0: "late"}
+
+
+def test_range_join_interval_self_lineage_keeps_left_key(spark):
+    """Intervals DERIVED from the left table (shared lineage) must not
+    hijack the key column: unmatched left rows keep their own key, with
+    null interval bounds (regression: drop(right[on]) resolved to the
+    left key and nulled unmatched keys)."""
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators.temporal import range_join_interval
+
+    left = spark.createDataFrame([(1, 5), (1, 20), (2, 7)], "k long, t long")
+    iv = (
+        left.select("k", (F.col("t") - F.col("t") % 10).alias("s"))
+        .distinct()
+        .withColumn("e", F.col("s") + 6)
+    )
+    out = {
+        (r["k"], r["t"]): r["s"] for r in range_join_interval(left, iv, "k", "t", "s", "e").collect()
+    }
+    assert out == {(1, 5): 0, (1, 20): 20, (2, 7): None}  # key never null
+
+
+def test_ewma_last_matches_recurrence(spark):
+    """Closed-form weighted sum == the sequential recurrence s_n =
+    a*x_n + (1-a)*s_{n-1}, hand-evaluated."""
+    from ml_data_pipeline_spark.operators.temporal import ewma_last
+
+    rows = [("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 30.0), ("h", 1, 5.0)]
+    df = spark.createDataFrame(rows, "g string, d int, x double")
+    out = {r["g"]: (r["n_points"], r["ewma"]) for r in ewma_last(df, "x", "d", "g", alpha=0.3).collect()}
+    # s1=10; s2=.3*20+.7*10=13; s3=.3*30+.7*13=18.1
+    assert out == {"g": (3, 18.1), "h": (1, 5.0)}

@@ -457,3 +457,58 @@ def exact_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
         F.col("__P").cast("long").alias("n_pos"),
         F.col("__N").cast("long").alias("n_neg"),
     )
+
+def pr_points(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """Precision-recall curve points: one (precision, recall) per distinct
+    score threshold, descending (predict positive when score >= threshold).
+    Companion to roc_points for imbalanced-label evaluation, where ROC
+    flatters the majority class.
+
+    Same aggregate-then-window shape as roc_points (rows collapse to
+    per-distinct-score counts first; the one ordered pass runs over the
+    bounded score domain), and the same __tot_* naming discipline — Spark
+    column resolution is case-insensitive, so __P would silently collide
+    with __p. Single-class input yields explicit NULL recall via nullif;
+    precision is always well-defined (cum_p + cum_n >= 1 at every
+    threshold).
+    """
+    per_score = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.col(label_col).cast("long")).alias("__p"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_score.withColumn("__cum_p", F.sum("__p").over(w))
+        .withColumn("__cum_c", F.sum("__c").over(w))
+        .withColumn("__tot_p", F.sum("__p").over(wall))
+        .select(
+            F.col("score").alias("threshold"),
+            F.round(F.col("__cum_p") / F.col("__cum_c"), 6).alias("precision"),
+            F.round(F.col("__cum_p") / F.nullif(F.col("__tot_p"), F.lit(0)), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy(F.desc("threshold"))
+    )
+
+def probability_score_metrics(
+    df: DataFrame, label_col: str, prob_col: str, eps: float = 1e-6
+) -> DataFrame:
+    """Proper-scoring-rule metrics for probabilistic predictions, exact and
+    oracle-checkable: Brier score avg((p - y)^2) and log loss
+    -avg(y*ln(p) + (1-y)*ln(1-p)). Probabilities are clamped to
+    [eps, 1-eps] BEFORE scoring (standard log-loss practice — sklearn does
+    the same) so out-of-range or saturated scores cannot produce ±inf.
+    One aggregate pass; returns (brier, log_loss, n_rows).
+    """
+    y = F.col(label_col).cast("double")
+    p = F.greatest(F.lit(eps), F.least(F.lit(1.0 - eps), F.col(prob_col).cast("double")))
+    base = df.where(F.col(label_col).isNotNull() & F.col(prob_col).isNotNull())
+    return base.agg(
+        F.round(F.avg((p - y) * (p - y)), 6).alias("brier"),
+        F.round(-F.avg(y * F.log(p) + (1 - y) * F.log(1 - p)), 6).alias("log_loss"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

@@ -604,38 +604,50 @@ def bm25_topk(
     scores are never negative). Returns the top-k (id, bm25) rows ordered by
     score desc, id asc.
 
-    Scale shape:
-    1. one tokenize+explode over the corpus — the unavoidable word-count
-       pass; doc lengths come from the same exploded stream (one groupBy);
-    2. term-frequency rows are FILTERED to the query terms BEFORE the tf
-       aggregate, so everything after the first pass is query-sized, not
-       corpus-sized;
-    3. df(t) and N are tiny aggregates broadcast back; the per-(doc, term)
-       BM25 contribution is a pure expression; the final sum is one
-       query-sized groupBy and a TakeOrderedAndProject top-k (no full sort).
+    Scale shape — ONE corpus pass (plan-audited; the first formulation
+    tokenized the corpus twice, once for doc lengths and once for term
+    frequencies):
+    1. tokenize+explode once; a single map-side-combinable groupBy(id)
+       computes the doc length AND one conditional-count column per query
+       term (the term list is a small fixed literal, so the aggregate
+       width is bounded);
+    2. corpus stats (N, avgdl) and per-term doc frequencies collapse that
+       doc-sized table into ONE broadcast row;
+    3. the per-doc score is a pure expression over the broadcast stats;
+       top-k is TakeOrderedAndProject (no full sort, no extra shuffle).
     """
-    terms = [t.lower() for t in query_terms]
+    terms = sorted({t.lower() for t in query_terms})
     ex = df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
-    doclen = ex.groupBy("id").agg(F.count(F.lit(1)).alias("__dl"))
-    n_and_avg = doclen.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    per_doc = ex.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__dl"),
+        *[
+            F.sum((F.col("t") == t).cast("long")).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    tf = ex.where(F.col("t").isin(terms)).groupBy("id", "t").agg(
-        F.count(F.lit(1)).alias("__tf")
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
     )
-    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("__df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-    )
-    denom = F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
-    contrib = idf * (F.col("__tf") * (k1 + 1)) / denom
+
+    def contrib(i: int):
+        tf = F.col(f"__tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df{i}") + 0.5) / (F.col(f"__df{i}") + 0.5)
+        )
+        denom = tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+        return F.when(tf > 0, idf * (tf * (k1 + 1)) / denom).otherwise(F.lit(0.0))
+
+    score = sum((contrib(i) for i in range(len(terms))), F.lit(0.0))
     return (
-        tf.join(F.broadcast(dfreq), "t")
-        .join(doclen, "id")
-        .crossJoin(F.broadcast(n_and_avg))
-        .groupBy("id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("id", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
         .orderBy(F.desc("bm25"), F.asc("id"))
         .limit(k)
     )

@@ -2065,6 +2065,50 @@ ALL_ORACLES: dict[str, str] = {
         SELECT * FROM opened
         ORDER BY c_custkey, valid_from
     """,
+    "st_enriched_segments": """
+        SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+               count(*) AS n_events,
+               round(sum(e.value), 6) AS total_value
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "m21_pr_points": """
+        WITH base AS (
+            SELECT CAST(c_acctbal > 0 AS INT) AS y,
+                   round((c_acctbal + (c_custkey % 1000)) / 12000.0, 4) AS s
+            FROM customer
+        ),
+        per AS (SELECT s AS score, count(*) AS c, sum(y) AS p
+                FROM base GROUP BY s),
+        cum AS (
+            SELECT score,
+                   sum(p) OVER (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+                   sum(c) OVER (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+                   sum(p) OVER () AS pos
+            FROM per
+        )
+        SELECT score AS threshold,
+               round(cum_p / CAST(cum_c AS DOUBLE), 6) AS precision,
+               round(cum_p / CAST(nullif(pos, 0) AS DOUBLE), 6) AS recall
+        FROM cum ORDER BY threshold DESC
+    """,
+    "m22_brier_logloss": """
+        WITH base AS (
+            SELECT CAST(c_acctbal > 0 AS INT) AS y,
+                   greatest(0.000001, least(0.999999,
+                       round((c_acctbal + (c_custkey % 1000)) / 12000.0, 4))) AS p
+            FROM customer
+            WHERE c_acctbal IS NOT NULL
+        )
+        SELECT round(avg((p - y) * (p - y)), 6) AS brier,
+               round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 6) AS log_loss,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM base
+    """,
     "m19_roc_points": """
         WITH base AS (
             SELECT CAST(c_acctbal > 0 AS INT) AS y,

@@ -2287,6 +2287,46 @@ def p25_approx_distinct_quality(spark: SparkSession, sf: str) -> DataFrame:
         (err(F.col("__as"), F.col("exact_suppkey")) <= 0.05).alias("suppkey_ok"),
     )
 
+def st_enriched_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (streaming/
+    events_stream.enrich_stream — same function, batch input): events
+    enriched with the customer dimension by user_id, rolled up to market
+    segment. Unmatched users land in 'UNKNOWN'. The streaming side is
+    parity-tested in tests/test_streaming.py."""
+    from ml_data_pipeline_spark.streaming import events_stream as ES
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    dim = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ES.enrich_stream(ev, dim, "user_id")
+    return (
+        enriched.groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+def m21_pr_points(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision-recall curve over the deterministic (label, score) base —
+    the imbalanced-data companion to m19_roc_points, same aggregate-then-
+    window shape."""
+    from ml_data_pipeline_spark.ml.pipeline import pr_points
+
+    return pr_points(_auc_base(spark, sf), "y", "s")
+
+def m22_brier_logloss(spark: SparkSession, sf: str) -> DataFrame:
+    """Brier score + log loss on the deterministic score base (clamped to
+    [eps, 1-eps] — the base's scores stray slightly outside [0,1], which
+    is exactly the saturation case the clamp exists for)."""
+    from ml_data_pipeline_spark.ml.pipeline import probability_score_metrics
+
+    return probability_score_metrics(_auc_base(spark, sf), "y", "s")
+
 def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """EWMA (alpha=0.3) of the daily quantity series per return flag —
     closed-form weighted sum over a partitioned window (temporal.ewma_last),
@@ -2494,6 +2534,9 @@ ALL_QUERIES = {
     "s3_csv_strings": s3_csv_strings,
     "p25_approx_distinct_quality": p25_approx_distinct_quality,
     "q_ewma": q_ewma,
+    "m21_pr_points": m21_pr_points,
+    "m22_brier_logloss": m22_brier_logloss,
+    "st_enriched_segments": st_enriched_segments,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a
@@ -2574,6 +2617,9 @@ _R3_PRIORITY = [
     "s3_csv_strings",
     "p25_approx_distinct_quality",
     "q_ewma",
+    "m21_pr_points",
+    "m22_brier_logloss",
+    "st_enriched_segments",
     # rows-only, never driver-verified (weaker check; after the oracle block)
     "i8_impute_em",
     "b8_smote_tomek",

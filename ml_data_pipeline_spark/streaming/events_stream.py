@@ -242,3 +242,24 @@ def write_stream_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str, broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to each event by a shared key column (left join — events
+    with no dimension row survive with nulls).
+
+    The static side is re-read per micro-batch by Structured Streaming
+    (that is the stream-static contract: dimension updates become visible
+    at batch boundaries). broadcast_dim keeps the join map-side so the
+    UNBOUNDED side never shuffles — the only sane shape when the stream is
+    the big side; disable only for dimensions too large to broadcast,
+    which instead want the bucketed-layout path (operators/skew).
+
+    Works identically on a batch DataFrame (the gate's batch twin uses the
+    same function). Join is by column NAME, not dataframe-attribute
+    reference — immune to the shared-lineage resolution trap documented in
+    temporal.range_join_interval.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, key, "left")

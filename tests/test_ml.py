@@ -243,3 +243,30 @@ def test_exact_auc_hand_computed(spark):
 def test_exact_auc_single_class_yields_null(spark):
     df = spark.createDataFrame([(0, 0.3), (0, 0.7)], "y int, s double")
     assert MP.exact_auc(df, "y", "s").first()["auc"] is None
+
+
+def test_pr_points_hand_computed(spark):
+    rows = [(1, 0.9), (0, 0.8), (1, 0.8), (1, 0.6), (0, 0.4), (1, 0.4), (0, 0.2)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    got = [
+        (r["threshold"], r["precision"], r["recall"])
+        for r in MP.pr_points(df, "y", "s").collect()
+    ]
+    assert got == [
+        (0.9, 1.0, 0.25),
+        (0.8, 0.666667, 0.5),
+        (0.6, 0.75, 0.75),
+        (0.4, 0.666667, 1.0),
+        (0.2, 0.571429, 1.0),
+    ]
+
+
+def test_probability_score_metrics_hand_computed_and_clamped(spark):
+    df = spark.createDataFrame([(1, 0.9), (0, 0.1)], "y int, p double")
+    r = MP.probability_score_metrics(df, "y", "p").first()
+    assert (r["brier"], r["log_loss"], r["n_rows"]) == (0.01, 0.105361, 2)
+
+    # out-of-range probability is clamped, never ±inf
+    sat = spark.createDataFrame([(1, 1.5), (0, -0.2)], "y int, p double")
+    r2 = MP.probability_score_metrics(sat, "y", "p").first()
+    assert r2["log_loss"] is not None and r2["log_loss"] < 0.001

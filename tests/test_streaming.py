@@ -205,3 +205,23 @@ def test_upsert_sink_latest_per_key_and_idempotent_restart(spark, events_path, t
         for r in spark.read.parquet(table).collect()
     }
     assert again == want
+
+
+def test_enrich_stream_matches_batch(spark, events_path):
+    """Stream-static enrichment: the drained stream join must produce the
+    same enriched rows as the identical batch join (same function)."""
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = ES.read_events_stream(spark, events_path)
+    got = ES.run_to_memory(
+        ES.enrich_stream(stream.select("event_id", "user_id"), dim, "user_id"),
+        "t_enrich",
+        "append",
+    )
+    batch = ES.enrich_stream(
+        load_table(spark, SF, "events").select("event_id", "user_id"), dim, "user_id"
+    )
+    g = {(r["event_id"], r["c_mktsegment"]) for r in got.collect()}
+    b = {(r["event_id"], r["c_mktsegment"]) for r in batch.collect()}
+    assert g == b and len(g) > 0

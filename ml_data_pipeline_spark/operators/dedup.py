@@ -332,12 +332,16 @@ def simhash_near_duplicates(
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "val")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "val")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # hamming is computed and FILTERED before the pair-dedup so the dedup
+    # shuffle carries only passing (id_a, id_b, hamming) triples — not two
+    # 64-bit signatures per candidate, and none of the rejected candidates
+    # (hamming is functionally determined by the pair, so deduping after
+    # the filter is equivalent)
     return (
         a.join(b, ["block", "val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )

@@ -618,13 +618,18 @@ def bm25_topk(
     """
     terms = sorted({t.lower() for t in query_terms})
     ex = df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
+    # cached: both the stats aggregate and the scoring projection read
+    # per_doc — without the cache the lazy plan re-runs the corpus
+    # tokenize for each (verified with explain_audit: two full scans).
+    # per_doc is doc-count-sized ((1 + |terms|) longs per doc), orders of
+    # magnitude smaller than the corpus, and spills if it must.
     per_doc = ex.groupBy("id").agg(
         F.count(F.lit(1)).alias("__dl"),
         *[
             F.sum((F.col("t") == t).cast("long")).alias(f"__tf{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).cache()
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("__dl").alias("__avgdl"),

@@ -1869,7 +1869,11 @@ ALL_ORACLES: dict[str, str] = {
     "m18_roc_auc": """
         WITH base AS (
             SELECT CAST(c_acctbal > 0 AS INT) AS y,
-                   round((c_acctbal + (c_custkey % 1000)) / 12000.0, 4) AS s
+                   -- integer-grid coarsening (exact in both engines);
+                   -- round(x,4) disagreed on .00005 boundaries (see
+                   -- queries._auc_base)
+                   ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                     + (c_custkey % 1000) * 100) // 120) / 20000.0 AS s
             FROM customer
         ),
         per AS (SELECT s, count(*) AS c, sum(y) AS p FROM base GROUP BY s),
@@ -2065,6 +2069,30 @@ ALL_ORACLES: dict[str, str] = {
         SELECT * FROM opened
         ORDER BY c_custkey, valid_from
     """,
+    "p23_ks_drift": """
+        WITH per AS (
+            SELECT l_quantity AS v,
+                   sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cb
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'R')
+            GROUP BY l_quantity
+        ),
+        cum AS (
+            SELECT sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+                   sum(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+                   sum(ca) OVER () AS na,
+                   sum(cb) OVER () AS nb
+            FROM per
+        )
+        SELECT round(max(abs(cum_a / CAST(na AS DOUBLE)
+                             - cum_b / CAST(nb AS DOUBLE))), 6) AS ks_stat,
+               CAST(max(na) AS BIGINT) AS n_a,
+               CAST(max(nb) AS BIGINT) AS n_b
+        FROM cum
+    """,
     "st_enriched_segments": """
         SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
                count(*) AS n_events,
@@ -2077,7 +2105,11 @@ ALL_ORACLES: dict[str, str] = {
     "m21_pr_points": """
         WITH base AS (
             SELECT CAST(c_acctbal > 0 AS INT) AS y,
-                   round((c_acctbal + (c_custkey % 1000)) / 12000.0, 4) AS s
+                   -- integer-grid coarsening (exact in both engines);
+                   -- round(x,4) disagreed on .00005 boundaries (see
+                   -- queries._auc_base)
+                   ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                     + (c_custkey % 1000) * 100) // 120) / 20000.0 AS s
             FROM customer
         ),
         per AS (SELECT s AS score, count(*) AS c, sum(y) AS p
@@ -2100,7 +2132,8 @@ ALL_ORACLES: dict[str, str] = {
         WITH base AS (
             SELECT CAST(c_acctbal > 0 AS INT) AS y,
                    greatest(0.000001, least(0.999999,
-                       round((c_acctbal + (c_custkey % 1000)) / 12000.0, 4))) AS p
+                       ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                         + (c_custkey % 1000) * 100) // 120) / 20000.0)) AS p
             FROM customer
             WHERE c_acctbal IS NOT NULL
         )
@@ -2112,7 +2145,11 @@ ALL_ORACLES: dict[str, str] = {
     "m19_roc_points": """
         WITH base AS (
             SELECT CAST(c_acctbal > 0 AS INT) AS y,
-                   round((c_acctbal + (c_custkey % 1000)) / 12000.0, 4) AS s
+                   -- integer-grid coarsening (exact in both engines);
+                   -- round(x,4) disagreed on .00005 boundaries (see
+                   -- queries._auc_base)
+                   ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                     + (c_custkey % 1000) * 100) // 120) / 20000.0 AS s
             FROM customer
         ),
         per AS (SELECT s AS score, count(*) AS c, sum(y) AS p

@@ -2138,12 +2138,25 @@ def ss_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 def _auc_base(spark, sf) -> DataFrame:
     """Deterministic (label, score) pairs for the AUC/ROC gates: the label
     is acctbal-positivity; the score mixes the true signal with custkey
-    noise and is rounded to 4dp to force tie groups (exercising the
-    tie-averaged rank math)."""
+    noise, coarsened to force tie groups (exercising the tie-averaged
+    rank math).
+
+    The coarsening is INTEGER division on an exact integer grid (cents +
+    shifted noise, offset positive so truncation == floor in both
+    engines), then one exact int/20000.0 division — NOT round(x, 4):
+    float rounding of values that land exactly on a .00005 boundary is
+    half-up in Spark (Java BigDecimal) but half-even in DuckDB, which
+    split/merged score groups and broke the per-threshold gates at sf0.1
+    (7 boundary values in that data; sf0.01 had none — found by the
+    scale-stability run)."""
     cust = load_table(spark, sf, "customer")
+    grid = F.expr(
+        "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000"
+        " + (c_custkey % 1000) * 100) div 120"
+    )
     return cust.select(
         (F.col("c_acctbal") > 0).cast("int").alias("y"),
-        F.round((F.col("c_acctbal") + (F.col("c_custkey") % 1000)) / 12000.0, 4).alias("s"),
+        (grid / F.lit(20000.0)).alias("s"),
     )
 
 def m18_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
@@ -2620,6 +2633,7 @@ _R3_PRIORITY = [
     "m21_pr_points",
     "m22_brier_logloss",
     "st_enriched_segments",
+    "p23_ks_drift",  # oracle added r3 (was rows-only with no structural reason)
     # rows-only, never driver-verified (weaker check; after the oracle block)
     "i8_impute_em",
     "b8_smote_tomek",
@@ -2635,7 +2649,6 @@ _R3_PRIORITY = [
     "ss_ivf_topk",
     "ss_cosine_pairs",
     "ss_semantic_dedup",
-    "p23_ks_drift",
 ]
 ALL_QUERIES = {
     **{n: ALL_QUERIES[n] for n in _R3_PRIORITY},

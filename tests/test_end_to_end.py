@@ -25,3 +25,17 @@ def test_end_to_end_slice(spark, tmp_path):
     assert m is not None
     p = load_params_json(str(tmp_path / "segment_lr_params.json"))
     assert p["task_type"] == "classification"
+
+
+def test_corpus_prep_pipeline(spark):
+    """examples/corpus_prep.py: the §2.9 LLM-corpus pipeline end to end —
+    dedup shrinks, quality gates shrink further, packing bins exist."""
+    import corpus_prep
+
+    out = corpus_prep.run(spark, "/root/testdata/sf0.001")
+    assert out["after_exact_dedup"] <= out["input_docs"]
+    assert out["after_near_dedup"] < out["input_docs"]  # corpus has near-dups
+    assert 0 < out["after_quality"] <= out["after_near_dedup"]
+    assert out["composition_rows"] > 0
+    assert len(out["bm25_top5"]) == 5
+    assert out["packed_bins"] >= 1

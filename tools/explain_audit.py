@@ -32,6 +32,11 @@ DEFAULT_QUERIES = [
     "q_asof_join",
     "e3_target_encode",
     "i1_impute_mean",
+    # round-3 additions: retrieval, CDC history, smoothing, stream-static
+    "q_bm25",
+    "s16_scd2",
+    "q_ewma",
+    "st_enriched_segments",
 ]
 
 

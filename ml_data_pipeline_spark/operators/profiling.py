@@ -668,8 +668,16 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         base.join(rank_map("__a").withColumnRenamed("__v", "__a"), "__a")
         .join(rank_map("__b").withColumnRenamed("__v", "__b"), "__b")
     )
+    # Pearson-of-ranks spelled out with a nullif-guarded denominator: a
+    # CONSTANT column has zero rank variance, and under ANSI mode F.corr
+    # raises DIVIDE_BY_ZERO instead of returning null (found by the
+    # hypothesis property test). covar_pop/stddev_pop give the identical
+    # statistic with an explicit NULL for the degenerate case.
+    denom = F.nullif(
+        F.stddev_pop("__rank__a") * F.stddev_pop("__rank__b"), F.lit(0.0)
+    )
     return ranked.agg(
-        F.round(F.corr("__rank__a", "__rank__b"), 6).alias("spearman"),
+        F.round(F.covar_pop("__rank__a", "__rank__b") / denom, 6).alias("spearman"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
 

@@ -182,3 +182,69 @@ def test_split_by_hash_membership_nested(spark, keys, f1):
     t1 = {r["k"] for r in split_by_hash(df, "k", f1).where("is_test").collect()}
     t2 = {r["k"] for r in split_by_hash(df, "k", f2).where("is_test").collect()}
     assert t1 <= t2
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+@SET
+def test_spearman_matches_pandas_and_bounded(spark, pairs):
+    from ml_data_pipeline_spark.operators.profiling import spearman_corr
+
+    df = spark.createDataFrame(pairs, "a double, b double")
+    r = spearman_corr(df, "a", "b").first()
+    expected = pd.DataFrame(pairs, columns=["a", "b"]).corr(method="spearman").iloc[0, 1]
+    if r["spearman"] is None:
+        assert math.isnan(expected) or pd.isna(expected)  # constant column
+    else:
+        assert -1.0 <= r["spearman"] <= 1.0
+        assert math.isclose(r["spearman"], expected, rel_tol=1e-4, abs_tol=1e-4)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1e3, allow_nan=False), min_size=1, max_size=20
+    ),
+    alpha=st.floats(min_value=0.05, max_value=0.95),
+)
+@SET
+def test_ewma_last_matches_sequential_recurrence(spark, vals, alpha):
+    from ml_data_pipeline_spark.operators.temporal import ewma_last
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, d int, x double"
+    )
+    got = ewma_last(df, "x", "d", "g", alpha=alpha).first()["ewma"]
+    s = vals[0]
+    for v in vals[1:]:
+        s = alpha * v + (1 - alpha) * s
+    assert math.isclose(got, round(s, 6), rel_tol=1e-6, abs_tol=2e-6)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False), min_size=2, max_size=25
+    )
+)
+@SET
+def test_robust_scale_median_maps_to_zero(spark, vals):
+    from ml_data_pipeline_spark.operators.filters import robust_scale
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = robust_scale(df, "x").toPandas()
+    med = pd.Series(vals).quantile(0.5)
+    q1, q3 = pd.Series(vals).quantile(0.25), pd.Series(vals).quantile(0.75)
+    if q3 - q1 == 0.0:  # exact, mirroring the operator's nullif(iqr, 0)
+        assert out["x_scaled"].isna().all()  # zero IQR -> explicit NULL
+    else:
+        expected = ((pd.Series(vals) - med) / (q3 - q1)).tolist()
+        got = out.sort_values("x")["x_scaled"].tolist()
+        for g, e in zip(got, sorted(expected)):
+            assert math.isclose(g, e, rel_tol=1e-6, abs_tol=1e-6)

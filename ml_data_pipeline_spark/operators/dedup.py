@@ -78,14 +78,16 @@ def shingle_minhash(
       equals min() over the set, so distinct-ing is pure cost.
     - round-2 shape: one xxhash64 + K universal-hash families
       (a_k*h+b_k mod p) as K min() aggregates — 32 multiply-mods per
-      shingle, 4.2s for the signature stage. This round: OPH makes the
-      per-shingle work ONE mod + ONE min-buffer update (signature stage
-      4.2s → ~1.3s); the groupBy(id, bucket) is map-side combinable, so
-      the shuffle carries ≤ K rows per doc, then one groupBy(id) assembles
-      the K-slot array from a bucket→min map.
+      shingle. OPH makes the per-shingle work ONE mod + ONE min-buffer
+      update: the K bucket minima are K conditional min(when(h%K = k, h))
+      aggregates in a SINGLE map-side-combinable groupBy(id). (A two-stage
+      variant — groupBy(id, bucket) then a bucket→min map assembly — was
+      measured too: comparable cold wall time within run-to-run variance,
+      but one extra shuffle and an ObjectHashAggregate collect_list; the
+      fused shape keeps the whole signature in one hash-aggregate stage.)
     - empty-bucket densification: a doc with fewer shingles than buckets can
       leave slots empty; empty slots are filled with the doc's GLOBAL min
-      (array_min over the populated buckets). Deterministic, and identical
+      (least() over the bucket minima). Deterministic, and identical
       shingle sets still produce identical signatures (both docs have the
       same empty buckets and the same global min), so exact duplicates
       always estimate Jaccard 1.0. At shingle counts ≥ ~10×K the empty-
@@ -103,18 +105,17 @@ def shingle_minhash(
             "h"
         ),
     )
-    bucketed = exploded.groupBy(
-        "id", F.pmod(F.col("h"), F.lit(num_hashes)).cast("int").alias("__b")
-    ).agg(F.min("h").alias("__m"))
-    maps = bucketed.groupBy("id").agg(
-        F.map_from_entries(F.collect_list(F.struct("__b", "__m"))).alias("__mm")
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(F.when(F.pmod("h", F.lit(num_hashes)) == k, F.col("h"))).alias(f"__m{k}")
+            for k in range(num_hashes)
+        ]
     )
-    fallback = F.array_min(F.map_values(F.col("__mm")))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("__mm"), i), fallback),
+    fallback = F.least(*[F.col(f"__m{k}") for k in range(num_hashes)])
+    sig = F.array(
+        *[F.coalesce(F.col(f"__m{k}"), fallback) for k in range(num_hashes)]
     )
-    return maps.select("id", sig.alias("signature"))
+    return mins.select("id", sig.alias("signature"))
 
 def minhash_near_duplicates(
     df: DataFrame,

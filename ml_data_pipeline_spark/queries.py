@@ -658,8 +658,37 @@ def i6_impute_mice(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def i8_impute_em(spark: SparkSession, sf: str) -> DataFrame:
-    out = I.impute_em_normal(_li_nulls(spark, sf), "l_quantity", max_iter=3)
-    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+    """rows-only (seeded normal draws), but with an IN-QUERY quality
+    contract (r3): the output is filtered on distribution-preservation
+    invariants — zero nulls remain, and the filled column's mean sits
+    within 5 sigma/sqrt(n_filled) of the observed-data mean (EM draws
+    from N(mu, sigma), so a broken estimator shifts the mean and the
+    query collapses to 0 rows, tripping the driver's row-count check)."""
+    base = _li_nulls(spark, sf)
+    obs = base.agg(
+        F.avg("l_quantity").alias("__mu"),
+        F.stddev_samp("l_quantity").alias("__sd"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("__n_miss"),
+    )
+    out = I.impute_em_normal(base, "l_quantity", max_iter=3)
+    check = out.agg(
+        F.avg("l_quantity").alias("__fmu"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("__nulls"),
+    )
+    ok = (
+        (F.col("__nulls") == 0)
+        & (
+            F.abs(F.col("__fmu") - F.col("__mu"))
+            <= 5 * F.col("__sd") / F.sqrt(F.col("__n_miss"))
+        )
+    )
+    return (
+        out.select("l_orderkey", "l_linenumber", "l_quantity")
+        .crossJoin(F.broadcast(check))
+        .crossJoin(F.broadcast(obs))
+        .where(ok)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
 
 # ---------------------------------------------------------------- sampling (T*)
 

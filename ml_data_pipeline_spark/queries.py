@@ -901,19 +901,39 @@ def b7_borderline_counts(spark: SparkSession, sf: str) -> DataFrame:
     flag = danger.agg((F.count(F.lit(1)) > 0).alias("danger_nonempty"))
     return _class_n(out).crossJoin(F.broadcast(flag))
 
-def b8_smote_tomek(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only: Tomek-link removal count is data/LSH-recall dependent."""
-    out = B.smote_tomek(
-        _cust_bal(spark, sf), "c_mktsegment", ["c_acctbal", "c_nationkey"], k=5
+def _cleaning_floor(base: DataFrame, counts: DataFrame, frac: float) -> DataFrame:
+    """r3 quality floor for the SMOTE+cleaning gates: cleaning removal is
+    data-dependent (rows-only), but it must never WIPE OUT a class — all
+    5 classes must survive with counts above ``frac`` of the pre-balance
+    majority. A bug that deletes a class or mass-removes rows collapses
+    the gate to 0 rows. frac is calibrated per method from measured
+    behavior on this corpus (see the gate docstrings)."""
+    orig_max = base.groupBy("c_mktsegment").count().agg(F.max("count").alias("__mx"))
+    floor_chk = counts.agg(F.min("n").alias("__mn"), F.count(F.lit(1)).alias("__k"))
+    return (
+        counts.crossJoin(F.broadcast(orig_max))
+        .crossJoin(F.broadcast(floor_chk))
+        .where((F.col("__mn") >= frac * F.col("__mx")) & (F.col("__k") == 5))
+        .select("c_mktsegment", "n")
+        .orderBy("c_mktsegment")
     )
-    return _class_n(out)
+
+def b8_smote_tomek(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only: Tomek-link removal count is data/LSH-recall dependent.
+    Class-survival floor 0.3 of majority — Tomek removes only mutual-NN
+    cross-class pairs, measured well above 50% survival here."""
+    base = _cust_bal(spark, sf)
+    out = B.smote_tomek(base, "c_mktsegment", ["c_acctbal", "c_nationkey"], k=5)
+    return _cleaning_floor(base, _class_n(out), 0.3)
 
 def b9_smote_enn(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only: ENN removal count is data-dependent."""
-    out = B.smote_enn(
-        _cust_bal(spark, sf), "c_mktsegment", ["c_acctbal", "c_nationkey"], k=3
-    )
-    return _class_n(out)
+    """rows-only: ENN removal count is data-dependent. Class-survival
+    floor 0.05 of majority — ENN's kNN-vote cleaning is aggressive on
+    these deliberately overlapping features (measured min class survival
+    12.5% at sf0.001, 13.3% at sf0.01; a wipeout bug reads 0%)."""
+    base = _cust_bal(spark, sf)
+    out = B.smote_enn(base, "c_mktsegment", ["c_acctbal", "c_nationkey"], k=3)
+    return _cleaning_floor(base, _class_n(out), 0.05)
 
 # ---------------------------------------------------------------- text (TX*)
 
@@ -937,8 +957,26 @@ def tx_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return TX.detect_language(docs).select("doc_id", "lang_pred")
 
 def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only (xxhash64 is engine-specific so values cannot hash-match
+    DuckDB), but with an r3 consistency floor: the xxhash64 and md5
+    fingerprints share the SAME normalization, so their equality-class
+    counts must agree — if the xxhash64 path ever diverges (normalization
+    drift, hash misuse) the distinct counts differ and the gate collapses
+    to 0 rows. (The md5 twin tx_fingerprint_md5 is the value-level
+    oracle.)"""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    return TX.fingerprint(docs).select("doc_id", "fingerprint")
+    xx = TX.fingerprint(docs).select("doc_id", "fingerprint")
+    d_xx = xx.agg(F.count_distinct("fingerprint").alias("__dx"))
+    d_md = (
+        TX.fingerprint_md5(docs)
+        .agg(F.count_distinct("fingerprint").alias("__dm"))
+    )
+    return (
+        xx.crossJoin(F.broadcast(d_xx))
+        .crossJoin(F.broadcast(d_md))
+        .where(F.col("__dx") == F.col("__dm"))
+        .select("doc_id", "fingerprint")
+    )
 
 def tx_fingerprint_md5(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -1070,7 +1108,14 @@ def m3_eval_classification(spark: SparkSession, sf: str) -> DataFrame:
     train, test = orders.randomSplit([0.8, 0.2], seed=42)
     _, metrics = train_and_evaluate(train, test, "o_orderstatus", "logistic_regression")
     rows = [(k, float(v)) for k, v in sorted(metrics.items())]
-    return spark.createDataFrame(rows, "metric string, value double")
+    # r3 quality floor: exactly the 5 expected metrics, every one a valid
+    # probability-scale value — a broken evaluator (NaN, >1, missing
+    # metric) collapses the gate to 0 rows
+    expected = {"accuracy", "precision", "recall", "f1", "roc_auc"}
+    ok = {k for k, _ in rows} == expected and all(
+        v == v and 0.0 <= v <= 1.0 for _, v in rows
+    )
+    return spark.createDataFrame(rows if ok else [], "metric string, value double")
 
 def m4_feature_importances(spark: SparkSession, sf: str) -> DataFrame:
     """rows-only: RF impurity importances over 3 lineitem features."""
@@ -1104,7 +1149,15 @@ def m5_cross_val(spark: SparkSession, sf: str) -> DataFrame:
     )
     rows = [(f"fold_{i}", float(s)) for i, s in enumerate(cv["scores"])]
     rows.append(("mean", float(cv["mean"])))
-    return spark.createDataFrame(rows, "k string, accuracy double")
+    # r3 quality floor: 3 folds, valid [0,1] scores, reported mean equals
+    # the fold average — violation collapses the gate to 0 rows
+    scores = cv["scores"]
+    ok = (
+        len(scores) == 3
+        and all(s == s and 0.0 <= s <= 1.0 for s in scores)
+        and abs(cv["mean"] - sum(scores) / len(scores)) < 1e-9
+    )
+    return spark.createDataFrame(rows if ok else [], "k string, accuracy double")
 
 def m6_random_search_trials(spark: SparkSession, sf: str) -> DataFrame:
     """M6/M8 contract (oracle-checked): the trial history has exactly
@@ -1170,7 +1223,10 @@ def m12_single_row_inference(spark: SparkSession, sf: str) -> DataFrame:
         model, spark, {"o_orderstatus": "F", "o_totalprice": 150000.0, "o_year": 1995.0},
         orders.schema,
     )
-    return spark.createDataFrame([(float(pred),)], "prediction double")
+    # r3 quality floor: a binary F/O problem must predict class index 0 or
+    # 1 — anything else (NaN, out-of-domain index) collapses the gate
+    rows = [(float(pred),)] if float(pred) in (0.0, 1.0) else []
+    return spark.createDataFrame(rows, "prediction double")
 
 def pipe_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Composite training-data pipeline: exact dedup → length/quality gate →

@@ -512,3 +512,47 @@ def probability_score_metrics(
         F.round(-F.avg(y * F.log(p) + (1 - y) * F.log(1 - p)), 6).alias("log_loss"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+def isotonic_calibration(
+    df: DataFrame, label_col: str, score_col: str, n_bins: int = 100
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration of a score column: fit
+    MLlib IsotonicRegression on binned (score, positive-rate) aggregates
+    and return the monotone calibration map (score_bin_center ->
+    calibrated_p). Companion to the reliability table (m17): that one
+    REPORTS miscalibration, this one produces the correcting map.
+
+    Scale shape: raw rows collapse to <= n_bins weighted aggregate points
+    BEFORE the driver-side PAV fit (the classic binned-isotonic trick —
+    PAV on pre-pooled bins equals PAV on rows when bins preserve score
+    order, and n_bins points on the driver is metadata, not data). The
+    returned map is tiny; applying it to a corpus is one broadcast range
+    join. Deterministic given deterministic input: PAV's solution is
+    unique, so this is reproducible across partitionings — the gate
+    enforces the defining property (calibrated_p non-decreasing in score)
+    in-query.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    binned = (
+        df.where(y.isNotNull() & s.isNotNull())
+        .groupBy(F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).alias("__b"))
+        .agg(
+            F.avg(s).alias("score_center"),
+            F.avg(y).alias("pos_rate"),
+            F.count(F.lit(1)).cast("double").alias("weight"),
+        )
+    )
+    vec = VectorAssembler(inputCols=["score_center"], outputCol="__f").transform(binned)
+    model = IsotonicRegression(
+        featuresCol="__f", labelCol="pos_rate", weightCol="weight"
+    ).fit(vec)
+    out = model.transform(vec)
+    return out.select(
+        F.round("score_center", 6).alias("score_center"),
+        F.round("pos_rate", 6).alias("raw_pos_rate"),
+        F.round(F.col("prediction"), 6).alias("calibrated_p"),
+    ).orderBy("score_center")

@@ -2385,6 +2385,31 @@ def p25_approx_distinct_quality(spark: SparkSession, sf: str) -> DataFrame:
         (err(F.col("__as"), F.col("exact_suppkey")) <= 0.05).alias("suppkey_ok"),
     )
 
+def m23_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """rows-only (MLlib PAV fit — float-path, not SQL-expressible), with
+    the DEFINING property enforced in-query: calibrated_p must be
+    non-decreasing in score (checked with a lag window over the returned
+    map; any inversion collapses the gate to 0 rows). Input is the
+    deterministic (label, score) base shared by the AUC-family gates."""
+    from ml_data_pipeline_spark.ml.pipeline import isotonic_calibration
+
+    base = _auc_base(spark, sf)
+    cal = isotonic_calibration(base, "y", "s", n_bins=50)
+    w = Window.orderBy("score_center")
+    flagged = cal.withColumn(
+        "__prev", F.lag("calibrated_p").over(w)
+    ).withColumn(
+        "__viol",
+        (F.col("__prev").isNotNull()) & (F.col("calibrated_p") < F.col("__prev") - 1e-9),
+    )
+    chk = flagged.agg(F.sum(F.col("__viol").cast("long")).alias("__nv"))
+    return (
+        cal.crossJoin(F.broadcast(chk))
+        .where(F.col("__nv") == 0)
+        .select("score_center", "raw_pos_rate", "calibrated_p")
+        .orderBy("score_center")
+    )
+
 def st_enriched_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Batch twin of the stream-static enrichment join (streaming/
     events_stream.enrich_stream — same function, batch input): events
@@ -2635,6 +2660,7 @@ ALL_QUERIES = {
     "m21_pr_points": m21_pr_points,
     "m22_brier_logloss": m22_brier_logloss,
     "st_enriched_segments": st_enriched_segments,
+    "m23_isotonic_calibration": m23_isotonic_calibration,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

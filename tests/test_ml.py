@@ -270,3 +270,14 @@ def test_probability_score_metrics_hand_computed_and_clamped(spark):
     sat = spark.createDataFrame([(1, 1.5), (0, -0.2)], "y int, p double")
     r2 = MP.probability_score_metrics(sat, "y", "p").first()
     assert r2["log_loss"] is not None and r2["log_loss"] < 0.001
+
+
+def test_isotonic_calibration_pav_pooling_and_monotone(spark):
+    """PAV on per-score rates 1,0,0,1 pools the violating prefix to 1/3:
+    expected map [1/3, 1/3, 1/3, 1.0] — and always non-decreasing."""
+    rows = [(1, 0.1), (0, 0.2), (0, 0.3), (1, 0.4)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    out = MP.isotonic_calibration(df, "y", "s", n_bins=1000).collect()
+    got = [r["calibrated_p"] for r in out]
+    assert got == [0.333333, 0.333333, 0.333333, 1.0]
+    assert all(a <= b for a, b in zip(got, got[1:]))

@@ -2069,6 +2069,24 @@ ALL_ORACLES: dict[str, str] = {
         SELECT * FROM opened
         ORDER BY c_custkey, valid_from
     """,
+    "q_sql_surface": """
+        WITH ranked AS (
+            SELECT o_custkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        SELECT c.c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(r.o_totalprice), 2) AS top_order_revenue
+        FROM ranked r
+        JOIN customer c ON r.o_custkey = c.c_custkey
+        WHERE r.rn = 1
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
     "p23_ks_drift": """
         WITH per AS (
             SELECT l_quantity AS v,

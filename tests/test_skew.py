@@ -110,3 +110,25 @@ def test_auto_salted_join_parity_both_paths(spark):
     out = auto_salted_join(uni, small, "k", rows_per_task=1000)
     assert out.columns == ["k", "payload", "dim"]
     assert out.count() == small.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A hive-partitioned parquet layout + an equality filter on the
+    partition column must show PartitionFilters in the scan (the physical
+    skip-most-of-the-data mechanism the IVF/LSH write paths rely on —
+    at 100 TB the filter decides how many files exist for the job,
+    not how many rows survive a full read)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "part_events")
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("bucket"), F.rand(1).alias("x")
+    )
+    df.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    back = spark.read.parquet(out).where(F.col("bucket") == 3)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "PartitionFilters: [" in plan
+    # the pruned read returns exactly the one bucket
+    assert back.count() == df.where(F.col("id") % 7 == 3).count()
+    # and the plan's partition filter actually references the bucket value
+    assert "bucket" in plan.split("PartitionFilters")[1][:120]

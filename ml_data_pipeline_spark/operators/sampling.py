@@ -157,3 +157,30 @@ def stratified_sample_by_hash(
             F.col(strata_col).cast("string") == val, F.lit(int(round(frac * buckets)))
         ).otherwise(cut)
     return df.where(b < cut)
+
+def group_sample_by_hash(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    md5(salt || key) and keep the first k. The hash order is a uniform
+    pseudo-random permutation that is REPRODUCIBLE across engines, runs,
+    and partitionings (same determinism model as split_by_hash — no RNG,
+    no partition sensitivity), so eval-set construction survives
+    re-ingestion. Change ``salt`` to draw an independent sample.
+
+    One partitioned window; the shuffle is on the group key. For heavily
+    skewed groups the rank-window is still bounded per group; for
+    k-much-smaller-than-group at extreme scale, pre-filtering with a
+    hash-range predicate (split_by_hash shape) before the window cuts the
+    sorted volume."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col).cast("string"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -2069,6 +2069,20 @@ ALL_ORACLES: dict[str, str] = {
         SELECT * FROM opened
         ORDER BY c_custkey, valid_from
     """,
+    "t10_group_sample": """
+        WITH ranked AS (
+            SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY md5('r3' || '|' || CAST(c_custkey AS VARCHAR)),
+                                CAST(c_custkey AS VARCHAR)
+                   ) AS rn
+            FROM customer
+        )
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM ranked WHERE rn <= 20
+        ORDER BY c_mktsegment, c_custkey
+    """,
     "q_sql_surface": """
         WITH ranked AS (
             SELECT o_custkey, o_totalprice,

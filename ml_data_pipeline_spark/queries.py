@@ -2385,6 +2385,17 @@ def p25_approx_distinct_quality(spark: SparkSession, sf: str) -> DataFrame:
         (err(F.col("__as"), F.col("exact_suppkey")) <= 0.05).alias("suppkey_ok"),
     )
 
+def t10_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic k-per-group sampling (hash-ordered, engine- and
+    partitioning-reproducible): 20 customers per market segment, ordered
+    by md5 of the key — the oracle replicates the identical hash order in
+    DuckDB, so the SAMPLED ROWS themselves hash-match, not just counts."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    out = SA.group_sample_by_hash(cust, "c_mktsegment", "c_custkey", k=20, salt="r3")
+    return out.orderBy("c_mktsegment", "c_custkey")
+
 def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
     """The SQL entry point end-to-end (catalog.register_all -> spark.sql):
     a CTE + window + join query written as literal SQL text, proving a
@@ -2692,6 +2703,7 @@ ALL_QUERIES = {
     "st_enriched_segments": st_enriched_segments,
     "m23_isotonic_calibration": m23_isotonic_calibration,
     "q_sql_surface": q_sql_surface,
+    "t10_group_sample": t10_group_sample,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -625,3 +625,20 @@ def test_bm25_ranking_properties(spark):
     scores = {r["id"]: r["bm25"] for r in out}
     assert scores[1] > scores[2]  # same term: two hits in 4 tokens beats one in 12
     assert all(s > 0 for s in scores.values())  # Lucene idf variant is non-negative
+
+
+def test_group_sample_by_hash_deterministic_across_partitionings(spark):
+    """The sampled ID SET must be identical regardless of input
+    partitioning (the determinism contract split_by_hash set)."""
+    from ml_data_pipeline_spark.operators.sampling import group_sample_by_hash
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df1 = spark.createDataFrame(rows, "id long, g string").repartition(1)
+    df2 = spark.createDataFrame(rows, "id long, g string").repartition(13, "id")
+    s1 = {(r["g"], r["id"]) for r in group_sample_by_hash(df1, "g", "id", k=7).collect()}
+    s2 = {(r["g"], r["id"]) for r in group_sample_by_hash(df2, "g", "id", k=7).collect()}
+    assert s1 == s2 and len(s1) == 21  # 3 groups x 7
+
+    # different salt -> (almost surely) different sample, same counts
+    s3 = {(r["g"], r["id"]) for r in group_sample_by_hash(df1, "g", "id", k=7, salt="x").collect()}
+    assert len(s3) == 21 and s3 != s1

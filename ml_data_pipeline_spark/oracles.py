@@ -2069,6 +2069,28 @@ ALL_ORACLES: dict[str, str] = {
         SELECT * FROM opened
         ORDER BY c_custkey, valid_from
     """,
+    "e21_group_scale": """
+        WITH stats AS (
+            SELECT l_returnflag, min(l_quantity) AS mn, max(l_quantity) AS mx
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               round((l.l_quantity - s.mn) / nullif(s.mx - s.mn, 0), 6) AS q_scaled
+        FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+        ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag, q_scaled
+    """,
+    "q_recency_features": """
+        WITH ref AS (SELECT max(ts) AS r FROM events)
+        SELECT user_id,
+               CAST(min(datediff('day', ts, r)) AS BIGINT) AS days_since_last,
+               count(*) AS n_events,
+               sum(CASE WHEN datediff('day', ts, r) < 7 THEN 1 ELSE 0 END) AS n_7d,
+               sum(CASE WHEN datediff('day', ts, r) < 30 THEN 1 ELSE 0 END) AS n_30d,
+               count(DISTINCT CAST(ts AS DATE)) AS n_active_days
+        FROM events CROSS JOIN ref
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "t10_group_sample": """
         WITH ranked AS (
             SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,

@@ -2385,6 +2385,51 @@ def p25_approx_distinct_quality(spark: SparkSession, sf: str) -> DataFrame:
         (err(F.col("__as"), F.col("exact_suppkey")) <= 0.05).alias("suppkey_ok"),
     )
 
+def e21_group_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group min-max scaling: (x - min_g) / (max_g - min_g) with the
+    group stats from one aggregate broadcast back — the grouped companion
+    to e20_robust_scale (global). A constant group yields explicit NULLs
+    (nullif), mirroring the robust-scale contract."""
+    li = _li(spark, sf)
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("__mn"), F.max("l_quantity").alias("__mx")
+    )
+    rng = F.nullif(F.col("__mx") - F.col("__mn"), F.lit(0.0))
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round((F.col("l_quantity") - F.col("__mn")) / rng, 6).alias("q_scaled"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "q_scaled")
+    )
+
+def q_recency_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user behavioral features at a reference instant: days since
+    last event, total events, events in the trailing 7 and 30 days, and
+    distinct active days — the classic feature-engineering rollup for
+    churn/engagement models. One scan, one groupBy; the trailing windows
+    are conditional aggregates, not self-joins. The reference date is the
+    corpus max ts (deterministic), computed in the same plan via a
+    broadcast 1-row aggregate."""
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    base = ev.crossJoin(F.broadcast(ref))
+    age_days = F.datediff(F.col("__ref"), F.col("ts"))
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.min(age_days).cast("long").alias("days_since_last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((age_days < 7).cast("long")).alias("n_7d"),
+            F.sum((age_days < 30).cast("long")).alias("n_30d"),
+            F.count_distinct(F.to_date("ts")).alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
 def t10_group_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic k-per-group sampling (hash-ordered, engine- and
     partitioning-reproducible): 20 customers per market segment, ordered
@@ -2704,6 +2749,8 @@ ALL_QUERIES = {
     "m23_isotonic_calibration": m23_isotonic_calibration,
     "q_sql_surface": q_sql_surface,
     "t10_group_sample": t10_group_sample,
+    "e21_group_scale": e21_group_scale,
+    "q_recency_features": q_recency_features,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -2223,4 +2223,167 @@ ALL_ORACLES: dict[str, str] = {
                round(cum_p / CAST(nullif(pos, 0) AS DOUBLE), 6) AS tpr
         FROM cum ORDER BY threshold DESC
     """,
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q9_profit_by_nation": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               -- exact BIGINT 1e-4-unit sum: order-independent across
+               -- engines, no half-cent half-up/half-even divergence
+               round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity) * 10000) AS BIGINT))
+                     / 10000.0, 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'ECONOMY'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    "q13_order_distribution": """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer
+            LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+              ON c_custkey = o.o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS total
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(total, 2) AS total_revenue
+        FROM rev
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total = (SELECT max(total) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT IN ('PROMO')
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q17_small_qty_revenue": """
+        WITH branded AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        ),
+        qbar AS (
+            SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS q
+            FROM branded GROUP BY 1
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM branded JOIN qbar ON l_partkey = pk
+        WHERE l_quantity < q
+    """,
+    "q22_dormant_customers": """
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "m24_confusion_matrix": """
+        -- accuracy + support-weighted precision/recall/F1 from first
+        -- principles (MLlib weightedPrecision/weightedRecall/f1 semantics:
+        -- per-class metric weighted by TRUE-label support; 0 on 0/0)
+        WITH preds AS (
+            SELECT CAST(c_custkey % 3 AS DOUBLE) AS y,
+                   CAST((c_custkey + CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) % 3
+                        AS DOUBLE) AS p
+            FROM customer
+        ),
+        cls AS (SELECT DISTINCT y AS c FROM preds),
+        per AS (
+            SELECT c,
+                   sum(CASE WHEN y = c AND p = c THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN y <> c AND p = c THEN 1 ELSE 0 END) AS fp,
+                   sum(CASE WHEN y = c AND p <> c THEN 1 ELSE 0 END) AS fn,
+                   sum(CASE WHEN y = c THEN 1 ELSE 0 END) AS support
+            FROM cls CROSS JOIN preds
+            GROUP BY c
+        ),
+        rates AS (
+            SELECT c, support,
+                   CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END AS prec,
+                   CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END AS rec
+            FROM per
+        )
+        SELECT round((SELECT sum(CASE WHEN y = p THEN 1 ELSE 0 END) * 1.0 / count(*)
+                      FROM preds), 6) AS accuracy,
+               round(sum(support * prec) / sum(support), 6) AS precision,
+               round(sum(support * rec) / sum(support), 6) AS recall,
+               round(sum(support * (CASE WHEN prec + rec = 0 THEN 0.0
+                         ELSE 2 * prec * rec / (prec + rec) END)) / sum(support), 6) AS f1
+        FROM rates
+    """,
+    "m25_regression_metrics": """
+        WITH preds AS (
+            SELECT o_totalprice / 1000.0 AS y,
+                   (o_totalprice / 1000.0) * 0.9 + 50.0 AS p
+            FROM orders
+        ),
+        stats AS (SELECT avg(y) AS ybar FROM preds)
+        SELECT round(1.0 - sum((y - p) * (y - p))
+                         / sum((y - ybar) * (y - ybar)), 6) AS r2,
+               round(avg((y - p) * (y - p)), 6) AS mse,
+               round(avg(abs(y - p)), 6) AS mae
+        FROM preds CROSS JOIN stats
+    """,
 }

@@ -2552,6 +2552,261 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     )
     return TP.ewma_last(daily, "x", "d", "l_returnflag", alpha=0.3)
 
+# ---------------------------------------------------------------- TPC-H breadth
+# The remaining TPC-H shapes expressible on the reduced testdata schema
+# (no partsupp / commitdate / receiptdate / phone — q2/q4/q11/q20/q21 need
+# those; their join/subquery shapes are already covered by q_correlated_scalar,
+# q_exists_semi and q_not_exists). Each is a distinct Catalyst workout:
+# broadcast-snowflake, conditional-share agg, left-join distribution,
+# scalar-max join, distinct-agg, correlated-avg semi filter, anti-join.
+
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Both nation maps broadcast onto supplier/customer; the only big
+    shuffle is lineitem⋈orders on orderkey. The symmetric nation pair
+    predicate runs AFTER the broadcasts so the fact table scans once."""
+    li = _li(spark, sf).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of AMERICA-customer STANDARD-part
+    revenue per order year. The share is a conditional-sum ratio inside ONE
+    aggregation — no second pass over the joined fact. part/customer-side
+    dims all broadcast; single orderkey shuffle."""
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").where(F.col("p_type") == "STANDARD")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+def q9_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year. The testdata has
+    no partsupp, so cost = 0.5 * p_retailprice * l_quantity stands in for
+    ps_supplycost * l_quantity (documented proxy; identical plan shape:
+    fact⋈part⋈orders⋈supplier⋈nation, dims broadcast, one orderkey
+    shuffle, map-side-combinable agg)."""
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf, "orders")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    # Each profit term lies exactly on the 1e-4 grid (2dp price x 2dp
+    # discount; 2dp retailprice x 0.5 x integer qty) — summing DOUBLES
+    # across engines diverges in the last ulp and the 0.5x proxy parks
+    # sums exactly on half-cent rounding boundaries (Spark half-up vs
+    # DuckDB half-even). Summing as exact BIGINT 1e-4 units makes the
+    # aggregate order-independent and engine-exact; same trick as the
+    # AUC score grid (fc130b5).
+    profit_e4 = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit_e4) / 10000.0, 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+def q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts INCLUDING
+    zero-order customers (left join + count of the non-null side). Two
+    shuffles by construction (custkey count, then count-of-counts — the
+    second is over ≤ max-orders-per-customer rows, trivially small).
+    At 100 TB the first agg is the cost and it partial-aggregates map-side."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum 3-month revenue. The scalar
+    max is re-attached as a broadcast single-row join (Spark's equivalent of
+    the SQL view + subquery); the revenue agg shuffles on suppkey once and
+    both consumers share it. Ties all surface, as in the spec."""
+    li = _li(spark, sf).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supp = load_table(spark, sf, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"))
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("__rev", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, type, size) combo — distinct-agg after a broadcast part join
+    with NOT-IN-style exclusions (no partsupp in the testdata; lineitem is
+    the part↔supplier bridge, same plan shape). countDistinct shuffles
+    (key, suppkey) pairs only."""
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("PROMO"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand —
+    a correlated per-part average re-joined onto the same fact (aggregate
+    once, broadcast the tiny per-part result back; never a row-correlated
+    subquery at scale)."""
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#3")
+    branded = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = branded.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__qbar")
+    )
+    return (
+        branded.join(F.broadcast(avg_q), F.col("p_partkey") == F.col("__pk"))
+        .where(F.col("l_quantity") < F.col("__qbar"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-dormant customers per nation — a scalar
+    broadcast threshold (avg positive balance) plus an anti-join against
+    RECENT orders (the date bound keeps the gate non-empty on the synthetic
+    data, where every customer has some lifetime order; the pushed-down
+    filter also shrinks the anti-join build side). The anti-join shuffles
+    only (custkey) from the orders side; no phone column in the testdata,
+    so nationkey is the grouping key."""
+    cust = load_table(spark, sf, "customer")
+    recent = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    thr = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg_bal"))
+    return (
+        cust.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent.select(F.col("o_custkey")), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+def m24_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-level gate for the M3 classification metric suite: a
+    DETERMINISTIC 3-class (label, prediction) table (pure key arithmetic,
+    no model, no RNG) pushed through ml.pipeline.evaluate_classification —
+    the SAME MulticlassClassificationEvaluator path every trained model
+    uses. DuckDB recomputes accuracy + support-weighted precision/recall/F1
+    from first principles, so the evaluator wiring (weighting, zero-division
+    convention) is hash-pinned, upgrading M3 from rows-only evidence.
+    3 classes on purpose: no rawPrediction column → the AUC branch is
+    skipped (AUC is pinned separately by m18/m19 at row level)."""
+    from ml_data_pipeline_spark.ml.pipeline import evaluate_classification
+
+    preds = load_table(spark, sf, "customer").select(
+        (F.col("c_custkey") % 3).cast("double").alias("label"),
+        # deterministic confusions: rich customers drift one class up
+        ((F.col("c_custkey") + (F.col("c_acctbal") > 5000).cast("long")) % 3)
+        .cast("double")
+        .alias("prediction"),
+    )
+    m = evaluate_classification(preds, label_col="label")
+    return spark.createDataFrame(
+        [tuple(round(m[k], 6) for k in ("accuracy", "precision", "recall", "f1"))],
+        "accuracy double, precision double, recall double, f1 double",
+    )
+
+def m25_regression_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-level gate for the M3 regression metric suite (R2/MSE/MAE):
+    deterministic predictions (0.9*y + 50 over kilo-dollar totals — small
+    magnitudes keep double sums order-exact across engines) through
+    ml.pipeline.evaluate_regression, i.e. the real RegressionEvaluator;
+    DuckDB recomputes the closed forms. Upgrades the regression half of M3
+    to hash-level evidence."""
+    from ml_data_pipeline_spark.ml.pipeline import evaluate_regression
+
+    y = F.col("o_totalprice") / 1000.0
+    preds = load_table(spark, sf, "orders").select(
+        y.alias("label"), (y * 0.9 + 50.0).alias("prediction")
+    )
+    m = evaluate_regression(preds, label_col="label")
+    return spark.createDataFrame(
+        [tuple(round(m[k], 6) for k in ("r2", "mse", "mae"))],
+        "r2 double, mse double, mae double",
+    )
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -2751,6 +3006,16 @@ ALL_QUERIES = {
     "t10_group_sample": t10_group_sample,
     "e21_group_scale": e21_group_scale,
     "q_recency_features": q_recency_features,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation": q9_profit_by_nation,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q22_dormant_customers": q22_dormant_customers,
+    "m24_confusion_matrix": m24_confusion_matrix,
+    "m25_regression_metrics": m25_regression_metrics,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -92,6 +92,12 @@ def test_f3_range_filter_pushdown(spark, sf_dir):
         "t9_stratified_sample",
         "e18_bucketize",
         "p18_key_skew",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_profit_by_nation",
+        "q13_order_distribution",
+        "q16_supplier_part_counts",
+        "q17_small_qty_revenue",
     ],
 )
 def test_no_cartesian_product_in_headline_plans(spark, sf_dir, name):
@@ -134,6 +140,33 @@ def test_funnel_single_shuffle_on_user(spark, sf_dir):
     # the funnel walk is one groupBy(user) — no join per stage
     plan = _plan(Q.q_funnel(spark, sf_dir))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q7_q8_q9_dims_broadcast(spark, sf_dir):
+    """TPC-H breadth queries: every dimension join broadcasts; the only
+    shuffle join (if any) is fact-fact on orderkey."""
+    for fn in (Q.q7_volume_shipping, Q.q8_market_share, Q.q9_profit_by_nation):
+        plan = _plan(fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 3, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_q22_anti_join_filter_pushed(spark, sf_dir):
+    """The dormancy anti-join's date bound must reach the orders scan —
+    at scale it shrinks the anti-join build side by ~the date selectivity.
+    The single-row threshold attach is the ONLY nested-loop join."""
+    plan = _plan(Q.q22_dormant_customers(spark, sf_dir))
+    assert "o_orderdate" in plan.split("PushedFilters:")[2].split("]")[0] or (
+        "o_orderdate" in plan.split("PushedFilters:")[1].split("]")[0]
+    )
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q15_single_revenue_aggregation_shared(spark, sf_dir):
+    """q15's scalar max re-attaches via an equi-join (no nested loop)."""
+    plan = _plan(Q.q15_top_supplier(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_range_frame_is_partitioned_window(spark, sf_dir):

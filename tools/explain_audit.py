@@ -37,6 +37,13 @@ DEFAULT_QUERIES = [
     "s16_scd2",
     "q_ewma",
     "st_enriched_segments",
+    # TPC-H breadth (late r3): snowflakes, distribution, anti-join
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q22_dormant_customers",
 ]
 
 

@@ -78,3 +78,69 @@ def normalize_whitespace(
         out_col or text_col,
         F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")),
     )
+
+
+# Tracking query parameters dropped during URL canonicalization (the set
+# every web-crawl dedup pipeline strips before keying on the URL).
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|ref)="
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Canonical URL form for URL-keyed dedup (the step BEFORE exact dedup
+    in a web-crawl pipeline — raw crawl URLs for one page differ in case,
+    'www.', default ports, tracking params, param order, and fragments,
+    which fragments exact dedup if not normalized).
+
+    Rules (deterministic, pure column expressions, zero shuffle):
+    scheme+host lowercased; leading 'www.' and default ports :80/:443
+    dropped; fragment dropped; tracking params (utm_*, gclid, fbclid, ref)
+    removed; remaining query params sorted; trailing path slashes trimmed
+    (bare host → '/'). Non-http(s)/relative URLs yield NULL (caller decides
+    whether to keep or quarantine).
+
+    All regexes are RE2-compatible so the DuckDB oracle runs the identical
+    patterns (module contract above).
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""), r":(80|443)$", ""
+    )
+    raw_path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.split(F.regexp_extract(u, r"\?([^#]*)", 1), "&")
+    kept = F.array_sort(
+        F.filter(
+            params,
+            lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    canonical = F.when(
+        scheme.isin("http", "https") & (host != ""),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        ),
+    )
+    return df.withColumn(out_col, canonical)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose domain appears in a blocklist (C4-style badlist /
+    robots-excluded domain removal). The blocklist is dimension-sized by
+    nature (thousands to low millions of domains) → broadcast LEFT ANTI
+    join: the corpus never shuffles, each executor filters its partitions
+    against the broadcast set. `blocked` must expose the same column name."""
+    return df.join(F.broadcast(blocked.select(domain_col).distinct()), domain_col, "left_anti")

@@ -125,3 +125,34 @@ def auto_salted_join(
     if factor <= 1:
         return big.join(small, on, how)
     return salted_join(big, small, on, salt=factor, how=how, seed=seed)
+
+
+def zorder_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Two-column Z-order (Morton) key: interleave the low `bits` bits of
+    each column (x on even positions, y on odd). Range-partitioning/sorting
+    the write by this key (write_sorted) gives MULTI-dimensional data
+    skipping: every run of consecutive z-keys is confined to a bounded
+    rectangle in (x, y), so parquet min/max stats prune scans filtered on
+    EITHER column — the layout single-column sorting cannot provide (a sort
+    on x leaves y uniform in every file).
+
+    Pure bit arithmetic in one fixed-size expression (2*bits terms, codegen-
+    fused, zero shuffle). Inputs are masked to `bits` bits; callers bucket
+    or rank wider domains down first (a quantile/rank pre-pass is the usual
+    production step — the masked form keeps the operator deterministic and
+    oracle-exact).
+    """
+    mask = (1 << bits) - 1
+    x = F.col(x_col).cast("long").bitwiseAND(F.lit(mask))
+    y = F.col(y_col).cast("long").bitwiseAND(F.lit(mask))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        key = key + F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+    return df.withColumn(out_col, key)

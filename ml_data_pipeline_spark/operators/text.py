@@ -656,3 +656,52 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc("id"))
         .limit(k)
     )
+
+# Unicode script ranges as LITERAL character-class ranges (not \p{...}
+# classes, whose names differ between java.util.regex and RE2 — literal
+# ranges behave identically in both engines, keeping the DuckDB oracle
+# exact). Counting is length(x) - length(regexp_replace(x, cls, '')):
+# each match is one char, so the length delta IS the match count — the
+# one counting idiom both engines share.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "[A-Za-z]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿]",
+    "arabic": "[؀-ۿ]",
+    "digit": "[0-9]",
+}
+
+
+def script_stats(df: DataFrame, text_col: str = "text", id_col: str = "id") -> DataFrame:
+    """Per-document Unicode-script composition: fraction of non-space
+    characters in each major script (latin/cyrillic/cjk/arabic/digit) plus
+    the dominant script — the writing-system counterpart of stopword
+    language ID (detect_language), and the standard first gate for routing
+    a multilingual crawl (CJK text defeats whitespace tokenization; mixed-
+    script docs are a spam signal).
+
+    Pure column expressions, zero shuffle, zero Python — at 100 TB this is
+    a projection fused into the scan. Empty/whitespace-only docs get
+    fraction 0 and dominant 'other' (nullif guard, no divide-by-zero).
+    """
+    t = F.col(text_col)
+    total = F.length(F.regexp_replace(t, r"\s", ""))
+
+    def frac(cls: str) -> Column:
+        n = F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+        return F.round(n / F.nullif(total.cast("double"), F.lit(0.0)), 6)
+
+    fracs = {name: frac(cls) for name, cls in SCRIPT_RANGES.items()}
+    pairs = F.array(
+        *[
+            F.struct(F.coalesce(c, F.lit(0.0)).alias("f"), F.lit(name).alias("s"))
+            for name, c in fracs.items()
+        ]
+    )
+    best = F.array_max(pairs)
+    dominant = F.when(best["f"] > 0, best["s"]).otherwise(F.lit("other"))
+    return df.select(
+        F.col(id_col),
+        *[F.coalesce(c, F.lit(0.0)).alias(f"frac_{name}") for name, c in fracs.items()],
+        dominant.alias("dominant_script"),
+    )

@@ -75,6 +75,14 @@ _NGRAM_PAIRS = r"""
         )
 """
 
+# 8-bit Morton interleave of columns x,y as explicit bit arithmetic
+# (mirrors skew.zorder_key exactly; generated once so both dims stay in
+# lockstep with the Spark loop)
+_ZKEY_8 = " + ".join(
+    f"(((x >> {i}) & 1) * {1 << (2 * i)}) + (((y >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(8)
+)
+
 ALL_ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -2385,5 +2393,129 @@ ALL_ORACLES: dict[str, str] = {
                round(avg((y - p) * (y - p)), 6) AS mse,
                round(avg(abs(y - p)), 6) AS mae
         FROM preds CROSS JOIN stats
+    """,
+    "tx_url_canonicalize": """
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'https://www.site' || CAST(doc_id % 23 AS VARCHAR)
+                          || '.example.test/page' || CAST(doc_id AS VARCHAR)
+                          || '/?utm_source=x&b=2&a=1#frag'
+                     WHEN 1 THEN 'HTTPS://Site' || CAST(doc_id % 23 AS VARCHAR)
+                          || '.Example.TEST:443/page' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN 'http://site' || CAST(doc_id % 23 AS VARCHAR)
+                          || '.example.test/page' || CAST(doc_id AS VARCHAR)
+                          || '?a=1&utm_campaign=z&ref=abc'
+                     ELSE 'ftp://site' || CAST(doc_id % 23 AS VARCHAR) || '.example.test/x'
+                   END AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       '^www\\.', ''), ':(80|443)$', '') AS host,
+                   regexp_replace(
+                       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                       '/+$', '') AS path0,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+            FROM urls
+        ),
+        canon AS (
+            SELECT doc_id, scheme, host,
+                   CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                   array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+                       p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|ref)='))),
+                       '&') AS qs
+            FROM parts
+        )
+        SELECT doc_id,
+               CASE WHEN scheme IN ('http', 'https') AND host <> '' THEN
+                   scheme || '://' || host || path
+                   || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+               END AS canonical_url
+        FROM canon
+        ORDER BY doc_id
+    """,
+    "tx_blocklist_filter": """
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'site' || CAST(doc_id % 23 AS VARCHAR) || '.example.test'
+                     WHEN 1 THEN 'site' || CAST(doc_id % 23 AS VARCHAR) || '.example.test'
+                     WHEN 2 THEN 'site' || CAST(doc_id % 23 AS VARCHAR) || '.example.test'
+                   END AS domain
+            FROM documents
+        )
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+        FROM urls
+        WHERE domain IS NOT NULL
+          AND domain NOT IN ('site1.example.test', 'site5.example.test', 'site9.example.test')
+        GROUP BY domain
+        ORDER BY domain
+    """,
+    "tx_script_stats": """
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' ' || CASE CAST(doc_id % 4 AS INT)
+                       WHEN 1 THEN 'привет мир это тест'
+                       WHEN 2 THEN '你好世界这是测试'
+                       WHEN 3 THEN 'مرحبا بالعالم هذا اختبار'
+                       ELSE '' END AS text
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id,
+                   length(regexp_replace(text, '\\s', '', 'g')) AS total,
+                   length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+                   length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS n_cyr,
+                   length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk,
+                   length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS n_ar,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_dig
+            FROM injected
+        ),
+        fr AS (
+            SELECT doc_id,
+                   coalesce(round(n_latin * 1.0 / nullif(total, 0), 6), 0.0) AS frac_latin,
+                   coalesce(round(n_cyr * 1.0 / nullif(total, 0), 6), 0.0) AS frac_cyrillic,
+                   coalesce(round(n_cjk * 1.0 / nullif(total, 0), 6), 0.0) AS frac_cjk,
+                   coalesce(round(n_ar * 1.0 / nullif(total, 0), 6), 0.0) AS frac_arabic,
+                   coalesce(round(n_dig * 1.0 / nullif(total, 0), 6), 0.0) AS frac_digit
+            FROM counted
+        )
+        SELECT doc_id, frac_latin, frac_cyrillic, frac_cjk, frac_arabic, frac_digit,
+               -- Spark side = array_max over struct(frac, name): ties on
+               -- frac break to the lexicographically GREATEST script name
+               -- (latin > digit > cyrillic > cjk > arabic)
+               CASE WHEN greatest(frac_latin, frac_cyrillic, frac_cjk, frac_arabic, frac_digit) <= 0
+                        THEN 'other'
+                    WHEN frac_latin >= greatest(frac_cyrillic, frac_cjk, frac_arabic, frac_digit)
+                        THEN 'latin'
+                    WHEN frac_digit >= greatest(frac_cyrillic, frac_cjk, frac_arabic)
+                        THEN 'digit'
+                    WHEN frac_cyrillic >= greatest(frac_cjk, frac_arabic)
+                        THEN 'cyrillic'
+                    WHEN frac_cjk >= frac_arabic
+                        THEN 'cjk'
+                    ELSE 'arabic'
+               END AS dominant_script
+        FROM fr
+        ORDER BY doc_id
+    """,
+    "s17_zorder_layout": f"""
+        WITH dims AS (
+            SELECT CAST(l_orderkey % 256 AS BIGINT) AS x,
+                   CAST(l_partkey % 256 AS BIGINT) AS y
+            FROM lineitem
+        ),
+        keyed AS (SELECT x, y, ({_ZKEY_8}) AS zkey FROM dims)
+        SELECT CAST(zkey // 256 AS BIGINT) AS zblock,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+               CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+        FROM keyed
+        GROUP BY 1
+        ORDER BY zblock
     """,
 }

@@ -2763,6 +2763,117 @@ def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("c_nationkey")
     )
 
+def _injected_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """documents + a deterministic messy `url` column (the corpus has no
+    URLs): four fixed shapes cycling on doc_id — tracking params + fragment,
+    uppercase host + default port, unsorted params, and a non-http scheme
+    (which must canonicalize to NULL). Identical construction in the
+    oracles."""
+    d23 = (F.col("doc_id") % 23).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://www.site"), d23, F.lit(".example.test/page"), did,
+                F.lit("/?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("HTTPS://Site"), d23, F.lit(".Example.TEST:443/page"), did),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("http://site"), d23, F.lit(".example.test/page"), did,
+                F.lit("?a=1&utm_campaign=z&ref=abc"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("ftp://site"), d23, F.lit(".example.test/x")))
+    )
+    return load_table(spark, sf, "documents").select("doc_id", url.alias("url"))
+
+def tx_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (cleaning.canonicalize_url): case/www/default-
+    port/tracking-param/fragment/param-order/trailing-slash normalization —
+    the step before URL-keyed exact dedup in a crawl pipeline. Pure
+    projection; the ftp row proves the NULL contract."""
+    from ml_data_pipeline_spark.operators import cleaning as CL
+
+    return (
+        CL.canonicalize_url(_injected_urls(spark, sf))
+        .select("doc_id", "canonical_url")
+        .orderBy("doc_id")
+    )
+
+def tx_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain blocklist removal (cleaning.blocklist_filter): canonical
+    domains anti-joined against a broadcast blocklist — C4-style badlist
+    filtering where the corpus never shuffles. Output: surviving docs per
+    domain."""
+    from ml_data_pipeline_spark.operators import cleaning as CL
+
+    canon = CL.canonicalize_url(_injected_urls(spark, sf))
+    with_domain = canon.where(F.col("canonical_url").isNotNull()).select(
+        "doc_id",
+        F.regexp_extract("canonical_url", r"^https?://([^/]+)", 1).alias("domain"),
+    )
+    blocked = spark.createDataFrame(
+        [("site1.example.test",), ("site5.example.test",), ("site9.example.test",)],
+        "domain string",
+    )
+    return (
+        CL.blocklist_filter(with_domain, blocked)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("domain")
+    )
+
+def tx_script_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-script composition (text.script_stats): per-doc fraction of
+    latin/cyrillic/cjk/arabic/digit chars + dominant script. The ASCII
+    corpus gets a deterministic non-Latin suffix cycling on doc_id so every
+    script range is exercised; same literal injection in the oracle."""
+    snippets = F.array(
+        F.lit(""),
+        F.lit("привет мир это тест"),
+        F.lit("你好世界这是测试"),
+        F.lit("مرحبا بالعالم هذا اختبار"),
+    )
+    injected = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "), F.element_at(snippets, (F.col("doc_id") % 4 + 1).cast("int"))
+        ).alias("text"),
+    )
+    return TX.script_stats(injected, id_col="doc_id").orderBy("doc_id")
+
+def s17_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout key (skew.zorder_key): Morton-interleave
+    (l_orderkey, l_partkey) low 8 bits, then the per-256-key-block profile —
+    row count plus the min/max rectangle of both dims. The min/max spans
+    per block ARE the parquet footer stats a z-ordered write would carry:
+    bounded in BOTH columns (≤ a 16x256-aligned rectangle), which is the
+    data-skipping property. Bit-exact vs the DuckDB oracle."""
+    from ml_data_pipeline_spark.operators import skew as SK
+
+    li = _li(spark, sf).select(
+        (F.col("l_orderkey") % 256).alias("x"), (F.col("l_partkey") % 256).alias("y")
+    )
+    keyed = SK.zorder_key(li, "x", "y", bits=8)
+    return (
+        keyed.groupBy((F.col("zkey") / 256).cast("long").alias("zblock"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("zblock")
+    )
+
 def m24_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Value-level gate for the M3 classification metric suite: a
     DETERMINISTIC 3-class (label, prediction) table (pure key arithmetic,
@@ -3016,6 +3127,10 @@ ALL_QUERIES = {
     "q22_dormant_customers": q22_dormant_customers,
     "m24_confusion_matrix": m24_confusion_matrix,
     "m25_regression_metrics": m25_regression_metrics,
+    "tx_url_canonicalize": tx_url_canonicalize,
+    "tx_blocklist_filter": tx_blocklist_filter,
+    "tx_script_stats": tx_script_stats,
+    "s17_zorder_layout": s17_zorder_layout,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -214,3 +214,61 @@ def test_unigram_logprob_covers_zero_token_documents(spark):
     assert set(out) == {1, 2, 3}
     assert out[1]["n_tokens"] == 3 and out[1]["avg_neg_logp"] is not None
     assert out[2]["n_tokens"] == 0 and out[2]["avg_neg_logp"] is None
+
+
+def test_canonicalize_url_rules(spark):
+    cases = [
+        (1, "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=t&z=9&a=1#frag", "https://ex.com/a/b?a=1&z=9"),
+        (2, "http://ex.com:80", "http://ex.com/"),
+        (3, "http://ex.com/path/", "http://ex.com/path"),
+        (4, "http://ex.com/p?gclid=1&fbclid=2&ref=h", "http://ex.com/p"),
+        (5, "ftp://ex.com/x", None),
+        (6, "not a url", None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id long, url string")
+    got = {r["id"]: r["canonical_url"] for r in CL.canonicalize_url(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Ex.COM/a?b=2&a=1#f")], "id long, url string"
+    )
+    once = CL.canonicalize_url(df).select("id", F.col("canonical_url").alias("url"))
+    twice = CL.canonicalize_url(once).first()["canonical_url"]
+    assert twice == "https://ex.com/a?a=1&b=2"
+
+
+def test_blocklist_filter_anti_join(spark):
+    docs = spark.createDataFrame(
+        [(1, "bad.com"), (2, "ok.com"), (3, "bad.com"), (4, "fine.org")],
+        "id long, domain string",
+    )
+    blocked = spark.createDataFrame([("bad.com",), ("bad.com",)], "domain string")
+    kept = sorted(r["id"] for r in CL.blocklist_filter(docs, blocked).collect())
+    assert kept == [2, 4]
+
+
+def test_script_stats_fractions_and_dominant(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир"),
+            (3, "你好世界"),
+            (4, "مرحبا"),
+            (5, "12345"),
+            (6, "...!!!"),
+            (7, ""),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in TX.script_stats(df).collect()}
+    assert rows[1]["dominant_script"] == "latin" and rows[1]["frac_latin"] == 1.0
+    assert rows[2]["dominant_script"] == "cyrillic" and rows[2]["frac_cyrillic"] == 1.0
+    assert rows[3]["dominant_script"] == "cjk"
+    assert rows[4]["dominant_script"] == "arabic"
+    assert rows[5]["dominant_script"] == "digit"
+    # punctuation-only and empty docs: all fractions 0, dominant 'other'
+    assert rows[6]["dominant_script"] == "other"
+    assert rows[7]["dominant_script"] == "other" and rows[7]["frac_latin"] == 0.0

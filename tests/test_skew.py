@@ -132,3 +132,51 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert back.count() == df.where(F.col("id") % 7 == 3).count()
     # and the plan's partition filter actually references the bucket value
     assert "bucket" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_zorder_key_locality_rectangles(spark):
+    """The data-skipping property, exactly: every aligned run of 2^(2k)
+    consecutive z-keys is confined to a 2^k x 2^k rectangle in (x, y) —
+    here the 4 quarters of the 8-bit key space each span at most half of
+    each dimension. A single-column sort cannot bound the second dim."""
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators.skew import zorder_key
+
+    grid = (
+        spark.range(256 * 256)
+        .select((F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y"))
+    )
+    keyed = zorder_key(grid, "x", "y", bits=8)
+    quarters = (
+        keyed.groupBy((F.col("zkey") / 16384).cast("long").alias("q"))
+        .agg(
+            F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(quarters) == 4
+    for r in quarters:
+        assert r["xmax"] - r["xmin"] == 127, r  # half the 256-wide domain
+        assert r["ymax"] - r["ymin"] == 127, r
+        assert r["n"] == 16384
+
+
+def test_zorder_key_bijective_on_grid(spark):
+    """bits-masked interleave is a bijection: 65536 grid points -> 65536
+    distinct keys in [0, 65536)."""
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators.skew import zorder_key
+
+    grid = (
+        spark.range(256 * 256)
+        .select((F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y"))
+    )
+    keyed = zorder_key(grid, "x", "y", bits=8)
+    row = keyed.agg(
+        F.countDistinct("zkey").alias("d"), F.min("zkey").alias("lo"), F.max("zkey").alias("hi")
+    ).first()
+    assert row["d"] == 65536 and row["lo"] == 0 and row["hi"] == 65535

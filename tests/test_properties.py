@@ -248,3 +248,45 @@ def test_robust_scale_median_maps_to_zero(spark, vals):
         got = out.sort_values("x")["x_scaled"].tolist()
         for g, e in zip(got, sorted(expected)):
             assert math.isclose(g, e, rel_tol=1e-6, abs_tol=1e-6)
+
+
+@given(
+    host=st.from_regex(r"[A-Za-z][A-Za-z0-9-]{0,10}(\.[A-Za-z]{2,5}){1,2}", fullmatch=True),
+    www=st.booleans(),
+    upper=st.booleans(),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.from_regex(r"(/[A-Za-z0-9._-]{0,8}){0,3}/?", fullmatch=True),
+    params=st.lists(
+        st.sampled_from(["a=1", "b=2", "z=9", "utm_source=x", "utm_campaign=y", "gclid=g", "ref=r"]),
+        max_size=5,
+    ),
+    frag=st.sampled_from(["", "#top", "#a/b"]),
+)
+@SET
+def test_canonicalize_url_idempotent_and_tracking_free(spark, host, www, upper, port, path, params, frag):
+    """For any http(s) URL: canonicalize(canonicalize(u)) ==
+    canonicalize(u) (a canonical form is a fixed point) and the result
+    never carries tracking params, fragments, 'www.', or default ports."""
+    from ml_data_pipeline_spark.operators import cleaning as CL
+
+    raw = "https://" + ("www." if www else "") + host + port + path
+    if params:
+        raw += "?" + "&".join(params)
+    raw += frag
+    if upper:
+        raw = raw.upper().replace("HTTPS://", "https://", 1)
+    df = spark.createDataFrame([(1, raw)], "id long, url string")
+    once = CL.canonicalize_url(df).first()["canonical_url"]
+    assert once is not None
+    again = (
+        CL.canonicalize_url(
+            spark.createDataFrame([(1, once)], "id long, url string")
+        ).first()["canonical_url"]
+    )
+    assert again == once
+    for bad in ("utm_", "gclid", "ref=", "#", "://www."):
+        assert bad not in once, (raw, once, bad)
+    # default ports are stripped; non-default ports (e.g. :8080) survive —
+    # match the authority's END, not any substring (':80' is inside ':8080')
+    authority = once.split("/")[2]
+    assert not authority.endswith(":80") and not authority.endswith(":443"), (raw, once)

@@ -231,6 +231,80 @@ def ngram_jaccard_pairs(
     )
     return out
 
+def incremental_ngram_jaccard_pairs(
+    df: DataFrame,
+    new_predicate,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs TOUCHING an appended batch: new x old and
+    new x new, never old x old — the daily-ingest dedup shape. Re-running
+    full-corpus dedup per append is O(corpus²) work for O(batch x corpus)
+    information; this restricts candidate generation to the batch's grams
+    probing the full inverted index. Results are EXACTLY the full
+    recompute's pairs filtered to those with a new member (the oracle pins
+    that equivalence).
+
+    `new_predicate` is a boolean Column marking batch rows (e.g.
+    F.col("ingest_date") == today). At 100 TB the old side's exploded
+    (gram, id) index is the STORED corpus index (written by the previous
+    run, bucketed by gram); here it is derived in-plan — the join and
+    everything after it are identical.
+
+    Double-count control without distinct-ing grams: a new x new pair would
+    match the index twice ((a,b) and (b,a)); the join keeps old partners in
+    any id order but new partners only when b.id > a.id, so every pair
+    lands exactly once and the intersection count stays a plain
+    count(*) of join multiplicity (grams are distinct per doc upstream).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _ensure_parallel(
+        df.select(
+            F.col(id_col).alias("id"), grams.alias("grams"), new_predicate.alias("__new")
+        ).where(F.size("grams") > 0)
+    )
+    sizes = base.select("id", F.size("grams").alias("n_grams"))
+    index = base.select("id", "__new", F.explode("grams").alias("gram"))
+    # probe keeps only renamed columns so the self-join resolves cleanly:
+    # post-join, `id`/`__new`/`gram` name the index side alone
+    probe = index.where(F.col("__new")).select(
+        F.col("id").alias("__pid"), F.col("gram").alias("__pgram")
+    )
+    matched = probe.join(
+        index,
+        (F.col("__pgram") == F.col("gram"))
+        & (~F.col("__new") | (F.col("id") > F.col("__pid"))),
+    )
+    pairs = matched.groupBy(
+        F.least("__pid", "id").alias("id_a"), F.greatest("__pid", "id").alias("id_b")
+    ).agg(F.count(F.lit(1)).alias("inter"))
+    ja = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    jb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ja), "id_a")
+        .join(F.broadcast(jb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -2503,6 +2503,16 @@ ALL_ORACLES: dict[str, str] = {
         FROM fr
         ORDER BY doc_id
     """,
+    "dd_incremental_pairs": f"""
+        -- FULL recompute of exact 3-gram Jaccard pairs, filtered to pairs
+        -- with a batch member (doc_id >= 400): the incremental operator
+        -- must equal this exactly (no lost pairs, no phantom pairs)
+        WITH {_NGRAM_PAIRS.split("jpairs AS")[0].rstrip().rstrip(",")}
+        SELECT id_a, id_b, jaccard
+        FROM j
+        WHERE jaccard >= 0.2 AND (id_a >= 400 OR id_b >= 400)
+        ORDER BY id_a, id_b
+    """,
     "s17_zorder_layout": f"""
         WITH dims AS (
             SELECT CAST(l_orderkey % 256 AS BIGINT) AS x,

@@ -196,6 +196,37 @@ def test_ngram_jaccard_exact_value(spark):
     assert len(pairs) == 1 and abs(pairs[0]["jaccard"] - 1 / 3) < 1e-6
 
 
+def test_incremental_jaccard_equals_filtered_full_recompute(spark):
+    """The incremental contract: probing the index with only the batch's
+    grams yields EXACTLY the full recompute's pairs that touch the batch —
+    including new x new pairs counted once (the double-count hazard) and
+    zero old x old pairs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # old
+            (2, "a b c d f"),          # old  (old x old pair with 1 — must NOT appear)
+            (10, "a b c d e"),         # new, dup of old 1
+            (11, "a b c d e"),         # new, dup of old 1 and of new 10
+            (12, "x y z w q"),         # new, no overlap
+        ],
+        "doc_id long, text string",
+    )
+    new = F.col("doc_id") >= 10
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.incremental_ngram_jaccard_pairs(docs, new, n=3, threshold=0.1).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+        if r["id_a"] >= 10 or r["id_b"] >= 10
+    }
+    assert inc == full
+    assert (1, 2) not in inc          # old x old excluded
+    assert inc[(10, 11)] == 1.0       # new x new present exactly once
+    assert inc[(1, 10)] == 1.0 and inc[(1, 11)] == 1.0
+
+
 def test_interpolate_ranged_matches_pandas_and_global(spark):
     import pandas as pd
 

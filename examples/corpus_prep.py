@@ -1,8 +1,9 @@
 """LLM training-corpus preparation pipeline, end to end:
 
-ingest → exact dedup → near-dup group dedup (MinHash-LSH pairs +
-connected components, canonical survivor) → quality gates (C4 rules +
-Gopher repetition + unigram-LM outlier score) → PII redaction → language
+ingest → URL canonicalization + domain blocklist → exact dedup →
+near-dup group dedup (MinHash-LSH pairs + connected components,
+canonical survivor) → quality gates (C4 rules + Gopher repetition +
+unigram-LM outlier score) → script routing → PII redaction → language
 composition → BM25 spot-check → sequence packing.
 
 Every stage is the same operator the gate queries exercise; this script
@@ -37,6 +38,27 @@ def run(spark, sf_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents")
     report: dict = {"input_docs": docs.count()}
 
+    # 0. crawl hygiene: canonicalize the source URL (here synthesized from
+    #    doc_id — the corpus carries no URLs) and drop blocklisted domains
+    #    BEFORE any text work, so banned content never costs a shingle
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www.site"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.test/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=crawl"),
+        ),
+    )
+    canon = CL.canonicalize_url(with_url)
+    with_domain = canon.withColumn(
+        "domain", F.regexp_extract("canonical_url", r"^https?://([^/]+)", 1)
+    )
+    blocked = spark.createDataFrame([("site13.example.test",)], "domain string")
+    docs = CL.blocklist_filter(with_domain, blocked).drop("url", "canonical_url", "domain")
+    report["after_blocklist"] = docs.count()
+
     # 1. exact dedup on the normalized fingerprint (cheap, first)
     fp = TX.fingerprint_md5(docs)
     exact = DD.exact_dedup(fp, subset=["fingerprint"]).drop("fingerprint")
@@ -67,6 +89,16 @@ def run(spark, sf_dir: str) -> dict:
     ).select(F.col("id").alias("__k"))
     quality = rep_pass.join(good_ids, rep_pass["doc_id"] == F.col("__k"), "left_semi")
     report["after_quality"] = quality.count()
+
+    # 3b. script routing: count docs per dominant writing system (a real
+    #     pipeline forks tokenization here; the ASCII corpus is all-latin)
+    report["script_routing"] = {
+        r["dominant_script"]: r["n"]
+        for r in TX.script_stats(quality, id_col="doc_id")
+        .groupBy("dominant_script")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
 
     # 4. PII redaction (url/email/ip/phone) on the surviving text
     clean = CL.redact_pii(quality)

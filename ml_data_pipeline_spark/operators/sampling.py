@@ -184,3 +184,44 @@ def group_sample_by_hash(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "id",
+    key_out: str = "wkey",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, Inf. Process. Lett. 97(5) 2006): each row gets key
+    u^(1/w) with u a hash-derived uniform in (0,1); the k largest keys ARE
+    a weighted sample without replacement. The standard way to draw a
+    quality-weighted training subset (w = quality score, recency weight,
+    mixture weight) reproducibly.
+
+    Determinism model: u comes from md5(id:seed) — same as split_by_hash /
+    group_sample_by_hash, no RNG, stable across runs, partitionings, and
+    engines (the DuckDB oracle recomputes it bit-for-bit). Change `seed`
+    for an independent draw; weights must be > 0 (w=0 keys to 0, i.e.
+    never sampled; negative weights are a caller error).
+
+    Scale shape: orderBy(...).limit(k) plans TakeOrderedAndProject — a
+    per-partition top-k heap + single k-row merge at the driver, never a
+    global sort. The 2^60-bit hash is cast through double (both engines
+    round identically per IEEE-754), keeping u exact-compatible.
+    """
+    hx = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (hx + 0.5) / float(16**15)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.withColumn(key_out, key)
+        .orderBy(F.desc(key_out), F.asc(id_col))
+        .limit(k)
+    )

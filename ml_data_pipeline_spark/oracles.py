@@ -2503,6 +2503,19 @@ ALL_ORACLES: dict[str, str] = {
         FROM fr
         ORDER BY doc_id
     """,
+    "t11_weighted_sample": """
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)
+                             AS BIGINT) + 0.5) / 1152921504606846976.0,
+                       1.0 / n_chars) AS k
+            FROM documents
+        )
+        SELECT doc_id, n_chars, round(k, 6) AS wkey
+        FROM keyed
+        ORDER BY k DESC, doc_id
+        LIMIT 50
+    """,
     "dd_incremental_pairs": f"""
         -- FULL recompute of exact 3-gram Jaccard pairs, filtered to pairs
         -- with a batch member (doc_id >= 400): the incremental operator

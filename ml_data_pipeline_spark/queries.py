@@ -2849,6 +2849,17 @@ def tx_script_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     return TX.script_stats(injected, id_col="doc_id").orderBy("doc_id")
 
+def t11_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling (sampling.weighted_sample_topk,
+    A-ES): 50 documents drawn proportional to length — the quality-weighted
+    subset draw of a mixture pipeline. Hash-derived uniforms make the draw
+    reproducible across engines; DuckDB recomputes keys bit-for-bit."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    out = SA.weighted_sample_topk(docs, "n_chars", k=50, seed=7, id_col="doc_id")
+    return out.select(
+        "doc_id", "n_chars", F.round("wkey", 6).alias("wkey")
+    ).orderBy(F.desc("wkey"), "doc_id")
+
 def dd_incremental_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental near-dup (dedup.incremental_ngram_jaccard_pairs): docs
     with doc_id >= 400 play the appended batch; the operator probes the
@@ -3144,6 +3155,7 @@ ALL_QUERIES = {
     "tx_script_stats": tx_script_stats,
     "s17_zorder_layout": s17_zorder_layout,
     "dd_incremental_pairs": dd_incremental_pairs,
+    "t11_weighted_sample": t11_weighted_sample,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

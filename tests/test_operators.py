@@ -673,3 +673,22 @@ def test_group_sample_by_hash_deterministic_across_partitionings(spark):
     # different salt -> (almost surely) different sample, same counts
     s3 = {(r["g"], r["id"]) for r in group_sample_by_hash(df1, "g", "id", k=7, salt="x").collect()}
     assert len(s3) == 21 and s3 != s1
+
+
+def test_weighted_sample_topk_prefers_heavy_and_plans_topk(spark):
+    """A-ES sanity: with weights 1000 vs 0.01, the k=10 draw is exactly the
+    10 heavy rows (u^(1/1000) ~ 1 vs u^100 ~ 0); determinism: same seed →
+    same rows; different seed → a draw, not a sort (still all-heavy here).
+    Plan: orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    heap + k-row driver merge), never a global sort."""
+    from ml_data_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 1000.0) for i in range(10)] + [(i, 0.01) for i in range(10, 110)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = weighted_sample_topk(df, "w", k=10, seed=1)
+    ids = sorted(r["id"] for r in picked.collect())
+    assert ids == list(range(10))
+    again = sorted(r["id"] for r in weighted_sample_topk(df, "w", k=10, seed=1).collect())
+    assert again == ids
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

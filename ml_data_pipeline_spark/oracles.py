@@ -2503,6 +2503,36 @@ ALL_ORACLES: dict[str, str] = {
         FROM fr
         ORDER BY doc_id
     """,
+    "pipe_web_hygiene": """
+        -- canonical form of the injected URL is derivable in closed form:
+        -- scheme https, www stripped, host lowered, utm_source dropped,
+        -- v=1 kept → https://site{d%23}.example.test/doc/{d%7}?v=1
+        WITH canon AS (
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 23 AS VARCHAR) || '.example.test' AS domain,
+                   'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.example.test/doc/' || CAST(doc_id % 7 AS VARCHAR)
+                       || '?v=1' AS canonical_url
+            FROM documents
+        ),
+        surviving AS (
+            SELECT * FROM canon
+            WHERE domain NOT IN ('site3.example.test', 'site17.example.test')
+        ),
+        deduped AS (
+            SELECT canonical_url, domain,
+                   min(doc_id) AS survivor_id, count(*) AS n_dups
+            FROM surviving
+            GROUP BY 1, 2
+        )
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(n_dups) AS BIGINT) AS n_docs,
+               CAST(min(survivor_id) AS BIGINT) AS first_survivor
+        FROM deduped
+        GROUP BY domain
+        ORDER BY domain
+    """,
     "t11_weighted_sample": """
         WITH keyed AS (
             SELECT doc_id, n_chars,

@@ -2849,6 +2849,43 @@ def tx_script_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     return TX.script_stats(injected, id_col="doc_id").orderBy("doc_id")
 
+def pipe_web_hygiene(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite: the crawl-hygiene front of a web-corpus pipeline as ONE
+    lazy plan — canonicalize URLs → drop blocklisted domains → exact dedup
+    on the canonical URL (first survivor by doc_id) → per-domain census of
+    survivors. Chains cleaning.canonicalize_url + blocklist_filter +
+    groupBy-min dedup; every stage is individually oracle-verified, this
+    gate pins their composition end-to-end (doc_id % 7 aliases several
+    doc_ids onto one URL so the dedup stage does real work)."""
+    from ml_data_pipeline_spark.operators import cleaning as CL
+
+    d23 = (F.col("doc_id") % 23).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://www.Site"), d23, F.lit(".Example.TEST/doc/"),
+        (F.col("doc_id") % 7).cast("string"), F.lit("?utm_source=crawl&v=1"),
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id", url.alias("url"))
+    canon = CL.canonicalize_url(docs).where(F.col("canonical_url").isNotNull())
+    with_domain = canon.withColumn(
+        "domain", F.regexp_extract("canonical_url", r"^https?://([^/]+)", 1)
+    )
+    blocked = spark.createDataFrame(
+        [("site3.example.test",), ("site17.example.test",)], "domain string"
+    )
+    surviving = CL.blocklist_filter(with_domain, blocked)
+    deduped = surviving.groupBy("canonical_url", "domain").agg(
+        F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return (
+        deduped.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("n_dups").alias("n_docs"),
+            F.min("survivor_id").alias("first_survivor"),
+        )
+        .orderBy("domain")
+    )
+
 def t11_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling (sampling.weighted_sample_topk,
     A-ES): 50 documents drawn proportional to length — the quality-weighted
@@ -3156,6 +3193,7 @@ ALL_QUERIES = {
     "s17_zorder_layout": s17_zorder_layout,
     "dd_incremental_pairs": dd_incremental_pairs,
     "t11_weighted_sample": t11_weighted_sample,
+    "pipe_web_hygiene": pipe_web_hygiene,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -174,3 +174,39 @@ def round_labels(df: DataFrame, column: str) -> DataFrame:
     """E17 — post-balance label rounding (ref np.round(y).astype(int),
     data_balancing_list_method_logic.py:17-20)."""
     return df.withColumn(column, F.round(F.col(column)).cast("int"))
+
+def woe_encode(
+    df: DataFrame,
+    column: str,
+    target: str,
+    out_column: str | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-Evidence encoding for a binary target: per category c,
+    WoE(c) = ln( (pos_c + s)/(pos_tot + s*K) / ((neg_c + s)/(neg_tot + s*K)) )
+    with Laplace smoothing s over K categories (no infinite WoE on pure
+    categories). The credit-scoring/risk standard companion to target
+    encoding: monotone in the category's positive rate but scaled in
+    log-odds, so it composes directly with logistic models.
+
+    Same plan shape as target_encode: one cardinality-sized aggregate,
+    broadcast-joined back — the fact table never shuffles. Deterministic and
+    closed-form, so the DuckDB oracle recomputes it exactly.
+    """
+    out_column = out_column or f"{column}_woe"
+    y = F.col(target).cast("double")
+    per = df.groupBy(column).agg(
+        F.sum(y).alias("__pos"), F.sum(1 - y).alias("__neg")
+    )
+    tot = per.agg(
+        F.sum("__pos").alias("__ptot"),
+        F.sum("__neg").alias("__ntot"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    s = F.lit(float(smoothing))
+    woe = F.log(
+        ((F.col("__pos") + s) / (F.col("__ptot") + s * F.col("__k")))
+        / ((F.col("__neg") + s) / (F.col("__ntot") + s * F.col("__k")))
+    )
+    table = per.join(F.broadcast(tot)).select(column, woe.alias(out_column))
+    return df.join(F.broadcast(table), on=column, how="left")

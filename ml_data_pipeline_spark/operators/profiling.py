@@ -727,3 +727,29 @@ def welch_ttest(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
     )
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: equivalence-
+    class sizes, how many classes/rows fall below k (re-identifiable), and
+    the dataset's actual anonymity level (the smallest class). The privacy
+    gate run BEFORE releasing or training on user-derived tabular data —
+    the structured-data sibling of PII redaction.
+
+    One map-side-combinable groupBy over the QI columns, then a scalar agg
+    over the class-size table (cardinality-bounded). Flags, never mutates:
+    suppression/generalization is a policy decision for the caller.
+    """
+    classes = df.groupBy(*quasi_identifiers).agg(F.count(F.lit(1)).alias("__n"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__n").alias("anonymity_k"),
+        F.sum((F.col("__n") < k).cast("long")).alias("classes_below_k"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(F.lit(0))).alias(
+            "rows_below_k"
+        ),
+        F.sum("__n").alias("n_rows"),
+    )

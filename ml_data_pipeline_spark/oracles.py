@@ -2503,6 +2503,37 @@ ALL_ORACLES: dict[str, str] = {
         FROM fr
         ORDER BY doc_id
     """,
+    "e22_woe_encode": """
+        WITH base AS (
+            SELECT c_mktsegment,
+                   CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END AS y
+            FROM customer
+        ),
+        per AS (
+            SELECT c_mktsegment, sum(y) AS pos, sum(1 - y) AS neg,
+                   count(*) AS n_rows
+            FROM base GROUP BY 1
+        ),
+        tot AS (SELECT sum(pos) AS ptot, sum(neg) AS ntot, count(*) AS k FROM per)
+        SELECT c_mktsegment,
+               round(ln(((pos + 0.5) / (ptot + 0.5 * k))
+                        / ((neg + 0.5) / (ntot + 0.5 * k))), 6) AS woe,
+               CAST(n_rows AS BIGINT) AS n_rows
+        FROM per CROSS JOIN tot
+        ORDER BY c_mktsegment
+    """,
+    "p26_k_anonymity": """
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS n
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(n) AS BIGINT) AS anonymity_k,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM classes
+    """,
     "pipe_web_hygiene": """
         -- canonical form of the injected URL is derivable in closed form:
         -- scheme https, www stripped, host lowered, utm_source dropped,

@@ -2849,6 +2849,31 @@ def tx_script_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     return TX.script_stats(injected, id_col="doc_id").orderBy("doc_id")
 
+def e22_woe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-Evidence encoding (encoding.woe_encode) of market segment
+    against acctbal-positivity — closed-form log-odds per category, checked
+    exactly. Output is the encoding TABLE (one row per category) plus its
+    row support, proving both the WoE math and the join-back count."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") > 0).cast("int").alias("y")
+    )
+    enc = E.woe_encode(cust, "c_mktsegment", "y")
+    return (
+        enc.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.first("c_mktsegment_woe"), 6).alias("woe"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+def p26_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit (profiling.k_anonymity) over the
+    (nationkey, mktsegment) quasi-identifier pair at k=5 — the privacy
+    census run before releasing user-derived tabular data."""
+    cust = load_table(spark, sf, "customer")
+    return P.k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
 def pipe_web_hygiene(spark: SparkSession, sf: str) -> DataFrame:
     """Composite: the crawl-hygiene front of a web-corpus pipeline as ONE
     lazy plan — canonicalize URLs → drop blocklisted domains → exact dedup
@@ -3194,6 +3219,8 @@ ALL_QUERIES = {
     "dd_incremental_pairs": dd_incremental_pairs,
     "t11_weighted_sample": t11_weighted_sample,
     "pipe_web_hygiene": pipe_web_hygiene,
+    "e22_woe_encode": e22_woe_encode,
+    "p26_k_anonymity": p26_k_anonymity,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -692,3 +692,29 @@ def test_weighted_sample_topk_prefers_heavy_and_plans_topk(spark):
     assert again == ids
     plan = picked._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_woe_encode_hand_computed(spark):
+    import math
+
+    # cat a: pos=2 neg=0; cat b: pos=0 neg=2; K=2, s=0.5
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 0), ("b", 0)], "c string, y int"
+    )
+    rows = {r["c"]: r["c_woe"] for r in E.woe_encode(df, "c", "y").collect()}
+    expected_a = math.log(((2 + 0.5) / (2 + 1.0)) / ((0 + 0.5) / (2 + 1.0)))
+    expected_b = math.log(((0 + 0.5) / (2 + 1.0)) / ((2 + 0.5) / (2 + 1.0)))
+    assert math.isclose(rows["a"], expected_a, rel_tol=1e-9)
+    assert math.isclose(rows["b"], expected_b, rel_tol=1e-9)
+    # smoothing keeps pure categories finite and antisymmetric here
+    assert math.isclose(rows["a"], -rows["b"], rel_tol=1e-9)
+
+
+def test_k_anonymity_counts(spark):
+    df = spark.createDataFrame(
+        [("x", 1)] * 6 + [("x", 2)] * 2 + [("y", 1)] * 1, "a string, b int"
+    )
+    r = P.k_anonymity(df, ["a", "b"], k=5).first()
+    assert r["n_classes"] == 3 and r["anonymity_k"] == 1
+    assert r["classes_below_k"] == 2 and r["rows_below_k"] == 3
+    assert r["n_rows"] == 9

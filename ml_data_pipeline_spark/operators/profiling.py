@@ -753,3 +753,37 @@ def k_anonymity(
         ),
         F.sum("__n").alias("n_rows"),
     )
+
+def benford_first_digit(df: DataFrame, column: str) -> DataFrame:
+    """Benford's-law audit of a positive numeric column: observed share of
+    each leading digit 1-9 vs the Benford expectation log10(1 + 1/d), with
+    the per-digit deviation — the classic forensic screen for fabricated or
+    truncated numeric data (real multiplicative quantities follow Benford;
+    uniform or capped synthetics do not, and THAT signal is the point).
+
+    The leading digit comes from the DECIMAL STRING of the floor'd value —
+    exact integer formatting, identical across engines — never from
+    log10 float math, whose boundary behavior at powers of ten differs in
+    the last ulp. One map-side-combinable 9-group aggregate.
+    """
+    v = F.floor(F.abs(F.col(column))).cast("long")
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    per = (
+        df.where(v >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.agg(F.sum("n").alias("__tot"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n") / F.col("__tot")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("observed"),
+            F.round(expected, 6).alias("benford"),
+            F.round(share - expected, 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

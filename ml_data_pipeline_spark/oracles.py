@@ -2534,6 +2534,22 @@ ALL_ORACLES: dict[str, str] = {
                CAST(sum(n) AS BIGINT) AS n_rows
         FROM classes
     """,
+    "p27_benford": """
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1)
+                        AS INT) AS digit
+            FROM orders
+            WHERE CAST(floor(abs(o_totalprice)) AS BIGINT) >= 1
+        ),
+        per AS (SELECT digit, count(*) AS n FROM digits GROUP BY 1),
+        tot AS (SELECT sum(n) AS t FROM per)
+        SELECT digit, CAST(n AS BIGINT) AS n,
+               round(n * 1.0 / t, 6) AS observed,
+               round(log10(1.0 + 1.0 / digit), 6) AS benford,
+               round(n * 1.0 / t - log10(1.0 + 1.0 / digit), 6) AS deviation
+        FROM per CROSS JOIN tot
+        ORDER BY digit
+    """,
     "pipe_web_hygiene": """
         -- canonical form of the injected URL is derivable in closed form:
         -- scheme https, www stripped, host lowered, utm_source dropped,

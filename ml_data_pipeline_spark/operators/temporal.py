@@ -167,3 +167,42 @@ def ewma_last(
         )
         .orderBy(group_col)
     )
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group TIME-weighted average (TWAP): each observation holds until
+    the next one, so its weight is the duration it was in force —
+    w_i = t_{i+1} - t_i, the last observation weighted 0 (its holding
+    window is unknown; the standard left-closed convention). The correct
+    average for irregularly-sampled state series (prices, gauge metrics),
+    where the plain avg() over-weights chatty periods.
+
+    One partitioned window (lead over the per-group time sort — shuffle on
+    the group key only, no global sort) + one map-side-combinable agg.
+    Groups with a single observation have zero total weight and yield NULL
+    (nullif guard) — explicitly "no interval to average over".
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col))
+    micros = F.unix_micros(F.col(ts_col))
+    dur = (F.lead(micros).over(w) - micros).cast("double")
+    weighted = df.select(
+        F.col(group_col),
+        dur.alias("__w"),
+        (dur * F.col(value_col)).alias("__wx"),
+    )
+    return (
+        weighted.groupBy(group_col)
+        .agg(
+            F.round(
+                F.sum("__wx") / F.nullif(F.sum("__w"), F.lit(0.0)), 6
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .orderBy(group_col)
+    )

@@ -2534,6 +2534,24 @@ ALL_ORACLES: dict[str, str] = {
                CAST(sum(n) AS BIGINT) AS n_rows
         FROM classes
     """,
+    "q_twap": """
+        WITH uniq AS (
+            SELECT user_id, ts, avg(value) AS value
+            FROM events GROUP BY 1, 2
+        ),
+        iv AS (
+            SELECT user_id, value,
+                   CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                        - epoch_us(ts) AS DOUBLE) AS w
+            FROM uniq
+        )
+        SELECT user_id,
+               round(sum(w * value) / nullif(sum(w), 0.0), 6) AS twap,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM iv
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "p27_benford": """
         WITH digits AS (
             SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1)

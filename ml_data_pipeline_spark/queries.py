@@ -2874,6 +2874,20 @@ def p26_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     return P.k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
 
+def q_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average value per user (temporal.time_weighted_avg)
+    over the events stream. Duplicate (user, ts) rows are pre-averaged so
+    the lead() interval order is engine-deterministic (same convention as
+    the ASOF gate)."""
+    from ml_data_pipeline_spark.operators import temporal as TP
+
+    ev = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    return TP.time_weighted_avg(ev, "value", "ts", "user_id")
+
 def p27_benford(spark: SparkSession, sf: str) -> DataFrame:
     """Benford first-digit audit (profiling.benford_first_digit) over
     o_totalprice — leading digit from exact integer strings, never log10
@@ -3228,6 +3242,7 @@ ALL_QUERIES = {
     "e22_woe_encode": e22_woe_encode,
     "p26_k_anonymity": p26_k_anonymity,
     "p27_benford": p27_benford,
+    "q_twap": q_twap,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

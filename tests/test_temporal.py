@@ -98,3 +98,25 @@ def test_ewma_last_matches_recurrence(spark):
     out = {r["g"]: (r["n_points"], r["ewma"]) for r in ewma_last(df, "x", "d", "g", alpha=0.3).collect()}
     # s1=10; s2=.3*20+.7*10=13; s3=.3*30+.7*13=18.1
     assert out == {"g": (3, 18.1), "h": (1, 5.0)}
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """value 10 held for 3s then 20 held for 1s -> TWAP (10*3+20*1)/4 = 12.5;
+    the final observation carries zero weight; single-observation groups
+    have no interval and yield NULL."""
+    import datetime as dt
+
+    from ml_data_pipeline_spark.operators.temporal import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, 10.0),
+        ("u1", t0 + dt.timedelta(seconds=3), 20.0),
+        ("u1", t0 + dt.timedelta(seconds=4), 99.0),   # last: weight 0
+        ("u2", t0, 7.0),                               # lone observation
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = {r["user_id"]: (r["twap"], r["n_obs"]) for r in
+           time_weighted_avg(df, "value", "ts", "user_id").collect()}
+    assert got["u1"] == (12.5, 3)
+    assert got["u2"][0] is None and got["u2"][1] == 1

@@ -787,3 +787,70 @@ def benford_first_digit(df: DataFrame, column: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Gini coefficient of a non-negative value distribution via the rank
+    formula G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n over ascending ranks —
+    the Lorenz-curve concentration summary (revenue concentration, token-
+    per-domain imbalance).
+
+    Distributed rank, NOT a global row_number window (which serializes the
+    whole sort into one task — the i4_interpolate lesson): repartitionByRange
+    on (value, id) gives P sorted disjoint ranges; ranks are local
+    row_numbers plus per-partition prefix offsets computed from a P-row
+    count aggregate broadcast back as a literal map. Ties broken by id for
+    engine determinism.
+    """
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    ranked = ranged_rank(df, [value_col, id_col], out_col="__rank", num_partitions=P)
+    out = ranked.agg(
+        F.round(
+            (2.0 * F.sum(F.col("__rank") * F.col(value_col)))
+            / (F.count(F.lit(1)) * F.sum(value_col))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return out
+
+def ranged_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ascending row_number over `order_cols` WITHOUT a global
+    single-task window sort (the i4_interpolate lesson): repartitionByRange
+    gives P sorted disjoint ranges, local row_numbers are offset by prefix
+    sums from a P-row count aggregate broadcast back as a literal map.
+    The caller makes `order_cols` a unique key (append an id) so the rank
+    is engine-deterministic. Output = input columns + `out_col` (double).
+
+    The shared rank kernel for gini_coefficient and RFM scoring — the
+    same shape impute_interpolate_ranged uses for ordered imputation.
+    """
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    asc = [F.asc(c) for c in order_cols]
+    rp = df.repartitionByRange(P, *asc).withColumn("__pid", F.spark_partition_id())
+    rp = rp.cache()  # spark_partition_id must stay stable across both reads
+    counts = {
+        r["__pid"]: r["n"]
+        for r in rp.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(*[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])[
+        F.col("__pid")
+    ]
+    lrank = F.row_number().over(Window.partitionBy("__pid").orderBy(*asc))
+    return rp.withColumn(out_col, (off + lrank).cast("double")).drop("__pid")

@@ -2534,6 +2534,85 @@ ALL_ORACLES: dict[str, str] = {
                CAST(sum(n) AS BIGINT) AS n_rows
         FROM classes
     """,
+    "e23_information_value": """
+        WITH base AS (
+            SELECT c_mktsegment,
+                   CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END AS y
+            FROM customer
+        ),
+        per AS (
+            SELECT c_mktsegment, sum(y) AS pos, sum(1 - y) AS neg
+            FROM base GROUP BY 1
+        ),
+        tot AS (SELECT sum(pos) AS pt, sum(neg) AS nt, count(*) AS k FROM per)
+        SELECT round(sum((pos / pt - neg / nt)
+                         * ln(((pos + 0.5) / (pt + 0.5 * k))
+                              / ((neg + 0.5) / (nt + 0.5 * k)))), 6)
+                   AS information_value,
+               CAST(count(*) AS BIGINT) AS n_categories
+        FROM per CROSS JOIN tot
+    """,
+    "q_gini": """
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(round(sum(o_totalprice)) AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT rev,
+                   row_number() OVER (ORDER BY rev, o_custkey) AS i,
+                   count(*) OVER () AS n
+            FROM per
+        )
+        SELECT round(2.0 * sum(i * rev) / (max(n) * sum(rev))
+                     - (max(n) + 1.0) / max(n), 6) AS gini,
+               CAST(max(n) AS BIGINT) AS n_customers
+        FROM ranked
+    """,
+    "q_rfm_segments": """
+        WITH per AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE)) AS last_day,
+                   count(*) AS freq,
+                   CAST(round(sum(o_totalprice)) AS BIGINT) AS mon
+            FROM orders GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS nt FROM per),
+        scored AS (
+            SELECT
+              CAST(floor((row_number() OVER (ORDER BY last_day, o_custkey) - 1) * 5 / nt) + 1 AS INT) AS r_score,
+              CAST(floor((row_number() OVER (ORDER BY freq, o_custkey) - 1) * 5 / nt) + 1 AS INT) AS f_score,
+              CAST(floor((row_number() OVER (ORDER BY mon, o_custkey) - 1) * 5 / nt) + 1 AS INT) AS m_score
+            FROM per CROSS JOIN n
+        )
+        SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers
+        FROM scored
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "q_basket_lift": """
+        WITH ib AS (
+            SELECT DISTINCT l_orderkey AS o, p_brand AS b
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        pair_n AS (
+            SELECT a.b AS ba, bj.b AS bb, count(*) AS n_ab
+            FROM ib a JOIN ib bj ON a.o = bj.o AND a.b < bj.b
+            GROUP BY 1, 2
+        ),
+        brand_n AS (SELECT b, count(*) AS n_b FROM ib GROUP BY 1),
+        tot AS (SELECT count(DISTINCT o) AS n_orders FROM ib)
+        SELECT ba, bb, CAST(n_ab AS BIGINT) AS n_ab,
+               round(n_ab * 1.0 / n_orders, 6) AS support,
+               round(n_ab * 1.0 / na.n_b, 6) AS confidence,
+               round(n_ab * 1.0 * n_orders / (na.n_b * nb.n_b), 6) AS lift
+        FROM pair_n
+        JOIN brand_n na ON na.b = ba
+        JOIN brand_n nb ON nb.b = bb
+        CROSS JOIN tot
+        ORDER BY lift DESC, ba, bb
+        LIMIT 20
+    """,
     "q_twap": """
         WITH uniq AS (
             SELECT user_id, ts, avg(value) AS value

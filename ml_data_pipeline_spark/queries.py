@@ -2874,6 +2874,120 @@ def p26_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     return P.k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
 
+def e23_information_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Information Value of the WoE-encoded segment feature:
+    IV = sum over categories of (pos_share - neg_share) * WoE — the
+    standard predictive-power screen that decides whether a feature enters
+    a scorecard (rule of thumb: <0.02 useless, >0.5 suspicious). Reuses
+    encoding.woe_encode's table and collapses it to one scalar row."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_mktsegment", (F.col("c_acctbal") > 0).cast("int").alias("y")
+    )
+    enc = E.woe_encode(cust, "c_mktsegment", "y")
+    y = F.col("y").cast("double")
+    per = enc.groupBy("c_mktsegment").agg(
+        F.sum(y).alias("__pos"),
+        F.sum(1 - y).alias("__neg"),
+        F.first("c_mktsegment_woe").alias("__woe"),
+    )
+    tot = per.agg(F.sum("__pos").alias("__pt"), F.sum("__neg").alias("__nt"))
+    contrib = (F.col("__pos") / F.col("__pt") - F.col("__neg") / F.col("__nt")) * F.col("__woe")
+    return (
+        per.join(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(contrib), 6).alias("information_value"),
+            F.count(F.lit(1)).alias("n_categories"),
+        )
+    )
+
+def q_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue concentration
+    (profiling.gini_coefficient) — Lorenz-curve summary with a DISTRIBUTED
+    rank (range-partition + local row_number + broadcast offsets), never a
+    single-task global sort. Revenue sums are coarsened to whole units
+    before ranking so rank order is engine-exact (double sums of money
+    diverge in the last ulp across engines, which would permute
+    near-tied ranks)."""
+    orders = load_table(spark, sf, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice")).cast("long").alias("rev")
+    )
+    out = P.gini_coefficient(per_cust, "rev", "o_custkey")
+    return out.select(F.col("gini"), F.col("n").alias("n_customers"))
+
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation census: per-customer Recency (last order date),
+    Frequency (order count), Monetary (whole-unit revenue) quintile-scored
+    1-5 via the DISTRIBUTED rank kernel (profiling.ranged_rank — no global
+    window sort), score = floor((rank-1)*5/n)+1, then the (r,f,m) segment
+    census. Integer metrics + custkey tiebreak keep every rank
+    engine-exact."""
+    from ml_data_pipeline_spark.operators.profiling import ranged_rank
+
+    orders = load_table(spark, sf, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.unix_date(F.max("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice")).cast("long").alias("mon"),
+    ).cache()
+    # one driver scalar, shared by all three scores — NOT an unpartitioned
+    # count window (that would be a single-task exchange)
+    n_total = per.count()
+
+    def score(df, metric, out):
+        ranked = ranged_rank(df, [metric, "o_custkey"], out_col="__r")
+        return ranked.withColumn(
+            out, (F.floor((F.col("__r") - 1) * 5 / F.lit(n_total)) + 1).cast("int")
+        ).drop("__r")
+
+    scored = score(score(score(per, "last_day", "r_score"), "freq", "f_score"), "mon", "m_score")
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: brand pairs ordered together, with
+    support, confidence and lift — association mining as a self-equi-join
+    on the order key (pair fanout bounded by distinct-brands-per-order,
+    never a crossJoin). Lift is a ratio of exact integer counts → engine-
+    exact ordering; top 20 by lift."""
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part")
+    ib = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = ib.select("o", F.col("b").alias("ba"))
+    b = ib.select("o", F.col("b").alias("bb"))
+    pair_n = (
+        a.join(b, "o")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    brand_n = ib.groupBy(F.col("b")).agg(F.count(F.lit(1)).alias("n_b"))
+    n_orders = ib.select("o").distinct().count()
+    na = brand_n.select(F.col("b").alias("ba"), F.col("n_b").alias("n_a"))
+    nb = brand_n.select(F.col("b").alias("bb"), F.col("n_b").alias("n_bb"))
+    lift = (F.col("n_ab") * F.lit(float(n_orders))) / (F.col("n_a") * F.col("n_bb"))
+    return (
+        pair_n.join(F.broadcast(na), "ba")
+        .join(F.broadcast(nb), "bb")
+        .select(
+            "ba",
+            "bb",
+            "n_ab",
+            F.round(F.col("n_ab") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ba", "bb")
+        .limit(20)
+    )
+
 def q_twap(spark: SparkSession, sf: str) -> DataFrame:
     """Time-weighted average value per user (temporal.time_weighted_avg)
     over the events stream. Duplicate (user, ts) rows are pre-averaged so
@@ -3243,6 +3357,10 @@ ALL_QUERIES = {
     "p26_k_anonymity": p26_k_anonymity,
     "p27_benford": p27_benford,
     "q_twap": q_twap,
+    "e23_information_value": e23_information_value,
+    "q_gini": q_gini,
+    "q_rfm_segments": q_rfm_segments,
+    "q_basket_lift": q_basket_lift,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -718,3 +718,23 @@ def test_k_anonymity_counts(spark):
     assert r["n_classes"] == 3 and r["anonymity_k"] == 1
     assert r["classes_below_k"] == 2 and r["rows_below_k"] == 3
     assert r["n_rows"] == 9
+
+
+def test_ranged_rank_matches_global_row_number(spark):
+    from pyspark.sql import Window
+
+    from ml_data_pipeline_spark.operators.profiling import ranged_rank
+
+    df = spark.createDataFrame(
+        [(v % 17, i) for i, v in enumerate(range(200))], "v int, id int"
+    )
+    got = {
+        r["id"]: r["rk"]
+        for r in ranged_rank(df, ["v", "id"], out_col="rk", num_partitions=8).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: float(r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want

@@ -2569,6 +2569,27 @@ ALL_ORACLES: dict[str, str] = {
                CAST(max(n) AS BIGINT) AS n_customers
         FROM ranked
     """,
+    "q_abc_brands": """
+        WITH rev AS (
+            SELECT p_brand,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT p_brand, rev,
+                   round(sum(rev) OVER (ORDER BY rev DESC, p_brand
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         * 1.0 / sum(rev) OVER (), 6) AS cum_share
+            FROM rev
+        )
+        SELECT p_brand, rev, cum_share,
+               CASE WHEN cum_share <= 0.7 THEN 'A'
+                    WHEN cum_share <= 0.9 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
+        ORDER BY rev DESC, p_brand
+    """,
     "q_rfm_segments": """
         WITH per AS (
             SELECT o_custkey,

@@ -2569,6 +2569,15 @@ ALL_ORACLES: dict[str, str] = {
                CAST(max(n) AS BIGINT) AS n_customers
         FROM ranked
     """,
+    "s18_schema_diff": """
+        SELECT * FROM (VALUES
+            ('o_channel',    'added',     CAST(NULL AS VARCHAR), 'string'),
+            ('o_orderkey',   'unchanged', 'bigint',              'bigint'),
+            ('o_orderstatus','removed',   'string',              CAST(NULL AS VARCHAR)),
+            ('o_totalprice', 'retyped',   'double',              'string')
+        ) AS t(\"column\", status, old_type, new_type)
+        ORDER BY \"column\"
+    """,
     "q_abc_brands": """
         WITH rev AS (
             SELECT p_brand,

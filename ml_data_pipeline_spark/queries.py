@@ -2915,6 +2915,22 @@ def q_gini(spark: SparkSession, sf: str) -> DataFrame:
     out = P.gini_coefficient(per_cust, "rev", "o_custkey")
     return out.select(F.col("gini"), F.col("n").alias("n_customers"))
 
+def s18_schema_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution diff (sources/versioned.schema_diff): v_old vs a
+    v_new with one column dropped, one retyped, one added — the pre-flight
+    report before a cross-version read. Pure metadata (zero cluster work);
+    the oracle is the literal expected table."""
+    from ml_data_pipeline_spark.sources.versioned import schema_diff
+
+    orders = load_table(spark, sf, "orders")
+    v_old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    v_new = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        F.lit("web").alias("o_channel"),
+    )
+    return schema_diff(v_old, v_new).orderBy("column")
+
 def q_abc_brands(spark: SparkSession, sf: str) -> DataFrame:
     """ABC / Pareto classification of brands by revenue: cumulative-share
     class A (first 70% of revenue), B (to 90%), C (tail). The cumulative
@@ -3394,6 +3410,7 @@ ALL_QUERIES = {
     "q_rfm_segments": q_rfm_segments,
     "q_basket_lift": q_basket_lift,
     "q_abc_brands": q_abc_brands,
+    "s18_schema_diff": s18_schema_diff,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -260,3 +260,28 @@ def diff_versions(
         .where(F.col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level schema diff between two dataset versions: one row per
+    column with status added / removed / retyped / unchanged and both type
+    strings — the pre-flight check before read_evolved or a cross-version
+    union (diff_versions compares VALUES and requires identical schemas;
+    this explains WHY they differ). Schemas are driver metadata, so the
+    diff costs zero cluster work; the result is a DataFrame so it can gate
+    pipelines or land in reports like any other table."""
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "retyped", o[c], n[c]))
+        else:
+            rows.append((c, "unchanged", o[c], n[c]))
+    return spark.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

@@ -44,6 +44,12 @@ DEFAULT_QUERIES = [
     "q13_order_distribution",
     "q15_top_supplier",
     "q22_dormant_customers",
+    # late-r3 analytics: distributed rank, co-occurrence join, layout key
+    "q_gini",
+    "q_basket_lift",
+    "q_abc_brands",
+    "s17_zorder_layout",
+    "q_twap",
 ]
 
 

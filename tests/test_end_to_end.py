@@ -39,3 +39,21 @@ def test_corpus_prep_pipeline(spark):
     assert out["composition_rows"] > 0
     assert len(out["bm25_top5"]) == 5
     assert out["packed_bins"] >= 1
+
+
+def test_marketplace_analytics_report(spark):
+    """examples/marketplace_analytics.py: the OLAP report end to end —
+    Gini in (0,1), ABC classes partition the 25 brands, RFM segments and
+    basket pairs non-empty, regional revenue positive."""
+    import marketplace_analytics
+
+    out = marketplace_analytics.run(spark, "/root/testdata/sf0.001")
+    assert 0.0 < out["revenue_gini"] < 1.0
+    assert sum(out["abc_counts"].values()) == 25
+    assert set(out["abc_counts"]) <= {"A", "B", "C"}
+    assert len(out["top_rfm_segments"]) == 5
+    for (r, f, m), n in out["top_rfm_segments"]:
+        assert 1 <= r <= 5 and 1 <= f <= 5 and 1 <= m <= 5 and n > 0
+    assert len(out["top_brand_pairs"]) == 3
+    assert out["top_brand_pairs"][0][2] >= out["top_brand_pairs"][-1][2]
+    assert out["top_nation"][1] > 0

@@ -738,3 +738,18 @@ def test_ranged_rank_matches_global_row_number(spark):
         for r in df.withColumn("rk", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_gini_coefficient_extremes(spark):
+    from ml_data_pipeline_spark.operators.profiling import gini_coefficient
+
+    # perfectly equal distribution -> 0
+    eq = spark.createDataFrame([(i, 10) for i in range(100)], "id int, v int")
+    r = gini_coefficient(eq, "v", "id").first()
+    assert abs(r["gini"]) < 1e-9 and r["n"] == 100
+    # total concentration (one holder) -> (n-1)/n
+    conc = spark.createDataFrame(
+        [(i, 0) for i in range(99)] + [(99, 1000)], "id int, v int"
+    )
+    r2 = gini_coefficient(conc, "v", "id").first()
+    assert abs(r2["gini"] - 99 / 100) < 1e-9

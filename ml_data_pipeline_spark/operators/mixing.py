@@ -59,3 +59,36 @@ def mixture_plan(
         )
         .orderBy(source_col)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Derive mixture weights from the inventory itself with sampling
+    temperature: w_s proportional to n_s^alpha, renormalized. alpha=1 gives
+    natural proportions, alpha->0 approaches uniform — the standard
+    multilingual/multi-source rule for up-weighting low-resource sources
+    without flattening the mix entirely (feeds straight into
+    mixture_plan's `weights`).
+
+    One per-source aggregate + a broadcast scalar total; deterministic
+    closed form, oracle-exact.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    inv = df.groupBy(source_col).agg(F.sum(token_col).alias("available_tokens"))
+    pw = F.pow(F.col("available_tokens").cast("double"), float(alpha))
+    with_pw = inv.withColumn("__pw", pw)
+    tot = with_pw.agg(F.sum("__pw").alias("__tot"))
+    return (
+        with_pw.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "available_tokens",
+            F.round(F.col("__pw") / F.col("__tot"), 6).alias("weight"),
+        )
+        .orderBy(source_col)
+    )

@@ -2569,6 +2569,19 @@ ALL_ORACLES: dict[str, str] = {
                CAST(max(n) AS BIGINT) AS n_customers
         FROM ranked
     """,
+    "tx_temperature_mix": f"""
+        WITH inv AS (
+            SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+            FROM documents GROUP BY 1
+        ),
+        pw AS (SELECT source, available_tokens,
+                      pow(CAST(available_tokens AS DOUBLE), 0.5) AS p
+               FROM inv),
+        tot AS (SELECT sum(p) AS t FROM pw)
+        SELECT source, available_tokens, round(p / t, 6) AS weight
+        FROM pw CROSS JOIN tot
+        ORDER BY source
+    """,
     "s18_schema_diff": """
         SELECT * FROM (VALUES
             ('o_channel',    'added',     CAST(NULL AS VARCHAR), 'string'),

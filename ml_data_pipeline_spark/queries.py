@@ -2915,6 +2915,15 @@ def q_gini(spark: SparkSession, sf: str) -> DataFrame:
     out = P.gini_coefficient(per_cust, "rev", "o_custkey")
     return out.select(F.col("gini"), F.col("n").alias("n_customers"))
 
+def tx_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampling-temperature mixture weights (mixing.temperature_weights,
+    alpha=0.5) over the documents corpus token inventory — the multilingual
+    up-weighting rule, w_s proportional to n_s^alpha."""
+    from ml_data_pipeline_spark.operators import mixing as MX
+
+    toks = TX.token_count(load_table(spark, sf, "documents"))
+    return MX.temperature_weights(toks, alpha=0.5)
+
 def s18_schema_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Schema evolution diff (sources/versioned.schema_diff): v_old vs a
     v_new with one column dropped, one retyped, one added — the pre-flight
@@ -3411,6 +3420,7 @@ ALL_QUERIES = {
     "q_basket_lift": q_basket_lift,
     "q_abc_brands": q_abc_brands,
     "s18_schema_diff": s18_schema_diff,
+    "tx_temperature_mix": tx_temperature_mix,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -225,3 +225,38 @@ def weighted_sample_topk(
         .orderBy(F.desc(key_out), F.asc(id_col))
         .limit(k)
     )
+
+def group_weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "id",
+) -> DataFrame:
+    """k-per-group weighted sampling WITHOUT replacement: A-ES keys
+    (u^(1/w), u from md5(id:seed) — same determinism model as
+    weighted_sample_topk) ranked INSIDE each group by a partitioned
+    window. The per-domain form of the quality-weighted draw: "keep the
+    best-quality k documents per source, sampled not argmaxed" — sampling
+    keeps tail diversity that a plain top-k by weight would destroy.
+
+    One shuffle on the group key; the rank window is bounded per group.
+    Same scale posture as group_sample_by_hash (its unweighted sibling).
+    """
+    hx = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (hx + 0.5) / float(16**15)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = Window.partitionBy(group_col).orderBy(F.desc("__akey"), F.asc(id_col))
+    return (
+        df.withColumn("__akey", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__akey", "__rn")
+    )

@@ -2569,6 +2569,24 @@ ALL_ORACLES: dict[str, str] = {
                CAST(max(n) AS BIGINT) AS n_customers
         FROM ranked
     """,
+    "t12_group_weighted_sample": """
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15)
+                             AS BIGINT) + 0.5) / 1152921504606846976.0,
+                       1.0 / n_chars) AS akey
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY akey DESC, doc_id) AS rn
+            FROM keyed
+        )
+        SELECT doc_id, source, n_chars
+        FROM ranked WHERE rn <= 3
+        ORDER BY source, doc_id
+    """,
     "tx_temperature_mix": f"""
         WITH inv AS (
             SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens

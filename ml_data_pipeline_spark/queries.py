@@ -2915,6 +2915,17 @@ def q_gini(spark: SparkSession, sf: str) -> DataFrame:
     out = P.gini_coefficient(per_cust, "rev", "o_custkey")
     return out.select(F.col("gini"), F.col("n").alias("n_customers"))
 
+def t12_group_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source weighted document sampling (sampling.group_weighted_sample):
+    3 docs per source, A-ES-weighted by length — "keep k quality-weighted
+    docs per domain". Sampled ROWS are hash-compared (not just counts):
+    the oracle recomputes every A-ES key bit-for-bit."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    out = SA.group_weighted_sample(
+        docs, "source", "n_chars", k=3, seed=11, id_col="doc_id"
+    )
+    return out.orderBy("source", "doc_id")
+
 def tx_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Sampling-temperature mixture weights (mixing.temperature_weights,
     alpha=0.5) over the documents corpus token inventory — the multilingual
@@ -3421,6 +3432,7 @@ ALL_QUERIES = {
     "q_abc_brands": q_abc_brands,
     "s18_schema_diff": s18_schema_diff,
     "tx_temperature_mix": tx_temperature_mix,
+    "t12_group_weighted_sample": t12_group_weighted_sample,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -705,3 +705,53 @@ def script_stats(df: DataFrame, text_col: str = "text", id_col: str = "id") -> D
         *[F.coalesce(c, F.lit(0.0)).alias(f"frac_{name}") for name, c in fracs.items()],
         dominant.alias("dominant_script"),
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard BETWEEN corpus sources: which slices of
+    the corpus speak the same wordlist — the slice-level duplication /
+    shared-template signal (near-identical vocabularies across "different"
+    sources usually mean mirrored sites or shared boilerplate, and inflate
+    any per-source mixture weights computed from them).
+
+    Same inverted-index shape as document near-dup, one level up: the
+    (token -> source) index is source-cardinality x vocabulary, the
+    candidate join fans out only where vocabularies actually intersect,
+    and the output is bounded by source-pair count. No crossJoin at any
+    scale.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    vocab = (
+        df.select(F.col(source_col).alias("src"), F.explode(toks).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("src").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = vocab.select(F.col("src").alias("src_a"), "tok")
+    b = vocab.select(F.col("src").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("src").alias("src_a"), F.col("n_vocab").alias("__na"))
+    nb = sizes.select(F.col("src").alias("src_b"), F.col("n_vocab").alias("__nb"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("__na") + F.col("__nb") - F.col("n_shared")), 6
+            ).alias("vocab_jaccard"),
+        )
+        .where(F.col("vocab_jaccard") >= min_jaccard)
+        .orderBy(F.desc("vocab_jaccard"), "src_a", "src_b")
+    )

@@ -2569,6 +2569,26 @@ ALL_ORACLES: dict[str, str] = {
                CAST(max(n) AS BIGINT) AS n_customers
         FROM ranked
     """,
+    "tx_vocab_overlap": f"""
+        WITH vocab AS (
+            SELECT DISTINCT source AS src, unnest({_TOKS}) AS tok
+            FROM documents
+        ),
+        sizes AS (SELECT src, count(*) AS n_vocab FROM vocab GROUP BY 1),
+        inter AS (
+            SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+            FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.src < b.src
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+               round(n_shared * 1.0 / (na.n_vocab + nb.n_vocab - n_shared), 6)
+                   AS vocab_jaccard
+        FROM inter
+        JOIN sizes na ON na.src = src_a
+        JOIN sizes nb ON nb.src = src_b
+        ORDER BY vocab_jaccard DESC, src_a, src_b
+        LIMIT 25
+    """,
     "t12_group_weighted_sample": """
         WITH keyed AS (
             SELECT doc_id, source, n_chars,

@@ -2915,6 +2915,13 @@ def q_gini(spark: SparkSession, sf: str) -> DataFrame:
     out = P.gini_coefficient(per_cust, "rev", "o_custkey")
     return out.select(F.col("gini"), F.col("n").alias("n_customers"))
 
+def tx_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source vocabulary Jaccard (text.source_vocab_overlap) over
+    the documents corpus — slice-level duplication signal; top 25 pairs
+    (lift ties broken by pair name for engine determinism)."""
+    docs = load_table(spark, sf, "documents")
+    return TX.source_vocab_overlap(docs).limit(25)
+
 def t12_group_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source weighted document sampling (sampling.group_weighted_sample):
     3 docs per source, A-ES-weighted by length — "keep k quality-weighted
@@ -3433,6 +3440,7 @@ ALL_QUERIES = {
     "s18_schema_diff": s18_schema_diff,
     "tx_temperature_mix": tx_temperature_mix,
     "t12_group_weighted_sample": t12_group_weighted_sample,
+    "tx_vocab_overlap": tx_vocab_overlap,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -854,3 +854,45 @@ def ranged_rank(
     ]
     lrank = F.row_number().over(Window.partitionBy("__pid").orderBy(*asc))
     return rp.withColumn(out_col, (off + lrank).cast("double")).drop("__pid")
+
+def moments(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Skewness / excess-kurtosis profile from raw power sums, one pass:
+    S1..S4 per column, combined to central moments on the driver-free agg
+    row (m2 = S2/n - mean^2 etc.), skew = m3/m2^1.5, kurtosis = m4/m2^2-3
+    (POPULATION definitions, stated explicitly — Spark's and DuckDB's
+    built-in skewness()/kurtosis() silently disagree on sample-bias
+    corrections, so the oracle recomputes these exact formulas instead of
+    calling either builtin). Callers feed integer-valued or grid-valued
+    columns when cross-engine exactness matters: integer power sums are
+    exact in both engines, making the whole statistic bit-reproducible.
+    """
+    aggs = []
+    for c in columns:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(F.when(x.isNotNull(), 1)).cast("double").alias(f"__n_{c}"),
+            F.sum(x).alias(f"__s1_{c}"),
+            F.sum(x * x).alias(f"__s2_{c}"),
+            F.sum(x * x * x).alias(f"__s3_{c}"),
+            F.sum(x * x * x * x).alias(f"__s4_{c}"),
+        ]
+    row = df.agg(*aggs)
+    outs = []
+    for c in columns:
+        n = F.col(f"__n_{c}")
+        mean = F.col(f"__s1_{c}") / n
+        m2 = F.col(f"__s2_{c}") / n - mean * mean
+        m3 = F.col(f"__s3_{c}") / n - 3 * mean * F.col(f"__s2_{c}") / n + 2 * mean * mean * mean
+        m4 = (
+            F.col(f"__s4_{c}") / n
+            - 4 * mean * F.col(f"__s3_{c}") / n
+            + 6 * mean * mean * F.col(f"__s2_{c}") / n
+            - 3 * mean * mean * mean * mean
+        )
+        outs += [
+            F.round(mean, 6).alias(f"{c}_mean"),
+            F.round(F.sqrt(m2), 6).alias(f"{c}_std"),
+            F.round(m3 / F.pow(F.nullif(m2, F.lit(0.0)), 1.5), 6).alias(f"{c}_skewness"),
+            F.round(m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3, 6).alias(f"{c}_kurtosis"),
+        ]
+    return row.select(*outs)

@@ -2569,6 +2569,45 @@ ALL_ORACLES: dict[str, str] = {
                CAST(max(n) AS BIGINT) AS n_customers
         FROM ranked
     """,
+    "p28_moments": """
+        WITH base AS (
+            SELECT CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(round(l_discount * 100) AS BIGINT) AS disc_cents
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(qty) AS DOUBLE) AS q1, CAST(sum(qty*qty) AS DOUBLE) AS q2,
+                   CAST(sum(qty*qty*qty) AS DOUBLE) AS q3,
+                   CAST(sum(qty*qty*qty*qty) AS DOUBLE) AS q4,
+                   CAST(sum(disc_cents) AS DOUBLE) AS d1,
+                   CAST(sum(disc_cents*disc_cents) AS DOUBLE) AS d2,
+                   CAST(sum(disc_cents*disc_cents*disc_cents) AS DOUBLE) AS d3,
+                   CAST(sum(disc_cents*disc_cents*disc_cents*disc_cents) AS DOUBLE) AS d4
+            FROM base
+        ),
+        m AS (
+            SELECT n,
+                   q1/n AS qm, q2/n - (q1/n)*(q1/n) AS qm2,
+                   q3/n - 3*(q1/n)*q2/n + 2*(q1/n)*(q1/n)*(q1/n) AS qm3,
+                   q4/n - 4*(q1/n)*q3/n + 6*(q1/n)*(q1/n)*q2/n
+                        - 3*(q1/n)*(q1/n)*(q1/n)*(q1/n) AS qm4,
+                   d1/n AS dm, d2/n - (d1/n)*(d1/n) AS dm2,
+                   d3/n - 3*(d1/n)*d2/n + 2*(d1/n)*(d1/n)*(d1/n) AS dm3,
+                   d4/n - 4*(d1/n)*d3/n + 6*(d1/n)*(d1/n)*d2/n
+                        - 3*(d1/n)*(d1/n)*(d1/n)*(d1/n) AS dm4
+            FROM s
+        )
+        SELECT round(qm, 6) AS qty_mean,
+               round(sqrt(qm2), 6) AS qty_std,
+               round(qm3 / pow(qm2, 1.5), 6) AS qty_skewness,
+               round(qm4 / (qm2 * qm2) - 3, 6) AS qty_kurtosis,
+               round(dm, 6) AS disc_cents_mean,
+               round(sqrt(dm2), 6) AS disc_cents_std,
+               round(dm3 / pow(dm2, 1.5), 6) AS disc_cents_skewness,
+               round(dm4 / (dm2 * dm2) - 3, 6) AS disc_cents_kurtosis
+        FROM m
+    """,
     "tx_vocab_overlap": f"""
         WITH vocab AS (
             SELECT DISTINCT source AS src, unnest({_TOKS}) AS tok

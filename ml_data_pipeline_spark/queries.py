@@ -2915,6 +2915,18 @@ def q_gini(spark: SparkSession, sf: str) -> DataFrame:
     out = P.gini_coefficient(per_cust, "rev", "o_custkey")
     return out.select(F.col("gini"), F.col("n").alias("n_customers"))
 
+def p28_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Skewness/kurtosis profile (profiling.moments) over integer-exact
+    measures (quantity; discount in cents) — population central moments
+    from raw power sums, so both engines compute bit-identical statistics
+    (builtin skewness()/kurtosis() differ cross-engine on sample-bias
+    corrections; the closed form avoids that)."""
+    li = _li(spark, sf).select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_cents"),
+    )
+    return P.moments(li, ["qty", "disc_cents"])
+
 def tx_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source vocabulary Jaccard (text.source_vocab_overlap) over
     the documents corpus — slice-level duplication signal; top 25 pairs
@@ -3441,6 +3453,7 @@ ALL_QUERIES = {
     "tx_temperature_mix": tx_temperature_mix,
     "t12_group_weighted_sample": t12_group_weighted_sample,
     "tx_vocab_overlap": tx_vocab_overlap,
+    "p28_moments": p28_moments,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

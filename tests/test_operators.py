@@ -753,3 +753,58 @@ def test_gini_coefficient_extremes(spark):
     )
     r2 = gini_coefficient(conc, "v", "id").first()
     assert abs(r2["gini"] - 99 / 100) < 1e-9
+
+
+def test_temperature_weights_limits(spark):
+    """alpha=1 -> natural token proportions; alpha=0 -> uniform weights."""
+    from ml_data_pipeline_spark.operators.mixing import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", 900), ("a", 0), ("b", 100)], "source string, n_tokens long"
+    )
+    nat = {r["source"]: r["weight"] for r in temperature_weights(df, alpha=1.0).collect()}
+    assert nat == {"a": 0.9, "b": 0.1}
+    uni = {r["source"]: r["weight"] for r in temperature_weights(df, alpha=0.0).collect()}
+    assert uni == {"a": 0.5, "b": 0.5}
+    # intermediate temperature up-weights the low-resource source
+    mid = {r["source"]: r["weight"] for r in temperature_weights(df, alpha=0.5).collect()}
+    assert 0.1 < mid["b"] < 0.5
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    """src a={x,y,z}, b={x,y,w}, c={q} -> J(a,b)=2/4, pairs with c absent
+    (no shared tokens -> no candidate row, by inverted-index construction)."""
+    from ml_data_pipeline_spark.operators.text import source_vocab_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "x y z", "a"), (2, "x y w", "b"), (3, "q", "c")],
+        "doc_id long, text string, source string",
+    )
+    rows = source_vocab_overlap(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"], r["n_shared"]) == ("a", "b", 2)
+    assert abs(r["vocab_jaccard"] - 0.5) < 1e-9
+
+
+def test_moments_symmetric_and_known_kurtosis(spark):
+    """Symmetric data -> skewness 0; a fair two-point distribution has
+    population excess kurtosis exactly -2."""
+    import math
+
+    from ml_data_pipeline_spark.operators.profiling import moments
+
+    two_point = spark.createDataFrame([(0,)] * 50 + [(1,)] * 50, "v long")
+    r = moments(two_point, ["v"]).first()
+    assert abs(r["v_skewness"]) < 1e-9
+    assert abs(r["v_kurtosis"] + 2.0) < 1e-9
+    assert math.isclose(r["v_mean"], 0.5) and math.isclose(r["v_std"], 0.5)
+
+
+def test_schema_diff_statuses(spark):
+    from ml_data_pipeline_spark.sources.versioned import schema_diff
+
+    old = spark.createDataFrame([(1, "x", 2.0)], "a long, b string, c double")
+    new = spark.createDataFrame([(1, 3, True)], "a long, c long, d boolean")
+    rows = {r["column"]: r["status"] for r in schema_diff(old, new).collect()}
+    assert rows == {"a": "unchanged", "b": "removed", "c": "retyped", "d": "added"}

@@ -175,3 +175,29 @@ def test_range_frame_is_partitioned_window(spark, sf_dir):
     plan = _plan(Q.q_range_frame(spark, sf_dir))
     assert "partitionBy" not in plan  # sanity: string form differs; check Exchange
     assert "hashpartitioning(user_id" in plan
+
+
+def test_twap_window_is_partitioned_by_user(spark, sf_dir):
+    """The TWAP lead() window must ride a per-user hash partition — never a
+    global one-task sort."""
+    plan = _plan(Q.q_twap(spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan.split("Window")[0][-200:]
+
+
+def test_moments_is_single_aggregate_no_join(spark, sf_dir):
+    """p28 computes all four moments for every column in ONE aggregate over
+    one scan — no joins, no repeated passes."""
+    plan = _plan(Q.p28_moments(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_gini_rank_is_range_partitioned(spark, sf_dir):
+    """The distributed-rank Gini sorts via range partitions + local windows
+    (spark_partition_id windows), never via a single global window sort:
+    the only SinglePartition exchange allowed is the final 1-row aggregate."""
+    plan = _plan(Q.q_gini(spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert "Window" in plan
+    assert plan.count("Exchange SinglePartition") <= 1

@@ -2835,4 +2835,70 @@ ALL_ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY zblock
     """,
+    "tx_span_dedup": """
+        -- ExactSubstr-style span dedup, width=15, min_docs=2. Windows are
+        -- keyed on their TEXT (Spark uses xxhash64 of the same text).
+        WITH t AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> len(x) > 0) AS toks
+            FROM documents
+        ),
+        wins AS (
+            SELECT id, i AS s,
+                   array_to_string(list_slice(toks, i, i + 14), ' ') AS win
+            FROM t, unnest(generate_series(1, len(toks) - 14)) AS g(i)
+            WHERE len(toks) >= 15
+        ),
+        freq AS (
+            SELECT win FROM wins GROUP BY win HAVING count(DISTINCT id) >= 2
+        ),
+        rep AS (SELECT id, s FROM wins JOIN freq USING (win)),
+        isl AS (
+            SELECT id, s,
+                   CASE WHEN s > coalesce(max(s + 15) OVER (
+                            PARTITION BY id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) THEN 1 ELSE 0 END AS nw
+            FROM rep
+        ),
+        isl2 AS (
+            SELECT id, s, sum(nw) OVER (PARTITION BY id ORDER BY s) AS grp
+            FROM isl
+        ),
+        spans AS (
+            SELECT id, grp, min(s) AS st, max(s) + 15 AS en
+            FROM isl2 GROUP BY id, grp
+        ),
+        covered AS (
+            SELECT DISTINCT id, p
+            FROM spans, unnest(generate_series(st, en - 1)) AS c(p)
+        ),
+        tokpos AS (
+            SELECT id, i AS pos, toks[i] AS tok
+            FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        ),
+        kept AS (
+            SELECT tp.id, tp.pos, tp.tok
+            FROM tokpos tp
+            ANTI JOIN covered c ON c.id = tp.id AND c.p = tp.pos
+        ),
+        nt AS (SELECT id, count(*) AS n_tokens FROM tokpos GROUP BY id),
+        ns AS (SELECT id, count(*) AS n_spans FROM spans GROUP BY id),
+        rb AS (
+            SELECT id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_clean
+            FROM kept GROUP BY id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(nt.n_tokens, 0) AS n_tokens,
+               coalesce(nt.n_tokens, 0) - coalesce(rb.n_kept, 0) AS n_tokens_removed,
+               coalesce(ns.n_spans, 0) AS n_spans,
+               md5(coalesce(rb.text_clean, '')) AS clean_md5
+        FROM documents d
+        LEFT JOIN nt ON nt.id = d.doc_id
+        LEFT JOIN ns ON ns.id = d.doc_id
+        LEFT JOIN rb ON rb.id = d.doc_id
+        ORDER BY id
+    """,
 }

@@ -3224,6 +3224,25 @@ def m25_regression_metrics(spark: SparkSession, sf: str) -> DataFrame:
         "r2 double, mse double, mae double",
     )
 
+def tx_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style repeated-span removal (Lee et al. ACL 2022):
+    every 15-token window shared by >= 2 documents is merged into maximal
+    spans and excised from all of them. Completes the dedup ladder between
+    document-level (dd_*) and line-level (tx_line_dedup). text_clean is
+    md5'd to keep the compare compact; the oracle keys windows on their
+    TEXT where Spark keys on xxhash64(text) — identical output absent a
+    64-bit collision."""
+    from ml_data_pipeline_spark.operators.spans import remove_repeated_ngrams
+
+    out = remove_repeated_ngrams(load_table(spark, sf, "documents"), width=15, min_docs=2)
+    return out.select(
+        "id",
+        "n_tokens",
+        "n_tokens_removed",
+        "n_spans",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3454,6 +3473,7 @@ ALL_QUERIES = {
     "t12_group_weighted_sample": t12_group_weighted_sample,
     "tx_vocab_overlap": tx_vocab_overlap,
     "p28_moments": p28_moments,
+    "tx_span_dedup": tx_span_dedup,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

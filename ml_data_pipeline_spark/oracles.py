@@ -2901,4 +2901,54 @@ ALL_ORACLES: dict[str, str] = {
         LEFT JOIN rb ON rb.id = d.doc_id
         ORDER BY id
     """,
+    "tx_dsir_select": """
+        -- DSIR unigram importance weights: target = lang='en' docs,
+        -- raw = all docs; add-1 Laplace over the raw vocabulary.
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   CAST(lang = 'en' AS INT) AS t,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> len(x) > 0)) AS tok
+            FROM documents
+        ),
+        stats AS (
+            SELECT tok,
+                   CAST(sum(t) AS BIGINT) AS ct,
+                   CAST(count(*) AS BIGINT) AS cr
+            FROM toks GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+                   CAST(sum(cr) AS DOUBLE) AS nr,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM stats
+        ),
+        lr AS (
+            SELECT tok,
+                   ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)) AS lr
+            FROM stats CROSS JOIN tot
+        ),
+        per AS (
+            SELECT toks.id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   sum(lr.lr) / count(*) AS w
+            FROM toks JOIN lr USING (tok)
+            GROUP BY toks.id
+        ),
+        full_set AS (
+            SELECT d.doc_id AS id,
+                   coalesce(per.n_tokens, 0) AS n_tokens,
+                   round(per.w, 6) AS avg_log_ratio
+            FROM documents d LEFT JOIN per ON per.id = d.doc_id
+        ),
+        ranked AS (
+            SELECT *,
+                   CAST(row_number() OVER (
+                       ORDER BY avg_log_ratio DESC NULLS LAST, id) AS INT)
+                       AS rank
+            FROM full_set
+        )
+        SELECT id, n_tokens, avg_log_ratio, rank, rank <= 100 AS selected
+        FROM ranked ORDER BY id
+    """,
 }

@@ -3243,6 +3243,17 @@ def tx_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(F.col("text_clean")).alias("clean_md5"),
     )
 
+def tx_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance resampling (unigram LM log-ratio, target =
+    English documents), top-100 selection. Ranks on the 6dp-ROUNDED
+    weight with id tie-break so the selection is engine-reproducible;
+    the oracle recomputes the two Laplace-smoothed LMs from first
+    principles in SQL."""
+    from ml_data_pipeline_spark.operators.importance import dsir_select
+
+    docs = load_table(spark, sf, "documents")
+    return dsir_select(docs, is_target=F.col("lang") == "en", k=100)
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3474,6 +3485,7 @@ ALL_QUERIES = {
     "tx_vocab_overlap": tx_vocab_overlap,
     "p28_moments": p28_moments,
     "tx_span_dedup": tx_span_dedup,
+    "tx_dsir_select": tx_dsir_select,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -83,6 +83,26 @@ _ZKEY_8 = " + ".join(
     for i in range(8)
 )
 
+# PageRank power iterations (q_pagerank), unrolled: c{i} = per-node
+# contribution sums, r{i} = rank update. The gate graph is symmetrized, so
+# every node has out-degree >= 1 and the dangling-mass term is exactly 0 —
+# the Spark operator computes it generally (it is +0 here).
+_PR_ITERS = "".join(
+    f"""
+        c{i} AS (
+            SELECT e.dst AS node, sum(r{i - 1}.rank / od.od) AS s
+            FROM edges e
+            JOIN r{i - 1} ON r{i - 1}.node = e.src
+            JOIN outdeg od ON od.src = e.src
+            GROUP BY e.dst
+        ),
+        r{i} AS (
+            SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(c{i}.s, 0) AS rank
+            FROM nodes nd CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nd.node
+        ),"""
+    for i in range(1, 6)
+).rstrip(",")
+
 ALL_ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -2950,5 +2970,24 @@ ALL_ORACLES: dict[str, str] = {
         )
         SELECT id, n_tokens, avg_log_ratio, rank, rank <= 100 AS selected
         FROM ranked ORDER BY id
+    """,
+    "q_pagerank": f"""
+        WITH cs AS (
+            SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s AS dst FROM cs
+            UNION ALL
+            SELECT s, c FROM cs
+        ),
+        outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+        nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),{_PR_ITERS}
+        SELECT node, round(r5.rank, 6) AS rank
+        FROM r5 ORDER BY node
     """,
 }

@@ -3254,6 +3254,31 @@ def tx_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dsir_select(docs, is_target=F.col("lang") == "en", k=100)
 
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (5 power iterations, d=0.85) over the symmetrized
+    customer<->supplier trade graph — the domain-authority scoring a
+    crawl-curation mix uses, gated on a graph the oracle can rebuild.
+    The symmetrized graph has no dangling nodes, so the operator's
+    dangling-mass term is exactly +0 and DuckDB's unrolled iterations
+    match bit-for-bit before the final 6dp round."""
+    from ml_data_pipeline_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3486,6 +3511,7 @@ ALL_QUERIES = {
     "p28_moments": p28_moments,
     "tx_span_dedup": tx_span_dedup,
     "tx_dsir_select": tx_dsir_select,
+    "q_pagerank": q_pagerank,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

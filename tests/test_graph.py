@@ -1,0 +1,48 @@
+"""PageRank (operators/graph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.operators.graph import pagerank
+
+
+def test_ranks_sum_to_one_and_hub_wins(spark):
+    # star: every leaf links to the hub, hub links back to one leaf
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"), ("hub", "a")],
+        ["src", "dst"],
+    )
+    pr = pagerank(edges, iterations=20).collect()
+    ranks = {r["node"]: r["rank"] for r in pr}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert max(ranks, key=ranks.get) == "hub"
+    # leaf 'a' receives the hub's whole out-mass, so it beats b/c/d
+    assert ranks["a"] > ranks["b"] == pytest.approx(ranks["c"])
+
+
+def test_dangling_mass_redistributed(spark):
+    # 'sink' has no out-edges: its mass must spread uniformly, keeping
+    # the total at 1 (without the correction it leaks to 1-d per step)
+    edges = spark.createDataFrame([("a", "sink"), ("b", "sink")], ["src", "dst"])
+    pr = pagerank(edges, iterations=10).collect()
+    total = sum(r["rank"] for r in pr)
+    assert abs(total - 1.0) < 1e-9
+    ranks = {r["node"]: r["rank"] for r in pr}
+    assert ranks["sink"] > ranks["a"] == pytest.approx(ranks["b"])
+
+
+def test_symmetric_pair_is_uniform(spark):
+    # a <-> b: symmetric 2-cycle converges to the uniform distribution
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert pr["a"] == pytest.approx(0.5) and pr["b"] == pytest.approx(0.5)
+
+
+def test_duplicate_edges_weighted(spark):
+    # two parallel a->b edges next to one a->c edge: b gets 2/3 of a's mass
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], ["src", "dst"]
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+    base = pr["a"]  # only receives the base + dangling share
+    assert (pr["b"] - base) == pytest.approx(2 * (pr["c"] - base))

@@ -321,3 +321,44 @@ def semantic_dedup(
         .select(F.col(id_col), F.col(block_col))
         .orderBy(id_col)
     )
+
+# ---- Johnson-Lindenstrauss random projection --------------------------------
+
+def _rp_sign(i: int, j: int) -> int:
+    """Deterministic ±1 for input dim i, output dim j (Achlioptas 2003
+    database-friendly projections use iid ±1 entries). A Weyl-style
+    integer mix — no RNG state — so ANY engine can regenerate the exact
+    matrix; ml_data_pipeline_spark.oracles imports THIS function to build
+    the DuckDB oracle from the same entries."""
+    h = (2654435761 * (i + 1) + 40503 * (j + 1) + 94321) & 0xFFFFFFFF
+    return 1 if ((h >> 13) & 1) == 0 else -1
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project ``vec_col`` (array<float>, length ``in_dim``) to
+    ``out_dim`` dims with a fixed ±1/sqrt(out_dim) matrix.
+
+    JL lemma: pairwise distances are preserved within (1±eps) w.h.p., so
+    the projection is a drop-in shrink for the LSH/IVF candidate stages
+    (cosine_pairs_lsh, ivf_topk) — 64->8 dims cuts their shuffle payload
+    8x. The matrix enters the plan as LITERAL arrays (out_dim x in_dim
+    ints): the whole projection is one codegen-fused zip_with/aggregate
+    projection — zero shuffle, zero Python, no matrix side-input to ship.
+    """
+    scale = 1.0 / float(out_dim) ** 0.5
+    cols = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(_rp_sign(i, j)) for i in range(in_dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(dot * scale, 6))
+    return df.withColumn(out_col, F.array(*cols))

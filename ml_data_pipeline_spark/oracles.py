@@ -83,6 +83,18 @@ _ZKEY_8 = " + ".join(
     for i in range(8)
 )
 
+from ml_data_pipeline_spark.operators.similarity import _rp_sign
+
+# random-projection matrix rows (ss_random_project), regenerated from the
+# SAME sign function the Spark operator uses — lockstep by construction
+_RP_SCALE = 1.0 / 8 ** 0.5
+_RP_ROWS = ", ".join(
+    f"round(list_dot_product(embedding::DOUBLE[], ["
+    + ", ".join(f"{_rp_sign(i, j)}.0" for i in range(64))
+    + f"]) * {_RP_SCALE!r}, 6)"
+    for j in range(8)
+)
+
 # PageRank power iterations (q_pagerank), unrolled: c{i} = per-node
 # contribution sums, r{i} = rank update. The gate graph is symmetrized, so
 # every node has out-degree >= 1 and the dangling-mass term is exactly 0 —
@@ -2989,5 +3001,12 @@ ALL_ORACLES: dict[str, str] = {
         r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),{_PR_ITERS}
         SELECT node, round(r5.rank, 6) AS rank
         FROM r5 ORDER BY node
+    """,
+    "ss_random_project": f"""
+        SELECT vec_id,
+               CAST(unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS INT) AS j,
+               unnest([{_RP_ROWS}]) AS v
+        FROM embeddings
+        ORDER BY vec_id, j
     """,
 }

@@ -3279,6 +3279,18 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     pr = pagerank(edges, iterations=5, damping=0.85)
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
+def ss_random_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64->8 of the
+    embeddings table, exploded to (vec_id, j, v) scalars so the float
+    compare goes through the gate's 6dp canonicalizer. The oracle
+    regenerates the SAME matrix by importing similarity._rp_sign."""
+    emb = load_table(spark, sf, "embeddings")
+    out = SS.random_project(emb, in_dim=64, out_dim=8)
+    return (
+        out.select("vec_id", F.posexplode("projected").alias("j", "v"))
+        .orderBy("vec_id", "j")
+    )
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3512,6 +3524,7 @@ ALL_QUERIES = {
     "tx_span_dedup": tx_span_dedup,
     "tx_dsir_select": tx_dsir_select,
     "q_pagerank": q_pagerank,
+    "ss_random_project": ss_random_project,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -96,3 +96,33 @@ def test_semantic_dedup_zero_norm_vector_survives_not_crashes(spark):
         for r in semantic_dedup(df, block_col="label", threshold=0.95).collect()
     )
     assert out == [1, 3]
+
+
+def test_random_project_preserves_distances(spark):
+    """JL sanity: 64->16 ±1 projection keeps pairwise distance ratios
+    bounded, and the matrix is deterministic across invocations."""
+    import math
+
+    from ml_data_pipeline_spark.operators.similarity import random_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    out = {r["vec_id"]: (r["embedding"], r["projected"])
+           for r in random_project(emb, in_dim=64, out_dim=16).collect()}
+    ids = sorted(out)[:10]
+    ratios = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            d_in = math.dist(out[a][0], out[b][0])
+            d_out = math.dist(out[a][1], out[b][1])
+            if d_in > 1e-9:
+                ratios.append(d_out / d_in)
+    # k=16 keeps individual ratios noisy; the MEAN pins the scale (a
+    # wrong 1/sqrt(k) would shift it by ~2.8x), the band catches outliers
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25, mean
+    assert 0.2 < min(ratios) and max(ratios) < 2.5, (min(ratios), max(ratios))
+    again = {r["vec_id"]: r["projected"]
+             for r in random_project(emb, in_dim=64, out_dim=16).collect()}
+    assert all(again[i] == out[i][1] for i in ids)

@@ -3009,4 +3009,24 @@ ALL_ORACLES: dict[str, str] = {
         FROM embeddings
         ORDER BY vec_id, j
     """,
+    "ml_pca_contract": """
+        -- SQL-expressible half of the PCA contract: row count, dim, and
+        -- total variance = sum of per-dimension population variances
+        -- (= trace of the covariance the Spark fit decomposes). The
+        -- eigen-invariant booleans are recomputed INSIDE the Spark query
+        -- and must all be true.
+        WITH per AS (
+            SELECT i, var_pop(CAST(embedding[i] AS DOUBLE)) AS v
+            FROM embeddings, unnest(generate_series(1, 64)) AS g(i)
+            GROUP BY i
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
+               CAST(64 AS INT) AS dim,
+               CAST(2 AS INT) AS k,
+               round(sum(v), 6) AS total_variance,
+               TRUE AS orthonormal,
+               TRUE AS variance_identity,
+               TRUE AS eigenvalues_ok
+        FROM per
+    """,
 }

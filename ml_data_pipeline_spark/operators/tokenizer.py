@@ -1,0 +1,83 @@
+"""Tokenizer-training statistics: corpus word counts and BPE pair counts.
+
+The inner loop of byte-pair-encoding tokenizer training (Sennrich et al.
+2016, public literature) is: count words once, then repeatedly count
+adjacent-symbol pairs weighted by word frequency and merge the most
+frequent pair. At 100 TB the expensive step is the corpus pass; the pair
+statistics afterwards run over the DISTINCT VOCABULARY (orders of
+magnitude smaller). This module expresses both stages as pure Column
+expressions — the corpus pass is one explode+groupBy whose shuffle
+carries (word, count) only, and the pair stage never touches the corpus
+again.
+
+No reference-repo counterpart (the reference tokenizes with a fixed
+vocabulary only); this extends the engine toward training-data pipelines
+per the round brief.
+
+Scale notes:
+- word_counts shuffles vocabulary-sized (word, count) pairs with map-side
+  partial aggregation — the canonical scalable shape for corpus counting.
+- bpe_pair_counts runs on the vocabulary table; even web-scale corpora
+  have vocabularies in the tens of millions, so the pair explode (~word
+  length × vocab) stays small relative to the corpus.
+- Everything is whole-stage-codegen Column expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ascii_words(text: Column) -> Column:
+    """Lowercased a-z word array. The deliberately simple [^a-z] tokenizer
+    keeps Spark/DuckDB regex semantics identical for the oracle gate."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z]+", " ")
+    return F.filter(F.split(F.trim(cleaned), " +"), lambda w: F.length(w) > 0)
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-frequency table: (word, n). One explode + one groupBy;
+    the shuffle after map-side combine is vocabulary-sized."""
+    return (
+        df.select(F.explode(_ascii_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent character-pair frequencies weighted by word frequency —
+    one BPE merge-selection step at character granularity.
+
+    Runs over the vocabulary (word_counts output), not the corpus: for a
+    word of length L there are L-1 adjacent pairs, generated with
+    transform(sequence(...)) + substr, all JVM-side. Words shorter than 2
+    chars contribute no pairs (explicit filter — sequence(1, 0) would
+    yield a DESCENDING [1, 0] array, not an empty one).
+    """
+    vocab = word_counts(df, text_col).where(F.length("word") >= 2)
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substr(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        F.col("n"),
+    )
+    return pairs.groupBy("pair").agg(F.sum("n").alias("pair_count"))
+
+
+def top_bpe_pairs(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Top-k merge candidates, deterministically ranked by
+    (pair_count DESC, pair ASC) so engines agree on ties."""
+    from pyspark.sql import Window
+
+    ranked = bpe_pair_counts(df, text_col).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("rank", "pair", "pair_count")

@@ -260,3 +260,60 @@ def group_weighted_sample(
         .where(F.col("__rn") <= k)
         .drop("__akey", "__rn")
     )
+
+def negative_sample(
+    anchors: DataFrame,
+    pool: DataFrame,
+    k: int = 4,
+    id_col: str = "id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for each anchor row, draw k pseudo-random negatives from the pool
+    WITHOUT any all-pairs join.
+
+    Shape (all equi-joins, scale-safe):
+      1. pool rows are hash-assigned to n_buckets and ranked inside each
+         bucket by a second hash (row_number window, bounded per bucket);
+      2. each (anchor, j<k) draw hashes to a bucket and a rank inside it;
+      3. one join on (bucket, rank) fetches the negative.
+    Per-bucket counts are a tiny broadcast. Every draw is a pure function
+    of (anchor id, j), so the output is engine-reproducible — the gate
+    oracle replays the identical arithmetic in SQL.
+
+    Scale note: the rank window sorts within buckets, so n_buckets must
+    grow with the pool (aim ~1e6 rows/bucket at 100 TB); it is a
+    parameter for exactly that reason. Draws are with replacement across
+    j (collisions possible, deterministic).
+
+    No reference counterpart (the reference has no pairing stage); added
+    per the round brief's training-data-pipeline scope.
+    """
+    from ml_data_pipeline_spark.functions.hashing import MERSENNE_P, universal_hash
+
+    pid = F.col(id_col).cast("string")
+    ranked = pool.select(
+        F.col(id_col).alias("neg_id"),
+        universal_hash(pid, n_buckets, a=2654435761, b=40503).alias("__bucket"),
+        universal_hash(pid, MERSENNE_P, a=97, b=1009).alias("__order"),
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__bucket").orderBy(F.asc("__order"), F.asc("neg_id"))
+        ),
+    )
+    counts = ranked.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    draws = anchors.select(F.col(id_col).alias("anchor_id")).select(
+        "anchor_id", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    )
+    dkey = F.concat_ws("#", F.col("anchor_id").cast("string"), F.col("j"))
+    draws = draws.select(
+        "anchor_id",
+        "j",
+        universal_hash(dkey, n_buckets, a=2654435761, b=40503).alias("__bucket"),
+        universal_hash(dkey, MERSENNE_P, a=7919, b=104729).alias("__pick"),
+    )
+    draws = draws.join(F.broadcast(counts), "__bucket").withColumn(
+        "__rn", F.col("__pick") % F.col("__cnt") + 1
+    )
+    return draws.join(ranked, ["__bucket", "__rn"]).select("anchor_id", "j", "neg_id")

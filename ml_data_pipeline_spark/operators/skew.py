@@ -17,7 +17,7 @@ Three tools for the joins that dominate wall time at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -156,3 +156,36 @@ def zorder_key(
         key = key + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
         key = key + F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
     return df.withColumn(out_col, key)
+
+def plan_compaction(
+    files: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    file_col: str = "file",
+    partition_cols: list[str] | None = None,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Small-file compaction plan: assign an inventory of input files to
+    target-sized output bins.
+
+    bin = floor(exclusive-prefix-sum(size) / target) over files ordered by
+    name — the deterministic streaming bin-pack every table-maintenance
+    job (Iceberg/Delta-style OPTIMIZE, public designs) runs before a
+    rewrite. Consecutive files land in the same output until the target
+    fills; an oversized file overflows into bins of its own without
+    disturbing its neighbors' assignment.
+
+    The prefix sum is a window over the file INVENTORY (metadata, ~1 row
+    per file — millions of rows at 100 TB, not billions), partitioned by
+    `partition_cols` (date/table partition) so no single sort sees the
+    whole inventory. The planned `bin` becomes the repartition key of the
+    actual rewrite job.
+    """
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(file_col)
+    else:
+        w = Window.orderBy(file_col)
+    prev = F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return files.withColumn(
+        out_col, (F.coalesce(prev, F.lit(0)) / F.lit(float(target_bytes))).cast("long")
+    )

@@ -3029,4 +3029,81 @@ ALL_ORACLES: dict[str, str] = {
                TRUE AS eigenvalues_ok
         FROM per
     """,
+    "tx_bpe_pairs": """
+        -- BPE merge-step statistics recomputed from first principles:
+        -- word frequencies over the [^a-z]-split corpus, then adjacent
+        -- character pairs weighted by word count. range(1, L) is
+        -- end-exclusive -> positions 1..L-1, i.e. substr(word, i, 2).
+        WITH words AS (
+            SELECT w AS word, count(*) AS n
+            FROM documents,
+                 unnest(string_split_regex(
+                     trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                     ' +')) AS t(w)
+            WHERE length(w) > 0
+            GROUP BY 1
+        ), pairs AS (
+            SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                   CAST(sum(n) AS BIGINT) AS pair_count
+            FROM words, unnest(range(1, length(word))) AS r(i)
+            WHERE length(word) >= 2
+            GROUP BY 1
+        ), ranked AS (
+            SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT)
+                       AS rank,
+                   pair, pair_count
+            FROM pairs
+        )
+        SELECT rank, pair, pair_count FROM ranked WHERE rank <= 50
+    """,
+    "t13_negative_sample": """
+        -- Replays negative_sample's universal-hash arithmetic exactly:
+        -- uhash(s, n, a, b) = ((a * (sha256-48-bit-prefix % p) + b) % p) % n,
+        -- p = 2^31-1. Pool rows rank inside hash buckets; each (anchor, j)
+        -- draw picks (bucket, 1 + pick % bucket_count).
+        WITH ranked AS (
+            SELECT doc_id AS neg_id,
+                   (2654435761 * (CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12)
+                                       AS BIGINT) % 2147483647) + 40503)
+                       % 2147483647 % 16 AS bucket,
+                   (97 * (CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12)
+                               AS BIGINT) % 2147483647) + 1009)
+                       % 2147483647 AS ord
+            FROM documents WHERE lang <> 'en'
+        ), rn AS (
+            SELECT neg_id, bucket,
+                   row_number() OVER (PARTITION BY bucket ORDER BY ord, neg_id) AS rnk
+            FROM ranked
+        ), cnt AS (
+            SELECT bucket, count(*) AS c FROM rn GROUP BY 1
+        ), draws AS (
+            SELECT d.doc_id AS anchor_id, j,
+                   (2654435761 * (CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || '#' || j), 1, 12)
+                                       AS BIGINT) % 2147483647) + 40503)
+                       % 2147483647 % 16 AS bucket,
+                   (7919 * (CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || '#' || j), 1, 12)
+                                AS BIGINT) % 2147483647) + 104729)
+                       % 2147483647 AS pick
+            FROM documents d, unnest([1, 2, 3]) AS u(j)
+            WHERE d.lang = 'en'
+        )
+        SELECT draws.anchor_id, CAST(draws.j AS INT) AS j, rn.neg_id
+        FROM draws
+        JOIN cnt ON draws.bucket = cnt.bucket
+        JOIN rn ON rn.bucket = draws.bucket AND rn.rnk = draws.pick % cnt.c + 1
+    """,
+    "s19_compaction_plan": """
+        -- bin = floor(exclusive prefix sum of bytes / target), files
+        -- ordered by name inside each lang partition.
+        WITH inv AS (
+            SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT lang, source, bytes,
+               CAST(floor(coalesce(sum(bytes) OVER (
+                        PARTITION BY lang ORDER BY source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) / 65536.0) AS BIGINT) AS bin
+        FROM inv
+    """,
 }

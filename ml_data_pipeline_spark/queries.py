@@ -3340,6 +3340,47 @@ def ml_pca_contract(spark: SparkSession, sf: str) -> DataFrame:
         "variance_identity boolean, eigenvalues_ok boolean",
     )
 
+def tx_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer-training statistics: top-50 adjacent
+    character pairs weighted by word frequency (one merge-selection step).
+    The corpus pass shuffles only (word, count); the pair stage runs on
+    the vocabulary. Deterministic rank tie-break on pair string."""
+    from ml_data_pipeline_spark.operators.tokenizer import top_bpe_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return top_bpe_pairs(docs, "text", k=50)
+
+
+def t13_negative_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 3 non-English
+    negatives per English anchor doc, drawn via bucket+rank hashing (no
+    all-pairs join). Every draw is a pure function of (anchor, j), so the
+    oracle replays the identical universal-hash arithmetic in SQL."""
+    from ml_data_pipeline_spark.operators.sampling import negative_sample
+
+    docs = load_table(spark, sf, "documents")
+    anchors = docs.where(F.col("lang") == "en")
+    pool = docs.where(F.col("lang") != "en")
+    return negative_sample(anchors, pool, k=3, id_col="doc_id", n_buckets=16)
+
+
+def s19_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning: the documents corpus viewed as a
+    per-(lang, source) file inventory, bin-packed into ~64 KB output
+    files by an exclusive-prefix-sum window partitioned per lang (no
+    global sort). bin is the rewrite job's repartition key."""
+    from ml_data_pipeline_spark.operators.skew import plan_compaction
+
+    inv = (
+        load_table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    return plan_compaction(
+        inv, "bytes", 65536, file_col="source", partition_cols=["lang"]
+    ).select("lang", "source", "bytes", "bin")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3575,6 +3616,9 @@ ALL_QUERIES = {
     "q_pagerank": q_pagerank,
     "ss_random_project": ss_random_project,
     "ml_pca_contract": ml_pca_contract,
+    "tx_bpe_pairs": tx_bpe_pairs,
+    "t13_negative_sample": t13_negative_sample,
+    "s19_compaction_plan": s19_compaction_plan,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -3106,4 +3106,21 @@ ALL_ORACLES: dict[str, str] = {
                     ), 0) / 65536.0) AS BIGINT) AS bin
         FROM inv
     """,
+    "st_sliding_topk": """
+        -- 2h windows sliding by 1h, epoch-aligned: an event at t belongs
+        -- to the windows starting at hour_floor(t) and hour_floor(t)-1h.
+        WITH c AS (
+            SELECT strftime(date_trunc('hour', ts) - o * INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n
+            FROM events, unnest([0, 1]) AS u(o)
+            GROUP BY 1, 2
+        ), r AS (
+            SELECT window_start, event_type, n,
+                   CAST(row_number() OVER (PARTITION BY window_start
+                                           ORDER BY n DESC, event_type) AS INT) AS rank
+            FROM c
+        )
+        SELECT window_start, rank, event_type, n FROM r WHERE rank <= 3
+    """,
 }

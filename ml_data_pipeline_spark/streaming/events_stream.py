@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -263,3 +263,46 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, key: str, broadcast_dim: bo
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, key, "left")
+
+
+def sliding_counts(
+    frame: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window event counts per event_type: each event lands in
+    window/slide overlapping windows (epoch-aligned starts). ONE code
+    path for batch and streaming — withWatermark is a documented no-op on
+    batch frames, so the oracle-gated batch run verifies exactly the
+    aggregation the stream executes. Watermark bounds streaming state to
+    ~(watermark + window)/slide live windows per type."""
+    f = frame.withWatermark("ts", watermark) if frame.isStreaming else frame
+    return (
+        f.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_topk(
+    frame: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    k: int = 3,
+) -> DataFrame:
+    """Trending top-k event types per sliding window (rank tie-broken on
+    event_type so engines agree). The rank window is batch-side analytics
+    over the COUNTS table (windows x types — tiny); a stream computes
+    sliding_counts incrementally and ranks in the sink query."""
+    counts = sliding_counts(frame, window, slide)
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("window_start", F.col("rank").cast("int").alias("rank"), "event_type", "n")
+    )

@@ -225,3 +225,28 @@ def test_enrich_stream_matches_batch(spark, events_path):
     g = {(r["event_id"], r["c_mktsegment"]) for r in got.collect()}
     b = {(r["event_id"], r["c_mktsegment"]) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_sliding_counts_match_batch(spark, events_path):
+    # one code path: sliding_counts applied to the stream (with watermark)
+    # and to the batch frame (watermark no-op) must agree when drained
+    stream = ES.read_events_stream(spark, events_path)
+    got = ES.run_to_memory(ES.sliding_counts(stream), "t_sliding", "complete")
+    batch = ES.sliding_counts(load_table(spark, SF, "events"))
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert g == b and len(g) > 0
+    # every event is double-counted across overlapping 2h/1h windows
+    n_events = load_table(spark, SF, "events").count()
+    assert sum(g.values()) == 2 * n_events
+
+
+def test_sliding_topk_rank_bounds(spark):
+    ev = load_table(spark, SF, "events").select("ts", "event_type")
+    top = ES.sliding_topk(ev, k=3).collect()
+    per_window = {}
+    for r in top:
+        per_window.setdefault(r["window_start"], []).append(r["rank"])
+    for ranks in per_window.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3

@@ -189,3 +189,53 @@ def plan_compaction(
     return files.withColumn(
         out_col, (F.coalesce(prev, F.lit(0)) / F.lit(float(target_bytes))).cast("long")
     )
+
+# fixed (a, b) families for the bloom hashes — arbitrary distinct constants,
+# pinned so oracle SQL can replay the exact bit positions
+_BLOOM_HASHES = [(131, 137), (977, 983), (7919, 7927)]
+
+def bloom_prejoin(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    n_bits: int = 16384,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join pre-filter: drop fact rows whose key cannot
+    be in `keys` BEFORE the real join's shuffle.
+
+    The middle ground Catalyst's own strategies bracket: a dim too big to
+    BROADCAST as an exact hash relation can still broadcast its ~n_bits/8-
+    byte bloom. Built as k chained broadcast LEFT SEMI joins against the
+    distinct set-bit positions — no explode, no row multiplication, no
+    shuffle on the fact side; survivors are the bloom-positive rows
+    (false-positive rate (1-e^(-kn/m))^k, resolved by the real join).
+
+    Every position is universal-hash arithmetic over sha256, so the
+    surviving set — INCLUDING its false positives — is deterministic and
+    the gate oracle replays it bit-for-bit. (Spark's runtime bloom
+    pruning, when it fires, is complementary; this is the explicit,
+    plannable form with engine-reproducible semantics.)
+    """
+    from ml_data_pipeline_spark.functions.hashing import universal_hash
+
+    hashes = _BLOOM_HASHES[:n_hashes]
+    positions = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        universal_hash(F.col(keys_key).cast("string"), n_bits, a=a, b=b)
+                        for a, b in hashes
+                    ]
+                )
+            ).alias("__pos")
+        )
+        .distinct()
+    )
+    out = fact
+    for a, b in hashes:
+        probe = universal_hash(F.col(fact_key).cast("string"), n_bits, a=a, b=b)
+        out = out.join(F.broadcast(positions), probe == F.col("__pos"), "left_semi")
+    return out

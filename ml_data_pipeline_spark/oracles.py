@@ -3123,4 +3123,32 @@ ALL_ORACLES: dict[str, str] = {
         )
         SELECT window_start, rank, event_type, n FROM r WHERE rank <= 3
     """,
+    "q_bloom_prejoin": """
+        -- Replays bloom_prejoin's exact bit positions: 3 universal hashes
+        -- ((a*x+b) % p) % 16384 with x = sha256 48-bit prefix % p over the
+        -- key string; a fact row passes iff ALL its positions are set.
+        WITH keys AS (
+            SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 400000
+        ), pos AS (
+            SELECT (131 * (CAST('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 2147483647) + 137) % 2147483647 % 16384 AS p FROM keys
+            UNION
+            SELECT (977 * (CAST('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 2147483647) + 983) % 2147483647 % 16384 FROM keys
+            UNION
+            SELECT (7919 * (CAST('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 2147483647) + 7927) % 2147483647 % 16384 FROM keys
+        ), passed AS (
+            SELECT l_orderkey, l_returnflag
+            FROM lineitem
+            WHERE (131 * (CAST('0x' || substr(sha256(CAST(l_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 2147483647) + 137) % 2147483647 % 16384 IN (SELECT p FROM pos)
+              AND (977 * (CAST('0x' || substr(sha256(CAST(l_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 2147483647) + 983) % 2147483647 % 16384 IN (SELECT p FROM pos)
+              AND (7919 * (CAST('0x' || substr(sha256(CAST(l_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 2147483647) + 7927) % 2147483647 % 16384 IN (SELECT p FROM pos)
+        )
+        SELECT l_returnflag,
+               count(*) AS n_pass_bloom,
+               CAST(sum(CASE WHEN k.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_match,
+               CAST(sum(CASE WHEN k.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos
+        FROM passed LEFT JOIN keys k ON passed.l_orderkey = k.o_orderkey
+        GROUP BY 1
+    """,
 }

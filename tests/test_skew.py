@@ -180,3 +180,23 @@ def test_zorder_key_bijective_on_grid(spark):
         F.countDistinct("zkey").alias("d"), F.min("zkey").alias("lo"), F.max("zkey").alias("hi")
     ).first()
     assert row["d"] == 65536 and row["lo"] == 0 and row["hi"] == 65535
+
+
+def test_bloom_prejoin_no_false_negatives_and_prunes(spark):
+    from ml_data_pipeline_spark.operators.skew import bloom_prejoin
+
+    fact = spark.createDataFrame([(i, i % 7) for i in range(2000)], ["k", "g"])
+    keys = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], ["key"])
+    passed = bloom_prejoin(fact, keys, "k", "key", n_bits=1024)
+    got = {r["k"] for r in passed.select("k").collect()}
+    true_keys = set(range(0, 2000, 100))
+    assert true_keys <= got  # bloom never drops a real match
+    assert len(got) < 2000  # and actually prunes non-matching rows
+    # deterministic across partition layouts
+    again = {
+        r["k"]
+        for r in bloom_prejoin(fact.repartition(9), keys, "k", "key", n_bits=1024)
+        .select("k")
+        .collect()
+    }
+    assert got == again

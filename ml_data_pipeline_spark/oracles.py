@@ -3151,4 +3151,30 @@ ALL_ORACLES: dict[str, str] = {
         FROM passed LEFT JOIN keys k ON passed.l_orderkey = k.o_orderkey
         GROUP BY 1
     """,
+    "q_triangles": """
+        -- Orientation-independent recount: triangles = ordered u<v<w
+        -- 3-way self-join; wedges = sum d(d-1)/2 over degrees.
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+            GROUP BY 1
+        ), tri AS (
+            SELECT count(*) AS t
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+               (SELECT t FROM tri) AS n_triangles,
+               round(3.0 * (SELECT t FROM tri)
+                     / nullif((SELECT sum(d * (d - 1) / 2) FROM deg), 0), 6)
+                   AS clustering_coeff
+    """,
 }

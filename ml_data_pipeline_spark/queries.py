@@ -3419,6 +3419,24 @@ def q_bloom_prejoin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph via the
+    degree-oriented wedge join — the O(sqrt(m))-bounded shape that
+    survives skewed graphs. The oracle recounts with the u<v<w 3-way SQL
+    self-join (orientation-independent identity)."""
+    from ml_data_pipeline_spark.operators.graph import triangle_stats
+
+    lp = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = lp.alias("a")
+    b = lp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    return triangle_stats(pairs)
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3659,6 +3677,7 @@ ALL_QUERIES = {
     "s19_compaction_plan": s19_compaction_plan,
     "st_sliding_topk": st_sliding_topk,
     "q_bloom_prejoin": q_bloom_prejoin,
+    "q_triangles": q_triangles,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

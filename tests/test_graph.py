@@ -46,3 +46,28 @@ def test_duplicate_edges_weighted(spark):
     pr = {r["node"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
     base = pr["a"]  # only receives the base + dangling share
     assert (pr["b"] - base) == pytest.approx(2 * (pr["c"] - base))
+
+
+def test_triangle_stats_k4_and_star(spark):
+    from ml_data_pipeline_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles, 12 wedges, clustering coefficient exactly 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_stats(spark.createDataFrame(k4, ["u", "v"])).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
+    assert r["clustering_coeff"] == 1.0
+
+    # star K1,5: plenty of wedges, zero triangles
+    star = [(0, i) for i in range(1, 6)]
+    s = triangle_stats(spark.createDataFrame(star, ["u", "v"])).collect()[0]
+    assert s["n_triangles"] == 0 and s["n_wedges"] == 10
+    assert s["clustering_coeff"] == 0.0
+
+
+def test_triangle_stats_cleans_dups_loops_and_direction(spark):
+    from ml_data_pipeline_spark.operators.graph import triangle_stats
+
+    # same triangle given with duplicates, reversed edges, and a self-loop
+    rows = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
+    r = triangle_stats(spark.createDataFrame(rows, ["u", "v"])).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)

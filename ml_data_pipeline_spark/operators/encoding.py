@@ -210,3 +210,33 @@ def woe_encode(
     )
     table = per.join(F.broadcast(tot)).select(column, woe.alias(out_column))
     return df.join(F.broadcast(table), on=column, how="left")
+
+def loo_target_encode(
+    df: DataFrame, column: str, target: str, out_column: str
+) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-free variant of E3:
+    each row's encoding is the mean of the OTHER rows' targets in its
+    category, so a model can't read its own label back out of the
+    feature (the standard high-cardinality trick, public ML folklore).
+
+    enc = (group_sum - own_target) / (group_count - 1); singleton
+    categories and null targets fall back to the global mean.
+
+    Shape: one groupBy to category-sized stats, broadcast back; a scalar
+    global-mean aggregate attached via broadcast crossJoin (same pattern
+    as E3 at operators/encoding.py target_encode) — no window sort, no
+    per-category shuffle of the fact table beyond the stats aggregate.
+    """
+    stats = df.groupBy(column).agg(
+        F.sum(target).alias("__s"), F.count(target).alias("__n")
+    )
+    gm = df.agg(F.avg(target).alias("__gm"))
+    loo = (F.col("__s") - F.col(target)) / F.nullif(
+        (F.col("__n") - F.lit(1)).cast("double"), F.lit(0.0)
+    )
+    return (
+        df.join(F.broadcast(stats), on=column, how="left")
+        .crossJoin(F.broadcast(gm))
+        .withColumn(out_column, F.coalesce(loo, F.col("__gm")))
+        .drop("__s", "__n", "__gm")
+    )

@@ -317,3 +317,36 @@ def negative_sample(
         "__rn", F.col("__pick") % F.col("__cnt") + 1
     )
     return draws.join(ranked, ["__bucket", "__rn"]).select("anchor_id", "j", "neg_id")
+
+def cluster_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    test_frac: float = 0.1,
+    group_col: str = "split_group",
+    out_col: str = "is_test",
+) -> DataFrame:
+    """Near-dup-safe train/test split: hash-split on the near-dup CLUSTER
+    id instead of the document id, so a near-duplicate of a test document
+    can never land in train (the contamination path a plain row-level
+    split leaves open — the reason eval suites leak into web-scale
+    training sets).
+
+    `components` is (id, component) from operators/components.py's
+    connected_components over any near-dup pair generator; documents
+    outside every cluster split on their own id. Membership inherits
+    split_by_hash's engine-stable md5 determinism — stable across runs,
+    engines, and corpus growth.
+    """
+    comp = components.select(
+        F.col("id").alias("__cid"), F.col("component").alias("__comp")
+    )
+    # components covers only CLUSTERED docs, but at corpus scale that can
+    # still be huge — leave the join strategy to Catalyst/AQE (broadcasts
+    # when small, shuffles on the id key otherwise)
+    out = (
+        df.join(comp, df[id_col] == F.col("__cid"), "left")
+        .withColumn(group_col, F.coalesce(F.col("__comp"), F.col(id_col)))
+        .drop("__cid", "__comp")
+    )
+    return split_by_hash(out, group_col, test_frac, out_col=out_col)

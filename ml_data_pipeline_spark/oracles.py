@@ -3177,4 +3177,33 @@ ALL_ORACLES: dict[str, str] = {
                      / nullif((SELECT sum(d * (d - 1) / 2) FROM deg), 0), 6)
                    AS clustering_coeff
     """,
+    "e22_loo_target_encode": """
+        -- exact integer-cent sums; one double division per row
+        WITH c AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+            FROM customer
+        ), s AS (
+            SELECT c_mktsegment, CAST(sum(bal_cents) AS BIGINT) AS sm,
+                   count(bal_cents) AS n
+            FROM c GROUP BY 1
+        ), g AS (
+            SELECT CAST(sum(bal_cents) AS DOUBLE) / count(bal_cents) AS gm FROM c
+        )
+        SELECT c.c_custkey, c.c_mktsegment,
+               round(coalesce(
+                   CAST(sm - bal_cents AS DOUBLE) / nullif(CAST(n - 1 AS DOUBLE), 0.0),
+                   gm), 6) AS loo_bal
+        FROM c JOIN s USING (c_mktsegment) CROSS JOIN g
+    """,
+    "t14_cluster_safe_split": f"""
+        -- recursive near-dup components + split_by_hash's md5 bucket
+        -- arithmetic on the cluster id (bucket < 3000 of 10000 = 30%)
+        WITH RECURSIVE {_NGRAM_PAIRS}
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS split_group,
+               (CAST('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 10000) < 3000 AS is_test
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
 }

@@ -3437,6 +3437,39 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_stats(pairs)
 
 
+def e22_loo_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding of c_mktsegment against account
+    balance, gated exactly: the target is converted to integer CENTS
+    first so both engines sum exactly, leaving one deterministic IEEE
+    double division per row (no float-accumulation drift)."""
+    from ml_data_pipeline_spark.operators.encoding import loo_target_encode
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    out = loo_target_encode(cust, "c_mktsegment", "bal_cents", "loo_bal")
+    return out.select(
+        "c_custkey", "c_mktsegment", F.round("loo_bal", 6).alias("loo_bal")
+    )
+
+
+def t14_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup-safe 30% test split of the corpus: every n-gram-Jaccard
+    cluster (connected component) lands wholly on one side — the split
+    that keeps eval near-duplicates out of train. Oracle replays the
+    recursive components + the md5 bucket arithmetic."""
+    from ml_data_pipeline_spark.operators import components as CC
+    from ml_data_pipeline_spark.operators.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    comp = CC.connected_components(pairs)
+    out = cluster_safe_split(docs.select("doc_id"), comp, "doc_id", test_frac=0.3)
+    return out.select("doc_id", "split_group", "is_test")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3678,6 +3711,8 @@ ALL_QUERIES = {
     "st_sliding_topk": st_sliding_topk,
     "q_bloom_prejoin": q_bloom_prejoin,
     "q_triangles": q_triangles,
+    "e22_loo_target_encode": e22_loo_target_encode,
+    "t14_cluster_safe_split": t14_cluster_safe_split,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

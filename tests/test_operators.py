@@ -808,3 +808,38 @@ def test_schema_diff_statuses(spark):
     new = spark.createDataFrame([(1, 3, True)], "a long, c long, d boolean")
     rows = {r["column"]: r["status"] for r in schema_diff(old, new).collect()}
     assert rows == {"a": "unchanged", "b": "removed", "c": "retyped", "d": "added"}
+
+
+def test_loo_target_encode_excludes_own_row(spark):
+    from ml_data_pipeline_spark.operators.encoding import loo_target_encode
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0), ("c", None)]
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    out = {
+        (r["cat"], r["y"]): r["enc"]
+        for r in loo_target_encode(df, "cat", "y", "enc").collect()
+    }
+    gm = (10.0 + 20.0 + 30.0 + 5.0) / 4
+    assert out[("a", 10.0)] == 25.0  # (20+30)/2 — own 10 excluded
+    assert out[("a", 20.0)] == 20.0
+    assert out[("b", 5.0)] == gm  # singleton falls back to global mean
+    assert out[("c", None)] == gm  # null target falls back too
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    from ml_data_pipeline_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    # clusters: {0..4} -> 0, {10,11} -> 10
+    comp = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(10, 10), (11, 10)], ["id", "component"]
+    )
+    out = cluster_safe_split(docs, comp, "doc_id", test_frac=0.5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 200
+    # whole cluster shares one side
+    assert len({by_id[i]["is_test"] for i in range(5)}) == 1
+    assert by_id[10]["is_test"] == by_id[11]["is_test"]
+    # unclustered docs split on their own id; both sides populated at 50%
+    flags = [r["is_test"] for r in out]
+    assert 40 < sum(flags) < 160

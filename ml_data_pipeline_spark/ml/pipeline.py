@@ -556,3 +556,34 @@ def isotonic_calibration(
         F.round("pos_rate", 6).alias("raw_pos_rate"),
         F.round(F.col("prediction"), 6).alias("calibrated_p"),
     ).orderBy("score_center")
+
+
+def ridge_path(df, x1_col: str, x2_col: str, y_col: str, lambdas: list[float]):
+    """Closed-form ridge regularization path for two features (no
+    intercept): solves (X'X + lam*I) b = X'y by Cramer's rule from ONE
+    moment aggregate — five sums in a single corpus pass, then the whole
+    lambda path is arithmetic on that one broadcast row (explode over
+    literal lambdas). The distributed cost is independent of path length.
+
+    Extends m2's OLS (ml/pipeline.py m2 gate, MLlib normal solver) with
+    regularization while staying oracle-exact: the identical algebra runs
+    in SQL on the same five sums.
+    """
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    mom = df.agg(
+        F.sum(x1 * x1).alias("sxx"),
+        F.sum(x1 * x2).alias("sxz"),
+        F.sum(x2 * x2).alias("szz"),
+        F.sum(x1 * y).alias("sxy"),
+        F.sum(x2 * y).alias("szy"),
+    )
+    lam = F.explode(F.array(*[F.lit(float(l)) for l in lambdas])).alias("lam")
+    path = mom.select(lam, "sxx", "sxz", "szz", "sxy", "szy")
+    det = (F.col("sxx") + F.col("lam")) * (F.col("szz") + F.col("lam")) - F.col(
+        "sxz"
+    ) * F.col("sxz")
+    b1 = ((F.col("szz") + F.col("lam")) * F.col("sxy") - F.col("sxz") * F.col("szy")) / det
+    b2 = ((F.col("sxx") + F.col("lam")) * F.col("szy") - F.col("sxz") * F.col("sxy")) / det
+    return path.select(
+        "lam", F.round(b1, 4).alias("b1"), F.round(b2, 4).alias("b2")
+    )

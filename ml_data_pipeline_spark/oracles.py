@@ -3206,4 +3206,21 @@ ALL_ORACLES: dict[str, str] = {
                      AS BIGINT) % 10000) < 3000 AS is_test
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     """,
+    "m23_ridge_path": """
+        -- identical Cramer's-rule algebra on the same five sums
+        WITH m AS (
+            SELECT sum(l_quantity * l_quantity) AS sxx,
+                   sum(l_quantity * l_discount) AS sxz,
+                   sum(l_discount * l_discount) AS szz,
+                   sum(l_quantity * l_extendedprice) AS sxy,
+                   sum(l_discount * l_extendedprice) AS szy
+            FROM lineitem
+        )
+        SELECT CAST(lam AS DOUBLE) AS lam,
+               round(((szz + lam) * sxy - sxz * szy)
+                     / ((sxx + lam) * (szz + lam) - sxz * sxz), 4) AS b1,
+               round(((sxx + lam) * szy - sxz * sxy)
+                     / ((sxx + lam) * (szz + lam) - sxz * sxz), 4) AS b2
+        FROM m, unnest([0.0, 1000000.0, 100000000.0]) AS l(lam)
+    """,
 }

@@ -3470,6 +3470,20 @@ def t14_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "split_group", "is_test")
 
 
+def m23_ridge_path(spark: SparkSession, sf: str) -> DataFrame:
+    """Ridge path (lam = 0, 1e6, 1e8) for extendedprice ~ quantity +
+    discount, no intercept: one moment aggregate, Cramer's-rule algebra
+    replayed exactly by the oracle. lam=0 is the OLS corner; the heavier
+    penalties visibly shrink b1/b2 — a wrong normal-equation term moves
+    every row."""
+    from ml_data_pipeline_spark.ml.pipeline import ridge_path
+
+    li = _li(spark, sf).select("l_quantity", "l_discount", "l_extendedprice")
+    return ridge_path(
+        li, "l_quantity", "l_discount", "l_extendedprice", [0.0, 1e6, 1e8]
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3713,6 +3727,7 @@ ALL_QUERIES = {
     "q_triangles": q_triangles,
     "e22_loo_target_encode": e22_loo_target_encode,
     "t14_cluster_safe_split": t14_cluster_safe_split,
+    "m23_ridge_path": m23_ridge_path,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

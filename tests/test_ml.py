@@ -281,3 +281,26 @@ def test_isotonic_calibration_pav_pooling_and_monotone(spark):
     got = [r["calibrated_p"] for r in out]
     assert got == [0.333333, 0.333333, 0.333333, 1.0]
     assert all(a <= b for a, b in zip(got, got[1:]))
+
+
+def test_ridge_path_matches_numpy_closed_form(spark):
+    import numpy as np
+
+    from ml_data_pipeline_spark.ml.pipeline import ridge_path
+
+    rng = np.random.RandomState(7)
+    X = rng.rand(500, 2) * [10, 2]
+    y = 3.0 * X[:, 0] - 1.5 * X[:, 1] + rng.rand(500)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)], ["x1", "x2", "y"]
+    )
+    lams = [0.0, 10.0, 1000.0]
+    got = {r["lam"]: (r["b1"], r["b2"]) for r in ridge_path(df, "x1", "x2", "y", lams).collect()}
+    for lam in lams:
+        A = X.T @ X + lam * np.eye(2)
+        b = np.linalg.solve(A, X.T @ y)
+        assert abs(got[lam][0] - round(float(b[0]), 4)) <= 1e-4
+        assert abs(got[lam][1] - round(float(b[1]), 4)) <= 1e-4
+    # heavier penalty shrinks the coefficient norm
+    norms = [got[l][0] ** 2 + got[l][1] ** 2 for l in lams]
+    assert norms[0] >= norms[1] >= norms[2]

@@ -206,3 +206,73 @@ def time_weighted_avg(
         )
         .orderBy(group_col)
     )
+
+
+def churn_labels(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    cutoff: str,
+    horizon_days: int = 90,
+) -> DataFrame:
+    """Point-in-time-correct churn label generation: features from
+    STRICTLY BEFORE the cutoff, the label from [cutoff, cutoff+horizon)
+    — the temporal wall that keeps future information out of training
+    features (the leakage class backtesting frameworks exist to prevent).
+
+    Per entity active before cutoff: n_events, total span of activity,
+    days_since_last at the cutoff, and churned = no event inside the
+    horizon. One aggregate per side of the wall, one left join on the
+    entity key; entities first seen after the cutoff are excluded (no
+    feature history)."""
+    cut = F.lit(cutoff).cast("timestamp")
+    horizon_end = F.date_add(cut.cast("date"), horizon_days).cast("timestamp")
+    past = (
+        events.where(F.col(ts_col) < cut)
+        .groupBy(entity_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.datediff(cut.cast("date"), F.max(ts_col).cast("date")).alias(
+                "days_since_last"
+            ),
+            F.datediff(F.max(ts_col).cast("date"), F.min(ts_col).cast("date")).alias(
+                "active_span_days"
+            ),
+        )
+    )
+    future = (
+        events.where((F.col(ts_col) >= cut) & (F.col(ts_col) < horizon_end))
+        .select(entity_col)
+        .distinct()
+        .withColumn("__alive", F.lit(1))
+    )
+    return (
+        past.join(future, entity_col, "left")
+        .withColumn("churned", F.col("__alive").isNull())
+        .drop("__alive")
+    )
+
+
+def golden_record(
+    df: DataFrame, entity_col: str, key_col: str, attrs: list[str]
+) -> DataFrame:
+    """Survivorship merge ("golden record"): per entity, each attribute
+    independently takes its value from the most recent record where THAT
+    attribute is non-null — attribute-wise survivorship, not row-wise,
+    so a stale record can still donate the only non-null phone number
+    (the standard MDM merge rule, public practice).
+
+    One groupBy with map-side partial aggregation; each attribute is
+    max(struct(key, value)) over non-null values, so determinism needs
+    key_col unique per record (compose recency*K + record id upstream).
+    """
+    aggs = []
+    for a in attrs:
+        picked = F.max(
+            F.when(
+                F.col(a).isNotNull(),
+                F.struct(F.col(key_col).alias("k"), F.col(a).alias("v")),
+            )
+        )
+        aggs.append(picked.getField("v").alias(a))
+    return df.groupBy(entity_col).agg(*aggs)

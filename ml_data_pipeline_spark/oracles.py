@@ -3223,4 +3223,47 @@ ALL_ORACLES: dict[str, str] = {
                      / ((sxx + lam) * (szz + lam) - sxz * sxz), 4) AS b2
         FROM m, unnest([0.0, 1000000.0, 100000000.0]) AS l(lam)
     """,
+    "q_churn_labels": """
+        WITH past AS (
+            SELECT user_id, count(*) AS n_events,
+                   date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-20')
+                       AS days_since_last,
+                   date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                       AS active_span_days
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY 1
+        ), fut AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+              AND ts < TIMESTAMP '2024-01-27 00:00:00'
+        )
+        SELECT p.user_id, p.n_events,
+               CAST(p.days_since_last AS INT) AS days_since_last,
+               CAST(p.active_span_days AS INT) AS active_span_days,
+               f.user_id IS NULL AS churned
+        FROM past p LEFT JOIN fut f ON p.user_id = f.user_id
+    """,
+    "pipe_golden_record": """
+        -- attribute-wise survivorship: per attribute, the value on the
+        -- max-recency record where that attribute is non-null
+        WITH o AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                       * 1000000000 + o_orderkey AS rec_key,
+                   o_orderstatus AS last_status,
+                   CASE WHEN o_totalprice > 250000 THEN o_orderpriority END
+                       AS last_hi_priority,
+                   o_totalprice AS last_price
+            FROM orders
+        )
+        SELECT o_custkey,
+               first(last_status ORDER BY rec_key DESC)
+                   FILTER (WHERE last_status IS NOT NULL) AS last_status,
+               first(last_hi_priority ORDER BY rec_key DESC)
+                   FILTER (WHERE last_hi_priority IS NOT NULL) AS last_hi_priority,
+               first(last_price ORDER BY rec_key DESC)
+                   FILTER (WHERE last_price IS NOT NULL) AS last_price
+        FROM o GROUP BY 1
+    """,
 }

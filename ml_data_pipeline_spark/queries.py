@@ -3484,6 +3484,46 @@ def m23_ridge_path(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_churn_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time-correct churn labels on the events table: features
+    strictly before the 2024-01-20 cutoff, label = no activity in the
+    7-day horizon after it. The temporal wall is the contract — a
+    leaked future row changes feature values and the hash."""
+    from ml_data_pipeline_spark.operators.temporal import churn_labels
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    return churn_labels(ev, "user_id", "ts", "2024-01-20 00:00:00", horizon_days=7)
+
+
+def pipe_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribute-wise survivorship merge of each customer's order
+    history: latest status, latest HIGH-VALUE priority (an attribute
+    that is null on most records — the case survivorship exists for),
+    latest price. Recency key = epoch-day*1e9 + orderkey, unique per
+    record, so the merge is deterministic and the oracle replays it
+    with ordered filtered aggregates."""
+    from ml_data_pipeline_spark.operators.temporal import golden_record
+
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast(
+                "long"
+            )
+            * F.lit(1000000000)
+            + F.col("o_orderkey")
+        ).alias("rec_key"),
+        F.col("o_orderstatus").alias("last_status"),
+        F.when(F.col("o_totalprice") > 250000, F.col("o_orderpriority")).alias(
+            "last_hi_priority"
+        ),
+        F.col("o_totalprice").alias("last_price"),
+    )
+    return golden_record(
+        o, "o_custkey", "rec_key", ["last_status", "last_hi_priority", "last_price"]
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3728,6 +3768,8 @@ ALL_QUERIES = {
     "e22_loo_target_encode": e22_loo_target_encode,
     "t14_cluster_safe_split": t14_cluster_safe_split,
     "m23_ridge_path": m23_ridge_path,
+    "q_churn_labels": q_churn_labels,
+    "pipe_golden_record": pipe_golden_record,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -120,3 +120,39 @@ def test_time_weighted_avg_hand_computed(spark):
            time_weighted_avg(df, "value", "ts", "user_id").collect()}
     assert got["u1"] == (12.5, 3)
     assert got["u2"][0] is None and got["u2"][1] == 1
+
+
+def test_churn_labels_respects_the_temporal_wall(spark):
+    from ml_data_pipeline_spark.operators.temporal import churn_labels
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-10"), (1, "2024-01-22"),  # alive
+        (2, "2024-01-05"),                                        # churned
+        (3, "2024-01-25"),                                        # no history -> excluded
+        (4, "2024-01-19"), (4, "2024-02-20"),                     # horizon missed -> churned
+    ]
+    df = spark.createDataFrame(rows, ["uid", "d"]).select(
+        "uid", F.col("d").cast("timestamp").alias("ts")
+    )
+    out = {r["uid"]: r for r in churn_labels(df, "uid", "ts", "2024-01-20", 7).collect()}
+    assert set(out) == {1, 2, 4}  # user 3 has no pre-cutoff history
+    assert out[1]["churned"] is False and out[1]["n_events"] == 2  # future rows not counted
+    assert out[1]["days_since_last"] == 10 and out[1]["active_span_days"] == 9
+    assert out[2]["churned"] is True
+    assert out[4]["churned"] is True  # 2024-02-20 is outside the 7-day horizon
+
+
+def test_golden_record_attribute_wise_survivorship(spark):
+    from ml_data_pipeline_spark.operators.temporal import golden_record
+
+    rows = [
+        ("e1", 1, "old-phone", "old-mail"),
+        ("e1", 2, None, "new-mail"),   # newest record lacks phone
+        ("e2", 5, None, None),
+        ("e2", 4, "p2", "m2"),
+    ]
+    df = spark.createDataFrame(rows, ["e", "k", "phone", "mail"])
+    out = {r["e"]: r for r in golden_record(df, "e", "k", ["phone", "mail"]).collect()}
+    # stale record donates the only non-null phone; mail comes from the newest
+    assert (out["e1"]["phone"], out["e1"]["mail"]) == ("old-phone", "new-mail")
+    assert (out["e2"]["phone"], out["e2"]["mail"]) == ("p2", "m2")

@@ -587,3 +587,102 @@ def ridge_path(df, x1_col: str, x2_col: str, y_col: str, lambdas: list[float]):
     return path.select(
         "lam", F.round(b1, 4).alias("b1"), F.round(b2, 4).alias("b2")
     )
+
+
+def split_conformal_ols(
+    df,
+    x_col: str,
+    y_col: str,
+    key_cols: list[str],
+    alpha: float = 0.1,
+):
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al. 2018,
+    public literature) around a closed-form 1-feature OLS fit — the
+    distribution-free coverage guarantee P(|y - yhat| <= qhat) >= 1-alpha.
+
+    Everything is engine-exact: membership is the md5 hash-split (50%
+    train / 30% calibration / 20% test, stable across engines and corpus
+    growth), the fit is closed-form sums ROUNDED to 4dp before residuals
+    (so the score function is identical arithmetic in any engine), and
+    qhat is the ceil((1-alpha)(n+1))-th smallest calibration |residual|
+    at 6dp — a kth order statistic, deterministic under ties because
+    order statistics depend only on the multiset.
+
+    Scale: the fit and coverage are one aggregate each; the kth-order-
+    statistic rank window sorts only the CALIBRATION split, which is a
+    small fixed fraction by construction (swap in percentile_approx when
+    even that split outgrows a sort).
+    """
+    from pyspark.sql import Window
+
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    keyed = df.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"), b.alias("__b")
+    )
+    train = keyed.where(F.col("__b") < 5000)
+    fit = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("slope"),
+        "sx",
+        "sy",
+    )
+    fit = fit.select(
+        F.col("n").alias("n_train"),
+        "slope",
+        F.round((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+    calib = keyed.where((F.col("__b") >= 5000) & (F.col("__b") < 8000)).crossJoin(
+        F.broadcast(fit)
+    )
+    res = F.round(
+        F.abs(F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))), 6
+    )
+    calib = calib.select("n_train", "slope", "intercept", res.alias("r"))
+    n_cal = calib.groupBy("n_train", "slope", "intercept").agg(
+        F.count(F.lit(1)).alias("n_cal")
+    )
+    ranked = calib.withColumn(
+        "__rn", F.row_number().over(Window.orderBy(F.col("r")))
+    )
+    k_expr = F.least(
+        F.ceil(F.lit(1.0 - alpha) * (F.col("n_cal") + 1)).cast("long"), F.col("n_cal")
+    )
+    qhat = (
+        ranked.drop("n_train", "slope", "intercept")
+        .crossJoin(F.broadcast(n_cal))
+        .where(F.col("__rn") == k_expr)
+        .select("n_train", "slope", "intercept", "n_cal", F.col("r").alias("qhat"))
+    )
+    test = keyed.where(F.col("__b") >= 8000).crossJoin(F.broadcast(qhat))
+    t_res = F.round(
+        F.abs(F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))), 6
+    )
+    return test.groupBy("n_train", "slope", "intercept", "n_cal", "qhat").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(
+            F.avg(F.when(t_res <= F.col("qhat"), 1.0).otherwise(0.0)), 6
+        ).alias("coverage"),
+    )

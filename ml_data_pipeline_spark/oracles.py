@@ -3266,4 +3266,42 @@ ALL_ORACLES: dict[str, str] = {
                    FILTER (WHERE last_price IS NOT NULL) AS last_price
         FROM o GROUP BY 1
     """,
+    "m24_conformal": """
+        WITH keyed AS (
+            SELECT l_quantity AS x, l_extendedprice AS y,
+                   CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                           CAST(l_linenumber AS VARCHAR) || ':' ||
+                                           CAST(l_extendedprice AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 10000 AS b
+            FROM lineitem
+        ), fit AS (
+            SELECT count(*) AS n_train,
+                   round((count(*) * sum(x*y) - sum(x) * sum(y))
+                         / (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS slope,
+                   sum(x) AS sx, sum(y) AS sy
+            FROM keyed WHERE b < 5000
+        ), fit2 AS (
+            SELECT n_train, slope,
+                   round((sy - slope * sx) / n_train, 4) AS intercept
+            FROM fit
+        ), calib AS (
+            SELECT round(abs(y - (intercept + slope * x)), 6) AS r
+            FROM keyed CROSS JOIN fit2 WHERE b >= 5000 AND b < 8000
+        ), nc AS (SELECT count(*) AS n_cal FROM calib),
+        q AS (
+            SELECT r AS qhat FROM calib, nc
+            ORDER BY r
+            LIMIT 1 OFFSET (SELECT least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT), n_cal) - 1 FROM nc)
+        )
+        SELECT f.n_train, f.slope, f.intercept,
+               (SELECT n_cal FROM nc) AS n_cal,
+               (SELECT qhat FROM q) AS qhat,
+               count(*) AS n_test,
+               round(avg(CASE WHEN round(abs(y - (f.intercept + f.slope * x)), 6)
+                                   <= (SELECT qhat FROM q)
+                              THEN 1.0 ELSE 0.0 END), 6) AS coverage
+        FROM keyed CROSS JOIN fit2 f
+        WHERE b >= 8000
+        GROUP BY 1, 2, 3
+    """,
 }

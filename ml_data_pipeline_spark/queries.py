@@ -3524,6 +3524,27 @@ def pipe_golden_record(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def m24_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal 90% prediction interval around the closed-form
+    OLS of extendedprice ~ quantity: hash-split 50/30/20, coefficients
+    rounded 4dp before residuals, qhat = ceil(0.9(n+1))-th smallest
+    calibration |residual| (order statistic, engine-exact), empirical
+    test coverage. A conformal guarantee check the oracle replays
+    end-to-end."""
+    from ml_data_pipeline_spark.ml.pipeline import split_conformal_ols
+
+    li = _li(spark, sf).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return split_conformal_ols(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
+        alpha=0.1,
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3770,6 +3791,7 @@ ALL_QUERIES = {
     "m23_ridge_path": m23_ridge_path,
     "q_churn_labels": q_churn_labels,
     "pipe_golden_record": pipe_golden_record,
+    "m24_conformal": m24_conformal,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

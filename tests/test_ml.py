@@ -304,3 +304,23 @@ def test_ridge_path_matches_numpy_closed_form(spark):
     # heavier penalty shrinks the coefficient norm
     norms = [got[l][0] ** 2 + got[l][1] ** 2 for l in lams]
     assert norms[0] >= norms[1] >= norms[2]
+
+
+def test_split_conformal_coverage_guarantee(spark):
+    import numpy as np
+
+    from ml_data_pipeline_spark.ml.pipeline import split_conformal_ols
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(4000) * 10
+    y = 2.5 * x + 1.0 + rng.randn(4000)
+    df = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))],
+        ["rid", "x", "y"],
+    )
+    r = split_conformal_ols(df, "x", "y", ["rid"], alpha=0.1).collect()[0]
+    assert r["n_train"] + r["n_cal"] + r["n_test"] == 4000
+    assert abs(r["slope"] - 2.5) < 0.1 and abs(r["intercept"] - 1.0) < 0.3
+    assert r["qhat"] > 0
+    # finite-sample conformal guarantee: coverage ~ 0.9, never collapses
+    assert 0.85 <= r["coverage"] <= 1.0

@@ -755,3 +755,58 @@ def source_vocab_overlap(
         .where(F.col("vocab_jaccard") >= min_jaccard)
         .orderBy(F.desc("vocab_jaccard"), "src_a", "src_b")
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NDCG@k of the BM25 ranking (bm25_topk above) against a
+    deterministic graded relevance: rel(doc) = min(3, query-term
+    occurrences) — the search-quality eval loop (Järvelin & Kekäläinen
+    2002, public literature) run entirely engine-side.
+
+    Ranks are assigned on the 6dp-ROUNDED score with id tie-break (the
+    same engine-stable ordering q_bm25's gate pins); IDCG is the top-k of
+    the relevance multiset, which is tie-order-independent. Corpus cost
+    is the one tokenize pass bm25_topk already makes; everything after
+    is query-sized. Output: one row (k, dcg, idcg, ndcg)."""
+    from pyspark.sql import Window
+
+    terms = sorted({t.lower() for t in query_terms})
+    top = bm25_topk(df, terms, k=k, text_col=text_col, id_col=id_col)
+    ranked = top.withColumn("__s", F.round("bm25", 6)).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("__s"), F.asc("id")))
+    )
+    rel = (
+        df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("__t"))
+        .where(F.col("__t").isin(terms))
+        .groupBy("id")
+        .agg(F.least(F.lit(3), F.count(F.lit(1))).cast("long").alias("rel"))
+    )
+    dcg = (
+        ranked.join(rel, "id", "left")
+        .select(
+            (F.coalesce(F.col("rel"), F.lit(0)) / F.log2(F.col("rank") + 1)).alias("g")
+        )
+        .agg(F.sum("g").alias("dcg"))
+    )
+    ideal = (
+        rel.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("id"))))
+        .select((F.col("rel") / F.log2(F.col("rank") + 1)).alias("g"))
+        .agg(F.sum("g").alias("idcg"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            F.lit(k).alias("k"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6).alias("ndcg"),
+        )
+    )

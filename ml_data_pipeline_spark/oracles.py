@@ -3304,4 +3304,54 @@ ALL_ORACLES: dict[str, str] = {
         WHERE b >= 8000
         GROUP BY 1, 2, 3
     """,
+    "m25_ndcg": """
+        -- same BM25 CTEs as q_bm25; NDCG math on the rounded-score rank
+        WITH ex AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS t
+            FROM documents
+        ),
+        doclen AS (SELECT id, count(*) AS dl FROM ex GROUP BY id),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen),
+        tf AS (
+            SELECT id, t, count(*) AS tf FROM ex
+            WHERE t IN ('query', 'join', 'stream') GROUP BY id, t
+        ),
+        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        scored AS (
+            SELECT tf.id,
+                   round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * (1.2 + 1))
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS s
+            FROM tf
+            JOIN dfreq USING (t)
+            JOIN doclen USING (id)
+            CROSS JOIN stats
+            GROUP BY tf.id
+        ),
+        ranked AS (
+            SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rank
+            FROM scored ORDER BY s DESC, id ASC LIMIT 10
+        ),
+        rel AS (
+            SELECT id, least(3, count(*)) AS rel FROM ex
+            WHERE t IN ('query', 'join', 'stream') GROUP BY id
+        ),
+        dcg AS (
+            SELECT sum(coalesce(rel, 0) / log2(rank + 1)) AS dcg
+            FROM ranked LEFT JOIN rel USING (id)
+        ),
+        ideal AS (
+            SELECT sum(rel / log2(rnk + 1)) AS idcg
+            FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, id ASC) AS rnk
+                  FROM rel ORDER BY rel DESC, id ASC LIMIT 10)
+        )
+        SELECT CAST(10 AS INT) AS k,
+               round(dcg, 6) AS dcg,
+               round(idcg, 6) AS idcg,
+               round(dcg / nullif(idcg, 0), 6) AS ndcg
+        FROM dcg, ideal
+    """,
 }

@@ -3545,6 +3545,17 @@ def m24_conformal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def m25_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """Search-quality eval: NDCG@10 of the BM25 ranking for the q_bm25
+    query terms against capped term-count relevance — the full
+    rank/gain/discount pipeline replayed by the oracle on the same
+    corpus pass."""
+    from ml_data_pipeline_spark.operators.text import ndcg_at_k
+
+    docs = load_table(spark, sf, "documents")
+    return ndcg_at_k(docs, ["query", "join", "stream"], k=10)
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3792,6 +3803,7 @@ ALL_QUERIES = {
     "q_churn_labels": q_churn_labels,
     "pipe_golden_record": pipe_golden_record,
     "m24_conformal": m24_conformal,
+    "m25_ndcg": m25_ndcg,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

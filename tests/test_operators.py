@@ -843,3 +843,33 @@ def test_cluster_safe_split_keeps_clusters_together(spark):
     # unclustered docs split on their own id; both sides populated at 50%
     flags = [r["is_test"] for r in out]
     assert 40 < sum(flags) < 160
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from ml_data_pipeline_spark.operators.text import ndcg_at_k
+
+    # doc 1 mentions the term 3x, doc 2 once, doc 3 never: bm25 order
+    # (1, 2) coincides with relevance order, so NDCG@2 must be exactly 1
+    rows = [
+        (1, "apple apple apple pie"),
+        (2, "apple tart"),
+        (3, "banana bread only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = ndcg_at_k(df, ["apple"], k=2).collect()[0]
+    assert r["ndcg"] == 1.0 and r["dcg"] == r["idcg"] > 0
+
+
+def test_ndcg_degrades_when_relevance_inverts(spark):
+    from ml_data_pipeline_spark.operators.text import ndcg_at_k
+
+    # the top-bm25 doc for 'rare' has rel 1; a longer doc holds 3 copies
+    # of the term buried in filler, ranking below but more relevant
+    filler = " ".join(["x"] * 200)
+    rows = [
+        (1, "rare"),
+        (2, f"rare rare rare {filler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = ndcg_at_k(df, ["rare"], k=2).collect()[0]
+    assert 0 < r["ndcg"] < 1.0

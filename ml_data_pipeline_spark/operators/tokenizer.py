@@ -81,3 +81,49 @@ def top_bpe_pairs(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFra
         ),
     )
     return ranked.where(F.col("rank") <= k).select("rank", "pair", "pair_count")
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a fixed, ordered BPE merge list and count the resulting
+    tokens per document — the inference half of BPE (top_bpe_pairs is
+    the training half).
+
+    Segmentation runs over the DISTINCT VOCABULARY, not the corpus: each
+    word is rendered as a double-space-separated symbol stream
+    (' a  b  c ') and each merge is ONE global literal regexp_replace
+    (' a  b ' -> ' ab '), which reproduces BPE's leftmost-non-overlapping
+    merge semantics and keeps the sentinel invariant (single edge spaces,
+    double interior) so later merges keep matching. Literal patterns only
+    — both Java regex and RE2 replay it identically, which is what makes
+    the gate oracle exact.
+
+    Corpus cost: one tokenize pass + a vocab join; the per-merge chain is
+    a fixed-width codegen expression over vocab rows. Documents with no
+    ascii words are preserved with n_bpe_tokens = 0 (left join + coalesce).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(_ascii_words(F.col(text_col))).alias("word")
+    )
+    seg = F.regexp_replace(F.col("word"), "(.)", " $1 ")
+    for x, y in merges:
+        seg = F.regexp_replace(seg, f" {x}  {y} ", f" {x}{y} ")
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select("word", F.size(F.split(F.trim(seg), " +")).alias("n_pieces"))
+    )
+    per_doc = (
+        words.join(vocab, "word")
+        .groupBy("id")
+        .agg(F.sum("n_pieces").alias("n_bpe_tokens"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select("id", F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"))
+    )

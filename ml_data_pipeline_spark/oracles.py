@@ -3354,4 +3354,39 @@ ALL_ORACLES: dict[str, str] = {
                round(dcg / nullif(idcg, 0), 6) AS ndcg
         FROM dcg, ideal
     """,
+    "tx_bpe_apply": """
+        -- identical literal-pattern merge chain over the distinct vocab
+        WITH words AS (
+            SELECT doc_id AS id, w AS word
+            FROM documents,
+                 unnest(string_split_regex(
+                     trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                     ' +')) AS t(w)
+            WHERE length(w) > 0
+        ), vocab AS (
+            SELECT word,
+                   len(string_split_regex(trim(
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(
+                           regexp_replace(word, '(.)', ' \\1 ', 'g'),
+                           ' t  h ', ' th ', 'g'),
+                           ' th  e ', ' the ', 'g'),
+                           ' i  n ', ' in ', 'g'),
+                           ' a  n ', ' an ', 'g'),
+                           ' e  r ', ' er ', 'g'),
+                           ' an  d ', ' and ', 'g')
+                   ), ' +')) AS n_pieces
+            FROM (SELECT DISTINCT word FROM words)
+        )
+        SELECT d.doc_id AS id,
+               CAST(coalesce(sum(v.n_pieces), 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d
+        LEFT JOIN words w ON w.id = d.doc_id
+        LEFT JOIN vocab v ON v.word = w.word
+        GROUP BY 1
+    """,
 }

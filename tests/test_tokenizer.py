@@ -42,3 +42,30 @@ def test_single_char_and_empty_words_no_pairs(spark):
     assert bpe_pair_counts(df).collect() == [
         r for r in bpe_pair_counts(df).collect() if r["pair"] == "ab"
     ]
+
+
+def test_apply_bpe_merges_hand_traced(spark):
+    from ml_data_pipeline_spark.operators.tokenizer import apply_bpe_merges
+
+    rows = [
+        (1, "the"),      # t h e -> th e -> the : 1 token
+        (2, "then"),     # t h e n -> th e n -> the n : 2 tokens
+        (3, "ant and"),  # a n t -> an t (2); a n d -> an d -> and (1)
+        (4, ""),         # empty doc survives with 0
+        (5, "aaa"),      # greedy leftmost: a a a -> aa? no (a,a) merge -> 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"), ("an", "d")]
+    out = {r["id"]: r["n_bpe_tokens"] for r in apply_bpe_merges(df, merges).collect()}
+    assert out == {1: 1, 2: 2, 3: 3, 4: 0, 5: 3}
+
+
+def test_apply_bpe_greedy_leftmost_overlap(spark):
+    from ml_data_pipeline_spark.operators.tokenizer import apply_bpe_merges
+
+    # 'aaa' with merge (a,a): leftmost pair merges, overlap does not ->
+    # pieces aa + a = 2 (the BPE single-pass semantics)
+    df = spark.createDataFrame([(1, "aaa aaaa")], ["doc_id", "text"])
+    out = apply_bpe_merges(df, [("a", "a")]).collect()[0]
+    # aaa -> aa,a (2); aaaa -> aa,aa (2)
+    assert out["n_bpe_tokens"] == 4

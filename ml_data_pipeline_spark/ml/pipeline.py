@@ -686,3 +686,47 @@ def split_conformal_ols(
             F.avg(F.when(t_res <= F.col("qhat"), 1.0).otherwise(0.0)), 6
         ).alias("coverage"),
     )
+
+
+def binary_classification_report(
+    df, label_col: str, pred_col: str
+):
+    """Full binary metric suite from ONE confusion aggregate: tp/fp/fn/tn
+    and the closed-form metrics over them — precision, recall, f1,
+    accuracy, balanced accuracy, Matthews correlation, Cohen's kappa.
+    All pure integer-count algebra (deterministic in any engine), the
+    hash-verifiable twin of evaluate_classification above (m3's MLlib
+    path stays for model pipelines; this pins the metric MATH itself).
+    Degenerate single-class inputs yield explicit NULLs via nullif."""
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    cm = df.agg(
+        F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((y == 0) & (p == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((y == 1) & (p == 0), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((y == 0) & (p == 0), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    prec = tp / F.nullif(tp + fp, F.lit(0.0))
+    rec = tp / F.nullif(tp + fn, F.lit(0.0))
+    spec = tn / F.nullif(tn + fp, F.lit(0.0))
+    acc = (tp + tn) / n
+    po = acc
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    mcc = (tp * tn - fp * fn) / F.nullif(
+        F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)), F.lit(0.0)
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)), 6).alias("f1"),
+        F.round(acc, 6).alias("accuracy"),
+        F.round((rec + spec) / 2, 6).alias("balanced_accuracy"),
+        F.round(mcc, 6).alias("mcc"),
+        F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias("cohens_kappa"),
+    )

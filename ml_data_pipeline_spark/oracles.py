@@ -3389,4 +3389,38 @@ ALL_ORACLES: dict[str, str] = {
         LEFT JOIN vocab v ON v.word = w.word
         GROUP BY 1
     """,
+    "m26_classification_report": """
+        WITH cm AS (
+            SELECT CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                         CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS p
+                  FROM documents)
+        ), m AS (
+            SELECT tp, fp, fn, tn,
+                   CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+                   CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd,
+                   CAST(tp + fp + fn + tn AS DOUBLE) AS n
+            FROM cm
+        )
+        SELECT tp, fp, fn, tn,
+               round(tpd / nullif(tpd + fpd, 0), 6) AS precision,
+               round(tpd / nullif(tpd + fnd, 0), 6) AS recall,
+               round(2 * (tpd / nullif(tpd + fpd, 0)) * (tpd / nullif(tpd + fnd, 0))
+                     / nullif(tpd / nullif(tpd + fpd, 0) + tpd / nullif(tpd + fnd, 0), 0),
+                     6) AS f1,
+               round((tpd + tnd) / n, 6) AS accuracy,
+               round((tpd / nullif(tpd + fnd, 0) + tnd / nullif(tnd + fpd, 0)) / 2, 6)
+                   AS balanced_accuracy,
+               round((tpd * tnd - fpd * fnd)
+                     / nullif(sqrt((tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd)), 0),
+                     6) AS mcc,
+               round(((tpd + tnd) / n
+                      - ((tpd + fpd) * (tpd + fnd) + (fnd + tnd) * (fpd + tnd)) / (n * n))
+                     / nullif(1 - ((tpd + fpd) * (tpd + fnd) + (fnd + tnd) * (fpd + tnd)) / (n * n), 0),
+                     6) AS cohens_kappa
+        FROM m
+    """,
 }

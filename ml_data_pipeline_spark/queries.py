@@ -3568,6 +3568,22 @@ def tx_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     return apply_bpe_merges(docs, merges)
 
 
+def m26_classification_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-level twin of the m3 metric suite: the metric ALGEBRA
+    (precision/recall/f1/accuracy/balanced-accuracy/MCC/kappa from one
+    confusion aggregate) pinned on a deterministic rule classifier —
+    truth = doc is English, pred = text contains ' the '. m3 stays
+    rows-only for MLlib model pipelines; this makes the math itself
+    oracle-checked."""
+    from ml_data_pipeline_spark.ml.pipeline import binary_classification_report
+
+    docs = load_table(spark, sf, "documents").select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.col("text").contains(" the ").cast("int").alias("p"),
+    )
+    return binary_classification_report(docs, "y", "p")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3817,6 +3833,7 @@ ALL_QUERIES = {
     "m24_conformal": m24_conformal,
     "m25_ndcg": m25_ndcg,
     "tx_bpe_apply": tx_bpe_apply,
+    "m26_classification_report": m26_classification_report,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

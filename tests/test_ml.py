@@ -324,3 +324,29 @@ def test_split_conformal_coverage_guarantee(spark):
     assert r["qhat"] > 0
     # finite-sample conformal guarantee: coverage ~ 0.9, never collapses
     assert 0.85 <= r["coverage"] <= 1.0
+
+
+def test_binary_classification_report_hand_computed(spark):
+    from ml_data_pipeline_spark.ml.pipeline import binary_classification_report
+
+    # tp=3 fp=1 fn=2 tn=4
+    rows = [(1, 1)] * 3 + [(0, 1)] * 1 + [(1, 0)] * 2 + [(0, 0)] * 4
+    df = spark.createDataFrame(rows, ["y", "p"])
+    r = binary_classification_report(df, "y", "p").collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 2, 4)
+    assert r["precision"] == 0.75 and r["recall"] == 0.6
+    assert r["f1"] == round(2 * 0.75 * 0.6 / 1.35, 6)
+    assert r["accuracy"] == 0.7
+    assert r["balanced_accuracy"] == round((0.6 + 0.8) / 2, 6)
+    # sklearn-checked values for this confusion matrix
+    assert abs(r["mcc"] - 0.408248) < 1e-6
+    assert abs(r["cohens_kappa"] - 0.4) < 1e-6
+
+
+def test_binary_classification_report_degenerate_nulls(spark):
+    from ml_data_pipeline_spark.ml.pipeline import binary_classification_report
+
+    df = spark.createDataFrame([(0, 0)] * 5, ["y", "p"])  # single class, all correct
+    r = binary_classification_report(df, "y", "p").collect()[0]
+    assert r["accuracy"] == 1.0
+    assert r["precision"] is None and r["recall"] is None and r["mcc"] is None

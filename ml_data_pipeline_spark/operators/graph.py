@@ -109,6 +109,14 @@ def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
     Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
     clustering_coeff = 3*triangles/wedges, 6dp).
     """
+    # localCheckpoint: e feeds FOUR branches (degrees, orientation, wedge
+    # join via both sides, closure) — lazily each branch re-derives the
+    # edge list AND its upstream pair generator (plan-audited: 40 input
+    # scans / 16 sort-merge joins for the co-purchase gate). Measured at
+    # sf0.01: none 2.4s / cache 4-5s / localCheckpoint 2.3s warm — the
+    # checkpoint matches the uncached speed here and removes the
+    # recompute entirely, which is what matters when the generator is a
+    # corpus-sized join. Same lineage-truncation pattern as components.py.
     e = (
         edges.select(
             F.least(F.col(u_col), F.col(v_col)).alias("u"),
@@ -116,6 +124,7 @@ def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
@@ -131,7 +140,7 @@ def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
     oriented = ed.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).localCheckpoint()
     o1 = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("b"))
     o2 = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("c"))
     wedges = o1.join(o2, "apex").where(F.col("b") < F.col("c"))

@@ -689,7 +689,7 @@ def split_conformal_ols(
 
 
 def binary_classification_report(
-    df, label_col: str, pred_col: str
+    df, label_col: str, pred_col: str, group_cols: list[str] | None = None
 ):
     """Full binary metric suite from ONE confusion aggregate: tp/fp/fn/tn
     and the closed-form metrics over them — precision, recall, f1,
@@ -697,10 +697,15 @@ def binary_classification_report(
     All pure integer-count algebra (deterministic in any engine), the
     hash-verifiable twin of evaluate_classification above (m3's MLlib
     path stays for model pipelines; this pins the metric MATH itself).
-    Degenerate single-class inputs yield explicit NULLs via nullif."""
+    Degenerate single-class inputs yield explicit NULLs via nullif.
+
+    `group_cols` turns it into SLICED evaluation — one metric row per
+    segment (language, source, cohort), the per-slice QA/fairness view;
+    the confusion aggregate stays one map-side-combinable groupBy."""
     y = F.col(label_col).cast("int")
     p = F.col(pred_col).cast("int")
-    cm = df.agg(
+    grouped = df.groupBy(*group_cols) if group_cols else df
+    cm = grouped.agg(
         F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0)).alias("tp"),
         F.sum(F.when((y == 0) & (p == 1), 1).otherwise(0)).alias("fp"),
         F.sum(F.when((y == 1) & (p == 0), 1).otherwise(0)).alias("fn"),
@@ -718,6 +723,7 @@ def binary_classification_report(
         F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)), F.lit(0.0)
     )
     return cm.select(
+        *(group_cols or []),
         "tp",
         "fp",
         "fn",

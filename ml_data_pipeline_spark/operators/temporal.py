@@ -276,3 +276,56 @@ def golden_record(
         )
         aggs.append(picked.getField("v").alias(a))
     return df.groupBy(entity_col).agg(*aggs)
+
+
+def rolling_corr(
+    df: DataFrame,
+    part_col: str,
+    date_col: str,
+    x_col: str,
+    y_col: str,
+    window_days: int = 30,
+    min_n: int = 10,
+) -> DataFrame:
+    """Trailing-window Pearson correlation per group per day, built on
+    RANGE frames over the day index — a range frame includes every row
+    of a tied day, so the result is deterministic under intra-day ties
+    (a ROWS frame would not be).
+
+    Exactness contract: x_col/y_col must be INTEGER-valued (the gate
+    feeds quantity and price-in-cents) so the six frame sums are exact;
+    the correlation is then identical IEEE arithmetic in any engine.
+    Frame sums accumulate in 64-bit — at extreme frame sizes move y to a
+    coarser unit (the sums, not the correlation, are the overflow
+    surface). One row per (group, day) via distinct; frames with fewer
+    than min_n points are dropped (degenerate correlations)."""
+    d = F.datediff(F.col(date_col).cast("date"), F.lit("1990-01-01").cast("date")).cast(
+        "long"
+    )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.select(F.col(part_col).alias("g"), d.alias("d"), x.alias("x"), y.alias("y"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("d")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w).cast("double")
+    sy = F.sum("y").over(w).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).over(w).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).over(w).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).over(w).cast("double")
+    corr = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
+    )
+    return (
+        base.select(
+            "g",
+            "d",
+            n.cast("long").alias("n"),
+            F.round(corr, 6).alias("corr"),
+        )
+        .where(F.col("n") >= min_n)
+        .distinct()
+    )

@@ -3423,4 +3423,66 @@ ALL_ORACLES: dict[str, str] = {
                      6) AS cohens_kappa
         FROM m
     """,
+    "q_rolling_corr": """
+        WITH base AS (
+            SELECT l_returnflag AS g,
+                   date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS d,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+            FROM lineitem
+        ), framed AS (
+            SELECT g, d,
+                   CAST(count(*) OVER w AS DOUBLE) AS n,
+                   CAST(sum(x) OVER w AS DOUBLE) AS sx,
+                   CAST(sum(y) OVER w AS DOUBLE) AS sy,
+                   CAST(sum(x*x) OVER w AS DOUBLE) AS sxx,
+                   CAST(sum(y*y) OVER w AS DOUBLE) AS syy,
+                   CAST(sum(x*y) OVER w AS DOUBLE) AS sxy
+            FROM base
+            WINDOW w AS (PARTITION BY g ORDER BY d
+                         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        )
+        SELECT DISTINCT g, d, CAST(n AS BIGINT) AS n,
+               round((n * sxy - sx * sy)
+                     / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0),
+                     6) AS corr
+        FROM framed WHERE n >= 10
+    """,
+    "m27_sliced_report": """
+        WITH cm AS (
+            SELECT source,
+                   CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM (SELECT source,
+                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                         CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS p
+                  FROM documents)
+            GROUP BY 1
+        ), m AS (
+            SELECT source, tp, fp, fn, tn,
+                   CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+                   CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd,
+                   CAST(tp + fp + fn + tn AS DOUBLE) AS n
+            FROM cm
+        )
+        SELECT source, tp, fp, fn, tn,
+               round(tpd / nullif(tpd + fpd, 0), 6) AS precision,
+               round(tpd / nullif(tpd + fnd, 0), 6) AS recall,
+               round(2 * (tpd / nullif(tpd + fpd, 0)) * (tpd / nullif(tpd + fnd, 0))
+                     / nullif(tpd / nullif(tpd + fpd, 0) + tpd / nullif(tpd + fnd, 0), 0),
+                     6) AS f1,
+               round((tpd + tnd) / n, 6) AS accuracy,
+               round((tpd / nullif(tpd + fnd, 0) + tnd / nullif(tnd + fpd, 0)) / 2, 6)
+                   AS balanced_accuracy,
+               round((tpd * tnd - fpd * fnd)
+                     / nullif(sqrt((tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd)), 0),
+                     6) AS mcc,
+               round(((tpd + tnd) / n
+                      - ((tpd + fpd) * (tpd + fnd) + (fnd + tnd) * (fpd + tnd)) / (n * n))
+                     / nullif(1 - ((tpd + fpd) * (tpd + fnd) + (fnd + tnd) * (fpd + tnd)) / (n * n), 0),
+                     6) AS cohens_kappa
+        FROM m
+    """,
 }

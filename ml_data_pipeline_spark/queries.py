@@ -3584,6 +3584,37 @@ def m26_classification_report(spark: SparkSession, sf: str) -> DataFrame:
     return binary_classification_report(docs, "y", "p")
 
 
+def q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-30-day quantity/price correlation per returnflag — RANGE
+    frames over the day index (tie-deterministic), cent-exact sums, one
+    IEEE division. The rolling-statistics family beyond EWMA/TWAP."""
+    from ml_data_pipeline_spark.operators.temporal import rolling_corr
+
+    li = _li(spark, sf).select(
+        "l_returnflag",
+        "l_shipdate",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return rolling_corr(
+        li, "l_returnflag", "l_shipdate", "l_quantity", "cents", 30, 10
+    )
+
+
+def m27_sliced_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliced evaluation: the m26 rule classifier's confusion metrics per
+    source — the per-segment QA/fairness view, one metric row per slice
+    from a single map-side-combinable aggregate."""
+    from ml_data_pipeline_spark.ml.pipeline import binary_classification_report
+
+    docs = load_table(spark, sf, "documents").select(
+        "source",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.col("text").contains(" the ").cast("int").alias("p"),
+    )
+    return binary_classification_report(docs, "y", "p", group_cols=["source"])
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3834,6 +3865,8 @@ ALL_QUERIES = {
     "m25_ndcg": m25_ndcg,
     "tx_bpe_apply": tx_bpe_apply,
     "m26_classification_report": m26_classification_report,
+    "q_rolling_corr": q_rolling_corr,
+    "m27_sliced_report": m27_sliced_report,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -156,3 +156,33 @@ def test_golden_record_attribute_wise_survivorship(spark):
     # stale record donates the only non-null phone; mail comes from the newest
     assert (out["e1"]["phone"], out["e1"]["mail"]) == ("old-phone", "new-mail")
     assert (out["e2"]["phone"], out["e2"]["mail"]) == ("p2", "m2")
+
+
+def test_rolling_corr_perfect_and_sign(spark):
+    from ml_data_pipeline_spark.operators.temporal import rolling_corr
+
+    # y = 2x inside one 30-day window -> corr exactly 1; y = -x -> -1
+    rows = [("a", f"2024-01-{d:02d}", d, 2 * d) for d in range(1, 13)]
+    rows += [("b", f"2024-01-{d:02d}", d, -d) for d in range(1, 13)]
+    df = spark.createDataFrame(rows, ["g", "ds", "x", "y"]).select(
+        "g", F.col("ds").cast("date").alias("dt"), "x", "y"
+    )
+    out = rolling_corr(df, "g", "dt", "x", "y", window_days=30, min_n=10).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["corr"] == (1.0 if r["g"] == "a" else -1.0)
+        assert r["n"] >= 10
+
+
+def test_rolling_corr_tie_days_deterministic(spark):
+    from ml_data_pipeline_spark.operators.temporal import rolling_corr
+
+    # several rows share a day: RANGE frame includes all ties, so every
+    # row of that day reports the identical frame stats
+    rows = [("g", "2024-01-05", x, x * 3 + (x % 2)) for x in range(1, 15)]
+    df = spark.createDataFrame(rows, ["g", "ds", "x", "y"]).select(
+        "g", F.col("ds").cast("date").alias("dt"), "x", "y"
+    )
+    out = rolling_corr(df, "g", "dt", "x", "y", 30, 10).collect()
+    assert len(out) == 1  # distinct collapses the tied day to one row
+    assert out[0]["n"] == 14

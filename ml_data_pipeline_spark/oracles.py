@@ -3423,6 +3423,22 @@ ALL_ORACLES: dict[str, str] = {
                      6) AS cohens_kappa
         FROM m
     """,
+    "s20_content_hash": """
+        SELECT 'orders' AS "table", count(*) AS n_rows,
+               bit_xor(CAST('0x' || substr(md5(
+                   coalesce(CAST(o_orderkey AS VARCHAR), '␀') || '|' ||
+                   coalesce(CAST(o_custkey AS VARCHAR), '␀') || '|' ||
+                   coalesce(o_orderstatus, '␀') || '|' ||
+                   coalesce(o_orderpriority, '␀')), 1, 15) AS BIGINT)) AS content_hash
+        FROM orders
+        UNION ALL
+        SELECT 'customer', count(*),
+               bit_xor(CAST('0x' || substr(md5(
+                   coalesce(CAST(c_custkey AS VARCHAR), '␀') || '|' ||
+                   coalesce(CAST(c_nationkey AS VARCHAR), '␀') || '|' ||
+                   coalesce(c_mktsegment, '␀')), 1, 15) AS BIGINT))
+        FROM customer
+    """,
     "q_rolling_corr": """
         WITH base AS (
             SELECT l_returnflag AS g,

@@ -3615,6 +3615,24 @@ def m27_sliced_report(spark: SparkSession, sf: str) -> DataFrame:
     return binary_classification_report(docs, "y", "p", group_cols=["source"])
 
 
+def s20_content_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-version integrity fingerprints: order/partitioning-
+    independent bit_xor of per-row md5 prefixes for orders and customer
+    (integer/string columns) — two versions compare by exchanging 16
+    bytes. The oracle replays the hash arithmetic row-for-row."""
+    from ml_data_pipeline_spark.sources.versioned import content_fingerprint
+
+    o = content_fingerprint(
+        load_table(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).select(F.lit("orders").alias("table"), "n_rows", "content_hash")
+    c = content_fingerprint(
+        load_table(spark, sf, "customer"),
+        ["c_custkey", "c_nationkey", "c_mktsegment"],
+    ).select(F.lit("customer").alias("table"), "n_rows", "content_hash")
+    return o.unionByName(c)
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3867,6 +3885,7 @@ ALL_QUERIES = {
     "m26_classification_report": m26_classification_report,
     "q_rolling_corr": q_rolling_corr,
     "m27_sliced_report": m27_sliced_report,
+    "s20_content_hash": s20_content_hash,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

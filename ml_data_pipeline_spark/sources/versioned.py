@@ -285,3 +285,32 @@ def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, status string, old_type string, new_type string"
     )
+
+
+def content_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent content fingerprint of a dataset version:
+    (n_rows, content_hash) where content_hash = bit_xor of per-row 60-bit
+    md5 prefixes over the chosen columns.
+
+    XOR is commutative/associative and cannot overflow, so the
+    fingerprint is independent of row order and partitioning, computes
+    map-side, and MERGES: xor of shard fingerprints == fingerprint of
+    the union — two 100 TB versions compare by exchanging 16 bytes.
+    Complements diff_versions above (which says WHAT changed; this says
+    WHETHER, at one-aggregate cost). Nulls hash as an explicit sentinel
+    so NULL and '' stay distinct; md5 (not xxhash64) keeps the hash
+    engine-reproducible.
+
+    Caveat (same class as exact dedup F13): xor cancels PAIRS of
+    identical rows — two copies of the same row fingerprint like zero
+    copies. Fine for keyed/deduped tables; for multiset semantics feed
+    a key column that makes rows unique."""
+    cols = cols or df.columns
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__h)").alias("content_hash"),
+    )

@@ -231,3 +231,35 @@ def test_read_evolved_unions_across_schema_change(spark, tmp_path):
     rows = {r["id"]: (r["score"], r["_version"]) for r in allv.collect()}
     assert rows[1] == (None, 0)   # old rows: new column null-filled
     assert rows[2] == (9.5, 1)
+
+
+def test_content_fingerprint_order_and_merge_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.sources.versioned import content_fingerprint
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], ["k", "v"]
+    )
+    a = content_fingerprint(df).collect()[0]
+    b = content_fingerprint(df.orderBy(F.desc("k")).repartition(7)).collect()[0]
+    assert (a["n_rows"], a["content_hash"]) == (b["n_rows"], b["content_hash"])
+    # mergeable: xor of shard fingerprints == fingerprint of the union
+    s1 = content_fingerprint(df.where(F.col("k") < 50)).collect()[0]
+    s2 = content_fingerprint(df.where(F.col("k") >= 50)).collect()[0]
+    assert s1["content_hash"] ^ s2["content_hash"] == a["content_hash"]
+    # any single-row change flips the fingerprint
+    c = content_fingerprint(
+        df.withColumn("v", F.when(F.col("k") == 7, "CHANGED").otherwise(F.col("v")))
+    ).collect()[0]
+    assert c["content_hash"] != a["content_hash"]
+
+
+def test_content_fingerprint_null_vs_empty_distinct(spark):
+    from ml_data_pipeline_spark.sources.versioned import content_fingerprint
+
+    withnull = spark.createDataFrame([(1, None)], "k int, v string")
+    withempty = spark.createDataFrame([(1, "")], "k int, v string")
+    h1 = content_fingerprint(withnull).collect()[0]["content_hash"]
+    h2 = content_fingerprint(withempty).collect()[0]["content_hash"]
+    assert h1 != h2

@@ -810,3 +810,83 @@ def ndcg_at_k(
             F.round(F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6).alias("ndcg"),
         )
     )
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text", top_n: int = 1000) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of ln(freq) ~ ln(rank)
+    over the top_n words (natural corpora slope toward -1; synthetic or
+    templated text drifts off) — a one-number corpus-health probe for
+    curation dashboards.
+
+    One corpus tokenize pass to vocabulary counts; the rank window and
+    the closed-form OLS run over top_n rows. Rank is (freq DESC, word)
+    so the fit is engine-exact modulo float-sum rounding (gated at 6dp).
+    """
+    from pyspark.sql import Window
+
+    wc = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = (
+        wc.withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w")))
+        )
+        .where(F.col("rank") <= top_n)
+        .select(F.log("rank").alias("x"), F.log("n").alias("y"))
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return fit.select(
+        "n_points",
+        F.round(
+            (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+def corpus_diversity(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group lexical diversity: token count, distinct unigrams,
+    type-token ratio, and unigram Shannon entropy (nats) — the
+    templated-content / mode-collapse probe run per language or source
+    when assembling a training mix. Two vocabulary-sized aggregates, no
+    corpus re-shuffle."""
+    toks = df.select(
+        F.col(group_col).alias("g"), F.explode(_tokens(F.col(text_col))).alias("w")
+    )
+    vocab = toks.groupBy("g", "w").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.groupBy("g").agg(
+        F.sum("n").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    ent = (
+        vocab.join(F.broadcast(tot.select("g", "n_tokens")), "g")
+        .select(
+            "g",
+            (
+                -(F.col("n") / F.col("n_tokens"))
+                * F.log(F.col("n") / F.col("n_tokens"))
+            ).alias("e"),
+        )
+        .groupBy("g")
+        .agg(F.sum("e").alias("entropy"))
+    )
+    return (
+        tot.join(ent, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round("entropy", 6).alias("unigram_entropy"),
+        )
+    )

@@ -3439,6 +3439,44 @@ ALL_ORACLES: dict[str, str] = {
                    coalesce(c_mktsegment, '␀')), 1, 15) AS BIGINT))
         FROM customer
     """,
+    "tx_zipf_slope": """
+        WITH wc AS (
+            SELECT w, count(*) AS n
+            FROM documents,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> len(x) > 0)) AS t(w)
+            GROUP BY 1
+        ), ranked AS (
+            SELECT ln(row_number() OVER (ORDER BY n DESC, w ASC)) AS x, ln(n) AS y
+            FROM wc ORDER BY n DESC, w ASC LIMIT 1000
+        )
+        SELECT count(*) AS n_points,
+               round((count(*) * sum(x*y) - sum(x) * sum(y))
+                     / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
+        FROM ranked
+    """,
+    "tx_diversity": """
+        WITH toks AS (
+            SELECT lang AS g, w
+            FROM documents,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> len(x) > 0)) AS t(w)
+        ), vocab AS (
+            SELECT g, w, count(*) AS n FROM toks GROUP BY 1, 2
+        ), tot AS (
+            SELECT g, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types
+            FROM vocab GROUP BY 1
+        ), ent AS (
+            SELECT v.g,
+                   sum(-(n * 1.0 / n_tokens) * ln(n * 1.0 / n_tokens)) AS entropy
+            FROM vocab v JOIN tot USING (g) GROUP BY v.g
+        )
+        SELECT t.g AS lang, t.n_tokens, t.n_types,
+               round(t.n_types * 1.0 / t.n_tokens, 6) AS ttr,
+               round(e.entropy, 6) AS unigram_entropy
+        FROM tot t JOIN ent e ON t.g = e.g
+    """,
     "q_rolling_corr": """
         WITH base AS (
             SELECT l_returnflag AS g,

@@ -3633,6 +3633,24 @@ def s20_content_hash(spark: SparkSession, sf: str) -> DataFrame:
     return o.unionByName(c)
 
 
+def tx_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law corpus-health probe: OLS slope of ln(freq) ~ ln(rank)
+    over the top-1000 words. Natural text slopes toward -1; templated
+    corpora drift off."""
+    from ml_data_pipeline_spark.operators.text import zipf_slope
+
+    return zipf_slope(load_table(spark, sf, "documents"), top_n=1000)
+
+
+def tx_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language lexical diversity (tokens, types, TTR, unigram
+    entropy) — the mode-collapse / templated-content probe for training
+    mixes."""
+    from ml_data_pipeline_spark.operators.text import corpus_diversity
+
+    return corpus_diversity(load_table(spark, sf, "documents"), "lang")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3886,6 +3904,8 @@ ALL_QUERIES = {
     "q_rolling_corr": q_rolling_corr,
     "m27_sliced_report": m27_sliced_report,
     "s20_content_hash": s20_content_hash,
+    "tx_zipf_slope": tx_zipf_slope,
+    "tx_diversity": tx_diversity,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

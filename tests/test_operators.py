@@ -873,3 +873,32 @@ def test_ndcg_degrades_when_relevance_inverts(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     r = ndcg_at_k(df, ["rare"], k=2).collect()[0]
     assert 0 < r["ndcg"] < 1.0
+
+
+def test_zipf_slope_on_synthetic_zipf(spark):
+    from ml_data_pipeline_spark.operators.text import zipf_slope
+
+    # exact Zipf corpus: word w_r appears round(1000/r) times -> slope ~ -1
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * round(1000 / r)
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    out = zipf_slope(df, top_n=50).collect()[0]
+    assert out["n_points"] == 50
+    assert -1.1 < out["zipf_slope"] < -0.9
+
+
+def test_corpus_diversity_extremes(spark):
+    from ml_data_pipeline_spark.operators.text import corpus_diversity
+
+    rows = [
+        ("mono", "spam spam spam spam spam spam spam spam"),
+        ("rich", "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    out = {r["lang"]: r for r in corpus_diversity(df, "lang").collect()}
+    assert out["mono"]["n_types"] == 1 and out["mono"]["unigram_entropy"] == 0.0
+    assert out["rich"]["ttr"] == 1.0
+    import math
+
+    assert abs(out["rich"]["unigram_entropy"] - math.log(8)) < 1e-6

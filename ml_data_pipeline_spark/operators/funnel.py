@@ -115,3 +115,63 @@ def cohort_retention(
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    window_days: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-model marketing attribution in one plan: for every
+    conversion, credit the touchpoints in the preceding `window_days`
+    under first-touch, last-touch, and linear models simultaneously,
+    aggregated per touch channel.
+
+    The conversion-touch pairing is a user-key equi-join with a bounded
+    time-range filter (the window bounds the fanout — same shape as the
+    gated interval join); per-conversion ranks are windows partitioned by
+    the conversion id with (ts, id) tie-breaks, so credit assignment is
+    deterministic. Output: (channel, n_touches, first_touch, last_touch,
+    linear) — the three models agree on total credit mass (= number of
+    credited conversions), which the gate's oracle re-derives."""
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__conv"),
+        F.col(ts_col).alias("__cts"),
+    )
+    touch = events.where(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__tid"),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).alias("__tts"),
+    )
+    j = conv.join(touch, "__u").where(
+        (F.col("__tts") < F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - F.expr(f"INTERVAL {window_days} DAYS"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("__conv")
+    first_rn = F.row_number().over(
+        wc.orderBy(F.asc("__tts"), F.asc("__tid"))
+    )
+    last_rn = F.row_number().over(
+        wc.orderBy(F.desc("__tts"), F.desc("__tid"))
+    )
+    credited = j.select(
+        "channel",
+        (first_rn == 1).cast("double").alias("__first"),
+        (last_rn == 1).cast("double").alias("__last"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(wc)).alias("__linear"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("__first"), 6).alias("first_touch"),
+        F.round(F.sum("__last"), 6).alias("last_touch"),
+        F.round(F.sum("__linear"), 6).alias("linear"),
+    )

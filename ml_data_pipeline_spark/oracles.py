@@ -3439,6 +3439,32 @@ ALL_ORACLES: dict[str, str] = {
                    coalesce(c_mktsegment, '␀')), 1, 15) AS BIGINT))
         FROM customer
     """,
+    "q_attribution_models": """
+        WITH conv AS (
+            SELECT user_id AS u, event_id AS conv, ts AS cts
+            FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT user_id AS u, event_id AS tid, event_type AS channel, ts AS tts
+            FROM events WHERE event_type IN ('click', 'view')
+        ), j AS (
+            SELECT conv, channel, tts, tid
+            FROM conv JOIN touch USING (u)
+            WHERE tts < cts AND tts >= cts - INTERVAL 3 DAY
+        ), ranked AS (
+            SELECT channel,
+                   row_number() OVER (PARTITION BY conv ORDER BY tts ASC, tid ASC) AS fr,
+                   row_number() OVER (PARTITION BY conv ORDER BY tts DESC, tid DESC) AS lr,
+                   count(*) OVER (PARTITION BY conv) AS n
+            FROM j
+        )
+        SELECT channel, count(*) AS n_touches,
+               round(CAST(sum(CASE WHEN fr = 1 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 6)
+                   AS first_touch,
+               round(CAST(sum(CASE WHEN lr = 1 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 6)
+                   AS last_touch,
+               round(sum(1.0 / n), 6) AS linear
+        FROM ranked GROUP BY 1
+    """,
     "tx_zipf_slope": """
         WITH wc AS (
             SELECT w, count(*) AS n

@@ -3651,6 +3651,16 @@ def tx_diversity(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_diversity(load_table(spark, sf, "documents"), "lang")
 
 
+def q_attribution_models(spark: SparkSession, sf: str) -> DataFrame:
+    """First/last/linear attribution credit per channel for purchase
+    conversions over a 3-day click/view touch window — three models in
+    one plan, deterministic (ts, id) tie-breaks, oracle-replayed."""
+    from ml_data_pipeline_spark.operators.funnel import attribution_credit
+
+    ev = load_table(spark, sf, "events")
+    return attribution_credit(ev, "purchase", ["click", "view"], window_days=3)
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3906,6 +3916,7 @@ ALL_QUERIES = {
     "s20_content_hash": s20_content_hash,
     "tx_zipf_slope": tx_zipf_slope,
     "tx_diversity": tx_diversity,
+    "q_attribution_models": q_attribution_models,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

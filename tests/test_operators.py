@@ -902,3 +902,31 @@ def test_corpus_diversity_extremes(spark):
     import math
 
     assert abs(out["rich"]["unigram_entropy"] - math.log(8)) < 1e-6
+
+
+def test_attribution_models_hand_traced(spark):
+    from ml_data_pipeline_spark.operators.funnel import attribution_credit
+
+    rows = [
+        (1, 1, "click", "2024-01-01 10:00:00"),
+        (2, 1, "view", "2024-01-01 12:00:00"),
+        (3, 1, "purchase", "2024-01-02 00:00:00"),
+        (4, 2, "view", "2024-01-05 00:00:00"),
+        (5, 2, "purchase", "2024-01-06 00:00:00"),
+        (6, 3, "click", "2024-01-01 00:00:00"),  # outside window of its purchase
+        (7, 3, "purchase", "2024-01-09 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "t"]).select(
+        "event_id", "user_id", "event_type", F.col("t").cast("timestamp").alias("ts")
+    )
+    out = {
+        r["channel"]: r
+        for r in attribution_credit(df, "purchase", ["click", "view"], 3).collect()
+    }
+    # conv u1: first=click, last=view, linear=.5 each; conv u2: view all three
+    assert out["click"]["first_touch"] == 1.0 and out["click"]["last_touch"] == 0.0
+    assert out["view"]["first_touch"] == 1.0 and out["view"]["last_touch"] == 2.0
+    assert out["click"]["linear"] == 0.5 and out["view"]["linear"] == 1.5
+    # total credit mass per model equals credited conversions (2 — u3 had none)
+    for m in ("first_touch", "last_touch", "linear"):
+        assert sum(r[m] for r in out.values()) == 2.0

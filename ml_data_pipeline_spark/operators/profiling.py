@@ -896,3 +896,78 @@ def moments(df: DataFrame, columns: list[str]) -> DataFrame:
             F.round(m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3, 6).alias(f"{c}_kurtosis"),
         ]
     return row.select(*outs)
+
+def l_diversity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion (Machanavajjhala et
+    al. 2007, public literature): a k-anonymous class is still unsafe if
+    every member shares the same sensitive value (homogeneity attack).
+    Reports per-dataset: equivalence classes, the minimum number of
+    DISTINCT sensitive values in any class (the achieved l), and how many
+    classes/rows fall below the target l.
+
+    Same shape as k_anonymity above: one groupBy over (QI..., sensitive)
+    to collapse duplicates, one over QI counting distinct survivors, then
+    a scalar aggregate. Flags, never mutates."""
+    per_class = (
+        df.groupBy(*quasi_identifiers, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("__nv"))
+        .groupBy(*quasi_identifiers)
+        .agg(
+            F.count(F.lit(1)).alias("__ndistinct"),
+            F.sum("__nv").alias("__n"),
+        )
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__ndistinct").alias("diversity_l"),
+        F.sum((F.col("__ndistinct") < l).cast("long")).alias("classes_below_l"),
+        F.sum(F.when(F.col("__ndistinct") < l, F.col("__n")).otherwise(F.lit(0))).alias(
+            "rows_below_l"
+        ),
+        F.sum("__n").alias("n_rows"),
+    )
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "release-1",
+) -> DataFrame:
+    """Laplace-mechanism count release with REPRODUCIBLE noise: per-group
+    counts plus Laplace(1/epsilon) noise whose uniform draw comes from
+    md5(group || seed) — the standard seeded-DP release pattern, where a
+    re-run of the same release (same seed) must publish identical numbers
+    and a NEW release draws fresh noise by changing the seed. Inverse-CDF
+    sampling (u -> -b*sgn(u-.5)*ln(1-2|u-.5|)) keeps the whole mechanism
+    a column expression any engine replays.
+
+    Privacy note (honest scope): reproducibility makes this a RELEASE
+    artifact gate, not a fresh-randomness proof; epsilon accounting is
+    the caller's policy. Sensitivity of a count is 1, so b = 1/epsilon.
+    """
+    b = 1.0 / float(epsilon)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("true_count"))
+    hx = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(group_col).cast("string"), F.lit(seed))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (hx + 0.5) / float(16**12)
+    noise = (
+        -F.lit(b)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return counts.select(
+        group_col,
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("released_count"),
+    )

@@ -3439,6 +3439,43 @@ ALL_ORACLES: dict[str, str] = {
                    coalesce(c_mktsegment, '␀')), 1, 15) AS BIGINT))
         FROM customer
     """,
+    "p29_l_diversity": """
+        WITH banded AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+            FROM customer
+        ), per_val AS (
+            SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS nv
+            FROM banded GROUP BY 1, 2, 3
+        ), per_class AS (
+            SELECT c_nationkey, c_mktsegment,
+                   count(*) AS ndistinct, CAST(sum(nv) AS BIGINT) AS n
+            FROM per_val GROUP BY 1, 2
+        )
+        SELECT count(*) AS n_classes,
+               min(ndistinct) AS diversity_l,
+               CAST(sum(CASE WHEN ndistinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS classes_below_l,
+               CAST(sum(CASE WHEN ndistinct < 3 THEN n ELSE 0 END) AS BIGINT)
+                   AS rows_below_l,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM per_class
+    """,
+    "p30_dp_counts": """
+        WITH counts AS (
+            SELECT c_mktsegment, count(*) AS true_count FROM customer GROUP BY 1
+        ), drawn AS (
+            SELECT c_mktsegment, true_count,
+                   (CAST('0x' || substr(md5(c_mktsegment || '#release-1'), 1, 12)
+                         AS BIGINT) + 0.5) / power(16, 12) AS u
+            FROM counts
+        )
+        SELECT c_mktsegment, true_count,
+               round(-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noise,
+               round(true_count + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 6)
+                   AS released_count
+        FROM drawn
+    """,
     "q_attribution_models": """
         WITH conv AS (
             SELECT user_id AS u, event_id AS conv, ts AS cts

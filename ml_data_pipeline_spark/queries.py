@@ -3661,6 +3661,31 @@ def q_attribution_models(spark: SparkSession, sf: str) -> DataFrame:
     return attribution_credit(ev, "purchase", ["click", "view"], window_days=3)
 
 
+def p29_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (companion to p26 k-anonymity): customer
+    (nationkey, mktsegment) quasi-identifier classes vs the acctbal-band
+    sensitive attribute — minimum distinct sensitive values per class and
+    the homogeneity-exposed class/row counts."""
+    from ml_data_pipeline_spark.operators.profiling import l_diversity
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    return l_diversity(cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3)
+
+
+def p30_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Laplace-mechanism count release per market segment with
+    reproducible (seeded) noise — the release-artifact form of a DP
+    publish, replayed exactly by the oracle's inverse-CDF arithmetic."""
+    from ml_data_pipeline_spark.operators.profiling import dp_noisy_counts
+
+    cust = load_table(spark, sf, "customer")
+    return dp_noisy_counts(cust, "c_mktsegment", epsilon=1.0, seed="release-1")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3917,6 +3942,8 @@ ALL_QUERIES = {
     "tx_zipf_slope": tx_zipf_slope,
     "tx_diversity": tx_diversity,
     "q_attribution_models": q_attribution_models,
+    "p29_l_diversity": p29_l_diversity,
+    "p30_dp_counts": p30_dp_counts,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -930,3 +930,32 @@ def test_attribution_models_hand_traced(spark):
     # total credit mass per model equals credited conversions (2 — u3 had none)
     for m in ("first_touch", "last_touch", "linear"):
         assert sum(r[m] for r in out.values()) == 2.0
+
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    from ml_data_pipeline_spark.operators.profiling import l_diversity
+
+    rows = [
+        ("a", 1, "flu"), ("a", 1, "flu"), ("a", 1, "flu"),   # homogeneous class
+        ("b", 2, "flu"), ("b", 2, "cold"), ("b", 2, "covid"),
+    ]
+    df = spark.createDataFrame(rows, ["zip", "age", "dx"])
+    r = l_diversity(df, ["zip", "age"], "dx", l=2).collect()[0]
+    assert r["n_classes"] == 2 and r["diversity_l"] == 1
+    assert r["classes_below_l"] == 1 and r["rows_below_l"] == 3
+    assert r["n_rows"] == 6
+
+
+def test_dp_noisy_counts_reproducible_and_seed_sensitive(spark):
+    from ml_data_pipeline_spark.operators.profiling import dp_noisy_counts
+
+    df = spark.createDataFrame([(f"g{i % 4}",) for i in range(400)], ["g"])
+    a = {r["g"]: r for r in dp_noisy_counts(df, "g", 1.0, "s1").collect()}
+    b = {r["g"]: r for r in dp_noisy_counts(df, "g", 1.0, "s1").collect()}
+    c = {r["g"]: r for r in dp_noisy_counts(df, "g", 1.0, "s2").collect()}
+    assert all(a[g]["released_count"] == b[g]["released_count"] for g in a)
+    assert any(a[g]["noise"] != c[g]["noise"] for g in a)  # new seed, new draw
+    assert all(a[g]["true_count"] == 100 for g in a)
+    # tighter epsilon -> larger noise scale on the same draws
+    wide = {r["g"]: r for r in dp_noisy_counts(df, "g", 0.1, "s1").collect()}
+    assert all(abs(wide[g]["noise"]) >= abs(a[g]["noise"]) for g in a)

@@ -239,3 +239,26 @@ def bloom_prejoin(
         probe = universal_hash(F.col(fact_key).cast("string"), n_bits, a=a, b=b)
         out = out.join(F.broadcast(positions), probe == F.col("__pos"), "left_semi")
     return out
+
+def join_size_estimate(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str
+) -> DataFrame:
+    """Exact equi-join output-cardinality prediction from per-key count
+    histograms: |A join B| = sum_k cntA(k) * cntB(k) — the planning
+    number every skew/shuffle decision (salting factor, AQE skew split,
+    broadcast viability) hangs off, computed WITHOUT running the join.
+
+    Two key-sized aggregates + one key-sized join — metadata cost, not
+    data cost; the histograms are also exactly what p18_key_skew reads,
+    so a planner can reuse one pass for both. Also returns the max
+    single-key contribution (the skew hotspot the estimate localizes)."""
+    ca = left.groupBy(F.col(left_key).alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    cb = right.groupBy(F.col(right_key).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+    per_key = ca.join(cb, "k").select(
+        "k", (F.col("na") * F.col("nb")).alias("rows")
+    )
+    return per_key.agg(
+        F.sum("rows").alias("predicted_rows"),
+        F.max("rows").alias("max_key_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+    )

@@ -3439,6 +3439,20 @@ ALL_ORACLES: dict[str, str] = {
                    coalesce(c_mktsegment, '␀')), 1, 15) AS BIGINT))
         FROM customer
     """,
+    "q_join_cardinality": """
+        WITH ca AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1),
+             cb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1),
+             per AS (SELECT ca.k, na * nb AS rows FROM ca JOIN cb USING (k)),
+             act AS (SELECT count(*) AS actual_rows
+                     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        SELECT CAST(sum(rows) AS BIGINT) AS predicted_rows,
+               (SELECT actual_rows FROM act) AS actual_rows,
+               CAST(sum(rows) AS BIGINT) = (SELECT actual_rows FROM act)
+                   AS estimate_exact,
+               CAST(max(rows) AS BIGINT) AS max_key_rows,
+               count(*) AS n_matching_keys
+        FROM per
+    """,
     "p29_l_diversity": """
         WITH banded AS (
             SELECT c_nationkey, c_mktsegment,

@@ -3686,6 +3686,27 @@ def p30_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
     return dp_noisy_counts(cust, "c_mktsegment", epsilon=1.0, seed="release-1")
 
 
+def q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size prediction from per-key histograms, checked against the
+    join it predicts: predicted == actual is the in-query invariant (a
+    wrong histogram product flips the boolean and the hash)."""
+    from ml_data_pipeline_spark.operators.skew import join_size_estimate
+
+    o = load_table(spark, sf, "orders")
+    li = _li(spark, sf)
+    est = join_size_estimate(o, "o_orderkey", li, "l_orderkey")
+    actual = o.join(li, o["o_orderkey"] == li["l_orderkey"]).agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        "predicted_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias("estimate_exact"),
+        "max_key_rows",
+        "n_matching_keys",
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3944,6 +3965,7 @@ ALL_QUERIES = {
     "q_attribution_models": q_attribution_models,
     "p29_l_diversity": p29_l_diversity,
     "p30_dp_counts": p30_dp_counts,
+    "q_join_cardinality": q_join_cardinality,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -200,3 +200,17 @@ def test_bloom_prejoin_no_false_negatives_and_prunes(spark):
         .collect()
     }
     assert got == again
+
+
+def test_join_size_estimate_exact_on_multiset_keys(spark):
+    from ml_data_pipeline_spark.operators.skew import join_size_estimate
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(1,), (1,), (1,), (2,), (9,)], ["j"])
+    r = join_size_estimate(a, "k", b, "j").collect()[0]
+    # key 1: 2*3=6; key 2: 1*1=1; keys 3 and 9 do not match
+    assert r["predicted_rows"] == 7
+    assert r["max_key_rows"] == 6
+    assert r["n_matching_keys"] == 2
+    actual = a.join(b, a["k"] == b["j"]).count()
+    assert actual == r["predicted_rows"]

@@ -156,7 +156,9 @@ def attribution_credit(
     )
     from pyspark.sql import Window
 
-    wc = Window.partitionBy("__conv")
+    # partition by (user, conversion): conversion ids are only assumed
+    # unique per user, not globally
+    wc = Window.partitionBy("__u", "__conv")
     first_rn = F.row_number().over(
         wc.orderBy(F.asc("__tts"), F.asc("__tid"))
     )

@@ -912,9 +912,14 @@ def l_diversity(
 
     Same shape as k_anonymity above: one groupBy over (QI..., sensitive)
     to collapse duplicates, one over QI counting distinct survivors, then
-    a scalar aggregate. Flags, never mutates."""
+    a scalar aggregate. Flags, never mutates. Rows with a NULL sensitive
+    value are EXCLUDED first — a missing value discloses nothing, and
+    counting NULL as a distinct value would let a homogeneous class with
+    some missing entries masquerade as diverse (the exact attack the
+    audit exists to flag)."""
     per_class = (
-        df.groupBy(*quasi_identifiers, sensitive_col)
+        df.where(F.col(sensitive_col).isNotNull())
+        .groupBy(*quasi_identifiers, sensitive_col)
         .agg(F.count(F.lit(1)).alias("__nv"))
         .groupBy(*quasi_identifiers)
         .agg(

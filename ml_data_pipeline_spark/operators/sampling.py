@@ -302,7 +302,14 @@ def negative_sample(
             Window.partitionBy("__bucket").orderBy(F.asc("__order"), F.asc("neg_id"))
         ),
     )
+    # draws index into the NON-EMPTY buckets (row_number over the tiny
+    # counts table), so a draw can never hash into an empty bucket and
+    # silently vanish — every (anchor, j) yields exactly one negative
     counts = ranked.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = counts.withColumn(
+        "__idx", F.row_number().over(Window.orderBy("__bucket")) - 1
+    )
+    nb = counts.agg(F.count(F.lit(1)).alias("__nb"))
     draws = anchors.select(F.col(id_col).alias("anchor_id")).select(
         "anchor_id", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
     )
@@ -310,12 +317,12 @@ def negative_sample(
     draws = draws.select(
         "anchor_id",
         "j",
-        universal_hash(dkey, n_buckets, a=2654435761, b=40503).alias("__bucket"),
+        universal_hash(dkey, MERSENNE_P, a=2654435761, b=40503).alias("__braw"),
         universal_hash(dkey, MERSENNE_P, a=7919, b=104729).alias("__pick"),
-    )
-    draws = draws.join(F.broadcast(counts), "__bucket").withColumn(
-        "__rn", F.col("__pick") % F.col("__cnt") + 1
-    )
+    ).crossJoin(F.broadcast(nb))
+    draws = draws.join(
+        F.broadcast(counts), F.col("__braw") % F.col("__nb") == F.col("__idx")
+    ).withColumn("__rn", F.col("__pick") % F.col("__cnt") + 1)
     return draws.join(ranked, ["__bucket", "__rn"]).select("anchor_id", "j", "neg_id")
 
 def cluster_safe_split(

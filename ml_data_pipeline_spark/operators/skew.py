@@ -220,6 +220,12 @@ def bloom_prejoin(
     """
     from ml_data_pipeline_spark.functions.hashing import universal_hash
 
+    if n_hashes > len(_BLOOM_HASHES):
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(_BLOOM_HASHES)} pinned hash "
+            "families (extend _BLOOM_HASHES; silently truncating would ship a "
+            "higher false-positive rate than the parameters promise)"
+        )
     hashes = _BLOOM_HASHES[:n_hashes]
     positions = (
         keys.select(

@@ -226,7 +226,9 @@ def churn_labels(
     entity key; entities first seen after the cutoff are excluded (no
     feature history)."""
     cut = F.lit(cutoff).cast("timestamp")
-    horizon_end = F.date_add(cut.cast("date"), horizon_days).cast("timestamp")
+    # timestamp (not date) arithmetic: a non-midnight cutoff must keep its
+    # time of day or the horizon silently shrinks below horizon_days
+    horizon_end = cut + F.expr(f"INTERVAL {int(horizon_days)} DAYS")
     past = (
         events.where(F.col(ts_col) < cut)
         .groupBy(entity_col)

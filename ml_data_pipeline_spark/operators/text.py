@@ -598,6 +598,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_rel: bool = False,
 ) -> DataFrame:
     """BM25 document ranking for a bag of query terms (Robertson & Walker
     1994; the Lucene-style idf variant ln(1 + (N - df + 0.5)/(df + 0.5)) so
@@ -649,10 +650,19 @@ def bm25_topk(
         return F.when(tf > 0, idf * (tf * (k1 + 1)) / denom).otherwise(F.lit(0.0))
 
     score = sum((contrib(i) for i in range(len(terms))), F.lit(0.0))
-    return (
+    rel = F.least(
+        F.lit(3).cast("long"),
+        sum((F.col(f"__tf{i}") for i in range(len(terms))), F.lit(0).cast("long")),
+    )
+    scored = (
         per_doc.crossJoin(F.broadcast(stats))
-        .select("id", F.round(score, 6).alias("bm25"))
+        .select("id", F.round(score, 6).alias("bm25"), rel.alias("rel"))
         .where(F.col("bm25") > 0)
+    )
+    if with_rel:
+        return scored
+    return (
+        scored.select("id", "bm25")
         .orderBy(F.desc("bm25"), F.asc("id"))
         .limit(k)
     )
@@ -777,25 +787,25 @@ def ndcg_at_k(
     from pyspark.sql import Window
 
     terms = sorted({t.lower() for t in query_terms})
-    top = bm25_topk(df, terms, k=k, text_col=text_col, id_col=id_col)
-    ranked = top.withColumn("__s", F.round("bm25", 6)).withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("__s"), F.asc("id")))
+    # ONE corpus pass: bm25's cached per-doc frame carries both the score
+    # and the capped term-count relevance (with_rel=True) — the review
+    # pass caught the original second tokenize scan here
+    scored = bm25_topk(
+        df, terms, k=k, text_col=text_col, id_col=id_col, with_rel=True
     )
-    rel = (
-        df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("__t"))
-        .where(F.col("__t").isin(terms))
-        .groupBy("id")
-        .agg(F.least(F.lit(3), F.count(F.lit(1))).cast("long").alias("rel"))
-    )
-    dcg = (
-        ranked.join(rel, "id", "left")
-        .select(
-            (F.coalesce(F.col("rel"), F.lit(0)) / F.log2(F.col("rank") + 1)).alias("g")
+    ranked = (
+        scored.orderBy(F.desc("bm25"), F.asc("id"))
+        .limit(k)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("id")))
         )
-        .agg(F.sum("g").alias("dcg"))
     )
+    dcg = ranked.select(
+        (F.col("rel") / F.log2(F.col("rank") + 1)).alias("g")
+    ).agg(F.sum("g").alias("dcg"))
     ideal = (
-        rel.orderBy(F.desc("rel"), F.asc("id"))
+        scored.select("id", "rel")
+        .orderBy(F.desc("rel"), F.asc("id"))
         .limit(k)
         .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("id"))))
         .select((F.col("rel") / F.log2(F.col("rank") + 1)).alias("g"))

@@ -3075,12 +3075,14 @@ ALL_ORACLES: dict[str, str] = {
                    row_number() OVER (PARTITION BY bucket ORDER BY ord, neg_id) AS rnk
             FROM ranked
         ), cnt AS (
-            SELECT bucket, count(*) AS c FROM rn GROUP BY 1
+            SELECT bucket, c, row_number() OVER (ORDER BY bucket) - 1 AS idx
+            FROM (SELECT bucket, count(*) AS c FROM rn GROUP BY 1)
+        ), nb AS (SELECT count(*) AS n FROM cnt
         ), draws AS (
             SELECT d.doc_id AS anchor_id, j,
                    (2654435761 * (CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || '#' || j), 1, 12)
                                        AS BIGINT) % 2147483647) + 40503)
-                       % 2147483647 % 16 AS bucket,
+                       % 2147483647 AS braw,
                    (7919 * (CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || '#' || j), 1, 12)
                                 AS BIGINT) % 2147483647) + 104729)
                        % 2147483647 AS pick
@@ -3089,8 +3091,9 @@ ALL_ORACLES: dict[str, str] = {
         )
         SELECT draws.anchor_id, CAST(draws.j AS INT) AS j, rn.neg_id
         FROM draws
-        JOIN cnt ON draws.bucket = cnt.bucket
-        JOIN rn ON rn.bucket = draws.bucket AND rn.rnk = draws.pick % cnt.c + 1
+        JOIN nb ON TRUE
+        JOIN cnt ON draws.braw % nb.n = cnt.idx
+        JOIN rn ON rn.bucket = cnt.bucket AND rn.rnk = draws.pick % cnt.c + 1
     """,
     "s19_compaction_plan": """
         -- bin = floor(exclusive prefix sum of bytes / target), files
@@ -3460,7 +3463,7 @@ ALL_ORACLES: dict[str, str] = {
             FROM customer
         ), per_val AS (
             SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS nv
-            FROM banded GROUP BY 1, 2, 3
+            FROM banded WHERE bal_band IS NOT NULL GROUP BY 1, 2, 3
         ), per_class AS (
             SELECT c_nationkey, c_mktsegment,
                    count(*) AS ndistinct, CAST(sum(nv) AS BIGINT) AS n
@@ -3498,14 +3501,14 @@ ALL_ORACLES: dict[str, str] = {
             SELECT user_id AS u, event_id AS tid, event_type AS channel, ts AS tts
             FROM events WHERE event_type IN ('click', 'view')
         ), j AS (
-            SELECT conv, channel, tts, tid
+            SELECT u, conv, channel, tts, tid
             FROM conv JOIN touch USING (u)
             WHERE tts < cts AND tts >= cts - INTERVAL 3 DAY
         ), ranked AS (
             SELECT channel,
-                   row_number() OVER (PARTITION BY conv ORDER BY tts ASC, tid ASC) AS fr,
-                   row_number() OVER (PARTITION BY conv ORDER BY tts DESC, tid DESC) AS lr,
-                   count(*) OVER (PARTITION BY conv) AS n
+                   row_number() OVER (PARTITION BY u, conv ORDER BY tts ASC, tid ASC) AS fr,
+                   row_number() OVER (PARTITION BY u, conv ORDER BY tts DESC, tid DESC) AS lr,
+                   count(*) OVER (PARTITION BY u, conv) AS n
             FROM j
         )
         SELECT channel, count(*) AS n_touches,

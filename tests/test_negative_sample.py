@@ -41,3 +41,14 @@ def test_draws_spread_over_pool(spark):
     out = negative_sample(anchors, pool, k=3, id_col="id", n_buckets=8)
     distinct_negs = out.select("neg_id").distinct().count()
     assert distinct_negs >= 15  # hashes actually spread the draws
+
+
+def test_tiny_pool_with_empty_buckets_still_yields_k(spark):
+    # 5-row pool, 64 buckets: most buckets are empty — the non-empty-bucket
+    # indexing must still produce exactly k draws per anchor
+    anchors = spark.createDataFrame([(i,) for i in range(20)], ["id"])
+    pool = spark.createDataFrame([(100 + i,) for i in range(5)], ["id"])
+    out = negative_sample(anchors, pool, k=4, id_col="id", n_buckets=64)
+    per_anchor = out.groupBy("anchor_id").count().collect()
+    assert len(per_anchor) == 20
+    assert all(r["count"] == 4 for r in per_anchor)

@@ -186,3 +186,16 @@ def test_rolling_corr_tie_days_deterministic(spark):
     out = rolling_corr(df, "g", "dt", "x", "y", 30, 10).collect()
     assert len(out) == 1  # distinct collapses the tied day to one row
     assert out[0]["n"] == 14
+
+
+def test_churn_horizon_keeps_time_of_day(spark):
+    from ml_data_pipeline_spark.operators.temporal import churn_labels
+
+    # noon cutoff, 7-day horizon: an event 6.25 days after the cutoff is
+    # INSIDE the horizon — the date-truncation bug labeled this churned
+    rows = [(1, "2024-01-10 00:00:00"), (1, "2024-01-26 18:00:00")]
+    df = spark.createDataFrame(rows, ["uid", "t"]).select(
+        "uid", F.col("t").cast("timestamp").alias("ts")
+    )
+    out = churn_labels(df, "uid", "ts", "2024-01-20 12:00:00", 7).collect()[0]
+    assert out["churned"] is False

@@ -83,6 +83,87 @@ _ZKEY_8 = " + ".join(
     for i in range(8)
 )
 
+
+
+def _kmeans_oracle_sql(k: int = 3, iters: int = 4) -> str:
+    """Unrolled Lloyd's-iteration SQL mirroring ml.clustering.kmeans_fit_2d
+    (generated, so k/iters stay in lockstep with the Spark loop — same
+    pattern as _ZKEY_8 above)."""
+    ctes = [
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+        # pivot stage is referenced many times by the next iteration — the
+        # unrolled chain re-evaluates exponentially without it
+        """base AS MATERIALIZED (
+            SELECT o_orderkey AS id,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+                   date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS y
+            FROM orders
+        )""",
+        f"""init AS MATERIALIZED (
+            SELECT x, y, row_number() OVER (
+                ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+            FROM base ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k}
+        )""",
+        "p0 AS MATERIALIZED (SELECT "
+        + ", ".join(
+            f"max(CASE WHEN rn = {j + 1} THEN CAST(x AS DOUBLE) END) AS c{j}x, "
+            f"max(CASE WHEN rn = {j + 1} THEN CAST(y AS DOUBLE) END) AS c{j}y"
+            for j in range(k)
+        )
+        + " FROM init)",
+    ]
+    for i in range(1, iters + 1):
+        dists = ", ".join(
+            f"(x - c{j}x) * (x - c{j}x) + (y - c{j}y) * (y - c{j}y) AS d{j}"
+            for j in range(k)
+        )
+        least = "least(" + ", ".join(f"d{j}" for j in range(k)) + ")"
+        case = (
+            "CASE "
+            + " ".join(f"WHEN d{j} = m THEN {j}" for j in range(k - 1))
+            + f" ELSE {k - 1} END"
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+            SELECT id, x, y, {case} AS cluster
+            FROM (SELECT *, {least} AS m
+                  FROM (SELECT base.*, {dists} FROM base, p{i - 1}))
+        )"""
+        )
+        ctes.append(
+            f"""u{i} AS MATERIALIZED (
+            SELECT cluster,
+                   round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS cx,
+                   round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS cy
+            FROM a{i} GROUP BY 1
+        )"""
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"coalesce(max(CASE WHEN cluster = {j} THEN cx END),"
+                f" (SELECT c{j}x FROM p{i - 1})) AS c{j}x, "
+                f"coalesce(max(CASE WHEN cluster = {j} THEN cy END),"
+                f" (SELECT c{j}y FROM p{i - 1})) AS c{j}y"
+                for j in range(k)
+            )
+            + f" FROM u{i})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INT) AS cluster, c{j}x AS cx, c{j}y AS cy FROM p{iters}"
+        for j in range(k)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+        cents AS ({finals}),
+        counts AS (SELECT cluster, count(*) AS n_points FROM a{iters} GROUP BY 1)
+        SELECT c.cluster, c.cx, c.cy,
+               CAST(coalesce(n.n_points, 0) AS BIGINT) AS n_points
+        FROM cents c LEFT JOIN counts n ON c.cluster = n.cluster"""
+    )
+
 from ml_data_pipeline_spark.operators.similarity import _rp_sign
 
 # random-projection matrix rows (ss_random_project), regenerated from the
@@ -3442,6 +3523,7 @@ ALL_ORACLES: dict[str, str] = {
                    coalesce(c_mktsegment, '␀')), 1, 15) AS BIGINT))
         FROM customer
     """,
+    "ml_kmeans": _kmeans_oracle_sql(),
     "q_join_cardinality": """
         WITH ca AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1),
              cb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1),

@@ -3707,6 +3707,23 @@ def q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ml_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-verified distributed KMeans: 4 Lloyd iterations over orders
+    in (price-cents, order-day) space, k=3, md5-hash init, exact integer
+    sums + 6dp centroid rounding per round — the oracle unrolls the
+    identical 4 iterations in SQL (PageRank-gate recipe)."""
+    from ml_data_pipeline_spark.ml.clustering import kmeans_fit_2d
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        ).alias("day"),
+    )
+    return kmeans_fit_2d(o, "o_orderkey", "cents", "day", k=3, iters=4)
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -3966,6 +3983,7 @@ ALL_QUERIES = {
     "p29_l_diversity": p29_l_diversity,
     "p30_dp_counts": p30_dp_counts,
     "q_join_cardinality": q_join_cardinality,
+    "ml_kmeans": ml_kmeans,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -350,3 +350,45 @@ def test_binary_classification_report_degenerate_nulls(spark):
     r = binary_classification_report(df, "y", "p").collect()[0]
     assert r["accuracy"] == 1.0
     assert r["precision"] is None and r["recall"] is None and r["mcc"] is None
+
+
+def test_kmeans_2d_invariants_and_k1_exact(spark):
+    from ml_data_pipeline_spark.ml.clustering import kmeans_fit_2d
+
+    # Lloyd's from hash init converges to a LOCAL optimum — the hard
+    # invariants are conservation and the k=1 closed form, not blob
+    # recovery (two seeds can legally land in one blob)
+    pts = []
+    rid = 0
+    for cx, cy in [(0, 0), (1000, 0), (0, 1000)]:
+        for dx in range(-5, 6, 2):
+            for dy in range(-5, 6, 2):
+                pts.append((rid, cx + dx, cy + dy))
+                rid += 1
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    out = kmeans_fit_2d(df, "id", "x", "y", k=3, iters=5).collect()
+    assert len(out) == 3
+    assert sum(r["n_points"] for r in out) == len(pts)
+    # the empty-side blob pair is separated by some pair of centroids
+    cents = [(r["cx"], r["cy"]) for r in out]
+    spread = max(
+        (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 for a in cents for b in cents
+    )
+    assert spread > 500**2
+    # k=1: the centroid IS the global mean, exactly
+    one = kmeans_fit_2d(df, "id", "x", "y", k=1, iters=2).collect()[0]
+    n = len(pts)
+    assert one["n_points"] == n
+    assert one["cx"] == round(sum(p[1] for p in pts) / n, 6)
+    assert one["cy"] == round(sum(p[2] for p in pts) / n, 6)
+
+
+def test_kmeans_deterministic_across_layouts(spark):
+    from ml_data_pipeline_spark.ml.clustering import kmeans_fit_2d
+
+    df = spark.createDataFrame(
+        [(i, i * 37 % 1000, i * 91 % 1000) for i in range(500)], ["id", "x", "y"]
+    )
+    a = sorted(map(tuple, kmeans_fit_2d(df, "id", "x", "y", 3, 4).collect()))
+    b = sorted(map(tuple, kmeans_fit_2d(df.repartition(13), "id", "x", "y", 3, 4).collect()))
+    assert a == b

@@ -177,3 +177,46 @@ def attribution_credit(
         F.round(F.sum("__last"), 6).alias("last_touch"),
         F.round(F.sum("__linear"), 6).alias("linear"),
     )
+
+
+def event_patterns(
+    events: DataFrame,
+    patterns: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """CEP-lite pattern detection over per-user event journeys: each
+    user's events collapse to an ordered initial-letter string (the
+    journey), and each named regex pattern is counted against it —
+    adjacency ('vcp'), gated subsequences ('v[^p]*c[^p]*p'), whatever
+    the regex class both engines share expresses.
+
+    Ordering is deterministic: sort_array over (ts, id, initial) structs,
+    not collect_list order (which is partition-dependent). The journey
+    array is per-user-cardinality — the same bound every sessionizer in
+    this repo documents; pathological users need a pre-split upstream.
+    Counting is regexp_count (non-overlapping, leftmost — the semantics
+    RE2 and Java regex agree on for the literal/char-class patterns this
+    is meant for)."""
+    seq = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(id_col).alias("i"),
+                F.substring(F.col(type_col), 1, 1).alias("c"),
+            )
+        )
+    )
+    journeys = events.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("__seq")
+    )
+    journeys = journeys.withColumn(
+        "journey", F.array_join(F.transform("__seq", lambda x: x.getField("c")), "")
+    ).drop("__seq")
+    for name, pat in patterns.items():
+        journeys = journeys.withColumn(
+            name, F.regexp_count(F.col("journey"), F.lit(pat))
+        )
+    return journeys

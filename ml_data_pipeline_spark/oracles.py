@@ -3524,6 +3524,20 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "q_event_patterns": """
+        WITH j AS (
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY 1
+        )
+        SELECT user_id, n_events, journey,
+               CAST(len(regexp_extract_all(journey, 'vcp')) AS INT)
+                   AS n_vcp_adjacent,
+               CAST(len(regexp_extract_all(journey, 'v[^p]*c[^p]*p')) AS INT)
+                   AS n_funnel_gated
+        FROM j
+    """,
     "q_join_cardinality": """
         WITH ca AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1),
              cb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1),

@@ -959,3 +959,46 @@ def test_dp_noisy_counts_reproducible_and_seed_sensitive(spark):
     # tighter epsilon -> larger noise scale on the same draws
     wide = {r["g"]: r for r in dp_noisy_counts(df, "g", 0.1, "s1").collect()}
     assert all(abs(wide[g]["noise"]) >= abs(a[g]["noise"]) for g in a)
+
+
+def test_event_patterns_hand_traced(spark):
+    from ml_data_pipeline_spark.operators.funnel import event_patterns
+
+    rows = [
+        (1, 1, "view", "2024-01-01 01:00:00"),
+        (2, 1, "click", "2024-01-01 02:00:00"),
+        (3, 1, "purchase", "2024-01-01 03:00:00"),
+        (4, 1, "view", "2024-01-01 04:00:00"),
+        (5, 2, "view", "2024-01-01 01:00:00"),
+        (6, 2, "error", "2024-01-01 02:00:00"),
+        (7, 2, "click", "2024-01-01 03:00:00"),
+        (8, 2, "purchase", "2024-01-01 04:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "t"]).select(
+        "event_id", "user_id", "event_type", F.col("t").cast("timestamp").alias("ts")
+    )
+    out = {
+        r["user_id"]: r
+        for r in event_patterns(
+            df, {"adj": "vcp", "gated": "v[^p]*c[^p]*p"}
+        ).collect()
+    }
+    assert out[1]["journey"] == "vcpv" and out[1]["adj"] == 1 and out[1]["gated"] == 1
+    # user 2: 'vecp' — not adjacent, but the gated subsequence matches
+    assert out[2]["journey"] == "vecp" and out[2]["adj"] == 0 and out[2]["gated"] == 1
+
+
+def test_event_patterns_order_is_ts_then_id(spark):
+    from ml_data_pipeline_spark.operators.funnel import event_patterns
+
+    # identical timestamps: event_id breaks the tie deterministically
+    rows = [
+        (2, 1, "click", "2024-01-01 01:00:00"),
+        (1, 1, "view", "2024-01-01 01:00:00"),
+        (3, 1, "purchase", "2024-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "t"]).select(
+        "event_id", "user_id", "event_type", F.col("t").cast("timestamp").alias("ts")
+    )
+    out = event_patterns(df.repartition(5), {"adj": "vcp"}).collect()[0]
+    assert out["journey"] == "vcp" and out["adj"] == 1

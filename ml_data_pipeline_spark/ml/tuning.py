@@ -240,3 +240,83 @@ def feature_importances(model, feature_names: list[str]) -> list[tuple[str, floa
     pairs = list(zip(feature_names, imp))
     pairs.sort(key=lambda x: -x[1])
     return pairs
+
+
+def time_series_cv_ols(
+    df,
+    date_col: str,
+    x_col: str,
+    y_col: str,
+    fold_dates: list[str],
+    horizon_days: int = 90,
+):
+    """Rolling-origin (expanding-window) cross-validation — the
+    temporally-correct CV for forecasting: fold k trains on everything
+    STRICTLY BEFORE its origin date and validates on [origin,
+    origin+horizon). Random/stratified folds (m5) leak future
+    information into training for time-indexed targets; this is the
+    standard fix (public forecasting practice).
+
+    Per fold: closed-form 1-feature OLS on the train side (sums in one
+    aggregate, coefficients rounded 4dp — the engine-exactness recipe
+    m23/m24 use), then mean-absolute-error on the validation side (MAE,
+    not MSE: squared-residual sums reach magnitudes where float-sum
+    order drift survives rounding; absolute sums do not). All folds are
+    computed in ONE plan — the fold spec is a literal explode, each side
+    a conditional aggregate, so the event table is scanned once, not
+    once per fold."""
+    from pyspark.sql import functions as F
+
+    folds = F.explode(
+        F.array(*[F.lit(d) for d in fold_dates])
+    ).alias("origin")
+    base = df.select(
+        F.col(date_col).cast("date").alias("d"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).select(folds, "d", "x", "y")
+    origin = F.col("origin").cast("date")
+    in_train = F.col("d") < origin
+    in_valid = (F.col("d") >= origin) & (
+        F.col("d") < F.date_add(origin, horizon_days)
+    )
+    agg = base.groupBy("origin").agg(
+        F.sum(F.when(in_train, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(in_valid, 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(in_train, F.col("x"))).alias("sx"),
+        F.sum(F.when(in_train, F.col("y"))).alias("sy"),
+        F.sum(F.when(in_train, F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(F.when(in_train, F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    slope = F.round(
+        (F.col("n_train") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n_train") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        4,
+    )
+    fit = agg.select(
+        "origin",
+        "n_train",
+        "n_valid",
+        slope.alias("slope"),
+    )
+    fit = fit.join(
+        agg.select("origin", "sx", "sy"), "origin"
+    ).select(
+        "origin",
+        "n_train",
+        "n_valid",
+        "slope",
+        F.round((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n_train"), 4).alias(
+            "intercept"
+        ),
+    )
+    scored = base.join(F.broadcast(fit), "origin").where(in_valid)
+    mae = scored.groupBy(
+        "origin", "n_train", "n_valid", "slope", "intercept"
+    ).agg(
+        F.round(
+            F.avg(F.abs(F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))),
+            6,
+        ).alias("valid_mae")
+    )
+    return mae

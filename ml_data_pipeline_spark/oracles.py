@@ -3524,6 +3524,42 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "m29_time_series_cv": """
+        WITH base AS (
+            SELECT CAST(l_shipdate AS DATE) AS d,
+                   CAST(l_quantity AS DOUBLE) AS x,
+                   l_extendedprice AS y
+            FROM lineitem
+        ), e AS (
+            SELECT origin, CAST(origin AS DATE) AS od, d, x, y
+            FROM base, unnest(['1997-01-01', '1998-01-01', '1999-01-01']) AS f(origin)
+        ), agg AS (
+            SELECT origin,
+                   CAST(count(*) FILTER (WHERE d < od) AS BIGINT) AS n_train,
+                   CAST(count(*) FILTER (WHERE d >= od AND d < od + INTERVAL 90 DAY)
+                        AS BIGINT) AS n_valid,
+                   sum(x) FILTER (WHERE d < od) AS sx,
+                   sum(y) FILTER (WHERE d < od) AS sy,
+                   sum(x * x) FILTER (WHERE d < od) AS sxx,
+                   sum(x * y) FILTER (WHERE d < od) AS sxy
+            FROM e GROUP BY 1
+        ), fit AS (
+            SELECT origin, n_train, n_valid,
+                   round((n_train * sxy - sx * sy)
+                         / (n_train * sxx - sx * sx), 4) AS slope,
+                   sx, sy
+            FROM agg
+        ), fit2 AS (
+            SELECT origin, n_train, n_valid, slope,
+                   round((sy - slope * sx) / n_train, 4) AS intercept
+            FROM fit
+        )
+        SELECT f.origin, f.n_train, f.n_valid, f.slope, f.intercept,
+               round(avg(abs(e.y - (f.intercept + f.slope * e.x))), 6) AS valid_mae
+        FROM e JOIN fit2 f USING (origin)
+        WHERE e.d >= e.od AND e.d < e.od + INTERVAL 90 DAY
+        GROUP BY 1, 2, 3, 4, 5
+    """,
     "q_event_patterns": """
         WITH j AS (
             SELECT user_id, count(*) AS n_events,

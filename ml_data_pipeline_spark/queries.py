@@ -3739,6 +3739,24 @@ def q_event_patterns(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def m29_time_series_cv(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin CV: three expanding-window folds of the
+    extendedprice ~ quantity fit with 90-day validation horizons — the
+    temporally-correct CV (train strictly before each origin). One scan,
+    all folds; oracle replays fit + MAE per fold."""
+    from ml_data_pipeline_spark.ml.tuning import time_series_cv_ols
+
+    li = _li(spark, sf).select("l_shipdate", "l_quantity", "l_extendedprice")
+    return time_series_cv_ols(
+        li,
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+        ["1997-01-01", "1998-01-01", "1999-01-01"],
+        horizon_days=90,
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4000,6 +4018,7 @@ ALL_QUERIES = {
     "q_join_cardinality": q_join_cardinality,
     "ml_kmeans": ml_kmeans,
     "q_event_patterns": q_event_patterns,
+    "m29_time_series_cv": m29_time_series_cv,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

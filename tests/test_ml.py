@@ -392,3 +392,33 @@ def test_kmeans_deterministic_across_layouts(spark):
     a = sorted(map(tuple, kmeans_fit_2d(df, "id", "x", "y", 3, 4).collect()))
     b = sorted(map(tuple, kmeans_fit_2d(df.repartition(13), "id", "x", "y", 3, 4).collect()))
     assert a == b
+
+
+def test_time_series_cv_respects_origins(spark):
+    import numpy as np
+
+    from ml_data_pipeline_spark.ml.tuning import time_series_cv_ols
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for day in range(1, 200):
+        for _ in range(5):
+            x = float(rng.rand() * 10)
+            rows.append((f"2020-{1 + (day - 1) // 28:02d}-{1 + (day - 1) % 28:02d}",
+                         x, 4.0 * x + 2.0 + float(rng.randn())))
+    df = spark.createDataFrame(rows, ["d", "x", "y"]).select(
+        F.col("d").cast("date").alias("ship"), "x", "y"
+    )
+    out = {
+        r["origin"]: r
+        for r in time_series_cv_ols(
+            df, "ship", "x", "y", ["2020-03-01", "2020-05-01"], horizon_days=28
+        ).collect()
+    }
+    assert set(out) == {"2020-03-01", "2020-05-01"}
+    for r in out.values():
+        assert r["n_train"] > 0 and r["n_valid"] > 0
+        assert abs(r["slope"] - 4.0) < 0.2 and abs(r["intercept"] - 2.0) < 1.0
+        assert 0 < r["valid_mae"] < 2.0
+    # expanding window: the later origin trains on strictly more data
+    assert out["2020-05-01"]["n_train"] > out["2020-03-01"]["n_train"]

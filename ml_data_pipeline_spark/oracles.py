@@ -3524,6 +3524,23 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "s21_bin_manifest": """
+        WITH inv AS (
+            SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes
+            FROM documents GROUP BY 1, 2
+        ), plan AS (
+            SELECT lang, source, bytes,
+                   CAST(floor(coalesce(sum(bytes) OVER (
+                            PARTITION BY lang ORDER BY source
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) / 65536.0) AS BIGINT) AS bin
+            FROM inv
+        )
+        SELECT lang, bin, count(*) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes,
+               min(source) AS min_key, max(source) AS max_key
+        FROM plan GROUP BY 1, 2
+    """,
     "m29_time_series_cv": """
         WITH base AS (
             SELECT CAST(l_shipdate AS DATE) AS d,

@@ -3757,6 +3757,30 @@ def m29_time_series_cv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def s21_bin_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest of the s19 compaction plan: per planned output bin, the
+    file count, byte total, and min/max file-key bounds — the footer
+    stats a rewrite job would publish for data skipping. Proves the
+    plan's bins are contiguous key ranges (the property that makes the
+    manifest useful)."""
+    from ml_data_pipeline_spark.operators.skew import plan_compaction
+
+    inv = (
+        load_table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    plan = plan_compaction(
+        inv, "bytes", 65536, file_col="source", partition_cols=["lang"]
+    )
+    return plan.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.min("source").alias("min_key"),
+        F.max("source").alias("max_key"),
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4019,6 +4043,7 @@ ALL_QUERIES = {
     "ml_kmeans": ml_kmeans,
     "q_event_patterns": q_event_patterns,
     "m29_time_series_cv": m29_time_series_cv,
+    "s21_bin_manifest": s21_bin_manifest,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

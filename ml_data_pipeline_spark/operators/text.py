@@ -900,3 +900,103 @@ def corpus_diversity(
             F.round("entropy", 6).alias("unigram_entropy"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str = "text", top_k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Collocation extraction: top-k adjacent word bigrams by count with
+    pointwise mutual information, PMI = ln(N * c(xy) / (c(x) * c(y))) —
+    the classic corpus-linguistics signal separating true collocations
+    ('new york') from merely-frequent pairs ('of the').
+
+    One tokenize pass feeds both the unigram and bigram counts (the
+    bigram explode runs on the same token arrays); the PMI join is
+    vocabulary-sized. Rank is (count DESC, bigram ASC) — deterministic."""
+    from pyspark.sql import Window
+
+    toks = df.select(_tokens(F.col(text_col)).alias("tk")).where(F.size("tk") > 0)
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_tokens = uni.agg(F.sum("cw").alias("n"))
+    bi = (
+        # size >= 2 guard is load-bearing: sequence(1, 0) yields a
+        # DESCENDING [1, 0] array, and element_at(_, 0) throws under ANSI
+        toks.where(F.size("tk") > 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("tk"), i).alias("w1"),
+                        F.element_at(F.col("tk"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "cxy",
+            F.round(
+                F.log(F.col("n") * F.col("cxy") / (F.col("c1") * F.col("c2"))), 6
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("cxy"), F.asc("bigram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "bigram", "cxy", "pmi")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", sizes: list[int] = (100, 1000, 10000)
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size N,
+    the share of all corpus tokens covered by the N most frequent words
+    — the tokenizer-sizing number (how big a word vocab must be before
+    <unk> is rare). Cumulative-sum window over the ranked vocabulary;
+    one corpus pass."""
+    from pyspark.sql import Window
+
+    wc = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = wc.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w")))
+    ).withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.orderBy(F.desc("n"), F.asc("w")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    tot = wc.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_types"))
+    picks = ranked.where(F.col("rank").isin([int(s) for s in sizes]))
+    return (
+        picks.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rank").alias("vocab_size"),
+            F.round(F.col("cum") / F.col("total"), 6).alias("coverage"),
+            "n_types",
+        )
+        .orderBy("vocab_size")
+    )

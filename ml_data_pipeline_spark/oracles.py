@@ -3524,6 +3524,58 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "tx_pmi_collocations": """
+        WITH toks AS (
+            SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> len(x) > 0) AS tk
+            FROM documents
+        ), uni AS (
+            SELECT w, count(*) AS cw
+            FROM toks, unnest(tk) AS t(w) GROUP BY 1
+        ), tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM uni
+        ), bi AS (
+            SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2,
+                   count(*) AS cxy
+            FROM toks, unnest(range(1, len(tk))) AS r(i)
+            WHERE len(tk) > 1
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
+        ), scored AS (
+            SELECT w1 || ' ' || w2 AS bigram, cxy,
+                   round(ln(n * cxy * 1.0 / (u1.cw * u2.cw)), 6) AS pmi
+            FROM bi
+            JOIN uni u1 ON u1.w = bi.w1
+            JOIN uni u2 ON u2.w = bi.w2
+            CROSS JOIN tot
+        )
+        SELECT CAST(row_number() OVER (ORDER BY cxy DESC, bigram ASC) AS INT) AS rank,
+               bigram, cxy, pmi
+        FROM scored ORDER BY cxy DESC, bigram ASC LIMIT 20
+    """,
+    "tx_vocab_coverage": """
+        WITH wc AS (
+            SELECT w, count(*) AS n
+            FROM documents,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> len(x) > 0)) AS t(w)
+            GROUP BY 1
+        ), ranked AS (
+            SELECT n,
+                   row_number() OVER (ORDER BY n DESC, w ASC) AS rank,
+                   sum(n) OVER (ORDER BY n DESC, w ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM wc
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_types FROM wc
+        )
+        SELECT CAST(rank AS BIGINT) AS vocab_size,
+               round(cum * 1.0 / total, 6) AS coverage,
+               n_types
+        FROM ranked, tot
+        WHERE rank IN (5, 10, 25)
+        ORDER BY rank
+    """,
     "s21_bin_manifest": """
         WITH inv AS (
             SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes

@@ -3781,6 +3781,24 @@ def s21_bin_manifest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tx_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations with PMI over the corpus —
+    one tokenize pass feeding unigram and bigram counts."""
+    from ml_data_pipeline_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(load_table(spark, sf, "documents"), top_k=20, min_count=5)
+
+
+def tx_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve at N = 5 / 10 / 25 (the synthetic
+    corpus draws from a ~31-word template vocabulary, so these sizes
+    actually slice the curve) — the tokenizer-sizing stat (share of
+    corpus tokens the top-N words cover)."""
+    from ml_data_pipeline_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf, "documents"), sizes=[5, 10, 25])
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4044,6 +4062,8 @@ ALL_QUERIES = {
     "q_event_patterns": q_event_patterns,
     "m29_time_series_cv": m29_time_series_cv,
     "s21_bin_manifest": s21_bin_manifest,
+    "tx_pmi_collocations": tx_pmi_collocations,
+    "tx_vocab_coverage": tx_vocab_coverage,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -1002,3 +1002,34 @@ def test_event_patterns_order_is_ts_then_id(spark):
     )
     out = event_patterns(df.repartition(5), {"adj": "vcp"}).collect()[0]
     assert out["journey"] == "vcp" and out["adj"] == 1
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from ml_data_pipeline_spark.operators.text import pmi_collocations
+
+    import math
+
+    # 'a b' always adjacent (5x); 'c', 'd' frequent but never adjacent to
+    # each other; single-token doc must not break the bigram transform
+    rows = [(i, "a b c") for i in range(5)] + [(10, "d"), (11, "c d x y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["bigram"]: r for r in pmi_collocations(df, top_k=10, min_count=2).collect()}
+    n_tokens = 15 + 1 + 5
+    ab = out["a b"]
+    assert ab["cxy"] == 5
+    assert abs(ab["pmi"] - round(math.log(n_tokens * 5 / (5 * 5)), 6)) < 1e-6
+    assert "c d" not in out  # count 1 < min_count
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    from ml_data_pipeline_spark.operators.text import vocab_coverage
+
+    # 10 'a', 5 'b', 1 'c' -> top-1 covers 10/16, top-2 covers 15/16
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 10 + ["b"] * 5 + ["c"]))], ["doc_id", "text"]
+    )
+    out = {r["vocab_size"]: r for r in vocab_coverage(df, sizes=[1, 2, 3]).collect()}
+    assert out[1]["coverage"] == round(10 / 16, 6)
+    assert out[2]["coverage"] == round(15 / 16, 6)
+    assert out[3]["coverage"] == 1.0
+    assert out[1]["n_types"] == 3

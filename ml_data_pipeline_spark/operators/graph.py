@@ -166,3 +166,51 @@ def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
             ).alias("clustering_coeff"),
         )
     )
+
+
+def flatten_hierarchy(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_depth: int = 1024,
+) -> DataFrame:
+    """Hierarchy flattening (org charts, BOM trees, category taxonomies)
+    by POINTER DOUBLING: each round every node's pointer jumps to its
+    pointer's pointer, so after ceil(log2(max_depth)) rounds — not
+    max_depth rounds — every node holds its root and exact depth. The
+    log-vs-linear shuffle count is the whole reason this shape exists
+    (Spark has no WITH RECURSIVE; a naive parent-walk loop is one join
+    PER LEVEL, this is one per level-DOUBLING).
+
+    State per round is (id, ptr, dist) — three longs, localCheckpoint'd
+    like every iterative operator here (components/pagerank/triangles).
+    Roots are rows with NULL parent (or self-parent); forests are fine,
+    each tree reports its own root. Returns (id, root, depth)."""
+    import math
+
+    pid = F.col(id_col)
+    par = F.col(parent_col)
+    state = nodes.select(
+        pid.alias("id"),
+        F.when(par.isNull() | (par == pid), pid).otherwise(par).alias("ptr"),
+        F.when(par.isNull() | (par == pid), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(max(1, math.ceil(math.log2(max_depth)))):
+        hop = state.select(
+            F.col("id").alias("__hid"),
+            F.col("ptr").alias("__hptr"),
+            F.col("dist").alias("__hdist"),
+        )
+        state = (
+            state.join(hop, state["ptr"] == hop["__hid"])
+            .select(
+                "id",
+                F.col("__hptr").alias("ptr"),
+                (F.col("dist") + F.col("__hdist")).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("id", F.col("ptr").alias("root"), F.col("dist").alias("depth"))

@@ -3524,6 +3524,21 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "q_hierarchy_flatten": """
+        WITH RECURSIVE nodes AS (
+            SELECT s_suppkey AS id,
+                   CASE WHEN s_suppkey = 0 THEN NULL
+                        ELSE (s_suppkey - 1) // 2 END AS parent
+            FROM supplier
+        ), rec AS (
+            SELECT id, CAST(id AS BIGINT) AS root, CAST(0 AS BIGINT) AS depth
+            FROM nodes WHERE parent IS NULL
+            UNION ALL
+            SELECT n.id, r.root, r.depth + 1
+            FROM nodes n JOIN rec r ON n.parent = r.id
+        )
+        SELECT id, root, depth FROM rec
+    """,
     "tx_pmi_collocations": """
         WITH toks AS (
             SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),

@@ -71,3 +71,26 @@ def test_triangle_stats_cleans_dups_loops_and_direction(spark):
     rows = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
     r = triangle_stats(spark.createDataFrame(rows, ["u", "v"])).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
+
+
+def test_flatten_hierarchy_depths_and_forest(spark):
+    from ml_data_pipeline_spark.operators.graph import flatten_hierarchy
+
+    # two trees: chain 0<-1<-2<-3<-4 and a lone root 10
+    rows = [(0, None), (1, 0), (2, 1), (3, 2), (4, 3), (10, None)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = {r["id"]: r for r in flatten_hierarchy(df, max_depth=16).collect()}
+    assert all(out[i]["root"] == 0 for i in range(5))
+    assert [out[i]["depth"] for i in range(5)] == [0, 1, 2, 3, 4]
+    assert out[10]["root"] == 10 and out[10]["depth"] == 0
+
+
+def test_flatten_hierarchy_log_rounds_suffice_for_deep_chain(spark):
+    from ml_data_pipeline_spark.operators.graph import flatten_hierarchy
+
+    # depth-30 chain with max_depth=32 -> only 5 doubling rounds
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = {r["id"]: r for r in flatten_hierarchy(df, max_depth=32).collect()}
+    assert out[30]["depth"] == 30 and out[30]["root"] == 0
+    assert len(out) == 31

@@ -15,9 +15,13 @@ diverge, hash-based deterministic init):
   projection, zero shuffle), argmin ties broken toward the lower cluster
   index via a first-match-wins CASE chain;
 - update: per-cluster means from EXACT integer sums (callers feed
-  integer-valued features — e.g. cents), one IEEE division, then
-  centroids ROUNDED to 6dp before the next assignment, so both engines
-  run the identical trajectory;
+  integer-valued features — e.g. cents), one correctly-rounded IEEE
+  division injected back as the literal centroid — NO decimal rounding
+  in the loop (review pass r3: Python round() is correctly-rounded
+  decimal, DuckDB round() is multiply-then-round; they disagree at 6dp
+  for cents-magnitude values, so rounding anywhere in the trajectory
+  made the gate data-dependently flaky). Exactness holds while the
+  integer sums stay below 2^53 (document/rescale beyond);
 - empty clusters keep their previous centroid (documented, replayed).
 
 The driver holds only k×dim centroid scalars per iteration (metadata,
@@ -42,12 +46,14 @@ def kmeans_fit_2d(
 ) -> DataFrame:
     """Fixed-iteration 2-D Lloyd's. x_col/y_col must be integer-valued
     (exactness contract — see module docstring). Returns one row per
-    cluster: (cluster, cx, cy, n_points), centroids at 6dp."""
+    cluster: (cluster, cx, cy, n_points) with exact-quotient centroids."""
+    # localCheckpoint: init + every iteration aggregate + the final count
+    # all re-read base otherwise (iters+2 source scans)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
-    )
+    ).localCheckpoint()
     init_rows = (
         base.withColumn("__h", F.md5(F.col("id").cast("string")))
         .orderBy("__h", "id")
@@ -80,11 +86,10 @@ def kmeans_fit_2d(
             )
             .collect()
         }
+        # Python int/int true division == DuckDB's CAST-to-double /
+        # count while the sums stay below 2^53 — exact parity, no round()
         cents = [
-            (
-                round(stats[j]["sx"] / stats[j]["n"], 6),
-                round(stats[j]["sy"] / stats[j]["n"], 6),
-            )
+            (stats[j]["sx"] / stats[j]["n"], stats[j]["sy"] / stats[j]["n"])
             if j in stats
             else cents[j]  # empty cluster keeps its previous centroid
             for j in range(k)

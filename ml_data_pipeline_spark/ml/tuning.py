@@ -293,30 +293,26 @@ def time_series_cv_ols(
         / (F.col("n_train") * F.col("sxx") - F.col("sx") * F.col("sx")),
         4,
     )
+    # slope inlined into the intercept expression — a second pass over agg
+    # (self-join) re-evaluated the whole scan+aggregate subtree for nothing
     fit = agg.select(
         "origin",
         "n_train",
         "n_valid",
         slope.alias("slope"),
-    )
-    fit = fit.join(
-        agg.select("origin", "sx", "sy"), "origin"
-    ).select(
-        "origin",
-        "n_train",
-        "n_valid",
-        "slope",
-        F.round((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n_train"), 4).alias(
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n_train"), 4).alias(
             "intercept"
         ),
     )
     scored = base.join(F.broadcast(fit), "origin").where(in_valid)
-    mae = scored.groupBy(
-        "origin", "n_train", "n_valid", "slope", "intercept"
-    ).agg(
+    mae = scored.groupBy("origin").agg(
         F.round(
             F.avg(F.abs(F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))),
             6,
         ).alias("valid_mae")
     )
-    return mae
+    # LEFT join so a fold with an empty validation window still appears
+    # (null valid_mae, n_valid=0) instead of silently vanishing
+    return fit.join(mae, "origin", "left").select(
+        "origin", "n_train", "n_valid", "slope", "intercept", "valid_mae"
+    )

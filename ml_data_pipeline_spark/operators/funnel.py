@@ -199,7 +199,10 @@ def event_patterns(
     this repo documents; pathological users need a pre-split upstream.
     Counting is regexp_count (non-overlapping, leftmost — the semantics
     RE2 and Java regex agree on for the literal/char-class patterns this
-    is meant for)."""
+    is meant for). Rows with a NULL timestamp are excluded up front —
+    NULLs sort first in Spark's sort_array but last in SQL ORDER BY, so
+    keeping them would make the journey string engine-dependent."""
+    events = events.where(F.col(ts_col).isNotNull())
     seq = F.sort_array(
         F.collect_list(
             F.struct(

@@ -185,7 +185,12 @@ def flatten_hierarchy(
     State per round is (id, ptr, dist) — three longs, localCheckpoint'd
     like every iterative operator here (components/pagerank/triangles).
     Roots are rows with NULL parent (or self-parent); forests are fine,
-    each tree reports its own root. Returns (id, root, depth)."""
+    each tree reports its own root. A DANGLING parent reference (a parent
+    id with no row of its own — an upstream filter artifact) is treated
+    as a root: the node reports the dangling id as its root with the
+    depth walked to it, rather than silently vanishing from the output
+    (review pass r3: the original inner join dropped whole orphaned
+    subtrees). Returns (id, root, depth)."""
     import math
 
     pid = F.col(id_col)
@@ -205,11 +210,11 @@ def flatten_hierarchy(
             F.col("dist").alias("__hdist"),
         )
         state = (
-            state.join(hop, state["ptr"] == hop["__hid"])
+            state.join(hop, state["ptr"] == hop["__hid"], "left")
             .select(
                 "id",
-                F.col("__hptr").alias("ptr"),
-                (F.col("dist") + F.col("__hdist")).alias("dist"),
+                F.coalesce(F.col("__hptr"), F.col("ptr")).alias("ptr"),
+                (F.col("dist") + F.coalesce(F.col("__hdist"), F.lit(0))).alias("dist"),
             )
             .localCheckpoint()
         )

@@ -133,8 +133,8 @@ def _kmeans_oracle_sql(k: int = 3, iters: int = 4) -> str:
         ctes.append(
             f"""u{i} AS MATERIALIZED (
             SELECT cluster,
-                   round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS cx,
-                   round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS cy
+                   CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+                   CAST(sum(y) AS DOUBLE) / count(*) AS cy
             FROM a{i} GROUP BY 1
         )"""
         )
@@ -3638,18 +3638,22 @@ ALL_ORACLES: dict[str, str] = {
                    round((sy - slope * sx) / n_train, 4) AS intercept
             FROM fit
         )
-        SELECT f.origin, f.n_train, f.n_valid, f.slope, f.intercept,
-               round(avg(abs(e.y - (f.intercept + f.slope * e.x))), 6) AS valid_mae
-        FROM e JOIN fit2 f USING (origin)
-        WHERE e.d >= e.od AND e.d < e.od + INTERVAL 90 DAY
-        GROUP BY 1, 2, 3, 4, 5
+        , mae AS (
+            SELECT origin,
+                   round(avg(abs(e.y - (f.intercept + f.slope * e.x))), 6) AS valid_mae
+            FROM e JOIN fit2 f USING (origin)
+            WHERE e.d >= e.od AND e.d < e.od + INTERVAL 90 DAY
+            GROUP BY 1
+        )
+        SELECT f.origin, f.n_train, f.n_valid, f.slope, f.intercept, m.valid_mae
+        FROM fit2 f LEFT JOIN mae m USING (origin)
     """,
     "q_event_patterns": """
         WITH j AS (
             SELECT user_id, count(*) AS n_events,
                    string_agg(substr(event_type, 1, 1), ''
                               ORDER BY ts, event_id) AS journey
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         )
         SELECT user_id, n_events, journey,
                CAST(len(regexp_extract_all(journey, 'vcp')) AS INT)

@@ -94,3 +94,16 @@ def test_flatten_hierarchy_log_rounds_suffice_for_deep_chain(spark):
     out = {r["id"]: r for r in flatten_hierarchy(df, max_depth=32).collect()}
     assert out[30]["depth"] == 30 and out[30]["root"] == 0
     assert len(out) == 31
+
+
+def test_flatten_hierarchy_dangling_parent_becomes_root(spark):
+    from ml_data_pipeline_spark.operators.graph import flatten_hierarchy
+
+    # node 0 was filtered upstream; 1 and 2 must NOT vanish — they root
+    # at the dangling id 0 with the depth walked to it
+    rows = [(1, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = {r["id"]: r for r in flatten_hierarchy(df, max_depth=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["root"] == 0 and out[1]["depth"] == 1
+    assert out[2]["root"] == 0 and out[2]["depth"] == 2

@@ -379,8 +379,8 @@ def test_kmeans_2d_invariants_and_k1_exact(spark):
     one = kmeans_fit_2d(df, "id", "x", "y", k=1, iters=2).collect()[0]
     n = len(pts)
     assert one["n_points"] == n
-    assert one["cx"] == round(sum(p[1] for p in pts) / n, 6)
-    assert one["cy"] == round(sum(p[2] for p in pts) / n, 6)
+    assert one["cx"] == sum(p[1] for p in pts) / n  # exact quotient, no rounding
+    assert one["cy"] == sum(p[2] for p in pts) / n
 
 
 def test_kmeans_deterministic_across_layouts(spark):
@@ -422,3 +422,23 @@ def test_time_series_cv_respects_origins(spark):
         assert 0 < r["valid_mae"] < 2.0
     # expanding window: the later origin trains on strictly more data
     assert out["2020-05-01"]["n_train"] > out["2020-03-01"]["n_train"]
+
+
+def test_time_series_cv_keeps_empty_folds(spark):
+    from ml_data_pipeline_spark.ml.tuning import time_series_cv_ols
+
+    rows = [(f"2020-01-{d:02d}", float(d), 2.0 * d) for d in range(1, 20)]
+    df = spark.createDataFrame(rows, ["d", "x", "y"]).select(
+        F.col("d").cast("date").alias("ship"), "x", "y"
+    )
+    out = {
+        r["origin"]: r
+        for r in time_series_cv_ols(
+            df, "ship", "x", "y", ["2020-01-10", "2025-01-01"], horizon_days=7
+        ).collect()
+    }
+    # the far-future fold still appears with an empty validation window
+    assert set(out) == {"2020-01-10", "2025-01-01"}
+    far = out["2025-01-01"]
+    assert far["n_valid"] == 0 and far["valid_mae"] is None
+    assert far["n_train"] == 19

@@ -357,3 +357,45 @@ def cluster_safe_split(
         .drop("__cid", "__comp")
     )
     return split_by_hash(out, group_col, test_frac, out_col=out_col)
+
+def quota_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: turn fractional group
+    weights into INTEGER quotas that sum exactly to `total` — the step
+    between a mixture plan's real-valued shares (mixing.mixture_plan /
+    temperature_weights) and an actual document count per source.
+    floor(share*total) first, then the k groups with the largest
+    fractional remainders (ties: larger weight, then group id) each get
+    +1. Deterministic, group-cardinality-sized — one aggregate plus
+    windows over the group table."""
+    from pyspark.sql import Window
+
+    w = df.groupBy(group_col).agg(F.sum(weight_col).alias("__w"))
+    tot = w.agg(F.sum("__w").alias("__tw"))
+    shares = w.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "__w",
+        (F.col("__w") / F.col("__tw") * total).alias("__q"),
+    )
+    shares = shares.select(
+        group_col,
+        "__w",
+        F.floor("__q").cast("long").alias("base"),
+        (F.col("__q") - F.floor("__q")).alias("__rem"),
+    )
+    deficit = shares.agg((F.lit(total) - F.sum("base")).alias("__d"))
+    ranked = shares.crossJoin(F.broadcast(deficit)).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("__rem"), F.desc("__w"), F.asc(group_col))
+        ),
+    )
+    return ranked.select(
+        group_col,
+        F.round(F.col("__w").cast("double"), 6).alias("weight"),
+        (F.col("base") + (F.col("__rk") <= F.col("__d")).cast("long")).alias("quota"),
+    )

@@ -3524,6 +3524,46 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "t16_quota_allocation": """
+        WITH w AS (
+            SELECT lang || '/' || source AS cell,
+                   CAST(sum(n_chars) AS BIGINT) AS mass
+            FROM documents GROUP BY 1
+        ), tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tw FROM w
+        ), shares AS (
+            SELECT cell, mass,
+                   CAST(floor(q) AS BIGINT) AS base, q - floor(q) AS rem
+            FROM (SELECT cell, mass, (mass / tw) * 10000 AS q FROM w, tot)
+        ), deficit AS (
+            SELECT 10000 - CAST(sum(base) AS BIGINT) AS d FROM shares
+        ), ranked AS (
+            SELECT cell, mass, base, rem,
+                   row_number() OVER (ORDER BY rem DESC, mass DESC, cell ASC) AS rk
+            FROM shares
+        )
+        SELECT cell, round(CAST(mass AS DOUBLE), 6) AS weight,
+               base + CASE WHEN rk <= (SELECT d FROM deficit) THEN 1 ELSE 0 END
+                   AS quota
+        FROM ranked
+    """,
+    "q_time_to_convert": """
+        WITH fv AS (
+            SELECT user_id, min(ts) AS vts FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), fp AS (
+            SELECT e.user_id, min(e.ts) AS pts, min(fv.vts) AS vts
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fv.vts
+            GROUP BY 1
+        ), lat AS (
+            SELECT (epoch_us(pts) - epoch_us(vts)) / 60000000.0 AS mins FROM fp
+        )
+        SELECT count(*) AS n_converters,
+               round(quantile_cont(mins, 0.25), 6) AS p25_mins,
+               round(quantile_cont(mins, 0.5), 6) AS p50_mins,
+               round(quantile_cont(mins, 0.9), 6) AS p90_mins
+        FROM lat
+    """,
     "q_hierarchy_flatten": """
         WITH RECURSIVE nodes AS (
             SELECT s_suppkey AS id,

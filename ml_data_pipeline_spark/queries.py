@@ -3815,6 +3815,47 @@ def q_hierarchy_flatten(spark: SparkSession, sf: str) -> DataFrame:
     return flatten_hierarchy(nodes, "id", "parent", max_depth=64)
 
 
+def t16_quota_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Largest-remainder apportionment of a 10000-document budget across
+    (lang, source) cells weighted by character mass — integer quotas
+    summing EXACTLY to the budget (the mixture-plan-to-shard-count
+    step). Oracle replays floor + ranked-remainder top-up."""
+    from ml_data_pipeline_spark.operators.sampling import quota_allocation
+
+    cells = (
+        load_table(spark, sf, "documents")
+        .groupBy(F.concat_ws("/", "lang", "source").alias("cell"))
+        .agg(F.sum("n_chars").alias("mass"))
+    )
+    return quota_allocation(cells, "cell", "mass", total=10000)
+
+
+def q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion-latency distribution: minutes from each user's first
+    view to their first later purchase, summarized as exact p25/p50/p90
+    percentiles plus converter counts."""
+    ev = load_table(spark, sf, "events")
+    first_view = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("vts")
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .where(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"), F.first("vts").alias("vts"))
+    )
+    lat = first_purchase.select(
+        ((F.unix_micros("pts") - F.unix_micros("vts")) / 60000000.0).alias("mins")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.expr("percentile(mins, 0.25)"), 6).alias("p25_mins"),
+        F.round(F.expr("percentile(mins, 0.5)"), 6).alias("p50_mins"),
+        F.round(F.expr("percentile(mins, 0.9)"), 6).alias("p90_mins"),
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4081,6 +4122,8 @@ ALL_QUERIES = {
     "tx_pmi_collocations": tx_pmi_collocations,
     "tx_vocab_coverage": tx_vocab_coverage,
     "q_hierarchy_flatten": q_hierarchy_flatten,
+    "t16_quota_allocation": t16_quota_allocation,
+    "q_time_to_convert": q_time_to_convert,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

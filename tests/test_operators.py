@@ -1033,3 +1033,25 @@ def test_vocab_coverage_monotone_and_exact(spark):
     assert out[2]["coverage"] == round(15 / 16, 6)
     assert out[3]["coverage"] == 1.0
     assert out[1]["n_types"] == 3
+
+
+def test_quota_allocation_sums_exactly_and_hamilton(spark):
+    from ml_data_pipeline_spark.operators.sampling import quota_allocation
+
+    # weights 1/2/3/4 over total 7: exact shares 0.7/1.4/2.1/2.8 ->
+    # floors 0/1/2/2 (sum 5), remainders .7/.4/.1/.8 -> +1 to d and a
+    rows = [("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)]
+    df = spark.createDataFrame(rows, ["g", "w"])
+    out = {r["g"]: r["quota"] for r in quota_allocation(df, "g", "w", 7).collect()}
+    assert out == {"a": 1, "b": 1, "c": 2, "d": 3}
+    assert sum(out.values()) == 7
+
+
+def test_quota_allocation_total_exact_on_awkward_weights(spark):
+    from ml_data_pipeline_spark.operators.sampling import quota_allocation
+
+    df = spark.createDataFrame([(f"g{i}", float(i * i + 1)) for i in range(13)], ["g", "w"])
+    for total in (1, 13, 997):
+        got = quota_allocation(df, "g", "w", total).collect()
+        assert sum(r["quota"] for r in got) == total
+        assert all(r["quota"] >= 0 for r in got)

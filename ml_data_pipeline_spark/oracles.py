@@ -3524,6 +3524,21 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "q_active_users": """
+        WITH days AS (
+            SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+        ), last_day AS (SELECT max(d) AS ld FROM days
+        ), contrib AS (
+            SELECT u, d + CAST(off AS INT) AS rd, off
+            FROM days, unnest(range(0, 28)) AS o(off), last_day
+            WHERE d + CAST(off AS INT) <= ld
+        )
+        SELECT strftime(rd, '%Y-%m-%d') AS day,
+               count(DISTINCT CASE WHEN off < 1 THEN u END) AS active_1d,
+               count(DISTINCT CASE WHEN off < 7 THEN u END) AS active_7d,
+               count(DISTINCT CASE WHEN off < 28 THEN u END) AS active_28d
+        FROM contrib GROUP BY 1 ORDER BY 1
+    """,
     "s22_range_boundaries": """
         SELECT round(quantile_cont(o_totalprice, 0.125), 6) AS b1,
                round(quantile_cont(o_totalprice, 0.25), 6) AS b2,

@@ -3916,6 +3916,17 @@ def p33_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     return cum.groupBy("l_returnflag").agg(*picks)
 
 
+def q_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling DAU/7-day/28-day active users per day — sliding distinct
+    counts via the distinct-(user, day) reduce + bounded day-explode
+    shape (no native distinct-over-frame exists). Report days clipped to
+    complete data."""
+    from ml_data_pipeline_spark.operators.temporal import rolling_active_users
+
+    ev = load_table(spark, sf, "events")
+    return rolling_active_users(ev, "user_id", "ts", windows=(1, 7, 28))
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4187,6 +4198,7 @@ ALL_QUERIES = {
     "dd_prefix_jaccard": dd_prefix_jaccard,
     "s22_range_boundaries": s22_range_boundaries,
     "p33_weighted_median": p33_weighted_median,
+    "q_active_users": q_active_users,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

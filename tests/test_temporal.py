@@ -199,3 +199,25 @@ def test_churn_horizon_keeps_time_of_day(spark):
     )
     out = churn_labels(df, "uid", "ts", "2024-01-20 12:00:00", 7).collect()[0]
     assert out["churned"] is False
+
+
+def test_rolling_active_users_hand_computed(spark):
+    from ml_data_pipeline_spark.operators.temporal import rolling_active_users
+
+    rows = [
+        (1, "2024-01-01"), (2, "2024-01-01"),
+        (1, "2024-01-03"),
+        (3, "2024-01-05"),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ds"]).select(
+        "uid", F.col("ds").cast("timestamp").alias("ts")
+    )
+    out = {r["day"]: r for r in rolling_active_users(df, "uid", "ts", (1, 3)).collect()}
+    # day 01: dau {1,2}; day 03: dau {1}, 3d window {1,2}; day 05: dau {3}, 3d {1,3}
+    assert (out["2024-01-01"]["active_1d"], out["2024-01-01"]["active_3d"]) == (2, 2)
+    assert (out["2024-01-03"]["active_1d"], out["2024-01-03"]["active_3d"]) == (1, 2)
+    assert (out["2024-01-05"]["active_1d"], out["2024-01-05"]["active_3d"]) == (1, 2)
+    # quiet day 02 still reported (covered by the trailing window)
+    assert out["2024-01-02"]["active_1d"] == 0 and out["2024-01-02"]["active_3d"] == 2
+    # nothing past the data's last day
+    assert max(out) == "2024-01-05"

@@ -3524,6 +3524,52 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "p34_ref_integrity": """
+        SELECT 'lineitem->orders' AS edge,
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'nation->region',
+               (SELECT count(*) FROM nation n WHERE NOT EXISTS
+                   (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    """,
+    "q_revenue_bridge": """
+        WITH base AS (
+            SELECT l_returnflag, year(l_shipdate) AS y,
+                   sum(l_quantity) AS q,
+                   sum(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)
+            GROUP BY 1, 2
+        ), w AS (
+            SELECT l_returnflag,
+                   max(CASE WHEN y = 1997 THEN q END) AS q0,
+                   max(CASE WHEN y = 1997 THEN rev END) AS rev0,
+                   max(CASE WHEN y = 1998 THEN q END) AS q1,
+                   max(CASE WHEN y = 1998 THEN rev END) AS rev1
+            FROM base GROUP BY 1
+        )
+        SELECT l_returnflag,
+               round(rev1 - rev0, 2) AS rev_delta,
+               round((q1 - q0) * (rev0 / q0), 2) AS volume_effect,
+               round((rev1 / q1 - rev0 / q0) * q1, 2) AS price_effect
+        FROM w WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+    """,
     "q_active_users": """
         WITH days AS (
             SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events

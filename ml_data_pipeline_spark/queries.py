@@ -3927,6 +3927,72 @@ def q_active_users(spark: SparkSession, sf: str) -> DataFrame:
     return rolling_active_users(ev, "user_id", "ts", windows=(1, 7, 28))
 
 
+def p34_ref_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for every FK edge (lineitem->orders/part/supplier, orders->customer,
+    customer->nation, nation->region) via anti-join counts — the
+    completeness gate run before trusting any join-based metric."""
+    li = _li(spark, sf)
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+
+    def orphans(fact, fk, dim, pk, edge):
+        cnt = (
+            fact.select(F.col(fk).alias("__k"))
+            .join(dim.select(F.col(pk).alias("__k")), "__k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return cnt.select(F.lit(edge).alias("edge"), "n_orphans")
+
+    edges = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"),
+        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"),
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+        orphans(n, "n_regionkey", r, "r_regionkey", "nation->region"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def q_revenue_bridge(spark: SparkSession, sf: str) -> DataFrame:
+    """Price/volume bridge between 1997 and 1998 per returnflag: revenue
+    delta decomposed into volume effect (qty change x old avg price) and
+    price effect (price change x new qty), residual-free by the
+    new-volume convention. The 'why did revenue move' BI decomposition."""
+    li = _li(spark, sf)
+    yr = F.year("l_shipdate")
+    base = (
+        li.where(yr.isin(1997, 1998))
+        .groupBy("l_returnflag", yr.alias("y"))
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .withColumn("avg_p", F.col("rev") / F.col("q"))
+    )
+    a = base.where(F.col("y") == 1997).select(
+        "l_returnflag", F.col("q").alias("q0"), F.col("rev").alias("rev0"), F.col("avg_p").alias("p0")
+    )
+    b = base.where(F.col("y") == 1998).select(
+        "l_returnflag", F.col("q").alias("q1"), F.col("rev").alias("rev1"), F.col("avg_p").alias("p1")
+    )
+    j = a.join(b, "l_returnflag")
+    return j.select(
+        "l_returnflag",
+        F.round(F.col("rev1") - F.col("rev0"), 2).alias("rev_delta"),
+        F.round((F.col("q1") - F.col("q0")) * F.col("p0"), 2).alias("volume_effect"),
+        F.round((F.col("p1") - F.col("p0")) * F.col("q1"), 2).alias("price_effect"),
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4199,6 +4265,8 @@ ALL_QUERIES = {
     "s22_range_boundaries": s22_range_boundaries,
     "p33_weighted_median": p33_weighted_median,
     "q_active_users": q_active_users,
+    "p34_ref_integrity": p34_ref_integrity,
+    "q_revenue_bridge": q_revenue_bridge,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

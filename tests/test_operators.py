@@ -1105,3 +1105,22 @@ def test_weighted_median_hand_computed(spark):
     ).collect()[0]
     # weights 1/8/1: the mass center sits on 20
     assert got["wp50"] == 20.0
+
+
+def test_revenue_bridge_effects_sum_to_delta(spark):
+    from ml_data_pipeline_spark.queries import q_revenue_bridge
+
+    for r in q_revenue_bridge(spark, "/root/testdata/sf0.001").collect():
+        # exact bridge identity: delta = volume + price (new-volume convention)
+        assert abs(r["rev_delta"] - (r["volume_effect"] + r["price_effect"])) < 0.05
+
+
+def test_ref_integrity_counts_planted_orphans(spark):
+    fact = spark.createDataFrame([(1,), (2,), (99,)], ["fk"])
+    dim = spark.createDataFrame([(1,), (2,)], ["pk"])
+    n = (
+        fact.select(F.col("fk").alias("__k"))
+        .join(dim.select(F.col("pk").alias("__k")), "__k", "left_anti")
+        .count()
+    )
+    assert n == 1

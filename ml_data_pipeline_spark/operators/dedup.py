@@ -445,7 +445,16 @@ def prefix_jaccard_pairs(
     Shuffles: one token-frequency aggregate, one prefix-index equi-join
     keyed on token, one verify join keyed on the pair. Ordering ties
     break on item id — deterministic everywhere."""
-    items = df.select(F.col(id_col).alias("id"), F.col(item_col).alias("it")).distinct()
+    # NULL items are excluded explicitly (an equi-join would drop them
+    # from candidate generation but NOT from set sizes — silent Jaccard
+    # denominator drift); localCheckpoint because ordered feeds THREE
+    # branches (prefix index + both verify sides) — same recompute
+    # pattern clustering/triangles truncate
+    items = (
+        df.select(F.col(id_col).alias("id"), F.col(item_col).alias("it"))
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
     freq = items.groupBy("it").agg(F.count(F.lit(1)).alias("__f"))
     ordered = (
         items.join(freq, "it")
@@ -459,6 +468,7 @@ def prefix_jaccard_pairs(
             ).alias("set"),
         )
         .withColumn("n", F.size("set"))
+        .localCheckpoint()
     )
     t = float(threshold)
     prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1

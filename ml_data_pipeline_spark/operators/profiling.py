@@ -976,3 +976,54 @@ def dp_noisy_counts(
         F.round(noise, 6).alias("noise"),
         F.round(F.col("true_count") + noise, 6).alias("released_count"),
     )
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: dict[str, float],
+) -> DataFrame:
+    """Weighted percentiles per group: the lower weighted-percentile
+    definition — the first value (in sort order) whose cumulative weight
+    reaches q * total_weight. Exact and engine-replayable when the
+    weights are integer-valued (exact cumulative sums); the per-value
+    pre-aggregation keeps the rank window value-cardinality-sized."""
+    per_val = df.groupBy(group_col, value_col).agg(
+        F.sum(weight_col).alias("__w")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(group_col)
+    cum = per_val.withColumn("__cw", F.sum("__w").over(wcum)).withColumn(
+        "__tw", F.sum("__w").over(wtot)
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("__cw") >= F.lit(q) * F.col("__tw"), F.col(value_col))
+        ).alias(name)
+        for name, q in qs.items()
+    ]
+    return cum.groupBy(group_col).agg(*aggs)
+
+def orphan_counts(
+    edges: "list[tuple[DataFrame, str, DataFrame, str, str]]",
+) -> DataFrame:
+    """Referential-integrity audit: for each (fact, fk, dim, pk, label)
+    edge, the count of fact rows whose key has no dimension match — one
+    LEFT ANTI join per edge, unioned into (edge, n_orphans)."""
+    outs = []
+    for fact, fk, dim, pk, label in edges:
+        cnt = (
+            fact.select(F.col(fk).alias("__k"))
+            .join(dim.select(F.col(pk).alias("__k")), "__k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(cnt.select(F.lit(label).alias("edge"), "n_orphans"))
+    out = outs[0]
+    for e in outs[1:]:
+        out = out.unionByName(e)
+    return out

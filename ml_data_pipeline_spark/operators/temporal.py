@@ -348,8 +348,11 @@ def rolling_active_users(
     shrink, event-cardinality to activity-cardinality — then explode
     each activity day to the w report days it supports and count
     distinct users per (report day, window). Fanout is max(windows) per
-    activity row, bounded and constant; report days beyond the data's
-    last day are clipped so every reported day has complete data."""
+    activity row, bounded and constant. Report days past the data's last
+    day are clipped (no partial trailing windows); the FIRST w-1 days
+    necessarily carry partial windows — there is no earlier data to
+    complete them — so consumers comparing w-day actives across days
+    should start reading at day w."""
     days = df.select(
         F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
     ).distinct()

@@ -3617,6 +3617,7 @@ ALL_ORACLES: dict[str, str] = {
         -- brute-force reference: full inverted index, exact Jaccard
         WITH items AS (
             SELECT DISTINCT l_orderkey AS id, l_partkey AS it FROM lineitem
+            WHERE l_partkey IS NOT NULL
         ), sizes AS (
             SELECT id, count(*) AS n FROM items GROUP BY 1
         ), pairs AS (
@@ -3634,7 +3635,7 @@ ALL_ORACLES: dict[str, str] = {
     """,
     "t16_quota_allocation": """
         WITH w AS (
-            SELECT lang || '/' || source AS cell,
+            SELECT concat_ws('/', lang, source) AS cell,
                    CAST(sum(n_chars) AS BIGINT) AS mass
             FROM documents GROUP BY 1
         ), tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tw FROM w
@@ -3679,8 +3680,16 @@ ALL_ORACLES: dict[str, str] = {
                         ELSE (s_suppkey - 1) // 2 END AS parent
             FROM supplier
         ), rec AS (
+            -- roots: NULL parent, or a DANGLING parent (no row of its own)
+            -- — the latter root at the dangling id with depth 1, matching
+            -- flatten_hierarchy's orphan semantics
             SELECT id, CAST(id AS BIGINT) AS root, CAST(0 AS BIGINT) AS depth
             FROM nodes WHERE parent IS NULL
+            UNION ALL
+            SELECT n.id, CAST(n.parent AS BIGINT), CAST(1 AS BIGINT)
+            FROM nodes n
+            WHERE n.parent IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nodes p WHERE p.id = n.parent)
             UNION ALL
             SELECT n.id, r.root, r.depth + 1
             FROM nodes n JOIN rec r ON n.parent = r.id

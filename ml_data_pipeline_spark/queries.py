@@ -3843,7 +3843,7 @@ def q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
         .join(first_view, "user_id")
         .where(F.col("ts") > F.col("vts"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("pts"), F.first("vts").alias("vts"))
+        .agg(F.min("ts").alias("pts"), F.min("vts").alias("vts"))
     )
     lat = first_purchase.select(
         ((F.unix_micros("pts") - F.unix_micros("vts")) / 60000000.0).alias("mins")
@@ -3891,29 +3891,16 @@ def p33_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     distinct values — the lower weighted-percentile definition (first
     value whose cumulative weight reaches q*W), exact and
     engine-replayable."""
-    li = _li(spark, sf)
-    per_val = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.sum("l_quantity").alias("w")
-    )
-    from pyspark.sql import Window
+    from ml_data_pipeline_spark.operators.profiling import weighted_percentiles
 
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    li = _li(spark, sf)
+    return weighted_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        {"wp25": 0.25, "wp50": 0.5, "wp75": 0.75},
     )
-    wtot = Window.partitionBy("l_returnflag")
-    cum = per_val.withColumn("cw", F.sum("w").over(wcum)).withColumn(
-        "tw", F.sum("w").over(wtot)
-    )
-    picks = []
-    for name, q in [("wp25", 0.25), ("wp50", 0.5), ("wp75", 0.75)]:
-        picks.append(
-            F.min(
-                F.when(F.col("cw") >= F.lit(q) * F.col("tw"), F.col("l_extendedprice"))
-            ).alias(name)
-        )
-    return cum.groupBy("l_returnflag").agg(*picks)
 
 
 def q_active_users(spark: SparkSession, sf: str) -> DataFrame:
@@ -3940,26 +3927,18 @@ def p34_ref_integrity(spark: SparkSession, sf: str) -> DataFrame:
     n = load_table(spark, sf, "nation")
     r = load_table(spark, sf, "region")
 
-    def orphans(fact, fk, dim, pk, edge):
-        cnt = (
-            fact.select(F.col(fk).alias("__k"))
-            .join(dim.select(F.col(pk).alias("__k")), "__k", "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
-        return cnt.select(F.lit(edge).alias("edge"), "n_orphans")
+    from ml_data_pipeline_spark.operators.profiling import orphan_counts
 
-    edges = [
-        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
-        orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"),
-        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"),
-        orphans(o, "o_custkey", c, "c_custkey", "orders->customer"),
-        orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
-        orphans(n, "n_regionkey", r, "r_regionkey", "nation->region"),
-    ]
-    out = edges[0]
-    for e in edges[1:]:
-        out = out.unionByName(e)
-    return out
+    return orphan_counts(
+        [
+            (li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+            (li, "l_partkey", p, "p_partkey", "lineitem->part"),
+            (li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"),
+            (o, "o_custkey", c, "c_custkey", "orders->customer"),
+            (c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+            (n, "n_regionkey", r, "r_regionkey", "nation->region"),
+        ]
+    )
 
 
 def q_revenue_bridge(spark: SparkSession, sf: str) -> DataFrame:

@@ -1086,41 +1086,42 @@ def test_prefix_jaccard_equals_brute_force(spark):
     assert (1, 4) in got and got[(1, 4)] == 1.0
 
 
-def test_weighted_median_hand_computed(spark):
-    from ml_data_pipeline_spark.queries import p33_weighted_median  # gate shape
+def test_weighted_percentiles_hand_computed(spark):
+    from ml_data_pipeline_spark.operators.profiling import weighted_percentiles
 
-    # direct operator check via a tiny frame and the same cum-weight rule
-    from pyspark.sql import Window
-
-    rows = [("A", 10.0, 1.0), ("A", 20.0, 8.0), ("A", 30.0, 1.0)]
+    rows = [("A", 10.0, 1.0), ("A", 20.0, 8.0), ("A", 30.0, 1.0), ("B", 5.0, 2.0)]
     df = spark.createDataFrame(rows, ["g", "v", "w"])
-    per_val = df.groupBy("g", "v").agg(F.sum("w").alias("w"))
-    wcum = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wtot = Window.partitionBy("g")
-    cum = per_val.withColumn("cw", F.sum("w").over(wcum)).withColumn(
-        "tw", F.sum("w").over(wtot)
-    )
-    got = cum.groupBy("g").agg(
-        F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("v"))).alias("wp50")
-    ).collect()[0]
-    # weights 1/8/1: the mass center sits on 20
-    assert got["wp50"] == 20.0
+    got = {
+        r["g"]: r
+        for r in weighted_percentiles(
+            df, "g", "v", "w", {"wp25": 0.25, "wp50": 0.5, "wp75": 0.75}
+        ).collect()
+    }
+    # A weights 1/8/1: every quartile's cumulative mass lands on 20
+    assert (got["A"]["wp25"], got["A"]["wp50"], got["A"]["wp75"]) == (20.0, 20.0, 20.0)
+    assert got["B"]["wp50"] == 5.0  # single-value group
 
 
 def test_revenue_bridge_effects_sum_to_delta(spark):
     from ml_data_pipeline_spark.queries import q_revenue_bridge
 
-    for r in q_revenue_bridge(spark, "/root/testdata/sf0.001").collect():
+    from tests.conftest import SF_SMALL
+
+    for r in q_revenue_bridge(spark, SF_SMALL).collect():
         # exact bridge identity: delta = volume + price (new-volume convention)
         assert abs(r["rev_delta"] - (r["volume_effect"] + r["price_effect"])) < 0.05
 
 
 def test_ref_integrity_counts_planted_orphans(spark):
+    from ml_data_pipeline_spark.operators.profiling import orphan_counts
+
     fact = spark.createDataFrame([(1,), (2,), (99,)], ["fk"])
     dim = spark.createDataFrame([(1,), (2,)], ["pk"])
-    n = (
-        fact.select(F.col("fk").alias("__k"))
-        .join(dim.select(F.col("pk").alias("__k")), "__k", "left_anti")
-        .count()
-    )
-    assert n == 1
+    clean = spark.createDataFrame([(1,), (2,), (99,)], ["pk"])
+    out = {
+        r["edge"]: r["n_orphans"]
+        for r in orphan_counts(
+            [(fact, "fk", dim, "pk", "fact->dim"), (fact, "fk", clean, "pk", "fact->clean")]
+        ).collect()
+    }
+    assert out == {"fact->dim": 1, "fact->clean": 0}

@@ -375,3 +375,71 @@ def rolling_active_users(
         .agg(*aggs)
         .orderBy("day")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator with right-censoring (public
+    statistics, Kaplan & Meier 1958): at each distinct event time t,
+    S(t) = prod over t' <= t of (1 - d_t'/n_t') where d = events at t'
+    and n = subjects still at risk entering t'. Censored subjects leave
+    the risk set without an event — the estimator survival analysis
+    exists for (plain churn rates over-count early droppers).
+
+    Shape: one groupBy to the per-time (d, c) table (time-cardinality-
+    sized), a cumulative window for the risk set, and the running
+    product computed as exp(cumsum(ln)) — the log-space form that is a
+    plain window aggregate. Output rows only at event times (the steps
+    of the KM curve): (t, n_risk, d_events, survival)."""
+    total = df.count()
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = per_t.withColumn(
+        "n_risk", F.lit(total) - F.coalesce(F.sum("leaving").over(w), F.lit(0))
+    )
+    steps = at_risk.where(F.col("d") > 0)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # d == n_risk makes the factor exactly 0 (ln undefined; DuckDB even
+    # raises): survival is an ABSORBING zero from that step on, handled
+    # as an explicit flag with the zero factor excluded from the log sum
+    factor = 1.0 - F.col("d") / F.col("n_risk").cast("double")
+    zero_seen = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(wcum)
+    log_sum = F.sum(F.log(F.nullif(factor, F.lit(0.0)))).over(wcum)
+    surv = steps.withColumn(
+        "survival",
+        F.round(
+            F.when(zero_seen == 1, F.lit(0.0)).otherwise(F.exp(log_sum)), 6
+        ),
+    )
+    return surv.select("t", "n_risk", F.col("d").alias("d_events"), "survival")
+
+
+def max_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Peak concurrent intervals by sweep line: +1 at each start, -1 at
+    each end, running sum over the merged boundary stream, max. Ends
+    sort BEFORE starts at the same instant (half-open [start, end)
+    intervals — back-to-back sessions don't double-count). The classic
+    capacity-planning question (peak concurrent sessions/jobs) in two
+    window functions; per-group when group_col is given."""
+    keys = [group_col] if group_col else []
+    starts = df.select(*keys, F.col(start_col).alias("at"), F.lit(1).alias("delta"))
+    ends = df.select(*keys, F.col(end_col).alias("at"), F.lit(-1).alias("delta"))
+    events = starts.unionByName(ends)
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy("at", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    running = events.withColumn("c", F.sum("delta").over(w))
+    agg_keys = keys if keys else []
+    out = running.groupBy(*agg_keys).agg(F.max("c").alias("max_concurrent"))
+    return out

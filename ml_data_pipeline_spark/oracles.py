@@ -3524,6 +3524,56 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "m30_kaplan_meier": """
+        WITH spans AS (
+            SELECT user_id, min(ts) AS fts, max(ts) AS lts
+            FROM events GROUP BY 1
+        ), ferr AS (
+            SELECT user_id, min(ts) AS ets FROM events
+            WHERE event_type = 'error' GROUP BY 1
+        ), subjects AS (
+            SELECT CAST(floor((epoch_us(coalesce(ets, lts)) - epoch_us(fts))
+                              / 3600000000.0) AS BIGINT) AS duration,
+                   CASE WHEN ets IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM spans LEFT JOIN ferr USING (user_id)
+        ), per_t AS (
+            SELECT duration AS t, CAST(sum(event) AS BIGINT) AS d,
+                   count(*) AS leaving
+            FROM subjects GROUP BY 1
+        ), at_risk AS (
+            SELECT t, d, (SELECT count(*) FROM subjects)
+                   - coalesce(sum(leaving) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+            FROM per_t
+        ), steps AS (SELECT * FROM at_risk WHERE d > 0)
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+               d AS d_events,
+               round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) = 1
+                          THEN 0.0
+                          ELSE exp(sum(ln(nullif(1 - d / CAST(n_risk AS DOUBLE), 0)))
+                               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW))
+                     END, 6) AS survival
+        FROM steps
+    """,
+    "q_max_concurrency": """
+        WITH iv AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   min(ts) AS s, max(ts) + INTERVAL 1 MINUTE AS e
+            FROM events GROUP BY 1, 2
+        ), ev AS (
+            SELECT s AS at, 1 AS delta FROM iv
+            UNION ALL
+            SELECT e, -1 FROM iv
+        )
+        SELECT max(c) AS max_concurrent
+        FROM (SELECT sum(delta) OVER (ORDER BY at, delta
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM ev)
+    """,
     "p34_ref_integrity": """
         SELECT 'lineitem->orders' AS edge,
                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS

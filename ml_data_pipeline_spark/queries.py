@@ -3972,6 +3972,51 @@ def q_revenue_bridge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def m30_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-error curve: duration = whole hours
+    from a user's first event to their first 'error' (the EVENT); users
+    who never error are right-censored at their last activity. Running
+    product in log space — window-ordered cumsum, engine-exact."""
+    from ml_data_pipeline_spark.operators.temporal import kaplan_meier
+
+    ev = load_table(spark, sf, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    first_err = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("err_ts"))
+    )
+    subjects = spans.join(first_err, "user_id", "left").select(
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("err_ts", "last_ts"))
+                - F.unix_micros("first_ts")
+            )
+            / 3600000000.0
+        )
+        .cast("long")
+        .alias("duration"),
+        F.col("err_ts").isNotNull().cast("int").alias("event"),
+    )
+    return kaplan_meier(subjects, "duration", "event")
+
+
+def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent user-day activity intervals (first event to last
+    event + 1 minute, half-open) via the sweep line — ends sort before
+    starts at ties, so back-to-back intervals never double-count."""
+    from ml_data_pipeline_spark.operators.temporal import max_concurrency
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 1 MINUTE")).alias("e"),
+    )
+    return max_concurrency(iv, "s", "e")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4246,6 +4291,8 @@ ALL_QUERIES = {
     "q_active_users": q_active_users,
     "p34_ref_integrity": p34_ref_integrity,
     "q_revenue_bridge": q_revenue_bridge,
+    "m30_kaplan_meier": m30_kaplan_meier,
+    "q_max_concurrency": q_max_concurrency,
 }
 
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a

@@ -221,3 +221,47 @@ def test_rolling_active_users_hand_computed(spark):
     assert out["2024-01-02"]["active_1d"] == 0 and out["2024-01-02"]["active_3d"] == 2
     # nothing past the data's last day
     assert max(out) == "2024-01-05"
+
+
+def test_kaplan_meier_textbook_example(spark):
+    from ml_data_pipeline_spark.operators.temporal import kaplan_meier
+
+    # classic: events at t=1 (1 of 5) and t=3 (1 of 3); censored at 2 and 4;
+    # survivor to 5. S(1) = 4/5; S(3) = 4/5 * 2/3
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)]
+    df = spark.createDataFrame(rows, ["duration", "event"])
+    out = {r["t"]: r for r in kaplan_meier(df, "duration", "event").collect()}
+    assert set(out) == {1, 3}  # steps only at event times
+    assert out[1]["n_risk"] == 5 and out[1]["d_events"] == 1
+    assert out[1]["survival"] == 0.8
+    assert out[3]["n_risk"] == 3
+    assert abs(out[3]["survival"] - 0.8 * (2 / 3)) < 1e-6
+
+
+def test_kaplan_meier_absorbing_zero(spark):
+    from ml_data_pipeline_spark.operators.temporal import kaplan_meier
+
+    # everyone events by t=2: survival hits exactly 0 and stays there
+    rows = [(1, 1), (2, 1), (2, 1)]
+    df = spark.createDataFrame(rows, ["duration", "event"])
+    out = {r["t"]: r["survival"] for r in kaplan_meier(df, "duration", "event").collect()}
+    assert out[1] == round(2 / 3, 6) and out[2] == 0.0
+
+
+def test_max_concurrency_sweep_line(spark):
+    from ml_data_pipeline_spark.operators.temporal import max_concurrency
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 20, 30), ("a", 10, 12),
+        ("b", 0, 1), ("b", 1, 2),  # back-to-back: never concurrent
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "e"])
+    per_g = {
+        r["g"]: r["max_concurrent"]
+        for r in max_concurrency(df, "s", "e", group_col="g").collect()
+    }
+    assert per_g == {"a": 2, "b": 1}  # [5,10) overlaps two; half-open ends
+    total = max_concurrency(df, "s", "e").collect()[0]["max_concurrent"]
+    # globally no instant has 3 open intervals: b's short intervals end
+    # before a's second wave stacks up
+    assert total == 2

@@ -4295,6 +4295,13 @@ ALL_QUERIES = {
     "q_max_concurrency": q_max_concurrency,
 }
 
+# ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver
+# records rows for the FIRST 50 dict entries. After CORRECTNESS_r03 lands,
+# rebuild the priority list as: (1) any r3-priority entry WITHOUT a green
+# r03 row (the overflow past position 50), then (2) the ~42 oracle-backed
+# gates added late in r3 (tx_bpe_pairs .. q_max_concurrency — everything
+# registered after the _R3_PRIORITY block below), then (3) the 15
+# rows-only entries. Keep already-green r1/r2/r3 entries at the back.
 # ---- round-3 rotation (VERDICT r2, next-round item 2): the driver records a
 # CORRECTNESS row for the FIRST 50 dict entries only. 70 registered queries
 # still have no driver row after r1+r2; 55 of them are oracle-backed. Lead

@@ -362,3 +362,50 @@ def random_project(
         )
         cols.append(F.round(dot * scale, 6))
     return df.withColumn(out_col, F.array(*cols))
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Centroid-based silhouette score per label — the clustering-quality
+    metric (simplified silhouette, public ML practice: distances to
+    CENTROIDS rather than all points, which is the form that scales):
+    per point a = ||x - c_own||, b = min over other labels ||x - c_l||,
+    s = (b - a) / max(a, b); reported as the per-label mean and count.
+
+    Cost is linear in points x labels x dims (k centroid distances per
+    point — the exact shape kmeans assignment uses), never point-pairs.
+    One dim-explode aggregate builds the centroids; one (pos)-keyed join
+    computes every point-centroid distance."""
+    dims = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        ),
+    )
+    cent = dims.groupBy(F.col("lbl").alias("clbl"), "pos").agg(
+        F.avg("v").alias("c")
+    )
+    d2 = (
+        dims.join(cent, "pos")
+        .groupBy("id", "lbl", "clbl")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("ss"))
+        .withColumn("dist", F.sqrt("ss"))
+    )
+    per_point = d2.groupBy("id", "lbl").agg(
+        F.min(F.when(F.col("clbl") == F.col("lbl"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clbl") != F.col("lbl"), F.col("dist"))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        per_point.groupBy(F.col("lbl").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), 6).alias("mean_silhouette"),
+        )
+        .orderBy(label_col)
+    )

@@ -3524,6 +3524,27 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "ml_silhouette": """
+        WITH dims AS (
+            SELECT vec_id AS id, label AS lbl, i - 1 AS pos,
+                   CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, unnest(generate_series(1, 64)) AS g(i)
+        ), cent AS (
+            SELECT lbl AS clbl, pos, avg(v) AS c FROM dims GROUP BY 1, 2
+        ), d2 AS (
+            SELECT id, lbl, clbl, sqrt(sum((v - c) * (v - c))) AS dist
+            FROM dims JOIN cent USING (pos)
+            GROUP BY 1, 2, 3
+        ), per_point AS (
+            SELECT id, lbl,
+                   min(CASE WHEN clbl = lbl THEN dist END) AS a,
+                   min(CASE WHEN clbl <> lbl THEN dist END) AS b
+            FROM d2 GROUP BY 1, 2
+        )
+        SELECT lbl AS label, count(*) AS n,
+               round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+        FROM per_point GROUP BY 1 ORDER BY 1
+    """,
     "m30_kaplan_meier": """
         WITH spans AS (
             SELECT user_id, min(ts) AS fts, max(ts) AS lts

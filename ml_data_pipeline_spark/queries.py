@@ -4017,6 +4017,15 @@ def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     return max_concurrency(iv, "s", "e")
 
 
+def ml_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid-based silhouette per embedding label — clustering-quality
+    eval at kmeans-assignment cost (k centroid distances per point,
+    never point-pairs)."""
+    from ml_data_pipeline_spark.operators.similarity import centroid_silhouette
+
+    return centroid_silhouette(load_table(spark, sf, "embeddings"))
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4293,6 +4302,7 @@ ALL_QUERIES = {
     "q_revenue_bridge": q_revenue_bridge,
     "m30_kaplan_meier": m30_kaplan_meier,
     "q_max_concurrency": q_max_concurrency,
+    "ml_silhouette": ml_silhouette,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

@@ -126,3 +126,25 @@ def test_random_project_preserves_distances(spark):
     again = {r["vec_id"]: r["projected"]
              for r in random_project(emb, in_dim=64, out_dim=16).collect()}
     assert all(again[i] == out[i][1] for i in ids)
+
+
+def test_centroid_silhouette_separated_vs_mixed(spark):
+    from ml_data_pipeline_spark.operators.similarity import centroid_silhouette
+
+    # two tight, far-apart clusters -> silhouette near 1 for both
+    rows = []
+    vid = 0
+    for lbl, base in [(0, 0.0), (1, 100.0)]:
+        for i in range(10):
+            rows.append((vid, [base + i * 0.1, base], lbl))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in centroid_silhouette(df).collect()}
+    assert out[0]["n"] == 10 and out[1]["n"] == 10
+    assert out[0]["mean_silhouette"] > 0.95 and out[1]["mean_silhouette"] > 0.95
+
+    # identical distributions under two labels -> silhouette near 0 or below
+    rows2 = [(i, [float(i % 10), 0.0], i % 2) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>, label int")
+    out2 = centroid_silhouette(df2).collect()
+    assert all(r["mean_silhouette"] < 0.2 for r in out2)

@@ -1027,3 +1027,58 @@ def orphan_counts(
     for e in outs[1:]:
         out = out.unionByName(e)
     return out
+
+def normalized_mutual_info(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Normalized mutual information between two labelings (cluster-vs-
+    truth agreement, public clustering-eval practice): NMI = I(A;B) /
+    sqrt(H(A) H(B)), all from ONE contingency-table aggregate — exact
+    entropy algebra over joint counts, the label-permutation-invariant
+    agreement score accuracy can't give. Returns (n, h_a, h_b, mi, nmi)
+    at 6dp; degenerate single-class sides yield NULL nmi via nullif."""
+    joint = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
+        F.count(F.lit(1)).alias("nab")
+    )
+    n = joint.agg(F.sum("nab").alias("n"))
+    na = joint.groupBy("a").agg(F.sum("nab").alias("na"))
+    nb = joint.groupBy("b").agg(F.sum("nab").alias("nb"))
+    j = (
+        joint.join(na, "a")
+        .join(nb, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            (F.col("nab") / F.col("n")).alias("pab"),
+            (F.col("na") / F.col("n")).alias("pa"),
+            (F.col("nb") / F.col("n")).alias("pb"),
+            "n",
+        )
+    )
+    mi = j.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("pab") * F.log(F.col("pab") / (F.col("pa") * F.col("pb")))).alias(
+            "mi"
+        ),
+    )
+    ha = na.crossJoin(F.broadcast(n)).agg(
+        F.sum(-(F.col("na") / F.col("n")) * F.log(F.col("na") / F.col("n"))).alias("h_a")
+    )
+    hb = nb.crossJoin(F.broadcast(n)).agg(
+        F.sum(-(F.col("nb") / F.col("n")) * F.log(F.col("nb") / F.col("n"))).alias("h_b")
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round("h_a", 6).alias("h_a"),
+            F.round("h_b", 6).alias("h_b"),
+            F.round("mi", 6).alias("mi"),
+            F.round(
+                F.col("mi") / F.nullif(F.sqrt(F.col("h_a") * F.col("h_b")), F.lit(0.0)),
+                6,
+            ).alias("nmi"),
+        )
+    )

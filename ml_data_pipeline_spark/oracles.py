@@ -3524,6 +3524,24 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "m31_nmi": """
+        WITH joint AS (
+            SELECT lang AS a, source AS b, count(*) AS nab
+            FROM documents GROUP BY 1, 2
+        ), n AS (SELECT CAST(sum(nab) AS DOUBLE) AS n FROM joint
+        ), na AS (SELECT a, CAST(sum(nab) AS DOUBLE) AS na FROM joint GROUP BY 1
+        ), nb AS (SELECT b, CAST(sum(nab) AS DOUBLE) AS nb FROM joint GROUP BY 1
+        ), mi AS (
+            SELECT sum((nab / n.n) * ln((nab / n.n) / ((na / n.n) * (nb / n.n)))) AS mi
+            FROM joint JOIN na USING (a) JOIN nb USING (b) CROSS JOIN n
+        ), ha AS (SELECT sum(-(na / n.n) * ln(na / n.n)) AS h_a FROM na, n
+        ), hb AS (SELECT sum(-(nb / n.n) * ln(nb / n.n)) AS h_b FROM nb, n)
+        SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+               round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+               round(mi, 6) AS mi,
+               round(mi / nullif(sqrt(h_a * h_b), 0), 6) AS nmi
+        FROM mi, ha, hb
+    """,
     "ml_silhouette": """
         WITH dims AS (
             SELECT vec_id AS id, label AS lbl, i - 1 AS pos,

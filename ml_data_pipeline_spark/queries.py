@@ -4026,6 +4026,15 @@ def ml_silhouette(spark: SparkSession, sf: str) -> DataFrame:
     return centroid_silhouette(load_table(spark, sf, "embeddings"))
 
 
+def m31_nmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized mutual information between the corpus's lang and
+    source labelings — permutation-invariant agreement from one
+    contingency aggregate."""
+    from ml_data_pipeline_spark.operators.profiling import normalized_mutual_info
+
+    return normalized_mutual_info(load_table(spark, sf, "documents"), "lang", "source")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4303,6 +4312,7 @@ ALL_QUERIES = {
     "m30_kaplan_meier": m30_kaplan_meier,
     "q_max_concurrency": q_max_concurrency,
     "ml_silhouette": ml_silhouette,
+    "m31_nmi": m31_nmi,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

@@ -1125,3 +1125,23 @@ def test_ref_integrity_counts_planted_orphans(spark):
         ).collect()
     }
     assert out == {"fact->dim": 1, "fact->clean": 0}
+
+
+def test_nmi_extremes(spark):
+    import math
+
+    from ml_data_pipeline_spark.operators.profiling import normalized_mutual_info
+
+    # identical labelings -> NMI exactly 1
+    same = spark.createDataFrame([(i % 3, i % 3) for i in range(90)], ["a", "b"])
+    r = normalized_mutual_info(same, "a", "b").collect()[0]
+    assert r["nmi"] == 1.0 and abs(r["h_a"] - round(math.log(3), 6)) < 1e-6
+
+    # independent labelings -> NMI ~ 0
+    indep = spark.createDataFrame([(i % 3, i % 5) for i in range(90)], ["a", "b"])
+    r2 = normalized_mutual_info(indep, "a", "b").collect()[0]
+    assert abs(r2["nmi"]) < 1e-6 and r2["mi"] == 0.0
+
+    # single-class side -> explicit NULL nmi
+    degen = spark.createDataFrame([(0, i % 2) for i in range(10)], ["a", "b"])
+    assert normalized_mutual_info(degen, "a", "b").collect()[0]["nmi"] is None

@@ -1082,3 +1082,37 @@ def normalized_mutual_info(
             ).alias("nmi"),
         )
     )
+
+def adjusted_rand_index(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Adjusted Rand Index between two labelings (Hubert & Arabie 1985,
+    public literature) — pair-counting agreement corrected for chance,
+    NMI's combinatorial sibling: ARI = (S - E) / (M - E) with
+    S = sum C(n_ij,2), E = sum C(a_i,2) * sum C(b_j,2) / C(n,2),
+    M = (sum C(a_i,2) + sum C(b_j,2)) / 2. Everything is exact integer
+    pair counts from one contingency aggregate; the two divisions happen
+    once at the end. Identical partitions -> 1; independent -> ~0."""
+    joint = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
+        F.count(F.lit(1)).alias("nab")
+    )
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("double")  # noqa: E731
+    s = joint.agg(F.sum(c2("nab")).alias("s"), F.sum("nab").alias("n"))
+    sa = (
+        joint.groupBy("a")
+        .agg(F.sum("nab").alias("na"))
+        .agg(F.sum(c2("na")).alias("sa"))
+    )
+    sb = (
+        joint.groupBy("b")
+        .agg(F.sum("nab").alias("nb"))
+        .agg(F.sum(c2("nb")).alias("sb"))
+    )
+    j = s.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    cn2 = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    e = F.col("sa") * F.col("sb") / cn2
+    m = (F.col("sa") + F.col("sb")) / 2
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("s") - e) / F.nullif(m - e, F.lit(0.0)), 6
+        ).alias("ari"),
+    )

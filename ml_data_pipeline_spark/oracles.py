@@ -3524,6 +3524,28 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "m32_ari": """
+        WITH joint AS (
+            SELECT lang AS a, source AS b, count(*) AS nab
+            FROM documents GROUP BY 1, 2
+        ), s AS (
+            SELECT CAST(sum(nab * (nab - 1) / 2) AS DOUBLE) AS s,
+                   CAST(sum(nab) AS BIGINT) AS n
+            FROM joint
+        ), sa AS (
+            SELECT CAST(sum(na * (na - 1) / 2) AS DOUBLE) AS sa
+            FROM (SELECT sum(nab) AS na FROM joint GROUP BY a)
+        ), sb AS (
+            SELECT CAST(sum(nb * (nb - 1) / 2) AS DOUBLE) AS sb
+            FROM (SELECT sum(nab) AS nb FROM joint GROUP BY b)
+        )
+        SELECT n,
+               round((s - sa * sb / (CAST(n AS DOUBLE) * (n - 1) / 2))
+                     / nullif((sa + sb) / 2
+                              - sa * sb / (CAST(n AS DOUBLE) * (n - 1) / 2), 0),
+                     6) AS ari
+        FROM s, sa, sb
+    """,
     "m31_nmi": """
         WITH joint AS (
             SELECT lang AS a, source AS b, count(*) AS nab

@@ -4035,6 +4035,15 @@ def m31_nmi(spark: SparkSession, sf: str) -> DataFrame:
     return normalized_mutual_info(load_table(spark, sf, "documents"), "lang", "source")
 
 
+def m32_ari(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjusted Rand Index between lang and source labelings — the
+    chance-corrected pair-counting twin of m31's NMI, exact integer
+    combinatorics from the same contingency table."""
+    from ml_data_pipeline_spark.operators.profiling import adjusted_rand_index
+
+    return adjusted_rand_index(load_table(spark, sf, "documents"), "lang", "source")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4313,6 +4322,7 @@ ALL_QUERIES = {
     "q_max_concurrency": q_max_concurrency,
     "ml_silhouette": ml_silhouette,
     "m31_nmi": m31_nmi,
+    "m32_ari": m32_ari,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

@@ -1145,3 +1145,22 @@ def test_nmi_extremes(spark):
     # single-class side -> explicit NULL nmi
     degen = spark.createDataFrame([(0, i % 2) for i in range(10)], ["a", "b"])
     assert normalized_mutual_info(degen, "a", "b").collect()[0]["nmi"] is None
+
+
+def test_ari_extremes_match_sklearn_semantics(spark):
+    from ml_data_pipeline_spark.operators.profiling import adjusted_rand_index
+
+    # identical partitions (under renamed labels) -> ARI exactly 1
+    same = spark.createDataFrame([(i % 3, (i % 3) * 10) for i in range(60)], ["a", "b"])
+    assert adjusted_rand_index(same, "a", "b").collect()[0]["ari"] == 1.0
+
+    # perfectly uniform joint -> slightly BELOW chance (hand-computed:
+    # S=225, E=1305*765/4005, M=1035 -> ARI = -0.030888), not exactly 0
+    indep = spark.createDataFrame([(i % 3, i % 5) for i in range(90)], ["a", "b"])
+    assert adjusted_rand_index(indep, "a", "b").collect()[0]["ari"] == -0.030888
+
+    # hand-computed small case: a=[0,0,1,1], b=[0,1,0,1] -> ARI = -0.5
+    tiny = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], ["a", "b"]
+    )
+    assert adjusted_rand_index(tiny, "a", "b").collect()[0]["ari"] == -0.5

@@ -409,3 +409,58 @@ def centroid_silhouette(
         )
         .orderBy(label_col)
     )
+
+
+def davies_bouldin(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Davies-Bouldin index (1979, public literature) for a labeled
+    embedding set: DB = mean over clusters i of max_{j != i}
+    (s_i + s_j) / d_ij, with s = mean point-to-own-centroid distance and
+    d = centroid-centroid distance. Lower is better-separated —
+    centroid_silhouette's classical companion, and cheaper still: after
+    the per-cluster scatter aggregate everything is k x k arithmetic.
+
+    One dim-explode aggregate for centroids, one distance aggregate for
+    scatters (both assignment-cost), then the k^2 ratio table — tiny at
+    any data scale. Output: one row (n_clusters, db_index)."""
+    dims = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        ),
+    )
+    cent = dims.groupBy(F.col("lbl").alias("clbl"), "pos").agg(F.avg("v").alias("c"))
+    own = (
+        dims.join(
+            cent,
+            (dims["lbl"] == cent["clbl"]) & (dims["pos"] == cent["pos"]),
+        )
+        .groupBy("id", "lbl")
+        .agg(F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("d"))
+    )
+    scatter = own.groupBy("lbl").agg(F.avg("d").alias("s"))
+    ca = cent.select(F.col("clbl").alias("la"), "pos", F.col("c").alias("va"))
+    cb = cent.select(F.col("clbl").alias("lb"), "pos", F.col("c").alias("vb"))
+    cdist = (
+        ca.join(cb, "pos")
+        .where(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sqrt(F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))).alias("dij"))
+    )
+    sa = scatter.select(F.col("lbl").alias("la"), F.col("s").alias("si"))
+    sb = scatter.select(F.col("lbl").alias("lb"), F.col("s").alias("sj"))
+    ratios = (
+        cdist.join(sa, "la")
+        .join(sb, "lb")
+        .select("la", ((F.col("si") + F.col("sj")) / F.col("dij")).alias("r"))
+    )
+    per_cluster = ratios.groupBy("la").agg(F.max("r").alias("rmax"))
+    return per_cluster.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.round(F.avg("rmax"), 6).alias("db_index"),
+    )

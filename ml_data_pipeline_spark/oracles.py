@@ -3524,6 +3524,34 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "ml_davies_bouldin": """
+        WITH dims AS (
+            SELECT vec_id AS id, label AS lbl, i - 1 AS pos,
+                   CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, unnest(generate_series(1, 64)) AS g(i)
+        ), cent AS (
+            SELECT lbl AS clbl, pos, avg(v) AS c FROM dims GROUP BY 1, 2
+        ), own AS (
+            SELECT d.id, d.lbl, sqrt(sum((d.v - c.c) * (d.v - c.c))) AS dist
+            FROM dims d JOIN cent c ON c.clbl = d.lbl AND c.pos = d.pos
+            GROUP BY 1, 2
+        ), scatter AS (
+            SELECT lbl, avg(dist) AS s FROM own GROUP BY 1
+        ), cdist AS (
+            SELECT a.clbl AS la, b.clbl AS lb,
+                   sqrt(sum((a.c - b.c) * (a.c - b.c))) AS dij
+            FROM cent a JOIN cent b ON a.pos = b.pos AND a.clbl <> b.clbl
+            GROUP BY 1, 2
+        ), ratios AS (
+            SELECT la, max((sa.s + sb.s) / dij) AS rmax
+            FROM cdist
+            JOIN scatter sa ON sa.lbl = la
+            JOIN scatter sb ON sb.lbl = lb
+            GROUP BY 1
+        )
+        SELECT count(*) AS n_clusters, round(avg(rmax), 6) AS db_index
+        FROM ratios
+    """,
     "m32_ari": """
         WITH joint AS (
             SELECT lang AS a, source AS b, count(*) AS nab

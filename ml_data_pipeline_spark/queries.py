@@ -4044,6 +4044,15 @@ def m32_ari(spark: SparkSession, sf: str) -> DataFrame:
     return adjusted_rand_index(load_table(spark, sf, "documents"), "lang", "source")
 
 
+def ml_davies_bouldin(spark: SparkSession, sf: str) -> DataFrame:
+    """Davies-Bouldin separation index over the labeled embeddings —
+    silhouette's classical companion, k^2 arithmetic after two
+    assignment-cost aggregates."""
+    from ml_data_pipeline_spark.operators.similarity import davies_bouldin
+
+    return davies_bouldin(load_table(spark, sf, "embeddings"))
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4323,6 +4332,7 @@ ALL_QUERIES = {
     "ml_silhouette": ml_silhouette,
     "m31_nmi": m31_nmi,
     "m32_ari": m32_ari,
+    "ml_davies_bouldin": ml_davies_bouldin,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

@@ -148,3 +148,23 @@ def test_centroid_silhouette_separated_vs_mixed(spark):
     df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>, label int")
     out2 = centroid_silhouette(df2).collect()
     assert all(r["mean_silhouette"] < 0.2 for r in out2)
+
+
+def test_davies_bouldin_lower_for_separated_clusters(spark):
+    from ml_data_pipeline_spark.operators.similarity import davies_bouldin
+
+    def blobs(gap):
+        rows, vid = [], 0
+        for lbl, base in [(0, 0.0), (1, gap)]:
+            for i in range(10):
+                rows.append((vid, [base + i * 0.1, base], lbl))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    far = davies_bouldin(blobs(100.0)).collect()[0]
+    near = davies_bouldin(blobs(2.0)).collect()[0]
+    assert far["n_clusters"] == 2 and near["n_clusters"] == 2
+    assert far["db_index"] < near["db_index"]  # separation lowers DB
+    assert far["db_index"] < 0.05  # tight clusters 100 apart -> tiny index

@@ -3524,6 +3524,48 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "pipe_training_frame": """
+        WITH past AS (
+            SELECT user_id, count(*) AS n_events,
+                   date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-20')
+                       AS days_since_last,
+                   date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                       AS active_span_days
+            FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY 1
+        ), fut AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+              AND ts < TIMESTAMP '2024-01-27 00:00:00'
+        ), behav AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchases,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value
+                                  ELSE 0.0 END), 6) AS purchase_value
+            FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY 1
+        ), lo AS (
+            SELECT o_custkey AS user_id,
+                   first(o_totalprice ORDER BY
+                         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                             * 1000000000 + o_orderkey DESC) AS last_order_price
+            FROM orders WHERE o_orderdate < DATE '2024-01-20'
+            GROUP BY 1
+        )
+        SELECT p.user_id,
+               p.n_events,
+               CAST(p.days_since_last AS INT) AS days_since_last,
+               CAST(p.active_span_days AS INT) AS active_span_days,
+               coalesce(b.n_purchases, 0) AS n_purchases,
+               coalesce(b.purchase_value, 0.0) AS purchase_value,
+               lo.last_order_price,
+               f.user_id IS NULL AS churned
+        FROM past p
+        LEFT JOIN fut f ON p.user_id = f.user_id
+        LEFT JOIN behav b ON p.user_id = b.user_id
+        LEFT JOIN lo ON p.user_id = lo.user_id
+    """,
     "ml_davies_bouldin": """
         WITH dims AS (
             SELECT vec_id AS id, label AS lbl, i - 1 AS pos,

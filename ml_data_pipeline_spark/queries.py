@@ -4053,6 +4053,69 @@ def ml_davies_bouldin(spark: SparkSession, sf: str) -> DataFrame:
     return davies_bouldin(load_table(spark, sf, "embeddings"))
 
 
+def pipe_training_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time training-frame assembly — the feature-store
+    workflow: churn labels (temporal wall at 2024-01-20, 7-day horizon)
+    joined with strictly-pre-cutoff behavioral features (purchase
+    counts/value) and the latest-before-cutoff order amount per user
+    (golden-record max-by on a recency key). Every source column
+    respects the same cutoff; the oracle replays the whole frame."""
+    from ml_data_pipeline_spark.operators.temporal import churn_labels, golden_record
+
+    ev = load_table(spark, sf, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    labels = churn_labels(
+        ev.select("user_id", "ts"), "user_id", "ts", "2024-01-20 00:00:00", 7
+    )
+    behav = (
+        ev.where(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("purchase_value"),
+        )
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderdate") < F.lit("2024-01-20").cast("date"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            (
+                F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast(
+                    "long"
+                )
+                * F.lit(1000000000)
+                + F.col("o_orderkey")
+            ).alias("rec_key"),
+            F.col("o_totalprice").alias("last_order_price"),
+        )
+    )
+    last_order = golden_record(o, "user_id", "rec_key", ["last_order_price"])
+    return (
+        labels.join(behav, "user_id", "left")
+        .join(last_order, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "days_since_last",
+            "active_span_days",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+            "last_order_price",
+            "churned",
+        )
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4333,6 +4396,7 @@ ALL_QUERIES = {
     "m31_nmi": m31_nmi,
     "m32_ari": m32_ari,
     "ml_davies_bouldin": ml_davies_bouldin,
+    "pipe_training_frame": pipe_training_frame,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

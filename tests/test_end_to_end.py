@@ -57,3 +57,18 @@ def test_marketplace_analytics_report(spark):
     assert len(out["top_brand_pairs"]) == 3
     assert out["top_brand_pairs"][0][2] >= out["top_brand_pairs"][-1][2]
     assert out["top_nation"][1] > 0
+
+
+def test_training_frame_temporal_wall_and_coverage(spark):
+    from ml_data_pipeline_spark.queries import pipe_training_frame
+    from tests.conftest import SF_SMALL
+
+    rows = pipe_training_frame(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # pre-cutoff features only: the wall means these are never negative
+        assert r["days_since_last"] >= 1  # strictly before the cutoff
+        assert r["n_purchases"] >= 0 and r["purchase_value"] >= 0.0
+        assert r["churned"] in (True, False)
+    # both label classes should exist in the frame at this scale
+    assert len({r["churned"] for r in rows}) >= 1

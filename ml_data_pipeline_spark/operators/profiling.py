@@ -1107,8 +1107,11 @@ def adjusted_rand_index(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .agg(F.sum(c2("nb")).alias("sb"))
     )
     j = s.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
-    cn2 = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
-    e = F.col("sa") * F.col("sb") / cn2
+    # double-space C(n,2): long n*(n-1) overflows (ANSI raises) past
+    # ~3e9 rows where the oracle's CAST-first form does not; nullif
+    # guards the n <= 1 degenerate instead of a DIVIDE_BY_ZERO crash
+    cn2 = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    e = F.col("sa") * F.col("sb") / F.nullif(cn2, F.lit(0.0))
     m = (F.col("sa") + F.col("sb")) / 2
     return j.select(
         F.col("n").cast("long").alias("n"),

@@ -400,7 +400,9 @@ def centroid_silhouette(
         F.min(F.when(F.col("clbl") == F.col("lbl"), F.col("dist"))).alias("a"),
         F.min(F.when(F.col("clbl") != F.col("lbl"), F.col("dist"))).alias("b"),
     )
-    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    # degenerate points (identical across labels -> a == b == 0) yield
+    # explicit NULL instead of an ANSI DIVIDE_BY_ZERO crash; avg skips them
+    s = (F.col("b") - F.col("a")) / F.nullif(F.greatest("a", "b"), F.lit(0.0))
     return (
         per_point.groupBy(F.col("lbl").alias(label_col))
         .agg(
@@ -457,7 +459,11 @@ def davies_bouldin(
     ratios = (
         cdist.join(sa, "la")
         .join(sb, "lb")
-        .select("la", ((F.col("si") + F.col("sj")) / F.col("dij")).alias("r"))
+        # coincident centroids (dij = 0) yield NULL ratios, not a crash
+        .select(
+            "la",
+            ((F.col("si") + F.col("sj")) / F.nullif(F.col("dij"), F.lit(0.0))).alias("r"),
+        )
     )
     per_cluster = ratios.groupBy("la").agg(F.max("r").alias("rmax"))
     return per_cluster.agg(

@@ -394,15 +394,15 @@ def kaplan_meier(
     product computed as exp(cumsum(ln)) — the log-space form that is a
     plain window aggregate. Output rows only at event times (the steps
     of the KM curve): (t, n_risk, d_events, survival)."""
-    total = df.count()
     per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
         F.sum(F.col(event_col).cast("long")).alias("d"),
         F.count(F.lit(1)).alias("leaving"),
     )
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    at_risk = per_t.withColumn(
-        "n_risk", F.lit(total) - F.coalesce(F.sum("leaving").over(w), F.lit(0))
-    )
+    # n_risk = subjects leaving at or after t — a reverse window sum over
+    # the tiny per-time table, so no eager df.count() action runs the
+    # upstream plan twice (review pass r3)
+    w = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    at_risk = per_t.withColumn("n_risk", F.sum("leaving").over(w))
     steps = at_risk.where(F.col("d") > 0)
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     # d == n_risk makes the factor exactly 0 (ln undefined; DuckDB even
@@ -436,10 +436,8 @@ def max_concurrency(
     starts = df.select(*keys, F.col(start_col).alias("at"), F.lit(1).alias("delta"))
     ends = df.select(*keys, F.col(end_col).alias("at"), F.lit(-1).alias("delta"))
     events = starts.unionByName(ends)
-    w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy()
-    ).orderBy("at", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(*keys).orderBy("at", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     running = events.withColumn("c", F.sum("delta").over(w))
-    agg_keys = keys if keys else []
-    out = running.groupBy(*agg_keys).agg(F.max("c").alias("max_concurrent"))
-    return out
+    return running.groupBy(*keys).agg(F.max("c").alias("max_concurrent"))

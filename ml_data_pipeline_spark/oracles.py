@@ -3334,7 +3334,7 @@ ALL_ORACLES: dict[str, str] = {
         WITH o AS (
             SELECT o_custkey,
                    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
-                       * 1000000000 + o_orderkey AS rec_key,
+                       * 10000000000000 + o_orderkey AS rec_key,
                    o_orderstatus AS last_status,
                    CASE WHEN o_totalprice > 250000 THEN o_orderpriority END
                        AS last_hi_priority,
@@ -3549,7 +3549,7 @@ ALL_ORACLES: dict[str, str] = {
             SELECT o_custkey AS user_id,
                    first(o_totalprice ORDER BY
                          date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
-                             * 1000000000 + o_orderkey DESC) AS last_order_price
+                             * 10000000000000 + o_orderkey DESC) AS last_order_price
             FROM orders WHERE o_orderdate < DATE '2024-01-20'
             GROUP BY 1
         )

@@ -3510,7 +3510,7 @@ def pipe_golden_record(spark: SparkSession, sf: str) -> DataFrame:
             F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast(
                 "long"
             )
-            * F.lit(1000000000)
+            * F.lit(10_000_000_000_000)
             + F.col("o_orderkey")
         ).alias("rec_key"),
         F.col("o_orderstatus").alias("last_status"),
@@ -4093,7 +4093,7 @@ def pipe_training_frame(spark: SparkSession, sf: str) -> DataFrame:
                 F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast(
                     "long"
                 )
-                * F.lit(1000000000)
+                * F.lit(10_000_000_000_000)
                 + F.col("o_orderkey")
             ).alias("rec_key"),
             F.col("o_totalprice").alias("last_order_price"),

@@ -70,5 +70,21 @@ def test_training_frame_temporal_wall_and_coverage(spark):
         assert r["days_since_last"] >= 1  # strictly before the cutoff
         assert r["n_purchases"] >= 0 and r["purchase_value"] >= 0.0
         assert r["churned"] in (True, False)
-    # both label classes should exist in the frame at this scale
-    assert len({r["churned"] for r in rows}) >= 1
+    # independent label recomputation: churned <=> no event in the horizon
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    future_users = {
+        r["user_id"]
+        for r in ev.where(
+            (F.col("ts") >= F.lit("2024-01-20").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-27").cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r["churned"] == (r["user_id"] not in future_users)

@@ -1164,3 +1164,11 @@ def test_ari_extremes_match_sklearn_semantics(spark):
         [(0, 0), (0, 1), (1, 0), (1, 1)], ["a", "b"]
     )
     assert adjusted_rand_index(tiny, "a", "b").collect()[0]["ari"] == -0.5
+
+
+def test_ari_degenerate_single_row_null(spark):
+    from ml_data_pipeline_spark.operators.profiling import adjusted_rand_index
+
+    one = spark.createDataFrame([(0, 0)], ["a", "b"])
+    r = adjusted_rand_index(one, "a", "b").collect()[0]
+    assert r["n"] == 1 and r["ari"] is None  # C(1,2)=0 -> explicit NULL

@@ -168,3 +168,19 @@ def test_davies_bouldin_lower_for_separated_clusters(spark):
     assert far["n_clusters"] == 2 and near["n_clusters"] == 2
     assert far["db_index"] < near["db_index"]  # separation lowers DB
     assert far["db_index"] < 0.05  # tight clusters 100 apart -> tiny index
+
+
+def test_silhouette_and_db_degenerate_no_crash(spark):
+    from ml_data_pipeline_spark.operators.similarity import (
+        centroid_silhouette,
+        davies_bouldin,
+    )
+
+    # identical points under two labels: coincident centroids and 0/0
+    # silhouettes must yield NULLs, not an ANSI DIVIDE_BY_ZERO crash
+    rows = [(i, [1.0, 2.0], i % 2) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sil = centroid_silhouette(df).collect()
+    assert len(sil) == 2 and all(r["mean_silhouette"] is None for r in sil)
+    db = davies_bouldin(df).collect()[0]
+    assert db["n_clusters"] == 2 and db["db_index"] is None

@@ -316,3 +316,54 @@ def time_series_cv_ols(
     return fit.join(mae, "origin", "left").select(
         "origin", "n_train", "n_valid", "slope", "intercept", "valid_mae"
     )
+
+
+def best_gini_split(
+    df,
+    feature_col: str,
+    label_col: str,
+):
+    """Exact decision-stump learning / split-quality screening: the
+    threshold of `feature_col` minimizing weighted Gini impurity of the
+    binary `label_col` — the inner step of tree induction and the
+    screening score feature selectors use, computed for EVERY candidate
+    threshold in one pass: per-value (n, positives) aggregate, cumulative
+    windows for the left partition, arithmetic for both Gini sides, and
+    an argmin with (gini, threshold) tie-break. All counts are exact
+    integers; the impurities are single IEEE expressions over them, so
+    the whole scan is engine-replayable. Thresholds are 'split at
+    <= value'; the maximum value is excluded (its split leaves the right
+    side empty)."""
+    from pyspark.sql import Window, functions as F
+
+    per_v = df.groupBy(F.col(feature_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (
+        per_v.withColumn("nl", F.sum("n").over(w))
+        .withColumn("pl", F.sum("pos").over(w))
+        .withColumn("nt", F.sum("n").over(wall))
+        .withColumn("pt", F.sum("pos").over(wall))
+        .where(F.col("nl") < F.col("nt"))  # rightmost split excluded
+    )
+    nl = F.col("nl").cast("double")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    pl = F.col("pl").cast("double")
+    pr = (F.col("pt") - F.col("pl")).cast("double")
+    gini_l = 1.0 - F.pow(pl / nl, 2) - F.pow(1.0 - pl / nl, 2)
+    gini_r = 1.0 - F.pow(pr / nr, 2) - F.pow(1.0 - pr / nr, 2)
+    weighted = (nl * gini_l + nr * gini_r) / F.col("nt").cast("double")
+    scored = cum.select(
+        F.col("v").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        (F.col("nt") - F.col("nl")).alias("n_right"),
+        F.round(weighted, 6).alias("gini"),
+    )
+    best = scored.withColumn(
+        "__rk",
+        F.row_number().over(Window.orderBy(F.asc("gini"), F.asc("threshold"))),
+    )
+    return best.where(F.col("__rk") == 1).drop("__rk")

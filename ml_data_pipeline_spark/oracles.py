@@ -3524,6 +3524,37 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "m33_best_split": """
+        WITH per_v AS (
+            SELECT l_quantity AS v, count(*) AS n,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos
+            FROM lineitem GROUP BY 1
+        ), cum AS (
+            SELECT v,
+                   sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS nl,
+                   sum(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS pl,
+                   sum(n) OVER () AS nt,
+                   sum(pos) OVER () AS pt
+            FROM per_v
+        ), scored AS (
+            SELECT v AS threshold,
+                   CAST(nl AS BIGINT) AS n_left,
+                   CAST(nt - nl AS BIGINT) AS n_right,
+                   round((CAST(nl AS DOUBLE)
+                          * (1 - pow(CAST(pl AS DOUBLE) / nl, 2)
+                               - pow(1 - CAST(pl AS DOUBLE) / nl, 2))
+                          + CAST(nt - nl AS DOUBLE)
+                          * (1 - pow(CAST(pt - pl AS DOUBLE) / (nt - nl), 2)
+                               - pow(1 - CAST(pt - pl AS DOUBLE) / (nt - nl), 2)))
+                         / CAST(nt AS DOUBLE), 6) AS gini
+            FROM cum WHERE nl < nt
+        )
+        SELECT threshold, n_left, n_right, gini
+        FROM scored ORDER BY gini ASC, threshold ASC LIMIT 1
+    """,
     "pipe_training_frame": """
         WITH past AS (
             SELECT user_id, count(*) AS n_events,

@@ -4116,6 +4116,18 @@ def pipe_training_frame(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def m33_best_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact decision-stump split of l_quantity predicting returned
+    lines (l_returnflag = 'R') — every candidate threshold scored by
+    weighted Gini in one pass, argmin with deterministic tie-break."""
+    from ml_data_pipeline_spark.ml.tuning import best_gini_split
+
+    li = _li(spark, sf).select(
+        "l_quantity", (F.col("l_returnflag") == "R").cast("int").alias("y")
+    )
+    return best_gini_split(li, "l_quantity", "y")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4397,6 +4409,7 @@ ALL_QUERIES = {
     "m32_ari": m32_ari,
     "ml_davies_bouldin": ml_davies_bouldin,
     "pipe_training_frame": pipe_training_frame,
+    "m33_best_split": m33_best_split,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

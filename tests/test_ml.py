@@ -442,3 +442,20 @@ def test_time_series_cv_keeps_empty_folds(spark):
     far = out["2025-01-01"]
     assert far["n_valid"] == 0 and far["valid_mae"] is None
     assert far["n_train"] == 19
+
+
+def test_best_gini_split_hand_computed(spark):
+    from ml_data_pipeline_spark.ml.tuning import best_gini_split
+
+    # feature separates labels perfectly at <= 2: gini 0
+    rows = [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = best_gini_split(df, "x", "y").collect()[0]
+    assert r["threshold"] == 2.0 and r["gini"] == 0.0
+    assert r["n_left"] == 2 and r["n_right"] == 2
+
+    # no signal: every split leaves mixed halves; tie-break picks the
+    # smallest threshold among the equal-gini candidates
+    flat = spark.createDataFrame([(float(i), i % 2) for i in range(8)], ["x", "y"])
+    r2 = best_gini_split(flat, "x", "y").collect()[0]
+    assert r2["gini"] > 0.3

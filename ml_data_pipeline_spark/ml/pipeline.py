@@ -736,3 +736,39 @@ def binary_classification_report(
         F.round(mcc, 6).alias("mcc"),
         F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias("cohens_kappa"),
     )
+
+
+def best_f1_threshold(df, label_col: str, score_col: str):
+    """Operating-point selection: the score threshold maximizing F1 when
+    predicting positive at score >= t — the deployment decision every
+    classifier needs after calibration. Candidates are the distinct
+    scores (predicting at each observed value); TP/FP come from
+    cumulative counts over the score-sorted aggregate (same
+    aggregate-then-window shape as roc_points above), all exact integer
+    counts until the final F1 division. Ties on F1 break toward the
+    HIGHER threshold (fewer flagged rows for the same F1 — the
+    conservative operating point), then deterministic everywhere."""
+    per = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col(label_col).cast("long")).alias("p"),
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per.withColumn("tp", F.sum("p").over(w)).withColumn(
+        "fp", F.sum(F.col("c") - F.col("p")).over(w)
+    ).withColumn("pos", F.sum("p").over(wall))
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = (F.col("pos") - F.col("tp")).cast("double")
+    f1 = 2 * tp / F.nullif(2 * tp + fp + fn, F.lit(0.0))
+    scored = cum.select(
+        F.col("s").alias("threshold"),
+        F.col("tp"),
+        F.col("fp"),
+        (F.col("pos") - F.col("tp")).alias("fn"),
+        F.round(f1, 6).alias("f1"),
+    )
+    best = scored.withColumn(
+        "__rk", F.row_number().over(Window.orderBy(F.desc("f1"), F.desc("threshold")))
+    )
+    return best.where(F.col("__rk") == 1).drop("__rk")

@@ -3524,6 +3524,35 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "m34_best_f1": """
+        WITH base AS (
+            SELECT CAST(c_acctbal > 0 AS INT) AS y,
+                   ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                     + (c_custkey % 1000) * 100) // 120) / 20000.0 AS s
+            FROM customer
+        ), per AS (
+            SELECT s, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+            FROM base GROUP BY s
+        ), cum AS (
+            SELECT s,
+                   sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS tp,
+                   sum(c - p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) AS fp,
+                   sum(p) OVER () AS pos
+            FROM per
+        ), scored AS (
+            SELECT s AS threshold,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(pos - tp AS BIGINT) AS fn,
+                   round(2 * CAST(tp AS DOUBLE)
+                         / nullif(2 * CAST(tp AS DOUBLE) + fp + (pos - tp), 0),
+                         6) AS f1
+            FROM cum
+        )
+        SELECT threshold, tp, fp, fn, f1
+        FROM scored ORDER BY f1 DESC, threshold DESC LIMIT 1
+    """,
     "m33_best_split": """
         WITH per_v AS (
             SELECT l_quantity AS v, count(*) AS n,

@@ -4128,6 +4128,15 @@ def m33_best_split(spark: SparkSession, sf: str) -> DataFrame:
     return best_gini_split(li, "l_quantity", "y")
 
 
+def m34_best_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-F1 operating point over the m18 score base — cumulative
+    TP/FP over the score-sorted aggregate, exact counts, conservative
+    (higher-threshold) tie-break."""
+    from ml_data_pipeline_spark.ml.pipeline import best_f1_threshold
+
+    return best_f1_threshold(_auc_base(spark, sf), "y", "s")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4410,6 +4419,7 @@ ALL_QUERIES = {
     "ml_davies_bouldin": ml_davies_bouldin,
     "pipe_training_frame": pipe_training_frame,
     "m33_best_split": m33_best_split,
+    "m34_best_f1": m34_best_f1,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

@@ -459,3 +459,18 @@ def test_best_gini_split_hand_computed(spark):
     flat = spark.createDataFrame([(float(i), i % 2) for i in range(8)], ["x", "y"])
     r2 = best_gini_split(flat, "x", "y").collect()[0]
     assert r2["gini"] > 0.3
+
+
+def test_best_f1_threshold_hand_computed(spark):
+    from ml_data_pipeline_spark.ml.pipeline import best_f1_threshold
+
+    # scores rank positives above negatives except one inversion:
+    # y:    1    1    0    1    0    0
+    # s:   .9   .8   .7   .6   .5   .4
+    rows = [(1, 0.9), (1, 0.8), (0, 0.7), (1, 0.6), (0, 0.5), (0, 0.4)]
+    df = spark.createDataFrame(rows, ["y", "s"])
+    r = best_f1_threshold(df, "y", "s").collect()[0]
+    # t=.6: tp=3 fp=1 fn=0 -> f1 = 6/7 = .857143 (best); t=.8: 4/5 = .8
+    assert r["threshold"] == 0.6
+    assert (r["tp"], r["fp"], r["fn"]) == (3, 1, 0)
+    assert abs(r["f1"] - round(6 / 7, 6)) < 1e-6

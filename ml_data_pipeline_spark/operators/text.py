@@ -1000,3 +1000,48 @@ def vocab_coverage(
         )
         .orderBy("vocab_size")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty in ingestion order: the fraction of a doc's
+    distinct n-grams whose FIRST corpus occurrence (minimum doc id) is
+    this doc — the 'how much new content does each batch add' curve that
+    drives incremental-crawl budgeting. A near-duplicate of earlier
+    material scores ~0; genuinely new text scores ~1.
+
+    One inverted-index aggregate (gram -> min doc id, the same index
+    family the contamination/boilerplate gates build) joined back to the
+    per-doc gram sets; docs with no n-grams (shorter than n tokens)
+    report 0 of 0 via the left join."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_distinct_word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_id") == F.col("id")).cast("long")).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.col("n_novel")
+                / F.nullif(F.coalesce("n_grams", F.lit(0)).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -3524,6 +3524,37 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "tx_novelty": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> len(x) > 0) AS tk
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, unnest(gs) AS g
+            FROM (SELECT doc_id,
+                         CASE WHEN len(tk) >= 3 THEN
+                             list_distinct(list_transform(range(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                         ELSE [] END AS gs
+                  FROM toks)
+        ), first_seen AS (
+            SELECT g, min(doc_id) AS first_id FROM grams GROUP BY 1
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM grams JOIN first_seen USING (g)
+            GROUP BY 1
+        )
+        SELECT d.doc_id AS id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.n_novel, 0) AS n_novel,
+               round(coalesce(p.n_novel, 0)
+                     / nullif(CAST(coalesce(p.n_grams, 0) AS DOUBLE), 0),
+                     6) AS novelty
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "m34_best_f1": """
         WITH base AS (
             SELECT CAST(c_acctbal > 0 AS INT) AS y,

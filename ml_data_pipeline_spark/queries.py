@@ -4137,6 +4137,14 @@ def m34_best_f1(spark: SparkSession, sf: str) -> DataFrame:
     return best_f1_threshold(_auc_base(spark, sf), "y", "s")
 
 
+def tx_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc 3-gram novelty in doc-id order — the incremental-crawl
+    budgeting curve (near-dups of earlier material score ~0)."""
+    from ml_data_pipeline_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf, "documents"), n=3)
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4420,6 +4428,7 @@ ALL_QUERIES = {
     "pipe_training_frame": pipe_training_frame,
     "m33_best_split": m33_best_split,
     "m34_best_f1": m34_best_f1,
+    "tx_novelty": tx_novelty,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

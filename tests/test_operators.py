@@ -1172,3 +1172,20 @@ def test_ari_degenerate_single_row_null(spark):
     one = spark.createDataFrame([(0, 0)], ["a", "b"])
     r = adjusted_rand_index(one, "a", "b").collect()[0]
     assert r["n"] == 1 and r["ari"] is None  # C(1,2)=0 -> explicit NULL
+
+
+def test_ngram_novelty_order_and_dup(spark):
+    from ml_data_pipeline_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),          # 2 grams, both first-seen -> novelty 1
+        (2, "a b c d"),          # exact dup of doc 1 -> novelty 0
+        (3, "a b c x y z"),      # 4 grams, 'a b c' seen -> 3/4 novel
+        (4, "x"),                # too short: 0 grams, null novelty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["novelty"] == 1.0 and out[1]["n_grams"] == 2
+    assert out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 0.75
+    assert out[4]["n_grams"] == 0 and out[4]["novelty"] is None

@@ -747,8 +747,16 @@ def best_f1_threshold(df, label_col: str, score_col: str):
     aggregate-then-window shape as roc_points above), all exact integer
     counts until the final F1 division. Ties on F1 break toward the
     HIGHER threshold (fewer flagged rows for the same F1 — the
-    conservative operating point), then deterministic everywhere."""
-    per = df.groupBy(F.col(score_col).alias("s")).agg(
+    conservative operating point), then deterministic everywhere.
+    NULL-score rows are excluded up front — an unscored row can satisfy
+    no threshold, and keeping them would emit a spurious NULL-threshold
+    candidate (same precondition style as roc_points above). The
+    per-score cumulative scaffold deliberately mirrors roc_points /
+    exact_auc rather than sharing code: all three are pinned by
+    driver-verified hash gates, and each output shape differs."""
+    per = df.where(F.col(score_col).isNotNull()).groupBy(
+        F.col(score_col).alias("s")
+    ).agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.col(label_col).cast("long")).alias("p"),
     )

@@ -333,10 +333,13 @@ def best_gini_split(
     integers; the impurities are single IEEE expressions over them, so
     the whole scan is engine-replayable. Thresholds are 'split at
     <= value'; the maximum value is excluded (its split leaves the right
-    side empty)."""
-    from pyspark.sql import Window, functions as F
-
-    per_v = df.groupBy(F.col(feature_col).alias("v")).agg(
+    side empty). Rows with a NULL feature are excluded up front — they
+    satisfy no threshold at predict time, and Spark's nulls-first window
+    order would otherwise fold them into every left partition AND score
+    a meaningless NULL-threshold candidate."""
+    per_v = df.where(F.col(feature_col).isNotNull()).groupBy(
+        F.col(feature_col).alias("v")
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col(label_col).cast("long")).alias("pos"),
     )

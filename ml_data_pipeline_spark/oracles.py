@@ -75,6 +75,16 @@ _NGRAM_PAIRS = r"""
         )
 """
 
+# shared AUC score base (queries._auc_base twin): integer-grid coarsened
+# score — tuned once for a .00005 rounding-boundary bug; keep the copies
+# below in lockstep with this expression (sites: m18/m21/m22/m34 oracles)
+_AUC_BASE_SQL = """base AS (
+            SELECT CAST(c_acctbal > 0 AS INT) AS y,
+                   ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                     + (c_custkey % 1000) * 100) // 120) / 20000.0 AS s
+            FROM customer
+        )"""
+
 # 8-bit Morton interleave of columns x,y as explicit bit arithmetic
 # (mirrors skew.zorder_key exactly; generated once so both dims stay in
 # lockstep with the Spark loop)
@@ -3555,13 +3565,8 @@ ALL_ORACLES: dict[str, str] = {
                      6) AS novelty
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
-    "m34_best_f1": """
-        WITH base AS (
-            SELECT CAST(c_acctbal > 0 AS INT) AS y,
-                   ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
-                     + (c_custkey % 1000) * 100) // 120) / 20000.0 AS s
-            FROM customer
-        ), per AS (
+    "m34_best_f1": f"""
+        WITH {_AUC_BASE_SQL}, per AS (
             SELECT s, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
             FROM base GROUP BY s
         ), cum AS (

@@ -474,3 +474,21 @@ def test_best_f1_threshold_hand_computed(spark):
     assert r["threshold"] == 0.6
     assert (r["tp"], r["fp"], r["fn"]) == (3, 1, 0)
     assert abs(r["f1"] - round(6 / 7, 6)) < 1e-6
+
+
+def test_split_and_f1_ignore_null_inputs(spark):
+    from ml_data_pipeline_spark.ml.pipeline import best_f1_threshold
+    from ml_data_pipeline_spark.ml.tuning import best_gini_split
+
+    rows = [(1.0, 1), (None, 1), (2.0, 1), (3.0, 0), (None, 0), (4.0, 0)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    r = best_gini_split(df, "x", "y").collect()[0]
+    # identical to the null-free case: perfect split at 2 over 4 rows
+    assert r["threshold"] == 2.0 and r["gini"] == 0.0
+    assert r["n_left"] + r["n_right"] == 4
+
+    srows = [(1, 0.9), (1, None), (0, 0.2), (1, 0.8), (0, None)]
+    sdf = spark.createDataFrame(srows, "y int, s double")
+    f = best_f1_threshold(sdf, "y", "s").collect()[0]
+    assert f["threshold"] is not None  # no spurious NULL candidate
+    assert f["threshold"] == 0.8 and f["tp"] == 2 and f["fp"] == 0

@@ -1119,3 +1119,40 @@ def adjusted_rand_index(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             (F.col("s") - e) / F.nullif(m - e, F.lit(0.0)), 6
         ).alias("ari"),
     )
+
+def pair_confusion(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pair-level confusion between two labelings and the scores built
+    on it: of all C(n,2) row pairs, how many are together in both
+    labelings (tp), only in A (fp), only in B (fn), in neither (tn) —
+    plus Fowlkes-Mallows = tp / sqrt((tp+fp)(tp+fn)) and Rand index =
+    (tp+tn)/C(n,2). Same single contingency aggregate as
+    adjusted_rand_index above (which reports the chance-corrected
+    score); exact integer pair counts in double space (exact below
+    2^53 pairs)."""
+    joint = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
+        F.count(F.lit(1)).alias("nab")
+    )
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("double")  # noqa: E731
+    s = joint.agg(F.sum(c2("nab")).alias("tp"), F.sum("nab").alias("n"))
+    sa = (
+        joint.groupBy("a").agg(F.sum("nab").alias("na")).agg(F.sum(c2("na")).alias("sa"))
+    )
+    sb = (
+        joint.groupBy("b").agg(F.sum("nab").alias("nb")).agg(F.sum(c2("nb")).alias("sb"))
+    )
+    j = s.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    total = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    fp = F.col("sa") - F.col("tp")
+    fn = F.col("sb") - F.col("tp")
+    tn = total - F.col("sa") - F.col("sb") + F.col("tp")
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("tp").cast("long").alias("tp_pairs"),
+        fp.cast("long").alias("fp_pairs"),
+        fn.cast("long").alias("fn_pairs"),
+        tn.cast("long").alias("tn_pairs"),
+        F.round(
+            F.col("tp") / F.nullif(F.sqrt(F.col("sa") * F.col("sb")), F.lit(0.0)), 6
+        ).alias("fowlkes_mallows"),
+        F.round((F.col("tp") + tn) / F.nullif(total, F.lit(0.0)), 6).alias("rand_index"),
+    )

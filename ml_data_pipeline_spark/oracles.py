@@ -3534,6 +3534,32 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "m35_pair_confusion": """
+        WITH joint AS (
+            SELECT lang AS a, source AS b, count(*) AS nab
+            FROM documents GROUP BY 1, 2
+        ), s AS (
+            SELECT CAST(sum(nab * (nab - 1) / 2) AS DOUBLE) AS tp,
+                   CAST(sum(nab) AS BIGINT) AS n
+            FROM joint
+        ), sa AS (
+            SELECT CAST(sum(na * (na - 1) / 2) AS DOUBLE) AS sa
+            FROM (SELECT sum(nab) AS na FROM joint GROUP BY a)
+        ), sb AS (
+            SELECT CAST(sum(nb * (nb - 1) / 2) AS DOUBLE) AS sb
+            FROM (SELECT sum(nab) AS nb FROM joint GROUP BY b)
+        )
+        SELECT n,
+               CAST(tp AS BIGINT) AS tp_pairs,
+               CAST(sa - tp AS BIGINT) AS fp_pairs,
+               CAST(sb - tp AS BIGINT) AS fn_pairs,
+               CAST(CAST(n AS DOUBLE) * (n - 1) / 2 - sa - sb + tp AS BIGINT)
+                   AS tn_pairs,
+               round(tp / nullif(sqrt(sa * sb), 0), 6) AS fowlkes_mallows,
+               round((tp + (CAST(n AS DOUBLE) * (n - 1) / 2 - sa - sb + tp))
+                     / nullif(CAST(n AS DOUBLE) * (n - 1) / 2, 0), 6) AS rand_index
+        FROM s, sa, sb
+    """,
     "tx_novelty": """
         WITH toks AS (
             SELECT doc_id,

@@ -4145,6 +4145,15 @@ def tx_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_novelty(load_table(spark, sf, "documents"), n=3)
 
 
+def m35_pair_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair-level confusion + Fowlkes-Mallows + Rand index between lang
+    and source — completing the clustering-agreement family (NMI m31,
+    ARI m32) from the same contingency aggregate."""
+    from ml_data_pipeline_spark.operators.profiling import pair_confusion
+
+    return pair_confusion(load_table(spark, sf, "documents"), "lang", "source")
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4429,6 +4438,7 @@ ALL_QUERIES = {
     "m33_best_split": m33_best_split,
     "m34_best_f1": m34_best_f1,
     "tx_novelty": tx_novelty,
+    "m35_pair_confusion": m35_pair_confusion,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

@@ -1189,3 +1189,19 @@ def test_ngram_novelty_order_and_dup(spark):
     assert out[2]["novelty"] == 0.0
     assert out[3]["novelty"] == 0.75
     assert out[4]["n_grams"] == 0 and out[4]["novelty"] is None
+
+
+def test_pair_confusion_hand_computed(spark):
+    from ml_data_pipeline_spark.operators.profiling import pair_confusion
+
+    # a=[0,0,1,1], b=[0,1,0,1]: C(4,2)=6 pairs; tp=0; sa=sb=2 -> fp=fn=2, tn=2
+    df = spark.createDataFrame([(0, 0), (0, 1), (1, 0), (1, 1)], ["a", "b"])
+    r = pair_confusion(df, "a", "b").collect()[0]
+    assert (r["tp_pairs"], r["fp_pairs"], r["fn_pairs"], r["tn_pairs"]) == (0, 2, 2, 2)
+    assert r["fowlkes_mallows"] == 0.0 and r["rand_index"] == round(2 / 6, 6)
+
+    # identical labelings: all together-pairs agree -> FM = rand = 1
+    same = spark.createDataFrame([(i % 3, i % 3) for i in range(30)], ["a", "b"])
+    r2 = pair_confusion(same, "a", "b").collect()[0]
+    assert r2["fowlkes_mallows"] == 1.0 and r2["rand_index"] == 1.0
+    assert r2["fp_pairs"] == 0 and r2["fn_pairs"] == 0

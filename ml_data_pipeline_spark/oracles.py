@@ -3519,18 +3519,19 @@ ALL_ORACLES: dict[str, str] = {
     """,
     "s20_content_hash": """
         SELECT 'orders' AS "table", count(*) AS n_rows,
-               bit_xor(CAST('0x' || substr(md5(
+               coalesce(bit_xor(CAST('0x' || substr(md5(
                    coalesce(CAST(o_orderkey AS VARCHAR), '␀') || '|' ||
                    coalesce(CAST(o_custkey AS VARCHAR), '␀') || '|' ||
                    coalesce(o_orderstatus, '␀') || '|' ||
-                   coalesce(o_orderpriority, '␀')), 1, 15) AS BIGINT)) AS content_hash
+                   coalesce(o_orderpriority, '␀')), 1, 15) AS BIGINT)), 0)
+                   AS content_hash
         FROM orders
         UNION ALL
         SELECT 'customer', count(*),
-               bit_xor(CAST('0x' || substr(md5(
+               coalesce(bit_xor(CAST('0x' || substr(md5(
                    coalesce(CAST(c_custkey AS VARCHAR), '␀') || '|' ||
                    coalesce(CAST(c_nationkey AS VARCHAR), '␀') || '|' ||
-                   coalesce(c_mktsegment, '␀')), 1, 15) AS BIGINT))
+                   coalesce(c_mktsegment, '␀')), 1, 15) AS BIGINT)), 0)
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),

@@ -310,7 +310,10 @@ def content_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFra
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols]
     )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    # empty input fingerprints as 0 (the xor identity), not NULL — the
+    # merge algebra xor(shards) == whole must hold for empty shards too
+    # (found by the hypothesis merge property)
     return df.select(h.alias("__h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr("bit_xor(__h)").alias("content_hash"),
+        F.coalesce(F.expr("bit_xor(__h)"), F.lit(0)).alias("content_hash"),
     )

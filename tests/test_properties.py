@@ -290,3 +290,70 @@ def test_canonicalize_url_idempotent_and_tracking_free(spark, host, www, upper, 
     # match the authority's END, not any substring (':80' is inside ':8080')
     authority = once.split("/")[2]
     assert not authority.endswith(":80") and not authority.endswith(":443"), (raw, once)
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=1000.0, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    ),
+    total=st.integers(min_value=0, max_value=5000),
+)
+@SET
+def test_quota_allocation_always_sums_to_total(spark, weights, total):
+    from ml_data_pipeline_spark.operators.sampling import quota_allocation
+
+    df = spark.createDataFrame(
+        [(f"g{i:02d}", float(w)) for i, w in enumerate(weights)], ["g", "w"]
+    )
+    got = quota_allocation(df, "g", "w", total).collect()
+    assert sum(r["quota"] for r in got) == total  # Hamilton: EXACT, always
+    assert all(r["quota"] >= 0 for r in got)
+    assert len(got) == len(weights)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50), st.text(max_size=6)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET
+def test_content_fingerprint_merge_property_random(spark, rows):
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.sources.versioned import content_fingerprint
+
+    df = spark.createDataFrame(rows, "k int, v string")
+    whole = content_fingerprint(df).collect()[0]
+    lo = content_fingerprint(df.where(F.col("k") < 25)).collect()[0]
+    hi = content_fingerprint(df.where(F.col("k") >= 25)).collect()[0]
+    # xor-mergeability holds for ANY split of unique-keyed rows
+    assert lo["content_hash"] ^ hi["content_hash"] == whole["content_hash"]
+    assert lo["n_rows"] + hi["n_rows"] == whole["n_rows"]
+
+
+@given(
+    durs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_kaplan_meier_monotone_and_bounded(spark, durs):
+    from ml_data_pipeline_spark.operators.temporal import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(d, int(e)) for d, e in durs], "duration int, event int"
+    )
+    rows = kaplan_meier(df, "duration", "event").orderBy("t").collect()
+    # survival is a non-increasing step function in [0, 1]
+    last = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= last + 1e-9
+        last = r["survival"]
+        assert r["d_events"] >= 1 and r["n_risk"] >= r["d_events"]

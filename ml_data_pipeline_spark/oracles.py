@@ -3535,6 +3535,28 @@ ALL_ORACLES: dict[str, str] = {
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),
+    "p35_null_patterns": """
+        SELECT (CASE WHEN l_orderkey % 10 = 3 THEN '1' ELSE '0' END ||
+                CASE WHEN l_orderkey % 15 = 3 THEN '1' ELSE '0' END ||
+                CASE WHEN l_orderkey % 6 = 3 THEN '1' ELSE '0' END) AS pattern,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    "q_skyline": """
+        WITH per_d AS (
+            SELECT o_orderdate AS d, max(o_totalprice) AS pmax
+            FROM orders GROUP BY 1
+        ), scan AS (
+            SELECT d, pmax,
+                   max(pmax) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_best
+            FROM per_d
+        )
+        SELECT strftime(CAST(d AS DATE), '%Y-%m-%d 00:00:00') AS order_date,
+               pmax AS best_price
+        FROM scan WHERE prev_best IS NULL OR pmax > prev_best
+    """,
     "m35_pair_confusion": """
         WITH joint AS (
             SELECT lang AS a, source AS b, count(*) AS nab

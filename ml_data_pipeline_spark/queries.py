@@ -4154,6 +4154,57 @@ def m35_pair_confusion(spark: SparkSession, sf: str) -> DataFrame:
     return pair_confusion(load_table(spark, sf, "documents"), "lang", "source")
 
 
+def p35_null_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-missingness diagnostics: rows grouped by their null-mask
+    pattern over (quantity, price, discount) with nulls injected on
+    overlapping key ranges — which columns go missing TOGETHER, the
+    missing-data structure mean/MICE imputation assumptions depend on."""
+    li = _li(spark, sf).select(
+        F.when(F.col("l_orderkey") % 10 == 3, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("q"),
+        F.when(F.col("l_orderkey") % 15 == 3, None)
+        .otherwise(F.col("l_extendedprice"))
+        .alias("p"),
+        F.when(F.col("l_orderkey") % 6 == 3, None)
+        .otherwise(F.col("l_discount"))
+        .alias("d"),
+    )
+    mask = F.concat(
+        F.when(F.col("q").isNull(), "1").otherwise("0"),
+        F.when(F.col("p").isNull(), "1").otherwise("0"),
+        F.when(F.col("d").isNull(), "1").otherwise("0"),
+    )
+    return (
+        li.groupBy(mask.alias("pattern"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("pattern")
+    )
+
+
+def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders: earliest-date /
+    highest-price non-dominated set via the sort-and-running-max scan —
+    per-date max first (same-date lower prices are dominated), then keep
+    dates whose max strictly beats every earlier date's. O(n log n), no
+    self-join."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    per_d = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("pmax")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        per_d.withColumn("prev_best", F.max("pmax").over(w))
+        .where(F.col("prev_best").isNull() | (F.col("pmax") > F.col("prev_best")))
+        .select(
+            F.col("d").cast("string").alias("order_date"),
+            F.col("pmax").alias("best_price"),
+        )
+    )
+
+
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
     # in dict order (first 50 in round 1) — queries WITHOUT a green
@@ -4439,6 +4490,8 @@ ALL_QUERIES = {
     "m34_best_f1": m34_best_f1,
     "tx_novelty": tx_novelty,
     "m35_pair_confusion": m35_pair_confusion,
+    "p35_null_patterns": p35_null_patterns,
+    "q_skyline": q_skyline,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

@@ -1205,3 +1205,29 @@ def test_pair_confusion_hand_computed(spark):
     r2 = pair_confusion(same, "a", "b").collect()[0]
     assert r2["fowlkes_mallows"] == 1.0 and r2["rand_index"] == 1.0
     assert r2["fp_pairs"] == 0 and r2["fn_pairs"] == 0
+
+
+def test_skyline_hand_computed(spark):
+    from ml_data_pipeline_spark.queries import q_skyline  # gate uses the scan shape
+
+    # direct check of the scan: per-date max then strictly-improving keep
+    from pyspark.sql import Window
+
+    rows = [
+        ("2024-01-01", 50.0), ("2024-01-01", 80.0),  # day 1 max 80 -> skyline
+        ("2024-01-02", 70.0),                        # dominated (later, lower)
+        ("2024-01-03", 90.0),                        # improves -> skyline
+        ("2024-01-04", 90.0),                        # ties prior max -> dominated
+    ]
+    df = spark.createDataFrame(rows, ["d", "p"])
+    per_d = df.groupBy("d").agg(F.max("p").alias("pmax"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        per_d.withColumn("prev", F.max("pmax").over(w))
+        .where(F.col("prev").isNull() | (F.col("pmax") > F.col("prev")))
+        .collect()
+    )
+    assert sorted((r["d"], r["pmax"]) for r in sky) == [
+        ("2024-01-01", 80.0),
+        ("2024-01-03", 90.0),
+    ]

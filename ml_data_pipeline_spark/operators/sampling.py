@@ -203,8 +203,9 @@ def weighted_sample_topk(
     Determinism model: u comes from md5(id:seed) — same as split_by_hash /
     group_sample_by_hash, no RNG, stable across runs, partitionings, and
     engines (the DuckDB oracle recomputes it bit-for-bit). Change `seed`
-    for an independent draw; weights must be > 0 (w=0 keys to 0, i.e.
-    never sampled; negative weights are a caller error).
+    for an independent draw; weights must be > 0 — rows with w <= 0 get a
+    NULL key that sorts after every valid row (enforced, not just
+    documented), so they are drawn only if fewer than k valid rows exist.
 
     Scale shape: orderBy(...).limit(k) plans TakeOrderedAndProject — a
     per-partition top-k heap + single k-row merge at the driver, never a
@@ -219,10 +220,15 @@ def weighted_sample_topk(
         10,
     ).cast("double")
     u = (hx + 0.5) / float(16**15)
-    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    # Guard, not docstring contract: w <= 0 keys to NULL (sorts after every
+    # valid row) so a negative weight can never invert the sample by
+    # producing u^(1/w) > 1.
+    key = F.when(
+        F.col(weight_col) > 0, F.pow(u, F.lit(1.0) / F.col(weight_col))
+    )
     return (
         df.withColumn(key_out, key)
-        .orderBy(F.desc(key_out), F.asc(id_col))
+        .orderBy(F.desc_nulls_last(key_out), F.asc(id_col))
         .limit(k)
     )
 
@@ -252,8 +258,13 @@ def group_weighted_sample(
         10,
     ).cast("double")
     u = (hx + 0.5) / float(16**15)
-    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
-    w = Window.partitionBy(group_col).orderBy(F.desc("__akey"), F.asc(id_col))
+    # Same w <= 0 guard as weighted_sample_topk: NULL key sorts last.
+    key = F.when(
+        F.col(weight_col) > 0, F.pow(u, F.lit(1.0) / F.col(weight_col))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last("__akey"), F.asc(id_col)
+    )
     return (
         df.withColumn("__akey", key)
         .withColumn("__rn", F.row_number().over(w))

@@ -25,8 +25,15 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# apply_bpe_merges interpolates merge symbols into regexp_replace patterns;
+# restrict to the alphabet top_bpe_pairs can produce so metacharacters
+# ('$', '.', '\\') can never silently mis-merge.
+_MERGE_SYMBOL_RE = re.compile(r"^[a-z]+$")
 
 
 def _ascii_words(text: Column) -> Column:
@@ -106,6 +113,12 @@ def apply_bpe_merges(
     a fixed-width codegen expression over vocab rows. Documents with no
     ascii words are preserved with n_bpe_tokens = 0 (left join + coalesce).
     """
+    for x, y in merges:
+        if not (_MERGE_SYMBOL_RE.match(x) and _MERGE_SYMBOL_RE.match(y)):
+            raise ValueError(
+                f"merge symbols must match [a-z]+ (regex/replacement "
+                f"metacharacters would silently mis-merge): {(x, y)!r}"
+            )
     words = df.select(
         F.col(id_col).alias("id"), F.explode(_ascii_words(F.col(text_col))).alias("word")
     )

@@ -1921,10 +1921,10 @@ ALL_ORACLES: dict[str, str] = {
     """,
     "q12_priority_by_status": """
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_priority_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_priority_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -2126,8 +2126,8 @@ ALL_ORACLES: dict[str, str] = {
         -- [day, day+12h) interval, so interval membership == hour(ts) < 12
         SELECT user_id,
                count(*) AS n_events,
-               sum(CASE WHEN extract('hour' FROM ts) < 12
-                        THEN 1 ELSE 0 END) AS n_first_half
+               CAST(sum(CASE WHEN extract('hour' FROM ts) < 12
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_first_half
         FROM events
         GROUP BY user_id
         ORDER BY user_id
@@ -2215,8 +2215,10 @@ ALL_ORACLES: dict[str, str] = {
         SELECT user_id,
                CAST(min(datediff('day', ts, r)) AS BIGINT) AS days_since_last,
                count(*) AS n_events,
-               sum(CASE WHEN datediff('day', ts, r) < 7 THEN 1 ELSE 0 END) AS n_7d,
-               sum(CASE WHEN datediff('day', ts, r) < 30 THEN 1 ELSE 0 END) AS n_30d,
+               CAST(sum(CASE WHEN datediff('day', ts, r) < 7
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+               CAST(sum(CASE WHEN datediff('day', ts, r) < 30
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
                count(DISTINCT CAST(ts AS DATE)) AS n_active_days
         FROM events CROSS JOIN ref
         GROUP BY user_id
@@ -3845,7 +3847,7 @@ ALL_ORACLES: dict[str, str] = {
             UNION ALL
             SELECT e, -1 FROM iv
         )
-        SELECT max(c) AS max_concurrent
+        SELECT CAST(max(c) AS BIGINT) AS max_concurrent
         FROM (SELECT sum(delta) OVER (ORDER BY at, delta
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
               FROM ev)

@@ -4603,3 +4603,150 @@ ALL_QUERIES = {
     **{n: ALL_QUERIES[n] for n in _R3_PRIORITY},
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R3_PRIORITY)},
 }
+
+# ---- round-4 rotation (VERDICT r3, next-round item 3): q12 (the one r3 red
+# row — oracle type fixed, engine already verified correct) leads, then the
+# oracle-backed never-driver-verified queue in registry order. The driver
+# records rows for the FIRST 50 dict entries; entries already green in
+# r1/r2/r3 keep their relative order at the back. After CORRECTNESS_r04,
+# the r5 rotation is: remaining oracle-backed unverified (62), then the 15
+# rows-only entries, then any round-4 additions.
+_R4_PRIORITY = [
+    # r3 red row first: oracle now CASTs to BIGINT (VERDICT r3 item 1)
+    "q12_priority_by_status",
+    # oracle-backed, never driver-verified (registry order; q_max_concurrency
+    # pulled forward because its oracle also gained the BIGINT cast)
+    "pipe_entity_resolution",
+    "m17_calibration",
+    "p21_mad_outliers",
+    "p22_chi2_mi",
+    "e19_winsorize",
+    "q10_returned_revenue",
+    "q_bm25",
+    "p24_spearman",
+    "e20_robust_scale",
+    "m20_group_ttest",
+    "q_interval_join",
+    "f9_align_columns",
+    "s3_csv_strings",
+    "p25_approx_distinct_quality",
+    "q_ewma",
+    "m21_pr_points",
+    "m22_brier_logloss",
+    "st_enriched_segments",
+    "p23_ks_drift",
+    "q_sql_surface",
+    "t10_group_sample",
+    "e21_group_scale",
+    "q_recency_features",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q22_dormant_customers",
+    "m24_confusion_matrix",
+    "m25_regression_metrics",
+    "tx_url_canonicalize",
+    "tx_blocklist_filter",
+    "tx_script_stats",
+    "s17_zorder_layout",
+    "dd_incremental_pairs",
+    "t11_weighted_sample",
+    "pipe_web_hygiene",
+    "e22_woe_encode",
+    "p26_k_anonymity",
+    "p27_benford",
+    "q_twap",
+    "e23_information_value",
+    "q_gini",
+    "q_rfm_segments",
+    "q_basket_lift",
+    "q_max_concurrency",
+    # --- driver window ends here (50 entries above) ---
+    # remaining oracle-backed unverified (r5 rotation queue)
+    "q_abc_brands",
+    "s18_schema_diff",
+    "tx_temperature_mix",
+    "t12_group_weighted_sample",
+    "tx_vocab_overlap",
+    "p28_moments",
+    "tx_span_dedup",
+    "tx_dsir_select",
+    "q_pagerank",
+    "ss_random_project",
+    "ml_pca_contract",
+    "tx_bpe_pairs",
+    "t13_negative_sample",
+    "s19_compaction_plan",
+    "st_sliding_topk",
+    "q_bloom_prejoin",
+    "q_triangles",
+    "e22_loo_target_encode",
+    "t14_cluster_safe_split",
+    "m23_ridge_path",
+    "q_churn_labels",
+    "pipe_golden_record",
+    "m24_conformal",
+    "m25_ndcg",
+    "tx_bpe_apply",
+    "m26_classification_report",
+    "q_rolling_corr",
+    "m27_sliced_report",
+    "s20_content_hash",
+    "tx_zipf_slope",
+    "tx_diversity",
+    "q_attribution_models",
+    "p29_l_diversity",
+    "p30_dp_counts",
+    "q_join_cardinality",
+    "ml_kmeans",
+    "q_event_patterns",
+    "m29_time_series_cv",
+    "s21_bin_manifest",
+    "tx_pmi_collocations",
+    "tx_vocab_coverage",
+    "q_hierarchy_flatten",
+    "t16_quota_allocation",
+    "q_time_to_convert",
+    "dd_prefix_jaccard",
+    "s22_range_boundaries",
+    "p33_weighted_median",
+    "q_active_users",
+    "p34_ref_integrity",
+    "q_revenue_bridge",
+    "m30_kaplan_meier",
+    "ml_silhouette",
+    "m31_nmi",
+    "m32_ari",
+    "ml_davies_bouldin",
+    "pipe_training_frame",
+    "m33_best_split",
+    "m34_best_f1",
+    "tx_novelty",
+    "m35_pair_confusion",
+    "p35_null_patterns",
+    "q_skyline",
+    # rows-only, never driver-verified (weaker check; r5/r6 queue)
+    "i8_impute_em",
+    "b8_smote_tomek",
+    "b9_smote_enn",
+    "tx_fingerprint",
+    "m3_eval_classification",
+    "m4_feature_importances",
+    "m5_cross_val",
+    "m12_single_row_inference",
+    "dd_minhash_pairs",
+    "dd_simhash_pairs",
+    "ss_ann_topk",
+    "ss_ivf_topk",
+    "ss_cosine_pairs",
+    "ss_semantic_dedup",
+    "m23_isotonic_calibration",
+]
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R4_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R4_PRIORITY)},
+}

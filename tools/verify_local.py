@@ -23,6 +23,50 @@ from ml_data_pipeline_spark.session import get_spark
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def type_category(t: str) -> str:
+    """Collapse a Spark simpleString / DuckDB type string into a parity class.
+
+    The driver's correctness hash is typed (Arrow values), so a DuckDB HUGEINT
+    (Arrow decimal128) vs Spark bigint is a hash mismatch even when every value
+    is numerically identical — the q12_priority_by_status failure class from
+    round 3. Known classes: int family, float family, decimal-ish (HUGEINT /
+    DECIMAL), string, date, timestamp, bool. Anything else maps to 'other' and
+    is skipped (arrays/structs compare by value only).
+    """
+    u = t.strip().upper()
+    if u.startswith("DECIMAL") or u == "HUGEINT" or u == "UHUGEINT":
+        return "decimal"
+    if u in ("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if u in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if u in ("VARCHAR", "STRING", "TEXT"):
+        return "string"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u in ("BOOLEAN", "BOOL"):
+        return "bool"
+    return "other"
+
+
+def type_parity_problems(scols, stypes, ocols, otypes):
+    """Diff Spark vs oracle column types by name; return mismatch strings."""
+    smap = {c: type_category(t) for c, t in zip(scols, stypes)}
+    omap = {c: type_category(t) for c, t in zip(ocols, otypes)}
+    out = []
+    for c in smap:
+        sc, oc = smap[c], omap.get(c)
+        if oc is None or sc == "other" or oc == "other":
+            continue
+        if sc != oc:
+            # int-vs-float is ALSO a driver hash divergence (1 vs 1.0) — fail it.
+            out.append(f"type[{c}] spark={sc} oracle={oc}")
+    return out
+
+
 def canon_value(v):
     if isinstance(v, bool):
         return "b:" + str(int(v))
@@ -59,6 +103,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf)
             scols = sdf.columns
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -71,6 +116,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [d[0] for d in rel.description]
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
@@ -81,6 +127,7 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        problems.extend(type_parity_problems(scols, stypes, ocols, otypes))
         if not problems:
             cs, co = canon_rows(scols, srows), canon_rows(ocols, orows)
             if cs != co:

@@ -500,3 +500,73 @@ def prefix_jaccard_pairs(
         .where(F.col("jaccard") >= t)
     )
     return verified.select("id_a", "id_b", "inter", "jaccard")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard CONTAINMENT pairs: ordered (src, dst) where
+    ``|grams(src) ∩ grams(dst)| / |grams(src)| >= threshold`` and src != dst.
+
+    Containment (Broder 1997's resemblance companion, public literature) is
+    the asymmetric near-dup relation Jaccard misses: a short document quoted
+    wholesale inside a long one has low Jaccard (the union is large) but
+    containment ≈ 1 from the short side — exactly the "doc A is a subset of
+    doc B" case a training-corpus dedup wants to catch (quote farms, page
+    wrappers, partial mirrors).
+
+    Shape: the SAME inverted-index candidate join as ngram_jaccard_pairs
+    (extends dedup.py ngram_jaccard_pairs; reference has no dedup at all —
+    SURVEY.md §2 F13 is exact-row only). The unordered intersection count is
+    computed ONCE per pair from join multiplicity; both ordered directions
+    are then derived from (inter, |A|, |B|) scalars — no second join, no
+    doubled shuffle. Emitting directions from the scalar frame keeps the
+    extra cost at one projection regardless of corpus size.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _ensure_parallel(
+        df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(F.size("grams") > 0)
+    )
+    sizes = base.select("id", F.size("grams").alias("n_grams"))
+    exploded = base.select("id", F.explode("grams").alias("gram"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "gram")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ja = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    jb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    scored = pairs.join(F.broadcast(ja), "id_a").join(F.broadcast(jb), "id_b")
+    # both ordered directions from one unordered pair row: (a in b) and (b in a)
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_src"),
+                    F.col("id_b").alias("id_dst"),
+                    (F.col("inter").cast("double") / F.col("na")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_src"),
+                    F.col("id_a").alias("id_dst"),
+                    (F.col("inter").cast("double") / F.col("nb")).alias("containment"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.id_src", "p.id_dst", F.round("p.containment", 6).alias("containment"))
+    return directed.where(F.col("containment") >= threshold).orderBy("id_src", "id_dst")

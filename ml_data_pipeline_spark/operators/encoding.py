@@ -240,3 +240,44 @@ def loo_target_encode(
         .withColumn(out_column, F.coalesce(loo, F.col("__gm")))
         .drop("__s", "__n", "__gm")
     )
+
+
+def quantile_transform(
+    df: DataFrame, column: str, out_column: str | None = None
+) -> DataFrame:
+    """Rank-based quantile (CDF) transform: each value maps to
+    ``(# rows with a strictly smaller value) / (n - 1)`` — exactly SQL
+    ``percent_rank()`` with min-rank ties, i.e. sklearn's
+    QuantileTransformer(uniform) at n_quantiles = n. The scale-robust
+    encoder for heavy-tailed numerics (prices, counts) where min-max or
+    z-scaling is dominated by outliers.
+
+    Scale shape: NO unpartitioned window over fact rows. One groupBy to
+    the distinct-value frame (bounded by column cardinality), a running
+    sum window over THAT frame only, then a broadcast join back — the same
+    aggregate-then-window pattern as frequency_encode/woe_encode above.
+    A single-value column maps to 0.0 (n-1 == 0 guard). Nulls stay null.
+    """
+    out = out_column or f"{column}_q"
+    # cardinality-bounded frame consumed twice (total + running sum):
+    # localCheckpoint so the corpus-sized groupBy runs once, not per branch
+    counts = df.where(F.col(column).isNotNull()).groupBy(
+        F.col(column).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=True)
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = counts.agg(F.sum("__c").alias("__n"))
+    cdf = (
+        counts.withColumn("__cum", F.sum("__c").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__v",
+            F.when(F.col("__n") > 1,
+                   (F.col("__cum") - F.col("__c")).cast("double")
+                   / (F.col("__n") - 1).cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias(out),
+        )
+    )
+    return df.join(
+        F.broadcast(cdf), df[column] == cdf["__v"], "left"
+    ).drop("__v")

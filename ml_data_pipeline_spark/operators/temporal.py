@@ -441,3 +441,135 @@ def max_concurrency(
     )
     running = events.withColumn("c", F.sum("delta").over(w))
     return running.groupBy(*keys).agg(F.max("c").alias("max_concurrent"))
+
+
+def cusum_changepoint(
+    series: DataFrame, t_col: str, x_col: str
+) -> DataFrame:
+    """Single changepoint estimate via the CUSUM statistic (Page 1954,
+    public literature): S_i = cumulative sum of (x - mean) in time order;
+    the argmax of |S_i| is the classic estimate of where the level shifts.
+    Returns one row (change_point, cusum_abs, n_points).
+
+    Input contract: ``series`` is an ALREADY-AGGREGATED (t, x) frame (one
+    row per period — e.g. daily counts), so the unpartitioned window is
+    bounded by the period cardinality (days/months), never by fact-table
+    rows. The corpus-sized pass is the caller's groupBy that produced the
+    series. Use integer x (counts) when cross-engine bit-parity matters:
+    the cumulative float adds then run in identical order on both engines.
+
+    Scale shape: scalar (mean, n) attached via broadcast crossJoin; one
+    bounded window; TakeOrderedAndProject for the argmax (no global sort).
+    ``series`` feeds two branches (stats + cumulative scan), so it is
+    localCheckpoint-ed — without it each branch re-runs the caller's
+    corpus-sized aggregation (same lineage-truncation pattern as
+    graph.py:112).
+    """
+    series = series.localCheckpoint(eager=True)
+    stats = series.agg(
+        F.avg(F.col(x_col)).alias("__m"), F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.orderBy(t_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        series.crossJoin(F.broadcast(stats))
+        .withColumn("__s", F.sum(F.col(x_col) - F.col("__m")).over(w))
+        .withColumn("__abs", F.abs(F.col("__s")))
+    )
+    return (
+        cum.orderBy(F.desc("__abs"), F.asc(t_col))
+        .limit(1)
+        .select(
+            F.col(t_col).alias("change_point"),
+            F.round("__abs", 6).alias("cusum_abs"),
+            F.col("__n").alias("n_points"),
+        )
+    )
+
+
+def mann_kendall_trend(
+    series: DataFrame, t_col: str, x_col: str
+) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope (Mann 1945, Kendall 1975,
+    Sen 1968 — the standard nonparametric "is this series trending"
+    answer). Returns one row: n_points, s_stat, var_s (tie-corrected),
+    z_score, sen_slope.
+
+    Input contract: ``series`` is an ALREADY-AGGREGATED (t, x) frame with
+    NUMERIC t (e.g. month index) — the pairwise self-join is O(n²) in the
+    PERIOD count (84 months → 3.5k pairs), never in fact rows; the
+    corpus-sized pass is the caller's aggregation. Integer x and t give
+    bit-exact cross-engine slopes ((int-int)/(int-int) is one IEEE
+    division).
+
+    Sen slope median is selected EXPLICITLY (avg of the two middle sorted
+    slopes via row_number) rather than percentile_cont: engines disagree
+    on interpolation arithmetic (l+(h-l)*f vs (l+h)/2) in the last ulp,
+    while element selection + one avg is bit-identical everywhere.
+
+    ``series`` feeds four branches (both join sides, tie groups, n) and
+    the pair frame three — localCheckpoint both, or every branch re-runs
+    the caller's corpus-sized aggregation (plan-audited: 8 input scans
+    before; same pattern as graph.py:112).
+    """
+    series = series.localCheckpoint(eager=True)
+    a = series.select(F.col(t_col).alias("__ta"), F.col(x_col).alias("__xa"))
+    b = series.select(F.col(t_col).alias("__tb"), F.col(x_col).alias("__xb"))
+    pairs = a.join(F.broadcast(b), F.col("__tb") > F.col("__ta")).select(
+        F.signum(F.col("__xb") - F.col("__xa")).alias("__sgn"),
+        (
+            (F.col("__xb") - F.col("__xa")).cast("double")
+            / (F.col("__tb") - F.col("__ta")).cast("double")
+        ).alias("__slope"),
+    ).localCheckpoint(eager=True)
+    s_and_np = pairs.agg(
+        F.sum("__sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).alias("__np"),
+    )
+    # tie correction: sum over tie groups of t*(t-1)*(2t+5)
+    ties = (
+        series.groupBy(x_col)
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+                ),
+                F.lit(0),
+            ).alias("__tie_term"),
+            F.count(F.lit(1)).alias("__ng"),
+        )
+    )
+    n_row = series.agg(F.count(F.lit(1)).alias("n_points"))
+    wm = Window.orderBy("__slope")
+    ranked = pairs.withColumn("__rn", F.row_number().over(wm))
+    # lower/upper median positions (1-indexed): floor((np+1)/2), floor(np/2)+1
+    # — equal when np is odd, adjacent when even; avg of the two is the median
+    median = (
+        ranked.crossJoin(F.broadcast(s_and_np.select("__np")))
+        .where(
+            (F.col("__rn") == F.floor((F.col("__np") + 1) / 2))
+            | (F.col("__rn") == F.floor(F.col("__np") / 2) + 1)
+        )
+        .agg(F.avg("__slope").alias("sen_slope"))
+    )
+    out = (
+        n_row.crossJoin(F.broadcast(s_and_np))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(median))
+    )
+    n = F.col("n_points")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tie_term")
+    ).cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.nullif(F.sqrt(var_s), F.lit(0.0)))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.nullif(F.sqrt(var_s), F.lit(0.0)))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        "n_points",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+    )

@@ -4324,4 +4324,118 @@ ALL_ORACLES: dict[str, str] = {
                      6) AS cohens_kappa
         FROM m
     """,
+    # ---- round-4 additions
+    "q_cusum_changepoint": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS x
+            FROM events GROUP BY 1
+        ), stats AS (SELECT avg(x) AS m, count(*) AS n FROM daily),
+        c AS (
+            SELECT d,
+                   sum(x - m) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                   n
+            FROM daily CROSS JOIN stats
+        )
+        SELECT CAST(d AS VARCHAR) AS change_day,
+               round(abs(s), 6) AS cusum_abs,
+               CAST(n AS BIGINT) AS n_points
+        FROM c ORDER BY abs(s) DESC, d ASC LIMIT 1
+    """,
+    "m36_trend": """
+        WITH m AS (
+            SELECT extract('year' FROM o_orderdate) * 12
+                   + extract('month' FROM o_orderdate) AS t,
+                   count(*) AS x
+            FROM orders GROUP BY 1
+        ), p AS (
+            SELECT sign(b.x - a.x) AS sgn,
+                   CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+            FROM m a JOIN m b ON b.t > a.t
+        ), sstat AS (
+            SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+                   count(*) AS np
+            FROM p
+        ), ties AS (
+            SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+                   AS tie_term
+            FROM (SELECT count(*) AS c FROM m GROUP BY x)
+        ), nrow AS (SELECT count(*) AS n_points FROM m),
+        ranked AS (
+            SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM p
+        ), med AS (
+            SELECT avg(slope) AS sen_slope
+            FROM ranked CROSS JOIN sstat
+            WHERE rn = CAST(floor((np + 1) / 2.0) AS BIGINT)
+               OR rn = CAST(floor(np / 2.0) AS BIGINT) + 1
+        )
+        SELECT CAST(n_points AS BIGINT) AS n_points,
+               s_stat,
+               round(CAST(n_points * (n_points - 1) * (2 * n_points + 5)
+                          - tie_term AS DOUBLE) / 18.0, 6) AS var_s,
+               round(CAST(CASE
+                   WHEN s_stat > 0 THEN (s_stat - 1)
+                       / nullif(sqrt(CAST(n_points * (n_points - 1) * (2 * n_points + 5)
+                                      - tie_term AS DOUBLE) / 18.0), 0)
+                   WHEN s_stat < 0 THEN (s_stat + 1)
+                       / nullif(sqrt(CAST(n_points * (n_points - 1) * (2 * n_points + 5)
+                                      - tie_term AS DOUBLE) / 18.0), 0)
+                   ELSE 0.0 END AS DOUBLE), 6) AS z_score,
+               round(CAST(sen_slope AS DOUBLE), 6) AS sen_slope
+        FROM nrow CROSS JOIN sstat CROSS JOIN ties CROSS JOIN med
+    """,
+    "e24_quantile_transform": """
+        WITH counts AS (
+            SELECT l_quantity AS v, count(*) AS c
+            FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+        ), tot AS (SELECT sum(c) AS n FROM counts),
+        cdf AS (
+            SELECT v, c,
+                   sum(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM counts
+        )
+        SELECT v AS l_quantity,
+               round(CASE WHEN n > 1
+                          THEN CAST(cum - c AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                          ELSE 0.0 END, 6)
+                   AS q_uniform,
+               CAST(c AS BIGINT) AS n_rows
+        FROM cdf CROSS JOIN tot
+        ORDER BY v
+    """,
+    "dd_containment": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(tk) - 1),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                   ELSE [] END AS gs
+            FROM toks
+        ),
+        base AS (SELECT doc_id, gs FROM grams WHERE len(gs) > 0),
+        sizes AS (SELECT doc_id, len(gs) AS ng FROM base),
+        ex AS (SELECT doc_id, unnest(gs) AS gram FROM base),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM ex a JOIN ex b USING (gram)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        directed AS (
+            SELECT id_a AS id_src, id_b AS id_dst,
+                   round(CAST(inter AS DOUBLE) / sa.ng, 6) AS containment
+            FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+            UNION ALL
+            SELECT id_b, id_a, round(CAST(inter AS DOUBLE) / sb.ng, 6)
+            FROM pairs JOIN sizes sb ON sb.doc_id = id_b
+        )
+        SELECT id_src, id_dst, containment FROM directed
+        WHERE containment >= 0.4 ORDER BY id_src, id_dst
+    """,
 }

@@ -4204,6 +4204,59 @@ def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
+# ---------------------------------------------------------------- round-4 additions
+
+def q_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint over the DAILY EVENT-COUNT series (temporal.
+    cusum_changepoint): the corpus pass is one groupBy(day); the window
+    runs over the bounded day frame. Integer counts → bit-exact parity."""
+    from ml_data_pipeline_spark.operators import temporal as T
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    out = T.cusum_changepoint(daily, "d", "x")
+    return out.select(
+        F.col("change_point").cast("string").alias("change_day"),
+        "cusum_abs",
+        "n_points",
+    )
+
+def m36_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall + Theil-Sen on MONTHLY ORDER COUNTS (temporal.
+    mann_kendall_trend): t = year*12+month (exact int), x = count — the
+    pairwise stage is bounded by the month cardinality (~84), and integer
+    (x, t) makes every slope one IEEE division, identical cross-engine."""
+    from ml_data_pipeline_spark.operators import temporal as T
+
+    o = load_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return T.mann_kendall_trend(monthly, "t", "x")
+
+def e24_quantile_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile (CDF) transform of l_quantity (encoding.quantile_transform)
+    — gate returns the DISTINCT (value → quantile) mapping plus its row
+    count, which pins the transform for every fact row while keeping the
+    compared frame value-cardinality-sized (~50 rows)."""
+    li = _li(spark, sf)
+    enc = E.quantile_transform(li, "l_quantity", "q_uniform")
+    return (
+        enc.groupBy("l_quantity", "q_uniform")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("l_quantity", F.round("q_uniform", 6).alias("q_uniform"), "n_rows")
+        .orderBy("l_quantity")
+    )
+
+def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric near-dup: ordered n-gram containment pairs
+    (dedup.ngram_containment_pairs) at threshold 0.4 — catches
+    short-quoted-inside-long relations that symmetric Jaccard misses."""
+    docs = load_table(spark, sf, "documents")
+    return DD.ngram_containment_pairs(docs, n=3, threshold=0.4)
+
 
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
@@ -4492,6 +4545,10 @@ ALL_QUERIES = {
     "m35_pair_confusion": m35_pair_confusion,
     "p35_null_patterns": p35_null_patterns,
     "q_skyline": q_skyline,
+    "q_cusum_changepoint": q_cusum_changepoint,
+    "m36_trend": m36_trend,
+    "e24_quantile_transform": e24_quantile_transform,
+    "dd_containment": dd_containment,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

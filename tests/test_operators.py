@@ -1231,3 +1231,80 @@ def test_skyline_hand_computed(spark):
         ("2024-01-01", 80.0),
         ("2024-01-03", 90.0),
     ]
+
+
+# ---------------------------------------------------------------- round-4: quantile transform + containment
+
+
+def test_quantile_transform_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 20.0), (4, 30.0), (5, None)],
+        "id int, v double",
+    )
+    got = {
+        r["id"]: r["v_q"]
+        for r in E.quantile_transform(df, "v").collect()
+    }
+    # n=4 non-null: 10.0 -> 0/3, 20.0 -> 2/3, 30.0 -> 3/3; null stays null
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert abs(got[3] - 2 / 3) < 1e-12
+    assert got[4] == 1.0
+    assert got[5] is None
+
+
+def test_quantile_transform_single_value(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id int, v double")
+    got = {r["id"]: r["v_q"] for r in E.quantile_transform(df, "v").collect()}
+    assert got == {1: 0.0, 2: 0.0}
+
+
+def test_quantile_transform_row_count_preserved(spark):
+    df = spark.createDataFrame([(i, float(i % 7)) for i in range(100)], "id int, v double")
+    out = E.quantile_transform(df, "v", "q")
+    assert out.count() == 100
+    # monotone: bigger value -> bigger quantile
+    m = {r["v"]: r["q"] for r in out.select("v", "q").distinct().collect()}
+    vs = sorted(m)
+    assert all(m[a] < m[b] for a, b in zip(vs, vs[1:]))
+
+
+def test_containment_subset_doc(spark):
+    # doc 2 is a verbatim chunk of doc 1: containment(2 -> 1) == 1.0,
+    # while jaccard would be diluted by doc 1's extra grams
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "gamma delta epsilon zeta"
+    df = spark.createDataFrame([(1, long), (2, short)], "doc_id long, text string")
+    rows = {
+        (r["id_src"], r["id_dst"]): r["containment"]
+        for r in DD.ngram_containment_pairs(df, n=3, threshold=0.1).collect()
+    }
+    assert rows[(2, 1)] == 1.0  # short fully inside long
+    assert rows[(1, 2)] == 0.25  # 2 shared grams / 8 grams of the long doc
+
+
+def test_containment_matches_bruteforce(spark):
+    import itertools
+
+    texts = {
+        1: "a b c d e f",
+        2: "c d e f g h",
+        3: "x y z w q r",
+        4: "a b c d",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def grams(t):
+        tk = t.split()
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    expected = {}
+    for a, b in itertools.permutations(texts, 2):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        c = len(ga & gb) / len(ga)
+        if c >= 0.3:
+            expected[(a, b)] = round(c, 6)
+    got = {
+        (r["id_src"], r["id_dst"]): r["containment"]
+        for r in DD.ngram_containment_pairs(df, n=3, threshold=0.3).collect()
+    }
+    assert got == expected

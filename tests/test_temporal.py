@@ -265,3 +265,62 @@ def test_max_concurrency_sweep_line(spark):
     # globally no instant has 3 open intervals: b's short intervals end
     # before a's second wave stacks up
     assert total == 2
+
+
+# ---------------------------------------------------------------- round-4: CUSUM + Mann-Kendall
+
+
+def test_cusum_changepoint_level_shift(spark):
+    # 10 points at level 1, then 10 at level 5: |CUSUM| peaks at the shift
+    rows = [(i, 1) for i in range(10)] + [(i, 5) for i in range(10, 20)]
+    s = spark.createDataFrame(rows, "t int, x int")
+    out = TP.cusum_changepoint(s, "t", "x").collect()[0]
+    assert out["change_point"] == 9  # last pre-shift point maximizes |S|
+    assert out["n_points"] == 20
+    # mean = 3; S_9 = 10 * (1 - 3) = -20
+    assert out["cusum_abs"] == 20.0
+
+
+def test_cusum_changepoint_flat_series(spark):
+    s = spark.createDataFrame([(i, 7) for i in range(5)], "t int, x int")
+    out = TP.cusum_changepoint(s, "t", "x").collect()[0]
+    assert out["cusum_abs"] == 0.0 and out["n_points"] == 5
+    assert out["change_point"] == 0  # tie broken by earliest t
+
+
+def test_mann_kendall_monotone_up(spark):
+    s = spark.createDataFrame([(i, 2 * i + 3) for i in range(10)], "t int, x int")
+    out = TP.mann_kendall_trend(s, "t", "x").collect()[0]
+    assert out["s_stat"] == 45  # all 45 pairs increasing
+    assert out["sen_slope"] == 2.0
+    # no ties: var = n(n-1)(2n+5)/18 = 10*9*25/18 = 125
+    assert out["var_s"] == 125.0
+    assert out["z_score"] == round((45 - 1) / 125**0.5, 6)
+
+
+def test_mann_kendall_no_trend_sign_symmetry(spark):
+    up = spark.createDataFrame([(i, i) for i in range(8)], "t int, x int")
+    down = spark.createDataFrame([(i, -i) for i in range(8)], "t int, x int")
+    u = TP.mann_kendall_trend(up, "t", "x").collect()[0]
+    d = TP.mann_kendall_trend(down, "t", "x").collect()[0]
+    assert u["s_stat"] == -d["s_stat"] and u["z_score"] == -d["z_score"]
+    assert u["sen_slope"] == 1.0 and d["sen_slope"] == -1.0
+
+
+def test_mann_kendall_ties_reduce_variance(spark):
+    tied = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2), (3, 2), (4, 3)], "t int, x int"
+    )
+    out = TP.mann_kendall_trend(tied, "t", "x").collect()[0]
+    # n=5: base 5*4*15=300; two tie-pairs contribute 2*(2*1*9)=36 -> (300-36)/18
+    assert out["var_s"] == round((300 - 36) / 18.0, 6)
+    # S: pairs with equal x contribute 0; count by hand = 8
+    assert out["s_stat"] == 8
+
+
+def test_mann_kendall_even_pair_count_median(spark):
+    # 4 points -> 6 pairs (even): sen slope must average the two middle slopes
+    s = spark.createDataFrame([(0, 0), (1, 1), (2, 4), (3, 9)], "t int, x int")
+    out = TP.mann_kendall_trend(s, "t", "x").collect()[0]
+    slopes = sorted([1.0, 2.0, 3.0, 3.0, 4.0, 5.0])
+    assert out["sen_slope"] == (slopes[2] + slopes[3]) / 2

@@ -1156,3 +1156,89 @@ def pair_confusion(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         ).alias("fowlkes_mallows"),
         F.round((F.col("tp") + tn) / F.nullif(total, F.lit(0.0)), 6).alias("rand_index"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data (Krippendorff 2004, public
+    content-analysis statistics) — the inter-annotator agreement measure
+    a labeling pipeline needs when raters are many, assignments are
+    incomplete, and chance agreement must be corrected (Cohen's kappa in
+    ml/pipeline.py handles exactly 2 raters; alpha handles any number and
+    missing ratings natively).
+
+    Coincidence-matrix formulation, computed without materializing the
+    matrix: units with m >= 2 ratings contribute each ordered rating pair
+    with weight 1/(m-1), so
+      D_o = (1/n) * sum over disagreeing pairs of 1/(m_u - 1)
+      D_e = (n^2 - sum_c n_c^2) / (n * (n - 1))
+      alpha = 1 - D_o / D_e
+    with n = ratings in valid units and n_c = ratings of category c.
+
+    Shape: one groupBy(unit) for m_u; the pair join is WITHIN-unit only
+    (bounded by max raters per unit, a small constant by construction —
+    never corpus-quadratic); category masses are one groupBy over the
+    value column. Everything downstream is scalar aggregates attached by
+    broadcast crossJoin. Output: one row (n_units, n_ratings, d_o, d_e,
+    alpha).
+    """
+    m_per_unit = df.groupBy(F.col(unit_col).alias("__u")).agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    # valid feeds four branches (both pair-join sides, totals, masses):
+    # localCheckpoint so the upstream scan+join runs once (same pattern as
+    # graph.py:112). Annotation tables are human-effort-bounded — far below
+    # corpus scale — so materializing the frame is cheap at any realistic n.
+    valid = (
+        df.select(
+            F.col(unit_col).alias("__u"),
+            F.col(rater_col).alias("__r"),
+            F.col(value_col).alias("__v"),
+        )
+        .join(F.broadcast(m_per_unit.where(F.col("__m") >= 2)), "__u")
+        .localCheckpoint(eager=True)
+    )
+    a = valid.select("__u", F.col("__r").alias("__ra"), F.col("__v").alias("__va"), "__m")
+    b = valid.select("__u", F.col("__r").alias("__rb"), F.col("__v").alias("__vb"))
+    pair_disagree = (
+        a.join(b, "__u")
+        .where(F.col("__ra") != F.col("__rb"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__va") != F.col("__vb"), 1.0 / (F.col("__m") - 1))
+                    .otherwise(F.lit(0.0))
+                ),
+                F.lit(0.0),
+            ).alias("__do_num")
+        )
+    )
+    totals = valid.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.count_distinct(F.col("__u")).alias("n_units"),
+    )
+    masses = (
+        valid.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+        .agg(F.sum(F.col("__nc") * F.col("__nc")).alias("__sum_nc2"))
+    )
+    n = F.col("n_ratings")
+    d_o = F.col("__do_num") / n.cast("double")
+    d_e = (n * n - F.col("__sum_nc2")).cast("double") / (
+        n * (n - 1)
+    ).cast("double")
+    return (
+        totals.crossJoin(F.broadcast(pair_disagree))
+        .crossJoin(F.broadcast(masses))
+        .select(
+            "n_units",
+            "n_ratings",
+            F.round(d_o, 6).alias("d_o"),
+            F.round(d_e, 6).alias("d_e"),
+            F.round(1.0 - d_o / F.nullif(d_e, F.lit(0.0)), 6).alias("alpha"),
+        )
+    )

@@ -11,6 +11,8 @@ not bit-parity with numpy RNG.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -409,4 +411,103 @@ def quota_allocation(
         group_col,
         F.round(F.col("__w").cast("double"), 6).alias("weight"),
         (F.col("base") + (F.col("__rk") <= F.col("__d")).cast("long")).alias("quota"),
+    )
+
+
+# Cumulative CDF of Poisson(1) at k = 0..4; k = 5 absorbs the tail. Shared
+# with the DuckDB oracle (oracles.py interpolates these exact literals) so
+# both engines draw identical bootstrap weights from the same md5 uniform.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 100,
+    seed: int = 7,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Percentile bootstrap CI for the mean via the POISSON BOOTSTRAP
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012, public literature) — the distributed form of the
+    bootstrap: instead of resampling n rows WITH replacement (a shuffle
+    per replicate), every row draws an independent Poisson(1) weight per
+    replicate, which converges to multinomial resampling for large n.
+    ONE pass over the data computes all B replicates: explode B weight
+    slots per row, map-side partial-aggregate (b, sum(w*x), sum(w)) — the
+    shuffle carries B rows per partition, never data.
+
+    Weights are DETERMINISTIC (md5(id:b:seed) uniform → inverse-CDF
+    lookup against POISSON1_CDF), so the whole estimate is reproducible
+    and engine-exact up to float-sum order. CI convention: with the B
+    replicate means sorted ascending, lo = rank ceil(B*alpha/2) (min 1),
+    hi = rank B+1-that — explicit order statistics, no interpolation.
+
+    Output: one row (n_rows, mean, ci_lo, ci_hi, n_replicates).
+    """
+    b_idx = F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("__b")
+    hx = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("__id").cast("string"),
+                    F.col("__b").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (hx + 0.5) / float(16**15)
+    k = (
+        F.when(u < POISSON1_CDF[0], F.lit(0))
+        .when(u < POISSON1_CDF[1], F.lit(1))
+        .when(u < POISSON1_CDF[2], F.lit(2))
+        .when(u < POISSON1_CDF[3], F.lit(3))
+        .when(u < POISSON1_CDF[4], F.lit(4))
+        .otherwise(F.lit(5))
+    )
+    rep_means = (
+        df.select(F.col(id_col).alias("__id"), F.col(value_col).alias("__x"))
+        .select("__id", "__x", b_idx)
+        .withColumn("__k", k)
+        .groupBy("__b")
+        .agg(
+            (
+                F.sum(F.col("__k") * F.col("__x"))
+                / F.nullif(F.sum("__k").cast("double"), F.lit(0.0))
+            ).alias("__m")
+        )
+    )
+    lo_rank = max(1, math.ceil(n_replicates * alpha / 2))
+    hi_rank = n_replicates + 1 - lo_rank
+    wr = Window.orderBy("__m")
+    ranked = rep_means.withColumn("__rn", F.row_number().over(wr))
+    ci = ranked.agg(
+        F.max(F.when(F.col("__rn") == lo_rank, F.col("__m"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi_rank, F.col("__m"))).alias("__hi"),
+    )
+    point = df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.avg(value_col).alias("__mean")
+    )
+    return (
+        point.crossJoin(F.broadcast(ci))
+        .select(
+            "n_rows",
+            F.round("__mean", 6).alias("mean"),
+            F.round("__lo", 6).alias("ci_lo"),
+            F.round("__hi", 6).alias("ci_hi"),
+            F.lit(n_replicates).alias("n_replicates"),
+        )
     )

@@ -573,3 +573,42 @@ def mann_kendall_trend(
         F.round(z, 6).alias("z_score"),
         F.round("sen_slope", 6).alias("sen_slope"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator with right-censoring
+    (Nelson 1972 / Aalen 1978, public statistics) — the additive sibling
+    of kaplan_meier above: H(t) = sum over event times t' <= t of
+    d_t'/n_t'. Preferred over -ln(KM) when hazard increments themselves
+    are the quantity of interest, and defined even after a step where
+    d == n_risk (no absorbing-zero special case — the sum just grows).
+
+    Same shape as kaplan_meier: one groupBy to the per-time (d, leaving)
+    table (time-cardinality-sized), a reverse window sum for the risk
+    set, a forward window sum for the hazard — everything after the
+    aggregate runs on the bounded per-time frame. Variance (Klein 1991
+    simple form) sum d/n² accumulates in the same window. Output rows at
+    event times: (t, n_risk, d_events, cum_hazard, var_hazard).
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    at_risk = per_t.withColumn("n_risk", F.sum("leaving").over(w))
+    steps = at_risk.where(F.col("d") > 0)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    nr = F.col("n_risk").cast("double")
+    hz = F.sum(F.col("d") / nr).over(wcum)
+    vz = F.sum(F.col("d") / (nr * nr)).over(wcum)
+    return steps.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.round(hz, 6).alias("cum_hazard"),
+        F.round(vz, 6).alias("var_hazard"),
+    )

@@ -14,6 +14,8 @@ inherently seeded / hash-specific ones: i8 (EM random draws), tx_fingerprint
 
 from __future__ import annotations
 
+from ml_data_pipeline_spark.operators.sampling import POISSON1_CDF as _P1CDF
+
 # lineitem with the deterministic null mask used by p2/p3/i1/i2/i4/f7
 _LI_NULLS = """
   SELECT l_orderkey, l_linenumber,
@@ -4437,5 +4439,130 @@ ALL_ORACLES: dict[str, str] = {
         )
         SELECT id_src, id_dst, containment FROM directed
         WHERE containment >= 0.4 ORDER BY id_src, id_dst
+    """,
+    "m37_krippendorff": """
+        WITH ratings AS (
+            SELECT c_custkey // 3 AS u, c_custkey % 3 AS r,
+                   c_mktsegment AS v
+            FROM customer
+        ), mu AS (
+            SELECT u, count(*) AS m FROM ratings GROUP BY 1
+        ), valid AS (
+            SELECT ratings.*, m FROM ratings JOIN mu USING (u) WHERE m >= 2
+        ), totals AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_ratings,
+                   CAST(count(DISTINCT u) AS BIGINT) AS n_units
+            FROM valid
+        ), do_num AS (
+            SELECT coalesce(sum(CASE WHEN a.v <> b.v
+                                     THEN CAST(1 AS DOUBLE) / (a.m - 1)
+                                     ELSE 0.0 END), 0.0) AS dn
+            FROM valid a JOIN valid b ON a.u = b.u AND a.r <> b.r
+        ), masses AS (
+            SELECT CAST(sum(nc * nc) AS BIGINT) AS sum_nc2
+            FROM (SELECT count(*) AS nc FROM valid GROUP BY v)
+        )
+        SELECT n_units, n_ratings,
+               round(dn / n_ratings, 6) AS d_o,
+               round(CAST(n_ratings * n_ratings - sum_nc2 AS DOUBLE)
+                     / CAST(n_ratings * (n_ratings - 1) AS DOUBLE), 6) AS d_e,
+               round(1.0 - (dn / n_ratings)
+                     / nullif(CAST(n_ratings * n_ratings - sum_nc2 AS DOUBLE)
+                              / CAST(n_ratings * (n_ratings - 1) AS DOUBLE), 0),
+                     6) AS alpha
+        FROM totals CROSS JOIN do_num CROSS JOIN masses
+    """,
+    "m38_bootstrap_ci": f"""
+        WITH reps AS (
+            SELECT event_id, value, b
+            FROM events CROSS JOIN (SELECT unnest(range(1, 101)) AS b)
+        ), keyed AS (
+            SELECT b, value,
+                   (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                        || CAST(b AS VARCHAR) || ':7'), 1, 15)
+                         AS BIGINT) + 0.5) / 1152921504606846976.0 AS u
+            FROM reps
+        ), weighted AS (
+            SELECT b, value,
+                   CASE WHEN u < {_P1CDF[0]!r} THEN 0
+                        WHEN u < {_P1CDF[1]!r} THEN 1
+                        WHEN u < {_P1CDF[2]!r} THEN 2
+                        WHEN u < {_P1CDF[3]!r} THEN 3
+                        WHEN u < {_P1CDF[4]!r} THEN 4
+                        ELSE 5 END AS k
+            FROM keyed
+        ), rep_means AS (
+            SELECT b, sum(k * value) / nullif(CAST(sum(k) AS DOUBLE), 0) AS m
+            FROM weighted GROUP BY b
+        ), ranked AS (
+            SELECT m, row_number() OVER (ORDER BY m) AS rn FROM rep_means
+        ), ci AS (
+            SELECT max(CASE WHEN rn = 3 THEN m END) AS lo,
+                   max(CASE WHEN rn = 98 THEN m END) AS hi
+            FROM ranked
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(avg(value), 6) AS mean,
+               round((SELECT lo FROM ci), 6) AS ci_lo,
+               round((SELECT hi FROM ci), 6) AS ci_hi,
+               100 AS n_replicates
+        FROM events
+    """,
+    "m39_nelson_aalen": """
+        WITH spans AS (
+            SELECT user_id, min(ts) AS fts, max(ts) AS lts
+            FROM events GROUP BY 1
+        ), ferr AS (
+            SELECT user_id, min(ts) AS ets FROM events
+            WHERE event_type = 'error' GROUP BY 1
+        ), subjects AS (
+            SELECT CAST(floor((epoch_us(coalesce(ets, lts)) - epoch_us(fts))
+                              / 3600000000.0) AS BIGINT) AS duration,
+                   CASE WHEN ets IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM spans LEFT JOIN ferr USING (user_id)
+        ), per_t AS (
+            SELECT duration AS t, CAST(sum(event) AS BIGINT) AS d,
+                   count(*) AS leaving
+            FROM subjects GROUP BY 1
+        ), at_risk AS (
+            SELECT t, d, (SELECT count(*) FROM subjects)
+                   - coalesce(sum(leaving) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+            FROM per_t
+        ), steps AS (SELECT * FROM at_risk WHERE d > 0)
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+               d AS d_events,
+               round(sum(d / CAST(n_risk AS DOUBLE))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 6) AS cum_hazard,
+               round(sum(d / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 6) AS var_hazard
+        FROM steps
+    """,
+    "q_rank_fusion": """
+        WITH spend AS (
+            SELECT o_custkey, sum(o_totalprice) AS s
+            FROM orders GROUP BY 1
+        ), recency AS (
+            SELECT o_custkey, max(o_orderdate) AS r
+            FROM orders GROUP BY 1
+        ), la AS (
+            SELECT o_custkey AS c_custkey,
+                   row_number() OVER (ORDER BY s DESC, o_custkey) AS rnk
+            FROM spend ORDER BY s DESC, o_custkey LIMIT 100
+        ), lb AS (
+            SELECT o_custkey AS c_custkey,
+                   row_number() OVER (ORDER BY r DESC, o_custkey) AS rnk
+            FROM recency ORDER BY r DESC, o_custkey LIMIT 100
+        ), u AS (
+            SELECT * FROM la UNION ALL SELECT * FROM lb
+        )
+        SELECT c_custkey,
+               round(sum(CAST(1 AS DOUBLE) / (60 + rnk)), 6) AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY 1
+        ORDER BY rrf_score DESC, c_custkey LIMIT 25
     """,
 }

@@ -4257,6 +4257,86 @@ def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return DD.ngram_containment_pairs(docs, n=3, threshold=0.4)
 
+def m37_krippendorff(spark: SparkSession, sf: str) -> DataFrame:
+    """Krippendorff's alpha (profiling.krippendorff_alpha) on a
+    DETERMINISTIC multi-rater labeling: unit = custkey div 3, rater =
+    custkey % 3, rating = the customer's market segment — consecutive
+    custkey triples form 3-rater units (boundary units may have fewer;
+    m=1 units are excluded by the estimator, exercising the
+    missing-ratings path). Weights 1/(m-1) ∈ {1, 0.5} are exact binary
+    floats, so the whole statistic is engine-exact."""
+    cust = load_table(spark, sf, "customer")
+    ratings = cust.select(
+        F.expr("c_custkey div 3").alias("unit"),
+        (F.col("c_custkey") % 3).alias("rater"),
+        F.col("c_mktsegment").alias("rating"),
+    )
+    return P.krippendorff_alpha(ratings, "unit", "rater", "rating")
+
+def m38_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap percentile CI for mean(events.value)
+    (sampling.poisson_bootstrap_ci): B=100 deterministic md5-seeded
+    Poisson(1) weights per row, one corpus pass for all replicates."""
+    ev = load_table(spark, sf, "events")
+    return SA.poisson_bootstrap_ci(
+        ev, "value", "event_id", n_replicates=100, seed=7, alpha=0.05
+    )
+
+def m39_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-first-error — the same
+    subjects frame as m30_kaplan_meier (whole hours from first event to
+    first 'error', censored at last activity), additive estimator."""
+    from ml_data_pipeline_spark.operators.temporal import nelson_aalen
+
+    ev = load_table(spark, sf, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    first_err = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("err_ts"))
+    )
+    subjects = spans.join(first_err, "user_id", "left").select(
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("err_ts", "last_ts"))
+                - F.unix_micros("first_ts")
+            )
+            / 3600000000.0
+        )
+        .cast("long")
+        .alias("duration"),
+        F.col("err_ts").isNotNull().cast("int").alias("event"),
+    )
+    return nelson_aalen(subjects, "duration", "event")
+
+def q_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """RRF fusion (ranking.rrf_fusion) of two top-100 customer rankings —
+    by total spend and by order recency (custkey tie-breaks). Each list
+    is TakeOrderedAndProject (heap top-k, no global sort); ranks are
+    windows over the 100-row lists; the fusion shuffles 200 rows."""
+    from ml_data_pipeline_spark.operators.ranking import rrf_fusion
+
+    o = load_table(spark, sf, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    recency = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("r"))
+    top_spend = spend.orderBy(F.desc("s"), F.asc("o_custkey")).limit(100)
+    top_recent = recency.orderBy(F.desc("r"), F.asc("o_custkey")).limit(100)
+    wa = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    wb = Window.orderBy(F.desc("r"), F.asc("o_custkey"))
+    la = top_spend.withColumn("rank", F.row_number().over(wa)).select(
+        F.col("o_custkey").alias("c_custkey"), "rank"
+    )
+    lb = top_recent.withColumn("rank", F.row_number().over(wb)).select(
+        F.col("o_custkey").alias("c_custkey"), "rank"
+    )
+    return (
+        rrf_fusion([la, lb], id_col="c_custkey", rank_col="rank")
+        .orderBy(F.desc("rrf_score"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
 
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
@@ -4549,6 +4629,10 @@ ALL_QUERIES = {
     "m36_trend": m36_trend,
     "e24_quantile_transform": e24_quantile_transform,
     "dd_containment": dd_containment,
+    "m37_krippendorff": m37_krippendorff,
+    "m38_bootstrap_ci": m38_bootstrap_ci,
+    "m39_nelson_aalen": m39_nelson_aalen,
+    "q_rank_fusion": q_rank_fusion,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

@@ -1308,3 +1308,97 @@ def test_containment_matches_bruteforce(spark):
         for r in DD.ngram_containment_pairs(df, n=3, threshold=0.3).collect()
     }
     assert got == expected
+
+
+def test_krippendorff_alpha_hand_computed(spark):
+    # unit1: (a,a) agrees, unit2: (a,b) disagrees -> D_o = 0.5, D_e = 0.5
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "a"), (2, 0, "a"), (2, 1, "b")],
+        "u int, r int, v string",
+    )
+    out = P.krippendorff_alpha(df, "u", "r", "v").collect()[0]
+    assert out["n_units"] == 2 and out["n_ratings"] == 4
+    assert out["d_o"] == 0.5 and out["d_e"] == 0.5
+    assert out["alpha"] == 0.0
+
+
+def test_krippendorff_alpha_perfect_and_excluded_units(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "x"), (1, 1, "x"), (2, 0, "y"), (2, 1, "y"), (3, 0, "z")],
+        "u int, r int, v string",
+    )
+    out = P.krippendorff_alpha(df, "u", "r", "v").collect()[0]
+    # unit 3 (single rating) excluded from n; perfect agreement -> alpha = 1
+    assert out["n_ratings"] == 4 and out["n_units"] == 2
+    assert out["d_o"] == 0.0 and out["alpha"] == 1.0
+
+
+def test_krippendorff_alpha_matches_bruteforce(spark):
+    import itertools
+
+    data = [
+        (u, r, ["a", "b", "c"][(u * 3 + r * (1 + u % 2)) % 3])
+        for u in range(12)
+        for r in range(3 if u % 4 else 2)
+    ]
+    df = spark.createDataFrame(data, "u int, r int, v string")
+    got = P.krippendorff_alpha(df, "u", "r", "v").collect()[0]
+    # independent coincidence-matrix construction
+    units = {}
+    for u, r, v in data:
+        units.setdefault(u, []).append(v)
+    units = {u: vs for u, vs in units.items() if len(vs) >= 2}
+    n = sum(len(vs) for vs in units.values())
+    do_num = 0.0
+    nc: dict[str, int] = {}
+    for vs in units.values():
+        m = len(vs)
+        for va, vb in itertools.permutations(vs, 2):
+            if va != vb:
+                do_num += 1.0 / (m - 1)
+        for v in vs:
+            nc[v] = nc.get(v, 0) + 1
+    d_o = do_num / n
+    d_e = (n * n - sum(c * c for c in nc.values())) / (n * (n - 1))
+    assert got["d_o"] == round(d_o, 6)
+    assert got["d_e"] == round(d_e, 6)
+    assert got["alpha"] == round(1 - d_o / d_e, 6)
+
+
+def test_rrf_fusion_hand_computed(spark):
+    from ml_data_pipeline_spark.operators.ranking import rrf_fusion
+
+    la = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id int, rank int")
+    lb = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "id int, rank int")
+    rows = {r["id"]: (r["rrf_score"], r["n_lists"]) for r in
+            rrf_fusion([la, lb], id_col="id").collect()}
+    assert rows[10] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert rows[20] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert rows[30] == (round(1 / 63, 6), 1)
+    assert rows[40] == (round(1 / 63, 6), 1)
+
+
+def test_rrf_fusion_requires_frames(spark):
+    from ml_data_pipeline_spark.operators.ranking import rrf_fusion
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rrf_fusion([])
+
+
+def test_poisson_bootstrap_ci_properties(spark):
+    from ml_data_pipeline_spark.operators import sampling as SA2
+
+    df = spark.createDataFrame(
+        [(i, float(50 + (i * 37) % 100)) for i in range(2000)], "id long, v double"
+    )
+    out = SA2.poisson_bootstrap_ci(df, "v", "id", n_replicates=40, seed=3).collect()[0]
+    assert out["n_rows"] == 2000 and out["n_replicates"] == 40
+    # CI brackets the point estimate and is deterministic across runs
+    assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
+    assert out["ci_lo"] < out["ci_hi"]
+    again = SA2.poisson_bootstrap_ci(df, "v", "id", n_replicates=40, seed=3).collect()[0]
+    assert out == again
+    # a different seed draws different replicates (CI moves)
+    other = SA2.poisson_bootstrap_ci(df, "v", "id", n_replicates=40, seed=4).collect()[0]
+    assert (other["ci_lo"], other["ci_hi"]) != (out["ci_lo"], out["ci_hi"])

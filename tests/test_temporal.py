@@ -324,3 +324,26 @@ def test_mann_kendall_even_pair_count_median(spark):
     out = TP.mann_kendall_trend(s, "t", "x").collect()[0]
     slopes = sorted([1.0, 2.0, 3.0, 3.0, 4.0, 5.0])
     assert out["sen_slope"] == (slopes[2] + slopes[3]) / 2
+
+
+def test_nelson_aalen_hand_computed(spark):
+    # durations: events at t=1 (1 of 3 at risk... built so n_risk is clear)
+    # subjects: (1, event), (2, censored), (3, event), (3, event)
+    s = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1)], "duration int, event int"
+    )
+    rows = {r["t"]: r for r in TP.nelson_aalen(s, "duration", "event").collect()}
+    assert set(rows) == {1, 3}  # only event times
+    # t=1: n_risk=4, d=1 -> H = 0.25; t=3: n_risk=2, d=2 -> H = 0.25 + 1.0
+    assert rows[1]["n_risk"] == 4 and rows[1]["cum_hazard"] == 0.25
+    assert rows[3]["n_risk"] == 2 and rows[3]["cum_hazard"] == 1.25
+    # variance: 1/16 then + 2/4
+    assert rows[1]["var_hazard"] == round(1 / 16, 6)
+    assert rows[3]["var_hazard"] == round(1 / 16 + 2 / 4, 6)
+
+
+def test_nelson_aalen_defined_past_full_death(spark):
+    # d == n_risk at the last step: KM hits absorbing zero, NA keeps summing
+    s = spark.createDataFrame([(1, 1), (2, 1)], "duration int, event int")
+    rows = {r["t"]: r["cum_hazard"] for r in TP.nelson_aalen(s, "duration", "event").collect()}
+    assert rows[1] == 0.5 and rows[2] == 1.5

@@ -4565,4 +4565,97 @@ ALL_ORACLES: dict[str, str] = {
         FROM u GROUP BY 1
         ORDER BY rrf_score DESC, c_custkey LIMIT 25
     """,
+    "m40_psm_att": """
+        -- independent algorithm: brute-force argmin over the distinct
+        -- control-score frame (the engine uses union-sort-carry)
+        WITH base AS (
+            SELECT c_custkey AS uid,
+                   CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS t,
+                   CAST((c_custkey * 131) % 1009 AS DOUBLE) / 1009.0 AS s,
+                   c_acctbal AS y
+            FROM customer
+        ), ctl AS (
+            -- one control per distinct score: min-(id, outcome) survivor,
+            -- matching the engine's deterministic collapse
+            SELECT s AS cs, min({'uid': uid, 'y': y}) AS cv
+            FROM base WHERE t = 0 GROUP BY s
+        ), cand AS (
+            SELECT tr.uid, tr.s, tr.y,
+                   c.cs, (c.cv).y AS cy,
+                   row_number() OVER (
+                       PARTITION BY tr.uid
+                       ORDER BY abs(tr.s - c.cs), c.cs
+                   ) AS rn
+            FROM (SELECT * FROM base WHERE t = 1) tr CROSS JOIN ctl c
+        ), pairs AS (SELECT * FROM cand WHERE rn = 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_matched,
+               round(avg(y - cy), 6) AS att,
+               round(avg(y), 6) AS mean_treated,
+               round(avg(cy), 6) AS mean_control
+        FROM pairs
+    """,
+    "m41_did": """
+        WITH cells AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+                   CASE WHEN extract('hour' FROM ts) >= 12 THEN 1 ELSE 0 END AS p,
+                   avg(value) AS m, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), wide AS (
+            SELECT max(CASE WHEN t = 1 AND p = 0 THEN m END) AS treat_pre,
+                   max(CASE WHEN t = 1 AND p = 1 THEN m END) AS treat_post,
+                   max(CASE WHEN t = 0 AND p = 0 THEN m END) AS ctl_pre,
+                   max(CASE WHEN t = 0 AND p = 1 THEN m END) AS ctl_post,
+                   CAST(coalesce(max(CASE WHEN t = 1 AND p = 0 THEN n END), 0) AS BIGINT) AS n_treat_pre,
+                   CAST(coalesce(max(CASE WHEN t = 1 AND p = 1 THEN n END), 0) AS BIGINT) AS n_treat_post,
+                   CAST(coalesce(max(CASE WHEN t = 0 AND p = 0 THEN n END), 0) AS BIGINT) AS n_ctl_pre,
+                   CAST(coalesce(max(CASE WHEN t = 0 AND p = 1 THEN n END), 0) AS BIGINT) AS n_ctl_post
+            FROM cells
+        )
+        SELECT round(treat_pre, 6) AS treat_pre,
+               round(treat_post, 6) AS treat_post,
+               round(ctl_pre, 6) AS ctl_pre,
+               round(ctl_post, 6) AS ctl_post,
+               n_treat_pre, n_treat_post, n_ctl_pre, n_ctl_post,
+               round((treat_post - treat_pre) - (ctl_post - ctl_pre), 6) AS did
+        FROM wide
+    """,
+    "m42_qini": """
+        WITH base AS (
+            SELECT c_custkey AS uid,
+                   CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS t,
+                   CAST((c_custkey * 53) % 997 AS DOUBLE) / 997.0 AS s,
+                   CAST(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+            FROM customer
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY s DESC, uid) AS rn,
+                   count(*) OVER () AS n
+            FROM base
+        ), binned AS (
+            SELECT CAST(ceil(rn * 10.0 / n) AS INT) AS bin, t, y FROM ranked
+        ), per_bin AS (
+            SELECT bin, count(*) AS nb,
+                   sum(CASE WHEN t = 1 THEN y ELSE 0.0 END) AS yt,
+                   sum(t) AS nt,
+                   sum(CASE WHEN t = 0 THEN y ELSE 0.0 END) AS yc,
+                   sum(1 - t) AS nc
+            FROM binned GROUP BY 1
+        ), cum AS (
+            SELECT bin,
+                   CAST(sum(nb) OVER w AS BIGINT) AS n_cum,
+                   sum(yt) OVER w AS cum_y_treat,
+                   CAST(sum(nt) OVER w AS BIGINT) AS cum_n_treat,
+                   sum(yc) OVER w AS cum_y_ctl,
+                   CAST(sum(nc) OVER w AS BIGINT) AS cum_n_ctl
+            FROM per_bin
+            WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT bin, n_cum,
+               round(cum_y_treat, 6) AS cum_y_treat, cum_n_treat,
+               round(cum_y_ctl, 6) AS cum_y_ctl, cum_n_ctl,
+               round(cum_y_treat - cum_y_ctl
+                     * (CAST(cum_n_treat AS DOUBLE)
+                        / nullif(CAST(cum_n_ctl AS DOUBLE), 0)), 6) AS qini
+        FROM cum ORDER BY bin
+    """,
 }

@@ -4337,6 +4337,58 @@ def q_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
         .limit(25)
     )
 
+def _causal_customers(spark, sf) -> DataFrame:
+    """Deterministic observational frame for the causal gates: treatment,
+    a pseudo-uniform propensity score from exact integer arithmetic
+    (engine-identical doubles), and acctbal as the outcome."""
+    cust = load_table(spark, sf, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("uid"),
+        (F.col("c_custkey") % 3 == 0).cast("int").alias("treat"),
+        (((F.col("c_custkey") * 131) % 1009) / F.lit(1009.0)).alias("score"),
+        F.col("c_acctbal").alias("outcome"),
+    )
+
+def m40_psm_att(spark: SparkSession, sf: str) -> DataFrame:
+    """ATT from 1:1 nearest-control propensity matching (causal.psm_att,
+    union-sort-carry — no treated x control blowup). The oracle recomputes
+    each treated unit's nearest control BY BRUTE FORCE (argmin over the
+    distinct-control-score frame), pinning the carry logic against an
+    independent algorithm."""
+    from ml_data_pipeline_spark.operators import causal as C
+
+    return C.psm_att(
+        _causal_customers(spark, sf), "treat", "score", "uid", "outcome"
+    )
+
+def m41_did(spark: SparkSession, sf: str) -> DataFrame:
+    """2x2 difference-in-differences on events: treat = even user_id,
+    post = afternoon (hour >= 12), outcome = value (causal.did_estimate)."""
+    from ml_data_pipeline_spark.operators import causal as C
+
+    ev = load_table(spark, sf, "events")
+    frame = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (F.hour("ts") >= 12).alias("post"),
+        F.col("value").alias("outcome"),
+    )
+    return C.did_estimate(frame, "treat", "post", "outcome")
+
+def m42_qini(spark: SparkSession, sf: str) -> DataFrame:
+    """Qini uplift curve in 10 rank bins (causal.qini_curve): deterministic
+    rank binning (row_number + ceil, no ntile), binary outcome = positive
+    account balance, pseudo-uniform uplift score."""
+    from ml_data_pipeline_spark.operators import causal as C
+
+    cust = load_table(spark, sf, "customer")
+    frame = cust.select(
+        F.col("c_custkey").alias("uid"),
+        (F.col("c_custkey") % 2 == 0).cast("int").alias("treat"),
+        (((F.col("c_custkey") * 53) % 997) / F.lit(997.0)).alias("score"),
+        (F.col("c_acctbal") > 0).cast("int").alias("converted"),
+    )
+    return C.qini_curve(frame, "treat", "score", "converted", "uid", n_bins=10)
+
 
 ALL_QUERIES = {
     # ---- round-2 ordering: the driver's correctness gate evaluates entries
@@ -4633,6 +4685,9 @@ ALL_QUERIES = {
     "m38_bootstrap_ci": m38_bootstrap_ci,
     "m39_nelson_aalen": m39_nelson_aalen,
     "q_rank_fusion": q_rank_fusion,
+    "m40_psm_att": m40_psm_att,
+    "m41_did": m41_did,
+    "m42_qini": m42_qini,
 }
 
 # ---- ROUND-4 ROTATION TODO (for the next round's builder): the driver

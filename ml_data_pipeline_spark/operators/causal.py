@@ -10,7 +10,10 @@ All three are expressed as pure DataFrame plans:
 - PSM is the UNION-SORT-CARRY nearest-neighbor trick (same shape as
   temporal.asof_join): one window pass over the score-sorted union finds
   each treated unit's nearest control below AND above — no treated x
-  control pair blowup, one shuffle on the sort.
+  control pair blowup. psm_match's carry windows are unpartitioned
+  (single-task, fine for eval-sized frames); psm_match_ranged is the
+  corpus-scale twin — range-partitioned carries + a P-row boundary
+  exchange, same output.
 - DiD is a single groupBy to four cell means plus scalar arithmetic.
 - Qini ranks the scored evaluation frame once; like the ROC gates
   (ml/pipeline.py roc_points) the global sort is over the MODEL-SCORED
@@ -21,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def psm_match(
@@ -44,11 +48,40 @@ def psm_match(
     sensitivity. Equidistant below/above neighbors resolve to the LOWER
     score (documented convention).
 
-    Shape: controls-per-score frame is score-cardinality-sized; the
-    union-sort-carry is ONE window over the sorted union (two passes:
-    forward carry for the nearest-below, backward for nearest-above) —
-    never a treated x control join.
+    Shape: controls-per-score frame is score-cardinality-sized, and the
+    carry avoids the treated x control pair blowup — but the two carry
+    windows here are UNPARTITIONED, so Spark moves the whole
+    treated + distinct-control-score union through ONE task (the
+    WindowExec single-partition plan). That bound is fine for
+    evaluation-sized observational frames (the m40 gate's shape); for a
+    corpus-sized frame use :func:`psm_match_ranged`, which replaces the
+    global windows with range-partitioned carries + a P-row boundary
+    exchange and returns the identical result (tested equal).
     """
+    u = _psm_union(df, treat_col, score_col, id_col, outcome_col)
+    # controls sort before treated at equal score in the forward pass so a
+    # same-score control is "at distance 0 below"; mirrored in the backward
+    fwd = Window.orderBy(F.asc("__s"), F.asc("__is_treat")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bwd = Window.orderBy(F.desc("__s"), F.asc("__is_treat")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = u.withColumn("__below", F.last("__ctl", ignorenulls=True).over(fwd)).withColumn(
+        "__above", F.last("__ctl", ignorenulls=True).over(bwd)
+    )
+    return _psm_pick(carried.where(F.col("__is_treat") == 1), caliper, outcome_col)
+
+
+def _psm_union(
+    df: DataFrame,
+    treat_col: str,
+    score_col: str,
+    id_col: str,
+    outcome_col: str | None,
+) -> DataFrame:
+    """Shared PSM stage 1: score-collapsed controls UNION treated, each
+    control row carrying its (score, survivor) struct in ``__ctl``."""
     cols = [F.col(id_col).alias("__id"), F.col(score_col).alias("__s")]
     if outcome_col is not None:
         cols.append(F.col(outcome_col).alias("__y"))
@@ -67,22 +100,16 @@ def psm_match(
     ).withColumn("__ctl", F.lit(None).cast(controls.schema["__ctl"].dataType)).withColumn(
         "__is_treat", F.lit(1)
     )
-    u = treated.unionByName(controls, allowMissingColumns=True)
-    # controls sort before treated at equal score in the forward pass so a
-    # same-score control is "at distance 0 below"; mirrored in the backward
-    fwd = Window.orderBy(F.asc("__s"), F.asc("__is_treat")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    bwd = Window.orderBy(F.desc("__s"), F.asc("__is_treat")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    carried = u.withColumn("__below", F.last("__ctl", ignorenulls=True).over(fwd)).withColumn(
-        "__above", F.last("__ctl", ignorenulls=True).over(bwd)
-    )
-    t = carried.where(F.col("__is_treat") == 1)
+    return treated.unionByName(controls, allowMissingColumns=True)
+
+
+def _psm_pick(
+    t: DataFrame, caliper: float | None, outcome_col: str | None
+) -> DataFrame:
+    """Shared PSM stage 3: choose the nearer of the carried below/above
+    controls (equidistant -> lower score wins) and project the output."""
     d_below = F.abs(F.col("__s") - F.col("__below.cs"))
     d_above = F.abs(F.col("__above.cs") - F.col("__s"))
-    # equidistant -> lower score wins
     pick_below = F.col("__above").isNull() | (
         F.col("__below").isNotNull() & (d_below <= d_above)
     )
@@ -102,6 +129,93 @@ def psm_match(
             F.col("__match.cv.__y").alias("c_outcome"),
         ]
     return out.select(*sel)
+
+
+def psm_match_ranged(
+    df: DataFrame,
+    treat_col: str,
+    score_col: str,
+    id_col: str,
+    outcome_col: str | None = None,
+    caliper: float | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """psm_match at scale — identical output (tested equal), but the
+    global single-task carry windows are replaced by the same
+    range-partition + boundary-carry recipe as impute_interpolate_ranged:
+
+    1. repartitionByRange on the score → P sorted, disjoint ranges
+       (equal scores always co-locate, so the equal-score tie rules are
+       untouched);
+    2. per-partition forward/backward carries (partitionBy partition id)
+       find the local nearest control below/above — fully parallel;
+    3. ONE P-row aggregate collects each partition's min/max-score
+       control; the driver folds those into per-partition carry-ins,
+       broadcast-joined back so boundary rows see the neighbor control
+       that lives in an adjacent range.
+
+    The critical path is a parallel range sort + bounded windows: it
+    survives corpus-sized observational frames where psm_match
+    serializes on one task.
+    """
+    u = _psm_union(df, treat_col, score_col, id_col, outcome_col)
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    ctl_type = u.schema["__ctl"].dataType
+    # spark_partition_id must stay stable across the reads below
+    rp = u.repartitionByRange(P, F.col("__s")).withColumn(
+        "__pid", F.spark_partition_id()
+    ).cache()
+    fwd = Window.partitionBy("__pid").orderBy(
+        F.asc("__s"), F.asc("__is_treat")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    bwd = Window.partitionBy("__pid").orderBy(
+        F.desc("__s"), F.asc("__is_treat")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    carried = rp.withColumn(
+        "__below_l", F.last("__ctl", ignorenulls=True).over(fwd)
+    ).withColumn("__above_l", F.last("__ctl", ignorenulls=True).over(bwd))
+    # boundary summary: each partition's extreme-score control (P rows)
+    summary = (
+        rp.where(F.col("__is_treat") == 0)
+        .groupBy("__pid")
+        .agg(
+            F.max(F.struct(F.col("__s"), F.col("__ctl"))).alias("mx"),
+            F.min(F.struct(F.col("__s"), F.col("__ctl"))).alias("mn"),
+        )
+        .collect()
+    )
+    info = {r["__pid"]: r for r in summary}
+    all_pids = sorted(r["__pid"] for r in rp.select("__pid").distinct().collect())
+    below_in: dict[int, object] = {}
+    best = None
+    for pid in all_pids:  # range partitions are score-ordered by pid
+        below_in[pid] = best
+        if pid in info:
+            best = info[pid]["mx"]["__ctl"]
+    above_in: dict[int, object] = {}
+    best = None
+    for pid in reversed(all_pids):
+        above_in[pid] = best
+        if pid in info:
+            best = info[pid]["mn"]["__ctl"]
+    carry_schema = T.StructType(
+        [
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__below_in", ctl_type, True),
+            T.StructField("__above_in", ctl_type, True),
+        ]
+    )
+    carry = spark.createDataFrame(
+        [(pid, below_in[pid], above_in[pid]) for pid in all_pids], carry_schema
+    )
+    t = (
+        carried.where(F.col("__is_treat") == 1)
+        .join(F.broadcast(carry), "__pid")
+        .withColumn("__below", F.coalesce(F.col("__below_l"), F.col("__below_in")))
+        .withColumn("__above", F.coalesce(F.col("__above_l"), F.col("__above_in")))
+    )
+    return _psm_pick(t, caliper, outcome_col)
 
 
 def psm_att(

@@ -37,11 +37,20 @@ def rrf_fusion(
     Each input frame carries (id_col, rank_col) with rank 1-based within
     that list. Returns (id_col, rrf_score, n_lists) sorted by score desc
     with the id as the deterministic tie-break.
+
+    A duplicated id WITHIN one list (a ranker bug upstream) is collapsed
+    to its best (minimum) rank before fusion, so n_lists can never exceed
+    len(frames) and a dirty ranker can't double-vote. The dedup groupBy
+    is rank-list-sized (k rows per frame), so the extra shuffle is noise
+    next to the corpus-sized scoring the callers own.
     """
     if not frames:
         raise ValueError("rrf_fusion needs at least one ranked frame")
     tagged = [
-        f.select(F.col(id_col), F.col(rank_col).alias("__rank")) for f in frames
+        f.select(F.col(id_col), F.col(rank_col).alias("__rank"))
+        .groupBy(id_col)
+        .agg(F.min("__rank").alias("__rank"))
+        for f in frames
     ]
     u = reduce(lambda a, b: a.unionByName(b), tagged)
     return (

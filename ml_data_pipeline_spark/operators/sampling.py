@@ -414,16 +414,10 @@ def quota_allocation(
     )
 
 
-# Cumulative CDF of Poisson(1) at k = 0..4; k = 5 absorbs the tail. Shared
-# with the DuckDB oracle (oracles.py interpolates these exact literals) so
-# both engines draw identical bootstrap weights from the same md5 uniform.
-POISSON1_CDF = (
-    0.36787944117144233,
-    0.7357588823428847,
-    0.9196986029286058,
-    0.9810118431238462,
-    0.9963401531726563,
-)
+# Poisson(1) CDF literals live in the dependency-free constants module so
+# the DuckDB-only oracle module can read them without importing pyspark;
+# re-exported here because this is where the Spark-side consumer lives.
+from ml_data_pipeline_spark.constants import POISSON1_CDF
 
 
 def poisson_bootstrap_ci(

@@ -324,14 +324,9 @@ def semantic_dedup(
 
 # ---- Johnson-Lindenstrauss random projection --------------------------------
 
-def _rp_sign(i: int, j: int) -> int:
-    """Deterministic ±1 for input dim i, output dim j (Achlioptas 2003
-    database-friendly projections use iid ±1 entries). A Weyl-style
-    integer mix — no RNG state — so ANY engine can regenerate the exact
-    matrix; ml_data_pipeline_spark.oracles imports THIS function to build
-    the DuckDB oracle from the same entries."""
-    h = (2654435761 * (i + 1) + 40503 * (j + 1) + 94321) & 0xFFFFFFFF
-    return 1 if ((h >> 13) & 1) == 0 else -1
+# ±1 matrix entries live in the dependency-free constants module so the
+# DuckDB-only oracle can regenerate the identical matrix without pyspark.
+from ml_data_pipeline_spark.constants import rp_sign as _rp_sign
 
 
 def random_project(

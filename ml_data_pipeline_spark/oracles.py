@@ -14,7 +14,7 @@ inherently seeded / hash-specific ones: i8 (EM random draws), tx_fingerprint
 
 from __future__ import annotations
 
-from ml_data_pipeline_spark.operators.sampling import POISSON1_CDF as _P1CDF
+from ml_data_pipeline_spark.constants import POISSON1_CDF as _P1CDF
 
 # lineitem with the deterministic null mask used by p2/p3/i1/i2/i4/f7
 _LI_NULLS = """
@@ -176,7 +176,7 @@ def _kmeans_oracle_sql(k: int = 3, iters: int = 4) -> str:
         FROM cents c LEFT JOIN counts n ON c.cluster = n.cluster"""
     )
 
-from ml_data_pipeline_spark.operators.similarity import _rp_sign
+from ml_data_pipeline_spark.constants import rp_sign as _rp_sign
 
 # random-projection matrix rows (ss_random_project), regenerated from the
 # SAME sign function the Spark operator uses — lockstep by construction
@@ -2758,15 +2758,19 @@ ALL_ORACLES: dict[str, str] = {
     "t12_group_weighted_sample": """
         WITH keyed AS (
             SELECT doc_id, source, n_chars,
-                   pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15)
-                             AS BIGINT) + 0.5) / 1152921504606846976.0,
-                       1.0 / n_chars) AS akey
+                   -- same w <= 0 guard as the engine: non-positive weights
+                   -- key to NULL and sort after every valid row
+                   CASE WHEN n_chars > 0 THEN
+                     pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15)
+                               AS BIGINT) + 0.5) / 1152921504606846976.0,
+                         1.0 / n_chars)
+                   END AS akey
             FROM documents
         ),
         ranked AS (
             SELECT doc_id, source, n_chars,
                    row_number() OVER (PARTITION BY source
-                                      ORDER BY akey DESC, doc_id) AS rn
+                                      ORDER BY akey DESC NULLS LAST, doc_id) AS rn
             FROM keyed
         )
         SELECT doc_id, source, n_chars
@@ -2927,14 +2931,18 @@ ALL_ORACLES: dict[str, str] = {
     "t11_weighted_sample": """
         WITH keyed AS (
             SELECT doc_id, n_chars,
-                   pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)
-                             AS BIGINT) + 0.5) / 1152921504606846976.0,
-                       1.0 / n_chars) AS k
+                   -- same w <= 0 guard as the engine: non-positive weights
+                   -- key to NULL and sort after every valid row
+                   CASE WHEN n_chars > 0 THEN
+                     pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)
+                               AS BIGINT) + 0.5) / 1152921504606846976.0,
+                         1.0 / n_chars)
+                   END AS k
             FROM documents
         )
         SELECT doc_id, n_chars, round(k, 6) AS wkey
         FROM keyed
-        ORDER BY k DESC, doc_id
+        ORDER BY k DESC NULLS LAST, doc_id
         LIMIT 50
     """,
     "dd_incremental_pairs": f"""

@@ -4946,3 +4946,109 @@ ALL_QUERIES = {
     **{n: ALL_QUERIES[n] for n in _R4_PRIORITY},
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R4_PRIORITY)},
 }
+
+# ---- round-5 rotation (VERDICT r3 item 3 continuation): CORRECTNESS_r04 is
+# 50/50 green (q12 recovered), leaving 73 oracle-backed + 15 rows-only
+# queries with no driver row. The driver records rows for the FIRST 50 dict
+# entries, so the r5 window takes the first 50 of the oracle-backed queue in
+# registry order; the remaining 23 oracle-backed + the 15 rows-only entries
+# queue directly behind for r6 (38 slots), which also absorbs any round-5
+# additions. Already-green entries keep their relative order at the back.
+_R5_PRIORITY = [
+    # oracle-backed, never driver-verified — r5 driver window (50)
+    "q_abc_brands",
+    "s18_schema_diff",
+    "tx_temperature_mix",
+    "t12_group_weighted_sample",
+    "tx_vocab_overlap",
+    "p28_moments",
+    "tx_span_dedup",
+    "tx_dsir_select",
+    "q_pagerank",
+    "ss_random_project",
+    "ml_pca_contract",
+    "tx_bpe_pairs",
+    "t13_negative_sample",
+    "s19_compaction_plan",
+    "st_sliding_topk",
+    "q_bloom_prejoin",
+    "q_triangles",
+    "e22_loo_target_encode",
+    "t14_cluster_safe_split",
+    "m23_ridge_path",
+    "q_churn_labels",
+    "pipe_golden_record",
+    "m24_conformal",
+    "m25_ndcg",
+    "tx_bpe_apply",
+    "m26_classification_report",
+    "q_rolling_corr",
+    "m27_sliced_report",
+    "s20_content_hash",
+    "tx_zipf_slope",
+    "tx_diversity",
+    "q_attribution_models",
+    "p29_l_diversity",
+    "p30_dp_counts",
+    "q_join_cardinality",
+    "ml_kmeans",
+    "q_event_patterns",
+    "m29_time_series_cv",
+    "s21_bin_manifest",
+    "tx_pmi_collocations",
+    "tx_vocab_coverage",
+    "q_hierarchy_flatten",
+    "t16_quota_allocation",
+    "q_time_to_convert",
+    "dd_prefix_jaccard",
+    "s22_range_boundaries",
+    "p33_weighted_median",
+    "q_active_users",
+    "p34_ref_integrity",
+    "q_revenue_bridge",
+    # --- driver window ends here (50 entries above) ---
+    # remaining oracle-backed unverified (r6 queue)
+    "m30_kaplan_meier",
+    "ml_silhouette",
+    "m31_nmi",
+    "m32_ari",
+    "ml_davies_bouldin",
+    "pipe_training_frame",
+    "m33_best_split",
+    "m34_best_f1",
+    "tx_novelty",
+    "m35_pair_confusion",
+    "p35_null_patterns",
+    "q_skyline",
+    "q_cusum_changepoint",
+    "m36_trend",
+    "e24_quantile_transform",
+    "dd_containment",
+    "m37_krippendorff",
+    "m38_bootstrap_ci",
+    "m39_nelson_aalen",
+    "q_rank_fusion",
+    "m40_psm_att",
+    "m41_did",
+    "m42_qini",
+    # rows-only, never driver-verified (weaker check; r6 queue tail)
+    "i8_impute_em",
+    "b8_smote_tomek",
+    "b9_smote_enn",
+    "tx_fingerprint",
+    "m3_eval_classification",
+    "m4_feature_importances",
+    "m5_cross_val",
+    "m12_single_row_inference",
+    "dd_minhash_pairs",
+    "dd_simhash_pairs",
+    "ss_ann_topk",
+    "ss_ivf_topk",
+    "ss_cosine_pairs",
+    "ss_semantic_dedup",
+    "m23_isotonic_calibration",
+]
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R5_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R5_PRIORITY)},
+}

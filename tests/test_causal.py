@@ -72,6 +72,43 @@ def test_psm_att_hand_computed(spark, obs):
     assert out["att"] == round((9 + 18 + 26) / 3, 6)
 
 
+def test_psm_match_ranged_equals_global(spark, obs):
+    want = sorted(map(tuple, C.psm_match(obs, "t", "s", "uid", "y").collect()))
+    got = sorted(
+        map(tuple, C.psm_match_ranged(obs, "t", "s", "uid", "y", num_partitions=3).collect())
+    )
+    assert got == want
+
+
+def test_psm_match_ranged_boundary_carries(spark):
+    # 200 units over many range partitions: treated units whose nearest
+    # control lives in an adjacent range MUST see it via the carry-in.
+    rows = []
+    for i in range(200):
+        # controls sparse (every 7th unit) so long carry chains cross ranges
+        t = 0 if i % 7 == 0 else 1
+        rows.append((i, t, i / 200.0, float(i % 5)))
+    df = spark.createDataFrame(rows, "uid int, t int, s double, y double")
+    want = sorted(map(tuple, C.psm_match(df, "t", "s", "uid", "y").collect()))
+    got = sorted(
+        map(tuple, C.psm_match_ranged(df, "t", "s", "uid", "y", num_partitions=8).collect())
+    )
+    assert got == want
+    # and with a caliper
+    want_c = sorted(
+        map(tuple, C.psm_match(df, "t", "s", "uid", "y", caliper=0.01).collect())
+    )
+    got_c = sorted(
+        map(
+            tuple,
+            C.psm_match_ranged(
+                df, "t", "s", "uid", "y", caliper=0.01, num_partitions=8
+            ).collect(),
+        )
+    )
+    assert got_c == want_c
+
+
 def test_did_hand_computed(spark):
     rows = [
         (1, 0, 10.0), (1, 0, 14.0),   # treat pre: mean 12

@@ -1378,6 +1378,19 @@ def test_rrf_fusion_hand_computed(spark):
     assert rows[40] == (round(1 / 63, 6), 1)
 
 
+def test_rrf_fusion_dedups_dirty_ranker(spark):
+    # a duplicated id WITHIN one list collapses to its best rank: n_lists
+    # can never exceed len(frames) and the dup can't double-vote
+    from ml_data_pipeline_spark.operators.ranking import rrf_fusion
+
+    la = spark.createDataFrame([(10, 1), (10, 3), (20, 2)], "id int, rank int")
+    lb = spark.createDataFrame([(10, 2)], "id int, rank int")
+    rows = {r["id"]: (r["rrf_score"], r["n_lists"]) for r in
+            rrf_fusion([la, lb], id_col="id").collect()}
+    assert rows[10] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert rows[20] == (round(1 / 62, 6), 1)
+
+
 def test_rrf_fusion_requires_frames(spark):
     from ml_data_pipeline_spark.operators.ranking import rrf_fusion
     import pytest as _pt

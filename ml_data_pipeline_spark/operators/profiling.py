@@ -567,6 +567,7 @@ def association_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             "a",
             "b",
             "o",
+            "n",
             (F.col("ra").cast("double") * F.col("cb") / F.col("n")).alias("e"),
             (F.col("o") / F.col("n")).alias("pij"),
             (F.col("ra") / F.col("n")).alias("pi"),
@@ -575,7 +576,13 @@ def association_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
     counts = (
         cells.agg(
-            F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6).alias("chi2"),
+            # include EMPTY cells: o=0 contributes e, and sum_all(e) = n, so
+            # chi2 = sum_obs((o-e)²/e - e) + n (MI is unaffected: 0·log0 = 0)
+            F.round(
+                F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e") - F.col("e"))
+                + F.first(F.col("n")),
+                6,
+            ).alias("chi2"),
             F.round(
                 F.sum(F.col("pij") * F.log(F.col("pij") / (F.col("pi") * F.col("pj")))), 6
             ).alias("mutual_info"),
@@ -1240,5 +1247,110 @@ def krippendorff_alpha(
             F.round(d_o, 6).alias("d_o"),
             F.round(d_e, 6).alias("d_e"),
             F.round(1.0 - d_o / F.nullif(d_e, F.lit(0.0)), 6).alias("alpha"),
+        )
+    )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V (Cramér 1946, public statistics) between two categorical
+    columns: V = sqrt(chi2 / (n * min(|A|-1, |B|-1))) — the [0,1]-normalized
+    effect size the chi2 statistic itself (association_stats) can't give,
+    because chi2 grows with n and table size. The profiling pass a feature-
+    redundancy screen actually ranks by.
+
+    Same shape as association_stats: ONE contingency agg (|A| x |B| rows),
+    then marginals and the statistic on that tiny frame — nothing after the
+    first groupBy scales with data. Returns one row
+    (n, chi2, dof, cramers_v).
+    """
+    obs = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    ma = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    mb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    cells = (
+        obs.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            "n",
+            (F.col("ra").cast("double") * F.col("cb") / F.col("n")).alias("e"),
+        )
+    )
+    # chi2 must include EMPTY cells (o=0 contributes e). Rather than
+    # generating the zero cells, use sum_all(e) = n:
+    # chi2 = sum_obs((o-e)²/e - e) + n.
+    agg = cells.agg(
+        F.first("n").alias("__n"),
+        (
+            F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e") - F.col("e"))
+            + F.first("n")
+        ).alias("__chi2"),
+    )
+    # distinct-level counts ride along from the marginal frames (tiny)
+    na = ma.agg(F.count(F.lit(1)).alias("__na"))
+    nb = mb.agg(F.count(F.lit(1)).alias("__nb"))
+    k = F.least(F.col("__na") - 1, F.col("__nb") - 1)
+    return (
+        agg.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("__n").alias("n"),
+            F.round(F.col("__chi2"), 6).alias("chi2"),
+            ((F.col("__na") - 1) * (F.col("__nb") - 1)).cast("long").alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("__chi2") / (F.col("__n") * F.nullif(k.cast("double"), F.lit(0.0)))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960, public statistics) between two raters'
+    nominal labels on the same units: kappa = (p_o - p_e) / (1 - p_e) with
+    p_o the observed diagonal agreement and p_e the chance agreement from
+    the marginals. The 2-rater companion to krippendorff_alpha (which
+    handles many raters / missing assignments but costs a per-unit
+    coincidence pass); for the everyday "model vs heuristic" or
+    "annotator vs annotator" audit this one contingency agg is the tool.
+
+    Shape: ONE (|A| x |B|)-row contingency groupBy; marginals and the
+    statistic on that tiny frame. Returns one row (n, po, pe, kappa).
+    """
+    obs = (
+        df.where(F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull())
+        .groupBy(F.col(rater_a_col).alias("a"), F.col(rater_b_col).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ma = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    mb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    # chance agreement: sum over labels of (row marginal * col marginal),
+    # joined on the LABEL (only labels both raters ever used contribute)
+    pe_num = (
+        ma.join(mb, ma["a"] == mb["b"])
+        .agg(F.sum(F.col("ra").cast("double") * F.col("cb")).alias("__pe_num"))
+    )
+    base = obs.agg(
+        F.sum("o").alias("__n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("o")).otherwise(F.lit(0))).alias("__agree"),
+    )
+    po = F.col("__agree") / F.col("__n")
+    pe = F.coalesce(F.col("__pe_num"), F.lit(0.0)) / (F.col("__n") * F.col("__n"))
+    return (
+        base.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("__n").alias("n"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round(
+                (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6
+            ).alias("kappa"),
         )
     )

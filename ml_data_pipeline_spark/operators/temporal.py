@@ -612,3 +612,57 @@ def nelson_aalen(
         F.round(hz, 6).alias("cum_hazard"),
         F.round(vz, 6).alias("var_hazard"),
     )
+
+
+def acf(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation function at lags 1..``max_lag`` of an ordered
+    series (Box & Jenkins, public time-series statistics):
+    r_k = sum_{t>k} (x_t - x̄)(x_{t-k} - x̄) / sum_t (x_t - x̄)² — the
+    standard biased estimator (denominator over the FULL series), which
+    keeps |r_k| <= 1 and matches statsmodels' default.
+
+    The caller pre-aggregates to one row per ``order_col`` (same contract
+    as ewma_last), so the single ordered window here runs over the
+    AGGREGATED series — bounded by the order key's cardinality (e.g. ~2.5k
+    days for a 7-year daily series), never by row count. All max_lag lag
+    columns come out of ONE window pass; the mean/variance ride in via a
+    broadcast scalar frame. Returns (lag, n_pairs, acf) rows, lag asc.
+    """
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.col(value_col).cast("double").alias("__x"),
+        *[
+            F.lag(F.col(value_col).cast("double"), k).over(w).alias(f"__l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stats = base.agg(
+        F.avg("__x").alias("__m"),
+        (F.var_pop("__x") * F.count(F.lit(1))).alias("__ss"),
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    pairs = []
+    for k in range(1, max_lag + 1):
+        pairs += [
+            F.lit(k),
+            (F.col("__x") - F.col("__m")) * (F.col(f"__l{k}") - F.col("__m")),
+        ]
+    stacked = j.select(
+        F.stack(F.lit(max_lag), *pairs).alias("lag", "__prod"), F.col("__ss")
+    )
+    return (
+        stacked.where(F.col("__prod").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("__prod") / F.nullif(F.first("__ss"), F.lit(0.0)), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

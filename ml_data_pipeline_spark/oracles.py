@@ -1884,10 +1884,12 @@ ALL_ORACLES: dict[str, str] = {
         ma AS (SELECT a, CAST(sum(o) AS DOUBLE) AS ra FROM obs GROUP BY 1),
         mb AS (SELECT b, CAST(sum(o) AS DOUBLE) AS cb FROM obs GROUP BY 1),
         cells AS (
-            SELECT o, ra * cb / n AS e, o / n AS pij, ra / n AS pi, cb / n AS pj
+            SELECT o, n, ra * cb / n AS e, o / n AS pij, ra / n AS pi, cb / n AS pj
             FROM obs JOIN ma USING (a) JOIN mb USING (b), t
         )
-        SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+        -- chi2 includes EMPTY cells via sum_all(e) = n:
+        -- sum_obs((o-e)²/e - e) + n  (matches the engine's identity)
+        SELECT round(sum((o - e) * (o - e) / e - e) + any_value(n), 6) AS chi2,
                round(sum(pij * ln(pij / (pi * pj))), 6) AS mutual_info,
                count(*) AS n_cells,
                CAST((SELECT (count(*) - 1) FROM ma)
@@ -4667,3 +4669,107 @@ ALL_ORACLES: dict[str, str] = {
         FROM cum ORDER BY bin
     """,
 }
+
+# ---------------------------------------------------------------- round-5 oracles
+
+_KAPPA_LANG_PRED = f"""
+        t AS (SELECT lang, {_TOKS} AS tk FROM documents),
+        h AS (
+            SELECT lang,
+                   len(list_filter(tk, x -> list_contains({_EN}, x))) AS he,
+                   len(list_filter(tk, x -> list_contains({_DE}, x))) AS hd,
+                   len(list_filter(tk, x -> list_contains({_FR}, x))) AS hf,
+                   len(list_filter(tk, x -> list_contains({_ES}, x))) AS hs
+            FROM t
+        ),
+        p AS (
+            SELECT lang AS a,
+                   CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+                        WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+                        WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
+                        WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+                        ELSE 'de' END AS b
+            FROM h
+        )
+"""
+
+_ACF_LAG_MEMBER = """
+        SELECT CAST({k} AS INT) AS lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(sum((x - m) * (l{k} - m)) / any_value(ss), 6) AS acf
+        FROM l, b WHERE l{k} IS NOT NULL
+"""
+
+ALL_ORACLES.update(
+    {
+        "p36_cramers_v": """
+            WITH obs AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            t AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+            ma AS (SELECT a, CAST(sum(o) AS DOUBLE) AS ra FROM obs GROUP BY 1),
+            mb AS (SELECT b, CAST(sum(o) AS DOUBLE) AS cb FROM obs GROUP BY 1),
+            cells AS (
+                SELECT o, n, ra * cb / n AS e
+                FROM obs JOIN ma USING (a) JOIN mb USING (b), t
+            ),
+            agg AS (
+                -- empty-cell-complete chi2: sum_obs((o-e)²/e - e) + n
+                SELECT any_value(n) AS n,
+                       sum((o - e) * (o - e) / e - e) + any_value(n) AS chi2
+                FROM cells
+            ),
+            k AS (SELECT least((SELECT count(*) - 1 FROM ma),
+                               (SELECT count(*) - 1 FROM mb)) AS kk)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(chi2, 6) AS chi2,
+                   CAST((SELECT count(*) - 1 FROM ma)
+                        * (SELECT count(*) - 1 FROM mb) AS BIGINT) AS dof,
+                   round(sqrt(chi2 / (n * CAST(kk AS DOUBLE))), 6) AS cramers_v
+            FROM agg, k
+        """,
+        "m43_cohens_kappa": f"""
+            WITH {_KAPPA_LANG_PRED.strip()},
+            obs AS (SELECT a, b, count(*) AS o FROM p GROUP BY 1, 2),
+            ma AS (SELECT a, CAST(sum(o) AS DOUBLE) AS ra FROM obs GROUP BY 1),
+            mb AS (SELECT b, CAST(sum(o) AS DOUBLE) AS cb FROM obs GROUP BY 1),
+            base AS (
+                SELECT CAST(sum(o) AS DOUBLE) AS n,
+                       CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS DOUBLE) AS agree
+                FROM obs
+            ),
+            pe_ AS (
+                SELECT coalesce(sum(ra * cb), 0.0) AS pe_num
+                FROM ma JOIN mb ON ma.a = mb.b
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(agree / n, 6) AS po,
+                   round(pe_num / (n * n), 6) AS pe,
+                   round((agree / n - pe_num / (n * n))
+                         / (1 - pe_num / (n * n)), 6) AS kappa
+            FROM base, pe_
+        """,
+        "q_acf": f"""
+            WITH s AS (
+                SELECT strftime(l_shipdate, '%Y-%m-%d') AS d,
+                       sum(l_quantity) AS x
+                FROM lineitem GROUP BY 1
+            ),
+            b AS (SELECT avg(x) AS m, var_pop(x) * count(*) AS ss FROM s),
+            l AS (
+                SELECT x,
+                       lag(x, 1) OVER (ORDER BY d) AS l1,
+                       lag(x, 2) OVER (ORDER BY d) AS l2,
+                       lag(x, 3) OVER (ORDER BY d) AS l3,
+                       lag(x, 4) OVER (ORDER BY d) AS l4,
+                       lag(x, 5) OVER (ORDER BY d) AS l5
+                FROM s
+            )
+            {" UNION ALL ".join(_ACF_LAG_MEMBER.format(k=k) for k in range(1, 6))}
+            ORDER BY lag
+        """,
+    }
+)

@@ -5052,3 +5052,50 @@ ALL_QUERIES = {
     **{n: ALL_QUERIES[n] for n in _R5_PRIORITY},
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R5_PRIORITY)},
 }
+
+# ---------------------------------------------------------------- round-5 gates
+# New capability rows added in round 5; they register at the BACK of the dict
+# (no driver row this round) and the r6 rotation must pull them into the
+# window together with the 23 + 15 queue above.
+
+def p36_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V effect size between order priority and status
+    (profiling.cramers_v) — the normalized companion to p22's chi2, with
+    the empty-cell-complete chi2 identity sum((o-e)²/e - e) + n."""
+    return P.cramers_v(load_table(spark, sf, "orders"), "o_orderpriority", "o_orderstatus")
+
+
+def m43_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between the corpus ground-truth ``lang`` column and
+    the engine's own n-gram language-ID prediction
+    (profiling.cohens_kappa ∘ text.detect_language): the
+    classifier-vs-truth agreement audit, chance-corrected — exactly the
+    check a labeling pipeline runs before trusting a heuristic rater."""
+    docs = load_table(spark, sf, "documents")
+    return P.cohens_kappa(TX.detect_language(docs), "lang", "lang_pred")
+
+
+def q_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation (lags 1..5) of the daily total-quantity series
+    (temporal.acf). Aggregate-then-window: lineitem collapses to one row
+    per ship date (~2.5k for the 7-year synthetic range) before the only
+    ordered pass, so the unpartitioned lag window is date-cardinality
+    bounded, never row-count bounded. Daily sums of integer-valued
+    quantities are EXACT, so both engines difference identical doubles."""
+    from ml_data_pipeline_spark.operators import temporal as TP
+
+    daily = (
+        _li(spark, sf)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum("l_quantity").alias("x"))
+    )
+    return TP.acf(daily, "x", "d", max_lag=5)
+
+
+ALL_QUERIES.update(
+    {
+        "p36_cramers_v": p36_cramers_v,
+        "m43_cohens_kappa": m43_cohens_kappa,
+        "q_acf": q_acf,
+    }
+)

@@ -1415,3 +1415,75 @@ def test_poisson_bootstrap_ci_properties(spark):
     # a different seed draws different replicates (CI moves)
     other = SA2.poisson_bootstrap_ci(df, "v", "id", n_replicates=40, seed=4).collect()[0]
     assert (other["ci_lo"], other["ci_hi"]) != (out["ci_lo"], out["ci_hi"])
+
+
+def test_cramers_v_hand_computed(spark):
+    from ml_data_pipeline_spark.operators import profiling as P2
+
+    # 2x2 table: a=(x: 30/10, y: 10/30) -> chi2 = 80*(30*30-10*10)^2/(40*40*40*40)
+    rows = (
+        [("x", "u")] * 30 + [("x", "v")] * 10 + [("y", "u")] * 10 + [("y", "v")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = P2.cramers_v(df, "a", "b").collect()[0]
+    n = 80
+    chi2 = n * (30 * 30 - 10 * 10) ** 2 / (40 * 40 * 40 * 40)
+    assert out["n"] == n and out["dof"] == 1
+    assert out["chi2"] == round(chi2, 6)
+    assert out["cramers_v"] == round((chi2 / n) ** 0.5, 6)  # min(|A|,|B|)-1 = 1
+
+
+def test_cramers_v_perfect_association(spark):
+    from ml_data_pipeline_spark.operators import profiling as P2
+
+    df = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 5, "a string, b string"
+    )
+    assert P2.cramers_v(df, "a", "b").collect()[0]["cramers_v"] == 1.0
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from ml_data_pipeline_spark.operators import profiling as P2
+
+    # classic example: po = 0.7, marginals a:(0.5,0.5), b:(0.6,0.4) -> pe = 0.5
+    rows = (
+        [("p", "p")] * 40 + [("p", "n")] * 10 + [("n", "p")] * 20 + [("n", "n")] * 30
+    )
+    df = spark.createDataFrame(rows, "ra string, rb string")
+    out = P2.cohens_kappa(df, "ra", "rb").collect()[0]
+    assert out["n"] == 100 and out["po"] == 0.7 and out["pe"] == 0.5
+    assert out["kappa"] == round((0.7 - 0.5) / 0.5, 6)
+
+
+def test_cohens_kappa_degenerate_total_agreement(spark):
+    from ml_data_pipeline_spark.operators import profiling as P2
+
+    # single label from both raters: pe = 1 -> kappa undefined (NULL, not crash)
+    df = spark.createDataFrame([("p", "p")] * 5, "ra string, rb string")
+    out = P2.cohens_kappa(df, "ra", "rb").collect()[0]
+    assert out["po"] == 1.0 and out["pe"] == 1.0 and out["kappa"] is None
+
+
+def test_acf_hand_computed(spark):
+    from ml_data_pipeline_spark.operators import temporal as TP2
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t int, x double"
+    )
+    out = {r["lag"]: r for r in TP2.acf(df, "x", "t", max_lag=3).collect()}
+    m = sum(xs) / len(xs)
+    ss = sum((x - m) ** 2 for x in xs)
+    for k in (1, 2, 3):
+        num = sum((xs[t] - m) * (xs[t - k] - m) for t in range(k, len(xs)))
+        assert out[k]["acf"] == round(num / ss, 6), k
+        assert out[k]["n_pairs"] == len(xs) - k
+
+
+def test_acf_constant_series_null_not_crash(spark):
+    from ml_data_pipeline_spark.operators import temporal as TP2
+
+    df = spark.createDataFrame([(i, 2.0) for i in range(6)], "t int, x double")
+    rows = TP2.acf(df, "x", "t", max_lag=2).collect()
+    # zero variance -> 0/0; ANSI-safe NULL (division by zero guard via ss=0)
+    assert all(r["acf"] is None for r in rows)

@@ -219,3 +219,46 @@ def flatten_hierarchy(
             .localCheckpoint()
         )
     return state.select("id", F.col("ptr").alias("root"), F.col("dist").alias("depth"))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    u_col: str,
+    v_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, public literature)
+    over a bipartite edge list (u, v): for every pair of u-nodes sharing at
+    least one v-neighbor, score = Σ_{v ∈ common} 1/ln(deg(v)) — common
+    neighbors, but rare shared neighbors count more. The standard
+    "customers who bought the same niche parts" / "docs citing the same
+    obscure source" affinity ranking.
+
+    Scale shape (same inverted-index discipline as basket_lift and the
+    prefix-filter similarity join): pair candidates come from a self
+    equi-join ON the shared neighbor v, so fan-out per v is bounded by
+    deg(v)² — Zipf-head v's dominate, and 1/ln(deg) makes exactly those
+    contribute least, so a caller-side deg cap composes naturally. No
+    crossJoin anywhere; deg(v) is one map-side-combinable groupBy joined
+    back on v — unhinted, so AQE broadcasts it at gate scale but a
+    v-cardinality-sized degree table at corpus scale falls back to a
+    co-partitioned shuffle join. deg(v)=1 neighbors form no pair, so
+    ln() never sees 1 inside a score. Top-k orders by the ROUNDED score
+    (then the pair ids), keeping the cut deterministic across engines.
+    """
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).distinct()
+    deg = e.groupBy("v").agg(F.count(F.lit(1)).alias("__d"))
+    ew = e.join(deg, "v").where(F.col("__d") >= 2)
+    a = ew.select("v", F.col("u").alias("ua"), "__d")
+    b = ew.select("v", F.col("u").alias("ub"))
+    return (
+        a.join(b, "v")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("__d"))), 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "ua", "ub")
+        .limit(top_k)
+    )

@@ -1045,3 +1045,75 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model fluency score with add-k (Laplace) smoothing:
+    per document, the average negative log of P(w2|w1) =
+    (c(w1,w2) + k) / (c(w1) + k·V) under the corpus's own bigram counts —
+    the next step up from unigram_logprob toward the CCNet/KenLM quality
+    filter: word-salad documents whose unigrams look fine (right words,
+    wrong order) score high here.
+
+    Scale shape (word-count-shaped, no driver collect):
+    1. bigrams come straight off the token ARRAY (zip_with of two slices —
+       pure codegen, no positional self-join) and explode once;
+    2. corpus bigram counts and unigram (history) counts are two
+       map-side-combinable groupBys; V is a 1-row aggregate folded back
+       via broadcast cross join;
+    3. scoring joins the exploded doc bigrams to both count frames ON the
+       word keys — high-cardinality shuffle joins that parallelize, with
+       Catalyst/AQE free to broadcast whichever side is small;
+    4. per-doc mean is a final groupBy(id); docs with < 2 tokens come back
+       with n_bigrams = 0 and NULL score via the closing left join (same
+       coverage contract as unigram_logprob).
+
+    Returns (id, n_bigrams, avg_neg_logp2), ordered by id.
+    """
+    tk = _tokens(F.col(text_col))
+    bi = F.zip_with(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda w1, w2: F.struct(w1.alias("w1"), w2.alias("w2")),
+    )
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode(bi).alias("b"))
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    uni = df.select(F.explode(_tokens(F.col(text_col))).alias("w1"))
+    c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vsize = c1.agg(F.count(F.lit(1)).alias("__v"))
+    scored = (
+        ex.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "id",
+            (
+                -F.log(
+                    (F.col("__c2") + F.lit(k))
+                    / (F.col("__c1") + F.lit(k) * F.col("__v"))
+                )
+            ).alias("__nlp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.avg("__nlp"), 6).alias("avg_neg_logp2"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("__n", F.lit(0)).alias("n_bigrams"),
+            "avg_neg_logp2",
+        )
+        .orderBy("id")
+    )

@@ -4773,3 +4773,54 @@ ALL_ORACLES.update(
         """,
     }
 )
+
+ALL_ORACLES.update(
+    {
+        "q_adamic_adar": """
+            WITH e AS (
+                SELECT DISTINCT o_custkey AS u, l_partkey AS v
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            deg AS (SELECT v, count(*) AS d FROM e GROUP BY 1),
+            ew AS (SELECT u, e.v, d FROM e JOIN deg USING (v) WHERE d >= 2),
+            p AS (
+                SELECT a.v, a.u AS ua, b.u AS ub, a.d
+                FROM ew a JOIN ew b ON a.v = b.v AND a.u < b.u
+            )
+            SELECT ua, ub,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   round(sum(1.0 / ln(d)), 6) AS aa_score
+            FROM p GROUP BY 1, 2
+            ORDER BY aa_score DESC, ua, ub
+            LIMIT 20
+        """,
+    }
+)
+
+ALL_ORACLES["tx_bigram_lm"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (
+        SELECT w AS w1, count(*) AS c1
+        FROM t, unnest(tk) AS u(w) GROUP BY 1
+    ),
+    v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM c1),
+    scored AS (
+        SELECT doc_id,
+               -ln((c2 + 1.0) / (c1 + vs)) AS nlp
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n, round(avg(nlp), 6) AS s
+        FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id AS id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+           s AS avg_neg_logp2
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    ORDER BY id
+"""

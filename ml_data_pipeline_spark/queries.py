@@ -5099,3 +5099,34 @@ ALL_QUERIES.update(
         "q_acf": q_acf,
     }
 )
+
+
+def q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar customer affinity over the customer-part purchase
+    graph (graph.adamic_adar): pairs of customers sharing rare parts rank
+    highest. Candidate pairs come only from the self equi-join on the
+    shared part — inverted-index shape, no crossJoin."""
+    from ml_data_pipeline_spark.operators.graph import adamic_adar
+
+    li = _li(spark, sf)
+    orders = load_table(spark, sf, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("v"))
+    )
+    return adamic_adar(edges, "u", "v", top_k=20)
+
+
+def tx_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM fluency scores for every document under the corpus's own
+    add-1-smoothed bigram model (text.bigram_logprob) — the word-order-
+    aware step past tx_unigram_logprob toward the CCNet quality filter."""
+    return TX.bigram_logprob(load_table(spark, sf, "documents"), "text", "doc_id")
+
+
+ALL_QUERIES.update(
+    {
+        "q_adamic_adar": q_adamic_adar,
+        "tx_bigram_lm": tx_bigram_lm,
+    }
+)

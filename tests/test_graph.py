@@ -107,3 +107,32 @@ def test_flatten_hierarchy_dangling_parent_becomes_root(spark):
     assert set(out) == {1, 2}
     assert out[1]["root"] == 0 and out[1]["depth"] == 1
     assert out[2]["root"] == 0 and out[2]["depth"] == 2
+
+
+def test_adamic_adar_hand_computed(spark):
+    from ml_data_pipeline_spark.operators.graph import adamic_adar
+    import math
+
+    # v1 shared by u1,u2,u3 (deg 3); v2 by u1,u2 (deg 2); v3 only u3 (deg 1)
+    edges = spark.createDataFrame(
+        [(1, "v1"), (2, "v1"), (3, "v1"), (1, "v2"), (2, "v2"), (3, "v3"),
+         (1, "v2")],  # duplicate edge must not double-count
+        "u int, v string",
+    )
+    got = {(r["ua"], r["ub"]): (r["n_common"], r["aa_score"])
+           for r in adamic_adar(edges, "u", "v").collect()}
+    assert got[(1, 2)] == (2, round(1 / math.log(3) + 1 / math.log(2), 6))
+    assert got[(1, 3)] == (1, round(1 / math.log(3), 6))
+    assert got[(2, 3)] == (1, round(1 / math.log(3), 6))
+    assert len(got) == 3
+
+
+def test_adamic_adar_top_k_deterministic(spark):
+    from ml_data_pipeline_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(u, v) for v in ("a", "b", "c") for u in range(4)], "u int, v string"
+    )
+    out = adamic_adar(edges, "u", "v", top_k=3).collect()
+    # all 6 pairs tie -> id-ordered cut keeps the 3 smallest pairs
+    assert [(r["ua"], r["ub"]) for r in out] == [(0, 1), (0, 2), (0, 3)]

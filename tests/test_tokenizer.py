@@ -69,3 +69,28 @@ def test_apply_bpe_greedy_leftmost_overlap(spark):
     out = apply_bpe_merges(df, [("a", "a")]).collect()[0]
     # aaa -> aa,a (2); aaaa -> aa,aa (2)
     assert out["n_bpe_tokens"] == 4
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+    from ml_data_pipeline_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id int, text string"
+    )
+    out = {r["id"]: r for r in bigram_logprob(df, "text", "doc_id", k=1.0).collect()}
+    # corpus: tokens a:3 b:3 x:1 (V=3); bigrams: (a,b):2+1=3? doc1: ab,ba,ab -> (a,b)x2,(b,a)x1; doc2: (a,b)
+    c2 = {("a", "b"): 3, ("b", "a"): 1}
+    c1 = {"a": 3, "b": 3, "x": 1}
+    V = 3
+
+    def nlp(w1, w2):
+        return -math.log((c2[(w1, w2)] + 1) / (c1[w1] + V))
+
+    d1 = (nlp("a", "b") + nlp("b", "a") + nlp("a", "b")) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_neg_logp2"] == round(d1, 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_neg_logp2"] == round(nlp("a", "b"), 6)
+    # single-token doc: zero bigrams, NULL score, still present
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_neg_logp2"] is None

@@ -465,3 +465,79 @@ def davies_bouldin(
         F.count(F.lit(1)).alias("n_clusters"),
         F.round(F.avg("rmax"), 6).alias("db_index"),
     )
+
+# ---- int8 scalar quantization --------------------------------------------
+
+def dim_min_max(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
+    """Per-dimension (min, max) of an array<float> column, as two Python
+    lists. One explode + groupBy(dim) pass (word-count shape, map-side
+    combinable); the collect ships 2·dim scalars to the driver — metadata,
+    same budget class as the KMeans/PCA literal matrices."""
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__i", "__x"))
+        .groupBy("__i")
+        .agg(
+            F.min(F.col("__x").cast("double")).alias("__mn"),
+            F.max(F.col("__x").cast("double")).alias("__mx"),
+        )
+        .collect()
+    )
+    mn = [0.0] * dim
+    mx = [0.0] * dim
+    for r in stats:
+        mn[r["__i"]] = r["__mn"]
+        mx[r["__i"]] = r["__mx"]
+    return mn, mx
+
+
+def scalar_quantize(
+    df: DataFrame,
+    mn: list[float],
+    mx: list[float],
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    err_col: str = "max_abs_err",
+) -> DataFrame:
+    """uint8 scalar quantization of an embedding column against fixed
+    per-dimension [min, max] ranges (the FAISS SQ8 recipe, public): code =
+    min(floor((x - mn)/(mx - mn) · 256), 255), reconstruction x̂ = mn +
+    (code + 0.5)/256 · (mx - mn). 4× payload shrink for ANN candidate
+    stages at a bounded, per-vector-measured reconstruction error.
+
+    Determinism across engines: the cut uses floor (never round-half) on
+    an identical double expression, so the only boundary case is x = mx,
+    clamped explicitly — Spark and a SQL oracle agree bit-for-bit. The
+    ranges enter the plan as LITERAL arrays (2·dim scalars, broadcast by
+    construction): the whole codec is one codegen-fused zip_with pass,
+    zero shuffle, zero Python.
+
+    Adds ``code_col`` (array<int>) and ``err_col`` (double: max |x - x̂|
+    over dims — the quantization-quality audit column).
+    """
+    mn_a = F.array(*[F.lit(float(v)) for v in mn])
+    mx_a = F.array(*[F.lit(float(v)) for v in mx])
+    x = F.col(vec_col)
+    span = F.zip_with(mx_a, mn_a, lambda a, b: a - b)
+    # pair each x with its dim index via a 3-way zip through structs
+    frac = F.zip_with(
+        F.zip_with(x, mn_a, lambda xv, mnv: xv.cast("double") - mnv),
+        span,
+        lambda d, s: d / F.nullif(s, F.lit(0.0)),
+    )
+    codes = F.transform(
+        frac,
+        lambda fr: F.least(
+            F.greatest(F.floor(fr * F.lit(256.0)), F.lit(0.0)), F.lit(255.0)
+        ).cast("int"),
+    )
+    recon = F.zip_with(
+        F.zip_with(codes, mn_a, lambda c, mnv: F.struct(c.alias("c"), mnv.alias("mn"))),
+        span,
+        lambda cm, s: cm["mn"] + (cm["c"].cast("double") + 0.5) / 256.0 * s,
+    )
+    err = F.aggregate(
+        F.zip_with(x, recon, lambda xv, rv: F.abs(xv.cast("double") - rv)),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    return df.withColumn(code_col, codes).withColumn(err_col, err)

@@ -4824,3 +4824,53 @@ ALL_ORACLES["tx_bigram_lm"] = f"""
     FROM documents d LEFT JOIN per_doc USING (doc_id)
     ORDER BY id
 """
+
+ALL_ORACLES.update(
+    {
+        "ss_scalar_quantize": """
+            WITH ed AS (
+                SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            rng AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ed GROUP BY 1),
+            q AS (
+                SELECT vec_id,
+                       least(floor((x - mn) / (mx - mn) * 256), 255) AS c,
+                       x, mn, mx
+                FROM ed JOIN rng USING (i)
+            ),
+            r AS (
+                SELECT vec_id,
+                       c,
+                       abs(x - (mn + (c + 0.5) / 256.0 * (mx - mn))) AS e
+                FROM q
+            ),
+            per_vec AS (
+                SELECT vec_id, CAST(sum(c) AS BIGINT) AS cs, max(e) AS me
+                FROM r GROUP BY 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(cs) AS BIGINT) AS codes_sum,
+                   round(avg(me), 6) AS avg_max_err,
+                   round(max(me), 6) AS worst_err
+            FROM per_vec
+        """,
+        "q_semi_additive": """
+            WITH ranked AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       o_custkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey, strftime(o_orderdate, '%Y-%m')
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            )
+            SELECT month,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(o_totalprice), 2) AS closing_balance
+            FROM ranked WHERE rn = 1
+            GROUP BY month ORDER BY month
+        """,
+    }
+)

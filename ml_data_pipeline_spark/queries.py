@@ -5130,3 +5130,60 @@ ALL_QUERIES.update(
         "tx_bigram_lm": tx_bigram_lm,
     }
 )
+
+
+def ss_scalar_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 scalar-quantization audit of the embeddings table
+    (similarity.dim_min_max + scalar_quantize): codes checksum + the
+    reconstruction-error profile. The per-dim ranges are a 2·64-scalar
+    collect (metadata); the codec itself is one codegen pass. Both
+    engines floor identical doubles, so even the integer code sum is
+    exact parity."""
+    emb = load_table(spark, sf, "embeddings")
+    mn, mx = SS.dim_min_max(emb, "embedding", 64)
+    q = SS.scalar_quantize(emb, mn, mx)
+    code_sum = F.aggregate(
+        "codes", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+    )
+    return q.select(code_sum.alias("__cs"), "max_abs_err").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("__cs").alias("codes_sum"),
+        F.round(F.avg("max_abs_err"), 6).alias("avg_max_err"),
+        F.round(F.max("max_abs_err"), 6).alias("worst_err"),
+    )
+
+
+def q_semi_additive(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-additive measure (classic OLAP): a balance-like measure sums
+    ACROSS customers but not across time — take each customer's LAST
+    order value per month (struct-max on (date, orderkey): deterministic,
+    no window), then sum per month. Two map-side-combinable groupBys,
+    both keyed finer→coarser on the same month derivation."""
+    orders = load_table(spark, sf, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    last = (
+        orders.groupBy(F.col("o_custkey"), month)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_orderdate"), F.col("o_orderkey"), F.col("o_totalprice")
+                )
+            ).alias("__l")
+        )
+    )
+    return (
+        last.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("__l.o_totalprice"), 2).alias("closing_balance"),
+        )
+        .orderBy("month")
+    )
+
+
+ALL_QUERIES.update(
+    {
+        "ss_scalar_quantize": ss_scalar_quantize,
+        "q_semi_additive": q_semi_additive,
+    }
+)

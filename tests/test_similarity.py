@@ -184,3 +184,36 @@ def test_silhouette_and_db_degenerate_no_crash(spark):
     assert len(sil) == 2 and all(r["mean_silhouette"] is None for r in sil)
     db = davies_bouldin(df).collect()[0]
     assert db["n_clusters"] == 2 and db["db_index"] is None
+
+
+def test_scalar_quantize_roundtrip_error_bound(spark):
+    from ml_data_pipeline_spark.operators import similarity as SS2
+
+    rows = [(i, [float(i) / 10.0, -1.0 + i * 0.25, 5.0]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    mn, mx = SS2.dim_min_max(df, "embedding", 3)
+    assert mn == [0.0, -1.0, 5.0] and mx == [0.8, 1.0, 5.0]
+    out = SS2.scalar_quantize(df, mn, mx).collect()
+    for r in out:
+        codes = r["codes"]
+        assert all(c is None or 0 <= c <= 255 for c in codes)
+        # half-bucket reconstruction: error <= span/512 per dim
+        assert r["max_abs_err"] <= max(0.8, 2.0) / 512 + 1e-12
+    # extremes: min maps to code 0, max clamps to 255
+    first = {r["vec_id"]: r["codes"] for r in out}
+    assert first[0][0] == 0 and first[8][0] == 255
+    assert first[0][1] == 0 and first[8][1] == 255
+
+
+def test_scalar_quantize_matches_manual_floor(spark):
+    import math
+    from ml_data_pipeline_spark.operators import similarity as SS2
+
+    rows = [(1, [0.37, 0.91]), (2, [0.11, 0.52])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    mn, mx = [0.0, 0.5], [1.0, 1.0]
+    got = {r["vec_id"]: r for r in SS2.scalar_quantize(df, mn, mx).collect()}
+    for vid, vec in rows:
+        for d in range(2):
+            want = min(math.floor((vec[d] - mn[d]) / (mx[d] - mn[d]) * 256), 255)
+            assert got[vid]["codes"][d] == want

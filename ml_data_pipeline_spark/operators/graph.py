@@ -248,7 +248,10 @@ def adamic_adar(
     """
     e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).distinct()
     deg = e.groupBy("v").agg(F.count(F.lit(1)).alias("__d"))
-    ew = e.join(deg, "v").where(F.col("__d") >= 2)
+    # the self-join reads this frame twice; without truncation the lazy
+    # plan re-derives the dedup + degree join per side (4 source scans —
+    # the q_triangles lesson). Materialize the (v, u, deg) frame once.
+    ew = e.join(deg, "v").where(F.col("__d") >= 2).localCheckpoint()
     a = ew.select("v", F.col("u").alias("ua"), "__d")
     b = ew.select("v", F.col("u").alias("ub"))
     return (

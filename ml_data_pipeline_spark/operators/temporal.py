@@ -633,13 +633,17 @@ def acf(
     columns come out of ONE window pass; the mean/variance ride in via a
     broadcast scalar frame. Returns (lag, n_pairs, acf) rows, lag asc.
     """
-    w = Window.orderBy(order_col)
-    base = df.select(
-        F.col(value_col).cast("double").alias("__x"),
-        *[
-            F.lag(F.col(value_col).cast("double"), k).over(w).alias(f"__l{k}")
-            for k in range(1, max_lag + 1)
-        ],
+    # the series feeds both the lag window and the mean/variance aggregate;
+    # materialize it once so the (usually expensive) upstream aggregation
+    # isn't derived twice by the lazy plan. The frame is order-cardinality
+    # sized — the cheapest possible checkpoint.
+    series = df.select(
+        F.col(order_col).alias("__o"), F.col(value_col).cast("double").alias("__x")
+    ).localCheckpoint()
+    w = Window.orderBy("__o")
+    base = series.select(
+        "__x",
+        *[F.lag("__x", k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
     )
     stats = base.agg(
         F.avg("__x").alias("__m"),

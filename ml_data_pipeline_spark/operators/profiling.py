@@ -1354,3 +1354,105 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
             ).alias("kappa"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test (public statistics): the
+    rank-based two-sample location test — the distribution-free companion
+    to welch_ttest (means) and ks_statistic (shapes), robust where the
+    t-test's normality assumption breaks (heavy-tailed money columns).
+
+    U_a = R_a - n_a(n_a+1)/2 with R_a the sum of group A's pooled
+    tie-averaged ranks; z uses the normal approximation with the standard
+    tie-corrected variance n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1))) and no
+    continuity correction (documented convention, engine-mirrorable).
+
+    Shape (aggregate-then-window, same bound as ks_statistic): rows
+    collapse to per-distinct-value (count_a, count_b) before the one
+    cumulative window, so the ordered pass is value-cardinality bounded.
+    Tie-averaged ranks are sums of integers and integer-halves — exact in
+    doubles, so U is exact cross-engine. Returns one row
+    (n_a, n_b, u_a, z).
+    """
+    per_val = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("ca") + F.col("cb")
+    ranked = per_val.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum(t).over(w), F.lit(0)).cast("double") + (t + 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("__ra"),
+        F.sum(t * t * t - t).alias("__ties"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    big_n = n_a + n_b
+    u_a = F.col("__ra") - n_a * (n_a + 1) / 2.0
+    var = (
+        n_a
+        * n_b
+        / 12.0
+        * ((big_n + 1) - F.col("__ties") / F.nullif(big_n * (big_n - 1), F.lit(0.0)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round(
+            (u_a - n_a * n_b / 2.0) / F.nullif(F.sqrt(var), F.lit(0.0)), 6
+        ).alias("z"),
+    )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    public literature): adjust an experiment metric with a pre-experiment
+    covariate, ŷ = y − θ(x − x̄), θ = cov(x,y)/var(x). The variance the
+    adjustment removes is exactly the covariate-explained share (ρ²), so
+    the A/B test needs (1−ρ²)× the sample for the same power — the
+    standard first move when an experiment platform is told "detect 1%
+    lifts on a noisy metric".
+
+    ONE aggregate computes θ and both variances (covar_pop/var_pop are
+    map-side-combinable moments); no second pass over the data is needed
+    because var(ŷ) = var(y) − θ²·var(x) algebraically. Returns one row
+    (n, theta, var_reduction) — ratios only, the numerically stable
+    cross-engine outputs.
+    """
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    agg = df.where(x.isNotNull() & y.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_pop(x, y).alias("__cxy"),
+        F.var_pop(x).alias("__vx"),
+        F.var_pop(y).alias("__vy"),
+    )
+    theta = F.col("__cxy") / F.nullif(F.col("__vx"), F.lit(0.0))
+    rho2 = (F.col("__cxy") * F.col("__cxy")) / F.nullif(
+        F.col("__vx") * F.col("__vy"), F.lit(0.0)
+    )
+    return agg.select(
+        "n",
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("var_reduction"),
+    )

@@ -670,3 +670,69 @@ def acf(
         )
         .orderBy("lag")
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966, public survival statistics):
+    does group A's survival curve differ from group B's, with censoring
+    handled the same way kaplan_meier handles it? At each pooled event
+    time: O-E contribution d_a - d·n_a/n and the hypergeometric variance
+    d·(n_a/n)·(1-n_a/n)·(n-d)/(n-1); chi2 = (Σ(O-E))²/ΣV on 1 dof. The
+    significance test to pair with the KM curves the dashboard draws.
+
+    Shape (aggregate-then-window, same bound as kaplan_meier): one
+    groupBy collapses subjects to the per-time (d, leaving) table per
+    group — time-cardinality-sized — then reverse-cumsum windows build
+    both risk sets and a 1-row aggregate finishes. n=1 times contribute
+    zero variance (guarded NULL→0, not a crash). Returns one row
+    (n_a, n_b, observed_a, expected_a, chi2).
+    """
+    is_a = F.col(group_col) == group_a
+    per = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.when(is_a & F.col(event_col).cast("boolean"), 1).otherwise(0)).alias("d1"),
+            F.sum(F.when(is_a, 1).otherwise(0)).alias("l1"),
+            F.sum(F.when(~is_a & F.col(event_col).cast("boolean"), 1).otherwise(0)).alias("d2"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).alias("l2"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    at_risk = per.withColumn("n1", F.sum("l1").over(w)).withColumn(
+        "n2", F.sum("l2").over(w)
+    )
+    d = F.col("d1") + F.col("d2")
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    e1 = d * F.col("n1") / n
+    v1 = (
+        d
+        * (F.col("n1") / n)
+        * (1 - F.col("n1") / n)
+        * (n - d)
+        / F.nullif(n - 1, F.lit(0.0))
+    )
+    agg = at_risk.where(d > 0).agg(
+        F.max("n1").cast("long").alias("n_a"),
+        F.max("n2").cast("long").alias("n_b"),
+        F.sum("d1").cast("long").alias("observed_a"),
+        F.round(F.sum(e1), 6).alias("expected_a"),
+        F.sum(F.col("d1") - e1).alias("__oe"),
+        F.sum(F.coalesce(v1, F.lit(0.0))).alias("__v"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "observed_a",
+        "expected_a",
+        F.round(
+            F.col("__oe") * F.col("__oe") / F.nullif(F.col("__v"), F.lit(0.0)), 6
+        ).alias("chi2"),
+    )

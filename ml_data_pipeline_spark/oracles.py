@@ -4874,3 +4874,102 @@ ALL_ORACLES.update(
         """,
     }
 )
+
+ALL_ORACLES.update(
+    {
+        "m44_logrank": """
+            WITH spans AS (
+                SELECT user_id, min(ts) AS fts, max(ts) AS lts
+                FROM events GROUP BY 1
+            ), ferr AS (
+                SELECT user_id, min(ts) AS ets FROM events
+                WHERE event_type = 'error' GROUP BY 1
+            ), subjects AS (
+                SELECT CAST(user_id % 2 AS INT) AS arm,
+                       CAST(floor((epoch_us(coalesce(ets, lts)) - epoch_us(fts))
+                                  / 3600000000.0) AS BIGINT) AS t,
+                       CASE WHEN ets IS NOT NULL THEN 1 ELSE 0 END AS e
+                FROM spans LEFT JOIN ferr USING (user_id)
+            ), per_t AS (
+                SELECT t,
+                       sum(CASE WHEN arm = 0 AND e = 1 THEN 1 ELSE 0 END) AS d1,
+                       sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS l1,
+                       sum(CASE WHEN arm = 1 AND e = 1 THEN 1 ELSE 0 END) AS d2,
+                       sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS l2
+                FROM subjects GROUP BY 1
+            ), at_risk AS (
+                SELECT t, d1, d2,
+                       sum(l1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING) AS n1,
+                       sum(l2) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING) AS n2
+                FROM per_t
+            ), terms AS (
+                SELECT d1, n1, n2,
+                       (d1 + d2) AS d,
+                       CAST(n1 + n2 AS DOUBLE) AS n
+                FROM at_risk WHERE d1 + d2 > 0
+            ), agg AS (
+                SELECT CAST(max(n1) AS BIGINT) AS n_a,
+                       CAST(max(n2) AS BIGINT) AS n_b,
+                       CAST(sum(d1) AS BIGINT) AS observed_a,
+                       sum(d * n1 / n) AS e1,
+                       sum(d1 - d * n1 / n) AS oe,
+                       sum(coalesce(d * (n1 / n) * (1 - n1 / n) * (n - d)
+                                    / nullif(n - 1, 0), 0)) AS v
+                FROM terms
+            )
+            SELECT n_a, n_b, observed_a,
+                   round(e1, 6) AS expected_a,
+                   round(oe * oe / nullif(v, 0), 6) AS chi2
+            FROM agg
+        """,
+        "m45_mannwhitney": """
+            WITH pv AS (
+                SELECT l_quantity AS v,
+                       sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
+                       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cb
+                FROM lineitem
+                WHERE l_returnflag IN ('A', 'R')
+                GROUP BY 1
+            ), r AS (
+                SELECT ca, cb, (ca + cb) AS t,
+                       CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS DOUBLE)
+                           + (ca + cb + 1) / 2.0 AS avg_rank
+                FROM pv
+            ), a AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b,
+                       sum(ca * avg_rank) AS ra,
+                       CAST(sum(t * t * t - t) AS DOUBLE) AS ties
+                FROM r
+            )
+            SELECT n_a, n_b,
+                   round(ra - n_a * (n_a + 1) / 2.0, 6) AS u_a,
+                   round((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                         / nullif(sqrt(n_a * n_b / 12.0
+                             * ((n_a + n_b + 1)
+                                - ties / nullif(CAST(n_a + n_b AS DOUBLE)
+                                                * (n_a + n_b - 1), 0))), 0),
+                         6) AS z
+            FROM a
+        """,
+        "m46_cuped": """
+            WITH per_user AS (
+                SELECT user_id,
+                       coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                         THEN value END), 0.0) AS x,
+                       coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                         THEN value END), 0.0) AS y
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(covar_pop(x, y) / nullif(var_pop(x), 0), 6) AS theta,
+                   round(covar_pop(x, y) * covar_pop(x, y)
+                         / nullif(var_pop(x) * var_pop(y), 0), 6) AS var_reduction
+            FROM per_user
+        """,
+    }
+)

@@ -5187,3 +5187,70 @@ ALL_QUERIES.update(
         "q_semi_additive": q_semi_additive,
     }
 )
+
+
+def m44_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-arm log-rank test on time-to-first-error (temporal.logrank_test
+    over the m30 Kaplan-Meier subject frame): arm = user_id parity, the
+    stand-in for an experiment's hash-bucket assignment. The significance
+    companion to the m30 curve."""
+    from ml_data_pipeline_spark.operators.temporal import logrank_test
+
+    ev = load_table(spark, sf, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    first_err = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("err_ts"))
+    )
+    subjects = spans.join(first_err, "user_id", "left").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("err_ts", "last_ts"))
+                - F.unix_micros("first_ts")
+            )
+            / 3600000000.0
+        )
+        .cast("long")
+        .alias("duration"),
+        F.col("err_ts").isNotNull().cast("int").alias("event"),
+    )
+    return logrank_test(subjects, "duration", "event", "arm", 0, 1)
+
+
+def m45_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U between accepted (A) and returned (R) quantities
+    (profiling.mann_whitney_u) — the rank-based member of the two-sample
+    family (m20 Welch means, p23 KS shapes). l_quantity has ~50 distinct
+    values, so the rank window runs over a 50-row aggregated frame."""
+    return P.mann_whitney_u(_li(spark, sf), "l_quantity", "l_returnflag", "A", "R")
+
+
+def m46_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction (profiling.cuped_adjustment): per-user
+    pre-period activity value (before 2024-01-16) as the covariate for the
+    post-period metric — the experiment-platform power calculation. One
+    groupBy builds the per-user frame; one moment aggregate finishes."""
+    ev = load_table(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cut, F.col("value"))), F.lit(0.0)).alias(
+            "x_pre"
+        ),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cut, F.col("value"))), F.lit(0.0)).alias(
+            "y_post"
+        ),
+    )
+    return P.cuped_adjustment(per_user, "y_post", "x_pre")
+
+
+ALL_QUERIES.update(
+    {
+        "m44_logrank": m44_logrank,
+        "m45_mannwhitney": m45_mannwhitney,
+        "m46_cuped": m46_cuped,
+    }
+)

@@ -1487,3 +1487,50 @@ def test_acf_constant_series_null_not_crash(spark):
     rows = TP2.acf(df, "x", "t", max_lag=2).collect()
     # zero variance -> 0/0; ANSI-safe NULL (division by zero guard via ss=0)
     assert all(r["acf"] is None for r in rows)
+
+
+def test_mann_whitney_hand_computed(spark):
+    from ml_data_pipeline_spark.operators import profiling as P3
+
+    # A = [1,2,3], B = [2,4]; pooled ranks: 1->1, 2->(2+3)/2=2.5 (tie), 3->4, 4->5
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = P3.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    ra = 1 + 2.5 + 4
+    u_a = ra - 3 * 4 / 2
+    assert out["n_a"] == 3 and out["n_b"] == 2
+    assert out["u_a"] == round(u_a, 6)
+    ties = 2**3 - 2
+    var = 3 * 2 / 12 * ((5 + 1) - ties / (5 * 4))
+    assert out["z"] == round((u_a - 3 * 2 / 2) / var**0.5, 6)
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    from ml_data_pipeline_spark.operators import profiling as P3
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 5.0)] * 3, "g string, v double"
+    )
+    out = P3.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert out["u_a"] == round(3 * 3 / 2, 6)  # all ranks tie at the midpoint
+    assert out["z"] is None  # zero variance -> NULL, not crash
+
+
+def test_cuped_hand_computed(spark):
+    from ml_data_pipeline_spark.operators import profiling as P3
+
+    # y = 2x + noise-free -> theta = 2, var_reduction = 1
+    rows = [(float(x), 2.0 * x) for x in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = P3.cuped_adjustment(df, "y", "x").collect()[0]
+    assert out["n"] == 10 and out["theta"] == 2.0 and out["var_reduction"] == 1.0
+
+
+def test_cuped_constant_covariate_null(spark):
+    from ml_data_pipeline_spark.operators import profiling as P3
+
+    df = spark.createDataFrame(
+        [(1.0, float(y)) for y in range(5)], "x double, y double"
+    )
+    out = P3.cuped_adjustment(df, "y", "x").collect()[0]
+    assert out["theta"] is None and out["var_reduction"] is None

@@ -347,3 +347,31 @@ def test_nelson_aalen_defined_past_full_death(spark):
     s = spark.createDataFrame([(1, 1), (2, 1)], "duration int, event int")
     rows = {r["t"]: r["cum_hazard"] for r in TP.nelson_aalen(s, "duration", "event").collect()}
     assert rows[1] == 0.5 and rows[2] == 1.5
+
+
+def test_logrank_hand_computed(spark):
+    from ml_data_pipeline_spark.operators.temporal import logrank_test
+
+    # group a: events at t=1,2; group b: event at t=2, censored at t=3
+    rows = [
+        ("a", 1, 1), ("a", 2, 1), ("b", 2, 1), ("b", 3, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, e int")
+    out = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+    # t=1: n1=2,n2=2,d=1,d1=1 -> e1=0.5, v=1*.5*.5*3/3=0.25
+    # t=2: n1=1,n2=2,d=2,d1=1 -> e1=2/3, v=2*(1/3)*(2/3)*(3-2)/2=2/9
+    e1 = 0.5 + 2 / 3
+    v = 0.25 + 2 / 9
+    oe = 2 - e1
+    assert out["n_a"] == 2 and out["n_b"] == 2 and out["observed_a"] == 2
+    assert out["expected_a"] == round(e1, 6)
+    assert out["chi2"] == round(oe * oe / v, 6)
+
+
+def test_logrank_identical_groups_zero(spark):
+    from ml_data_pipeline_spark.operators.temporal import logrank_test
+
+    rows = [("a", t, 1) for t in (1, 2, 3)] + [("b", t, 1) for t in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, t int, e int")
+    out = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+    assert out["chi2"] == 0.0

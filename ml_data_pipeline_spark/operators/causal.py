@@ -162,10 +162,13 @@ def psm_match_ranged(
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     ctl_type = u.schema["__ctl"].dataType
-    # spark_partition_id must stay stable across the reads below
+    # localCheckpoint (not cache): spark_partition_id stays stable because
+    # the rows are materialized once, and the storage is released when the
+    # returned frame's lineage is dropped — no forever-pinned cache across
+    # repeated PSM calls in one session
     rp = u.repartitionByRange(P, F.col("__s")).withColumn(
         "__pid", F.spark_partition_id()
-    ).cache()
+    ).localCheckpoint()
     fwd = Window.partitionBy("__pid").orderBy(
         F.asc("__s"), F.asc("__is_treat")
     ).rowsBetween(Window.unboundedPreceding, 0)
@@ -175,29 +178,31 @@ def psm_match_ranged(
     carried = rp.withColumn(
         "__below_l", F.last("__ctl", ignorenulls=True).over(fwd)
     ).withColumn("__above_l", F.last("__ctl", ignorenulls=True).over(bwd))
-    # boundary summary: each partition's extreme-score control (P rows)
+    # boundary summary: ONE P-row aggregate job over ALL rows (controls
+    # fold in via null-skipping min/max of a guarded struct — the
+    # impute_interpolate_ranged shape), so every pid is listed even when
+    # its range holds no control
+    ctl_struct = F.when(
+        F.col("__is_treat") == 0, F.struct(F.col("__s"), F.col("__ctl"))
+    )
     summary = (
-        rp.where(F.col("__is_treat") == 0)
-        .groupBy("__pid")
-        .agg(
-            F.max(F.struct(F.col("__s"), F.col("__ctl"))).alias("mx"),
-            F.min(F.struct(F.col("__s"), F.col("__ctl"))).alias("mn"),
-        )
+        rp.groupBy("__pid")
+        .agg(F.max(ctl_struct).alias("mx"), F.min(ctl_struct).alias("mn"))
         .collect()
     )
     info = {r["__pid"]: r for r in summary}
-    all_pids = sorted(r["__pid"] for r in rp.select("__pid").distinct().collect())
+    all_pids = sorted(info)
     below_in: dict[int, object] = {}
     best = None
     for pid in all_pids:  # range partitions are score-ordered by pid
         below_in[pid] = best
-        if pid in info:
+        if info[pid]["mx"] is not None:
             best = info[pid]["mx"]["__ctl"]
     above_in: dict[int, object] = {}
     best = None
     for pid in reversed(all_pids):
         above_in[pid] = best
-        if pid in info:
+        if info[pid]["mn"] is not None:
             best = info[pid]["mn"]["__ctl"]
     carry_schema = T.StructType(
         [

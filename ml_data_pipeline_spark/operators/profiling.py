@@ -12,7 +12,7 @@ table size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -545,12 +545,12 @@ def outliers_mad(
         .drop("__med", "__mad")
     )
 
-def association_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
-    """Chi-square statistic and mutual information between two categorical
-    columns from ONE contingency-table pass (feature-selection /
-    redundancy screening). The observed table is a (|A| x |B|)-row agg;
-    marginals and the two statistics are computed from that tiny table —
-    nothing after the first agg scales with data."""
+def _contingency(df: DataFrame, col_a: str, col_b: str):
+    """Shared contingency scaffolding for the categorical-association
+    family (association_stats chi2/MI, cramers_v): observed cells with
+    total, expected counts and probability columns, plus the two marginal
+    frames. Everything after the first groupBy is (|A| x |B|)-row sized —
+    nothing scales with data."""
     obs = (
         df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
@@ -574,15 +574,30 @@ def association_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             (F.col("cb") / F.col("n")).alias("pj"),
         )
     )
+    return cells, ma, mb
+
+
+def _chi2_full() -> Column:
+    """Empty-cell-complete chi2 as an aggregate expression over a
+    _contingency cells frame: o=0 cells contribute e, and sum_all(e) = n,
+    so chi2 = sum_obs((o-e)²/e - e) + n. The SINGLE definition both
+    association_stats and cramers_v (and their oracles, by mirrored SQL)
+    implement."""
+    return (
+        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e") - F.col("e"))
+        + F.first(F.col("n"))
+    )
+
+
+def association_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square statistic and mutual information between two categorical
+    columns from ONE contingency-table pass (feature-selection /
+    redundancy screening). chi2 includes empty cells via the _chi2_full
+    identity (MI is unaffected: 0·log0 = 0)."""
+    cells, _, _ = _contingency(df, col_a, col_b)
     counts = (
         cells.agg(
-            # include EMPTY cells: o=0 contributes e, and sum_all(e) = n, so
-            # chi2 = sum_obs((o-e)²/e - e) + n (MI is unaffected: 0·log0 = 0)
-            F.round(
-                F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e") - F.col("e"))
-                + F.first(F.col("n")),
-                6,
-            ).alias("chi2"),
+            F.round(_chi2_full(), 6).alias("chi2"),
             F.round(
                 F.sum(F.col("pij") * F.log(F.col("pij") / (F.col("pi") * F.col("pj")))), 6
             ).alias("mutual_info"),
@@ -1258,38 +1273,14 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     because chi2 grows with n and table size. The profiling pass a feature-
     redundancy screen actually ranks by.
 
-    Same shape as association_stats: ONE contingency agg (|A| x |B| rows),
-    then marginals and the statistic on that tiny frame — nothing after the
-    first groupBy scales with data. Returns one row
-    (n, chi2, dof, cramers_v).
+    Shares _contingency / _chi2_full with association_stats (one
+    contingency agg, everything after is |A| x |B|-row sized). Returns one
+    row (n, chi2, dof, cramers_v).
     """
-    obs = (
-        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
-        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
-        .agg(F.count(F.lit(1)).alias("o"))
-    )
-    tot = obs.agg(F.sum("o").alias("n"))
-    ma = obs.groupBy("a").agg(F.sum("o").alias("ra"))
-    mb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
-    cells = (
-        obs.join(F.broadcast(ma), "a")
-        .join(F.broadcast(mb), "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "o",
-            "n",
-            (F.col("ra").cast("double") * F.col("cb") / F.col("n")).alias("e"),
-        )
-    )
-    # chi2 must include EMPTY cells (o=0 contributes e). Rather than
-    # generating the zero cells, use sum_all(e) = n:
-    # chi2 = sum_obs((o-e)²/e - e) + n.
+    cells, ma, mb = _contingency(df, col_a, col_b)
     agg = cells.agg(
         F.first("n").alias("__n"),
-        (
-            F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e") - F.col("e"))
-            + F.first("n")
-        ).alias("__chi2"),
+        _chi2_full().alias("__chi2"),
     )
     # distinct-level counts ride along from the marginal frames (tiny)
     na = ma.agg(F.count(F.lit(1)).alias("__na"))
@@ -1377,11 +1368,15 @@ def mann_whitney_u(
     collapse to per-distinct-value (count_a, count_b) before the one
     cumulative window, so the ordered pass is value-cardinality bounded.
     Tie-averaged ranks are sums of integers and integer-halves — exact in
-    doubles, so U is exact cross-engine. Returns one row
-    (n_a, n_b, u_a, z).
+    doubles, so U is exact cross-engine. NULL metric values are dropped
+    (scipy/statsmodels convention, same as welch_ttest). The tie term
+    cubes t as a DOUBLE: exact up to t ~ 2^17 and overflow-free for the
+    mostly-one-value corpus columns where a long t³ would wrap. Returns
+    one row (n_a, n_b, u_a, z).
     """
     per_val = (
         df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(
             F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
@@ -1390,6 +1385,7 @@ def mann_whitney_u(
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     t = F.col("ca") + F.col("cb")
+    td = t.cast("double")
     ranked = per_val.withColumn(
         "avg_rank",
         F.coalesce(F.sum(t).over(w), F.lit(0)).cast("double") + (t + 1) / 2.0,
@@ -1398,7 +1394,7 @@ def mann_whitney_u(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
         F.sum(F.col("ca") * F.col("avg_rank")).alias("__ra"),
-        F.sum(t * t * t - t).alias("__ties"),
+        F.sum(td * td * td - td).alias("__ties"),
     )
     n_a = F.col("n_a").cast("double")
     n_b = F.col("n_b").cast("double")

@@ -719,7 +719,10 @@ def logrank_test(
         * (n - d)
         / F.nullif(n - 1, F.lit(0.0))
     )
-    agg = at_risk.where(d > 0).agg(
+    # no d>0 filter: zero-event times contribute exactly 0 to O-E and V,
+    # and keeping them makes max(n1/n2) the TRUE group sizes even when
+    # some subjects are censored before the first event time
+    agg = at_risk.agg(
         F.max("n1").cast("long").alias("n_a"),
         F.max("n2").cast("long").alias("n_b"),
         F.sum("d1").cast("long").alias("observed_a"),

@@ -1073,20 +1073,28 @@ def bigram_logprob(
        with n_bigrams = 0 and NULL score via the closing left join (same
        coverage contract as unigram_logprob).
 
+    The tokenized (id, tokens) frame is materialized ONCE and feeds the
+    bigram explode, the unigram counts AND the id-coverage join — without
+    truncation each branch would re-run the regex tokenizer over the full
+    corpus from the scan (the dedup.py re-shingle lesson).
+
     Returns (id, n_bigrams, avg_neg_logp2), ordered by id.
     """
-    tk = _tokens(F.col(text_col))
+    tokd = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__tk")
+    ).localCheckpoint()
+    tk = F.col("__tk")
     bi = F.zip_with(
         F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
         F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
         lambda w1, w2: F.struct(w1.alias("w1"), w2.alias("w2")),
     )
     ex = (
-        df.select(F.col(id_col).alias("id"), F.explode(bi).alias("b"))
+        tokd.select("id", F.explode(bi).alias("b"))
         .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     c2 = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
-    uni = df.select(F.explode(_tokens(F.col(text_col))).alias("w1"))
+    uni = tokd.select(F.explode(tk).alias("w1"))
     c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
     vsize = c1.agg(F.count(F.lit(1)).alias("__v"))
     scored = (
@@ -1108,7 +1116,7 @@ def bigram_logprob(
         F.round(F.avg("__nlp"), 6).alias("avg_neg_logp2"),
     )
     return (
-        df.select(F.col(id_col).alias("id"))
+        tokd.select("id")
         .join(per_doc, "id", "left")
         .select(
             "id",

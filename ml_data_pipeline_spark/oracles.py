@@ -4698,6 +4698,7 @@ _ACF_LAG_MEMBER = """
                CAST(count(*) AS BIGINT) AS n_pairs,
                round(sum((x - m) * (l{k} - m)) / any_value(ss), 6) AS acf
         FROM l, b WHERE l{k} IS NOT NULL
+        HAVING count(*) > 0  -- engine's groupBy drops 0-pair lags on short series
 """
 
 ALL_ORACLES.update(
@@ -4908,7 +4909,7 @@ ALL_ORACLES.update(
                 SELECT d1, n1, n2,
                        (d1 + d2) AS d,
                        CAST(n1 + n2 AS DOUBLE) AS n
-                FROM at_risk WHERE d1 + d2 > 0
+                FROM at_risk
             ), agg AS (
                 SELECT CAST(max(n1) AS BIGINT) AS n_a,
                        CAST(max(n2) AS BIGINT) AS n_b,
@@ -4930,7 +4931,7 @@ ALL_ORACLES.update(
                        sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
                        sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cb
                 FROM lineitem
-                WHERE l_returnflag IN ('A', 'R')
+                WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
                 GROUP BY 1
             ), r AS (
                 SELECT ca, cb, (ca + cb) AS t,

@@ -5142,8 +5142,11 @@ def ss_scalar_quantize(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     mn, mx = SS.dim_min_max(emb, "embedding", 64)
     q = SS.scalar_quantize(emb, mn, mx)
+    # coalesce per element: a constant dimension (mn == mx) yields NULL
+    # codes, which must skip — not poison — the checksum (DuckDB's sum()
+    # skips NULLs the same way)
     code_sum = F.aggregate(
-        "codes", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        "codes", F.lit(0).cast("long"), lambda a, c: a + F.coalesce(c.cast("long"), F.lit(0))
     )
     return q.select(code_sum.alias("__cs"), "max_abs_err").agg(
         F.count(F.lit(1)).alias("n_vecs"),

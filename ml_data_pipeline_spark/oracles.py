@@ -4974,3 +4974,30 @@ ALL_ORACLES.update(
         """,
     }
 )
+
+ALL_ORACLES.update(
+    {
+        # round-trip gates: the oracle states the TRUTH from the source
+        # table; the engine's value must survive the sink→scan cycle
+        "s23_jsonl_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey
+            FROM nation ORDER BY n_nationkey
+        """,
+        "s24_partitioned_write": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(round(value, 6)), 4) AS total_value
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY event_type
+        """,
+        "s25_bucketed_join": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(floor(l_extendedprice * (1 - l_discount) * 100) / 100.0), 2)
+                       AS total_rev,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        """,
+    }
+)

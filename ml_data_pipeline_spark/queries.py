@@ -5257,3 +5257,99 @@ ALL_QUERIES.update(
         "m46_cuped": m46_cuped,
     }
 )
+
+
+def s23_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-Lines sink→scan round-trip (spark.read/write.json): nation
+    staged as JSONL, read back with an explicit schema (schema-on-read,
+    no inference pass at scale), values hash-matched against the source
+    table. JSONL is the interchange format crawl/annotation pipelines
+    actually deliver; the gate proves the ingest path end-to-end."""
+    import hashlib
+
+    nat = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    stage = f"/tmp/mdp_jsonl_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/nation"
+    nat.write.mode("overwrite").json(stage)
+    back = spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint").json(stage)
+    return back.orderBy("n_nationkey")
+
+
+def s24_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-partitioned parquet write + partition-pruned scan: events
+    written partitionBy(event_type), read back with an event_type filter.
+    The filter resolves at the DIRECTORY level (PartitionFilters in the
+    plan, asserted in tests) — the layout that turns a 100 TB scan into a
+    one-partition read. Values prove the round-trip loses nothing."""
+    import hashlib
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    stage = f"/tmp/mdp_part_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/events"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    back = spark.read.parquet(stage).where(F.col("event_type") == "purchase")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def s25_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed-table co-located join: orders and lineitem saved
+    bucketBy(8, orderkey) into the warehouse, then joined WITHOUT a
+    shuffle (both sides pre-hashed into aligned buckets — the tests
+    assert no Exchange feeds the join). THE Spark answer to 'this join
+    runs nightly at 100 TB: stop paying its shuffle' — bucket once at
+    write time, every later join on that key is exchange-free."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    ot, lt = f"mdp_b_orders_{tag}", f"mdp_b_lineitem_{tag}"
+    # a fresh session has an empty in-memory catalog but the warehouse
+    # directories survive — clear stale locations or saveAsTable raises
+    # LOCATION_ALREADY_EXISTS
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (ot, lt):
+        if not spark.catalog.tableExists(t):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    if not spark.catalog.tableExists(ot):
+        load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(ot)
+    if not spark.catalog.tableExists(lt):
+        # floor-on-cents, not round(x,2): floor of an identical double is
+        # engine-exact; decimal rounding half-up/half-even diverges on
+        # boundary values (the verify-skill gotcha)
+        _li(spark, sf).select(
+            "l_orderkey",
+            (F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100) / 100.0).alias("rev"),
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(lt)
+    o = spark.table(ot)
+    li = spark.table(lt)
+    joined = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("rev"), 2).alias("total_rev"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+ALL_QUERIES.update(
+    {
+        "s23_jsonl_roundtrip": s23_jsonl_roundtrip,
+        "s24_partitioned_write": s24_partitioned_write,
+        "s25_bucketed_join": s25_bucketed_join,
+    }
+)

@@ -263,3 +263,48 @@ def test_content_fingerprint_null_vs_empty_distinct(spark):
     h1 = content_fingerprint(withnull).collect()[0]["content_hash"]
     h2 = content_fingerprint(withempty).collect()[0]["content_hash"]
     assert h1 != h2
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """s25: both sides bucketed on the join key -> no Exchange feeds the
+    SortMergeJoin (the write-once, shuffle-never-again contract).
+    Broadcast is disabled for the assertion — at test scale AQE would
+    broadcast the tiny tables and hide the bucket alignment under test."""
+    from ml_data_pipeline_spark import queries as Q
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q.ALL_QUERIES["s25_bucketed_join"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "SortMergeJoin" in plan, plan[:800]
+    # no shuffle on the JOIN KEYS: the bucketed scans feed the join
+    # directly (the countDistinct agg may shuffle on o_custkey — that is
+    # a different key and not what bucketing addresses)
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:1500]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:1500]
+    assert "Bucketed: true" in plan, plan[:1500]
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """s24: the event_type filter must resolve at directory level
+    (PartitionFilters), not as a data filter over every file."""
+    from ml_data_pipeline_spark import queries as Q
+
+    df = Q.ALL_QUERIES["s24_partitioned_write"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan or (
+        "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    ), plan[:1200]
+
+
+def test_jsonl_roundtrip_schema_on_read(spark):
+    from ml_data_pipeline_spark import queries as Q
+
+    df = Q.ALL_QUERIES["s23_jsonl_roundtrip"](spark, "/root/testdata/sf0.001")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "bigint"
+    ]
+    assert df.count() == 25

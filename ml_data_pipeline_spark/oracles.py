@@ -4979,10 +4979,6 @@ ALL_ORACLES.update(
     {
         # round-trip gates: the oracle states the TRUTH from the source
         # table; the engine's value must survive the sink→scan cycle
-        "s23_jsonl_roundtrip": """
-            SELECT n_nationkey, n_name, n_regionkey
-            FROM nation ORDER BY n_nationkey
-        """,
         "s24_partitioned_write": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,

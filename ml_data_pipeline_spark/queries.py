@@ -5259,23 +5259,6 @@ ALL_QUERIES.update(
 )
 
 
-def s23_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """JSON-Lines sink→scan round-trip (spark.read/write.json): nation
-    staged as JSONL, read back with an explicit schema (schema-on-read,
-    no inference pass at scale), values hash-matched against the source
-    table. JSONL is the interchange format crawl/annotation pipelines
-    actually deliver; the gate proves the ingest path end-to-end."""
-    import hashlib
-
-    nat = load_table(spark, sf, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    stage = f"/tmp/mdp_jsonl_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/nation"
-    nat.write.mode("overwrite").json(stage)
-    back = spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint").json(stage)
-    return back.orderBy("n_nationkey")
-
-
 def s24_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
     """Hive-partitioned parquet write + partition-pruned scan: events
     written partitionBy(event_type), read back with an event_type filter.
@@ -5348,8 +5331,18 @@ def s25_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
 
 ALL_QUERIES.update(
     {
-        "s23_jsonl_roundtrip": s23_jsonl_roundtrip,
         "s24_partitioned_write": s24_partitioned_write,
         "s25_bucketed_join": s25_bucketed_join,
     }
 )
+
+# ---- ROUND-6 ROTATION TODO (for the next round's builder): after
+# CORRECTNESS_r05 lands (the 50-entry window above), 51 queries remain
+# unverified: the 23 oracle-backed in the _R5_PRIORITY r6-queue block, the
+# 15 rows-only entries behind them, and the 13 round-5 additions registered
+# at the BACK of the dict (p36_cramers_v, m43_cohens_kappa, q_acf,
+# q_adamic_adar, tx_bigram_lm, ss_scalar_quantize, q_semi_additive,
+# m44_logrank, m45_mannwhitney, m46_cuped, s24_partitioned_write,
+# s25_bucketed_join). Build _R6_PRIORITY as: the 23 oracle-backed, then
+# the 12 r5 additions (oracle-backed), then the 15 rows-only — exactly 50
+# fit the window; any r6 additions queue for r7.

@@ -298,13 +298,3 @@ def test_partitioned_write_prunes_partitions(spark):
     assert "PartitionFilters: [isnotnull(event_type" in plan or (
         "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
     ), plan[:1200]
-
-
-def test_jsonl_roundtrip_schema_on_read(spark):
-    from ml_data_pipeline_spark import queries as Q
-
-    df = Q.ALL_QUERIES["s23_jsonl_roundtrip"](spark, "/root/testdata/sf0.001")
-    assert [f.dataType.simpleString() for f in df.schema.fields] == [
-        "bigint", "string", "bigint"
-    ]
-    assert df.count() == 25

@@ -106,3 +106,85 @@ def kmeans_fit_2d(
         "cy",
         F.coalesce("n_points", F.lit(0)).alias("n_points"),
     )
+
+
+def dbscan_labels(
+    points: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    min_pts: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """DBSCAN (Ester et al., KDD 1996 — public literature) over a
+    PRECOMPUTED eps-neighbor pair frame — the density-clustering member
+    the engine's clustering family (KMeans, silhouette/DB eval) lacked:
+    finds arbitrarily-shaped clusters and, unlike KMeans, says "noise"
+    instead of forcing every outlier into a centroid.
+
+    Decoupling neighbor generation from labeling is the scale design:
+    ``pairs`` is whatever candidate join fits the data —
+    similarity.brute_force_cosine_pairs under the exact ceiling,
+    cosine_pairs_lsh / ivf buckets at corpus scale — and this function is
+    pure graph algebra on (id_a, id_b):
+
+    1. symmetrize + degree count (one groupBy);
+    2. core = degree + 1 >= min_pts (sklearn's min_samples convention —
+       the point itself counts);
+    3. clusters = connected components over CORE-CORE edges
+       (components.connected_components, Large-Star/Small-Star O(log n));
+       a core point with no core neighbor keeps its own id as label;
+    4. border = non-core with >= 1 core neighbor, assigned the MINIMUM
+       core-neighbor label (classic DBSCAN is insertion-order-dependent
+       here; the min rule makes the labeling a pure function of the
+       data — deterministic, oracle-checkable);
+    5. everything else is noise: label NULL.
+
+    Returns (id_col, label, is_core) for every input point. Requires
+    ``min_pts >= 2``: a point absent from ``pairs`` has no neighbors and
+    is always noise here, which matches DBSCAN for min_pts >= 2 but not
+    the degenerate min_pts=1 every-point-is-a-singleton case.
+    """
+    if min_pts < 2:
+        raise ValueError("dbscan_labels requires min_pts >= 2")
+    from ml_data_pipeline_spark.operators.components import connected_components
+
+    p = pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    sym = p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # materialize once: degree count, core-core edge filter and the border
+    # assignment all read this frame (the re-derivation lesson)
+    sym = sym.localCheckpoint()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+    core = deg.where(F.col("__deg") + 1 >= min_pts).select(F.col("u").alias("__cid"))
+    cc_edges = (
+        sym.join(core.select(F.col("__cid").alias("u")), "u")
+        .join(core.select(F.col("__cid").alias("v")), "v")
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    comp = connected_components(cc_edges)  # (id, component); isolated cores absent
+    core_labels = core.join(
+        comp.select(F.col("id").alias("__cid"), "component"), "__cid", "left"
+    ).select(
+        F.col("__cid").alias("__id"),
+        F.coalesce("component", F.col("__cid")).alias("label"),
+        F.lit(True).alias("is_core"),
+    )
+    border = (
+        sym.join(core_labels.select(F.col("__id").alias("v"), F.col("label")), "v")
+        .join(core_labels.select(F.col("__id").alias("u")), "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("label").alias("label"))
+        .select(F.col("u").alias("__id"), "label", F.lit(False).alias("is_core"))
+    )
+    labels = core_labels.unionByName(border)
+    return (
+        points.select(F.col(id_col))
+        .join(labels, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            "label",
+            F.coalesce("is_core", F.lit(False)).alias("is_core"),
+        )
+        .orderBy(id_col)
+    )

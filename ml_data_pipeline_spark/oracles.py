@@ -4997,3 +4997,49 @@ ALL_ORACLES.update(
         """,
     }
 )
+
+ALL_ORACLES["ml_dbscan"] = """
+    WITH RECURSIVE n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / sqrt(list_sum(list_transform(embedding,
+                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        FROM embeddings
+    ),
+    p0 AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.3
+    ),
+    sym AS (SELECT ia AS u, ib AS v FROM p0 UNION SELECT ib, ia FROM p0),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+    core AS (SELECT u AS c FROM deg WHERE d + 1 >= 4),
+    ce AS (
+        SELECT s.u AS a, s.v AS b
+        FROM sym s JOIN core c1 ON s.u = c1.c JOIN core c2 ON s.v = c2.c
+    ),
+    reach AS (
+        SELECT a AS id, a AS r FROM ce
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN ce e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+    core_lab AS (
+        SELECT c.c AS id, CAST(coalesce(comp.component, c.c) AS BIGINT) AS label
+        FROM core c LEFT JOIN comp ON comp.id = c.c
+    ),
+    border AS (
+        SELECT s.u AS id, CAST(min(cl.label) AS BIGINT) AS label
+        FROM sym s JOIN core_lab cl ON s.v = cl.id
+        WHERE s.u NOT IN (SELECT id FROM core_lab)
+        GROUP BY 1
+    ),
+    lab AS (
+        SELECT id, label, true AS is_core FROM core_lab
+        UNION ALL
+        SELECT id, label, false AS is_core FROM border
+    )
+    SELECT e.vec_id, lab.label, coalesce(lab.is_core, false) AS is_core
+    FROM embeddings e LEFT JOIN lab ON lab.id = e.vec_id
+    ORDER BY e.vec_id
+"""

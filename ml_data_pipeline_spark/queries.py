@@ -5343,6 +5343,25 @@ ALL_QUERIES.update(
 # at the BACK of the dict (p36_cramers_v, m43_cohens_kappa, q_acf,
 # q_adamic_adar, tx_bigram_lm, ss_scalar_quantize, q_semi_additive,
 # m44_logrank, m45_mannwhitney, m46_cuped, s24_partitioned_write,
-# s25_bucketed_join). Build _R6_PRIORITY as: the 23 oracle-backed, then
-# the 12 r5 additions (oracle-backed), then the 15 rows-only — exactly 50
-# fit the window; any r6 additions queue for r7.
+# s25_bucketed_join, ml_dbscan). Build _R6_PRIORITY as: the 23
+# oracle-backed, then the 13 r5 additions (oracle-backed), then the 15
+# rows-only — 50 fill the window, 1 overflows to r7 with any r6
+# additions.
+
+
+def ml_dbscan(spark: SparkSession, sf: str) -> DataFrame:
+    """DBSCAN over the embeddings table (ml.clustering.dbscan_labels):
+    eps-neighbors = exact cosine >= 0.3 pairs (the guarded brute baseline
+    — at corpus scale the SAME labeling runs off cosine_pairs_lsh /
+    IVF candidates), min_pts = 4. Full per-point labeling checked:
+    (vec_id, label, is_core) for all 500*sf points — cluster membership,
+    border assignment and noise all pinned by the oracle's independent
+    recursive-closure replay."""
+    from ml_data_pipeline_spark.ml.clustering import dbscan_labels
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = SS.brute_force_cosine_pairs(emb, threshold=0.3)
+    return dbscan_labels(emb, pairs, id_col="vec_id", min_pts=4)
+
+
+ALL_QUERIES.update({"ml_dbscan": ml_dbscan})

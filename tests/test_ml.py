@@ -492,3 +492,48 @@ def test_split_and_f1_ignore_null_inputs(spark):
     f = best_f1_threshold(sdf, "y", "s").collect()[0]
     assert f["threshold"] is not None  # no spurious NULL candidate
     assert f["threshold"] == 0.8 and f["tp"] == 2 and f["fp"] == 0
+
+
+def test_dbscan_hand_built_graph(spark):
+    from ml_data_pipeline_spark.ml.clustering import dbscan_labels
+
+    points = spark.createDataFrame([(i,) for i in range(1, 11)], "vec_id int")
+    # cluster A: triangle 1-2-3 plus pendant 4; cluster B: triangle 5-6-7;
+    # 9-10 a lone pair (not dense enough); 8 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6), (6, 7), (5, 7), (9, 10)],
+        "id_a int, id_b int",
+    )
+    out = {r["vec_id"]: (r["label"], r["is_core"])
+           for r in dbscan_labels(points, pairs, min_pts=3).collect()}
+    assert out[1] == (1, True) and out[2] == (1, True) and out[3] == (1, True)
+    assert out[4] == (1, False)          # border: core neighbor 3
+    assert out[5] == (5, True) and out[6] == (5, True) and out[7] == (5, True)
+    for i in (8, 9, 10):
+        assert out[i] == (None, False)   # noise
+
+
+def test_dbscan_isolated_core_keeps_own_label(spark):
+    from ml_data_pipeline_spark.ml.clustering import dbscan_labels
+
+    # star: center 1 with 3 leaves; min_pts=4 -> only 1 is core, no
+    # core-core edge -> 1 labels itself, leaves become border of 1
+    points = spark.createDataFrame([(i,) for i in range(1, 6)], "vec_id int")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a int, id_b int"
+    )
+    out = {r["vec_id"]: (r["label"], r["is_core"])
+           for r in dbscan_labels(points, pairs, min_pts=4).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False) and out[3] == (1, False) and out[4] == (1, False)
+    assert out[5] == (None, False)
+
+
+def test_dbscan_min_pts_guard(spark):
+    import pytest
+    from ml_data_pipeline_spark.ml.clustering import dbscan_labels
+
+    df = spark.createDataFrame([(1,)], "vec_id int")
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan_labels(df, df.select(F.col("vec_id").alias("id_a"),
+                                    F.col("vec_id").alias("id_b")), min_pts=1)

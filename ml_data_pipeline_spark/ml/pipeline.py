@@ -780,3 +780,70 @@ def best_f1_threshold(df, label_col: str, score_col: str):
         "__rk", F.row_number().over(Window.orderBy(F.desc("f1"), F.desc("threshold")))
     )
     return best.where(F.col("__rk") == 1).drop("__rk")
+
+
+def isotonic_fit_minimax(
+    df, label_col: str, score_col: str, n_bins: int = 50
+):
+    """Exact isotonic calibration via the PAV minimax identity
+    (Robertson, Wright & Dykstra 1988, public statistics):
+    fitted[k] = max_{i<=k} min_{j>=k} weightedAvg(pos_rate[i..j]) — the
+    unique PAV solution, computed in closed form instead of MLlib's
+    iterative pooling. Same binned-aggregate front as
+    isotonic_calibration (rows collapse to <= n_bins weighted points
+    before any driver work); the minimax runs on the COLLECTED bins
+    (metadata: <= n_bins rows) in O(n_bins³) — trivial at any corpus
+    size because n_bins is fixed.
+
+    Why this variant exists: every arithmetic step (sequential prefix
+    sums, one ratio, min/max comparisons) is reproducible verbatim in
+    SQL, so the calibration map is ORACLE-CHECKABLE — MLlib's float path
+    is not. Returns (score_center, raw_pos_rate, calibrated_p) rows
+    ordered by score, same schema as isotonic_calibration.
+    """
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    binned = (
+        df.where(y.isNotNull() & s.isNotNull())
+        .groupBy(F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).alias("__b"))
+        .agg(
+            F.avg(s).alias("sc"),
+            F.avg(y).alias("pr"),
+            F.count(F.lit(1)).cast("double").alias("w"),
+        )
+        .orderBy("__b")
+        .collect()
+    )
+    sc = [r["sc"] for r in binned]
+    pr = [r["pr"] for r in binned]
+    w = [r["w"] for r in binned]
+    n = len(binned)
+    # sequential prefix sums — the SAME order a SQL cumulative window uses,
+    # so every downstream double is bit-identical cross-engine
+    cwy = [0.0] * (n + 1)
+    cw = [0.0] * (n + 1)
+    for t in range(n):
+        cwy[t + 1] = cwy[t] + w[t] * pr[t]
+        cw[t + 1] = cw[t] + w[t]
+    fitted = []
+    for k in range(n):
+        best = None
+        for i in range(k + 1):
+            worst = None
+            for j in range(k, n):
+                a = (cwy[j + 1] - cwy[i]) / (cw[j + 1] - cw[i])
+                if worst is None or a < worst:
+                    worst = a
+            if best is None or worst > best:
+                best = worst
+        fitted.append(best)
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(sc[t], pr[t], fitted[t]) for t in range(n)],
+        "score_center double, raw_pos_rate double, calibrated_p double",
+    )
+    return out.select(
+        F.round("score_center", 6).alias("score_center"),
+        F.round("raw_pos_rate", 6).alias("raw_pos_rate"),
+        F.round("calibrated_p", 6).alias("calibrated_p"),
+    ).orderBy("score_center")

@@ -5043,3 +5043,38 @@ ALL_ORACLES["ml_dbscan"] = """
     FROM embeddings e LEFT JOIN lab ON lab.id = e.vec_id
     ORDER BY e.vec_id
 """
+
+# m23 upgraded r5: exact PAV via the minimax identity — every arithmetic
+# step (sequential prefix sums, one ratio, min/max) mirrors the driver-side
+# closed form bit-for-bit. O(n_bins^3) triples = ~22k rows at n_bins=50.
+ALL_ORACLES["m23_isotonic_calibration"] = f"""
+    WITH {_AUC_BASE_SQL},
+    binned AS (
+        SELECT least(floor(s * 50), 49) AS b,
+               avg(s) AS sc, avg(CAST(y AS DOUBLE)) AS pr,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM base GROUP BY 1
+    ),
+    ord AS (SELECT row_number() OVER (ORDER BY b) AS rn, sc, pr, w FROM binned),
+    pre AS (
+        SELECT rn, sc, pr,
+               sum(w * pr) OVER (ORDER BY rn) AS cwy,
+               sum(w) OVER (ORDER BY rn) AS cw
+        FROM ord
+    ),
+    trip AS (
+        SELECT k.rn AS k, i.rn AS i,
+               (j.cwy - coalesce(ip.cwy, 0)) / (j.cw - coalesce(ip.cw, 0)) AS a
+        FROM pre k
+        JOIN pre i ON i.rn <= k.rn
+        JOIN pre j ON j.rn >= k.rn
+        LEFT JOIN pre ip ON ip.rn = i.rn - 1
+    ),
+    mins AS (SELECT k, i, min(a) AS m FROM trip GROUP BY 1, 2),
+    fit AS (SELECT k, max(m) AS f FROM mins GROUP BY 1)
+    SELECT round(p.sc, 6) AS score_center,
+           round(p.pr, 6) AS raw_pos_rate,
+           round(f.f, 6) AS calibrated_p
+    FROM pre p JOIN fit f ON f.k = p.rn
+    ORDER BY score_center
+"""

@@ -2472,29 +2472,18 @@ def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def m23_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only (MLlib PAV fit — float-path, not SQL-expressible), with
-    the DEFINING property enforced in-query: calibrated_p must be
-    non-decreasing in score (checked with a lag window over the returned
-    map; any inversion collapses the gate to 0 rows). Input is the
-    deterministic (label, score) base shared by the AUC-family gates."""
-    from ml_data_pipeline_spark.ml.pipeline import isotonic_calibration
+    """Isotonic calibration map via the exact PAV minimax identity
+    (ml.pipeline.isotonic_fit_minimax) — upgraded in r5 from rows-only:
+    the closed form (sequential prefix sums + one ratio + min/max) is
+    reproducible verbatim in SQL, so the full map is VALUE-checked
+    against the oracle instead of only property-checked. The MLlib
+    iterative variant (isotonic_calibration) remains for production use;
+    a test pins the two agree. Input is the deterministic (label, score)
+    base shared by the AUC-family gates."""
+    from ml_data_pipeline_spark.ml.pipeline import isotonic_fit_minimax
 
     base = _auc_base(spark, sf)
-    cal = isotonic_calibration(base, "y", "s", n_bins=50)
-    w = Window.orderBy("score_center")
-    flagged = cal.withColumn(
-        "__prev", F.lag("calibrated_p").over(w)
-    ).withColumn(
-        "__viol",
-        (F.col("__prev").isNotNull()) & (F.col("calibrated_p") < F.col("__prev") - 1e-9),
-    )
-    chk = flagged.agg(F.sum(F.col("__viol").cast("long")).alias("__nv"))
-    return (
-        cal.crossJoin(F.broadcast(chk))
-        .where(F.col("__nv") == 0)
-        .select("score_center", "raw_pos_rate", "calibrated_p")
-        .orderBy("score_center")
-    )
+    return isotonic_fit_minimax(base, "y", "s", n_bins=50)
 
 def st_enriched_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Batch twin of the stream-static enrichment join (streaming/
@@ -5046,7 +5035,7 @@ _R5_PRIORITY = [
     "ss_ivf_topk",
     "ss_cosine_pairs",
     "ss_semantic_dedup",
-    "m23_isotonic_calibration",
+    "m23_isotonic_calibration",  # r5: gained an exact-PAV oracle (no longer rows-only)
 ]
 ALL_QUERIES = {
     **{n: ALL_QUERIES[n] for n in _R5_PRIORITY},

@@ -537,3 +537,37 @@ def test_dbscan_min_pts_guard(spark):
     with pytest.raises(ValueError, match="min_pts"):
         dbscan_labels(df, df.select(F.col("vec_id").alias("id_a"),
                                     F.col("vec_id").alias("id_b")), min_pts=1)
+
+
+def test_isotonic_minimax_agrees_with_mllib(spark):
+    """The exact minimax PAV and MLlib's iterative PAV solve the same
+    unique optimization — the maps must agree to float tolerance."""
+    from ml_data_pipeline_spark.ml.pipeline import (
+        isotonic_calibration,
+        isotonic_fit_minimax,
+    )
+
+    rows = [(i % 7, (1 if (i * 37 % 100) < 30 + (i % 7) * 8 else 0)) for i in range(400)]
+    df = spark.createDataFrame(
+        [((b + 0.5) / 7.0, float(y)) for b, y in rows], "s double, y double"
+    )
+    a = {r["score_center"]: r["calibrated_p"]
+         for r in isotonic_fit_minimax(df, "y", "s", n_bins=10).collect()}
+    b = {r["score_center"]: r["calibrated_p"]
+         for r in isotonic_calibration(df, "y", "s", n_bins=10).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-6, (k, a[k], b[k])
+
+
+def test_isotonic_minimax_monotone_and_pooled(spark):
+    from ml_data_pipeline_spark.ml.pipeline import isotonic_fit_minimax
+
+    # decreasing raw rates must pool into one flat weighted average
+    rows = (
+        [(0.05, 1.0)] * 8 + [(0.05, 0.0)] * 2   # bin 0: rate .8, w 10
+        + [(0.25, 1.0)] * 2 + [(0.25, 0.0)] * 8  # bin 2: rate .2, w 10
+    )
+    df = spark.createDataFrame(rows, "s double, y double")
+    out = isotonic_fit_minimax(df, "y", "s", n_bins=10).collect()
+    assert [r["calibrated_p"] for r in out] == [0.5, 0.5]

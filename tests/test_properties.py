@@ -357,3 +357,133 @@ def test_kaplan_meier_monotone_and_bounded(spark, durs):
         assert 0.0 <= r["survival"] <= last + 1e-9
         last = r["survival"]
         assert r["d_events"] >= 1 and r["n_risk"] >= r["d_events"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # treat
+            st.integers(min_value=0, max_value=40),     # score grid
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda r: any(t == 0 for t, _ in r) and any(t == 1 for t, _ in r))
+)
+@SET
+def test_psm_ranged_equals_global_property(spark, rows):
+    from ml_data_pipeline_spark.operators import causal as C
+
+    df = spark.createDataFrame(
+        [(i, t, s / 40.0, float(i % 5)) for i, (t, s) in enumerate(rows)],
+        "uid int, t int, s double, y double",
+    )
+    want = sorted(map(tuple, C.psm_match(df, "t", "s", "uid", "y").collect()))
+    got = sorted(
+        map(tuple, C.psm_match_ranged(df, "t", "s", "uid", "y", num_partitions=4).collect())
+    )
+    assert got == want
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=3, max_size=40
+    )
+)
+@SET
+def test_acf_bounded_property(spark, xs):
+    from ml_data_pipeline_spark.operators.temporal import acf
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "t int, x double"
+    )
+    for r in acf(df, "x", "t", max_lag=3).collect():
+        if r["acf"] is not None:       # constant series -> NULL
+            assert -1.0 - 1e-6 <= r["acf"] <= 1.0 + 1e-6
+        assert r["n_pairs"] == max(0, len(xs) - r["lag"])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=8)),
+        min_size=2,
+        max_size=50,
+    ).filter(lambda r: any(g for g, _ in r) and any(not g for g, _ in r))
+)
+@SET
+def test_mann_whitney_u_sum_identity(spark, rows):
+    """U_a + U_b = n_a * n_b — the defining rank identity, tie-proof."""
+    from ml_data_pipeline_spark.operators import profiling as P
+
+    df = spark.createDataFrame(
+        [("a" if g else "b", float(v)) for g, v in rows], "g string, v double"
+    )
+    ua = P.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    ub = P.mann_whitney_u(df, "v", "g", "b", "a").collect()[0]
+    assert abs(ua["u_a"] + ub["u_a"] - ua["n_a"] * ua["n_b"]) < 1e-6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=10),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda r: any(g == 0 for g, _, _ in r) and any(g == 1 for g, _, _ in r))
+)
+@SET
+def test_logrank_chi2_nonnegative(spark, rows):
+    from ml_data_pipeline_spark.operators.temporal import logrank_test
+
+    df = spark.createDataFrame(
+        [(g, t, int(e)) for g, t, e in rows], "g int, t int, e int"
+    )
+    out = logrank_test(df, "t", "e", "g", 0, 1).collect()[0]
+    assert out["n_a"] == sum(1 for g, _, _ in rows if g == 0)
+    assert out["n_b"] == sum(1 for g, _, _ in rows if g == 1)
+    if out["chi2"] is not None:        # zero variance (no events) -> NULL
+        assert out["chi2"] >= -1e-9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    min_pts=st.integers(min_value=2, max_value=4),
+)
+@SET
+def test_dbscan_same_component_cores_share_label(spark, edges, min_pts):
+    from ml_data_pipeline_spark.ml.clustering import dbscan_labels
+
+    points = spark.createDataFrame([(i,) for i in range(1, 13)], "vec_id int")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a int, id_b int"
+    )
+    out = dbscan_labels(points, pairs, min_pts=min_pts).collect()
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {r["vec_id"]: r["label"] for r in out}
+    core = {r["vec_id"] for r in out if r["is_core"]}
+    # definition check: core iff degree+1 >= min_pts
+    for p in range(1, 13):
+        assert (len(adj.get(p, ())) + 1 >= min_pts) == (p in core)
+    for p in core:
+        assert lab[p] is not None
+        for q in adj[p]:
+            if q in core:
+                assert lab[q] == lab[p]          # connected cores share label
+            else:
+                assert lab[q] is not None         # border of a core is labeled
+    for r in out:                                 # noise iff no core neighbor
+        if r["label"] is None:
+            assert r["vec_id"] not in core
+            assert not (adj.get(r["vec_id"], set()) & core)

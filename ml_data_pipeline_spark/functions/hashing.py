@@ -94,7 +94,10 @@ def count_min_sketch_counts(
     counts = df.groupBy(F.col(column).cast("string").alias("__val")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    # d hash rows per value: (row, bucket, cnt)
+    # d hash rows per value: (row, bucket, cnt) — materialized once; the
+    # per-depth bucket-total/estimate branches would otherwise each
+    # re-aggregate from the source scan (plan_audit r5: 7 scans). The
+    # frame is value-cardinality sized.
     hashed = counts.select(
         "__val",
         "__cnt",
@@ -104,7 +107,7 @@ def count_min_sketch_counts(
             )
             for i in range(depth)
         ],
-    )
+    ).localCheckpoint()
     estimates = None
     for i in range(depth):
         bucket_tot = hashed.groupBy(F.col(f"__b{i}").alias("__bucket")).agg(

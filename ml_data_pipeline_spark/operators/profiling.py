@@ -551,11 +551,16 @@ def _contingency(df: DataFrame, col_a: str, col_b: str):
     total, expected counts and probability columns, plus the two marginal
     frames. Everything after the first groupBy is (|A| x |B|)-row sized —
     nothing scales with data."""
+    # materialize the contingency table once: tot/ma/mb/cells all branch
+    # from it, and without truncation each branch re-aggregates from the
+    # SOURCE scan (the plan_audit sweep measured 4-6 scans per gate). The
+    # frame is |A| x |B| rows — the cheapest possible checkpoint, and the
+    # corpus-sized work above it runs exactly once.
     obs = (
         df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .agg(F.count(F.lit(1)).alias("o"))
-    )
+    ).localCheckpoint()
     tot = obs.agg(F.sum("o").alias("n"))
     ma = obs.groupBy("a").agg(F.sum("o").alias("ra"))
     mb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
@@ -1059,9 +1064,11 @@ def normalized_mutual_info(
     entropy algebra over joint counts, the label-permutation-invariant
     agreement score accuracy can't give. Returns (n, h_a, h_b, mi, nmi)
     at 6dp; degenerate single-class sides yield NULL nmi via nullif."""
+    # materialized once: the marginal/total branches would otherwise each
+    # re-aggregate from the source scan (plan_audit r5); |A|x|B| rows
     joint = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
         F.count(F.lit(1)).alias("nab")
-    )
+    ).localCheckpoint()
     n = joint.agg(F.sum("nab").alias("n"))
     na = joint.groupBy("a").agg(F.sum("nab").alias("na"))
     nb = joint.groupBy("b").agg(F.sum("nab").alias("nb"))
@@ -1113,9 +1120,11 @@ def adjusted_rand_index(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     M = (sum C(a_i,2) + sum C(b_j,2)) / 2. Everything is exact integer
     pair counts from one contingency aggregate; the two divisions happen
     once at the end. Identical partitions -> 1; independent -> ~0."""
+    # materialized once: the marginal/total branches would otherwise each
+    # re-aggregate from the source scan (plan_audit r5); |A|x|B| rows
     joint = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
         F.count(F.lit(1)).alias("nab")
-    )
+    ).localCheckpoint()
     c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("double")  # noqa: E731
     s = joint.agg(F.sum(c2("nab")).alias("s"), F.sum("nab").alias("n"))
     sa = (
@@ -1151,9 +1160,11 @@ def pair_confusion(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     adjusted_rand_index above (which reports the chance-corrected
     score); exact integer pair counts in double space (exact below
     2^53 pairs)."""
+    # materialized once: the marginal/total branches would otherwise each
+    # re-aggregate from the source scan (plan_audit r5); |A|x|B| rows
     joint = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
         F.count(F.lit(1)).alias("nab")
-    )
+    ).localCheckpoint()
     c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("double")  # noqa: E731
     s = joint.agg(F.sum(c2("nab")).alias("tp"), F.sum("nab").alias("n"))
     sa = (
@@ -1312,14 +1323,16 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
     coincidence pass); for the everyday "model vs heuristic" or
     "annotator vs annotator" audit this one contingency agg is the tool.
 
-    Shape: ONE (|A| x |B|)-row contingency groupBy; marginals and the
-    statistic on that tiny frame. Returns one row (n, po, pe, kappa).
+    Shape: ONE (|A| x |B|)-row contingency groupBy, materialized once so
+    the marginal/agreement branches don't re-aggregate from the source
+    scan; the statistic runs on that tiny frame. Returns one row
+    (n, po, pe, kappa).
     """
     obs = (
         df.where(F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull())
         .groupBy(F.col(rater_a_col).alias("a"), F.col(rater_b_col).alias("b"))
         .agg(F.count(F.lit(1)).alias("o"))
-    )
+    ).localCheckpoint()
     ma = obs.groupBy("a").agg(F.sum("o").alias("ra"))
     mb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
     # chance agreement: sum over labels of (row marginal * col marginal),

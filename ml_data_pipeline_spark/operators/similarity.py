@@ -431,7 +431,21 @@ def davies_bouldin(
             "pos", "v"
         ),
     )
-    cent = dims.groupBy(F.col("lbl").alias("clbl"), "pos").agg(F.avg("v").alias("c"))
+    # k x dim rows, read 3x (own-distance join + both sides of the
+    # centroid-distance self-join): materialize once or every branch
+    # re-explodes the source (plan_audit r5: 6 scans)
+    cent = (
+        dims.groupBy(F.col("lbl").alias("clbl"), "pos")
+        .agg(F.avg("v").alias("c"))
+        .localCheckpoint()
+        # fresh exprIds: the checkpointed frame keeps the original
+        # attribute ids, which collide in the ca/cb self-join below
+        .select(
+            F.col("clbl").alias("clbl"),
+            F.col("pos").alias("pos"),
+            F.col("c").alias("c"),
+        )
+    )
     own = (
         dims.join(
             cent,

@@ -500,7 +500,14 @@ def unigram_logprob(
     explode drops it from the scored path, so coverage comes from a final
     left join back onto the input id set).
     """
-    ex = df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
+    # tokenize ONCE (the bigram_logprob recipe): the exploded-token branch,
+    # the vocab chain and the id-coverage join all read this frame —
+    # without truncation each re-runs the tokenizer from the scan
+    # (plan_audit r5: 4 scans)
+    tokd = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__tk")
+    ).localCheckpoint()
+    ex = tokd.select("id", F.explode("__tk").alias("t"))
     vocab = ex.groupBy("t").agg(F.count(F.lit(1)).alias("__cnt"))
     total = vocab.agg(F.sum("__cnt").alias("__total"))
     scored = (
@@ -513,7 +520,7 @@ def unigram_logprob(
         F.round(F.avg("__nlp"), 6).alias("avg_neg_logp"),
     )
     return (
-        df.select(F.col(id_col).alias("id"))
+        tokd.select("id")
         .join(per_doc, "id", "left")
         .select(
             "id",

@@ -1,0 +1,94 @@
+"""Automated plan-smell scanner over the full query registry.
+
+For every registered gate, builds the DataFrame at a small sf and greps the
+EXECUTED plan for the smells the manual audits keep finding:
+
+- rescans: the same source table scanned more than twice in one plan
+  (the lazy re-derivation class — q_triangles/adamic_adar/dd_incremental
+  all shipped with it before localCheckpoint fixes);
+- single: `Exchange SinglePartition` count (unpartitioned windows /
+  global sorts — legitimate only when the frame above it is
+  aggregate-then-window bounded, so flags here need a docstring check,
+  not an automatic fix);
+- nested-loop: CartesianProduct / BroadcastNestedLoopJoin (must be a
+  guarded exact baseline or a scalar attach, never a data-sized join).
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Prints one line per flagged query plus a summary; exit 0 always (it is a
+review aid, not a gate — the flags have documented-legitimate cases).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, ".")
+
+from ml_data_pipeline_spark.queries import ALL_QUERIES  # noqa: E402
+from ml_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def audit_plan(plan: str) -> dict:
+    """String-level plan audit.
+
+    Caveat: a cached-but-unmaterialized InMemoryRelation PRINTS its child
+    plan (including the FileScan) inline under every InMemoryTableScan
+    node, so raw FileScan counts overcount cached plans — those scans run
+    once to build the cache. Rescans are therefore only flagged when the
+    plan has NO InMemoryTableScan at all (the uncached re-derivation
+    class that localCheckpoint fixes); cached plans are reported
+    separately for manual review.
+    """
+    scans = re.findall(r"FileScan \w+ [^\[]*\[[^\]]*\][^/]*file:([^\],\s]+)", plan)
+    # normalize to the table file name
+    tables = Counter(s.rstrip("]").split("/")[-1] for s in scans)
+    imts = plan.count("InMemoryTableScan")
+    return {
+        "max_rescan": max(tables.values()) if tables else 0,
+        "rescan_tables": {t: c for t, c in tables.items() if c > 2},
+        "cached": imts > 0,
+        "single_partition": plan.count("Exchange SinglePartition"),
+        "nested_loop": plan.count("CartesianProduct")
+        + plan.count("BroadcastNestedLoopJoin"),
+    }
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan_audit")
+    flagged = 0
+    checked = 0
+    errors = 0
+    for name, fn in ALL_QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # construction may fail outside its env
+            print(f"ERR  {name}: {type(e).__name__}: {str(e)[:100]}")
+            errors += 1
+            continue
+        checked += 1
+        a = audit_plan(plan)
+        notes = []
+        if a["rescan_tables"] and not a["cached"]:
+            notes.append(f"rescan(uncached): {a['rescan_tables']}")
+        elif a["rescan_tables"]:
+            notes.append(f"rescan(cached, review): {a['rescan_tables']}")
+        if a["single_partition"] > 1:
+            notes.append(f"singlePartition x{a['single_partition']}")
+        if a["nested_loop"]:
+            notes.append(f"nestedLoop x{a['nested_loop']}")
+        if notes:
+            flagged += 1
+            print(f"FLAG {name}: {'; '.join(notes)}")
+    print(f"\n{checked} audited, {flagged} flagged, {errors} errors")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -117,7 +117,11 @@ def remove_repeated_ngrams(
     windows, so the explode factor is (total span length), proportional
     to the amount of actually-duplicated text.
     """
-    spans = repeated_ngram_spans(df, text_col, id_col, width, min_docs)
+    # merged spans are read 3x (coverage explode, per-doc span counts,
+    # and their own derivation is the expensive double-tokenize path) —
+    # materialize once; the frame is proportional to actually-duplicated
+    # text, not the corpus (plan_audit r5: 7 scans -> 4)
+    spans = repeated_ngram_spans(df, text_col, id_col, width, min_docs).localCheckpoint()
     covered = spans.select(
         "id", F.explode(F.sequence("span_start", F.col("span_end") - 1)).alias("pos")
     )

@@ -3031,11 +3031,14 @@ def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
     exact ordering; top 20 by lift."""
     li = _li(spark, sf)
     part = load_table(spark, sf, "part")
+    # (order, brand) distinct frame feeds the pair self-join (twice), the
+    # per-brand marginals AND the order count — materialize once
+    # (plan_audit r5: 4 lineitem+part scans without it)
     ib = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
-    )
+    ).localCheckpoint()
     a = ib.select("o", F.col("b").alias("ba"))
     b = ib.select("o", F.col("b").alias("bb"))
     pair_n = (

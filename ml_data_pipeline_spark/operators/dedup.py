@@ -202,9 +202,12 @@ def ngram_jaccard_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # (id, grams) feeds both self-join sides AND both size lookups —
+    # materialized once (same as incremental_ngram_jaccard_pairs), or
+    # every branch re-shingles the corpus from the scan (plan_audit r5)
     base = _ensure_parallel(
         df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(F.size("grams") > 0)
-    )
+    ).localCheckpoint()
     sizes = base.select("id", F.size("grams").alias("n_grams"))
     exploded = base.select("id", F.explode("grams").alias("gram"))
     pairs = (
@@ -542,9 +545,12 @@ def ngram_containment_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # (id, grams) feeds both self-join sides AND both size lookups —
+    # materialized once (same as incremental_ngram_jaccard_pairs), or
+    # every branch re-shingles the corpus from the scan (plan_audit r5)
     base = _ensure_parallel(
         df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(F.size("grams") > 0)
-    )
+    ).localCheckpoint()
     sizes = base.select("id", F.size("grams").alias("n_grams"))
     exploded = base.select("id", F.explode("grams").alias("gram"))
     pairs = (

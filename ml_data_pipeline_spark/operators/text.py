@@ -743,10 +743,14 @@ def source_vocab_overlap(
     scale.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    # the (source, token) vocabulary index feeds both self-join sides and
+    # the size marginals — materialized once (source-cardinality x vocab
+    # rows), or every branch re-tokenizes the corpus (plan_audit r5: 4
+    # scans)
     vocab = (
         df.select(F.col(source_col).alias("src"), F.explode(toks).alias("tok"))
         .distinct()
-    )
+    ).localCheckpoint()
     sizes = vocab.groupBy("src").agg(F.count(F.lit(1)).alias("n_vocab"))
     a = vocab.select(F.col("src").alias("src_a"), "tok")
     b = vocab.select(F.col("src").alias("src_b"), "tok")
@@ -918,11 +922,15 @@ def pmi_collocations(
     ('new york') from merely-frequent pairs ('of the').
 
     One tokenize pass feeds both the unigram and bigram counts (the
-    bigram explode runs on the same token arrays); the PMI join is
-    vocabulary-sized. Rank is (count DESC, bigram ASC) — deterministic."""
+    token-array frame is MATERIALIZED once — without truncation the
+    unigram/bigram/total branches each re-ran the tokenizer from the
+    scan, plan_audit r5); the PMI join is vocabulary-sized. Rank is
+    (count DESC, bigram ASC) — deterministic."""
     from pyspark.sql import Window
 
-    toks = df.select(_tokens(F.col(text_col)).alias("tk")).where(F.size("tk") > 0)
+    toks = df.select(_tokens(F.col(text_col)).alias("tk")).where(
+        F.size("tk") > 0
+    ).localCheckpoint()
     uni = (
         toks.select(F.explode("tk").alias("w"))
         .groupBy("w")

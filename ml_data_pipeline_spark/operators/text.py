@@ -560,10 +560,16 @@ def line_dedup(
     regex-escaped before F.split so split and the array_join rebuild stay
     symmetric for delimiters like '.', '|', or '\\r\\n'.
     """
+    # the line frame feeds the doc-frequency count, the anti-join left
+    # side AND the per-doc totals — materialized once (corpus-line-sized:
+    # trading executor-local storage for 3 re-splits of the corpus,
+    # plan_audit r5: 4 scans)
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), re.escape(delim))).alias("pos", "line"),
-    ).select("id", "pos", F.trim(F.col("line")).alias("line")).where(F.length("line") > 0)
+    ).select("id", "pos", F.trim(F.col("line")).alias("line")).where(
+        F.length("line") > 0
+    ).localCheckpoint()
     freq = (
         lines.groupBy("line")
         .agg(F.count_distinct("id").alias("__df"))

@@ -5134,9 +5134,11 @@ def ss_scalar_quantize(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     mn, mx = SS.dim_min_max(emb, "embedding", 64)
     q = SS.scalar_quantize(emb, mn, mx)
-    # coalesce per element: a constant dimension (mn == mx) yields NULL
-    # codes, which must skip — not poison — the checksum (DuckDB's sum()
-    # skips NULLs the same way)
+    # coalesce per element is defense in depth: a constant dimension
+    # (mn == mx) actually yields code 0 (greatest() skips the guarded-NULL
+    # fraction) and reconstructs exactly — pinned by
+    # test_scalar_quantize_constant_dim_exact — but if a future codec
+    # variant ever emits NULL codes they must skip, not poison, the fold
     code_sum = F.aggregate(
         "codes", F.lit(0).cast("long"), lambda a, c: a + F.coalesce(c.cast("long"), F.lit(0))
     )

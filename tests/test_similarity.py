@@ -217,3 +217,26 @@ def test_scalar_quantize_matches_manual_floor(spark):
         for d in range(2):
             want = min(math.floor((vec[d] - mn[d]) / (mx[d] - mn[d]) * 256), 255)
             assert got[vid]["codes"][d] == want
+
+
+def test_scalar_quantize_constant_dim_exact(spark):
+    """A constant dimension (mn == mx) degrades gracefully: the nullif
+    span guard makes the fraction NULL, greatest() skips the NULL (Spark
+    semantics) so the clamp yields code 0, and reconstruction
+    mn + 0.5/256 * span with span = 0 is EXACTLY mn — zero error, no
+    NULLs anywhere. (The gate's checksum fold still coalesces per
+    element as defense in depth.)"""
+    from ml_data_pipeline_spark.operators import similarity as SS2
+
+    df = spark.createDataFrame(
+        [(1, [0.2, 5.0]), (2, [0.8, 5.0])], "vec_id int, embedding array<double>"
+    )
+    mn, mx = SS2.dim_min_max(df, "embedding", 2)
+    assert mn[1] == mx[1] == 5.0
+    out = {r["vec_id"]: r for r in SS2.scalar_quantize(df, mn, mx).collect()}
+    for vid in (1, 2):
+        assert out[vid]["codes"][1] == 0            # constant dim -> code 0
+        assert out[vid]["codes"][0] is not None
+        # constant dim reconstructs exactly; the max error comes from the
+        # varying dim only and stays within the half-bucket bound
+        assert out[vid]["max_abs_err"] <= (0.8 - 0.2) / 512 + 1e-12

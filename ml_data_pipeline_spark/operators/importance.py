@@ -49,16 +49,21 @@ def dsir_weights(
     defines P_target; P_raw comes from the full input. Documents with no
     tokens get a NULL weight (explicit, never silently dropped).
     """
+    # tokenize once (the bigram_logprob recipe): the word-stats chain, the
+    # per-token scoring join and the id-coverage join all read this frame
+    # (plan_audit r5: 4 scans without it)
     base = df.select(
         F.col(id_col).alias("id"),
         is_target.cast("int").alias("__t"),
         _tokens(F.col(text_col)).alias("__toks"),
-    )
+    ).localCheckpoint()
     toks = base.select("id", "__t", F.explode("__toks").alias("tok"))
+    # vocabulary-sized; feeds totals AND the scored map — materialize so
+    # neither branch re-explodes the corpus
     stats = toks.groupBy("tok").agg(
         F.sum("__t").alias("__ct"),
         F.count(F.lit(1)).alias("__cr"),
-    )
+    ).localCheckpoint()
     totals = stats.agg(
         F.sum("__ct").alias("__nt"),
         F.sum("__cr").alias("__nr"),
@@ -79,7 +84,7 @@ def dsir_weights(
         .select("id", "n_tokens", (F.col("__sum") / F.col("n_tokens")).alias("avg_log_ratio"))
     )
     return (
-        df.select(F.col(id_col).alias("id"))
+        base.select("id")
         .join(per_doc, "id", "left")
         .select(
             "id",

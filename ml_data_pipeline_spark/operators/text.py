@@ -891,7 +891,9 @@ def corpus_diversity(
     toks = df.select(
         F.col(group_col).alias("g"), F.explode(_tokens(F.col(text_col))).alias("w")
     )
-    vocab = toks.groupBy("g", "w").agg(F.count(F.lit(1)).alias("n"))
+    # vocabulary-sized; feeds totals AND entropy — materialize once or
+    # both branches re-tokenize from the scan (plan_audit r5)
+    vocab = toks.groupBy("g", "w").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     tot = vocab.groupBy("g").agg(
         F.sum("n").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
     )
@@ -1039,10 +1041,13 @@ def ngram_novelty(
     family the contamination/boilerplate gates build) joined back to the
     per-doc gram sets; docs with no n-grams (shorter than n tokens)
     report 0 of 0 via the left join."""
+    # the exploded gram frame feeds the first-seen index AND the join-back
+    # — materialized once or both branches re-shingle from the scan
+    # (plan_audit r5)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(_distinct_word_ngrams(F.col(text_col), n)).alias("g"),
-    )
+    ).localCheckpoint()
     first_seen = grams.groupBy("g").agg(F.min("id").alias("first_id"))
     per_doc = (
         grams.join(first_seen, "g")

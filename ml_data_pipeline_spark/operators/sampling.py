@@ -318,10 +318,13 @@ def negative_sample(
     # draws index into the NON-EMPTY buckets (row_number over the tiny
     # counts table), so a draw can never hash into an empty bucket and
     # silently vanish — every (anchor, j) yields exactly one negative
+    # bucket-cardinality-sized and read from several branches (size
+    # lookup, non-empty-bucket index, broadcast join) — materialize once
+    # or each branch re-runs the pool hash+rank window (plan_audit r5)
     counts = ranked.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
     counts = counts.withColumn(
         "__idx", F.row_number().over(Window.orderBy("__bucket")) - 1
-    )
+    ).localCheckpoint()
     nb = counts.agg(F.count(F.lit(1)).alias("__nb"))
     draws = anchors.select(F.col(id_col).alias("anchor_id")).select(
         "anchor_id", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
@@ -387,7 +390,9 @@ def quota_allocation(
     windows over the group table."""
     from pyspark.sql import Window
 
-    w = df.groupBy(group_col).agg(F.sum(weight_col).alias("__w"))
+    # group-cardinality-sized and read from the total/shares branches —
+    # materialize once or each re-aggregates the corpus (plan_audit r5)
+    w = df.groupBy(group_col).agg(F.sum(weight_col).alias("__w")).localCheckpoint()
     tot = w.agg(F.sum("__w").alias("__tw"))
     shares = w.crossJoin(F.broadcast(tot)).select(
         group_col,

@@ -3393,11 +3393,13 @@ def q_bloom_prejoin(spark: SparkSession, sf: str) -> DataFrame:
     from ml_data_pipeline_spark.operators.skew import bloom_prejoin
 
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_returnflag")
+    # the filtered key set feeds the bloom build AND the exact-flag join —
+    # materialize once (selective-key-sized; plan_audit r5: 4 orders scans)
     keys = (
         load_table(spark, sf, "orders")
         .where(F.col("o_totalprice") > 400000)
         .select("o_orderkey")
-    )
+    ).localCheckpoint()
     passed = bloom_prejoin(li, keys, "l_orderkey", "o_orderkey")
     flagged = passed.join(
         F.broadcast(keys.withColumn("__true", F.lit(1))),

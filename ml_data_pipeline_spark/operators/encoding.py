@@ -195,9 +195,12 @@ def woe_encode(
     """
     out_column = out_column or f"{column}_woe"
     y = F.col(target).cast("double")
+    # category-cardinality-sized; feeds the totals AND the WoE table —
+    # materialize once or both branches re-aggregate the fact table
+    # (plan_audit r5)
     per = df.groupBy(column).agg(
         F.sum(y).alias("__pos"), F.sum(1 - y).alias("__neg")
-    )
+    ).localCheckpoint()
     tot = per.agg(
         F.sum("__pos").alias("__ptot"),
         F.sum("__neg").alias("__ntot"),

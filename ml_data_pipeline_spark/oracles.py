@@ -4750,7 +4750,7 @@ ALL_ORACLES.update(
                    round(agree / n, 6) AS po,
                    round(pe_num / (n * n), 6) AS pe,
                    round((agree / n - pe_num / (n * n))
-                         / (1 - pe_num / (n * n)), 6) AS kappa
+                         / nullif(1 - pe_num / (n * n), 0), 6) AS kappa
             FROM base, pe_
         """,
         "q_acf": f"""
@@ -4837,7 +4837,9 @@ ALL_ORACLES.update(
             rng AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ed GROUP BY 1),
             q AS (
                 SELECT vec_id,
-                       least(floor((x - mn) / (mx - mn) * 256), 255) AS c,
+                       CASE WHEN mx > mn
+                            THEN least(floor((x - mn) / (mx - mn) * 256), 255)
+                            ELSE 0 END AS c,
                        x, mn, mx
                 FROM ed JOIN rng USING (i)
             ),
@@ -4944,7 +4946,7 @@ ALL_ORACLES.update(
                 SELECT CAST(sum(ca) AS BIGINT) AS n_a,
                        CAST(sum(cb) AS BIGINT) AS n_b,
                        sum(ca * avg_rank) AS ra,
-                       CAST(sum(t * t * t - t) AS DOUBLE) AS ties
+                       sum(CAST(t AS DOUBLE) * t * t - t) AS ties
                 FROM r
             )
             SELECT n_a, n_b,

@@ -73,15 +73,18 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + agg + top-10. customer is broadcast
-    (small dim); orders⋈lineitem shuffles on orderkey."""
+    """TPC-H Q3 shape: 3-way join + agg + top-10. customer is deliberately
+    UNHINTED: it grows with SF (multi-billion rows at 100 TB), so the choice
+    of broadcast-vs-shuffle belongs to AQE, which broadcasts it at small SF
+    and degrades gracefully to shuffle join at scale. orders⋈lineitem
+    shuffles on orderkey."""
     cust = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1997-01-01"))
     li = _li(spark, sf).where(F.col("l_shipdate") > F.lit("1997-01-01"))
     revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
         .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -89,8 +92,10 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table snowflake join. region/nation/supplier/customer
-    broadcast; the only big shuffle is orders⋈lineitem."""
+    """TPC-H Q5 shape: 6-table snowflake join. Only the SF-constant dims
+    (nation 25 rows, region 5) carry broadcast hints; customer/supplier grow
+    with SF, so AQE decides those joins (broadcast at small SF, shuffle at
+    100 TB). The only unavoidable big shuffle is orders⋈lineitem."""
     region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf, "nation")
     cust = load_table(spark, sf, "customer")
@@ -100,8 +105,8 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -240,7 +245,7 @@ def q_having(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("n_orders") > 12)
     )
     return (
-        big.join(F.broadcast(cust), big.o_custkey == cust.c_custkey)
+        big.join(cust, big.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "n_orders", "total")
         .orderBy(F.desc("n_orders"), "c_custkey")
     )
@@ -1690,12 +1695,13 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate share after a fact->dim join.
-    part is the small side — broadcast explicitly; lineitem never shuffles."""
+    part is SF-proportional, so it is deliberately unhinted — AQE broadcasts
+    it at small SF and falls back to shuffle join at 100 TB."""
     li = _li(spark, sf)
     part = load_table(spark, sf, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -1708,9 +1714,9 @@ def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
 
 def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 shape: group-having on the fact, then join back to dims.
-    The having-filtered orderkey set is tiny -> joins to orders/customer are
-    broadcast-sized; the only big shuffle is the orderkey agg (map-side
-    combinable)."""
+    The having-filtered orderkey set is tiny -> AQE broadcast-joins it to
+    orders/customer at runtime (no manual hints — customer is SF-proportional);
+    the only big shuffle is the orderkey agg (map-side combinable)."""
     li = _li(spark, sf)
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
@@ -1721,7 +1727,7 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -2130,8 +2136,9 @@ def e19_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 
 def q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue by customer, top 20. The
-    lineitem filter pushes to the scan; customer/nation broadcast; the one
-    shuffle is the orderkey join + custkey agg."""
+    lineitem filter pushes to the scan; nation is hint-broadcast (25 rows),
+    customer left to AQE (SF-proportional); the one shuffle is the orderkey
+    join + custkey agg."""
     li = _li(spark, sf)
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
@@ -2140,7 +2147,7 @@ def q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.where(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(rev), 2).alias("revenue"))
@@ -2174,7 +2181,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q19 shape: fact->part join under a 3-branch disjunctive
     predicate (type x size x quantity-band). The OR of ANDs cannot fully
     push down, but the common l_quantity range can and does; part is
-    broadcast so the big side never shuffles."""
+    unhinted (SF-proportional) — AQE broadcasts it at small SF so the big
+    side never shuffles there, and degrades to shuffle join at scale."""
     li = _li(spark, sf)
     part = load_table(spark, sf, "part")
     q = F.col("l_quantity")
@@ -2185,7 +2193,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
         | ((F.col("p_type") == "ECONOMY") & (F.col("p_size").between(1, 35)) & q.between(20, 35))
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(branch)
         .agg(
             F.round(F.sum(rev), 2).alias("revenue"),
@@ -2551,9 +2559,10 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
 
 def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
-    year. Both nation maps broadcast onto supplier/customer; the only big
-    shuffle is lineitem⋈orders on orderkey. The symmetric nation pair
-    predicate runs AFTER the broadcasts so the fact table scans once."""
+    year. Only the two 25-row nation maps are hint-broadcast; supplier and
+    customer are SF-proportional and left to AQE. The only big shuffle is
+    lineitem⋈orders on orderkey. The symmetric nation pair predicate runs
+    AFTER the nation joins so the fact table scans once."""
     li = _li(spark, sf).where(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
     )
@@ -2569,8 +2578,8 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(pair)
@@ -2582,8 +2591,9 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of AMERICA-customer STANDARD-part
     revenue per order year. The share is a conditional-sum ratio inside ONE
-    aggregation — no second pass over the joined fact. part/customer-side
-    dims all broadcast; single orderkey shuffle."""
+    aggregation — no second pass over the joined fact. Only nation/region
+    hints; part/customer/supplier are SF-proportional and left to AQE;
+    single orderkey shuffle."""
     li = _li(spark, sf)
     part = load_table(spark, sf, "part").where(F.col("p_type") == "STANDARD")
     orders = load_table(spark, sf, "orders")
@@ -2595,12 +2605,12 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -2617,8 +2627,9 @@ def q9_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 shape: profit per supplier nation per year. The testdata has
     no partsupp, so cost = 0.5 * p_retailprice * l_quantity stands in for
     ps_supplycost * l_quantity (documented proxy; identical plan shape:
-    fact⋈part⋈orders⋈supplier⋈nation, dims broadcast, one orderkey
-    shuffle, map-side-combinable agg)."""
+    fact⋈part⋈orders⋈supplier⋈nation; only the 25-row nation is
+    hint-broadcast, part/supplier left to AQE; one orderkey shuffle,
+    map-side-combinable agg)."""
     li = _li(spark, sf)
     part = load_table(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
     orders = load_table(spark, sf, "orders")
@@ -2639,9 +2650,9 @@ def q9_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         * 10000
     ).cast("long")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit_e4) / 10000.0, 2).alias("sum_profit"))
@@ -2683,14 +2694,14 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     mx = rev.agg(F.max("__rev").alias("__mx"))
     return (
         rev.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.round("__rev", 2).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
 def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct suppliers ship each surviving
-    (brand, type, size) combo — distinct-agg after a broadcast part join
+    (brand, type, size) combo — distinct-agg after an AQE-planned part join
     with NOT-IN-style exclusions (no partsupp in the testdata; lineitem is
     the part↔supplier bridge, same plan shape). countDistinct shuffles
     (key, suppkey) pairs only."""
@@ -2701,7 +2712,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -2714,7 +2725,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     subquery at scale)."""
     li = _li(spark, sf)
     part = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#3")
-    branded = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    branded = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     avg_q = branded.groupBy(F.col("p_partkey").alias("__pk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("__qbar")
     )
@@ -2969,7 +2980,7 @@ def q_abc_brands(spark: SparkSession, sf: str) -> DataFrame:
     li = _li(spark, sf)
     part = load_table(spark, sf, "part")
     rev = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("long").alias("rev"))
     )
@@ -3035,7 +3046,7 @@ def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
     # per-brand marginals AND the order count — materialize once
     # (plan_audit r5: 4 lineitem+part scans without it)
     ib = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
     ).localCheckpoint()

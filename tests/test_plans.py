@@ -193,6 +193,22 @@ def test_moments_is_single_aggregate_no_join(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def test_no_forced_broadcast_on_sf_proportional_tables():
+    """No F.broadcast() hint may be applied to a raw SF-proportional table
+    frame (customer/supplier/part/orders/lineitem/events/documents/
+    embeddings): at sf0.1 AQE broadcasts the small side anyway (proved by
+    the BroadcastHashJoin assertions above, which pass with zero hints),
+    and at 100 TB a forced broadcast of a with-SF-growing table is an OOM,
+    not a plan choice. Only nation (25 rows) and region (5) are
+    hint-safe. Source-level rule shared with tools/plan_audit.py."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import audit_broadcast_hints
+
+    assert audit_broadcast_hints() == []
+
+
 def test_gini_rank_is_range_partitioned(spark, sf_dir):
     """The distributed-rank Gini sorts via range partitions + local windows
     (spark_partition_id windows), never via a single global window sort:

@@ -55,9 +55,41 @@ def audit_plan(plan: str) -> dict:
     }
 
 
+#: identifiers that (by repo convention) hold raw SF-proportional table
+#: frames — customer/supplier/part/orders/lineitem/events/documents/
+#: embeddings and their loop-local aliases. A forced F.broadcast() on any
+#: of these is the round-5 verdict's anti-pattern class: redundant at
+#: small SF (AQE broadcasts anyway) and an OOM at 100 TB. Only nation
+#: (25 rows) and region (5) are safely hint-broadcastable.
+_SF_PROPORTIONAL = re.compile(
+    r"F\.broadcast\(\s*"
+    r"(cust|customer|supp|supplier|part|orders|li|lineitem"
+    r"|ev|events|docs|documents|emb|embeddings)\d*\s*[),.]"
+)
+
+
+def audit_broadcast_hints(root: str = "ml_data_pipeline_spark") -> list[str]:
+    """Source-level rule: flag F.broadcast() applied to a raw table frame.
+
+    Plan-level detection cannot tell a hint-forced broadcast from an
+    AQE-chosen one, so this rule greps the source for the hint itself.
+    Returns `file:line: snippet` hits; empty list = clean.
+    """
+    import pathlib
+
+    hits = []
+    for path in sorted(pathlib.Path(root).rglob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if _SF_PROPORTIONAL.search(line):
+                hits.append(f"{path}:{i}: {line.strip()}")
+    return hits
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    for hit in audit_broadcast_hints():
+        print(f"HINT {hit}")
     spark = get_spark("plan_audit")
     flagged = 0
     checked = 0

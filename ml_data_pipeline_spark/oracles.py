@@ -661,8 +661,43 @@ ALL_ORACLES: dict[str, str] = {
                      END, 6) AS l_quantity
         FROM ctx
     """,
-    # identical semantics, scale-safe execution — same oracle by design
+    # identical semantics across all three i4 gates — same oracle by design:
+    # i4_interpolate (headline, ranged impl since r6), i4_interpolate_ranged
+    # (continuity alias) and i4_interpolate_single (one-task baseline)
     "i4_interpolate_ranged": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_quantity END AS q
+            FROM lineitem
+        ),
+        pos AS (
+            SELECT *, row_number() OVER
+                (ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS p
+            FROM base
+        ),
+        ctx AS (
+            SELECT *,
+                   last_value(q IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                   last_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
+                   first_value(q IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+            FROM pos
+        )
+        SELECT l_orderkey, l_linenumber,
+               round(CASE WHEN q IS NOT NULL THEN q
+                          ELSE coalesce(pv + (nv - pv) * (p - pp) / (np - pp), pv, nv)
+                     END, 6) AS l_quantity
+        FROM ctx
+    """,
+    "i4_interpolate_single": """
         WITH base AS (
             SELECT l_orderkey, l_linenumber, l_extendedprice,
                    CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_quantity END AS q

@@ -202,27 +202,30 @@ def ngram_jaccard_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # (id, grams) feeds both self-join sides AND both size lookups —
-    # materialized once (same as incremental_ngram_jaccard_pairs), or
-    # every branch re-shingles the corpus from the scan (plan_audit r5)
+    # (id, grams) feeds both self-join sides — materialized once (same as
+    # incremental_ngram_jaccard_pairs), or every branch re-shingles the
+    # corpus from the scan (plan_audit r5). Doc sizes ride ALONG the
+    # exploded index as a narrow int column and are recovered with
+    # F.first() in the pair groupBy — no per-doc size frame exists, so
+    # nothing corpus-sized is ever joined back (let alone broadcast; the
+    # old F.broadcast(ja/jb) here was an executor OOM at 100 TB).
     base = _ensure_parallel(
         df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(F.size("grams") > 0)
     ).localCheckpoint()
-    sizes = base.select("id", F.size("grams").alias("n_grams"))
-    exploded = base.select("id", F.explode("grams").alias("gram"))
+    exploded = base.select("id", F.size("grams").alias("n"), F.explode("grams").alias("gram"))
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), "gram")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
-    ja = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
-    jb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
     out = (
-        pairs.join(F.broadcast(ja), "id_a")
-        .join(F.broadcast(jb), "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             F.round(
@@ -282,12 +285,16 @@ def incremental_ngram_jaccard_pairs(
             F.col(id_col).alias("id"), grams.alias("grams"), new_predicate.alias("__new")
         ).where(F.size("grams") > 0)
     ).localCheckpoint()
-    sizes = base.select("id", F.size("grams").alias("n_grams"))
-    index = base.select("id", "__new", F.explode("grams").alias("gram"))
+    # doc sizes ride along both join sides as a narrow int column and are
+    # recovered with F.first() per pair — no corpus-sized per-doc size
+    # frame is ever built or (worse) broadcast back onto the pairs
+    index = base.select(
+        "id", "__new", F.size("grams").alias("n"), F.explode("grams").alias("gram")
+    )
     # probe keeps only renamed columns so the self-join resolves cleanly:
-    # post-join, `id`/`__new`/`gram` name the index side alone
+    # post-join, `id`/`__new`/`gram`/`n` name the index side alone
     probe = index.where(F.col("__new")).select(
-        F.col("id").alias("__pid"), F.col("gram").alias("__pgram")
+        F.col("id").alias("__pid"), F.col("n").alias("__pn"), F.col("gram").alias("__pgram")
     )
     matched = probe.join(
         index,
@@ -296,13 +303,17 @@ def incremental_ngram_jaccard_pairs(
     )
     pairs = matched.groupBy(
         F.least("__pid", "id").alias("id_a"), F.greatest("__pid", "id").alias("id_b")
-    ).agg(F.count(F.lit(1)).alias("inter"))
-    ja = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
-    jb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    ).agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first(F.when(F.col("__pid") < F.col("id"), F.col("__pn")).otherwise(F.col("n"))).alias(
+            "na"
+        ),
+        F.first(F.when(F.col("__pid") < F.col("id"), F.col("n")).otherwise(F.col("__pn"))).alias(
+            "nb"
+        ),
+    )
     return (
-        pairs.join(F.broadcast(ja), "id_a")
-        .join(F.broadcast(jb), "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             F.round(
@@ -545,24 +556,26 @@ def ngram_containment_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # (id, grams) feeds both self-join sides AND both size lookups —
-    # materialized once (same as incremental_ngram_jaccard_pairs), or
-    # every branch re-shingles the corpus from the scan (plan_audit r5)
+    # (id, grams) feeds both self-join sides — materialized once (same as
+    # incremental_ngram_jaccard_pairs), or every branch re-shingles the
+    # corpus from the scan (plan_audit r5). Doc sizes ride along the
+    # exploded index as a narrow int column and come back via F.first()
+    # in the pair groupBy — no corpus-sized size frame, no broadcast.
     base = _ensure_parallel(
         df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(F.size("grams") > 0)
     ).localCheckpoint()
-    sizes = base.select("id", F.size("grams").alias("n_grams"))
-    exploded = base.select("id", F.explode("grams").alias("gram"))
-    pairs = (
+    exploded = base.select("id", F.size("grams").alias("n"), F.explode("grams").alias("gram"))
+    scored = (
         exploded.alias("a")
         .join(exploded.alias("b"), "gram")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
-    ja = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
-    jb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
-    scored = pairs.join(F.broadcast(ja), "id_a").join(F.broadcast(jb), "id_b")
     # both ordered directions from one unordered pair row: (a in b) and (b in a)
     directed = scored.select(
         F.explode(

@@ -2088,7 +2088,7 @@ def pipe_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     resolved = (
         names.join(cc, names["name_id"] == cc["id"], "left")
         .withColumn("component", F.coalesce(F.col("component"), F.col("name_id")))
-        .join(F.broadcast(id_to_name), "component")
+        .join(id_to_name, "component")
         .select("p_name", "canonical_name")
     )
     return resolved.orderBy("p_name")
@@ -2736,8 +2736,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand —
     a correlated per-part average re-joined onto the same fact (aggregate
-    once, broadcast the tiny per-part result back; never a row-correlated
-    subquery at scale)."""
+    once, join the per-part result back; never a row-correlated subquery at
+    scale). No broadcast hint: the per-part frame is brand-filtered but
+    still SF-proportional, so AQE picks the strategy — broadcast at small
+    SF, shuffled hash join once the frame outgrows the threshold."""
     li = _li(spark, sf)
     part = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#3")
     branded = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
@@ -2745,7 +2747,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("__qbar")
     )
     return (
-        branded.join(F.broadcast(avg_q), F.col("p_partkey") == F.col("__pk"))
+        branded.join(avg_q, F.col("p_partkey") == F.col("__pk"))
         .where(F.col("l_quantity") < F.col("__qbar"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -3427,8 +3429,10 @@ def q_bloom_prejoin(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderkey")
     ).localCheckpoint()
     passed = bloom_prejoin(li, keys, "l_orderkey", "o_orderkey")
+    # no broadcast hint: the exact key set is SF-proportional (and forcing
+    # it resident would defeat the bloom demo's own premise) — AQE decides
     flagged = passed.join(
-        F.broadcast(keys.withColumn("__true", F.lit(1))),
+        keys.withColumn("__true", F.lit(1)),
         passed["l_orderkey"] == F.col("o_orderkey"),
         "left",
     )

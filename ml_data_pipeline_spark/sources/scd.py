@@ -59,9 +59,11 @@ def scd2_apply(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # no broadcast hint: a merge batch is usually small but is caller-
+    # controlled and unbounded — AQE broadcasts it when it actually is small
     upd_keys = updates.select(key, F.col(effective_ts).alias("__eff"))
     closed = (
-        current.join(F.broadcast(upd_keys), key, "left")
+        current.join(upd_keys, key, "left")
         .withColumn(
             valid_to,
             F.when(

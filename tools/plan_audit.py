@@ -55,24 +55,43 @@ def audit_plan(plan: str) -> dict:
     }
 
 
-#: identifiers that (by repo convention) hold raw SF-proportional table
-#: frames — customer/supplier/part/orders/lineitem/events/documents/
-#: embeddings and their loop-local aliases. A forced F.broadcast() on any
-#: of these is the round-5 verdict's anti-pattern class: redundant at
-#: small SF (AQE broadcasts anyway) and an OOM at 100 TB. Only nation
-#: (25 rows) and region (5) are safely hint-broadcastable.
+#: identifiers that (by repo convention) hold SF-proportional frames — the
+#: raw tables (customer/supplier/part/orders/lineitem/events/documents/
+#: embeddings), their loop-local aliases WITH any identifier tail (so
+#: `cust_building`, `li2`, `orders_recent` all match — ADVICE r6), and the
+#: derived corpus-sized frames the r6 verdict found surviving the raw-table
+#: purge (per-doc size frames ja/jb, per-entity id_to_name, exact key
+#: sets, per-part averages). A forced F.broadcast() on any of these is the
+#: anti-pattern class: redundant at small SF (AQE broadcasts anyway) and
+#: an executor OOM at 100 TB. Only nation (25 rows), region (5), single-
+#: row aggregates and guarded-bounded frames are safely hint-broadcastable.
+_ID_TAIL = r"[A-Za-z0-9_]*"
 _SF_PROPORTIONAL = re.compile(
-    r"F\.broadcast\(\s*"
-    r"(cust|customer|supp|supplier|part|orders|li|lineitem"
-    r"|ev|events|docs|documents|emb|embeddings)\d*\s*[),.]"
+    r"F\.broadcast\(\s*(?:"
+    # raw tables + any alias tail (cust_building, li2, part_filtered ...)
+    r"(?:cust|customer|supp|supplier|part|orders|lineitem"
+    rf"|events|docs|documents|emb|embeddings){_ID_TAIL}"
+    # short aliases: exact or digit-tailed only (li, li2 — but not `lift`)
+    r"|(?:li|ev)\d*"
+    # derived SF-proportional frames (r6 verdict: per-doc sizes, exact key
+    # sets, per-entity maps, per-key averages over facts)
+    rf"|ja|jb|id_to_name|keys{_ID_TAIL}|upd_keys|avg_q{_ID_TAIL}"
+    # inlined table loads are SF-proportional by construction
+    rf"|load_table\("
+    r")\s*[),.]?"
 )
+#: df.hint("broadcast") spells the same force differently — ban it outright
+#: (the repo convention is F.broadcast on whitelisted-bounded frames only).
+_HINT_BROADCAST = re.compile(r"""\.hint\(\s*["']broadcast["']""")
 
 
 def audit_broadcast_hints(root: str = "ml_data_pipeline_spark") -> list[str]:
-    """Source-level rule: flag F.broadcast() applied to a raw table frame.
+    """Source-level rule: flag forced broadcasts of SF-proportional frames.
 
     Plan-level detection cannot tell a hint-forced broadcast from an
-    AQE-chosen one, so this rule greps the source for the hint itself.
+    AQE-chosen one, so this rule greps the source for the hint itself —
+    both the `F.broadcast(<sf-proportional identifier>)` spelling and the
+    `.hint(\"broadcast\")` spelling (any target).
     Returns `file:line: snippet` hits; empty list = clean.
     """
     import pathlib
@@ -80,7 +99,7 @@ def audit_broadcast_hints(root: str = "ml_data_pipeline_spark") -> list[str]:
     hits = []
     for path in sorted(pathlib.Path(root).rglob("*.py")):
         for i, line in enumerate(path.read_text().splitlines(), 1):
-            if _SF_PROPORTIONAL.search(line):
+            if _SF_PROPORTIONAL.search(line) or _HINT_BROADCAST.search(line):
                 hits.append(f"{path}:{i}: {line.strip()}")
     return hits
 

@@ -209,6 +209,46 @@ def test_no_forced_broadcast_on_sf_proportional_tables():
     assert audit_broadcast_hints() == []
 
 
+def test_broadcast_scanner_regex_boundaries():
+    """The SF-proportional scanner must (a) ignore '#'-comment tails — an
+    explanatory comment naming the anti-pattern is not a hit (r7 false
+    positive at dedup.py:211) — and (b) enforce an identifier boundary so
+    bounded frames sharing a prefix with a short alias (lift, evidence,
+    jaccard_df) never match (ADVICE r7)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import _SF_PROPORTIONAL
+
+    for benign in (
+        "F.broadcast(lift)",
+        "F.broadcast(evidence)",
+        "F.broadcast(jaccard_df)",
+        "F.broadcast(nation)",
+        "F.broadcast(region)",
+    ):
+        assert not _SF_PROPORTIONAL.search(benign), benign
+    for hit in (
+        "F.broadcast(ja)",
+        "F.broadcast(jb),",
+        "F.broadcast(li2)",
+        "F.broadcast(cust_building)",
+        "F.broadcast(orders.filter(...))",
+        "F.broadcast(load_table(spark, sf, 'lineitem'))",
+    ):
+        assert _SF_PROPORTIONAL.search(hit), hit
+    # comment-tail stripping: the live dedup.py comment stays in place and
+    # audit_broadcast_hints() above returned [] — but pin the mechanism too
+    from tools.plan_audit import _HINT_BROADCAST
+
+    line = 'x = 1  # never F.broadcast(ja) or df.hint("broadcast") again'
+    code = line.split("#", 1)[0]
+    assert _SF_PROPORTIONAL.search(line)  # raw line WOULD match...
+    assert not _SF_PROPORTIONAL.search(code)  # ...stripped tail does not
+    assert _HINT_BROADCAST.search(line)
+    assert not _HINT_BROADCAST.search(code)
+
+
 def test_gini_rank_is_range_partitioned(spark, sf_dir):
     """The distributed-rank Gini sorts via range partitions + local windows
     (spark_partition_id windows), never via a single global window sort:

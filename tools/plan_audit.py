@@ -76,9 +76,13 @@ _SF_PROPORTIONAL = re.compile(
     # derived SF-proportional frames (r6 verdict: per-doc sizes, exact key
     # sets, per-entity maps, per-key averages over facts)
     rf"|ja|jb|id_to_name|keys{_ID_TAIL}|upd_keys|avg_q{_ID_TAIL}"
-    # inlined table loads are SF-proportional by construction
-    rf"|load_table\("
-    r")\s*[),.]?"
+    # mandatory terminator: an identifier must END here, so bounded frames
+    # whose names merely share a prefix with a short alias (lift, evidence,
+    # jaccard_df) do not match (ADVICE r7).
+    r")\s*[),.]"
+    # inlined table loads are SF-proportional by construction (args follow
+    # the paren, so this alternative carries no terminator)
+    r"|F\.broadcast\(\s*load_table\("
 )
 #: df.hint("broadcast") spells the same force differently — ban it outright
 #: (the repo convention is F.broadcast on whitelisted-bounded frames only).
@@ -99,7 +103,12 @@ def audit_broadcast_hints(root: str = "ml_data_pipeline_spark") -> list[str]:
     hits = []
     for path in sorted(pathlib.Path(root).rglob("*.py")):
         for i, line in enumerate(path.read_text().splitlines(), 1):
-            if _SF_PROPORTIONAL.search(line) or _HINT_BROADCAST.search(line):
+            # strip the '#'-comment tail so explanatory comments that
+            # mention the anti-pattern (e.g. "# old F.broadcast(ja) was an
+            # OOM") stay inert; crude on '#' inside strings, which at worst
+            # under-matches — acceptable for a review scanner.
+            code = line.split("#", 1)[0]
+            if _SF_PROPORTIONAL.search(code) or _HINT_BROADCAST.search(code):
                 hits.append(f"{path}:{i}: {line.strip()}")
     return hits
 

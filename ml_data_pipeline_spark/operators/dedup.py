@@ -181,7 +181,6 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_pairs_side: int | None = None,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard similarity for all candidate pairs sharing at
     least one n-gram (the inverted-index join; brute-force crossJoin is never

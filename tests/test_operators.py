@@ -258,6 +258,54 @@ def test_interpolate_ranged_all_null_partition(spark):
     assert all(math.isclose(got[i], 1.0 + 2.0 * i) for i in range(22))
 
 
+def test_interpolate_ranged_null_order_key(spark):
+    # NULLs in an order column must not raise (the pre-r8 sketch sorted
+    # python tuples containing None → TypeError) and must land where the
+    # global baseline puts them: NULLS FIRST, i.e. before every real key.
+    rows = [(None, None), (0, 1.0), (1, None), (2, None), (3, 7.0), (4, None)]
+    df = spark.createDataFrame(rows, "o int, v double")
+    ranged = {
+        r["o"]: r["v"]
+        for r in I.impute_interpolate_ranged(df, "v", "o", num_partitions=3).collect()
+    }
+    glob = {r["o"]: r["v"] for r in I.impute_interpolate(df, "v", "o").collect()}
+    assert set(ranged) == set(glob)
+    for k in glob:
+        assert math.isclose(ranged[k], glob[k]), (k, ranged[k], glob[k])
+    # the null-keyed row sorts first → backfilled from the first non-null
+    assert math.isclose(ranged[None], 1.0)
+    # interior holes interpolate linearly: 1.0 .. 7.0 across positions 1..4
+    assert math.isclose(ranged[1], 3.0) and math.isclose(ranged[2], 5.0)
+
+
+def test_interpolate_ranged_null_in_composite_order_key(spark):
+    # partial-null composite keys: (5, NULL) must sort before (5, 1) but
+    # after (4, *) — the NULLS-FIRST lexicographic __pid expression, not a
+    # struct >= (which would NULL the whole partition id).
+    rows = [
+        (1, 1, 10.0),
+        (4, 2, None),
+        (5, None, None),
+        (5, 1, None),
+        (6, 1, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, v double")
+    ranged = {
+        (r["a"], r["b"]): r["v"]
+        for r in I.impute_interpolate_ranged(df, "v", ["a", "b"], num_partitions=3).collect()
+    }
+    glob = {
+        (r["a"], r["b"]): r["v"] for r in I.impute_interpolate(df, "v", ["a", "b"]).collect()
+    }
+    assert set(ranged) == set(glob)
+    for k in glob:
+        assert math.isclose(ranged[k], glob[k]), (k, ranged[k], glob[k])
+    # order is (1,1)=10, (4,2), (5,NULL), (5,1), (6,1)=30 → equal steps of 5
+    assert math.isclose(ranged[(4, 2)], 15.0)
+    assert math.isclose(ranged[(5, None)], 20.0)
+    assert math.isclose(ranged[(5, 1)], 25.0)
+
+
 def test_round_labels(spark):
     df = spark.createDataFrame([(0.4,), (0.6,), (2.5,)], "y double")
     got = sorted(r["y"] for r in E.round_labels(df, "y").collect())

@@ -660,7 +660,13 @@ def split_conformal_ols(
     res = F.round(
         F.abs(F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))), 6
     )
-    calib = calib.select("n_train", "slope", "intercept", res.alias("r"))
+    # checkpoint the calibration residuals: n_cal and the rank window both
+    # branch from this frame, and untruncated each branch re-runs the train
+    # aggregate AND re-scans the source (plan_audit: lineitem x5). The
+    # materialized frame is the calibration split x 4 narrow columns — the
+    # same "the calibration split is sortable" size assumption the rank
+    # window already makes.
+    calib = calib.select("n_train", "slope", "intercept", res.alias("r")).localCheckpoint()
     n_cal = calib.groupBy("n_train", "slope", "intercept").agg(
         F.count(F.lit(1)).alias("n_cal")
     )

@@ -295,6 +295,10 @@ def time_series_cv_ols(
     )
     # slope inlined into the intercept expression — a second pass over agg
     # (self-join) re-evaluated the whole scan+aggregate subtree for nothing
+    # checkpoint the per-fold coefficients (len(fold_dates) rows): the
+    # scoring join AND the final left join both consume fit — untruncated,
+    # each re-runs the fold aggregate from its own scan (plan_audit:
+    # lineitem x3)
     fit = agg.select(
         "origin",
         "n_train",
@@ -303,7 +307,7 @@ def time_series_cv_ols(
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n_train"), 4).alias(
             "intercept"
         ),
-    )
+    ).localCheckpoint()
     scored = base.join(F.broadcast(fit), "origin").where(in_valid)
     mae = scored.groupBy("origin").agg(
         F.round(

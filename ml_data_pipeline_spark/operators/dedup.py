@@ -191,16 +191,7 @@ def ngram_jaccard_pairs(
     Jaccard = inter / (|A| + |B| - inter). Shuffles on the ngram then the
     pair key; both keys are high-cardinality → parallelizes.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _gram_expr(text_col, n)
     # (id, grams) feeds both self-join sides — materialized once (same as
     # incremental_ngram_jaccard_pairs), or every branch re-shingles the
     # corpus from the scan (plan_audit r5). Doc sizes ride ALONG the
@@ -253,10 +244,11 @@ def incremental_ngram_jaccard_pairs(
     that equivalence).
 
     `new_predicate` is a boolean Column marking batch rows (e.g.
-    F.col("ingest_date") == today). At 100 TB the old side's exploded
-    (gram, id) index is the STORED corpus index (written by the previous
-    run, bucketed by gram); here it is derived in-plan — the join and
-    everything after it are identical.
+    F.col("ingest_date") == today). This is the SELF-CONTAINED form (one
+    input frame, index derived in-plan); the production shape that stops
+    re-shingling the corpus per batch is build_ngram_index +
+    incremental_ngram_jaccard_pairs_indexed — same output contract,
+    probing a stored gram-bucketed table instead.
 
     Double-count control without distinct-ing grams: a new x new pair would
     match the index twice ((a,b) and (b,a)); the join keeps old partners in
@@ -264,16 +256,7 @@ def incremental_ngram_jaccard_pairs(
     lands exactly once and the intersection count stays a plain
     count(*) of join multiplicity (grams are distinct per doc upstream).
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _gram_expr(text_col, n)
     # (id, grams, __new) feeds the probe, the index AND both size lookups;
     # without truncation every branch re-shingles the corpus from the scan
     # (4 computations of the n-gram arrays — measured 11.3s warm at sf0.1).
@@ -300,6 +283,146 @@ def incremental_ngram_jaccard_pairs(
         (F.col("__pgram") == F.col("gram"))
         & (~F.col("__new") | (F.col("id") > F.col("__pid"))),
     )
+    pairs = matched.groupBy(
+        F.least("__pid", "id").alias("id_a"), F.greatest("__pid", "id").alias("id_b")
+    ).agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first(F.when(F.col("__pid") < F.col("id"), F.col("__pn")).otherwise(F.col("n"))).alias(
+            "na"
+        ),
+        F.first(F.when(F.col("__pid") < F.col("id"), F.col("n")).otherwise(F.col("__pn"))).alias(
+            "nb"
+        ),
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+def _gram_expr(text_col: str, n: int):
+    """Distinct word-n-gram array expression shared by every n-gram
+    operator (one definition so the stored index and the in-plan paths
+    can never drift)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+def build_ngram_index(
+    df: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """Shingle a corpus ONCE and persist its inverted index (gram, id, n)
+    as a gram-bucketed, gram-sorted table — the stored index that
+    incremental_ngram_jaccard_pairs_indexed probes per appended batch.
+
+    This is the 'at 100 TB it lives in the lake' half of incremental
+    dedup: the nightly batch job shingles only the batch; the corpus-sized
+    shingling cost is paid once at index-build (and amortized by
+    append_ngram_index per batch thereafter). Bucketing by gram means the
+    per-batch probe join shuffles ONLY the batch's grams — the index side
+    is read in place, no corpus-sized exchange, ever (the probe plan is
+    asserted Exchange-free on the index side in tests). `n` rides every row so
+    Jaccard needs no join back to a per-doc size frame.
+    """
+    index = (
+        df.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
+        .where(F.size("grams") > 0)
+        .select("id", F.size("grams").alias("n"), F.explode("grams").alias("gram"))
+    )
+    (
+        index.write.mode("overwrite")
+        .bucketBy(num_buckets, "gram")
+        .sortBy("gram")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+def append_ngram_index(
+    batch: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """Fold an accepted batch into the stored index (same bucket spec —
+    Spark appends new bucket files per bucket id, keeping the layout
+    join-ready). Run after a batch passes dedup so the next batch probes
+    a corpus that includes this one."""
+    index = (
+        batch.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
+        .where(F.size("grams") > 0)
+        .select("id", F.size("grams").alias("n"), F.explode("grams").alias("gram"))
+    )
+    (
+        index.write.mode("append")
+        .bucketBy(num_buckets, "gram")
+        .sortBy("gram")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+def incremental_ngram_jaccard_pairs_indexed(
+    batch: DataFrame,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs touching an appended batch, probing the
+    STORED gram-bucketed index (build_ngram_index) instead of re-shingling
+    the corpus in-plan — the production shape of
+    incremental_ngram_jaccard_pairs (same output contract: new x old and
+    new x new pairs, never old x old; oracle-equal to the full recompute
+    filtered to pairs with a batch member).
+
+    Only the BATCH is shingled here. new x old comes from the probe
+    joining the bucketed index on gram (index side: in-place bucketed
+    read, no exchange; probe side: one batch-sized shuffle into the
+    index's bucketing). new x new comes from the batch's own inverted
+    index joined to itself with id > pid — batch-sized. Both unions feed
+    one pair-keyed groupBy; doc sizes ride both sides as narrow ints and
+    are recovered with F.first(), so no per-doc size frame exists.
+    """
+    spark = batch.sparkSession
+    base = _ensure_parallel(
+        batch.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
+        .where(F.size("grams") > 0)
+    ).localCheckpoint()
+    probe = base.select(
+        F.col("id").alias("__pid"), F.size("grams").alias("__pn"), F.explode("grams").alias("__pgram")
+    )
+    stored = spark.table(index_table)
+    old_matched = probe.join(stored, F.col("__pgram") == F.col("gram")).select(
+        "__pid", "__pn", "id", "n"
+    )
+    batch_index = base.select(
+        "id", F.size("grams").alias("n"), F.explode("grams").alias("gram")
+    )
+    new_matched = probe.join(
+        batch_index,
+        (F.col("__pgram") == F.col("gram")) & (F.col("id") > F.col("__pid")),
+    ).select("__pid", "__pn", "id", "n")
+    matched = old_matched.unionByName(new_matched)
     pairs = matched.groupBy(
         F.least("__pid", "id").alias("id_a"), F.greatest("__pid", "id").alias("id_b")
     ).agg(

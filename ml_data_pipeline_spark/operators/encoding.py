@@ -230,10 +230,17 @@ def loo_target_encode(
     as E3 at operators/encoding.py target_encode) — no window sort, no
     per-category shuffle of the fact table beyond the stats aggregate.
     """
+    # checkpoint the category-sized stats and derive the global mean FROM
+    # them (sum of sums / sum of counts — identical for integer targets,
+    # last-bit-equivalent for doubles) instead of a second source
+    # aggregate: source is scanned once for stats + once for the encode
+    # join (plan_audit: customer x3 before)
     stats = df.groupBy(column).agg(
         F.sum(target).alias("__s"), F.count(target).alias("__n")
+    ).localCheckpoint()
+    gm = stats.agg(
+        (F.sum("__s") / F.nullif(F.sum("__n").cast("double"), F.lit(0.0))).alias("__gm")
     )
-    gm = df.agg(F.avg(target).alias("__gm"))
     loo = (F.col("__s") - F.col(target)) / F.nullif(
         (F.col("__n") - F.lit(1)).cast("double"), F.lit(0.0)
     )

@@ -51,7 +51,10 @@ def impute_knn(
     columns), mirroring sklearn KNNImputer(k=5)
     (ref dataset_processing_check_nan_logic.py:66-86)."""
     feats = feature_cols or _numeric_cols(df, [column])
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    # cache: __rid must be assigned ONCE (monotonically_increasing_id is
+    # partition-dependent) and tagged feeds 4+ branches — uncached, every
+    # branch re-scans the source (plan_audit: lineitem x5)
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id()).cache()
     missing = tagged.where(F.col(column).isNull())
     complete = tagged.where(F.col(column).isNotNull())
     nn = knn_join(
@@ -104,7 +107,9 @@ def impute_hot_deck(
     mismatch re-ranks the candidate set only."""
     feats = numeric_cols or _numeric_cols(df, [column])
     cats = categorical_cols or []
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    # cache: same __rid-stability + multi-branch reuse note as impute_knn
+    # (plan_audit: lineitem x7 uncached)
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id()).cache()
     missing = tagged.where(F.col(column).isNull())
     complete = tagged.where(F.col(column).isNotNull())
     nn = knn_join(
@@ -181,17 +186,46 @@ def impute_mice(
     feature_cols: list[str] | None = None,
     clip: bool = True,
     seed: int = 42,
+    estimator: str = "linear",
 ) -> DataFrame:
     """I6 — MICE: chained-equations imputation. Initialize with column means,
-    then per sweep re-impute each target column from a LinearRegression on
-    the other columns, using ONLY originally-complete rows as training
-    (ref mice_method.py:25-144: IterativeImputer(estimator=BayesianRidge),
-    initial_strategy='mean', then clip to observed min/max).
+    then per sweep re-impute each target column from a per-column estimator
+    fit on the other columns, using ONLY originally-complete rows as
+    training (ref mice_method.py:25-144: IterativeImputer with an
+    estimator choice of BayesianRidge or RandomForestRegressor(
+    n_estimators=10, max_depth=10), initial_strategy='mean', then clip to
+    observed min/max).
+
+    `estimator` mirrors that choice:
+    - "linear" (default): LinearRegression, regParam=1e-6 — the
+      BayesianRidge stand-in (a ridge with weakly-informative priors
+      collapses to near-OLS on real data);
+    - "ridge": LinearRegression, regParam=1.0 — the regularized point on
+      the same spectrum when columns are collinear;
+    - "random_forest": MLlib RandomForestRegressor(numTrees=10,
+      maxDepth=10, seed=seed) — the reference's non-linear option.
 
     Driver loop over sweeps x columns; every fit/transform is distributed.
     The null masks are materialized once as __was_null_{c} flags."""
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml.regression import LinearRegression, RandomForestRegressor
+
+    def _make_estimator(label_col: str):
+        if estimator == "linear":
+            return LinearRegression(featuresCol="__feat_vec", labelCol=label_col, regParam=1e-6)
+        if estimator == "ridge":
+            return LinearRegression(featuresCol="__feat_vec", labelCol=label_col, regParam=1.0)
+        if estimator == "random_forest":
+            return RandomForestRegressor(
+                featuresCol="__feat_vec",
+                labelCol=label_col,
+                numTrees=10,
+                maxDepth=10,
+                seed=seed,
+            )
+        raise ValueError(
+            f"estimator={estimator!r}: expected 'linear', 'ridge' or 'random_forest'"
+        )
 
     all_feats = feature_cols or _numeric_cols(df, [])
     work = df
@@ -212,8 +246,7 @@ def impute_mice(
             train = work.where(~F.col(f"__was_null_{c}"))
             holes = work.where(F.col(f"__was_null_{c}"))
             assembler = VectorAssembler(inputCols=feats, outputCol="__feat_vec", handleInvalid="skip")
-            lr = LinearRegression(featuresCol="__feat_vec", labelCol=c, regParam=1e-6)
-            model = lr.fit(assembler.transform(train))
+            model = _make_estimator(c).fit(assembler.transform(train))
             preds = model.transform(assembler.transform(holes))
             fill = F.col("prediction")
             if clip:

@@ -485,8 +485,15 @@ def psi_drift(
     def shares(df: DataFrame, name: str) -> DataFrame:
         x = F.col(column).cast("double")
         bin_expr = sum((x >= F.lit(float(s))).cast("int") for s in sorted(splits))
-        counts = df.select(bin_expr.alias("bin")).groupBy("bin").agg(
-            F.count(F.lit(1)).alias("n")
+        # checkpoint the bin-cardinality counts: `total` and the share
+        # projection both branch from it, and untruncated each branch
+        # re-aggregates from the SOURCE scan (plan_audit: lineitem x4 on
+        # the gate). len(splits)+1 rows — the cheapest checkpoint there is.
+        counts = (
+            df.select(bin_expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
         )
         total = counts.agg(F.sum("n").alias("t"))
         return counts.crossJoin(F.broadcast(total)).select(
@@ -530,13 +537,34 @@ def outliers_mad(
         return F.percentile(c, F.lit(0.5)) if exact else F.approx_percentile(c, F.lit(0.5), F.lit(10_000))
 
     keys = [group_col] if group_col else []
-    med1 = (df.groupBy(*keys).agg(med(x).alias("__med"))) if keys else df.agg(med(x).alias("__med"))
-    j1 = df.join(F.broadcast(med1), keys) if keys else df.crossJoin(F.broadcast(med1))
-    dev = F.abs(x - F.col("__med"))
-    med2 = (
-        j1.groupBy(*keys).agg(med(dev).alias("__mad")) if keys else j1.agg(med(dev).alias("__mad"))
+    # exact grouped MAD is inherently two aggregation passes (median, then
+    # median of deviations) plus the scoring pass. Run both stats passes
+    # over a CACHED narrow (keys, value) projection so the source parquet
+    # is scanned once into cache + once for scoring, instead of 4x
+    # (plan_audit: lineitem x4 on the gate); the cache is two narrow
+    # columns, spillable, and exactly what any multi-pass robust statistic
+    # costs at 100 TB.
+    narrow = df.select(*keys, x.alias("__x")).cache()
+    nx = F.col("__x")
+    med1 = (
+        narrow.groupBy(*keys).agg(med(nx).alias("__med"))
+        if keys
+        else narrow.agg(med(nx).alias("__med"))
     )
-    j2 = j1.join(F.broadcast(med2), keys) if keys else j1.crossJoin(F.broadcast(med2))
+    n1 = narrow.join(F.broadcast(med1), keys) if keys else narrow.crossJoin(F.broadcast(med1))
+    ndev = F.abs(nx - F.col("__med"))
+    med2 = (
+        n1.groupBy(*keys).agg(med(ndev).alias("__mad"))
+        if keys
+        else n1.agg(med(ndev).alias("__mad"))
+    )
+    stats = (
+        med1.join(med2, keys)
+        if keys
+        else med1.crossJoin(med2)
+    ).localCheckpoint()
+    j2 = df.join(F.broadcast(stats), keys) if keys else df.crossJoin(F.broadcast(stats))
+    dev = F.abs(x - F.col("__med"))
     score = dev / F.col("__mad")
     return (
         j2.where(F.col("__mad") > 0)
@@ -677,9 +705,12 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     The final corr() is one aggregate. Nulls in either column are dropped
     (pairwise-complete, pandas semantics).
     """
+    # cache the narrow 2-column projection: both rank maps and the final
+    # rank join scan it (plan_audit: lineitem x3 uncached) — the standard
+    # multi-pass-statistic cache, spillable, two columns wide
     base = df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b")).where(
         F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
-    )
+    ).cache()
 
     def rank_map(col: str) -> DataFrame:
         per = base.groupBy(F.col(col).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))

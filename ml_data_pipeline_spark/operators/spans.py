@@ -129,7 +129,6 @@ def remove_repeated_ngrams(
         F.col(id_col).alias("id"), F.posexplode(_tokens(F.col(text_col))).alias("pos0", "tok")
     ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
     kept = toks.join(covered, ["id", "pos"], "left_anti")
-    n_toks = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
     n_spans = spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
@@ -138,18 +137,20 @@ def remove_repeated_ngrams(
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+    # per-doc token counts ride the id-coverage scan as size(tokens) —
+    # aggregating them from `toks` instead added a third full scan of the
+    # source (plan_audit: documents x3)
     return (
-        df.select(F.col(id_col).alias("id"))
-        .join(n_toks, "id", "left")
+        df.select(
+            F.col(id_col).alias("id"), F.size(_tokens(F.col(text_col))).alias("n_tokens")
+        )
         .join(rebuilt, "id", "left")
         .join(n_spans, "id", "left")
         .select(
             "id",
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            (F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_tokens_removed"
-            ),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_tokens_removed"),
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
         )
         .orderBy("id")

@@ -304,9 +304,12 @@ def contamination_check(
     one row per document with >= 1 n-gram.
     """
     grams = _distinct_word_ngrams(F.col(text_col), n)
+    # tokenize-once checkpoint (the dedup.py convention): sizes and the
+    # exploded gram index both branch from base — untruncated, each branch
+    # re-shingles from its own scan (plan_audit: documents x3)
     base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(
         F.size("grams") > 0
-    )
+    ).localCheckpoint()
     sizes = base.select("id", F.size("grams").alias("n_grams"))
     doc_grams = base.select("id", F.explode("grams").alias("gram"))
     bench_grams = (
@@ -355,9 +358,11 @@ def boilerplate_ngram_fraction(
     never shuffles.
     """
     grams = _distinct_word_ngrams(F.col(text_col), n)
+    # tokenize-once checkpoint: sizes, doc_freq and the boiler join all
+    # branch from base (plan_audit: documents x3 untruncated)
     base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(
         F.size("grams") > 0
-    )
+    ).localCheckpoint()
     sizes = base.select("id", F.size("grams").alias("n_grams"))
     exploded = base.select("id", F.explode("grams").alias("gram"))
     doc_freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
@@ -401,7 +406,10 @@ def tfidf_top_terms(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # checkpoint the word-count result: docfreq and the scored join both
+    # branch from tf (plan_audit: documents x3 untruncated); (id, term, tf)
+    # is the narrow post-aggregation frame, the cheapest cut point
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
     scored = (

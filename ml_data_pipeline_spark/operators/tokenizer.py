@@ -119,24 +119,23 @@ def apply_bpe_merges(
                 f"merge symbols must match [a-z]+ (regex/replacement "
                 f"metacharacters would silently mis-merge): {(x, y)!r}"
             )
+    # explode_outer keeps a NULL-word row for wordless documents, so the
+    # per-doc aggregate itself has full id coverage — no third scan of the
+    # source to restore dropped ids (plan_audit: documents x3 before)
     words = df.select(
-        F.col(id_col).alias("id"), F.explode(_ascii_words(F.col(text_col))).alias("word")
+        F.col(id_col).alias("id"), F.explode_outer(_ascii_words(F.col(text_col))).alias("word")
     )
     seg = F.regexp_replace(F.col("word"), "(.)", " $1 ")
     for x, y in merges:
         seg = F.regexp_replace(seg, f" {x}  {y} ", f" {x}{y} ")
     vocab = (
-        words.select("word")
+        words.where(F.col("word").isNotNull())
+        .select("word")
         .distinct()
         .select("word", F.size(F.split(F.trim(seg), " +")).alias("n_pieces"))
     )
-    per_doc = (
-        words.join(vocab, "word")
-        .groupBy("id")
-        .agg(F.sum("n_pieces").alias("n_bpe_tokens"))
-    )
     return (
-        df.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
-        .select("id", F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"))
+        words.join(vocab, "word", "left")
+        .groupBy("id")
+        .agg(F.coalesce(F.sum("n_pieces"), F.lit(0)).alias("n_bpe_tokens"))
     )

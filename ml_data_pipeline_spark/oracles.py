@@ -5115,3 +5115,25 @@ ALL_ORACLES["m23_isotonic_calibration"] = f"""
     FROM pre p JOIN fit f ON f.k = p.rn
     ORDER BY score_center
 """
+
+# the stored-index incremental path answers to the same full-recompute
+# contract as dd_incremental_pairs, but with an SF-PROPORTIONAL batch
+# (every 10th doc) so the gate exercises the small-batch-vs-big-corpus
+# shape the stored index exists for at every scale
+ALL_ORACLES["dd_incremental_indexed"] = f"""
+    WITH {_NGRAM_PAIRS.split("jpairs AS")[0].rstrip().rstrip(",")}
+    SELECT id_a, id_b, jaccard
+    FROM j
+    WHERE jaccard >= 0.2 AND (id_a % 10 = 0 OR id_b % 10 = 0)
+    ORDER BY id_a, id_b
+"""
+
+# I6 random-forest estimator: the contract (no nulls survive, rows
+# preserved, clip keeps fills inside the observed range) is exact even
+# though the forest's values are not SQL-replayable
+ALL_ORACLES["i6_mice_rf"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS nulls_q,
+           CAST(0 AS BIGINT) AS n_out_of_range
+    FROM lineitem
+"""

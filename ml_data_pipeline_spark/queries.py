@@ -985,7 +985,9 @@ def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     to 0 rows. (The md5 twin tx_fingerprint_md5 is the value-level
     oracle.)"""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    xx = TX.fingerprint(docs).select("doc_id", "fingerprint")
+    # cache the narrow (id, fingerprint) frame: the distinct-count floor
+    # and the output both consume it (plan_audit: documents x3 untruncated)
+    xx = TX.fingerprint(docs).select("doc_id", "fingerprint").cache()
     d_xx = xx.agg(F.count_distinct("fingerprint").alias("__dx"))
     d_md = (
         TX.fingerprint_md5(docs)
@@ -1627,7 +1629,10 @@ def ss_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     the IVF gate below (data-adaptive cells; see ss_ivf_topk)."""
     emb = load_table(spark, sf, "embeddings")
     q = _query_vector(spark, sf)
-    ann = SS.ann_topk(emb, q, k=10, n_planes=6, max_probe_hamming=2)
+    # checkpoint the k-row ANN result: it feeds both the recall join and
+    # the output, and untruncated each branch re-scans embeddings
+    # (plan_audit: embeddings x3)
+    ann = SS.ann_topk(emb, q, k=10, n_planes=6, max_probe_hamming=2).localCheckpoint()
     exact = SS.brute_force_topk(emb, q, k=10)
     recall = (
         ann.select("vec_id")
@@ -1667,7 +1672,9 @@ def ss_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     q = _query_vector(spark, sf)
     assigned, cents = SS.build_ivf_index(emb, dim=len(q), n_clusters=16)
-    ivf = SS.ivf_topk(assigned, cents, q, k=10, nprobe=4)
+    # checkpoint the k-row IVF result: recall join + output both branch
+    # from it (plan_audit: embeddings x3 untruncated)
+    ivf = SS.ivf_topk(assigned, cents, q, k=10, nprobe=4).localCheckpoint()
     exact = SS.brute_force_topk(emb, q, k=10)
     recall = (
         ivf.select("vec_id")
@@ -5467,3 +5474,155 @@ ALL_QUERIES = {
 # Round-6 addition: the single-sort baseline gate (registered after the
 # _R6_PRIORITY reorder — lands behind the window; r7 rotation material).
 ALL_QUERIES.update({"i4_interpolate_single": i4_interpolate_single})
+
+
+# ------------------------------------------------------------ round-8 additions
+def dd_incremental_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored-index incremental near-dup (dedup.build_ngram_index +
+    incremental_ngram_jaccard_pairs_indexed): the corpus index for docs
+    doc_id < 400 is built once per (sf, warehouse) as a gram-bucketed
+    table; the gate probes it with the appended batch (doc_id >= 400) —
+    only the BATCH is shingled in this plan; the index side is a bucketed
+    in-place scan with no corpus-sized exchange. Oracle: the SAME
+    full-corpus exact recompute filtered to pairs touching the batch that
+    dd_incremental_pairs answers to — the stored-index path loses nothing
+    and invents nothing."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    from ml_data_pipeline_spark.operators import dedup as DD8
+
+    docs = load_table(spark, sf, "documents")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    tbl = f"mdp_ngram_idx10_{tag}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if not spark.catalog.tableExists(tbl):
+        # fresh session, surviving warehouse dir (the s25 gotcha)
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+        DD8.build_ngram_index(docs.where(F.col("doc_id") % 10 != 0), tbl, n=3)
+    # batch = every 10th doc: SF-PROPORTIONAL 10% of the corpus at every
+    # scale (dd_incremental_pairs' doc_id >= 400 predicate is 20% of the
+    # corpus at sf0.01 but 92% at sf0.1 — the opposite of the incremental
+    # shape the stored index exists for)
+    return DD8.incremental_ngram_jaccard_pairs_indexed(
+        docs.where(F.col("doc_id") % 10 == 0), tbl, n=3, threshold=0.2
+    )
+
+
+ALL_QUERIES.update({"dd_incremental_indexed": dd_incremental_indexed})
+
+
+def i6_mice_rf(spark: SparkSession, sf: str) -> DataFrame:
+    """I6 with the reference's OTHER estimator option
+    (mice_method.py:66-106: RandomForestRegressor(n_estimators=10,
+    max_depth=10)): same chained-equation sweep, per-column MLlib
+    RandomForestRegressor. Contract: every hole filled (zero nulls), row
+    count preserved, and clipping keeps every fill inside the observed
+    [min, max] of its column — all exactly checkable without pinning the
+    forest's values."""
+    from ml_data_pipeline_spark.operators import imputation_ml as IM
+
+    src = _li(spark, sf).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"
+    )
+    src = src.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 10 == 3, F.lit(None)).otherwise(F.col("l_quantity")),
+    )
+    obs = src.agg(F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi")).first()
+    out = IM.impute_mice(src, ["l_quantity"], max_iter=1, estimator="random_forest")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("nulls_q"),
+        F.sum(
+            (
+                (F.col("l_quantity") < F.lit(obs["lo"]))
+                | (F.col("l_quantity") > F.lit(obs["hi"]))
+            ).cast("long")
+        ).alias("n_out_of_range"),
+    )
+
+
+ALL_QUERIES.update({"i6_mice_rf": i6_mice_rf})
+
+
+# ------------------------------------------------------------ round-8 rotation
+# The driver records rows for the FIRST 50 dict entries. Round 7 never
+# advanced the window (CORRECTNESS_r07 re-ran the r6 names — VERDICT r7
+# item 2), so this window takes, in order: (1) the 4 queries with NO
+# driver row ever (ss_semantic_dedup + i4_interpolate_single, asked for
+# two rounds running, plus the two round-8 additions), (2) the 9 gates
+# whose implementation changed in round 7 (judge-verified locally; the
+# driver record should own them), (3) the 19 gates whose implementation
+# changed THIS round (i4 split-point rewrite, MICE estimator refactor,
+# cache/checkpoint rescan drains), then (4) the longest-unverified tail —
+# 18 of the 50 queries whose only driver row is from round 1.
+_R8_PRIORITY = [
+    # (1) never driver-verified
+    "ss_semantic_dedup",
+    "i4_interpolate_single",
+    "dd_incremental_indexed",
+    "i6_mice_rf",
+    # (2) round-7-modified (n-gram dedup rewrite + de-hinted call sites)
+    "dd_ngram_jaccard",
+    "dd_incremental_pairs",
+    "dd_containment",
+    "dd_components",
+    "dd_keep_canonical",
+    "s16_scd2",
+    "pipe_entity_resolution",
+    "q17_small_qty_revenue",
+    "q_bloom_prejoin",
+    # (3) round-8-modified
+    "i4_interpolate",
+    "i4_interpolate_ranged",
+    "i6_impute_mice",
+    "i5_impute_knn",
+    "i7_hot_deck",
+    "m24_conformal",
+    "p21_mad_outliers",
+    "p19_psi_drift",
+    "ss_ann_topk",
+    "ss_ivf_topk",
+    "p24_spearman",
+    "tx_contamination",
+    "tx_boilerplate",
+    "tx_tfidf",
+    "tx_fingerprint",
+    "tx_span_dedup",
+    "tx_bpe_apply",
+    "m29_time_series_cv",
+    "e22_loo_target_encode",
+    # (4) longest-unverified (round-1 rows only), registry order
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_topk_per_group",
+    "q_sessionize",
+    "q_events_hourly",
+    "q_json_extract",
+    "q_asof_join",
+    "q_pivot",
+    "q_unpivot",
+    "q_rollup",
+    "q_cube",
+    "q_having",
+    "q_set_ops",
+    "q_sliding_window",
+    "q_moving_avg",
+    "st_hourly_counts",
+    "p1_shape_census",
+    # --- driver window ends here (50 entries above) ---
+]
+assert len(_R8_PRIORITY) == 50 and len(set(_R8_PRIORITY)) == 50
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R8_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R8_PRIORITY)},
+}
+
+# ---- ROUND-9 ROTATION TODO (for the next round's builder): after
+# CORRECTNESS_r08 lands, the stalest rows are the remaining 32 round-1
+# names (p2_missing_counts .. e10_embedding_hash block and friends) and
+# the 49 round-2 names. Build _R9_PRIORITY as: any round-9-modified gates
+# first, then those 32, then the oldest round-2 names to fill 50.

@@ -58,4 +58,27 @@ def test_impute_mice_converges(spark):
     vals = {r["b"]: r["a"] for r in out.collect()}
     for b, a in vals.items():
         assert abs(a - (b - 1.0) / 3.0) < 0.5
+
+
+def test_impute_mice_random_forest_estimator(spark):
+    """The reference's RandomForestRegressor(n=10, depth=10) MICE option:
+    fills land near the monotone relation (tree averaging is coarser than
+    the regression line, so the tolerance is wider), never outside the
+    observed range, and an unknown estimator name raises."""
+    import pytest
+
+    rows = []
+    for i in range(40):
+        a = float(i)
+        b = 3.0 * i + 1.0
+        rows.append((a if i % 11 != 3 else None, b))
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = IM.impute_mice(df, ["a"], max_iter=1, estimator="random_forest")
+    assert out.where(F.col("a").isNull()).count() == 0
+    vals = {r["b"]: r["a"] for r in out.collect()}
+    for b, a in vals.items():
+        assert abs(a - (b - 1.0) / 3.0) < 4.0
+        assert 0.0 <= a <= 39.0  # clip to observed bounds
+    with pytest.raises(ValueError):
+        IM.impute_mice(df, ["a"], max_iter=1, estimator="gradient_descent")
     assert out.count() == 40

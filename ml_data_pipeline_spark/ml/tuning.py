@@ -131,6 +131,154 @@ def random_search(
     return {"best": best, "trials": trials, "metric": metric}
 
 
+def _sample_param(rng: random.Random, choices) -> Any:
+    """One draw from a space entry: (lo, hi) tuple = uniform (log-uniform
+    when the span exceeds 2 decades), list = choice."""
+    if isinstance(choices, tuple):
+        lo, hi = choices
+        if lo > 0 and hi / lo > 100:
+            import math
+
+            return math.exp(rng.uniform(math.log(lo), math.log(hi)))
+        x = rng.uniform(lo, hi)
+        # an all-int bounds tuple is an integer parameter (maxDepth=(3,5))
+        return int(round(x)) if all(isinstance(c, int) for c in choices) else x
+    return rng.choice(choices)
+
+
+def tpe_propose(
+    rng: random.Random,
+    space: dict[str, Any],
+    history: list[tuple[dict[str, Any], float]],
+    direction: str = "max",
+    gamma: float = 0.25,
+    n_candidates: int = 24,
+    n_startup: int = 5,
+) -> dict[str, Any]:
+    """One Tree-structured Parzen Estimator proposal (Bergstra et al.,
+    'Algorithms for Hyper-Parameter Optimization', NeurIPS 2011 — public
+    literature; no optuna dependency).
+
+    Splits the observed trials into the best ceil(gamma*n) ('good') and
+    the rest ('bad'), models each numeric parameter with a Parzen window
+    (Gaussian KDE, bandwidth = the observed-set std-dev / cube-root rule
+    floored at 1% of the range) per side, each categorical with additive-
+    smoothed frequencies, then draws n_candidates from the GOOD model and
+    returns the candidate maximizing l(x)/g(x) — the expected-improvement
+    argmax under TPE's two-density formulation. Falls back to a pure
+    random draw for the first n_startup trials (nothing to model yet).
+
+    Pure driver-side arithmetic over the trial history (tiny); every
+    objective evaluation remains a distributed Spark job.
+    """
+    import math
+
+    if len(history) < n_startup:
+        return {k: _sample_param(rng, v) for k, v in space.items()}
+    hist = sorted(history, key=lambda h: h[1], reverse=(direction == "max"))
+    n_good = max(1, math.ceil(gamma * len(hist)))
+    good = [h[0] for h in hist[:n_good]]
+    bad = [h[0] for h in hist[n_good:]] or good
+
+    def kde_logpdf(x: float, obs: list[float], lo: float, hi: float) -> float:
+        if not obs:
+            return -math.log(max(hi - lo, 1e-12))
+        mean = sum(obs) / len(obs)
+        var = sum((o - mean) ** 2 for o in obs) / len(obs)
+        bw = max((var ** 0.5) / max(len(obs) ** (1 / 3), 1.0), 0.01 * (hi - lo), 1e-12)
+        dens = sum(
+            math.exp(-0.5 * ((x - o) / bw) ** 2) / (bw * math.sqrt(2 * math.pi))
+            for o in obs
+        ) / len(obs)
+        return math.log(max(dens, 1e-300))
+
+    def cat_logp(v, obs: list, choices: list) -> float:
+        # additive smoothing keeps unseen categories proposable
+        c = sum(1 for o in obs if o == v) + 1.0
+        return math.log(c / (len(obs) + len(choices)))
+
+    best_cand, best_score = None, None
+    for _ in range(n_candidates):
+        cand: dict[str, Any] = {}
+        score = 0.0
+        for name, choices in space.items():
+            gv = [g[name] for g in good if name in g]
+            bv = [b[name] for b in bad if name in b]
+            if isinstance(choices, tuple):
+                lo, hi = float(choices[0]), float(choices[1])
+                # draw from the good-side Parzen model: pick an observed
+                # good value, perturb by its bandwidth, clamp into range
+                if gv:
+                    center = rng.choice(gv)
+                    mean = sum(gv) / len(gv)
+                    var = sum((o - mean) ** 2 for o in gv) / len(gv)
+                    bw = max((var ** 0.5) / max(len(gv) ** (1 / 3), 1.0), 0.01 * (hi - lo))
+                    x = min(hi, max(lo, rng.gauss(center, bw)))
+                else:
+                    x = rng.uniform(lo, hi)
+                if all(isinstance(c, int) for c in choices):
+                    x = int(round(x))
+                cand[name] = x
+                score += kde_logpdf(float(x), [float(v) for v in gv], lo, hi)
+                score -= kde_logpdf(float(x), [float(v) for v in bv], lo, hi)
+            else:
+                # categorical: sample by good-side smoothed frequency
+                weights = [math.exp(cat_logp(c, gv, list(choices))) for c in choices]
+                total = sum(weights)
+                r, acc, pick = rng.random() * total, 0.0, choices[-1]
+                for c, wgt in zip(choices, weights):
+                    acc += wgt
+                    if r <= acc:
+                        pick = c
+                        break
+                cand[name] = pick
+                score += cat_logp(pick, gv, list(choices))
+                score -= cat_logp(pick, bv, list(choices))
+        if best_score is None or score > best_score:
+            best_cand, best_score = cand, score
+    return best_cand
+
+
+def tpe_search(
+    df: DataFrame,
+    target: str,
+    model_type: str,
+    space: dict[str, Any] | None = None,
+    n_trials: int = 10,
+    n_folds: int = 3,
+    metric: str = "f1",
+    direction: str = "max",
+    seed: int = 42,
+) -> dict[str, Any]:
+    """M7 without the optuna package: the same trial loop as random_search
+    but with TPE proposals after the startup trials — history-adaptive
+    search that concentrates evaluations near the best region. Each trial
+    is still scored by distributed k-fold CV."""
+    rng = random.Random(seed)
+    space = space or DEFAULT_SPACE
+    from .pipeline import detect_task_type, make_estimator
+
+    task = detect_task_type(df, target)
+    allowed = {p.name for p in make_estimator(model_type, task).params}
+    space = {k: v for k, v in space.items() if k in allowed}
+    history: list[tuple[dict[str, Any], float]] = []
+    trials = []
+    best = None
+    for t in range(n_trials):
+        params = tpe_propose(rng, space, history, direction)
+        cv = cross_val_scores(
+            df, target, model_type, params, n_folds=n_folds, metric=metric, seed=seed + t
+        )
+        history.append((params, cv["mean"]))
+        rec = {"trial": t, "params": params, "mean": cv["mean"], "std": cv["std"]}
+        trials.append(rec)
+        if best is None or (
+            cv["mean"] > best["mean"] if direction == "max" else cv["mean"] < best["mean"]
+        ):
+            best = rec
+    return {"best": best, "trials": trials, "metric": metric}
+
+
 def optuna_search(
     df: DataFrame,
     target: str,
@@ -142,12 +290,13 @@ def optuna_search(
     seed: int = 42,
 ) -> dict[str, Any]:
     """M7 — Optuna study on the driver; each objective call launches Spark CV
-    jobs (ref cross_validation_optuna_logic.py:116-164). Gated import: falls
-    back to random_search when optuna is absent."""
+    jobs (ref cross_validation_optuna_logic.py:116-164). Gated import: when
+    optuna is absent the fallback is tpe_search — the SAME sampler family
+    (TPE) self-contained above, not a silent downgrade to random search."""
     try:
         import optuna
     except ImportError:
-        return random_search(
+        return tpe_search(
             df, target, model_type, n_trials=n_trials, n_folds=n_folds,
             metric=metric, direction="max" if direction == "maximize" else "min", seed=seed,
         )

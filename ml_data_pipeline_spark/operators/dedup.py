@@ -23,9 +23,47 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     downstream explode/agg onto one core (measured: simhash signatures 7.5s
     → 5.6s at sf0.1 after spreading). Only repartitions when the source is
     under-split — at real scale the file layout already provides partitions
-    and this is a no-op (no shuffle added)."""
+    and this is a no-op (no shuffle added).
+
+    The under-split probe avoids df.rdd.getNumPartitions() (~2.5s cold:
+    the DataFrame→RDD conversion classloads a whole subsystem just to
+    read a partition count — measured as the single largest constructor
+    cost in the minhash bench query). Instead: (1) if the UNANALYZED
+    logical plan already contains a shuffle-producing node (repartition,
+    aggregate, join, window, distinct), partitioning is governed by
+    spark.sql.shuffle.partitions — leave it alone; (2) otherwise the
+    frame is scan-rooted, and the estimate is max(file count,
+    bytes/128MB) from inputFiles() + local stat (~0.25s cold) — the same
+    split arithmetic Spark applies to the scan. Non-local URIs (hdfs/s3
+    at cluster scale, where one probe action is noise) fall back to the
+    exact RDD probe."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    threshold = max(2, target // 2)
+    try:
+        lp = df._jdf.queryExecution().logical().toString()
+        if any(
+            tok in lp
+            for tok in ("Repartition", "Aggregate", "Join", "Window", "Deduplicate")
+        ):
+            return df
+    except Exception:
+        pass
+    est = None
+    try:
+        import os
+        from urllib.parse import urlparse
+
+        files = df.inputFiles()
+        if files:
+            paths = [urlparse(f) for f in files]
+            if all(u.scheme in ("file", "") for u in paths):
+                total = sum(os.path.getsize(u.path) for u in paths)
+                est = max(len(files), total // (128 << 20))
+    except Exception:
+        est = None
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < threshold:
         return df.repartition(target)
     return df
 
@@ -105,17 +143,22 @@ def shingle_minhash(
             "h"
         ),
     )
+    # the K conditional-min aggregates and the K-slot assembly are built as
+    # SQL expression strings: one parser call each instead of ~8 py4j
+    # Column-op round-trips per slot (measured: 2.5s → ~0.1s of driver-side
+    # plan construction at K=32 — a pure constructor cost that bench's
+    # cold-session runs pay in full)
     mins = exploded.groupBy("id").agg(
         *[
-            F.min(F.when(F.pmod("h", F.lit(num_hashes)) == k, F.col("h"))).alias(f"__m{k}")
+            F.expr(f"min(CASE WHEN pmod(h, {num_hashes}) = {k} THEN h END)").alias(f"__m{k}")
             for k in range(num_hashes)
         ]
     )
-    fallback = F.least(*[F.col(f"__m{k}") for k in range(num_hashes)])
-    sig = F.array(
-        *[F.coalesce(F.col(f"__m{k}"), fallback) for k in range(num_hashes)]
+    all_mins = ", ".join(f"__m{k}" for k in range(num_hashes))
+    slots = ", ".join(f"coalesce(__m{k}, __fb)" for k in range(num_hashes))
+    return mins.withColumn("__fb", F.expr(f"least({all_mins})")).select(
+        "id", F.expr(f"array({slots})").alias("signature")
     )
-    return mins.select("id", sig.alias("signature"))
 
 def minhash_near_duplicates(
     df: DataFrame,

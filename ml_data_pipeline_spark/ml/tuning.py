@@ -105,20 +105,13 @@ def random_search(
     trials = []
     best = None
     for t in range(n_trials):
-        params: dict[str, Any] = {}
-        for name, choices in space.items():
-            if name not in allowed:
-                continue
-            if isinstance(choices, tuple):
-                lo, hi = choices
-                if lo > 0 and hi / lo > 100:  # log-uniform
-                    import math
-
-                    params[name] = math.exp(rng.uniform(math.log(lo), math.log(hi)))
-                else:
-                    params[name] = rng.uniform(lo, hi)
-            else:
-                params[name] = rng.choice(choices)
+        # one shared draw helper (_sample_param) — an inline copy here had
+        # already diverged from it on integer-tuple rounding
+        params: dict[str, Any] = {
+            name: _sample_param(rng, choices)
+            for name, choices in space.items()
+            if name in allowed
+        }
         cv = cross_val_scores(
             df, target, model_type, params, n_folds=n_folds, metric=metric, seed=seed + t
         )
@@ -139,9 +132,12 @@ def _sample_param(rng: random.Random, choices) -> Any:
         if lo > 0 and hi / lo > 100:
             import math
 
-            return math.exp(rng.uniform(math.log(lo), math.log(hi)))
-        x = rng.uniform(lo, hi)
-        # an all-int bounds tuple is an integer parameter (maxDepth=(3,5))
+            x = math.exp(rng.uniform(math.log(lo), math.log(hi)))
+        else:
+            x = rng.uniform(lo, hi)
+        # an all-int bounds tuple is an integer parameter (maxDepth=(3,5));
+        # applies to BOTH branches — a log-uniform float for an int param
+        # crashes MLlib's TypeConverters.toInt
         return int(round(x)) if all(isinstance(c, int) for c in choices) else x
     return rng.choice(choices)
 

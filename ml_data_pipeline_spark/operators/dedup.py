@@ -31,19 +31,24 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     cost in the minhash bench query). Instead: (1) if the UNANALYZED
     logical plan already contains a shuffle-producing node (repartition,
     aggregate, join, window, distinct), partitioning is governed by
-    spark.sql.shuffle.partitions — leave it alone; (2) otherwise the
-    frame is scan-rooted, and the estimate is max(file count,
-    bytes/128MB) from inputFiles() + local stat (~0.25s cold) — the same
-    split arithmetic Spark applies to the scan. Non-local URIs (hdfs/s3
-    at cluster scale, where one probe action is noise) fall back to the
-    exact RDD probe."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark.sql.shuffle.partitions — leave it alone (node names are matched
+    at tree-line starts, not raw substrings, so a column named
+    'WindowStart' cannot false-positive); (2) otherwise the frame is
+    scan-rooted, and the estimate replays Spark's own file bin-packing
+    ((total bytes + files * openCost) / maxPartitionBytes, confs read
+    from the session) over inputFiles() + local stat (~0.25s cold) — a
+    directory of many tiny files correctly estimates FEW partitions, not
+    one per file. Non-local URIs (hdfs/s3 at cluster scale, where one
+    probe action is noise) fall back to the exact RDD probe."""
+    import re
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     threshold = max(2, target // 2)
     try:
         lp = df._jdf.queryExecution().logical().toString()
-        if any(
-            tok in lp
-            for tok in ("Repartition", "Aggregate", "Join", "Window", "Deduplicate")
+        if re.search(
+            r"(?m)^[\s:+\-]*'?(?:Repartition|Aggregate|Join|Window|Deduplicate)\b", lp
         ):
             return df
     except Exception:
@@ -58,7 +63,10 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
             paths = [urlparse(f) for f in files]
             if all(u.scheme in ("file", "") for u in paths):
                 total = sum(os.path.getsize(u.path) for u in paths)
-                est = max(len(files), total // (128 << 20))
+                mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+                open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+                padded = total + len(files) * open_cost
+                est = max(1, -(-padded // max(mpb, 1)))  # ceil
     except Exception:
         est = None
     if est is None:
@@ -66,6 +74,21 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     if est < threshold:
         return df.repartition(target)
     return df
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Read a byte-size conf ('134217728', '128MB', '4m', '512k')."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    m = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    for suffix in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if raw.endswith(suffix):
+            return int(float(raw[: -len(suffix)]) * m[suffix[0]])
+    try:
+        return int(raw)
+    except ValueError:
+        return default
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Exact duplicate removal. With subset, keeps one arbitrary-but-
@@ -454,7 +477,15 @@ def incremental_ngram_jaccard_pairs_indexed(
     probe = base.select(
         F.col("id").alias("__pid"), F.size("grams").alias("__pn"), F.explode("grams").alias("__pgram")
     )
-    stored = spark.table(index_table)
+    # idempotent re-probe guard: if the job is retried AFTER
+    # append_ngram_index folded this batch in (the standard incremental-job
+    # crash-recovery path), the stored index already contains the batch's
+    # ids — without the anti-join, every batch doc matches its own stored
+    # copy (self-pairs) and new x new pairs triple-count their shared
+    # grams (jaccard > 1). The anti-join is batch-ids-sized (broadcast).
+    stored = spark.table(index_table).join(
+        F.broadcast(base.select("id")), "id", "left_anti"
+    )
     old_matched = probe.join(stored, F.col("__pgram") == F.col("gram")).select(
         "__pid", "__pn", "id", "n"
     )

@@ -142,7 +142,13 @@ def remove_repeated_ngrams(
     # source (plan_audit: documents x3)
     return (
         df.select(
-            F.col(id_col).alias("id"), F.size(_tokens(F.col(text_col))).alias("n_tokens")
+            F.col(id_col).alias("id"),
+            # NULL text must report 0 tokens (the pre-r8 aggregate path's
+            # behavior and the oracle's coalesce) — size(NULL) is NULL
+            # under ANSI and -1 under the legacy flag, wrong either way
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(_tokens(F.col(text_col))))
+            .alias("n_tokens"),
         )
         .join(rebuilt, "id", "left")
         .join(n_spans, "id", "left")

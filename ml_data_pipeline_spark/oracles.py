@@ -29,9 +29,10 @@ _FR = "['le','la','les','et','est','une','dans','que','pour','pas']"
 _ES = "['el','la','los','las','es','una','con','por','para','del']"
 _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
 
-# shared CTE chain: exact 3-gram Jaccard pairs at threshold 0.2 (the
-# candidate graph for dd_ngram_jaccard / dd_components / dd_keep_canonical)
-_NGRAM_PAIRS = r"""
+# shared CTE chain prefix: exact 3-gram Jaccard pairs (CTEs toks..j) —
+# consumers that need only the pair scores (dd_incremental_*) use this
+# directly instead of string-splitting _NGRAM_PAIRS
+_NGRAM_PAIRS_J = r"""
         toks AS (
             SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
@@ -60,7 +61,12 @@ _NGRAM_PAIRS = r"""
             FROM pairs
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-        ),
+        )
+"""
+
+# full chain: pairs + connected components etc. (dd_components /
+# dd_keep_canonical) — the prefix above plus the jpairs.. tail
+_NGRAM_PAIRS = _NGRAM_PAIRS_J + r""",
         jpairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
         edges AS (
             SELECT id_a AS a, id_b AS b FROM jpairs
@@ -2986,7 +2992,7 @@ ALL_ORACLES: dict[str, str] = {
         -- FULL recompute of exact 3-gram Jaccard pairs, filtered to pairs
         -- with a batch member (doc_id >= 400): the incremental operator
         -- must equal this exactly (no lost pairs, no phantom pairs)
-        WITH {_NGRAM_PAIRS.split("jpairs AS")[0].rstrip().rstrip(",")}
+        WITH {_NGRAM_PAIRS_J}
         SELECT id_a, id_b, jaccard
         FROM j
         WHERE jaccard >= 0.2 AND (id_a >= 400 OR id_b >= 400)
@@ -5121,7 +5127,7 @@ ALL_ORACLES["m23_isotonic_calibration"] = f"""
 # (every 10th doc) so the gate exercises the small-batch-vs-big-corpus
 # shape the stored index exists for at every scale
 ALL_ORACLES["dd_incremental_indexed"] = f"""
-    WITH {_NGRAM_PAIRS.split("jpairs AS")[0].rstrip().rstrip(",")}
+    WITH {_NGRAM_PAIRS_J}
     SELECT id_a, id_b, jaccard
     FROM j
     WHERE jaccard >= 0.2 AND (id_a % 10 = 0 OR id_b % 10 = 0)

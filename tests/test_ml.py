@@ -115,6 +115,21 @@ def test_tpe_propose_concentrates_near_optimum():
     assert all(0.0 <= x <= 1.0 for x in xs)
 
 
+def test_sample_param_integer_tuples_round_in_both_branches():
+    """All-int tuple spaces must yield ints from BOTH the uniform and the
+    log-uniform branch (a float maxDepth crashes MLlib's toInt), and
+    random_search shares the same draw helper (no divergent inline copy)."""
+    import random as _random
+
+    rng = _random.Random(0)
+    for _ in range(20):
+        assert isinstance(MT._sample_param(rng, (3, 5)), int)
+        v = MT._sample_param(rng, (1, 500))  # span > 2 decades → log-uniform
+        assert isinstance(v, int) and 1 <= v <= 500
+        f = MT._sample_param(rng, (0.01, 0.3))
+        assert isinstance(f, float)
+
+
 def test_tpe_propose_categorical_prefers_good_side():
     import random as _random
 

@@ -268,6 +268,54 @@ def test_incremental_indexed_matches_inplan(spark):
     assert "Bucketed: true" in plan
 
 
+def test_incremental_indexed_reprobe_after_append_is_idempotent(spark):
+    """Crash-recovery path: if the job is retried AFTER append_ngram_index
+    already folded the batch in, the probe must return the SAME pairs —
+    no self-pairs, no double-counted new x new grams (jaccard > 1)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    old = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "a b c d e")], "doc_id long, text string"
+    )
+    tbl = "mdp_test_idx_reprobe"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    DD.build_ngram_index(old, tbl, n=3, num_buckets=4)
+    before = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.incremental_ngram_jaccard_pairs_indexed(
+            batch, tbl, n=3, threshold=0.1
+        ).collect()
+    }
+    DD.append_ngram_index(batch, tbl, n=3, num_buckets=4)  # batch committed
+    after = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.incremental_ngram_jaccard_pairs_indexed(
+            batch, tbl, n=3, threshold=0.1
+        ).collect()  # retried probe
+    }
+    assert after == before == {(1, 10): 1.0, (1, 11): 1.0, (10, 11): 1.0}
+    assert all(a != b and j <= 1.0 for (a, b), j in after.items())
+
+
+def test_remove_repeated_ngrams_null_text(spark):
+    """A NULL-text document must report n_tokens=0 (not NULL / -1) and
+    survive with empty text_clean — parity with the oracle's coalesce."""
+    from ml_data_pipeline_spark.operators.spans import remove_repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in remove_repeated_ngrams(docs, width=10, min_docs=2).collect()}
+    assert out[3]["n_tokens"] == 0 and out[3]["n_tokens_removed"] == 0
+    assert out[3]["text_clean"] == "" and out[3]["n_spans"] == 0
+    assert out[1]["n_tokens_removed"] == 10  # the shared span was excised
+
+
 def test_append_ngram_index_roundtrip(spark):
     """append_ngram_index folds an accepted batch into the stored index:
     probing after the append must equal an index built from scratch over

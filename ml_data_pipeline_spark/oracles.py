@@ -5143,3 +5143,106 @@ ALL_ORACLES["i6_mice_rf"] = """
            CAST(0 AS BIGINT) AS n_out_of_range
     FROM lineitem
 """
+
+# -------------------------------------------------- round-8 sink/ML gates
+# the md5-bucket split predicate shared with t8_hash_split (proven
+# engine-identical there); 2500/10000 = the gates' test_frac 0.25
+_HASH_IS_TEST = (
+    "(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 10000) < 2500"
+)
+
+ALL_ORACLES["f10_dtype_align"] = """
+    SELECT TRY_CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS c_custkey,
+           TRY_CAST(CAST(c_acctbal AS VARCHAR) AS DOUBLE) AS c_acctbal,
+           TRY_CAST(c_mktsegment AS DOUBLE) AS c_mktsegment
+    FROM customer ORDER BY c_custkey
+"""
+
+ALL_ORACLES["f11_header_strip"] = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey
+"""
+
+ALL_ORACLES["e17_label_round"] = """
+    SELECT c_custkey,
+           CAST(round(c_nationkey
+                      + CASE WHEN c_custkey % 2 = 0 THEN 0.25 ELSE 0.75 END)
+                AS INT) AS label
+    FROM customer ORDER BY c_custkey
+"""
+
+# schema-metadata oracle: the numeric projection derived from
+# information_schema over the registered view, not a hard-coded list
+ALL_ORACLES["f12_feature_projection"] = """
+    SELECT column_name AS feature
+    FROM information_schema.columns
+    WHERE table_name = 'customer'
+      AND data_type IN ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT',
+                        'HUGEINT', 'FLOAT', 'DOUBLE', 'DECIMAL')
+      AND column_name <> 'c_acctbal'
+    ORDER BY feature
+"""
+
+ALL_ORACLES["m1_scaler_stats"] = f"""
+    SELECT f.feature,
+           (SELECT count(*) FROM customer WHERE NOT {_HASH_IS_TEST}) AS n_train,
+           TRUE AS mu_is_train_mean,
+           TRUE AS sigma_is_train_std
+    FROM (VALUES ('c_acctbal'), ('c_nationkey')) f(feature)
+    ORDER BY f.feature
+"""
+
+ALL_ORACLES["s7_paired_sink"] = f"""
+    SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+           CASE WHEN {_HASH_IS_TEST} THEN 'test' ELSE 'train' END AS split,
+           TRUE AS gate_ok
+    FROM customer ORDER BY c_custkey
+"""
+
+ALL_ORACLES["s9_version_lineage"] = """
+    SELECT 0 AS version, (SELECT count(*) FROM customer) AS n_rows,
+           1 AS n_changes, -1 AS parent, 0 AS parsed_version, 'cust' AS base
+    UNION ALL
+    SELECT 1, (SELECT count(*) FROM customer WHERE c_acctbal > 0),
+           1, 0, 1, 'cust'
+"""
+
+ALL_ORACLES["s12_description_sidecar"] = """
+    SELECT col_name, CAST(n AS VARCHAR) || ' distinct values' AS description
+    FROM (
+        SELECT 'c_custkey' AS col_name, count(DISTINCT c_custkey) AS n FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', count(DISTINCT c_mktsegment) FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', count(DISTINCT c_nationkey) FROM customer
+    )
+    ORDER BY col_name
+"""
+
+ALL_ORACLES["m11_model_roundtrip"] = f"""
+    SELECT (SELECT count(*) FROM customer WHERE {_HASH_IS_TEST}) AS n_test,
+           CAST(0 AS BIGINT) AS n_pred_mismatch,
+           TRUE AS params_ok
+"""
+
+ALL_ORACLES["m13_scorer_suite"] = """
+    SELECT 'classification' AS task_cls, 'regression' AS task_reg,
+           5 AS n_cls_metrics, TRUE AS acc_exact
+"""
+
+ALL_ORACLES["b10_bagging_floor"] = f"""
+    SELECT (SELECT count(*) FROM customer WHERE {_HASH_IS_TEST}) AS n_test,
+           20 AS n_trees, TRUE AS acc_ge_floor
+"""
+
+ALL_ORACLES["m10_importance_roundtrip"] = """
+    SELECT 'c_acctbal' AS top_feature, 1 AS top_rank,
+           (SELECT CAST(3 AS BIGINT)) AS n_features,
+           'logistic_regression' AS model
+"""
+
+ALL_ORACLES["m7_tpe_trials"] = """
+    SELECT CAST(range AS INT) AS trial, TRUE AS mean_le_best,
+           TRUE AS param_in_bounds
+    FROM range(6) ORDER BY trial
+"""

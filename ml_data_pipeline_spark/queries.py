@@ -5547,6 +5547,404 @@ def i6_mice_rf(spark: SparkSession, sf: str) -> DataFrame:
 ALL_QUERIES.update({"i6_mice_rf": i6_mice_rf})
 
 
+# -------------------------------------------------- round-8 sink/ML gates
+# Driver gates for the SURVEY §2 components that previously had pytest-only
+# coverage (VERDICT r7: "20 remain pytest-only"): the sink family (S7, S9,
+# S10-S12, S14 + the T6 version gate), the column-surgery stragglers (F10,
+# F11, F12, E17), and the ML-pipeline stragglers (M1, M7, M10, M11, M13,
+# B10). Convention: filesystem sinks stage under a FRESH /tmp dir per
+# (query, sf) so re-runs are deterministic; ML gates check exact contracts
+# (counts, roundtrip equality, argmax, bounds) and leave model-dependent
+# float VALUES unchecked, same as m6/m9.
+
+_HASH_TEST_FRAC = 0.25  # shared by the gates below and their oracles
+
+
+def _hash_split_cust(spark: SparkSession, sf: str):
+    """customer + deterministic md5-bucket split (SA.split_by_hash — the
+    engine-reproducible membership t8 proves against DuckDB)."""
+    cust = load_table(spark, sf, "customer")
+    return SA.split_by_hash(cust, "c_custkey", test_frac=_HASH_TEST_FRAC)
+
+
+def _stage_dir(sf: str, leaf: str) -> str:
+    """Fresh local staging dir, keyed by sf so scales never collide."""
+    import hashlib
+    import shutil
+
+    root = f"/tmp/mdp_r8_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/{leaf}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def f10_dtype_align(spark: SparkSession, sf: str) -> DataFrame:
+    """F10 — align_dtypes to a reference schema: numeric-in-string columns
+    cast back (exact double round-trip), an unparseable VARCHAR coerces to
+    NULL (pandas errors='coerce' = try_cast). Oracle recomputes with
+    DuckDB TRY_CAST."""
+    from pyspark.sql import types as T
+
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("c_custkey"),
+        F.col("c_acctbal").cast("string").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ref = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.DoubleType()),  # text → all NULL
+        ]
+    )
+    return FL.align_dtypes(cust, ref).orderBy("c_custkey")
+
+
+def f11_header_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """F11 — strip_column_names: whitespace-padded header names (the CSV
+    ingest artifact the reference strips with df.columns.str.strip()) come
+    back clean with values untouched."""
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    messy = cust.toDF(" c_custkey ", "c_name\t", "  c_mktsegment")
+    return FL.strip_column_names(messy).orderBy("c_custkey")
+
+
+def e17_label_round(spark: SparkSession, sf: str) -> DataFrame:
+    """E17 — post-balance label rounding (round → int cast) on a synthetic
+    fractional label; offsets 0.25/0.75 keep every value away from the
+    .5 half-up/half-even engine boundary."""
+    df = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        (
+            F.col("c_nationkey")
+            + F.when(F.col("c_custkey") % 2 == 0, F.lit(0.25)).otherwise(F.lit(0.75))
+        ).alias("label"),
+    )
+    return E.round_labels(df, "label").orderBy("c_custkey")
+
+
+def f12_feature_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """F12 — numeric feature projection excluding the target; the oracle
+    derives the same list from information_schema (schema metadata, not a
+    hard-coded VALUES list)."""
+    from ml_data_pipeline_spark.ml.pipeline import numeric_feature_cols
+
+    cust = load_table(spark, sf, "customer")
+    feats = numeric_feature_cols(cust, target="c_acctbal")
+    return spark.createDataFrame([(c,) for c in sorted(feats)], "feature string")
+
+
+def m1_scaler_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """M1 — fit-on-train scaling contract: the StandardScaler stage fitted
+    inside build_pipeline must carry exactly the TRAIN subset's mean and
+    sample-std (never the full table's — the leakage the reference guards
+    against). mu/sigma equality is checked in-query against a Spark
+    aggregate over the same hash-train rows (exact, engine-local); the
+    oracle owns the hash-split train count."""
+    from pyspark.ml.feature import StandardScalerModel
+
+    from ml_data_pipeline_spark.ml.pipeline import build_pipeline
+
+    train = _hash_split_cust(spark, sf).where(~F.col("is_test")).drop("is_test")
+    feats = ["c_acctbal", "c_nationkey"]
+    pipe, _, _ = build_pipeline(
+        train, "c_mktsegment", "logistic_regression", params={"maxIter": 5},
+        feature_cols=feats,
+    )
+    model = pipe.fit(train)
+    sc = next(s for s in model.stages if isinstance(s, StandardScalerModel))
+    agg = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(c).alias(f"mu_{c}") for c in feats],
+        *[F.stddev_samp(c).alias(f"sd_{c}") for c in feats],
+    ).first()
+    rows = [
+        (
+            c,
+            int(agg["n"]),
+            bool(abs(float(sc.mean[i]) - agg[f"mu_{c}"]) <= 1e-6 * max(1.0, abs(agg[f"mu_{c}"]))),
+            bool(abs(float(sc.std[i]) - agg[f"sd_{c}"]) <= 1e-6 * max(1.0, abs(agg[f"sd_{c}"]))),
+        )
+        for i, c in enumerate(feats)
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, n_train long, mu_is_train_mean boolean, sigma_is_train_std boolean"
+    )
+
+
+def s7_paired_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """S7 + T6 — paired train/test sink under one lock-step version commit,
+    then the version gate over the reference's file naming; both splits are
+    read BACK from the committed parquet and value-compared against the
+    source, so the gate proves sink → scan parity, not just the write."""
+    from ml_data_pipeline_spark.plans.dataset import Dataset
+    from ml_data_pipeline_spark.sources.versioned import (
+        VersionedDataset,
+        check_paired_versions,
+    )
+
+    split = _hash_split_cust(spark, sf).select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment", "is_test"
+    )
+    train = split.where(~F.col("is_test")).drop("is_test")
+    test = split.where(F.col("is_test")).drop("is_test")
+    root = _stage_dir(sf, "s7")
+    info_tr, info_te = Dataset.from_df(train).save_pair(root, "cust", test)
+    ok, _ = check_paired_versions(
+        f"cust_train_v{info_tr.version}.csv", f"cust_test_v{info_te.version}.csv"
+    )
+    tr_back = VersionedDataset(spark, root, "cust_train").read(info_tr.version)
+    te_back = VersionedDataset(spark, root, "cust_test").read(info_te.version)
+    return (
+        tr_back.withColumn("split", F.lit("train"))
+        .unionByName(te_back.withColumn("split", F.lit("test")))
+        .withColumn("gate_ok", F.lit(bool(ok)))
+        .orderBy("c_custkey")
+    )
+
+
+def s9_version_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    """S6/S9 — two version commits with lineage metadata, listed back from
+    the store: per version the committed row count (data-dependent, oracle
+    recomputes), change-log length, parent pointer, and the reference
+    ``{base}_vN.csv`` naming round-trip (parse_file_version /
+    strip_file_version)."""
+    from ml_data_pipeline_spark.sources import versioned as V
+
+    cust = load_table(spark, sf, "customer")
+    root = _stage_dir(sf, "s9")
+    vd = V.VersionedDataset(spark, root, "cust")
+    vd.write_version(cust, ["imported customer"])
+    vd.write_version(cust.where(F.col("c_acctbal") > 0), ["dropped non-positive balances"])
+    rows = []
+    for v in vd.versions():
+        meta = V.VersionInfo.from_json(vd._read_text(f"{vd._dir(v)}/_meta.json"))
+        fname = f"{meta.base}_v{meta.version}.csv"
+        rows.append(
+            (
+                v,
+                vd.read(v).count(),
+                len(meta.changes),
+                meta.parent if meta.parent is not None else -1,
+                V.parse_file_version(fname),
+                V.strip_file_version(fname),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, n_rows long, n_changes int, parent int, parsed_version int, base string",
+    )
+
+
+def s12_description_sidecar(spark: SparkSession, sf: str) -> DataFrame:
+    """S12 — column-description sidecar round-trip: descriptions derived
+    from the DATA (distinct counts), written as ``name: desc`` lines, parsed
+    back with load_description_sidecar, attached as schema comments via
+    apply_descriptions, then read OUT of the schema metadata. The oracle
+    recomputes the distinct counts."""
+    import hashlib
+
+    from ml_data_pipeline_spark.sources import meta_csv as MC
+
+    cust = load_table(spark, sf, "customer")
+    cols = ["c_custkey", "c_mktsegment", "c_nationkey"]
+    d = cust.agg(*[F.countDistinct(c).alias(c) for c in cols]).first()
+    path = f"/tmp/mdp_r8_desc_{hashlib.md5(sf.encode()).hexdigest()[:8]}.txt"
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("# customer column descriptions\n")  # colon-free line: skipped
+        for c in cols:
+            f.write(f"{c}: {d[c]} distinct values\n")
+    annotated = MC.apply_descriptions(cust, MC.load_description_sidecar(path))
+    rows = [
+        (fld.name, fld.metadata["comment"])
+        for fld in annotated.schema.fields
+        if fld.name in cols
+    ]
+    return spark.createDataFrame(rows, "col_name string, description string").orderBy("col_name")
+
+
+def _labeled_balance_task(df: DataFrame) -> DataFrame:
+    """Shared learnable binary task for the M* gates: sign of the account
+    balance from (c_acctbal, c_nationkey) — separable on the first feature,
+    so model quality contracts are deterministic."""
+    return df.withColumn("is_positive", (F.col("c_acctbal") > 0).cast("int"))
+
+
+def m11_model_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """M11 + S10 + S11 — final train → PipelineModel sink → scan →
+    re-predict: the reloaded model must reproduce every prediction
+    (n_pred_mismatch = 0), and the hyperparameter JSON artifact must
+    round-trip. The oracle owns the hash-split test count."""
+    from ml_data_pipeline_spark.ml import pipeline as MLP
+
+    split = _hash_split_cust(spark, sf)
+    train = _labeled_balance_task(split.where(~F.col("is_test")).drop("is_test"))
+    test = _labeled_balance_task(split.where(F.col("is_test")).drop("is_test"))
+    model, metrics = MLP.train_and_evaluate(
+        train, test, "is_positive", "logistic_regression",
+        params={"maxIter": 10}, feature_cols=["c_acctbal", "c_nationkey"],
+    )
+    root = _stage_dir(sf, "m11")
+    MLP.save_model(model, f"{root}/model")
+    back = MLP.load_model(spark, f"{root}/model")
+    p1 = model.transform(test).select("c_custkey", "prediction")
+    p2 = back.transform(test).select("c_custkey", F.col("prediction").alias("p2"))
+    n_mismatch = p1.join(p2, "c_custkey").where(F.col("prediction") != F.col("p2")).count()
+    jpath = f"{root}/params.json"
+    MLP.save_params_json(
+        jpath, "logistic_regression", "is_positive", "classification",
+        {"maxIter": 10}, ("accuracy", metrics["accuracy"]),
+    )
+    loaded = MLP.load_params_json(jpath)
+    params_ok = (
+        loaded["best_params"] == {"maxIter": 10}
+        and loaded["model_type"] == "logistic_regression"
+        and loaded["task_type"] == "classification"
+    )
+    return spark.createDataFrame(
+        [(p1.count(), n_mismatch, bool(params_ok))],
+        "n_test long, n_pred_mismatch long, params_ok boolean",
+    )
+
+
+def m13_scorer_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """M13 — scorer adaptation: task auto-detection picks the right metric
+    family (few-distinct int target → classification, continuous →
+    regression), the classification suite carries its 5 metrics (accuracy,
+    precision, recall, f1, roc_auc), and the evaluator's accuracy equals
+    the exact SQL confusion-count ratio bit-for-bit."""
+    from ml_data_pipeline_spark.ml import pipeline as MLP
+
+    split = _hash_split_cust(spark, sf)
+    train = _labeled_balance_task(split.where(~F.col("is_test")).drop("is_test"))
+    test = _labeled_balance_task(split.where(F.col("is_test")).drop("is_test"))
+    task_cls = MLP.detect_task_type(train, "is_positive")
+    task_reg = MLP.detect_task_type(train, "c_acctbal")
+    model, metrics = MLP.train_and_evaluate(
+        train, test, "is_positive", "logistic_regression",
+        params={"maxIter": 10}, feature_cols=["c_acctbal", "c_nationkey"],
+    )
+    manual_acc = (
+        model.transform(test)
+        .agg(F.avg((F.col("prediction") == F.col("is_positive")).cast("double")))
+        .first()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                task_cls,
+                task_reg,
+                len(metrics),
+                bool(abs(metrics["accuracy"] - manual_acc) <= 1e-12),
+            )
+        ],
+        "task_cls string, task_reg string, n_cls_metrics int, acc_exact boolean",
+    )
+
+
+def b10_bagging_floor(spark: SparkSession, sf: str) -> DataFrame:
+    """B10 — bagging via MLlib RandomForest (the SURVEY §2.7 mapping:
+    bootstrap-aggregated trees ARE the bagging estimator): the committed
+    ensemble carries the requested tree count and clears a 0.9 accuracy
+    floor on the separable task (exact values model-dependent, unchecked)."""
+    from ml_data_pipeline_spark.ml import pipeline as MLP
+
+    split = _hash_split_cust(spark, sf)
+    train = _labeled_balance_task(split.where(~F.col("is_test")).drop("is_test"))
+    test = _labeled_balance_task(split.where(F.col("is_test")).drop("is_test"))
+    model, metrics = MLP.train_and_evaluate(
+        train, test, "is_positive", "random_forest",
+        params={"numTrees": 20, "maxDepth": 5}, feature_cols=["c_acctbal", "c_nationkey"],
+    )
+    n_trees = int(model.stages[-1].getNumTrees)
+    return spark.createDataFrame(
+        [(test.count(), n_trees, bool(metrics["accuracy"] >= 0.9))],
+        "n_test long, n_trees int, acc_ge_floor boolean",
+    )
+
+
+def m10_importance_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """M10 + S14 — permutation importance (the tested SHAP stand-in) over
+    three features of which exactly one determines the label, persisted
+    through the S14 versioned importance sink and read back: the
+    label-defining feature must rank first."""
+    from ml_data_pipeline_spark.ml import pipeline as MLP
+    from ml_data_pipeline_spark.ml.explain import permutation_importance, save_importances
+    from ml_data_pipeline_spark.sources.versioned import VersionedDataset
+
+    split = _hash_split_cust(spark, sf).withColumn(
+        "noise", (F.col("c_custkey") % 97).cast("double")
+    )
+    feats = ["c_acctbal", "c_nationkey", "noise"]
+    train = _labeled_balance_task(split.where(~F.col("is_test")).drop("is_test"))
+    test = _labeled_balance_task(split.where(F.col("is_test")).drop("is_test"))
+    model, _ = MLP.train_and_evaluate(
+        train, test, "is_positive", "logistic_regression",
+        params={"maxIter": 10}, feature_cols=feats,
+    )
+    imps = permutation_importance(
+        model, test, "is_positive", feats, task="classification", metric="accuracy"
+    )
+    root = _stage_dir(sf, "m10")
+    save_importances(spark, imps, root, "imp", "logistic_regression")
+    back = VersionedDataset(spark, root, "imp").read(0)
+    top = back.orderBy("rank").first()
+    return spark.createDataFrame(
+        [(top["feature"], int(top["rank"]), back.count(), top["model"])],
+        "top_feature string, top_rank int, n_features long, model string",
+    )
+
+
+def m7_tpe_trials(spark: SparkSession, sf: str) -> DataFrame:
+    """M7 contract (m6-shape): tpe_search runs n_trials > n_startup so the
+    TPE proposal path (not just random startup) executes against real CV
+    jobs; the trial history is densely numbered, every mean <= best, and
+    every proposed param stays inside its bounds."""
+    from ml_data_pipeline_spark.ml.tuning import tpe_search
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double"),
+            F.year("o_orderdate").cast("double").alias("o_year"),
+        )
+    )
+    res = tpe_search(
+        orders, "o_orderstatus", "logistic_regression",
+        space={"regParam": (1e-4, 10.0)}, n_trials=6, n_folds=2, metric="accuracy",
+    )
+    best = res["best"]["mean"]
+    rows = [
+        (
+            t["trial"],
+            bool(t["mean"] <= best + 1e-12),
+            bool(1e-4 <= t["params"]["regParam"] <= 10.0),
+        )
+        for t in res["trials"]
+    ]
+    return spark.createDataFrame(rows, "trial int, mean_le_best boolean, param_in_bounds boolean")
+
+
+ALL_QUERIES.update(
+    {
+        "f10_dtype_align": f10_dtype_align,
+        "f11_header_strip": f11_header_strip,
+        "e17_label_round": e17_label_round,
+        "f12_feature_projection": f12_feature_projection,
+        "m1_scaler_stats": m1_scaler_stats,
+        "s7_paired_sink": s7_paired_sink,
+        "s9_version_lineage": s9_version_lineage,
+        "s12_description_sidecar": s12_description_sidecar,
+        "m11_model_roundtrip": m11_model_roundtrip,
+        "m13_scorer_suite": m13_scorer_suite,
+        "b10_bagging_floor": b10_bagging_floor,
+        "m10_importance_roundtrip": m10_importance_roundtrip,
+        "m7_tpe_trials": m7_tpe_trials,
+    }
+)
+
+
 # ------------------------------------------------------------ round-8 rotation
 # The driver records rows for the FIRST 50 dict entries. Round 7 never
 # advanced the window (CORRECTNESS_r07 re-ran the r6 names — VERDICT r7
@@ -5564,6 +5962,23 @@ _R8_PRIORITY = [
     "i4_interpolate_single",
     "dd_incremental_indexed",
     "i6_mice_rf",
+    # (1b) round-8 sink/ML gates — the 17 previously pytest-only SURVEY
+    # components (F10-F12, E17, M1, S7, S9/T6, S10-S12, S14, M7, M10, M11,
+    # M13, B10); these displace 13 round-1-verified tail entries, which
+    # already hold green driver rows
+    "f10_dtype_align",
+    "f11_header_strip",
+    "e17_label_round",
+    "f12_feature_projection",
+    "m1_scaler_stats",
+    "s7_paired_sink",
+    "s9_version_lineage",
+    "s12_description_sidecar",
+    "m11_model_roundtrip",
+    "m13_scorer_suite",
+    "b10_bagging_floor",
+    "m10_importance_roundtrip",
+    "m7_tpe_trials",
     # (2) round-7-modified (n-gram dedup rewrite + de-hinted call sites)
     "dd_ngram_jaccard",
     "dd_incremental_pairs",
@@ -5594,25 +6009,14 @@ _R8_PRIORITY = [
     "tx_bpe_apply",
     "m29_time_series_cv",
     "e22_loo_target_encode",
-    # (4) longest-unverified (round-1 rows only), registry order
+    # (4) longest-unverified (round-1 rows only), registry order; the 13
+    # displaced names (q_events_hourly .. p1_shape_census) move to the
+    # round-9 rotation TODO below
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q_topk_per_group",
     "q_sessionize",
-    "q_events_hourly",
-    "q_json_extract",
-    "q_asof_join",
-    "q_pivot",
-    "q_unpivot",
-    "q_rollup",
-    "q_cube",
-    "q_having",
-    "q_set_ops",
-    "q_sliding_window",
-    "q_moving_avg",
-    "st_hourly_counts",
-    "p1_shape_census",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R8_PRIORITY) == 50 and len(set(_R8_PRIORITY)) == 50
@@ -5622,7 +6026,11 @@ ALL_QUERIES = {
 }
 
 # ---- ROUND-9 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r08 lands, the stalest rows are the remaining 32 round-1
-# names (p2_missing_counts .. e10_embedding_hash block and friends) and
-# the 49 round-2 names. Build _R9_PRIORITY as: any round-9-modified gates
-# first, then those 32, then the oldest round-2 names to fill 50.
+# CORRECTNESS_r08 lands, the stalest rows are the 13 round-1 names this
+# window displaced for the new sink/ML gates (q_events_hourly,
+# q_json_extract, q_asof_join, q_pivot, q_unpivot, q_rollup, q_cube,
+# q_having, q_set_ops, q_sliding_window, q_moving_avg, st_hourly_counts,
+# p1_shape_census), the remaining round-1 block (p2_missing_counts ..
+# e10_embedding_hash and friends), and the 49 round-2 names. Build
+# _R9_PRIORITY as: any round-9-modified gates first, then those 13, then
+# oldest-row-first to fill 50.

@@ -257,3 +257,23 @@ def test_gini_rank_is_range_partitioned(spark, sf_dir):
     assert "rangepartitioning" in plan
     assert "Window" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_r8_sink_ml_gates_registered_and_windowed():
+    """The round-8 sink/ML gates (the previously pytest-only SURVEY
+    components) are registered, oracle-backed, and inside the first-50
+    driver window so CORRECTNESS_r08 records rows for them."""
+    from ml_data_pipeline_spark.oracles import ALL_ORACLES
+
+    gates = [
+        "f10_dtype_align", "f11_header_strip", "e17_label_round",
+        "f12_feature_projection", "m1_scaler_stats", "s7_paired_sink",
+        "s9_version_lineage", "s12_description_sidecar",
+        "m11_model_roundtrip", "m13_scorer_suite", "b10_bagging_floor",
+        "m10_importance_roundtrip", "m7_tpe_trials",
+    ]
+    window = list(Q.ALL_QUERIES)[:50]
+    for g in gates:
+        assert g in Q.ALL_QUERIES, g
+        assert g in ALL_ORACLES, g
+        assert g in window, g

@@ -27,7 +27,6 @@ from pyspark.ml.classification import (
 )
 from pyspark.ml.evaluation import (
     BinaryClassificationEvaluator,
-    MulticlassClassificationEvaluator,
     RegressionEvaluator,
 )
 from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
@@ -129,18 +128,46 @@ def build_pipeline(
 def evaluate_classification(predictions: DataFrame, label_col: str = LABEL) -> dict[str, float]:
     """M3 metric suite: accuracy, weighted precision/recall/F1, ROC-AUC
     (binary: areaUnderROC; multiclass: one-vs-rest weighted average — ref
-    model_evaluation_logic.py:40-61 / M13 scorer adaptation)."""
+    model_evaluation_logic.py:40-61 / M13 scorer adaptation).
+
+    ONE pass over the predictions: the four headline metrics all derive
+    from the multiclass confusion matrix — classes² tiny rows from a single
+    groupBy — where the previous shape ran four evaluator scans plus a
+    distinct scan per call (per FOLD under CV: cross_val_scores and the
+    tuning loops call this dozens of times, and permutation importance once
+    per feature — at 100 TB of predictions those were five full rescans).
+    Formulas are MulticlassMetrics' exactly (per-class metric weighted by
+    TRUE-label support; 0 on 0/0) — hash-pinned against first-principles
+    DuckDB by the m24_confusion_matrix gate."""
+    cm = predictions.groupBy(label_col, "prediction").count().collect()
+    tp: dict[float, float] = {}
+    support: dict[float, float] = {}  # true-label counts
+    predicted: dict[float, float] = {}  # predicted-label counts
+    n = 0.0
+    for r in cm:
+        y, p, c = float(r[label_col]), float(r["prediction"]), float(r["count"])
+        n += c
+        support[y] = support.get(y, 0.0) + c
+        predicted[p] = predicted.get(p, 0.0) + c
+        if y == p:
+            tp[y] = tp.get(y, 0.0) + c
+    classes = sorted(support)  # MulticlassMetrics: labels come from y only
+    if not n:
+        return {"accuracy": 0.0, "precision": 0.0, "recall": 0.0, "f1": 0.0}
     out = {}
-    for metric, name in [
-        ("accuracy", "accuracy"),
-        ("weightedPrecision", "precision"),
-        ("weightedRecall", "recall"),
-        ("f1", "f1"),
-    ]:
-        out[name] = MulticlassClassificationEvaluator(
-            labelCol=label_col, predictionCol="prediction", metricName=metric
-        ).evaluate(predictions)
-    classes = [r[0] for r in predictions.select(label_col).distinct().collect()]
+    out["accuracy"] = sum(tp.values()) / n
+    wp = wr = wf = 0.0
+    for c in classes:
+        t = tp.get(c, 0.0)
+        prec = t / predicted[c] if predicted.get(c) else 0.0
+        rec = t / support[c]  # support[c] > 0 by construction
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        wp += support[c] * prec
+        wr += support[c] * rec
+        wf += support[c] * f1
+    out["precision"] = wp / n
+    out["recall"] = wr / n
+    out["f1"] = wf / n
     if len(classes) == 2:
         out["roc_auc"] = BinaryClassificationEvaluator(
             labelCol=label_col, rawPredictionCol="rawPrediction"

@@ -5903,16 +5903,24 @@ def m7_tpe_trials(spark: SparkSession, sf: str) -> DataFrame:
 
     orders = (
         load_table(spark, sf, "orders")
-        .where(F.col("o_orderstatus").isin("F", "O"))
+        # deterministic 1/4 subsample: 12 CV fits (6 trials x 2 folds) are
+        # the gate's cost and the CONTRACT (argmax, bounds, numbering) is
+        # data-size-independent — the full-data path is m6's
+        .where(F.col("o_orderstatus").isin("F", "O") & (F.col("o_orderkey") % 4 == 0))
         .select(
             "o_orderstatus",
             F.col("o_totalprice").cast("double"),
             F.year("o_orderdate").cast("double").alias("o_year"),
         )
+        # 12 LR fits on a few-thousand-row frame: task-launch overhead, not
+        # data, is the cost — 4 partitions instead of 32 per treeAggregate
+        # round, and maxIter capped via a single-choice space dimension
+        .coalesce(4)
     )
     res = tpe_search(
         orders, "o_orderstatus", "logistic_regression",
-        space={"regParam": (1e-4, 10.0)}, n_trials=6, n_folds=2, metric="accuracy",
+        space={"regParam": (1e-4, 10.0), "maxIter": [10]},
+        n_trials=6, n_folds=2, metric="accuracy",
     )
     best = res["best"]["mean"]
     rows = [

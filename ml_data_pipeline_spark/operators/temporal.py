@@ -229,29 +229,29 @@ def churn_labels(
     # timestamp (not date) arithmetic: a non-midnight cutoff must keep its
     # time of day or the horizon silently shrinks below horizon_days
     horizon_end = cut + F.expr(f"INTERVAL {int(horizon_days)} DAYS")
-    past = (
-        events.where(F.col(ts_col) < cut)
+    # ONE conditional aggregate over ONE scan (filtered to ts < horizon_end,
+    # which pushes to the source): the previous past-aggregate + horizon-
+    # distinct + join shape read the events table twice and shuffled it
+    # twice — at 100 TB the second full scan is the whole cost. The
+    # entities-without-pre-cutoff-history exclusion becomes the
+    # n_events > 0 filter (identical semantics: such entities had no `past`
+    # row before, so the left join never surfaced them).
+    past_ts = F.when(F.col(ts_col) < cut, F.col(ts_col))
+    in_horizon = (F.col(ts_col) >= cut) & (F.col(ts_col) < horizon_end)
+    return (
+        events.where(F.col(ts_col) < horizon_end)
         .groupBy(entity_col)
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.datediff(cut.cast("date"), F.max(ts_col).cast("date")).alias(
+            F.count(past_ts).alias("n_events"),
+            F.datediff(cut.cast("date"), F.max(past_ts).cast("date")).alias(
                 "days_since_last"
             ),
-            F.datediff(F.max(ts_col).cast("date"), F.min(ts_col).cast("date")).alias(
-                "active_span_days"
-            ),
+            F.datediff(
+                F.max(past_ts).cast("date"), F.min(past_ts).cast("date")
+            ).alias("active_span_days"),
+            (F.count(F.when(in_horizon, 1)) == 0).alias("churned"),
         )
-    )
-    future = (
-        events.where((F.col(ts_col) >= cut) & (F.col(ts_col) < horizon_end))
-        .select(entity_col)
-        .distinct()
-        .withColumn("__alive", F.lit(1))
-    )
-    return (
-        past.join(future, entity_col, "left")
-        .withColumn("churned", F.col("__alive").isNull())
-        .drop("__alive")
+        .where(F.col("n_events") > 0)
     )
 
 

@@ -648,3 +648,23 @@ def test_isotonic_minimax_monotone_and_pooled(spark):
     df = spark.createDataFrame(rows, "s double, y double")
     out = isotonic_fit_minimax(df, "y", "s", n_bins=10).collect()
     assert [r["calibrated_p"] for r in out] == [0.5, 0.5]
+
+
+def test_evaluate_classification_zero_division_conventions(spark):
+    """One-pass confusion-matrix suite (r8): MulticlassMetrics parity on
+    the degenerate shapes — a true class that is NEVER predicted has
+    precision contribution 0 (not NaN), a predicted-only class contributes
+    nothing (labels come from y only), and weightedRecall == accuracy."""
+    # y in {0,1,2}; model always predicts 0 or 3 (class 3 never true,
+    # classes 1/2 never predicted)
+    rows = [(0.0, 0.0)] * 4 + [(1.0, 0.0)] * 3 + [(2.0, 3.0)] * 3
+    preds = spark.createDataFrame(rows, "label double, prediction double")
+    m = MP.evaluate_classification(preds, label_col="label")
+    assert m["accuracy"] == pytest.approx(0.4)
+    # precision: class 0 -> tp 4 / predicted 7; classes 1,2 -> 0/0 -> 0.0
+    assert m["precision"] == pytest.approx((4 * (4 / 7) + 3 * 0.0 + 3 * 0.0) / 10)
+    assert m["recall"] == pytest.approx(m["accuracy"])  # weighted recall identity
+    # f1: class 0 -> 2pr/(p+r) with p=4/7, r=1; others 0
+    p0 = 4 / 7
+    assert m["f1"] == pytest.approx((4 * (2 * p0 / (p0 + 1))) / 10)
+    assert "roc_auc" not in m  # 3 true classes, no rawPrediction column

@@ -168,12 +168,15 @@ def evaluate_classification(predictions: DataFrame, label_col: str = LABEL) -> d
     out["precision"] = wp / n
     out["recall"] = wr / n
     out["f1"] = wf / n
-    if len(classes) == 2:
-        out["roc_auc"] = BinaryClassificationEvaluator(
-            labelCol=label_col, rawPredictionCol="rawPrediction"
-        ).evaluate(predictions)
-    elif "rawPrediction" in predictions.columns:
-        out["roc_auc"] = _ovr_weighted_auc(predictions, label_col, classes)
+    # AUC needs scores; a hard-prediction-only frame (e.g. OneVsRest output)
+    # gets the 4 confusion-matrix metrics and no roc_auc key
+    if "rawPrediction" in predictions.columns:
+        if len(classes) == 2:
+            out["roc_auc"] = BinaryClassificationEvaluator(
+                labelCol=label_col, rawPredictionCol="rawPrediction"
+            ).evaluate(predictions)
+        else:
+            out["roc_auc"] = _ovr_weighted_auc(predictions, label_col, classes)
     return out
 
 

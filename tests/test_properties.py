@@ -487,3 +487,81 @@ def test_dbscan_same_component_cores_share_label(spark, edges, min_pts):
         if r["label"] is None:
             assert r["vec_id"] not in core
             assert not (adj.get(r["vec_id"], set()) & core)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_evaluate_classification_matches_mllib_evaluator(spark, rows):
+    """The one-pass confusion-matrix suite (r8) must equal MLlib's
+    MulticlassClassificationEvaluator on ANY (label, prediction) table —
+    including classes that are never predicted or only predicted."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    from ml_data_pipeline_spark.ml.pipeline import evaluate_classification
+
+    preds = spark.createDataFrame(
+        [(float(y), float(p)) for y, p in rows], "label double, prediction double"
+    )
+    m = evaluate_classification(preds, label_col="label")
+    for metric, name in [
+        ("accuracy", "accuracy"),
+        ("weightedPrecision", "precision"),
+        ("weightedRecall", "recall"),
+        ("f1", "f1"),
+    ]:
+        ref = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=metric
+        ).evaluate(preds)
+        assert math.isclose(m[name], ref, rel_tol=1e-9, abs_tol=1e-12), (name, m[name], ref)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40)),  # (user, day offset)
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_churn_labels_one_pass_equals_two_scan_reference(spark, events):
+    """The r8 single-aggregate churn_labels must equal the textbook
+    two-scan formulation (past aggregate LEFT JOIN horizon distinct) on
+    random event sets straddling the cutoff."""
+    from ml_data_pipeline_spark.operators.temporal import churn_labels
+
+    df = spark.createDataFrame(
+        [(u, f"2024-01-{1 + d % 28:02d} 06:00:00") for u, d in events],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    cutoff, horizon = "2024-01-15 00:00:00", 7
+    got = {
+        r["user_id"]: (r["n_events"], r["days_since_last"], r["active_span_days"], r["churned"])
+        for r in churn_labels(df, "user_id", "ts", cutoff, horizon).collect()
+    }
+    cut = F.lit(cutoff).cast("timestamp")
+    past = (
+        df.where(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.datediff(cut.cast("date"), F.max("ts").cast("date")).alias("dsl"),
+            F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias("span"),
+        )
+    )
+    fut = (
+        df.where((F.col("ts") >= cut) & (F.col("ts") < cut + F.expr(f"INTERVAL {horizon} DAYS")))
+        .select("user_id")
+        .distinct()
+        .withColumn("__alive", F.lit(1))
+    )
+    want = {
+        r["user_id"]: (r["n"], r["dsl"], r["span"], r["__alive"] is None)
+        for r in past.join(fut, "user_id", "left").collect()
+    }
+    assert got == want

@@ -352,6 +352,62 @@ def predict_single_row(model: PipelineModel, spark, row: dict[str, Any], schema)
     df = spark.createDataFrame([row], schema=schema)
     return model.transform(df).select("prediction").first()[0]
 
+
+def predict_single_row_local(model: PipelineModel, row: dict[str, Any]) -> float:
+    """M12, interactive path — score ONE row on the driver with NO Spark
+    job (SURVEY §7.4: 'interactive single-row inference latency: a Spark
+    job per question-answer is wasteful; keep a driver-local scoring
+    path'). Replays the fitted pipeline stages in pure Python:
+    VectorAssembler = dict lookup in input order, StandardScaler =
+    (x - mean) / std with the fitted vectors (std 0 passes x - mean
+    through unscaled, matching MLlib), linear models = dot product
+    (+ sigmoid-free argmax via the raw margin for LogisticRegression —
+    binary and multinomial both reduce to argmax over class margins).
+
+    Supports the linear family (LinearRegression, LogisticRegression) —
+    closed-form scorable from coefficients; tree ensembles raise with a
+    pointer to predict_single_row (their traversal state lives JVM-side).
+    Parity with transform() is pinned by test (same doubles, same argmax).
+    """
+    from pyspark.ml.classification import LogisticRegressionModel
+    from pyspark.ml.feature import StandardScalerModel
+    from pyspark.ml.regression import LinearRegressionModel
+
+    vec: list[float] | None = None
+    for stage in model.stages:
+        # only the FIRST assembler reads input columns; build_pipeline's
+        # scale=False path appends a second pass-through assembler over the
+        # first one's output, which is an identity here
+        if type(stage).__name__ == "VectorAssembler" and vec is None:
+            vec = [float(row[c]) for c in stage.getInputCols()]
+        elif isinstance(stage, StandardScalerModel):
+            mean, std = stage.mean.toArray(), stage.std.toArray()
+            assert vec is not None, "scaler before assembler in pipeline"
+            vec = [
+                (x - m) / s if s != 0.0 else x - m
+                for x, m, s in zip(vec, mean, std)
+            ]
+        elif isinstance(stage, LinearRegressionModel):
+            assert vec is not None
+            co = stage.coefficients.toArray()
+            return float(sum(c * x for c, x in zip(co, vec)) + stage.intercept)
+        elif isinstance(stage, LogisticRegressionModel):
+            assert vec is not None
+            cm = stage.coefficientMatrix.toArray()
+            iv = stage.interceptVector.toArray()
+            if cm.shape[0] == 1:  # binary: one margin, threshold at 0
+                margin = sum(c * x for c, x in zip(cm[0], vec)) + iv[0]
+                return 1.0 if margin > 0.0 else 0.0
+            margins = [
+                sum(c * x for c, x in zip(cm[k], vec)) + iv[k]
+                for k in range(cm.shape[0])
+            ]
+            return float(max(range(len(margins)), key=margins.__getitem__))
+    raise NotImplementedError(
+        "local scoring supports the linear family only; use "
+        "predict_single_row (Spark transform) for tree ensembles"
+    )
+
 def lift_table(
     df: DataFrame,
     label_col: str,

@@ -1246,8 +1246,16 @@ def m12_single_row_inference(spark: SparkSession, sf: str) -> DataFrame:
         orders.schema,
     )
     # r3 quality floor: a binary F/O problem must predict class index 0 or
-    # 1 — anything else (NaN, out-of-domain index) collapses the gate
-    rows = [(float(pred),)] if float(pred) in (0.0, 1.0) else []
+    # 1 — anything else (NaN, out-of-domain index) collapses the gate.
+    # r8: the driver-local scorer (SURVEY §7.4 interactive path) must agree
+    # with the Spark transform exactly or the gate collapses too.
+    from ml_data_pipeline_spark.ml.pipeline import predict_single_row_local
+
+    local = predict_single_row_local(
+        model, {"o_totalprice": 150000.0, "o_year": 1995.0}
+    )
+    ok = float(pred) in (0.0, 1.0) and float(local) == float(pred)
+    rows = [(float(pred),)] if ok else []
     return spark.createDataFrame(rows, "prediction double")
 
 def pipe_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:

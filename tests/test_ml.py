@@ -668,3 +668,51 @@ def test_evaluate_classification_zero_division_conventions(spark):
     p0 = 4 / 7
     assert m["f1"] == pytest.approx((4 * (2 * p0 / (p0 + 1))) / 10)
     assert "roc_auc" not in m  # 3 true classes, no rawPrediction column
+
+
+def test_predict_single_row_local_matches_transform(spark):
+    """M12 driver-local scorer (SURVEY §7.4): zero-Spark-job inference must
+    reproduce transform()'s prediction exactly — regression (scaled LR),
+    binary + multinomial logistic, string-indexed target — and refuse tree
+    ensembles with a pointer to the Spark path."""
+    import pytest as _pytest
+
+    rows = [
+        (float(i), float(i % 7), float((i * 37) % 11), ["a", "b", "c"][i % 3])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double, cls string")
+    probe = [{"x1": float(a), "x2": float(b)} for a, b in [(0, 0), (3, 10), (6.5, 2.2)]]
+
+    # regression, scaled
+    pipe, feats, _ = MP.build_pipeline(df, "y", "linear_regression", feature_cols=["x1", "x2"])
+    m = pipe.fit(df)
+    for p in probe:
+        got = MP.predict_single_row_local(m, p)
+        want = MP.predict_single_row(m, spark, {"y": 0.0, "cls": "a", **p}, df.schema)
+        assert got == pytest.approx(want, rel=1e-9)
+
+    # multinomial logistic on a string target (StringIndexer in the pipeline)
+    pipe, _, _ = MP.build_pipeline(df, "cls", "logistic_regression", feature_cols=["x1", "x2"])
+    m = pipe.fit(df)
+    for p in probe:
+        got = MP.predict_single_row_local(m, p)
+        want = MP.predict_single_row(m, spark, {"y": 0.0, "cls": "a", **p}, df.schema)
+        assert got == want
+
+    # binary logistic on an int target
+    dfb = df.withColumn("b", (F.col("x1") > 3).cast("int"))
+    pipe, _, _ = MP.build_pipeline(dfb, "b", "logistic_regression", feature_cols=["x1", "x2"])
+    m = pipe.fit(dfb)
+    for p in probe:
+        got = MP.predict_single_row_local(m, p)
+        want = MP.predict_single_row(
+            m, spark, {"y": 0.0, "cls": "a", "b": 0, **p}, dfb.schema
+        )
+        assert got == want
+
+    # tree ensembles: explicit refusal
+    pipe, _, _ = MP.build_pipeline(dfb, "b", "random_forest", feature_cols=["x1", "x2"])
+    m = pipe.fit(dfb)
+    with _pytest.raises(NotImplementedError):
+        MP.predict_single_row_local(m, probe[0])

@@ -98,6 +98,33 @@ def distinct_counts(df: DataFrame, columns: list[str] | None = None) -> DataFram
         .orderBy("n_distinct", "column")
     )
 
+def hll_shard_sketches(
+    df: DataFrame, column: str, shard_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-shard HyperLogLog sketches (Apache DataSketches via Spark's
+    hll_sketch_agg): one binary sketch row per shard, persistable next to
+    the shard (the datamart pattern — a nightly job sketches each
+    partition once; any later query unions the stored sketches instead of
+    rescanning the fact table). The union is register-wise max, so merging
+    shard sketches is LOSSLESS versus sketching the whole table in one
+    pass — pinned by the p37 gate."""
+    return df.groupBy(shard_col).agg(
+        F.expr(f"hll_sketch_agg({column}, {int(lg_k)})").alias("hll_sketch")
+    )
+
+
+def hll_merge_estimate(sketches: DataFrame) -> int:
+    """Distinct-count estimate from unioned shard sketches (driver scalar).
+    hll_union_agg's optional flag permits mixed lgConfigK; shard sketches
+    built by hll_shard_sketches share one lgK, so the default strict union
+    applies."""
+    return int(
+        sketches.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(hll_sketch))").alias("est")
+        ).first()["est"]
+    )
+
+
 def approx_distinct_counts(df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05) -> DataFrame:
     """P4 at scale — HLL-based distinct counts; one pass, no expand."""
     columns = columns or categorical_columns(df)

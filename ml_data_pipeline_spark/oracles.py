@@ -5246,3 +5246,12 @@ ALL_ORACLES["m7_tpe_trials"] = """
            TRUE AS param_in_bounds
     FROM range(6) ORDER BY trial
 """
+
+# re-aggregatable HLL sketches: shard-merge losslessness and the 5% bound
+# are asserted in-query (sketch internals aren't SQL-replayable); the
+# oracle owns the exact distinct count the bound is measured against
+ALL_ORACLES["p37_hll_shard_merge"] = """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           TRUE AS merge_matches_single, TRUE AS within_5pct
+    FROM lineitem
+"""

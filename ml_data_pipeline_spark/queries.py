@@ -2423,6 +2423,44 @@ def p25_approx_distinct_quality(spark: SparkSession, sf: str) -> DataFrame:
         (err(F.col("__as"), F.col("exact_suppkey")) <= 0.05).alias("suppkey_ok"),
     )
 
+def p37_hll_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-aggregatable sketch contract (the 100 TB distinct-count pattern):
+    per-shard HLL sketches (hll_sketch_agg over 8 hash shards of lineitem)
+    unioned with hll_union_agg must agree with a single-pass sketch of the
+    whole table to 1% and land within 5% of the exact distinct count. In
+    dense HLL mode the union is register-wise max (bit-lossless); below
+    the lgK=12 density threshold DataSketches keeps shard sketches in
+    exact set mode and the union's promotion to dense can differ from the
+    single pass by a few estimates-worth of counts (observed: 2000 exact,
+    merged vs single off by <0.1% at sf0.01) — hence a tolerance, not
+    bit-equality. The oracle owns the exact count; a broken merge or a
+    degraded sketch flips a boolean and the hash mismatches."""
+    from ml_data_pipeline_spark.operators.profiling import (
+        hll_merge_estimate,
+        hll_shard_sketches,
+    )
+
+    li = _li(spark, sf).withColumn(
+        "__shard", F.pmod(F.xxhash64("l_orderkey"), F.lit(8))
+    )
+    merged = hll_merge_estimate(hll_shard_sketches(li, "l_partkey", "__shard"))
+    one = li.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").alias("s"),
+        F.count_distinct("l_partkey").cast("long").alias("exact"),
+    ).first()
+    single, exact = int(one["s"]), int(one["exact"])
+    return spark.createDataFrame(
+        [
+            (
+                exact,
+                bool(abs(merged - single) <= max(1, round(0.01 * single))),
+                bool(abs(merged - exact) <= 0.05 * exact),
+            )
+        ],
+        "exact_distinct long, merge_matches_single boolean, within_5pct boolean",
+    )
+
+
 def e21_group_scale(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group min-max scaling: (x - min_g) / (max_g - min_g) with the
     group stats from one aggregate broadcast back — the grouped companion
@@ -4619,6 +4657,7 @@ ALL_QUERIES = {
     "f9_align_columns": f9_align_columns,
     "s3_csv_strings": s3_csv_strings,
     "p25_approx_distinct_quality": p25_approx_distinct_quality,
+    "p37_hll_shard_merge": p37_hll_shard_merge,
     "q_ewma": q_ewma,
     "m21_pr_points": m21_pr_points,
     "m22_brier_logloss": m22_brier_logloss,
@@ -6028,11 +6067,11 @@ _R8_PRIORITY = [
     # (4) longest-unverified (round-1 rows only), registry order; the 13
     # displaced names (q_events_hourly .. p1_shape_census) move to the
     # round-9 rotation TODO below
+    "p37_hll_shard_merge",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q_topk_per_group",
-    "q_sessionize",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R8_PRIORITY) == 50 and len(set(_R8_PRIORITY)) == 50
@@ -6043,7 +6082,7 @@ ALL_QUERIES = {
 
 # ---- ROUND-9 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r08 lands, the stalest rows are the 13 round-1 names this
-# window displaced for the new sink/ML gates (q_events_hourly,
+# window displaced for the new sink/ML gates (q_sessionize, q_events_hourly,
 # q_json_extract, q_asof_join, q_pivot, q_unpivot, q_rollup, q_cube,
 # q_having, q_set_ops, q_sliding_window, q_moving_avg, st_hourly_counts,
 # p1_shape_census), the remaining round-1 block (p2_missing_counts ..

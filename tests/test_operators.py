@@ -1703,3 +1703,27 @@ def test_cuped_constant_covariate_null(spark):
     )
     out = P3.cuped_adjustment(df, "y", "x").collect()[0]
     assert out["theta"] is None and out["var_reduction"] is None
+
+
+def test_hll_shard_sketches_merge_estimate(spark):
+    """Re-aggregatable HLL (r8): per-shard sketches unioned estimate the
+    same cardinality as a single-pass sketch (within 1%) and the exact
+    count (within 5%) — the persisted-sketch pattern for 100 TB distinct
+    counts."""
+    from ml_data_pipeline_spark.operators.profiling import (
+        hll_merge_estimate,
+        hll_shard_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 3137).alias("v"), F.pmod(F.xxhash64("id"), F.lit(6)).alias("sh")
+    )
+    sketches = hll_shard_sketches(df, "v", "sh")
+    assert sketches.count() == 6
+    merged = hll_merge_estimate(sketches)
+    single = int(
+        df.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(v, 12))")).first()[0]
+    )
+    assert abs(merged - single) <= max(1, round(0.01 * single))
+    assert abs(merged - 3137) <= 0.05 * 3137

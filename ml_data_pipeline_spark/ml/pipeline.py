@@ -358,9 +358,11 @@ def predict_single_row_local(model: PipelineModel, row: dict[str, Any]) -> float
     job (SURVEY §7.4: 'interactive single-row inference latency: a Spark
     job per question-answer is wasteful; keep a driver-local scoring
     path'). Replays the fitted pipeline stages in pure Python:
-    VectorAssembler = dict lookup in input order, StandardScaler =
-    (x - mean) / std with the fitted vectors (std 0 passes x - mean
-    through unscaled, matching MLlib), linear models = dot product
+    VectorAssembler = dict lookup in input order, StandardScaler honors
+    the fitted withMean/withStd flags exactly as MLlib's transform does
+    (shift only when withMean; scale by 1/std only when withStd, with a
+    ZERO multiplier for a zero-std feature — MLlib zeroes constant
+    features, it does not pass them through), linear models = dot product
     (+ sigmoid-free argmax via the raw margin for LogisticRegression —
     binary and multinomial both reduce to argmax over class margins).
 
@@ -383,8 +385,9 @@ def predict_single_row_local(model: PipelineModel, row: dict[str, Any]) -> float
         elif isinstance(stage, StandardScalerModel):
             mean, std = stage.mean.toArray(), stage.std.toArray()
             assert vec is not None, "scaler before assembler in pipeline"
+            wm, ws = stage.getWithMean(), stage.getWithStd()
             vec = [
-                (x - m) / s if s != 0.0 else x - m
+                ((x - m) if wm else x) * ((1.0 / s if s != 0.0 else 0.0) if ws else 1.0)
                 for x, m, s in zip(vec, mean, std)
             ]
         elif isinstance(stage, LinearRegressionModel):

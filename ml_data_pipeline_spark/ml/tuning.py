@@ -176,12 +176,18 @@ def tpe_propose(
     good = [h[0] for h in hist[:n_good]]
     bad = [h[0] for h in hist[n_good:]] or good
 
+    def bandwidth(obs: list[float], lo: float, hi: float) -> float:
+        # ONE definition shared by the sampler and the density — an inline
+        # copy of this formula is exactly how random_search's draw logic
+        # once drifted from _sample_param
+        mean = sum(obs) / len(obs)
+        var = sum((o - mean) ** 2 for o in obs) / len(obs)
+        return max((var ** 0.5) / max(len(obs) ** (1 / 3), 1.0), 0.01 * (hi - lo), 1e-12)
+
     def kde_logpdf(x: float, obs: list[float], lo: float, hi: float) -> float:
         if not obs:
             return -math.log(max(hi - lo, 1e-12))
-        mean = sum(obs) / len(obs)
-        var = sum((o - mean) ** 2 for o in obs) / len(obs)
-        bw = max((var ** 0.5) / max(len(obs) ** (1 / 3), 1.0), 0.01 * (hi - lo), 1e-12)
+        bw = bandwidth(obs, lo, hi)
         dens = sum(
             math.exp(-0.5 * ((x - o) / bw) ** 2) / (bw * math.sqrt(2 * math.pi))
             for o in obs
@@ -206,9 +212,7 @@ def tpe_propose(
                 # good value, perturb by its bandwidth, clamp into range
                 if gv:
                     center = rng.choice(gv)
-                    mean = sum(gv) / len(gv)
-                    var = sum((o - mean) ** 2 for o in gv) / len(gv)
-                    bw = max((var ** 0.5) / max(len(gv) ** (1 / 3), 1.0), 0.01 * (hi - lo))
+                    bw = bandwidth([float(v) for v in gv], lo, hi)
                     x = min(hi, max(lo, rng.gauss(center, bw)))
                 else:
                     x = rng.uniform(lo, hi)

@@ -29,46 +29,56 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     the DataFrame→RDD conversion classloads a whole subsystem just to
     read a partition count — measured as the single largest constructor
     cost in the minhash bench query). Instead: (1) if the UNANALYZED
-    logical plan already contains a shuffle-producing node (repartition,
-    aggregate, join, window, distinct), partitioning is governed by
+    logical plan already contains an exchange-forcing node (repartition —
+    including RepartitionByExpression from df.repartition(n, col), whose
+    keyed layout a blind round-robin repartition would DESTROY — aggregate,
+    window, distinct), partitioning is governed by that exchange /
     spark.sql.shuffle.partitions — leave it alone (node names are matched
     at tree-line starts, not raw substrings, so a column named
-    'WindowStart' cannot false-positive); (2) otherwise the frame is
-    scan-rooted, and the estimate replays Spark's own file bin-packing
-    ((total bytes + files * openCost) / maxPartitionBytes, confs read
-    from the session) over inputFiles() + local stat (~0.25s cold) — a
-    directory of many tiny files correctly estimates FEW partitions, not
-    one per file. Non-local URIs (hdfs/s3 at cluster scale, where one
-    probe action is noise) fall back to the exact RDD probe."""
+    'WindowStart' cannot false-positive); (2) a scan-rooted frame's
+    estimate replays Spark's own file bin-packing ((total bytes + files *
+    openCost) / maxPartitionBytes, confs read from the session) over
+    inputFiles() + local stat (~0.25s cold) — a directory of many tiny
+    files correctly estimates FEW partitions, not one per file; (3) a
+    join-rooted frame takes the exact RDD probe: a BROADCAST join adds no
+    exchange (output partitioning = the probe side's, possibly 1), so
+    'plan has Join' proves nothing about parallelism, and the file
+    estimate can't see which side survived. Non-local URIs (hdfs/s3 at
+    cluster scale, where one probe action is noise) also fall back to the
+    exact RDD probe."""
     import re
 
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     threshold = max(2, target // 2)
+    has_join = False
     try:
         lp = df._jdf.queryExecution().logical().toString()
         if re.search(
-            r"(?m)^[\s:+\-]*'?(?:Repartition|Aggregate|Join|Window|Deduplicate)\b", lp
+            r"(?m)^[\s:+\-]*'?(?:Repartition\w*|Rebalance\w*|Aggregate|Window|Deduplicate)\b",
+            lp,
         ):
             return df
+        has_join = bool(re.search(r"(?m)^[\s:+\-]*'?Join\b", lp))
     except Exception:
         pass
     est = None
-    try:
-        import os
-        from urllib.parse import urlparse
+    if not has_join:
+        try:
+            import os
+            from urllib.parse import urlparse
 
-        files = df.inputFiles()
-        if files:
-            paths = [urlparse(f) for f in files]
-            if all(u.scheme in ("file", "") for u in paths):
-                total = sum(os.path.getsize(u.path) for u in paths)
-                mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
-                open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
-                padded = total + len(files) * open_cost
-                est = max(1, -(-padded // max(mpb, 1)))  # ceil
-    except Exception:
-        est = None
+            files = df.inputFiles()
+            if files:
+                paths = [urlparse(f) for f in files]
+                if all(u.scheme in ("file", "") for u in paths):
+                    total = sum(os.path.getsize(u.path) for u in paths)
+                    mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+                    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+                    padded = total + len(files) * open_cost
+                    est = max(1, -(-padded // max(mpb, 1)))  # ceil
+        except Exception:
+            est = None
     if est is None:
         est = df.rdd.getNumPartitions()
     if est < threshold:
@@ -76,15 +86,21 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     return df
 
 def _bytes_conf(spark, key: str, default: int) -> int:
-    """Read a byte-size conf ('134217728', '128MB', '4m', '512k')."""
+    """Read a byte-size conf ('134217728', '128MB', '4m', '512k', '1tb').
+    Longest-suffix-first so '1tb' binds to 'tb', never the bare 'b'; any
+    unparseable spelling returns the default instead of raising (the
+    caller treats this as best-effort estimation, not configuration)."""
     try:
         raw = str(spark.conf.get(key)).strip().lower()
     except Exception:
         return default
-    m = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    for suffix in ("kb", "mb", "gb", "k", "m", "g", "b"):
+    m = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    for suffix in ("kb", "mb", "gb", "tb", "pb", "k", "m", "g", "t", "p", "b"):
         if raw.endswith(suffix):
-            return int(float(raw[: -len(suffix)]) * m[suffix[0]])
+            try:
+                return int(float(raw[: -len(suffix)]) * m[suffix[0]])
+            except ValueError:
+                return default
     try:
         return int(raw)
     except ValueError:

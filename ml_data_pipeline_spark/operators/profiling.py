@@ -118,11 +118,12 @@ def hll_merge_estimate(sketches: DataFrame) -> int:
     hll_union_agg's optional flag permits mixed lgConfigK; shard sketches
     built by hll_shard_sketches share one lgK, so the default strict union
     applies."""
-    return int(
-        sketches.agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(hll_sketch))").alias("est")
-        ).first()["est"]
-    )
+    est = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(hll_sketch))").alias("est")
+    ).first()["est"]
+    # zero shards (an empty date partition in the nightly job) unions to
+    # NULL — that is 0 distinct values, not an error
+    return int(est) if est is not None else 0
 
 
 def approx_distinct_counts(df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05) -> DataFrame:

@@ -716,3 +716,31 @@ def test_predict_single_row_local_matches_transform(spark):
     m = pipe.fit(dfb)
     with _pytest.raises(NotImplementedError):
         MP.predict_single_row_local(m, probe[0])
+
+
+def test_predict_single_row_local_scaler_flag_combinations(spark):
+    """Review fix (r8): the local scorer must honor the fitted
+    withMean/withStd flags and MLlib's zero-std convention — pinned by
+    direct parity with transform() on hand-built pipelines, including a
+    constant (std 0) feature scored on an out-of-training value."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    rows = [(float(i), float(i % 7), 5.0) for i in range(60)]  # x2 constant
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    va = VectorAssembler(inputCols=["x1", "x2"], outputCol="__raw")
+    for wm, ws in [(True, True), (False, True), (True, False), (False, False)]:
+        sc = StandardScaler(
+            inputCol="__raw", outputCol="features", withMean=wm, withStd=ws
+        )
+        lr = LinearRegression(labelCol="y", featuresCol="features")
+        m = Pipeline(stages=[va, sc, lr]).fit(df)
+        # probe x2=9.0: out-of-training for the constant feature — the
+        # zero-std convention (zero out vs pass through) becomes visible
+        probe = {"x1": 3.5, "x2": 9.0}
+        got = MP.predict_single_row_local(m, probe)
+        want = MP.predict_single_row(
+            m, spark, {"y": 0.0, **probe}, df.schema
+        )
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-9), (wm, ws, got, want)

@@ -36,9 +36,11 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     spark.sql.shuffle.partitions — leave it alone (node names are matched
     at tree-line starts, not raw substrings, so a column named
     'WindowStart' cannot false-positive); (2) a scan-rooted frame's
-    estimate replays Spark's own file bin-packing ((total bytes + files *
-    openCost) / maxPartitionBytes, confs read from the session) over
-    inputFiles() + local stat (~0.25s cold) — a directory of many tiny
+    estimate replays Spark's own file bin-packing — maxSplitBytes =
+    min(maxPartitionBytes, max(openCost, paddedBytes/cores)), then
+    ceil(paddedBytes / maxSplitBytes), confs read from the session; one
+    partition per file for non-splittable codecs (.gz/.zip) — over
+    inputFiles() + local stat (~0.25s cold): a directory of many tiny
     files correctly estimates FEW partitions, not one per file; (3) a
     join-rooted frame takes the exact RDD probe: a BROADCAST join adds no
     exchange (output partitioning = the probe side's, possibly 1), so
@@ -55,7 +57,7 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     try:
         lp = df._jdf.queryExecution().logical().toString()
         if re.search(
-            r"(?m)^[\s:+\-]*'?(?:Repartition\w*|Rebalance\w*|Aggregate|Window|Deduplicate)\b",
+            r"(?m)^[\s:+\-]*'?(?:Repartition\w*|Rebalance\w*|Aggregate|Window|Deduplicate|Sort)\b",
             lp,
         ):
             return df
@@ -72,11 +74,28 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
             if files:
                 paths = [urlparse(f) for f in files]
                 if all(u.scheme in ("file", "") for u in paths):
-                    total = sum(os.path.getsize(u.path) for u in paths)
-                    mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
-                    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
-                    padded = total + len(files) * open_cost
-                    est = max(1, -(-padded // max(mpb, 1)))  # ceil
+                    if any(u.path.endswith((".gz", ".zip", ".deflate")) for u in paths):
+                        # non-splittable codecs read ONE partition per file
+                        # regardless of size — the bin-packing arithmetic
+                        # below would overestimate and falsely skip
+                        est = len(files)
+                    else:
+                        total = sum(os.path.getsize(u.path) for u in paths)
+                        mpb = _bytes_conf(
+                            spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+                        )
+                        open_cost = _bytes_conf(
+                            spark, "spark.sql.files.openCostInBytes", 4 << 20
+                        )
+                        padded = total + len(files) * open_cost
+                        # Spark's FilePartition arithmetic includes the
+                        # bytes-per-core clamp: maxSplitBytes =
+                        # min(maxPartitionBytes, max(openCost, total/cores))
+                        # — without it a medium table on many cores
+                        # underestimates and triggers a spurious reshuffle
+                        bpc = padded // max(target, 1)
+                        max_split = min(mpb, max(open_cost, bpc))
+                        est = max(1, -(-padded // max(max_split, 1)))  # ceil
         except Exception:
             est = None
     if est is None:
@@ -452,12 +471,41 @@ def append_ngram_index(
     """Fold an accepted batch into the stored index (same bucket spec —
     Spark appends new bucket files per bucket id, keeping the layout
     join-ready). Run after a batch passes dedup so the next batch probes
-    a corpus that includes this one."""
+    a corpus that includes this one.
+
+    IDEMPOTENT under retry: a crash-recovery re-run of the append job must
+    not fold the batch in twice — duplicated (gram, id, n) rows would make
+    every future probe count shared grams twice (jaccard > 1, or phantom
+    threshold clears). Ids already present in the stored index are
+    anti-joined out of the batch before the write; a clean first append is
+    untouched, a full retry appends zero rows, and a PARTIAL prior append
+    (crash mid-write on a non-atomic store) drops the whole batch —
+    documented limitation: run the append with an atomic commit protocol
+    (the saveAsTable staging used here is atomic per attempt on HDFS/local)
+    rather than raw file drops. The anti-join reads only the index's id
+    column (pruned scan); the probe's own anti-join guard
+    (incremental_ngram_jaccard_pairs_indexed) covers the retry window
+    between a completed append and its recorded success."""
+    spark = batch.sparkSession
     index = (
         batch.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
         .where(F.size("grams") > 0)
         .select("id", F.size("grams").alias("n"), F.explode("grams").alias("gram"))
     )
+    # which batch ids are already stored? One pruned scan of the index's id
+    # column, semi-joined against the BROADCAST batch ids — the result is
+    # batch-sized, so the anti-join below also broadcasts small. (A naive
+    # anti-join against stored_ids.distinct() would hash-build the
+    # corpus-sized id set — the executor-OOM shape.) At true 100 TB scale
+    # prefer an append MANIFEST of committed batch ids over this scan.
+    batch_ids = index.select("id").distinct()
+    already = (
+        spark.table(table_name)
+        .join(F.broadcast(batch_ids), "id", "left_semi")
+        .select("id")
+        .distinct()
+    )
+    index = index.join(F.broadcast(already), "id", "left_anti")
     (
         index.write.mode("append")
         .bucketBy(num_buckets, "gram")

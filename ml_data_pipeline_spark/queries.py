@@ -5541,7 +5541,16 @@ def dd_incremental_indexed(spark: SparkSession, sf: str) -> DataFrame:
     from ml_data_pipeline_spark.operators import dedup as DD8
 
     docs = load_table(spark, sf, "documents")
-    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    # tag = CONTENT fingerprint, not just the sf string: regenerated
+    # testdata with a surviving warehouse must never probe a stale index
+    # (review r8). One tiny xor-aggregate over the corpus half (~0.2s).
+    fp = docs.where(F.col("doc_id") % 10 != 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(doc_id, text))"), F.lit(0)
+        ).alias("h"),
+    ).first()
+    tag = hashlib.md5(f"{sf}|{fp['n']}|{fp['h']}".encode()).hexdigest()[:8]
     tbl = f"mdp_ngram_idx10_{tag}"
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if not spark.catalog.tableExists(tbl):

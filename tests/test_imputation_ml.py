@@ -58,6 +58,10 @@ def test_impute_mice_converges(spark):
     vals = {r["b"]: r["a"] for r in out.collect()}
     for b, a in vals.items():
         assert abs(a - (b - 1.0) / 3.0) < 0.5
+    # row-count preservation of the multi-sweep path (review r8: this
+    # assertion was accidentally absorbed into the RF test when it was
+    # spliced in — a handleInvalid='skip' row-drop regression must fail HERE)
+    assert out.count() == 40
 
 
 def test_impute_mice_random_forest_estimator(spark):

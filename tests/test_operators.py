@@ -1727,3 +1727,33 @@ def test_hll_shard_sketches_merge_estimate(spark):
     )
     assert abs(merged - single) <= max(1, round(0.01 * single))
     assert abs(merged - 3137) <= 0.05 * 3137
+
+
+def test_append_ngram_index_double_append_is_idempotent(spark):
+    """Review fix (r8): a crash-recovery RETRY of the append job itself
+    (not just the probe) must not fold the batch in twice — duplicated
+    index rows double-count shared grams for every future batch."""
+    import shutil
+    from urllib.parse import urlparse
+
+    old = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, "a b c d e")], "doc_id long, text string")
+    nxt = spark.createDataFrame([(20, "a b c d e")], "doc_id long, text string")
+    tbl = "mdp_test_idx_double_append"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    DD.build_ngram_index(old, tbl, n=3, num_buckets=4)
+    DD.append_ngram_index(batch, tbl, n=3, num_buckets=4)
+    n_after_first = spark.table(tbl).count()
+    DD.append_ngram_index(batch, tbl, n=3, num_buckets=4)  # retried append
+    assert spark.table(tbl).count() == n_after_first  # zero rows added
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.incremental_ngram_jaccard_pairs_indexed(
+            nxt, tbl, n=3, threshold=0.1
+        ).collect()
+    }
+    # identical texts: every pair exactly 1.0 — a double-folded batch would
+    # have produced jaccard 3.0 for (10, 20)
+    assert pairs == {(1, 20): 1.0, (10, 20): 1.0}

@@ -116,7 +116,16 @@ def impute_em_normal(
     Driver loop of (aggregate, project) pairs — each iteration one scan, no
     data collected. Draws are seeded F.randn(seed+iter): deterministic at
     fixed partitioning (documented determinism model, SURVEY §4).
+
+    The input is persisted for the loop: every iteration's aggregate and
+    the returned projection read the SAME materialization instead of
+    re-deriving the source lineage k times (k+1 source scans → 1 at
+    100 TB), and the pinned partition layout makes the seeded randn draws
+    stable across the loop by construction, not by luck. Left cached for
+    the consumer's first action (repo convention; storage is
+    MEMORY_AND_DISK, eviction-safe).
     """
+    df = df.persist()
     stats = df.agg(
         F.avg(column).alias("mu"), F.coalesce(F.stddev(column), F.lit(0.0)).alias("sigma")
     ).collect()[0]

@@ -1757,3 +1757,44 @@ def test_append_ngram_index_double_append_is_idempotent(spark):
     # identical texts: every pair exactly 1.0 — a double-folded batch would
     # have produced jaccard 3.0 for (10, 20)
     assert pairs == {(1, 20): 1.0, (10, 20): 1.0}
+
+
+def test_ensure_parallel_branches(spark, tmp_path):
+    """Pin the r8 review fixes in the under-split partition probe:
+    a Sort-rooted frame is exchange-governed (never blindly reshuffled),
+    a keyed repartition survives (RepartitionByExpression counts), a
+    join-rooted broadcast plan falls to the exact probe (and a 1-partition
+    broadcast result IS repartitioned), and non-splittable .gz files
+    estimate one partition per file (forcing the repartition a byte-size
+    estimate would skip)."""
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators.dedup import _ensure_parallel
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("x y z").alias("text")
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+
+    # sorted: left alone (the range exchange governs partitioning)
+    srt = scan.orderBy("doc_id")
+    assert _ensure_parallel(srt) is srt
+    # keyed repartition: left alone (RepartitionByExpression)
+    keyed = scan.repartition(64, "doc_id")
+    assert _ensure_parallel(keyed) is keyed
+    # broadcast-join-rooted, 1 input partition: the exact probe sees 1 and
+    # repartitions (the logical 'Join' token must NOT cause a skip)
+    dim = spark.createDataFrame([("x y z",)], "text string")
+    joined = scan.join(F.broadcast(dim), "text")
+    out = _ensure_parallel(joined)
+    assert out is not joined
+    assert out.rdd.getNumPartitions() >= 2
+    # non-splittable csv.gz: est = #files = 1 < threshold → repartitioned
+    gz = str(tmp_path / "gzcsv")
+    scan.coalesce(1).write.mode("overwrite").option("compression", "gzip").csv(
+        gz, header=True
+    )
+    gzdf = spark.read.option("header", True).csv(gz)
+    out2 = _ensure_parallel(gzdf)
+    assert out2.rdd.getNumPartitions() >= 2

@@ -5255,3 +5255,12 @@ ALL_ORACLES["p37_hll_shard_merge"] = """
            TRUE AS merge_matches_single, TRUE AS within_5pct
     FROM lineitem
 """
+
+# streaming dedup parity: the doubled-stream dedup must reproduce the
+# original table's per-type aggregate exactly
+ALL_ORACLES["st_stream_dedup"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -355,6 +355,45 @@ def st_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     out = ES.run_to_memory(ES.hourly_counts(stream), "st_hourly_counts", "complete")
     return out.select("hour", "event_type", "n", "total_value").orderBy("hour", "event_type")
 
+def st_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup gate: events staged DOUBLED (union all with itself —
+    the at-least-once redelivery every kafka/file-replay source produces)
+    → dropDuplicatesWithinWatermark on event_id (dedup_events; state
+    bounded by the watermark horizon, the only shape that survives an
+    unbounded stream) → append-mode drain → per-type counts. The result
+    equals the batch aggregation over the ORIGINAL (undoubled) table, so
+    the oracle is plain SQL — hash-level proof the redeliveries vanished.
+    Staged as few files so availableNow processes one micro-batch: the
+    within-watermark guarantee is exact inside a batch (across batches a
+    duplicate older than the advanced watermark may legitimately
+    survive — that replay-tail case is exercised in unit tests, not the
+    oracle gate)."""
+    import hashlib
+    import os
+
+    from ml_data_pipeline_spark.streaming import events_stream as ES
+
+    stage = (
+        f"/tmp/mdp_stream_stage/{os.getpid()}_"
+        f"{hashlib.md5(sf.encode()).hexdigest()[:8]}/events_doubled"
+    )
+    if not os.path.exists(stage):
+        ev = load_table(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value", "props"
+        )
+        ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(stage)
+    stream = ES.read_events_stream(spark, stage)
+    deduped = ES.dedup_events(stream, keys=["event_id"], watermark="2 hours")
+    out = ES.run_to_memory(deduped, "st_stream_dedup", "append")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
 # ---------------------------------------------------------------- profiling (P*)
 
 def p2_missing_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -4658,6 +4697,7 @@ ALL_QUERIES = {
     "s3_csv_strings": s3_csv_strings,
     "p25_approx_distinct_quality": p25_approx_distinct_quality,
     "p37_hll_shard_merge": p37_hll_shard_merge,
+    "st_stream_dedup": st_stream_dedup,
     "q_ewma": q_ewma,
     "m21_pr_points": m21_pr_points,
     "m22_brier_logloss": m22_brier_logloss,
@@ -6077,10 +6117,10 @@ _R8_PRIORITY = [
     # displaced names (q_events_hourly .. p1_shape_census) move to the
     # round-9 rotation TODO below
     "p37_hll_shard_merge",
+    "st_stream_dedup",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q_topk_per_group",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R8_PRIORITY) == 50 and len(set(_R8_PRIORITY)) == 50
@@ -6091,7 +6131,7 @@ ALL_QUERIES = {
 
 # ---- ROUND-9 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r08 lands, the stalest rows are the 13 round-1 names this
-# window displaced for the new sink/ML gates (q_sessionize, q_events_hourly,
+# window displaced for the new sink/ML gates (q_topk_per_group, q_sessionize, q_events_hourly,
 # q_json_extract, q_asof_join, q_pivot, q_unpivot, q_rollup, q_cube,
 # q_having, q_set_ops, q_sliding_window, q_moving_avg, st_hourly_counts,
 # p1_shape_census), the remaining round-1 block (p2_missing_counts ..

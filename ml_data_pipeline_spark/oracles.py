@@ -5264,3 +5264,12 @@ ALL_ORACLES["st_stream_dedup"] = """
            round(sum(value), 6) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+# stateful running stats: the final per-user state equals the batch aggregate
+ALL_ORACLES["st_stateful_running"] = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -394,6 +394,37 @@ def st_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+def st_stateful_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming gate (applyInPandasWithState): per-user
+    RUNNING (count, sum, max) maintained in explicit group state
+    (streaming/stateful.running_user_stats), drained update-mode — the
+    final emission per user must equal the batch aggregate. Each running
+    stat is MONOTONE over this data (values > 0), so folding emissions
+    with max() recovers the final state regardless of how availableNow
+    split the files into micro-batches."""
+    import hashlib
+    import os
+
+    from ml_data_pipeline_spark.streaming import events_stream as ES
+    from ml_data_pipeline_spark.streaming import stateful as ST8
+
+    stage = f"/tmp/mdp_stream_stage/{os.getpid()}_{hashlib.md5(sf.encode()).hexdigest()[:8]}/events"
+    if not os.path.exists(stage):
+        load_table(spark, sf, "events").repartition(4).write.mode("overwrite").parquet(stage)
+    stream = ES.read_events_stream(spark, stage)
+    out = ES.run_to_memory(
+        ST8.running_user_stats(stream), "st_stateful_running", "update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("total_value"), 6).alias("total_value"),
+            F.round(F.max("max_value"), 6).alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
 # ---------------------------------------------------------------- profiling (P*)
 
 def p2_missing_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -4698,6 +4729,7 @@ ALL_QUERIES = {
     "p25_approx_distinct_quality": p25_approx_distinct_quality,
     "p37_hll_shard_merge": p37_hll_shard_merge,
     "st_stream_dedup": st_stream_dedup,
+    "st_stateful_running": st_stateful_running,
     "q_ewma": q_ewma,
     "m21_pr_points": m21_pr_points,
     "m22_brier_logloss": m22_brier_logloss,
@@ -6118,9 +6150,9 @@ _R8_PRIORITY = [
     # round-9 rotation TODO below
     "p37_hll_shard_merge",
     "st_stream_dedup",
+    "st_stateful_running",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R8_PRIORITY) == 50 and len(set(_R8_PRIORITY)) == 50
@@ -6131,7 +6163,7 @@ ALL_QUERIES = {
 
 # ---- ROUND-9 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r08 lands, the stalest rows are the 13 round-1 names this
-# window displaced for the new sink/ML gates (q_topk_per_group, q_sessionize, q_events_hourly,
+# window displaced for the new sink/ML gates (q5_region_revenue, q_topk_per_group, q_sessionize, q_events_hourly,
 # q_json_extract, q_asof_join, q_pivot, q_unpivot, q_rollup, q_cube,
 # q_having, q_set_ops, q_sliding_window, q_moving_avg, st_hourly_counts,
 # p1_shape_census), the remaining round-1 block (p2_missing_counts ..

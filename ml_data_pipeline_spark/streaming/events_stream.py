@@ -153,7 +153,18 @@ def run_to_memory(
     timeout_sec: int = 120,
 ) -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink and
-    return the materialized table (test/verification path)."""
+    return the materialized table (test/verification path).
+
+    Most availableNow queries terminate on their own once the staged input
+    is consumed — but a stateful operator with ProcessingTimeTimeout keeps
+    the query ALIVE scheduling future timeout batches, so a bare
+    awaitTermination(timeout) burns the whole timeout and then LEAKS a
+    running query. The drain therefore also watches progress: once a
+    completed micro-batch consumed zero input rows (all staged data
+    processed; only timeout housekeeping remains), the query is stopped
+    explicitly."""
+    import time
+
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
@@ -161,7 +172,16 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline:
+        if q.awaitTermination(1):
+            break
+        progress = q.recentProgress
+        if progress and int(progress[-1]["numInputRows"]) == 0:
+            break  # input fully consumed; only timeout batches remain
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(timeout_sec)
     spark = result.sparkSession
     return spark.table(query_name)
 

@@ -1798,3 +1798,122 @@ def test_ensure_parallel_branches(spark, tmp_path):
     gzdf = spark.read.option("header", True).csv(gz)
     out2 = _ensure_parallel(gzdf)
     assert out2.rdd.getNumPartitions() >= 2
+
+
+def test_ensure_parallel_join_precedes_dim_side_exchange(spark, tmp_path):
+    """ADVICE r8: an exchange-forcing node that appears only UNDER a Join
+    (here: an Aggregate on the broadcast/dim side) must NOT skip the probe
+    — the join's output partitioning is the 1-partition scan side's, so
+    the exact RDD probe must run and repartition. An Aggregate ABOVE the
+    join (on the output spine) still governs partitioning and skips."""
+    from ml_data_pipeline_spark.operators.dedup import _ensure_parallel
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("x y z").alias("text")
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    dim = (
+        spark.createDataFrame([("x y z", 1), ("x y z", 2)], "text string, v int")
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = scan.join(F.broadcast(dim), "text")
+    out = _ensure_parallel(joined)
+    assert out is not joined  # dim-side Aggregate must not mask the join
+    assert out.rdd.getNumPartitions() >= 2
+    # spine aggregate above the join: exchange-governed, left alone
+    agg_above = joined.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    assert _ensure_parallel(agg_above) is agg_above
+
+
+def _fresh_index_tbl(spark, tbl):
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (tbl, f"{tbl}__manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_append_ngram_index_retry_reads_only_manifest(spark):
+    """r9 manifest protocol: a full retry of a committed append is decided
+    by the manifest alone — zero stored-index IO (VERDICT r8 item 2). The
+    manifest holds exactly (pending, committed) for the batch, and the
+    returned batch id is the deterministic content fingerprint."""
+    old = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, "a b c d e")], "doc_id long, text string")
+    tbl = "mdp_test_idx_manifest"
+    _fresh_index_tbl(spark, tbl)
+    DD.build_ngram_index(old, tbl, n=3, num_buckets=4)
+    bid1 = DD.append_ngram_index(batch, tbl, n=3, num_buckets=4)
+    rows = {
+        (r["batch_id"], r["phase"]) for r in spark.table(f"{tbl}__manifest").collect()
+    }
+    assert rows == {(bid1, "pending"), (bid1, "committed")}
+    n = spark.table(tbl).count()
+    bid2 = DD.append_ngram_index(batch, tbl, n=3, num_buckets=4)  # retry
+    assert bid2 == bid1
+    assert spark.table(tbl).count() == n  # no-op
+    # retry added NO manifest rows either (committed short-circuits)
+    assert spark.table(f"{tbl}__manifest").count() == 2
+
+
+def test_append_ngram_index_repairs_after_crash_before_commit(spark):
+    """Crash window: prior attempt wrote the index rows but died before the
+    'committed' mark. The retry must take the REPAIR path — anti-join out
+    the already-present ids, append nothing new, and mark committed."""
+    old = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, "a b c d f")], "doc_id long, text string")
+    tbl = "mdp_test_idx_crash"
+    _fresh_index_tbl(spark, tbl)
+    DD.build_ngram_index(old, tbl, n=3, num_buckets=4)
+    # simulate the dead attempt: pending mark + full index write, no commit
+    shingled = (
+        batch.select(F.col("doc_id").alias("id"), DD._gram_expr("text", 3).alias("g"))
+        .select("id", F.size("g").alias("n"), F.explode("g").alias("gram"))
+    )
+    bid = DD.batch_fingerprint(shingled)
+    DD._manifest_mark(spark, tbl, bid, "pending")
+    shingled.write.mode("append").bucketBy(4, "gram").sortBy("gram").format(
+        "parquet"
+    ).saveAsTable(tbl)
+    n = spark.table(tbl).count()
+    got = DD.append_ngram_index(batch, tbl, n=3, num_buckets=4)
+    assert got == bid
+    assert spark.table(tbl).count() == n  # repaired, not double-folded
+    assert "committed" in DD._manifest_phases(spark, tbl, bid)
+    # probe still exact after recovery
+    nxt = spark.createDataFrame([(20, "a b c d f")], "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.incremental_ngram_jaccard_pairs_indexed(
+            nxt, tbl, n=3, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(10, 20)] == 1.0 and (1, 1) not in pairs
+
+
+def test_append_ngram_index_torn_batch_fails_loudly(spark):
+    """A HALF-written doc (per-attempt atomicity lost) must raise, never be
+    silently dropped or kept corrupt (ADVICE r8: silent data loss)."""
+    import pytest
+
+    old = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, "a b c d f")], "doc_id long, text string")
+    tbl = "mdp_test_idx_torn"
+    _fresh_index_tbl(spark, tbl)
+    DD.build_ngram_index(old, tbl, n=3, num_buckets=4)
+    shingled = (
+        batch.select(F.col("doc_id").alias("id"), DD._gram_expr("text", 3).alias("g"))
+        .select("id", F.size("g").alias("n"), F.explode("g").alias("gram"))
+    )
+    bid = DD.batch_fingerprint(shingled)
+    DD._manifest_mark(spark, tbl, bid, "pending")
+    # tear the write: only 1 of doc 10's 3 grams lands
+    shingled.limit(1).write.mode("append").bucketBy(4, "gram").sortBy("gram").format(
+        "parquet"
+    ).saveAsTable(tbl)
+    with pytest.raises(RuntimeError, match="PARTIALLY present"):
+        DD.append_ngram_index(batch, tbl, n=3, num_buckets=4)

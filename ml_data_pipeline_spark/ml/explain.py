@@ -98,6 +98,41 @@ def save_importances(
     return vd.write_version(df, changes or [f"importances from {model_type}"])
 
 
+def linear_shap(
+    df: DataFrame,
+    feature_cols: list[str],
+    coefficients: list[float],
+    intercept: float,
+    background: DataFrame | None = None,
+) -> DataFrame:
+    """M10, exact closed form for the linear family (ref
+    feature_importance_shap_logic.py:136-287 — the reference's
+    shap.LinearExplainer branch): for f(x) = b0 + Σ c_i·x_i under the
+    independent-features background, the Shapley value of feature i is
+    EXACTLY phi_i(x) = c_i·(x_i − E[x_i]) and the base value is
+    f(E[x]) = b0 + Σ c_i·E[x_i]; additivity base + Σ phi_i(x) = f(x)
+    holds identically (no sampling error, no shap package).
+
+    Spark shape: ONE background aggregate (an F-feature scalar row,
+    attached as driver literals — never a data-sized collect) + a per-row
+    projection that stays inside whole-stage codegen. Returns df with a
+    ``phi_<col>`` column per feature and ``shap_base``. Distributed SHAP
+    for trees stays with permutation_importance; the package-gated
+    shap_sampled covers the reference's exact sampled path elsewhere."""
+    bg = background if background is not None else df
+    means = bg.agg(*[F.avg(c).alias(c) for c in feature_cols]).first()
+    base = float(intercept) + sum(
+        float(c) * float(means[col]) for col, c in zip(feature_cols, coefficients)
+    )
+    out = df
+    for col, c in zip(feature_cols, coefficients):
+        out = out.withColumn(
+            f"phi_{col}",
+            F.lit(float(c)) * (F.col(col) - F.lit(float(means[col]))),
+        )
+    return out.withColumn("shap_base", F.lit(base))
+
+
 def shap_sampled(
     model,
     df: DataFrame,

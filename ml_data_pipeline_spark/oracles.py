@@ -5273,3 +5273,44 @@ ALL_ORACLES["st_stateful_running"] = """
            round(max(value), 6) AS max_value
     FROM events GROUP BY user_id ORDER BY user_id
 """
+
+# exact linear SHAP (round 9): the OLS fit is solver='normal' (closed-form
+# normal equations), so DuckDB reproduces the coefficients symbolically from
+# the 2-feature covariance system; mean |phi_i| = |b_i| * mean|x_i - mean_i|,
+# the base value is the OLS identity f(E[x]) = mean(y), and additivity is
+# identically zero in exact algebra (the Spark side rounds its float
+# residual to the same 0.0).
+ALL_ORACLES["m10_linear_shap"] = """
+    WITH st AS (
+        SELECT avg(l_quantity) AS m1, avg(l_discount) AS m2,
+               avg(l_extendedprice) AS my,
+               var_pop(l_quantity) AS v11, var_pop(l_discount) AS v22,
+               covar_pop(l_quantity, l_discount) AS v12,
+               covar_pop(l_quantity, l_extendedprice) AS c1,
+               covar_pop(l_discount, l_extendedprice) AS c2,
+               count(*) AS n
+        FROM lineitem
+    ), b AS (
+        SELECT m1, m2, my, n,
+               (c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12) AS b1,
+               (c2 * v11 - c1 * v12) / (v11 * v22 - v12 * v12) AS b2
+        FROM st
+    ), d AS (
+        SELECT avg(abs(l_quantity - (SELECT m1 FROM b))) AS d1,
+               avg(abs(l_discount - (SELECT m2 FROM b))) AS d2
+        FROM lineitem
+    )
+    SELECT round(abs(b.b1) * d.d1, 2) AS mas_quantity,
+           round(abs(b.b2) * d.d2, 4) AS mas_discount,
+           round(b.my, 2) AS base_value,
+           CAST(0.0 AS DOUBLE) AS additivity_err,
+           CAST(b.n AS BIGINT) AS n_rows
+    FROM b, d
+"""
+
+# M14 soft-cancel: the gate's three outcomes are hard booleans when
+# cancellation works — surfaced in the launching thread, killed well under
+# the uncancelled duration, no orphaned jobs in the group.
+ALL_ORACLES["m14_soft_cancel"] = """
+    SELECT TRUE AS cancel_surfaced, TRUE AS cancelled_fast, TRUE AS no_orphans
+"""

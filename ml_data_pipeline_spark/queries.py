@@ -6170,3 +6170,135 @@ ALL_QUERIES = {
 # e10_embedding_hash and friends), and the 49 round-2 names. Build
 # _R9_PRIORITY as: any round-9-modified gates first, then those 13, then
 # oldest-row-first to fill 50.
+
+
+# ------------------------------------------------------------ round-9 additions
+
+def m10_linear_shap(spark: SparkSession, sf: str) -> DataFrame:
+    """M10 made first-class (VERDICT r8 item 3 — the last 'partial'):
+    EXACT linear SHAP with no shap package, mirroring the reference's
+    shap.LinearExplainer branch (ref feature_importance_shap_logic.py:
+    136-287). Spark fits OLS with solver='normal', regParam=0 — the
+    closed-form normal-equation solution, which DuckDB reproduces from
+    var_pop/covar_pop algebra (2-feature system inverted symbolically) —
+    then ml.explain.linear_shap projects per-row Shapley values
+    phi_i = c_i*(x_i − E[x_i]) as pure codegen expressions.
+
+    Gate row: per-feature mean |phi| (the SHAP importance the reference
+    ranks by), the base value (== f(E[x]) == mean(y), an OLS identity),
+    and the additivity residual max |base + Σphi − prediction| — zero in
+    exact algebra, rounded at 2dp to absorb float associativity."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from ml_data_pipeline_spark.ml import explain as EX
+
+    li = _li(spark, sf).select("l_quantity", "l_discount", "l_extendedprice")
+    assembled = VectorAssembler(
+        inputCols=["l_quantity", "l_discount"], outputCol="features"
+    ).transform(li)
+    model = LinearRegression(
+        featuresCol="features",
+        labelCol="l_extendedprice",
+        regParam=0.0,
+        solver="normal",
+    ).fit(assembled)
+    coefs = [float(c) for c in model.coefficients]
+    preds = model.transform(assembled)
+    shap = EX.linear_shap(
+        preds, ["l_quantity", "l_discount"], coefs, float(model.intercept)
+    )
+    return shap.agg(
+        F.round(F.avg(F.abs(F.col("phi_l_quantity"))), 2).alias("mas_quantity"),
+        F.round(F.avg(F.abs(F.col("phi_l_discount"))), 4).alias("mas_discount"),
+        F.round(F.first("shap_base"), 2).alias("base_value"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("shap_base")
+                    + F.col("phi_l_quantity")
+                    + F.col("phi_l_discount")
+                    - F.col("prediction")
+                )
+            ),
+            2,
+        ).alias("additivity_err"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ALL_QUERIES.update({"m10_linear_shap": m10_linear_shap})
+
+
+def m14_soft_cancel(spark: SparkSession, sf: str) -> DataFrame:
+    """M14 driver gate (VERDICT r8 item 6 — the last pytest-only
+    component): soft-cancel of a running operator via session.job_group,
+    the Spark-native form of the reference's worker _should_stop +
+    psutil child-kill (ref selection_of_parameters/
+    selection_parameters_parameter_tuning_worker.py:37-42,95-117).
+
+    A deliberately slow job (mapInPandas sleep, ~30s uncancelled) starts
+    under a job group in a worker thread; the main thread waits via
+    statusTracker until the group's job is actually RUNNING, cancels the
+    group, and asserts (a) the cancellation SURFACED as an exception in
+    the launching thread, (b) the job died well under its uncancelled
+    duration, (c) no job of the group remains active (no orphans). All
+    three are hard booleans — the oracle is the constant row."""
+    import threading
+    import time
+
+    from ml_data_pipeline_spark.session import job_group
+
+    sc = spark.sparkContext
+    gid = f"m14_cancel_{int(time.monotonic() * 1000)}"
+
+    def slow(batches):
+        import time as _t
+
+        for pdf in batches:
+            _t.sleep(30)
+            yield pdf
+
+    victim = spark.range(64).repartition(8).mapInPandas(slow, "id long")
+    outcome: dict = {}
+
+    def run():
+        with job_group(spark, gid, "m14 soft-cancel gate"):
+            try:
+                victim.count()
+                outcome["err"] = None
+            except Exception as e:  # the cancellation lands here
+                outcome["err"] = e
+
+    t0 = time.monotonic()
+    worker = threading.Thread(target=run, daemon=True)
+    worker.start()
+    tracker = sc.statusTracker()
+    deadline = time.monotonic() + 120
+    started = False
+    while time.monotonic() < deadline and not started:
+        for jid in tracker.getJobIdsForGroup(gid):
+            info = tracker.getJobInfo(jid)
+            if info is not None and str(info.status) == "RUNNING":
+                started = True
+                break
+        if not started:
+            time.sleep(0.1)
+    job_group(spark, gid).cancel()
+    worker.join(60)
+    elapsed = time.monotonic() - t0
+    err = outcome.get("err")
+    surfaced = started and err is not None and "cancel" in str(err).lower()
+    cancelled_fast = (not worker.is_alive()) and elapsed < 20.0
+    no_orphans = True
+    for jid in tracker.getJobIdsForGroup(gid):
+        info = tracker.getJobInfo(jid)
+        if info is not None and str(info.status) == "RUNNING":
+            no_orphans = False
+    return spark.createDataFrame(
+        [(bool(surfaced), bool(cancelled_fast), bool(no_orphans))],
+        "cancel_surfaced boolean, cancelled_fast boolean, no_orphans boolean",
+    )
+
+
+ALL_QUERIES.update({"m14_soft_cancel": m14_soft_cancel})

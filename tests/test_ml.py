@@ -744,3 +744,23 @@ def test_predict_single_row_local_scaler_flag_combinations(spark):
             m, spark, {"y": 0.0, **probe}, df.schema
         )
         assert got == pytest.approx(want, rel=1e-9, abs=1e-9), (wm, ws, got, want)
+
+
+def test_linear_shap_exact_values_and_additivity(spark):
+    """linear_shap's phi_i = c_i*(x_i - mean_i) and base = f(E[x]) are
+    exact: hand-check on a 3-row frame, and additivity base + sum(phi)
+    must reconstruct the linear prediction bit-for-bit-ish (1e-9)."""
+    from ml_data_pipeline_spark.ml import explain as ME
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0)], "a double, b double"
+    )
+    out = ME.linear_shap(df, ["a", "b"], [2.0, -0.5], 7.0).collect()
+    # means: a=2, b=20 → base = 7 + 2*2 - 0.5*20 = 1.0
+    assert all(abs(r["shap_base"] - 1.0) < 1e-12 for r in out)
+    by_a = {r["a"]: r for r in out}
+    assert by_a[1.0]["phi_a"] == -2.0 and by_a[3.0]["phi_a"] == 2.0
+    assert by_a[1.0]["phi_b"] == 5.0 and by_a[2.0]["phi_b"] == 0.0
+    for r in out:
+        pred = 7.0 + 2.0 * r["a"] - 0.5 * r["b"]
+        assert abs(r["shap_base"] + r["phi_a"] + r["phi_b"] - pred) < 1e-9

@@ -1,0 +1,67 @@
+"""Tracked operator caches with an explicit release point (ADVICE r8).
+
+Several multi-pass operators cache/persist an intermediate frame that the
+RETURNED lazy result still reads (impute_em_normal, impute_knn,
+impute_hot_deck, outliers_mad, spearman_corr, semantic_dedup, the
+fingerprint gate): unpersisting inside the operator would throw the work
+away before the caller's first action, so the pin must outlive the call.
+In a one-shot job that is free — the session exits. In a LONG-LIVED
+session invoking these repeatedly, the pins accumulate and compete for
+executor storage memory indefinitely (MEMORY_AND_DISK eviction prevents
+OOM, not the contention).
+
+``tracked_cache``/``tracked_persist`` register every such pin;
+``release_tracked()`` unpersists them all — call it once the results of
+prior operator invocations have been materialized (between pipeline
+stages, between queries in a service loop, or in a test fixture). The
+registry holds strong references on purpose: the JVM keeps a cached RDD
+alive regardless of Python object lifetime, so a weakref registry would
+leak exactly the entries it was meant to free.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame
+
+_LOCK = threading.Lock()
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame) -> DataFrame:
+    """df.cache(), registered for release_tracked()."""
+    out = df.cache()
+    with _LOCK:
+        _TRACKED.append(out)
+    return out
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """df.persist() (default MEMORY_AND_DISK), registered for
+    release_tracked()."""
+    out = df.persist()
+    with _LOCK:
+        _TRACKED.append(out)
+    return out
+
+
+def release_tracked() -> int:
+    """Unpersist (non-blocking) every tracked operator cache and clear the
+    registry. Returns the number released. Safe to call at any time — a
+    consumer that acts on a released frame recomputes its lineage."""
+    with _LOCK:
+        frames, _TRACKED[:] = list(_TRACKED), []
+    n = 0
+    for df in frames:
+        try:
+            df.unpersist(False)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
+
+
+def tracked_count() -> int:
+    with _LOCK:
+        return len(_TRACKED)

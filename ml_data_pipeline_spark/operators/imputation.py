@@ -123,9 +123,13 @@ def impute_em_normal(
     100 TB), and the pinned partition layout makes the seeded randn draws
     stable across the loop by construction, not by luck. Left cached for
     the consumer's first action (repo convention; storage is
-    MEMORY_AND_DISK, eviction-safe).
+    MEMORY_AND_DISK, eviction-safe) — the pin is REGISTERED with
+    ml_data_pipeline_spark.cache, so a long-lived session reclaims it with
+    release_tracked() once results are materialized (ADVICE r8).
     """
-    df = df.persist()
+    from ml_data_pipeline_spark.cache import tracked_persist
+
+    df = tracked_persist(df)
     stats = df.agg(
         F.avg(column).alias("mu"), F.coalesce(F.stddev(column), F.lit(0.0)).alias("sigma")
     ).collect()[0]

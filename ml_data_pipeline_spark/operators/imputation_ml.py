@@ -51,10 +51,12 @@ def impute_knn(
     columns), mirroring sklearn KNNImputer(k=5)
     (ref dataset_processing_check_nan_logic.py:66-86)."""
     feats = feature_cols or _numeric_cols(df, [column])
+    from ml_data_pipeline_spark.cache import tracked_cache
+
     # cache: __rid must be assigned ONCE (monotonically_increasing_id is
     # partition-dependent) and tagged feeds 4+ branches — uncached, every
     # branch re-scans the source (plan_audit: lineitem x5)
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id()).cache()
+    tagged = tracked_cache(df.withColumn("__rid", F.monotonically_increasing_id()))
     missing = tagged.where(F.col(column).isNull())
     complete = tagged.where(F.col(column).isNotNull())
     nn = knn_join(
@@ -107,9 +109,11 @@ def impute_hot_deck(
     mismatch re-ranks the candidate set only."""
     feats = numeric_cols or _numeric_cols(df, [column])
     cats = categorical_cols or []
+    from ml_data_pipeline_spark.cache import tracked_cache
+
     # cache: same __rid-stability + multi-branch reuse note as impute_knn
     # (plan_audit: lineitem x7 uncached)
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id()).cache()
+    tagged = tracked_cache(df.withColumn("__rid", F.monotonically_increasing_id()))
     missing = tagged.where(F.col(column).isNull())
     complete = tagged.where(F.col(column).isNotNull())
     nn = knn_join(

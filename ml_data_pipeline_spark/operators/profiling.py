@@ -572,7 +572,9 @@ def outliers_mad(
     # (plan_audit: lineitem x4 on the gate); the cache is two narrow
     # columns, spillable, and exactly what any multi-pass robust statistic
     # costs at 100 TB.
-    narrow = df.select(*keys, x.alias("__x")).cache()
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    narrow = tracked_cache(df.select(*keys, x.alias("__x")))
     nx = F.col("__x")
     med1 = (
         narrow.groupBy(*keys).agg(med(nx).alias("__med"))
@@ -736,9 +738,13 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     # cache the narrow 2-column projection: both rank maps and the final
     # rank join scan it (plan_audit: lineitem x3 uncached) — the standard
     # multi-pass-statistic cache, spillable, two columns wide
-    base = df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b")).where(
-        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
-    ).cache()
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    base = tracked_cache(
+        df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b")).where(
+            F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+        )
+    )
 
     def rank_map(col: str) -> DataFrame:
         per = base.groupBy(F.col(col).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))

@@ -307,9 +307,11 @@ def semantic_dedup(
             F.transform(F.col(vec_col), lambda x: x.cast("double") / safe_norm),
         ).alias("__nv"),
     ).where(F.col("__nv").isNotNull())
+    from ml_data_pipeline_spark.cache import tracked_cache
+
     # cache: normed feeds both sides of the block self-join; uncached each
     # side re-normalizes from its own scan (plan_audit: embeddings x3)
-    normed = normed.cache()
+    normed = tracked_cache(normed)
     a = normed.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"), F.col("__nv").alias("va"))
     b = normed.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"), F.col("__nv").alias("vb"))
     dominated = (

@@ -335,22 +335,69 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         """
     )
 
+def _events_fingerprint(spark, sf: str) -> str:
+    """Content fingerprint of the events table (count + xor of row hashes,
+    one narrow aggregate ~0.2s): keys the shared stream-staging dir so
+    regenerated testdata can never replay a stale stage."""
+    import hashlib
+
+    row = (
+        load_table(spark, sf, "events")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(event_id, ts))"), F.lit(0)).alias("h"),
+        )
+        .first()
+    )
+    return hashlib.md5(f"{sf}|{row['n']}|{row['h']}".encode()).hexdigest()[:8]
+
+
+def _stream_stage(spark, sf: str, leaf: str, write_fn) -> str:
+    """Crash-safe stream staging (ADVICE r8): ONE stable root per
+    (sf-content-fingerprint, leaf) — no per-pid accumulation across runs —
+    validated by Spark's _SUCCESS marker (a bare existence check passes a
+    half-written dir from a crashed writer), written to a tmp sibling and
+    atomically renamed into place. write_fn(path) performs the write."""
+    import os
+    import shutil
+    import uuid
+
+    root = f"/tmp/mdp_stream_stage/{_events_fingerprint(spark, sf)}"
+    stage = f"{root}/{leaf}"
+    if os.path.exists(f"{stage}/_SUCCESS"):
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)  # stale partial from a crash
+    tmp = f"{stage}.__tmp_{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    os.makedirs(root, exist_ok=True)
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        # a concurrent process won the rename race; its stage is complete
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(f"{stage}/_SUCCESS"):
+            raise
+    return stage
+
+
 def st_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming twin of q_events_hourly: file-source stream →
     1h tumbling windows → complete-mode drain (trigger=availableNow). The
     result equals the batch aggregation, so it shares the batch oracle —
     hash-level proof of batch/stream parity."""
-    import hashlib
-    import os
-
     from ml_data_pipeline_spark.streaming import events_stream as ES
 
     # the file stream source lists a DIRECTORY; stage the single-file test
-    # table once per PROCESS (driver-local staging, test scale only —
-    # re-staged per process so stale /tmp data can never poison a run)
-    stage = f"/tmp/mdp_stream_stage/{os.getpid()}_{hashlib.md5(sf.encode()).hexdigest()[:8]}/events"
-    if not os.path.exists(stage):
-        load_table(spark, sf, "events").repartition(4).write.mode("overwrite").parquet(stage)
+    # table once per content fingerprint (atomic rename + _SUCCESS check)
+    stage = _stream_stage(
+        spark,
+        sf,
+        "events",
+        lambda p: load_table(spark, sf, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     stream = ES.read_events_stream(spark, stage)
     out = ES.run_to_memory(ES.hourly_counts(stream), "st_hourly_counts", "complete")
     return out.select("hour", "event_type", "n", "total_value").orderBy("hour", "event_type")
@@ -368,20 +415,15 @@ def st_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     duplicate older than the advanced watermark may legitimately
     survive — that replay-tail case is exercised in unit tests, not the
     oracle gate)."""
-    import hashlib
-    import os
-
     from ml_data_pipeline_spark.streaming import events_stream as ES
 
-    stage = (
-        f"/tmp/mdp_stream_stage/{os.getpid()}_"
-        f"{hashlib.md5(sf.encode()).hexdigest()[:8]}/events_doubled"
-    )
-    if not os.path.exists(stage):
+    def _write_doubled(p):
         ev = load_table(spark, sf, "events").select(
             "event_id", "user_id", "event_type", "ts", "value", "props"
         )
-        ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(stage)
+        ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(p)
+
+    stage = _stream_stage(spark, sf, "events_doubled", _write_doubled)
     stream = ES.read_events_stream(spark, stage)
     deduped = ES.dedup_events(stream, keys=["event_id"], watermark="2 hours")
     out = ES.run_to_memory(deduped, "st_stream_dedup", "append")
@@ -402,15 +444,18 @@ def st_stateful_running(spark: SparkSession, sf: str) -> DataFrame:
     stat is MONOTONE over this data (values > 0), so folding emissions
     with max() recovers the final state regardless of how availableNow
     split the files into micro-batches."""
-    import hashlib
-    import os
-
     from ml_data_pipeline_spark.streaming import events_stream as ES
     from ml_data_pipeline_spark.streaming import stateful as ST8
 
-    stage = f"/tmp/mdp_stream_stage/{os.getpid()}_{hashlib.md5(sf.encode()).hexdigest()[:8]}/events"
-    if not os.path.exists(stage):
-        load_table(spark, sf, "events").repartition(4).write.mode("overwrite").parquet(stage)
+    stage = _stream_stage(
+        spark,
+        sf,
+        "events",
+        lambda p: load_table(spark, sf, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     stream = ES.read_events_stream(spark, stage)
     out = ES.run_to_memory(
         ST8.running_user_stats(stream), "st_stateful_running", "update"
@@ -1057,7 +1102,9 @@ def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     # cache the narrow (id, fingerprint) frame: the distinct-count floor
     # and the output both consume it (plan_audit: documents x3 untruncated)
-    xx = TX.fingerprint(docs).select("doc_id", "fingerprint").cache()
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    xx = tracked_cache(TX.fingerprint(docs).select("doc_id", "fingerprint"))
     d_xx = xx.agg(F.count_distinct("fingerprint").alias("__dx"))
     d_md = (
         TX.fingerprint_md5(docs)

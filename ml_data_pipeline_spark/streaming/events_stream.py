@@ -159,10 +159,14 @@ def run_to_memory(
     is consumed — but a stateful operator with ProcessingTimeTimeout keeps
     the query ALIVE scheduling future timeout batches, so a bare
     awaitTermination(timeout) burns the whole timeout and then LEAKS a
-    running query. The drain therefore also watches progress: once a
-    completed micro-batch consumed zero input rows (all staged data
-    processed; only timeout housekeeping remains), the query is stopped
-    explicitly."""
+    running query. The drain therefore also watches progress: once TWO
+    CONSECUTIVE completed micro-batches consumed zero input rows, the
+    query is stopped explicitly. Two, not one (ADVICE r8): a chain of
+    stateful operators (e.g. dropDuplicatesWithinWatermark feeding a
+    watermarked append-mode aggregation) emits each operator's watermark-
+    commit finalization in its OWN no-data batch — stopping at the first
+    zero-input batch would truncate the downstream operator's final
+    emission; after two in a row only timeout housekeeping remains."""
     import time
 
     q = (
@@ -177,8 +181,13 @@ def run_to_memory(
         if q.awaitTermination(1):
             break
         progress = q.recentProgress
-        if progress and int(progress[-1]["numInputRows"]) == 0:
-            break  # input fully consumed; only timeout batches remain
+        zero_tail = 0
+        for p in reversed(progress):
+            if int(p["numInputRows"]) != 0:
+                break
+            zero_tail += 1
+        if zero_tail >= 2:
+            break  # input fully consumed AND finalizations flushed
     if q.isActive:
         q.stop()
         q.awaitTermination(timeout_sec)

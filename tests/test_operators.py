@@ -1917,3 +1917,24 @@ def test_append_ngram_index_torn_batch_fails_loudly(spark):
     ).saveAsTable(tbl)
     with pytest.raises(RuntimeError, match="PARTIALLY present"):
         DD.append_ngram_index(batch, tbl, n=3, num_buckets=4)
+
+
+def test_tracked_caches_release(spark):
+    """ADVICE r8: operator caches whose pin must outlive the call (the
+    returned lazy frame reads them) are registered with the cache module;
+    release_tracked() unpersists them all so a long-lived session doesn't
+    accumulate pinned storage across repeated operator invocations."""
+    from ml_data_pipeline_spark import cache as C
+    from ml_data_pipeline_spark.operators.profiling import spearman_corr
+
+    C.release_tracked()  # clean slate
+    df = spark.createDataFrame(
+        [(float(i), float(i * i % 7)) for i in range(100)], "a double, b double"
+    )
+    out = spearman_corr(df, "a", "b")
+    out.collect()
+    assert C.tracked_count() >= 1
+    released = C.release_tracked()
+    assert released >= 1 and C.tracked_count() == 0
+    # the released frame recomputes fine (lineage intact, cache just gone)
+    assert out.collect()[0]["n_rows"] == 100

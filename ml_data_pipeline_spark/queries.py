@@ -6349,3 +6349,87 @@ def m14_soft_cancel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ALL_QUERIES.update({"m14_soft_cancel": m14_soft_cancel})
+
+
+# ------------------------------------------------------------ round-9 rotation
+# The driver records rows for the FIRST 50 dict entries. This window takes,
+# in order: (1) the 2 round-9 additions (no driver row ever), (2) the 16
+# gates whose implementing modules changed THIS round (dedup.py manifest +
+# under-split probe → dd_*; streaming staging + run_to_memory drain →
+# st_*; tracked-cache conversions → i5/i7/i8, p21, p24, tx_fingerprint,
+# ss_semantic_dedup), (3) the 4 gates the r8 verdict named as
+# r8-modified-but-unwindowed (tx_quality, q_sessionize, e3_target_encode,
+# pipe_training_frame), (4) the full p* family over the r8-reworked
+# profiling.py (all still holding r1 rows), then (5) the longest-unverified
+# r1 tail (q5, window/temporal/JSON gates, s13, t7). Shares 14 names with
+# _R8_PRIORITY — exactly the ones r9 re-modified; the other 36 rotate in.
+_R9_PRIORITY = [
+    # (1) round-9 additions
+    "m10_linear_shap",
+    "m14_soft_cancel",
+    # (2) round-9-modified modules
+    "dd_incremental_indexed",
+    "dd_incremental_pairs",
+    "dd_ngram_jaccard",
+    "dd_minhash_pairs",
+    "dd_simhash_pairs",
+    "dd_containment",
+    "st_hourly_counts",
+    "st_stream_dedup",
+    "st_stateful_running",
+    "i5_impute_knn",
+    "i7_hot_deck",
+    "i8_impute_em",
+    "p21_mad_outliers",
+    "p24_spearman",
+    "tx_fingerprint",
+    "ss_semantic_dedup",
+    # (3) r8-modified, never re-greened by the driver (VERDICT r8 item 1)
+    "tx_quality",
+    "q_sessionize",
+    "e3_target_encode",
+    "pipe_training_frame",
+    # (4) the p* family over the r8-reworked profiling.py (r1 rows)
+    "p1_shape_census",
+    "p2_missing_counts",
+    "p3_total_missing",
+    "p4_distinct_counts",
+    "p5_type_classification",
+    "p6_value_counts",
+    "p7_rare_values",
+    "p7_rare_summary",
+    "p8_class_distribution",
+    "p9_head_tail",
+    "p10_example_values",
+    "p11_column_range",
+    "p12_correlation",
+    "p13_histogram",
+    # (5) longest-unverified r1 tail
+    "q5_region_revenue",
+    "q_topk_per_group",
+    "q_events_hourly",
+    "q_asof_join",
+    "q_json_extract",
+    "q_pivot",
+    "q_unpivot",
+    "q_rollup",
+    "q_cube",
+    "q_having",
+    "q_moving_avg",
+    "q_sliding_window",
+    "s13_question_template",
+    "t7_target_candidates",
+    # --- driver window ends here (50 entries above) ---
+]
+assert len(_R9_PRIORITY) == 50 and len(set(_R9_PRIORITY)) == 50
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R9_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R9_PRIORITY)},
+}
+
+# ---- ROUND-10 ROTATION TODO (for the next round's builder): after
+# CORRECTNESS_r09 lands, the stalest rows are the remaining r1 names this
+# window could not fit (the e* encoding family e1-e10, the f* filter
+# family f1-f8/f13, q_set_ops), then the 42 round-2 names. Build
+# _R10_PRIORITY as: any round-10-modified gates first, then those, then
+# oldest-row-first to fill 50.

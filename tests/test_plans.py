@@ -259,10 +259,10 @@ def test_gini_rank_is_range_partitioned(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
-def test_r8_sink_ml_gates_registered_and_windowed():
+def test_r8_sink_ml_gates_registered():
     """The round-8 sink/ML gates (the previously pytest-only SURVEY
-    components) are registered, oracle-backed, and inside the first-50
-    driver window so CORRECTNESS_r08 records rows for them."""
+    components) stay registered and oracle-backed (they hold green r8
+    driver rows; the r9 window rotated past them by design)."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
 
     gates = [
@@ -272,8 +272,73 @@ def test_r8_sink_ml_gates_registered_and_windowed():
         "m11_model_roundtrip", "m13_scorer_suite", "b10_bagging_floor",
         "m10_importance_roundtrip", "m7_tpe_trials",
     ]
-    window = list(Q.ALL_QUERIES)[:50]
     for g in gates:
         assert g in Q.ALL_QUERIES, g
         assert g in ALL_ORACLES, g
-        assert g in window, g
+
+
+def test_r9_gates_registered_and_windowed():
+    """The round-9 additions (m10_linear_shap closes the last 'partial';
+    m14_soft_cancel closes the last pytest-only component) are registered,
+    oracle-backed, and lead the first-50 driver window; the rest of the
+    window is exactly _R9_PRIORITY (r9-modified modules + the r8 verdict's
+    named stale gates + the p* family + the oldest r1 tail)."""
+    from ml_data_pipeline_spark.oracles import ALL_ORACLES
+    from ml_data_pipeline_spark.queries import _R9_PRIORITY
+
+    window = list(Q.ALL_QUERIES)[:50]
+    assert window == _R9_PRIORITY
+    for g in ("m10_linear_shap", "m14_soft_cancel"):
+        assert g in ALL_ORACLES, g
+        assert g in window[:2], g
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the four semantically-multi-reference queries (must stay the ONLY
+        # allowlisted ones) ...
+        "q_set_ops",
+        "s_diff_versions",
+        "p34_ref_integrity",
+        "i8_impute_em",
+        # ... plus the historically-flagged-and-drained sentinels: each of
+        # these shipped with an uncached re-derivation before its cache/
+        # localCheckpoint fix (r7-r8 drain, 22 -> 2-4); a regression here is
+        # exactly the class the pin exists to catch
+        "i5_impute_knn",
+        "i7_hot_deck",
+        "p21_mad_outliers",
+        "p24_spearman",
+        "ss_semantic_dedup",
+        "tx_fingerprint",
+        "dd_incremental_pairs",
+        "q_triangles",
+        "q_adamic_adar",
+        "tx_contamination",
+        "tx_tfidf",
+    ],
+)
+def test_uncached_rescans_only_where_inherent(spark, sf_dir, name):
+    """VERDICT r8 item 4: the uncached-rescan set is pinned. Any query
+    outside tools/plan_audit.INHERENT_RESCANS whose plan scans one source
+    table >2x WITHOUT a cache is a regression of the r7-r8 drain (22 -> 4)
+    and fails here instead of waiting for the next judge audit."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import INHERENT_RESCANS, audit_plan
+
+    if name not in Q.ALL_QUERIES:
+        pytest.skip(f"{name} not registered")
+    a = audit_plan(_plan(Q.ALL_QUERIES[name](spark, sf_dir)))
+    if a["rescan_tables"] and not a["cached"]:
+        assert name in INHERENT_RESCANS, (
+            f"{name} re-scans {a['rescan_tables']} uncached - either fix the "
+            "re-derivation (localCheckpoint/cache) or justify it in "
+            "INHERENT_RESCANS with a docstring entry"
+        )
+    # the allowlist itself must not silently grow
+    assert set(INHERENT_RESCANS) == {
+        "q_set_ops", "s_diff_versions", "p34_ref_integrity", "i8_impute_em"
+    }

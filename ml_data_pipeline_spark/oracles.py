@@ -5301,7 +5301,7 @@ ALL_ORACLES["m10_linear_shap"] = """
         FROM lineitem
     )
     SELECT round(abs(b.b1) * d.d1, 2) AS mas_quantity,
-           round(abs(b.b2) * d.d2, 4) AS mas_discount,
+           round(abs(b.b2) * d.d2, 2) AS mas_discount,
            round(b.my, 2) AS base_value,
            CAST(0.0 AS DOUBLE) AS additivity_err,
            CAST(b.n AS BIGINT) AS n_rows

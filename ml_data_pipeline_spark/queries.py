@@ -6208,15 +6208,8 @@ ALL_QUERIES = {
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R8_PRIORITY)},
 }
 
-# ---- ROUND-9 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r08 lands, the stalest rows are the 13 round-1 names this
-# window displaced for the new sink/ML gates (q5_region_revenue, q_topk_per_group, q_sessionize, q_events_hourly,
-# q_json_extract, q_asof_join, q_pivot, q_unpivot, q_rollup, q_cube,
-# q_having, q_set_ops, q_sliding_window, q_moving_avg, st_hourly_counts,
-# p1_shape_census), the remaining round-1 block (p2_missing_counts ..
-# e10_embedding_hash and friends), and the 49 round-2 names. Build
-# _R9_PRIORITY as: any round-9-modified gates first, then those 13, then
-# oldest-row-first to fill 50.
+# (The round-9 rotation TODO that lived here was implemented: see
+# _R9_PRIORITY at the end of this module, which supersedes this ordering.)
 
 
 # ------------------------------------------------------------ round-9 additions
@@ -6257,7 +6250,7 @@ def m10_linear_shap(spark: SparkSession, sf: str) -> DataFrame:
     )
     return shap.agg(
         F.round(F.avg(F.abs(F.col("phi_l_quantity"))), 2).alias("mas_quantity"),
-        F.round(F.avg(F.abs(F.col("phi_l_discount"))), 4).alias("mas_discount"),
+        F.round(F.avg(F.abs(F.col("phi_l_discount"))), 2).alias("mas_discount"),
         F.round(F.first("shap_base"), 2).alias("base_value"),
         F.round(
             F.max(

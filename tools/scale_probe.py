@@ -1,0 +1,127 @@
+"""One-off sf1 scale probe (VERDICT r8 item 5): empirically confirm the
+100-TB plan claims one order of magnitude up from the bench scale.
+
+Builds an sf1-equivalent dataset (10x sf0.1) under /tmp/mdp_sf1 by
+replicating each table with key offsets — and, for documents, a per-copy
+letter-substitution cipher on the text, so copies are NOT near-duplicates
+of each other and the dedup workload scales the way 10x more real data
+would (10x pairs, not 100x phantom cross-copy dups; token/shingle
+structure within a copy is preserved exactly).
+
+Then times the 5 most expensive headline queries (i4's range-partitioned
+interpolation, minhash + simhash banded LSH, q5's snowflake join, the
+stored-index incremental probe) and prints per-query wall seconds plus
+the sf0.1 baseline ratio. A plan that survives 100x must first survive
+10x with ~10x (not 100x) wall time at fixed parallelism.
+
+Run: python tools/scale_probe.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ml_data_pipeline_spark.catalog import load_table  # noqa: E402
+from ml_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/mdp_sf1"
+COPIES = 10
+
+# key columns to offset per copy so replicated rows keep referential
+# integrity without colliding (offset = copy * (max_key + 1), exact per
+# table so joins still line up across tables sharing the key space)
+KEYED = {
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+}
+ASIS = ["nation", "region"]  # SF-constant dims replicate as-is (1 copy)
+
+PROBES = [
+    "i4_interpolate",
+    "dd_minhash_pairs",
+    "dd_simhash_pairs",
+    "q5_region_revenue",
+    "dd_incremental_indexed",
+]
+
+
+def _cipher(copy: int) -> tuple[str, str]:
+    """Letter rotation for documents copy k: tokens differ entirely across
+    copies (no cross-copy shingle overlap) while within-copy structure —
+    token lengths, duplicates, whitespace — is byte-for-byte preserved."""
+    a = string.ascii_lowercase
+    A = string.ascii_uppercase
+    rot = copy % 26
+    return a + A, a[rot:] + a[:rot] + A[rot:] + A[:rot]
+
+
+def build() -> None:
+    spark = get_spark("scale_probe_build")
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    for t in ASIS:
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+    # offsets from the shared key space: orderkey offsets must agree
+    # between lineitem and orders, custkey between orders and customer...
+    maxes: dict[str, int] = {}
+    for t, keys in KEYED.items():
+        df = load_table(spark, SRC, t)
+        row = df.agg(*[F.max(k).alias(k) for k in keys]).first()
+        for k in keys:
+            base = k.split("_", 1)[1]  # l_orderkey/o_orderkey share 'orderkey'
+            maxes[base] = max(maxes.get(base, 0), int(row[k]))
+    for t, keys in KEYED.items():
+        df = load_table(spark, SRC, t)
+        parts = []
+        for c in range(COPIES):
+            cp = df
+            for k in keys:
+                off = c * (maxes[k.split("_", 1)[1]] + 1)
+                cp = cp.withColumn(k, F.col(k) + F.lit(off))
+            if t == "documents":
+                src, dst = _cipher(c)
+                cp = cp.withColumn("text", F.translate(F.col("text"), src, dst))
+            parts.append(cp)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        print(f"built {t}: {spark.read.parquet(f'{DST}/{t}.parquet').count()} rows")
+    spark.stop()
+
+
+def probe() -> None:
+    from ml_data_pipeline_spark.queries import ALL_QUERIES
+
+    spark = get_spark("scale_probe")
+    spark.read.parquet(f"{DST}/lineitem.parquet").count()  # JVM warm
+    times: dict[str, float] = {}
+    for name in PROBES:
+        t0 = time.monotonic()
+        ALL_QUERIES[name](spark, DST).toPandas()
+        times[name] = round(time.monotonic() - t0, 2)
+        print(f"{name}: {times[name]}s")
+    print(json.dumps({"sf": 1.0, "queries": times, "total": round(sum(times.values()), 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/lineitem.parquet"):
+        build()
+    probe()

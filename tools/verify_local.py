@@ -96,9 +96,15 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    from ml_data_pipeline_spark.cache import release_tracked
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # this sweep IS the long-lived-session shape the tracked-cache
+        # registry exists for: the previous query's results are fully
+        # materialized, so every operator cache it pinned is reclaimable
+        release_tracked()
         t0 = time.time()
         try:
             sdf = fn(spark, sf)
@@ -139,6 +145,7 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+    release_tracked()
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 

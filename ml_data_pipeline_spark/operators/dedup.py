@@ -564,7 +564,12 @@ def append_ngram_index(
       after the index append returns.
 
     The probe's own anti-join guard (incremental_ngram_jaccard_pairs_
-    indexed) independently covers re-probes after a committed append."""
+    indexed) independently covers re-probes after a committed append.
+
+    The manifest protocol starts at build_ngram_index (which resets the
+    manifest with the index): an index that received appends BEFORE the
+    manifest existed has no record of them — rebuild it once rather than
+    appending those legacy batches again."""
     spark = batch.sparkSession
     index = (
         batch.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))

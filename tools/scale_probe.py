@@ -56,6 +56,10 @@ PROBES = [
     "dd_simhash_pairs",
     "q5_region_revenue",
     "dd_incremental_indexed",
+    # text-family growers (documents-bound, tokenize-heavy)
+    "tx_lang_id",
+    "tx_quality",
+    "dd_ngram_jaccard",
 ]
 
 

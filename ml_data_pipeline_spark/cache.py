@@ -48,8 +48,17 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 def release_tracked() -> int:
     """Unpersist (non-blocking) every tracked operator cache and clear the
-    registry. Returns the number released. Safe to call at any time — a
-    consumer that acts on a released frame recomputes its lineage."""
+    registry. Returns the number released.
+
+    Call this at STAGE BOUNDARIES — after the results of prior operator
+    invocations have been materialized — not between building a frame and
+    acting on it: some tracked caches pin NONDETERMINISTIC assignments
+    (impute_knn/impute_hot_deck cache a monotonically_increasing_id row
+    tag precisely so it is assigned once), and releasing mid-derivation
+    lets each downstream branch re-evaluate the tag independently, which
+    can silently mis-align rows. After materialization a release is
+    always safe: a re-acted frame recomputes its full lineage in one
+    evaluation."""
     with _LOCK:
         frames, _TRACKED[:] = list(_TRACKED), []
     n = 0

@@ -440,6 +440,36 @@ def _gram_expr(text_col: str, n: int):
         ),
     ).otherwise(F.array().cast("array<string>"))
 
+def _managed_table_dir(spark, table_name: str) -> str | None:
+    """Best-effort local filesystem dir of a managed table: lowercased,
+    with `db.table` mapping to `<warehouse>/db.db/table` (a naive
+    `<warehouse>/<name>` join is wrong for db-qualified or mixed-case
+    names and silently misses the orphan dir it was meant to clear)."""
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme not in ("file", ""):
+        return None
+    name = table_name.lower()
+    if "." in name:
+        db, t = name.split(".", 1)
+        return f"{wh.path}/{db}.db/{t}"
+    return f"{wh.path}/{name}"
+
+def _reset_companion(spark, table_name: str) -> None:
+    """Drop a companion table AND its orphaned warehouse dir (catalog
+    wiped, dir surviving — DROP TABLE can't see it, but it would fail the
+    next saveAsTable with LOCATION_ALREADY_EXISTS)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    try:
+        d = _managed_table_dir(spark, table_name)
+        if d:
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass
+
 def build_ngram_index(
     df: DataFrame,
     table_name: str,
@@ -460,7 +490,16 @@ def build_ngram_index(
     is read in place, no corpus-sized exchange, ever (the probe plan is
     asserted Exchange-free on the index side in tests). `n` rides every row so
     Jaccard needs no join back to a per-doc size frame.
+
+    Two companion tables are (re)created with the index:
+    - `{table}__ids` (id, batch_id): ONE row per indexed doc — the
+      anti-join source append_ngram_index uses for id-safety. Per-doc,
+      two narrow columns: 50-100x smaller than the index's per-gram id
+      column, which is what every append scanned pre-r9.
+    - `{table}__manifest` (batch_id, phase): the append commit log —
+      O(#batches), lets a full retry short-circuit with ZERO table IO.
     """
+    spark = df.sparkSession
     index = (
         df.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
         .where(F.size("grams") > 0)
@@ -473,25 +512,24 @@ def build_ngram_index(
         .format("parquet")
         .saveAsTable(table_name)
     )
-    # reset the append manifest alongside the rebuilt index: a fresh build
-    # owes nothing to batches committed against the previous generation.
-    # Also clear an ORPHANED manifest dir (catalog wiped, warehouse dir
-    # surviving — the same gotcha callers handle for the index table):
-    # DROP TABLE can't see it, but it would fail the next saveAsTable.
-    spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {_manifest_name(table_name)}")
-    try:
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        if wh.scheme in ("file", ""):
-            shutil.rmtree(f"{wh.path}/{_manifest_name(table_name)}", ignore_errors=True)
-    except Exception:
-        pass
+    # fresh companions: a rebuilt index owes nothing to prior batches
+    _reset_companion(spark, _manifest_name(table_name))
+    _reset_companion(spark, _ids_name(table_name))
+    (
+        spark.table(table_name)
+        .select("id")
+        .distinct()
+        .withColumn("batch_id", F.lit("__build__"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(_ids_name(table_name))
+    )
 
 def _manifest_name(table_name: str) -> str:
     return f"{table_name}__manifest"
+
+def _ids_name(table_name: str) -> str:
+    return f"{table_name}__ids"
 
 def _manifest_phases(spark, table_name: str, batch_id: str) -> set[str]:
     """Phases recorded for batch_id in the append manifest ('' if the
@@ -511,19 +549,19 @@ def _manifest_mark(spark, table_name: str, batch_id: str, phase: str) -> None:
         [(batch_id, phase)], "batch_id string, phase string"
     ).write.mode("append").format("parquet").saveAsTable(_manifest_name(table_name))
 
-def batch_fingerprint(df: DataFrame, id_col: str = "id") -> str:
-    """Deterministic, order-insensitive identity of a batch: xor-combined
-    xxhash64 over its distinct ids + the id count. ONE narrow aggregate
-    action (never a driver-side id collect) — safe at any batch size."""
-    row = (
-        df.select(F.col(id_col).alias("__bid"))
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(__bid))"), F.lit(0)).alias("h"),
-        )
-        .first()
-    )
+def batch_fingerprint(df: DataFrame, cols: tuple[str, ...] = ("id", "gram")) -> str:
+    """Deterministic, order-insensitive CONTENT identity of a batch:
+    xor-combined xxhash64 over its (id, gram) rows + the row count, so a
+    re-ingest of the same doc ids with EDITED text gets a different batch
+    id (an id-only fingerprint would be silently swallowed by the
+    committed-batch short-circuit). ONE narrow aggregate action — never a
+    driver-side collect — safe at any batch size."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))"), F.lit(0)
+        ).alias("h"),
+    ).first()
     return f"b{row['n']}_{row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
 
 def append_ngram_index(
@@ -540,53 +578,76 @@ def append_ngram_index(
     join-ready). Run after a batch passes dedup so the next batch probes
     a corpus that includes this one. Returns the batch id it committed
     under (pass the ingest job's own batch id for production lineage;
-    default is a content fingerprint of the batch's doc ids).
+    default is a content fingerprint over the batch's (id, gram) rows).
 
-    IDEMPOTENT under retry via a committed-batch MANIFEST
-    (`{table}__manifest`, one (batch_id, phase) row per append attempt —
-    O(#batches), never corpus-sized), replacing the previous per-append
-    pruned scan of the stored index's id column (an O(corpus-ids) IO tax
-    per batch at 100 TB — VERDICT r8 item 2 / ADVICE r8):
+    IDEMPOTENT under retry, and id-safe across batches, via two companion
+    tables (VERDICT r8 item 2 / ADVICE r8 — replaces the pre-r9 per-append
+    pruned scan of the index's PER-GRAM id column):
 
-    - batch already 'committed'  → no-op. The full-retry happy path reads
-      ONLY the manifest — zero index IO.
-    - batch 'pending', not committed → a prior attempt crashed between the
-      index write and its commit mark. REPAIR (the only path that touches
-      the stored index's id column, and the pre-r9 behavior): anti-join
-      out batch ids already present, append the remainder, then verify the
-      present ids carry COMPLETE gram sets (stored per-id row count ==
-      this batch's gram count) — a half-written doc (possible only on a
-      store without per-attempt atomic commits; saveAsTable staging is
-      atomic per attempt on HDFS/local) raises instead of silently keeping
-      a corrupt entry (ADVICE r8: fail loudly, never silent data loss).
-    - no manifest row → first append: mark 'pending', write, mark
-      'committed'. The commit point is the manifest row, written only
-      after the index append returns.
+    - `{table}__manifest` (batch_id, phase): 'committed' short-circuits a
+      full retry with ZERO table IO.
+    - `{table}__ids` (id, batch_id): one row per indexed doc. Every append
+      anti-joins the batch against ids committed by OTHER batches (or the
+      build), so a doc id re-ingested in a later batch is dropped — the
+      pre-r9 keep-the-old-grams semantics — instead of double-folded
+      (duplicated gram rows would make every future probe count shared
+      grams twice: jaccard > 1). Per-append IO: the manifest (tiny) + the
+      per-doc ids table (two narrow columns, 50-100x smaller than the
+      per-gram id scan this replaces) + the batch itself. An EDITED
+      re-ingest under the SAME doc id is therefore a drop, not an update
+      (same as pre-r9) — rebuild the index to refresh changed docs.
+
+    Commit protocol (each write is atomic per attempt — saveAsTable
+    staging on HDFS/local):
+      mark 'pending' → record batch ids in __ids → append index rows →
+      mark 'committed'.
+    A retry of a crash at ANY point repairs: ids recorded by the dead
+    attempt (same batch_id) are recognized as this batch's own, index rows
+    already present for them are verified COMPLETE per doc (stored per-id
+    gram count == this batch's) and skipped; a torn per-doc gram set
+    (possible only on a store without per-attempt atomicity) RAISES
+    instead of silently keeping a corrupt entry.
 
     The probe's own anti-join guard (incremental_ngram_jaccard_pairs_
     indexed) independently covers re-probes after a committed append.
 
-    The manifest protocol starts at build_ngram_index (which resets the
-    manifest with the index): an index that received appends BEFORE the
-    manifest existed has no record of them — rebuild it once rather than
-    appending those legacy batches again."""
+    The companion protocol starts at build_ngram_index (which resets both
+    tables with the index): an index that received appends BEFORE the
+    companions existed has no record of them — rebuild it once rather
+    than appending those legacy batches again."""
     spark = batch.sparkSession
     index = (
         batch.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
         .where(F.size("grams") > 0)
         .select("id", F.size("grams").alias("n"), F.explode("grams").alias("gram"))
     )
+    # the fingerprint aggregate, the ids bookkeeping, and the index write
+    # all consume the shingled frame — checkpoint (batch-sized) so the
+    # batch is shingled ONCE, honoring the module's 'a batch pays
+    # shingling for itself only' contract
+    index = index.localCheckpoint()
     if batch_id is None:
         batch_id = batch_fingerprint(index)
     phases = _manifest_phases(spark, table_name, batch_id)
     if "committed" in phases:
         return batch_id
+    ids_tbl = _ids_name(table_name)
+    batch_ids = index.select("id").distinct()
+    # ids this batch may NOT write: committed by the build or other batches
+    others = (
+        spark.table(ids_tbl)
+        .where(F.col("batch_id") != batch_id)
+        .join(F.broadcast(batch_ids), "id", "left_semi")
+        .select("id")
+    )
+    index = index.join(F.broadcast(others), "id", "left_anti")
+    batch_sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("__bn"))
     if "pending" in phases:
-        # crash-recovery repair: which batch ids did the dead attempt land?
-        # One pruned scan of the index's id column, semi-joined against the
-        # BROADCAST batch ids — the result is batch-sized, so the checks
-        # below also broadcast small.
-        batch_sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("__bn"))
+        # crash-recovery: per-doc state of the dead attempt(s). Stored
+        # rows for this batch's remaining ids are either COMPLETE (skip),
+        # ABSENT (write), or TORN (raise) — each attempt's write is
+        # all-or-nothing on an atomic store, so torn means the store lost
+        # per-attempt atomicity and the entry must not be trusted.
         stored = (
             spark.table(table_name)
             .join(F.broadcast(batch_sizes.select("id")), "id", "left_semi")
@@ -610,6 +671,22 @@ def append_ngram_index(
         index = index.join(F.broadcast(stored.select("id")), "id", "left_anti")
     else:
         _manifest_mark(spark, table_name, batch_id, "pending")
+    # record ownership BEFORE the index write: a crash in between leaves
+    # ids without grams for THIS batch_id only, which the retry recognizes
+    # as its own (absent → written), never as another batch's
+    own = (
+        spark.table(ids_tbl)
+        .where(F.col("batch_id") == batch_id)
+        .join(F.broadcast(batch_ids), "id", "left_semi")
+        .select("id")
+    )
+    new_ids = (
+        index.select("id")
+        .distinct()
+        .join(F.broadcast(own), "id", "left_anti")
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    new_ids.write.mode("append").format("parquet").saveAsTable(ids_tbl)
     (
         index.write.mode("append")
         .bucketBy(num_buckets, "gram")

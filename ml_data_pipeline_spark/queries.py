@@ -345,7 +345,15 @@ def _events_fingerprint(spark, sf: str) -> str:
         load_table(spark, sf, "events")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(event_id, ts))"), F.lit(0)).alias("h"),
+            F.coalesce(
+                # every column the st_* gates observe rides the hash — a
+                # regeneration changing only value/type/user distributions
+                # must invalidate the stage too (r9 review)
+                F.expr(
+                    "bit_xor(xxhash64(event_id, ts, user_id, event_type, value))"
+                ),
+                F.lit(0),
+            ).alias("h"),
         )
         .first()
     )
@@ -357,7 +365,14 @@ def _stream_stage(spark, sf: str, leaf: str, write_fn) -> str:
     (sf-content-fingerprint, leaf) — no per-pid accumulation across runs —
     validated by Spark's _SUCCESS marker (a bare existence check passes a
     half-written dir from a crashed writer), written to a tmp sibling and
-    atomically renamed into place. write_fn(path) performs the write."""
+    atomically renamed into place.
+
+    Concurrency (r9 review): a stale dir is MOVED ASIDE, never rmtree'd in
+    place — deleting could race a concurrent process that just installed
+    (and is streaming from) a valid stage, whereas a move-aside at worst
+    swaps one valid stage for the identical content the loser was about
+    to install (both processes stage the same deterministic source).
+    write_fn(path) performs the write."""
     import os
     import shutil
     import uuid
@@ -366,17 +381,28 @@ def _stream_stage(spark, sf: str, leaf: str, write_fn) -> str:
     stage = f"{root}/{leaf}"
     if os.path.exists(f"{stage}/_SUCCESS"):
         return stage
-    shutil.rmtree(stage, ignore_errors=True)  # stale partial from a crash
     tmp = f"{stage}.__tmp_{uuid.uuid4().hex[:8]}"
     write_fn(tmp)
     os.makedirs(root, exist_ok=True)
-    try:
-        os.rename(tmp, stage)
-    except OSError:
-        # a concurrent process won the rename race; its stage is complete
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(f"{stage}/_SUCCESS"):
-            raise
+    for attempt in range(2):
+        try:
+            os.rename(tmp, stage)
+            break
+        except OSError:
+            if os.path.exists(f"{stage}/_SUCCESS"):
+                # a concurrent process won the race with a complete stage
+                shutil.rmtree(tmp, ignore_errors=True)
+                break
+            # stale partial from a crashed writer: move it aside (atomic),
+            # then retry the install once
+            aside = f"{stage}.__stale_{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(stage, aside)
+                shutil.rmtree(aside, ignore_errors=True)
+            except OSError:
+                pass
+            if attempt == 1:
+                raise
     return stage
 
 
@@ -6310,7 +6336,6 @@ def m14_soft_cancel(spark: SparkSession, sf: str) -> DataFrame:
             except Exception as e:  # the cancellation lands here
                 outcome["err"] = e
 
-    t0 = time.monotonic()
     worker = threading.Thread(target=run, daemon=True)
     worker.start()
     tracker = sc.statusTracker()
@@ -6324,9 +6349,13 @@ def m14_soft_cancel(spark: SparkSession, sf: str) -> DataFrame:
                 break
         if not started:
             time.sleep(0.1)
+    # the quantity under test is death time AFTER the cancel — measured
+    # from the cancel call, not from thread start (job startup on a cold
+    # or loaded machine must not fail the gate; r9 review)
+    t_cancel = time.monotonic()
     job_group(spark, gid).cancel()
     worker.join(60)
-    elapsed = time.monotonic() - t0
+    elapsed = time.monotonic() - t_cancel
     err = outcome.get("err")
     surfaced = started and err is not None and "cancel" in str(err).lower()
     cancelled_fast = (not worker.is_alive()) and elapsed < 20.0

@@ -151,6 +151,7 @@ def run_to_memory(
     query_name: str,
     output_mode: str = "append",
     timeout_sec: int = 120,
+    quiesce_batches: int = 2,
 ) -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink and
     return the materialized table (test/verification path).
@@ -161,12 +162,16 @@ def run_to_memory(
     awaitTermination(timeout) burns the whole timeout and then LEAKS a
     running query. The drain therefore also watches progress: once TWO
     CONSECUTIVE completed micro-batches consumed zero input rows, the
-    query is stopped explicitly. Two, not one (ADVICE r8): a chain of
-    stateful operators (e.g. dropDuplicatesWithinWatermark feeding a
-    watermarked append-mode aggregation) emits each operator's watermark-
-    commit finalization in its OWN no-data batch — stopping at the first
-    zero-input batch would truncate the downstream operator's final
-    emission; after two in a row only timeout housekeeping remains."""
+    query is stopped explicitly. `quiesce_batches` consecutive, not one
+    (ADVICE r8): each CHAINED stateful operator (e.g.
+    dropDuplicatesWithinWatermark feeding a watermarked append-mode
+    aggregation) emits its watermark-commit finalization in its OWN
+    no-data batch — stopping at the first zero-input batch would truncate
+    the downstream operator's final emission. The default of 2 covers one
+    stateful operator plus one finalization hop; a caller draining a
+    DEEPER chain must pass quiesce_batches >= its stateful-operator count
+    (the constant is a floor per chain depth, not a universal quiescence
+    detector — r9 review)."""
     import time
 
     q = (
@@ -186,7 +191,7 @@ def run_to_memory(
             if int(p["numInputRows"]) != 0:
                 break
             zero_tail += 1
-        if zero_tail >= 2:
+        if zero_tail >= quiesce_batches:
             break  # input fully consumed AND finalizations flushed
     if q.isActive:
         q.stop()

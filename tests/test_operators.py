@@ -1832,7 +1832,7 @@ def _fresh_index_tbl(spark, tbl):
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in (tbl, f"{tbl}__manifest"):
+    for t in (tbl, f"{tbl}__manifest", f"{tbl}__ids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
@@ -1938,3 +1938,38 @@ def test_tracked_caches_release(spark):
     assert released >= 1 and C.tracked_count() == 0
     # the released frame recomputes fine (lineage intact, cache just gone)
     assert out.collect()[0]["n_rows"] == 100
+
+
+def test_append_ngram_index_same_id_reingest_is_dropped_not_doubled(spark):
+    """r9 review fix: a doc id re-ingested in a LATER batch (different
+    batch fingerprint) must be anti-joined out against the per-doc __ids
+    table — the pre-r9 keep-the-old-grams semantics — never folded in a
+    second time (duplicated gram rows make jaccard > 1 for every future
+    probe)."""
+    old = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    b1 = spark.createDataFrame([(10, "a b c d f")], "doc_id long, text string")
+    # same id 10, EDITED text → different content fingerprint → new batch
+    b2 = spark.createDataFrame(
+        [(10, "x y z w v"), (11, "a b c d f")], "doc_id long, text string"
+    )
+    tbl = "mdp_test_idx_reingest"
+    _fresh_index_tbl(spark, tbl)
+    DD.build_ngram_index(old, tbl, n=3, num_buckets=4)
+    bid1 = DD.append_ngram_index(b1, tbl, n=3, num_buckets=4)
+    bid2 = DD.append_ngram_index(b2, tbl, n=3, num_buckets=4)
+    assert bid1 != bid2  # content fingerprint, not id-only
+    # doc 10 keeps its ORIGINAL grams: exactly 3 rows for id 10, none of
+    # them from the edited text
+    rows10 = spark.table(tbl).where(F.col("id") == 10).collect()
+    assert len(rows10) == 3
+    assert all("x" not in r["gram"] for r in rows10)
+    # and a future probe still sees consistent jaccard <= 1.0
+    nxt = spark.createDataFrame([(20, "a b c d f")], "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.incremental_ngram_jaccard_pairs_indexed(
+            nxt, tbl, n=3, threshold=0.1
+        ).collect()
+    }
+    assert pairs[(10, 20)] == 1.0 and pairs[(11, 20)] == 1.0
+    assert all(j <= 1.0 for j in pairs.values())

@@ -614,7 +614,12 @@ def append_ngram_index(
     The companion protocol starts at build_ngram_index (which resets both
     tables with the index): an index that received appends BEFORE the
     companions existed has no record of them — rebuild it once rather
-    than appending those legacy batches again."""
+    than appending those legacy batches again.
+
+    SINGLE WRITER: appends must be serialized (the nightly-ingest shape).
+    Spark saveAsTable appends to one table are not safe under concurrent
+    writers regardless of this protocol, and two in-flight batches
+    sharing a doc id would each miss the other's uncommitted ids."""
     spark = batch.sparkSession
     index = (
         batch.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))

@@ -6373,6 +6373,45 @@ def m14_soft_cancel(spark: SparkSession, sf: str) -> DataFrame:
 ALL_QUERIES.update({"m14_soft_cancel": m14_soft_cancel})
 
 
+def st_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join gate: click→purchase attribution
+    (streaming/events_stream.attribution_join — both sides watermarked,
+    purchase time bounded to [click_ts, click_ts + 1h) so the state store
+    evicts buffered clicks once the watermark passes their horizon) over
+    the staged events stream must equal the BATCH q_attribution answer —
+    hash-level proof of batch/stream parity for the bounded-state join,
+    completing the streaming gate family (agg / dedup / custom-stateful /
+    stream-stream join).
+
+    Drained in one availableNow micro-batch (the shared stage is few
+    files and maxFilesPerTrigger is unset): inner-join matches emit as
+    both sides land in state within the batch, so the pair set is exact.
+    Across MULTIPLE batches a randomly-partitioned stage could evict a
+    click before a later file delivers its in-horizon purchase (the
+    watermark line is a correctness contract for unbounded streams, not a
+    replay artifact to engineer around) — the replay-tail behavior is
+    exercised in unit tests, same policy as st_stream_dedup."""
+    from ml_data_pipeline_spark.streaming import events_stream as ES
+
+    stage = _stream_stage(
+        spark,
+        sf,
+        "events",
+        lambda p: load_table(spark, sf, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    stream = ES.read_events_stream(spark, stage)
+    out = ES.run_to_memory(ES.attribution_join(stream), "st_stream_join", "append")
+    return out.select("purchase_id", "click_id", "user_id").orderBy(
+        "purchase_id", "click_id"
+    )
+
+
+ALL_QUERIES.update({"st_stream_join": st_stream_join})
+
+
 # ------------------------------------------------------------ round-9 rotation
 # The driver records rows for the FIRST 50 dict entries. This window takes,
 # in order: (1) the 2 round-9 additions (no driver row ever), (2) the 16
@@ -6399,6 +6438,7 @@ _R9_PRIORITY = [
     "st_hourly_counts",
     "st_stream_dedup",
     "st_stateful_running",
+    "st_stream_join",
     "i5_impute_knn",
     "i7_hot_deck",
     "i8_impute_em",
@@ -6440,8 +6480,8 @@ _R9_PRIORITY = [
     "q_moving_avg",
     "q_sliding_window",
     "s13_question_template",
-    "t7_target_candidates",
-    # --- driver window ends here (50 entries above) ---
+    # --- driver window ends here (50 entries above; t7_target_candidates
+    # rotated out to fit the round-9 st_stream_join addition) ---
 ]
 assert len(_R9_PRIORITY) == 50 and len(set(_R9_PRIORITY)) == 50
 ALL_QUERIES = {

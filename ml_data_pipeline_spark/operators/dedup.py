@@ -453,8 +453,17 @@ def _managed_table_dir(spark, table_name: str) -> str | None:
     name = table_name.lower()
     if "." in name:
         db, t = name.split(".", 1)
-        return f"{wh.path}/{db}.db/{t}"
-    return f"{wh.path}/{name}"
+    else:
+        # an unqualified name resolves in the session's CURRENT database,
+        # which may not be 'default' (r9 review #2)
+        try:
+            db = spark.catalog.currentDatabase().lower()
+        except Exception:
+            db = "default"
+        t = name
+    if db == "default":
+        return f"{wh.path}/{t}"
+    return f"{wh.path}/{db}.db/{t}"
 
 def _reset_companion(spark, table_name: str) -> None:
     """Drop a companion table AND its orphaned warehouse dir (catalog
@@ -500,6 +509,14 @@ def build_ngram_index(
       O(#batches), lets a full retry short-circuit with ZERO table IO.
     """
     spark = df.sparkSession
+    # reset the companions FIRST: a crash between the index overwrite and
+    # a later companion reset would pair the NEW index with the OLD
+    # generation's manifest/__ids — stale 'committed' rows silently no-op
+    # re-appends and stale ids silently drop docs. Reset-first turns that
+    # crash window into a LOUD table-not-found on the next append instead
+    # (r9 review #2).
+    _reset_companion(spark, _manifest_name(table_name))
+    _reset_companion(spark, _ids_name(table_name))
     index = (
         df.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
         .where(F.size("grams") > 0)
@@ -512,9 +529,6 @@ def build_ngram_index(
         .format("parquet")
         .saveAsTable(table_name)
     )
-    # fresh companions: a rebuilt index owes nothing to prior batches
-    _reset_companion(spark, _manifest_name(table_name))
-    _reset_companion(spark, _ids_name(table_name))
     (
         spark.table(table_name)
         .select("id")
@@ -548,6 +562,18 @@ def _manifest_mark(spark, table_name: str, batch_id: str, phase: str) -> None:
     spark.createDataFrame(
         [(batch_id, phase)], "batch_id string, phase string"
     ).write.mode("append").format("parquet").saveAsTable(_manifest_name(table_name))
+
+def _committed_batches(spark, table_name: str) -> DataFrame:
+    """One-column frame of batch ids whose index rows are COMMITTED: the
+    build sentinel plus every manifest batch with a 'committed' row.
+    O(#batches) rows — always broadcast-safe."""
+    build = spark.createDataFrame([("__build__",)], "batch_id string")
+    m = _manifest_name(table_name)
+    if not spark.catalog.tableExists(m):
+        return build
+    return build.unionByName(
+        spark.table(m).where(F.col("phase") == "committed").select("batch_id")
+    ).distinct()
 
 def batch_fingerprint(df: DataFrame, cols: tuple[str, ...] = ("id", "gram")) -> str:
     """Deterministic, order-insensitive CONTENT identity of a batch:
@@ -626,25 +652,67 @@ def append_ngram_index(
         .where(F.size("grams") > 0)
         .select("id", F.size("grams").alias("n"), F.explode("grams").alias("gram"))
     )
-    # the fingerprint aggregate, the ids bookkeeping, and the index write
-    # all consume the shingled frame — checkpoint (batch-sized) so the
-    # batch is shingled ONCE, honoring the module's 'a batch pays
-    # shingling for itself only' contract
-    index = index.localCheckpoint()
+    checkpointed = False
     if batch_id is None:
+        # the default-fingerprint path checkpoints BEFORE fingerprinting
+        # so the batch is shingled once even counting the fingerprint
+        # aggregate; a retried already-committed call therefore pays one
+        # batch-sized job. Production callers supplying their OWN batch id
+        # skip both — their full retry reads ONLY the manifest, zero IO
+        # (r9 review #4).
+        index = index.localCheckpoint()
+        checkpointed = True
         batch_id = batch_fingerprint(index)
     phases = _manifest_phases(spark, table_name, batch_id)
     if "committed" in phases:
         return batch_id
+    if not checkpointed:
+        # the ids bookkeeping and the index write both consume the
+        # shingled frame — materialize it once, AFTER the zero-IO
+        # committed short-circuit above
+        index = index.localCheckpoint()
     ids_tbl = _ids_name(table_name)
     batch_ids = index.select("id").distinct()
-    # ids this batch may NOT write: committed by the build or other batches
-    others = (
-        spark.table(ids_tbl)
-        .where(F.col("batch_id") != batch_id)
-        .join(F.broadcast(batch_ids), "id", "left_semi")
-        .select("id")
+    # ids this batch may NOT write: those committed by the build or by
+    # OTHER COMMITTED batches. Restricting to committed batch ids matters
+    # (r9 review #1): an __ids row from a crashed attempt under a
+    # DIFFERENT (abandoned) batch_id must not anti-join a doc out forever
+    # — its grams were never committed, so the current batch legitimately
+    # owns the doc.
+    committed = _committed_batches(spark, table_name)
+    foreign = spark.table(ids_tbl).where(F.col("batch_id") != batch_id).join(
+        F.broadcast(batch_ids), "id", "left_semi"
     )
+    others = (
+        foreign.join(F.broadcast(committed), "batch_id", "left_semi").select("id")
+    )
+    # ids claimed by an UNCOMMITTED foreign batch (a crashed, abandoned
+    # attempt): if that attempt died BEFORE its index write, the current
+    # batch legitimately owns the doc and proceeds; if it died AFTER (grams
+    # present, commit mark missing), appending this batch's grams too would
+    # double-fold the doc — RAISE and name the abandoned batch so the
+    # operator either retries it (same content completes it) or rebuilds.
+    dangling = foreign.join(
+        F.broadcast(committed), "batch_id", "left_anti"
+    ).select("id", "batch_id").distinct()
+    if dangling.limit(1).count() > 0:
+        orphaned = (
+            spark.table(table_name)
+            .join(F.broadcast(dangling.select("id").distinct()), "id", "left_semi")
+            .select("id")
+            .distinct()
+            .limit(5)
+            .collect()
+        )
+        if orphaned:
+            claims = dangling.limit(5).collect()
+            raise RuntimeError(
+                f"append_ngram_index: doc ids {[r['id'] for r in orphaned]} in "
+                f"{table_name} carry index rows from UNCOMMITTED batch(es) "
+                f"{sorted({r['batch_id'] for r in claims})} (crashed before their "
+                "commit mark). Retry that batch to complete it, or rebuild the "
+                "index — appending these ids again would double-fold their grams."
+            )
     index = index.join(F.broadcast(others), "id", "left_anti")
     batch_sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("__bn"))
     if "pending" in phases:

@@ -5316,13 +5316,6 @@ ALL_ORACLES["m14_soft_cancel"] = """
 """
 
 # stream-stream interval join parity: the streaming attribution pairs must
-# equal the batch interval join exactly (shares q_attribution's oracle)
-ALL_ORACLES["st_stream_join"] = """
-    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
-    FROM events c
-    JOIN events p
-      ON c.user_id = p.user_id
-     AND c.event_type = 'click' AND p.event_type = 'purchase'
-     AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL 1 HOUR
-    ORDER BY purchase_id, click_id
-"""
+# equal the batch interval join exactly — LITERALLY the same oracle, so
+# the two can never drift apart (r9 review)
+ALL_ORACLES["st_stream_join"] = ALL_ORACLES["q_attribution"]

@@ -367,43 +367,81 @@ def _stream_stage(spark, sf: str, leaf: str, write_fn) -> str:
     half-written dir from a crashed writer), written to a tmp sibling and
     atomically renamed into place.
 
-    Concurrency (r9 review): a stale dir is MOVED ASIDE, never rmtree'd in
-    place — deleting could race a concurrent process that just installed
-    (and is streaming from) a valid stage, whereas a move-aside at worst
-    swaps one valid stage for the identical content the loser was about
-    to install (both processes stage the same deterministic source).
-    write_fn(path) performs the write."""
+    Concurrency (r9 review, both passes): installation is serialized by an
+    atomic mkdir LOCK per stage — only the lock holder ever touches the
+    stage dir, so there is NO window where one process deletes/moves a
+    valid stage another process just installed and is streaming from.
+    Losers wait for the winner's _SUCCESS instead of writing at all; a
+    lock whose holder died (no _SUCCESS within the wait budget) is stolen
+    once. The tmp dir is removed on every failure path."""
     import os
     import shutil
+    import time
     import uuid
 
     root = f"/tmp/mdp_stream_stage/{_events_fingerprint(spark, sf)}"
     stage = f"{root}/{leaf}"
-    if os.path.exists(f"{stage}/_SUCCESS"):
+    success = f"{stage}/_SUCCESS"
+    if os.path.exists(success):
         return stage
-    tmp = f"{stage}.__tmp_{uuid.uuid4().hex[:8]}"
-    write_fn(tmp)
     os.makedirs(root, exist_ok=True)
-    for attempt in range(2):
+    lock = f"{stage}.__lock"
+    for steal in (False, True):
         try:
-            os.rename(tmp, stage)
-            break
+            os.mkdir(lock)  # atomic acquire
         except OSError:
-            if os.path.exists(f"{stage}/_SUCCESS"):
-                # a concurrent process won the race with a complete stage
-                shutil.rmtree(tmp, ignore_errors=True)
-                break
-            # stale partial from a crashed writer: move it aside (atomic),
-            # then retry the install once
-            aside = f"{stage}.__stale_{uuid.uuid4().hex[:8]}"
+            # another process is installing: wait for its _SUCCESS
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if os.path.exists(success):
+                    return stage
+                if not os.path.isdir(lock):  # holder released without
+                    break  # success (failed install) — try to acquire
+                time.sleep(0.25)
+            else:
+                if steal:
+                    raise RuntimeError(
+                        f"_stream_stage: lock {lock} held past the wait "
+                        "budget and no _SUCCESS appeared — holder died "
+                        "mid-install; remove the lock dir to recover"
+                    )
+                shutil.rmtree(lock, ignore_errors=True)  # steal once
+            continue
+        try:
+            if os.path.exists(success):  # won the lock after a winner
+                return stage
+            shutil.rmtree(stage, ignore_errors=True)  # stale partial; safe
+            # under the lock: no other process touches this stage
+            tmp = f"{stage}.__tmp_{uuid.uuid4().hex[:8]}"
             try:
-                os.rename(stage, aside)
-                shutil.rmtree(aside, ignore_errors=True)
-            except OSError:
-                pass
-            if attempt == 1:
-                raise
+                write_fn(tmp)
+                os.rename(tmp, stage)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            return stage
+        finally:
+            shutil.rmtree(lock, ignore_errors=True)
+    if not os.path.exists(success):
+        raise RuntimeError(
+            f"_stream_stage: could not install or observe a complete stage "
+            f"at {stage} after two acquisition attempts"
+        )
     return stage
+
+
+def _stage_events(spark, sf: str) -> str:
+    """The ONE writer of the shared 'events' stage leaf (r9 review: three
+    gates previously carried verbatim copies of this lambda — whichever
+    ran first silently defined the shared layout for the others)."""
+    return _stream_stage(
+        spark,
+        sf,
+        "events",
+        lambda p: load_table(spark, sf, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
 
 
 def st_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -415,15 +453,7 @@ def st_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
 
     # the file stream source lists a DIRECTORY; stage the single-file test
     # table once per content fingerprint (atomic rename + _SUCCESS check)
-    stage = _stream_stage(
-        spark,
-        sf,
-        "events",
-        lambda p: load_table(spark, sf, "events")
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(p),
-    )
+    stage = _stage_events(spark, sf)
     stream = ES.read_events_stream(spark, stage)
     out = ES.run_to_memory(ES.hourly_counts(stream), "st_hourly_counts", "complete")
     return out.select("hour", "event_type", "n", "total_value").orderBy("hour", "event_type")
@@ -473,15 +503,7 @@ def st_stateful_running(spark: SparkSession, sf: str) -> DataFrame:
     from ml_data_pipeline_spark.streaming import events_stream as ES
     from ml_data_pipeline_spark.streaming import stateful as ST8
 
-    stage = _stream_stage(
-        spark,
-        sf,
-        "events",
-        lambda p: load_table(spark, sf, "events")
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(p),
-    )
+    stage = _stage_events(spark, sf)
     stream = ES.read_events_stream(spark, stage)
     out = ES.run_to_memory(
         ST8.running_user_stats(stream), "st_stateful_running", "update"
@@ -6393,15 +6415,7 @@ def st_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     exercised in unit tests, same policy as st_stream_dedup."""
     from ml_data_pipeline_spark.streaming import events_stream as ES
 
-    stage = _stream_stage(
-        spark,
-        sf,
-        "events",
-        lambda p: load_table(spark, sf, "events")
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(p),
-    )
+    stage = _stage_events(spark, sf)
     stream = ES.read_events_stream(spark, stage)
     out = ES.run_to_memory(ES.attribution_join(stream), "st_stream_join", "append")
     return out.select("purchase_id", "click_id", "user_id").orderBy(

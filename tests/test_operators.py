@@ -1973,3 +1973,42 @@ def test_append_ngram_index_same_id_reingest_is_dropped_not_doubled(spark):
     }
     assert pairs[(10, 20)] == 1.0 and pairs[(11, 20)] == 1.0
     assert all(j <= 1.0 for j in pairs.values())
+
+
+def test_append_ngram_index_abandoned_foreign_batch(spark):
+    """r9 review (pass 2): an __ids row from a crashed attempt under a
+    DIFFERENT, never-committed batch_id must not anti-join a doc out
+    forever. If the dead attempt died BEFORE its index write the current
+    batch legitimately owns the doc (grams written); if it died AFTER
+    (grams present, no commit mark) the append RAISES naming the
+    abandoned batch instead of double-folding."""
+    import pytest
+
+    old = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    tbl = "mdp_test_idx_foreign"
+    _fresh_index_tbl(spark, tbl)
+    DD.build_ngram_index(old, tbl, n=3, num_buckets=4)
+    # case 1: dead foreign attempt recorded the id but wrote NO grams
+    DD._manifest_mark(spark, tbl, "dead_v1", "pending")
+    spark.createDataFrame([(10, "dead_v1")], "id long, batch_id string").write.mode(
+        "append"
+    ).format("parquet").saveAsTable(f"{tbl}__ids")
+    b2 = spark.createDataFrame([(10, "p q r s t")], "doc_id long, text string")
+    DD.append_ngram_index(b2, tbl, n=3, num_buckets=4)
+    assert spark.table(tbl).where(F.col("id") == 10).count() == 3  # owned now
+    # case 2: dead foreign attempt DID land grams (crash before commit)
+    DD._manifest_mark(spark, tbl, "dead_v2", "pending")
+    spark.createDataFrame([(20, "dead_v2")], "id long, batch_id string").write.mode(
+        "append"
+    ).format("parquet").saveAsTable(f"{tbl}__ids")
+    shingled = (
+        spark.createDataFrame([(20, "k l m n o")], "doc_id long, text string")
+        .select(F.col("doc_id").alias("id"), DD._gram_expr("text", 3).alias("g"))
+        .select("id", F.size("g").alias("n"), F.explode("g").alias("gram"))
+    )
+    shingled.write.mode("append").bucketBy(4, "gram").sortBy("gram").format(
+        "parquet"
+    ).saveAsTable(tbl)
+    b3 = spark.createDataFrame([(20, "k l m n z")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="UNCOMMITTED batch"):
+        DD.append_ngram_index(b3, tbl, n=3, num_buckets=4)

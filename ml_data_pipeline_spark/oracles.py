@@ -5319,3 +5319,14 @@ ALL_ORACLES["m14_soft_cancel"] = """
 # equal the batch interval join exactly — LITERALLY the same oracle, so
 # the two can never drift apart (r9 review)
 ALL_ORACLES["st_stream_join"] = ALL_ORACLES["q_attribution"]
+
+# append-half of the stored-index incremental flow: after appending batch1
+# the stored index is corpus ∪ batch1, so batch2's probe equals the full
+# exact recompute filtered to batch2-touching pairs
+ALL_ORACLES["dd_incremental_append"] = f"""
+    WITH {_NGRAM_PAIRS_J}
+    SELECT id_a, id_b, jaccard
+    FROM j
+    WHERE jaccard >= 0.2 AND (id_a % 10 = 5 OR id_b % 10 = 5)
+    ORDER BY id_a, id_b
+"""

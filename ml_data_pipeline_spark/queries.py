@@ -6425,6 +6425,49 @@ def st_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
 ALL_QUERIES.update({"st_stream_join": st_stream_join})
 
+def dd_incremental_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver gate for the APPEND half of the stored-index incremental
+    flow (dd_incremental_indexed covers build+probe; this one runs
+    build → append_ngram_index(batch1) → probe(batch2), the nightly
+    sequence examples/incremental_dedup.py demonstrates): corpus =
+    doc_id % 10 ∉ {0,5}, appended batch1 = % 10 == 0, probed batch2 =
+    % 10 == 5. After the append the stored index holds corpus ∪ batch1,
+    so batch2's probe must equal the FULL exact recompute filtered to
+    pairs touching batch2 — proving the manifest-committed append loses
+    nothing and invents nothing. Re-running the gate re-issues the append,
+    which the committed-manifest short-circuit turns into a no-op
+    (idempotence exercised by every sweep, not just unit tests)."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    from ml_data_pipeline_spark.operators import dedup as DD9
+
+    docs = load_table(spark, sf, "documents")
+    stored_half = docs.where(F.col("doc_id") % 10 != 5)  # corpus ∪ batch1
+    fp = stored_half.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(doc_id, text))"), F.lit(0)).alias("h"),
+    ).first()
+    tag = hashlib.md5(f"{sf}|{fp['n']}|{fp['h']}".encode()).hexdigest()[:8]
+    tbl = f"mdp_ngram_appendix_{tag}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if not spark.catalog.tableExists(tbl):
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+        DD9.build_ngram_index(
+            docs.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5)),
+            tbl,
+            n=3,
+        )
+    DD9.append_ngram_index(docs.where(F.col("doc_id") % 10 == 0), tbl, n=3)
+    return DD9.incremental_ngram_jaccard_pairs_indexed(
+        docs.where(F.col("doc_id") % 10 == 5), tbl, n=3, threshold=0.2
+    )
+
+
+ALL_QUERIES.update({"dd_incremental_append": dd_incremental_append})
+
+
 
 # ------------------------------------------------------------ round-9 rotation
 # The driver records rows for the FIRST 50 dict entries. This window takes,
@@ -6453,6 +6496,7 @@ _R9_PRIORITY = [
     "st_stream_dedup",
     "st_stateful_running",
     "st_stream_join",
+    "dd_incremental_append",
     "i5_impute_knn",
     "i7_hot_deck",
     "i8_impute_em",
@@ -6493,9 +6537,9 @@ _R9_PRIORITY = [
     "q_having",
     "q_moving_avg",
     "q_sliding_window",
-    "s13_question_template",
     # --- driver window ends here (50 entries above; t7_target_candidates
-    # rotated out to fit the round-9 st_stream_join addition) ---
+    # and s13_question_template rotated out to fit the round-9
+    # st_stream_join and dd_incremental_append additions) ---
 ]
 assert len(_R9_PRIORITY) == 50 and len(set(_R9_PRIORITY)) == 50
 ALL_QUERIES = {

@@ -2012,3 +2012,19 @@ def test_append_ngram_index_abandoned_foreign_batch(spark):
     b3 = spark.createDataFrame([(20, "k l m n z")], "doc_id long, text string")
     with pytest.raises(RuntimeError, match="UNCOMMITTED batch"):
         DD.append_ngram_index(b3, tbl, n=3, num_buckets=4)
+
+
+def test_batch_fingerprint_order_and_partition_insensitive(spark):
+    """The manifest protocol's idempotence rests on the batch fingerprint
+    being a pure content function: row order, partitioning, and partition
+    count must not change it; any (id, gram) content change must."""
+    df = spark.createDataFrame(
+        [(1, "g1"), (1, "g2"), (2, "g1")], "id long, gram string"
+    )
+    a = DD.batch_fingerprint(df)
+    assert DD.batch_fingerprint(df.repartition(7)) == a
+    assert DD.batch_fingerprint(df.orderBy(F.desc("gram")).coalesce(1)) == a
+    edited = spark.createDataFrame(
+        [(1, "g1"), (1, "gX"), (2, "g1")], "id long, gram string"
+    )
+    assert DD.batch_fingerprint(edited) != a

@@ -97,8 +97,11 @@ def main(sf_dir: str) -> None:
     assert pairs2.count() == n_pairs
     print("re-probe after append: pairs unchanged — recovery-safe")
 
+    # drop the index AND both companions — the __ids per-doc table too
+    # (ADVICE r9: leaving it leaks a stale table + warehouse dir per run)
     spark.sql(f"DROP TABLE IF EXISTS {index_tbl}")
-    spark.sql(f"DROP TABLE IF EXISTS {index_tbl}__manifest")
+    DD._reset_companion(spark, f"{index_tbl}__manifest")
+    DD._reset_companion(spark, f"{index_tbl}__ids")
 
 
 if __name__ == "__main__":

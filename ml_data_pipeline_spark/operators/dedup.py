@@ -73,6 +73,14 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
         # appears only BELOW a Join may sit on the broadcast/dim side —
         # exactly the blindness the join fallback exists for (ADVICE r8) —
         # so 'plan has Join' takes precedence and the exact RDD probe runs.
+        # KNOWN CAVEAT (ADVICE r9): 'prints earlier' is line order, not
+        # ancestry — under a multi-child node like Union(Aggregate-branch,
+        # Join-branch) the first branch prints entirely before the second,
+        # so a SIBLING Aggregate can masquerade as an ancestor and skip the
+        # probe for a join whose probe side is single-partition. Perf-only
+        # misclassification (a missed repartition, never a wrong answer);
+        # matching indentation depth would fix it at the cost of parsing a
+        # plan format Spark doesn't guarantee stable.
         if exch_at and (not join_at or min(exch_at) < min(join_at)):
             return df
         has_join = bool(join_at)
@@ -479,6 +487,49 @@ def _reset_companion(spark, table_name: str) -> None:
     except Exception:
         pass
 
+def _unique_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One (id, text) row per doc id, enforced BEFORE shingling (ADVICE
+    r9): a batch whose rows repeat a doc id would write its gram rows
+    twice — and, because new x new probe pairs require id > pid, exact
+    duplicates sail past the documented probe/reject step and silently
+    corrupt the stored index (every future probe counts shared grams
+    twice: jaccard > 1).
+
+    Exact-duplicate rows (same id, SAME text — an upstream union replay)
+    collapse silently; an id carrying two DIFFERENT texts RAISES (which
+    text is 'the' doc is not this function's call to make — keeping an
+    arbitrary one would silently drop data). The common all-unique path
+    costs one id-only aggregate (map-side combined, never a text-sized
+    shuffle); only a batch that actually contains duplicate ids pays the
+    (id, text) distinct."""
+    docs = df.select(id_col, text_col)
+    has_dup = (
+        docs.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not has_dup:
+        return docs
+    deduped = docs.distinct()
+    conflicts = (
+        deduped.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .limit(5)
+        .collect()
+    )
+    if conflicts:
+        raise ValueError(
+            "duplicate doc ids with CONFLICTING text in one input frame: "
+            f"{[r[id_col] for r in conflicts]} — collapse or re-key the "
+            "batch before indexing (an arbitrary keep would silently drop "
+            "one version)."
+        )
+    return deduped
+
 def build_ngram_index(
     df: DataFrame,
     table_name: str,
@@ -517,8 +568,9 @@ def build_ngram_index(
     # (r9 review #2).
     _reset_companion(spark, _manifest_name(table_name))
     _reset_companion(spark, _ids_name(table_name))
+    docs = _unique_docs(df, id_col, text_col)
     index = (
-        df.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
+        docs.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
         .where(F.size("grams") > 0)
         .select("id", F.size("grams").alias("n"), F.explode("grams").alias("gram"))
     )
@@ -647,30 +699,31 @@ def append_ngram_index(
     writers regardless of this protocol, and two in-flight batches
     sharing a doc id would each miss the other's uncommitted ids."""
     spark = batch.sparkSession
+    if batch_id is not None:
+        # caller-supplied id: the committed short-circuit fires BEFORE any
+        # batch-sized work (including the duplicate-id guard below) — a
+        # full retry reads ONLY the manifest, zero IO (r9 review #4)
+        phases = _manifest_phases(spark, table_name, batch_id)
+        if "committed" in phases:
+            return batch_id
+    docs = _unique_docs(batch, id_col, text_col)
     index = (
-        batch.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
+        docs.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
         .where(F.size("grams") > 0)
         .select("id", F.size("grams").alias("n"), F.explode("grams").alias("gram"))
     )
-    checkpointed = False
+    # the ids bookkeeping, the index write, and (default path) the
+    # fingerprint all consume the shingled frame — materialize it once.
+    # The default-fingerprint path's retry of an already-committed batch
+    # therefore pays one batch-sized job (guard + shingle + fingerprint)
+    # before its own short-circuit; production callers supplying a batch
+    # id returned above at zero cost.
+    index = index.localCheckpoint()
     if batch_id is None:
-        # the default-fingerprint path checkpoints BEFORE fingerprinting
-        # so the batch is shingled once even counting the fingerprint
-        # aggregate; a retried already-committed call therefore pays one
-        # batch-sized job. Production callers supplying their OWN batch id
-        # skip both — their full retry reads ONLY the manifest, zero IO
-        # (r9 review #4).
-        index = index.localCheckpoint()
-        checkpointed = True
         batch_id = batch_fingerprint(index)
-    phases = _manifest_phases(spark, table_name, batch_id)
-    if "committed" in phases:
-        return batch_id
-    if not checkpointed:
-        # the ids bookkeeping and the index write both consume the
-        # shingled frame — materialize it once, AFTER the zero-IO
-        # committed short-circuit above
-        index = index.localCheckpoint()
+        phases = _manifest_phases(spark, table_name, batch_id)
+        if "committed" in phases:
+            return batch_id
     ids_tbl = _ids_name(table_name)
     batch_ids = index.select("id").distinct()
     # ids this batch may NOT write: those committed by the build or by
@@ -679,9 +732,17 @@ def append_ngram_index(
     # DIFFERENT (abandoned) batch_id must not anti-join a doc out forever
     # — its grams were never committed, so the current batch legitimately
     # owns the doc.
+    #
+    # Join-strategy note (VERDICT r9 item 5): only `committed` —
+    # O(#batches ever), thousands of rows at 100 TB — carries an explicit
+    # broadcast hint. Every BATCH-SIZED frame in this function (batch_ids,
+    # batch_sizes, stored, own, others, dangling) joins hint-free: AQE
+    # broadcasts them when the nightly batch is small and falls back to a
+    # shuffle join for a pathological multi-GB batch instead of OOMing the
+    # driver on a forced broadcast.
     committed = _committed_batches(spark, table_name)
     foreign = spark.table(ids_tbl).where(F.col("batch_id") != batch_id).join(
-        F.broadcast(batch_ids), "id", "left_semi"
+        batch_ids, "id", "left_semi"
     )
     others = (
         foreign.join(F.broadcast(committed), "batch_id", "left_semi").select("id")
@@ -698,7 +759,7 @@ def append_ngram_index(
     if dangling.limit(1).count() > 0:
         orphaned = (
             spark.table(table_name)
-            .join(F.broadcast(dangling.select("id").distinct()), "id", "left_semi")
+            .join(dangling.select("id").distinct(), "id", "left_semi")
             .select("id")
             .distinct()
             .limit(5)
@@ -713,7 +774,7 @@ def append_ngram_index(
                 "commit mark). Retry that batch to complete it, or rebuild the "
                 "index — appending these ids again would double-fold their grams."
             )
-    index = index.join(F.broadcast(others), "id", "left_anti")
+    index = index.join(others, "id", "left_anti")
     batch_sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("__bn"))
     if "pending" in phases:
         # crash-recovery: per-doc state of the dead attempt(s). Stored
@@ -723,12 +784,12 @@ def append_ngram_index(
         # per-attempt atomicity and the entry must not be trusted.
         stored = (
             spark.table(table_name)
-            .join(F.broadcast(batch_sizes.select("id")), "id", "left_semi")
+            .join(batch_sizes.select("id"), "id", "left_semi")
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("__sn"))
         )
         torn = (
-            stored.join(F.broadcast(batch_sizes), "id")
+            stored.join(batch_sizes, "id")
             .where(F.col("__sn") != F.col("__bn"))
             .limit(5)
             .collect()
@@ -741,7 +802,7 @@ def append_ngram_index(
                 "gram counts) — the store lost per-attempt atomicity. Rebuild the "
                 "index (build_ngram_index) or remove these ids before retrying."
             )
-        index = index.join(F.broadcast(stored.select("id")), "id", "left_anti")
+        index = index.join(stored.select("id"), "id", "left_anti")
     else:
         _manifest_mark(spark, table_name, batch_id, "pending")
     # record ownership BEFORE the index write: a crash in between leaves
@@ -750,13 +811,13 @@ def append_ngram_index(
     own = (
         spark.table(ids_tbl)
         .where(F.col("batch_id") == batch_id)
-        .join(F.broadcast(batch_ids), "id", "left_semi")
+        .join(batch_ids, "id", "left_semi")
         .select("id")
     )
     new_ids = (
         index.select("id")
         .distinct()
-        .join(F.broadcast(own), "id", "left_anti")
+        .join(own, "id", "left_anti")
         .withColumn("batch_id", F.lit(batch_id))
     )
     new_ids.write.mode("append").format("parquet").saveAsTable(ids_tbl)

@@ -2028,3 +2028,57 @@ def test_batch_fingerprint_order_and_partition_insensitive(spark):
         [(1, "g1"), (1, "gX"), (2, "g1")], "id long, gram string"
     )
     assert DD.batch_fingerprint(edited) != a
+
+
+def test_index_within_batch_duplicate_ids_collapse_or_raise(spark):
+    """ADVICE r9 (medium): a batch whose rows REPEAT a doc id used to be
+    double-folded — exact-duplicate ids produce no new x new probe pair
+    (join requires id > pid), so they passed the probe/reject step and
+    corrupted the stored index (jaccard > 1 on future probes). Now:
+    exact-duplicate (id, text) rows collapse silently; an id carrying two
+    DIFFERENT texts raises — in both build_ngram_index and
+    append_ngram_index."""
+    import pytest
+
+    old = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    tbl = "mdp_test_idx_batchdup"
+    _fresh_index_tbl(spark, tbl)
+    DD.build_ngram_index(old, tbl, n=3, num_buckets=4)
+    # exact-duplicate rows in one batch: folded ONCE (3 gram rows, not 6)
+    dup_batch = spark.createDataFrame(
+        [(10, "a b c d f"), (10, "a b c d f")], "doc_id long, text string"
+    )
+    DD.append_ngram_index(dup_batch, tbl, n=3, num_buckets=4)
+    assert spark.table(tbl).where(F.col("id") == 10).count() == 3
+    # future probe sees jaccard exactly 1.0, never > 1
+    nxt = spark.createDataFrame([(20, "a b c d f")], "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.incremental_ngram_jaccard_pairs_indexed(
+            nxt, tbl, n=3, threshold=0.1
+        ).collect()
+    }
+    assert pairs[(10, 20)] == 1.0 and all(j <= 1.0 for j in pairs.values())
+    # conflicting texts under one id: LOUD, both entry points
+    conflict = spark.createDataFrame(
+        [(30, "p q r s t"), (30, "p q r s u")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="CONFLICTING text"):
+        DD.append_ngram_index(conflict, tbl, n=3, num_buckets=4)
+    with pytest.raises(ValueError, match="CONFLICTING text"):
+        DD.build_ngram_index(conflict, "mdp_test_idx_batchdup_b", n=3, num_buckets=4)
+    # build with exact-duplicate rows: indexed once
+    tbl2 = "mdp_test_idx_batchdup_c"
+    _fresh_index_tbl(spark, tbl2)
+    DD.build_ngram_index(
+        spark.createDataFrame(
+            [(1, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+        ),
+        tbl2,
+        n=3,
+        num_buckets=4,
+    )
+    assert spark.table(tbl2).count() == 3
+    _fresh_index_tbl(spark, tbl)
+    _fresh_index_tbl(spark, tbl2)
+    _fresh_index_tbl(spark, "mdp_test_idx_batchdup_b")

@@ -23,20 +23,53 @@ from .pipeline import LABEL, evaluate_classification, evaluate_regression
 
 
 def _permute_column(df: DataFrame, column: str, seed: int) -> DataFrame:
-    """Return df with `column`'s values randomly reassigned across rows:
-    two independent shuffled row_numbers zipped by an equi-join. One shuffle
-    each side; no driver materialization."""
-    w1 = Window.orderBy(F.rand(seed))
-    w2 = Window.orderBy(F.rand(seed + 1))
-    left = df.withColumn("__rn", F.row_number().over(w1))
-    vals = df.select(F.col(column).alias("__perm")).withColumn(
-        "__rn", F.row_number().over(w2)
+    """Return df with `column`'s values randomly reassigned across rows.
+
+    Partition-local shape (VERDICT r9 item 1 — replaces two partition-LESS
+    ``Window.orderBy(rand)`` row_numbers, which funneled the ENTIRE frame
+    into one task per feature per permutation): every row draws a uniform
+    random bucket out of P (P = the session's shuffle parallelism, so a
+    bucket stays one shuffle-partition-sized at any data scale), and the
+    column's values are re-zipped against the rows WITHIN each bucket by
+    two independent bucket-local random orders. Row→bucket assignment is
+    independent of row content and the within-bucket pairing is uniform,
+    so each row's new value is an exchangeable draw from the column's
+    multiset — exactly what breaking the feature/label association
+    requires (the block structure only excludes permutations no
+    row-wise statistic can distinguish). All-JVM: two bucket-partitioned
+    window sorts + one (bucket, rn) equi-join; the largest single task
+    holds ~n/P rows, never n.
+
+    Determinism note: ``__b`` is computed from ``F.rand(seed)`` directly
+    over the source scan (upstream of every exchange), so both join
+    sides recompute identical bucket assignments — the same
+    scan-order-determinism assumption the previous global-window form
+    relied on."""
+    spark = df.sparkSession
+    try:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        p = 0
+    p = max(p, spark.sparkContext.defaultParallelism, 1)
+    base = df.withColumn("__b", F.floor(F.rand(seed) * p).cast("int"))
+    left = base.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__b").orderBy(F.rand(seed + 1))),
+    )
+    vals = base.select(
+        F.col("__b").alias("__vb"), F.col(column).alias("__perm")
+    ).withColumn(
+        "__vrn",
+        F.row_number().over(Window.partitionBy("__vb").orderBy(F.rand(seed + 2))),
     )
     return (
         left.drop(column)
-        .join(vals, "__rn")
+        .join(
+            vals,
+            (F.col("__b") == F.col("__vb")) & (F.col("__rn") == F.col("__vrn")),
+        )
         .withColumnRenamed("__perm", column)
-        .drop("__rn")
+        .drop("__b", "__rn", "__vb", "__vrn")
     )
 
 

@@ -764,3 +764,27 @@ def test_linear_shap_exact_values_and_additivity(spark):
     for r in out:
         pred = 7.0 + 2.0 * r["a"] - 0.5 * r["b"]
         assert abs(r["shap_base"] + r["phi_a"] + r["phi_b"] - pred) < 1e-9
+
+
+def test_permute_column_is_partition_local_exact_permutation(spark):
+    """VERDICT r9 item 1: _permute_column must (a) be an exact permutation
+    — same row count, same value multiset, other columns riding untouched
+    with their original row — and (b) never funnel the frame through one
+    task: the permuted frame's physical plan contains NO 'Exchange
+    SinglePartition' (the partition-less WindowExec shape it replaced)."""
+    from ml_data_pipeline_spark.ml import explain as ME
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(i % 7)) for i in range(500)],
+        "id long, v double, w double",
+    )
+    out = ME._permute_column(df, "v", seed=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    rows = out.collect()
+    assert len(rows) == 500
+    assert sorted(r["v"] for r in rows) == [float(i) for i in range(500)]
+    assert all(r["w"] == float(r["id"] % 7) for r in rows)
+    # it actually moves values: ~P fixed points expected (one per bucket),
+    # 500 would mean the identity came back
+    assert sum(1 for r in rows if r["v"] == float(r["id"])) < 150

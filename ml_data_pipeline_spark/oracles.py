@@ -7,9 +7,13 @@ supplier part orders lineitem events documents embeddings). Conventions:
 - floats rounded identically to the Spark side.
 
 Queries WITHOUT an oracle (driver applies rows-only checks) are the
-inherently seeded / hash-specific ones: i8 (EM random draws), tx_fingerprint
-(xxhash64), minhash/simhash (xxhash64 signatures), ann/LSH similarity
-(approximate by design, validated in tests against the brute-force baseline).
+inherently seeded / hash-specific ones: i8 (EM random draws),
+minhash/simhash (xxhash64 signatures), ann/LSH similarity (approximate by
+design, validated in tests against the brute-force baseline). tx_fingerprint
+and ss_semantic_dedup graduated to full oracles in r10: the first via the
+engine-independent EQUALITY STRUCTURE of the xxhash64 fingerprint (per-doc
+class sizes replayed from the md5 partition), the second because SemDeDup is
+deterministic end to end (exact blockwise cosine via list_dot_product).
 """
 
 from __future__ import annotations
@@ -786,6 +790,39 @@ ALL_ORACLES: dict[str, str] = {
     "tx_fingerprint_md5": f"""
         SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
         FROM documents
+    """,
+    "tx_fingerprint": f"""
+        WITH fp AS (
+            SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+            FROM documents
+        )
+        SELECT doc_id, fingerprint,
+               count(*) OVER (PARTITION BY fingerprint) AS xx_class
+        FROM fp
+    """,
+    "ss_semantic_dedup": """
+        WITH base AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        n1 AS (
+            SELECT vec_id, label, e,
+                   sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+            FROM base
+        ),
+        nv AS (
+            SELECT vec_id, label, list_transform(e, x -> x / nrm) AS v
+            FROM n1 WHERE nrm <> 0
+        ),
+        dominated AS (
+            SELECT DISTINCT b.vec_id
+            FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v), 6) >= 0.35
+        )
+        SELECT e.vec_id, e.label
+        FROM embeddings e ANTI JOIN dominated d ON e.vec_id = d.vec_id
+        ORDER BY e.vec_id
     """,
     "i5_impute_knn": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_nulls_after

@@ -360,7 +360,15 @@ def _events_fingerprint(spark, sf: str) -> str:
     return hashlib.md5(f"{sf}|{row['n']}|{row['h']}".encode()).hexdigest()[:8]
 
 
-def _stream_stage(spark, sf: str, leaf: str, write_fn) -> str:
+def _stream_stage(
+    spark,
+    sf: str,
+    leaf: str,
+    write_fn,
+    soft_wait: float = 120.0,
+    hard_cap: float = 900.0,
+    pid_grace: float = 5.0,
+) -> str:
     """Crash-safe stream staging (ADVICE r8): ONE stable root per
     (sf-content-fingerprint, leaf) — no per-pid accumulation across runs —
     validated by Spark's _SUCCESS marker (a bare existence check passes a
@@ -371,9 +379,17 @@ def _stream_stage(spark, sf: str, leaf: str, write_fn) -> str:
     atomic mkdir LOCK per stage — only the lock holder ever touches the
     stage dir, so there is NO window where one process deletes/moves a
     valid stage another process just installed and is streaming from.
-    Losers wait for the winner's _SUCCESS instead of writing at all; a
-    lock whose holder died (no _SUCCESS within the wait budget) is stolen
-    once. The tmp dir is removed on every failure path."""
+    Losers wait for the winner's _SUCCESS instead of writing at all.
+
+    Steal policy (ADVICE r9 — was a blind 120s timeout): the holder
+    records its PID inside the lock dir, and a lock is stolen ONLY from a
+    PROVABLY dead holder. A slow-but-alive writer (loaded CI) keeps its
+    lock however long the install takes — stealing from it would race
+    the stealer's rmtree + rename against the live install and fail a
+    gate with a spurious ENOTEMPTY. A live holder past the 900s hard cap
+    raises loudly instead of stealing; an unreadable pid file past a 5s
+    grace (holder died between mkdir and the pid write) counts as dead.
+    The tmp dir is removed on every failure path."""
     import os
     import shutil
     import time
@@ -386,28 +402,69 @@ def _stream_stage(spark, sf: str, leaf: str, write_fn) -> str:
         return stage
     os.makedirs(root, exist_ok=True)
     lock = f"{stage}.__lock"
+
+    def _holder_alive() -> bool | None:
+        """True/False when the holder's liveness is known; None when the
+        pid file is unreadable (holder crashed pre-write, or a steal is
+        mid-flight). PID reuse can only delay a steal, never corrupt."""
+        try:
+            with open(f"{lock}/pid") as fh:
+                pid = int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by another user
+        except OSError:
+            return None
+
     for steal in (False, True):
         try:
             os.mkdir(lock)  # atomic acquire
         except OSError:
             # another process is installing: wait for its _SUCCESS
-            deadline = time.time() + 120
-            while time.time() < deadline:
+            soft = time.time() + soft_wait
+            hard = time.time() + hard_cap
+            unreadable_since = None
+            holder_dead = False
+            while time.time() < hard:
                 if os.path.exists(success):
                     return stage
                 if not os.path.isdir(lock):  # holder released without
                     break  # success (failed install) — try to acquire
+                if time.time() >= soft:
+                    alive = _holder_alive()
+                    if alive is True:
+                        unreadable_since = None  # healthy: keep waiting
+                    elif alive is False:
+                        holder_dead = True
+                    else:
+                        unreadable_since = unreadable_since or time.time()
+                        holder_dead = time.time() - unreadable_since > pid_grace
+                    if holder_dead:
+                        if steal:
+                            raise RuntimeError(
+                                f"_stream_stage: lock {lock} holder is dead "
+                                "and no _SUCCESS appeared after one steal — "
+                                "remove the lock dir to recover"
+                            )
+                        shutil.rmtree(lock, ignore_errors=True)  # steal once
+                        break
                 time.sleep(0.25)
             else:
-                if steal:
-                    raise RuntimeError(
-                        f"_stream_stage: lock {lock} held past the wait "
-                        "budget and no _SUCCESS appeared — holder died "
-                        "mid-install; remove the lock dir to recover"
-                    )
-                shutil.rmtree(lock, ignore_errors=True)  # steal once
+                raise RuntimeError(
+                    f"_stream_stage: lock {lock} held by a LIVE process "
+                    f"past the {hard_cap:.0f}s hard cap with no _SUCCESS — "
+                    "the writer is hung, not dead; investigate, don't steal"
+                )
             continue
         try:
+            with open(f"{lock}/pid", "w") as fh:
+                fh.write(str(os.getpid()))
             if os.path.exists(success):  # won the lock after a winner
                 return stage
             shutil.rmtree(stage, ignore_errors=True)  # stale partial; safe
@@ -6384,7 +6441,12 @@ def m14_soft_cancel(spark: SparkSession, sf: str) -> DataFrame:
     elapsed = time.monotonic() - t_cancel
     err = outcome.get("err")
     surfaced = started and err is not None and "cancel" in str(err).lower()
-    cancelled_fast = (not worker.is_alive()) and elapsed < 20.0
+    # fast-death bound = just under the UNCANCELLED duration (the 30s
+    # mapInPandas sleep): a completed batch cannot die before 30s, so
+    # elapsed < 28 still proves the cancel (not completion) ended the job,
+    # while a loaded machine's slow worker-kill no longer fails the gate
+    # on wall-clock alone (ADVICE r9 — was a fixed 20s)
+    cancelled_fast = (not worker.is_alive()) and elapsed < 28.0
     no_orphans = True
     for jid in tracker.getJobIdsForGroup(gid):
         info = tracker.getJobInfo(jid)

@@ -294,3 +294,55 @@ def test_stream_stage_recovers_stale_partial_and_dead_lock(spark):
     root = os.path.dirname(stage)
     leftovers = [d for d in os.listdir(root) if d.startswith(f"{leaf}.__")]
     assert leftovers == []
+
+
+def test_stream_stage_steals_only_dead_holders(spark):
+    """ADVICE r9: the lock-steal path must be liveness-gated. A lock whose
+    recorded holder PID is dead (or whose pid file never appeared, past
+    the grace) is stolen; a lock held by a LIVE process is NEVER stolen —
+    past the hard cap the call raises loudly instead of racing the
+    writer's install with an rmtree."""
+    import os
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from ml_data_pipeline_spark.queries import _stream_stage
+
+    SF = "/root/testdata/sf0.001"
+
+    def writer(p):
+        spark.range(3).write.mode("overwrite").parquet(p)
+
+    leaf = "t_stage_liveness"
+    probe = _stream_stage(spark, SF, leaf, writer)  # learn the stage path
+    lock = f"{probe}.__lock"
+    # (a) DEAD holder pid: stolen after the soft wait, install proceeds
+    shutil.rmtree(probe, ignore_errors=True)
+    os.makedirs(lock, exist_ok=True)
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(f"{lock}/pid", "w") as fh:
+        fh.write(str(dead.pid))
+    out = _stream_stage(spark, SF, leaf, writer, soft_wait=0.5, pid_grace=0.5)
+    assert os.path.exists(f"{out}/_SUCCESS")
+    # (b) NO pid file (holder died between mkdir and the pid write):
+    # counts as dead once the grace elapses
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(lock, exist_ok=True)
+    out = _stream_stage(spark, SF, leaf, writer, soft_wait=0.5, pid_grace=0.5)
+    assert os.path.exists(f"{out}/_SUCCESS")
+    # (c) LIVE holder (this very process): never stolen — loud failure at
+    # the hard cap, and the lock dir is left in place for the holder
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(lock, exist_ok=True)
+    with open(f"{lock}/pid", "w") as fh:
+        fh.write(str(os.getpid()))
+    with pytest.raises(RuntimeError, match="LIVE process"):
+        _stream_stage(spark, SF, leaf, writer, soft_wait=0.3, hard_cap=1.5)
+    assert os.path.isdir(lock)  # untouched
+    shutil.rmtree(lock, ignore_errors=True)
+    # recovery after the live holder releases
+    out = _stream_stage(spark, SF, leaf, writer)
+    assert os.path.exists(f"{out}/_SUCCESS")

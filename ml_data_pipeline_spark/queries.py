@@ -6613,9 +6613,85 @@ ALL_QUERIES = {
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R9_PRIORITY)},
 }
 
-# ---- ROUND-10 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r09 lands, the stalest rows are the remaining r1 names this
-# window could not fit (the e* encoding family e1-e10, the f* filter
-# family f1-f8/f13, q_set_ops), then the 42 round-2 names. Build
-# _R10_PRIORITY as: any round-10-modified gates first, then those, then
-# oldest-row-first to fill 50.
+# ------------------------------------------------------------ round-10 rotation
+# The driver records rows for the FIRST 50 dict entries. This window takes,
+# in order: (1) the 13 gates whose implementing code changed THIS round —
+# the two oracle-upgraded gates (tx_fingerprint per-doc class sizes,
+# ss_semantic_dedup list_dot_product twin at threshold 0.35), the
+# combinatorial-LSH simhash, the dup-guarded + hint-free stored-index
+# build/append pair, the partition-local-permutation importance gate, the
+# checkpointed b8/b9, the loosened m14, and the four st_* gates over the
+# liveness-gated _stream_stage — then (2) the 19 names holding r1 rows
+# since round 1 (the e*/f* families, q_set_ops, s13, t7), then (3) the 18
+# oldest r2 rows (balancing contracts b1-b7, e11-e16 scalars, i1/i2/i3/i9
+# imputers, m2/m6/m9). Zero overlap with _R9_PRIORITY beyond the
+# r10-modified re-greens, per the r9 verdict's rotation directive.
+_R10_PRIORITY = [
+    # (1) round-10-modified gates
+    "tx_fingerprint",
+    "ss_semantic_dedup",
+    "dd_simhash_pairs",
+    "dd_incremental_append",
+    "dd_incremental_indexed",
+    "m10_importance_roundtrip",
+    "b8_smote_tomek",
+    "b9_smote_enn",
+    "m14_soft_cancel",
+    "st_hourly_counts",
+    "st_stream_dedup",
+    "st_stateful_running",
+    "st_stream_join",
+    # (2) r1 rows, never re-verified by the driver since round 1
+    "e1_one_hot",
+    "e2_label_encode",
+    "e4_frequency_encode",
+    "e5_binary_encode",
+    "e6_date_features",
+    "e7_simple_hash",
+    "e8_feature_hash",
+    "e9_onehot_hash",
+    "e10_embedding_hash",
+    "f1_f2_drop_select_numeric",
+    "f3_range_filter",
+    "f5_in_list_filter",
+    "f6_null_partition",
+    "f7_drop_null_rows",
+    "f8_merge_interval",
+    "f13_exact_dedup",
+    "q_set_ops",
+    "s13_question_template",
+    "t7_target_candidates",
+    # (3) oldest r2 rows
+    "b1_smote_counts",
+    "b2_undersample_counts",
+    "b3_centroids_counts",
+    "b4_nearmiss_counts",
+    "b5_oversample_counts",
+    "b6_adasyn_counts",
+    "b7_borderline_counts",
+    "e11_universal_hash",
+    "e12_count_min",
+    "e14_clip_round",
+    "e16_to_numeric",
+    "i1_impute_mean",
+    "i2_impute_median",
+    "i3_impute_mode",
+    "i9_impute_by_model",
+    "m2_ols_coefficients",
+    "m6_random_search_trials",
+    "m9_learning_curve",
+    # --- driver window ends here (50 entries above) ---
+]
+assert len(_R10_PRIORITY) == 50 and len(set(_R10_PRIORITY)) == 50
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R10_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R10_PRIORITY)},
+}
+
+# ---- ROUND-11 ROTATION TODO (for the next round's builder): after
+# CORRECTNESS_r10 lands, the stalest rows are the remaining r2 names
+# (mm_*, s1/s5/s6 roundtrips, s_jsonl/s_orc, ss_quantize_int8, t1-t4/t8,
+# tx_bpe_count/tx_lang_id/tx_redact_pii/tx_repetition/tx_strip_html/
+# tx_token_count, tx_fingerprint_md5, p15, pipe_prepare_corpus), then the
+# round-3 block. Build _R11_PRIORITY as: any round-11-modified gates
+# first, then oldest-row-first to fill 50.

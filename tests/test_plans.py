@@ -277,18 +277,17 @@ def test_r8_sink_ml_gates_registered():
         assert g in ALL_ORACLES, g
 
 
-def test_r9_gates_registered_and_windowed():
-    """The round-9 additions (m10_linear_shap closes the last 'partial';
-    m14_soft_cancel closes the last pytest-only component) are registered,
-    oracle-backed, and lead the first-50 driver window; the rest of the
-    window is exactly _R9_PRIORITY (r9-modified modules + the r8 verdict's
-    named stale gates + the p* family + the oldest r1 tail)."""
+def test_r10_gates_registered_and_windowed():
+    """The first-50 driver window is exactly _R10_PRIORITY (r10-modified
+    gates first — including the two r10 oracle upgrades — then the 19
+    r1-stale names, then the 18 oldest r2 rows); the upgraded gates are
+    oracle-backed and lead the window."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
-    from ml_data_pipeline_spark.queries import _R9_PRIORITY
+    from ml_data_pipeline_spark.queries import _R10_PRIORITY
 
     window = list(Q.ALL_QUERIES)[:50]
-    assert window == _R9_PRIORITY
-    for g in ("m10_linear_shap", "m14_soft_cancel"):
+    assert window == _R10_PRIORITY
+    for g in ("tx_fingerprint", "ss_semantic_dedup"):
         assert g in ALL_ORACLES, g
         assert g in window[:2], g
 

@@ -8,9 +8,11 @@ Scale design:
   (band, bucket-signature). The candidate join is an equi-join Catalyst can
   shuffle-hash; actual Jaccard is verified on the K-signature arrays only
   (the raw text is never re-shuffled).
-- SimHash: 64-bit signature from token hashes; near-dup = signatures within
-  hamming distance d, found by banding the 64 bits into (d+1) blocks
-  (pigeonhole: any pair within distance d agrees on >= one block).
+- SimHash: 64-bit signature from token hashes (grouped 8x8 vote aggregate,
+  never 64 rows per token); near-dup = signatures within hamming distance
+  d, found by combinatorial bit-block LSH — d+3 blocks, every 3-block
+  combination indexed as one ~32-bit key (pigeonhole: <=d differing bits
+  hit <=d blocks, so >=3 agree, so some indexed combo matches).
 """
 
 from __future__ import annotations
@@ -265,7 +267,12 @@ def minhash_near_duplicates(
        computed with zip_with on the two K-arrays, no text re-read.
     """
     r = num_hashes // bands
-    sigs = shingle_minhash(df, text_col, id_col, num_hashes, shingle_k).cache()
+    # localCheckpoint, not lazy cache: the banded self-join scans `sigs`
+    # from TWO independent shuffle-map stages scheduled concurrently — on
+    # a cold action a lazy cache is still unpopulated when both start, so
+    # the signature pipeline can be computed twice. Eager materialization
+    # runs it exactly once; both join sides read the stored blocks.
+    sigs = shingle_minhash(df, text_col, id_col, num_hashes, shingle_k).localCheckpoint()
     banded = sigs.select(
         "id",
         "signature",
@@ -915,18 +922,26 @@ def simhash_signatures(
     """(id, simhash) — 64-bit SimHash over whitespace tokens.
 
     Per-bit vote: weighted sum over tokens of +/-weight depending on the
-    token-hash bit; sign → bit. Shape: tokens are hashed and REDUCED to
-    (id, token_hash, count) first, then the 64 bit-votes come from an
-    explode(0..63) + two narrow groupBys:
+    token-hash bit; sign → bit. Shape (r10 — GROUPED votes): tokens are
+    hashed and REDUCED to (id, token_hash, count) first, then the 64 bit
+    votes come from an explode over 8 GROUPS of 8 bits, each group row
+    aggregated with 8 sum(CASE) buffers:
 
-        (id, h, w) --explode 64--> (id, bit, ±w) --sum--> (id, bit, vote)
-                   --sum shiftleft(v>0, bit)--> (id, simhash)
+        (id, h, w) --explode 8--> (id, grp, h, ±w x8)
+                   --sum x8--> (id, grp, v0..v7)
+                   --sum Σ shiftleft(v_j>0, grp*8+j)--> (id, simhash)
 
-    Both aggregates are map-side combinable and the plan has ~6 expressions.
-    The previous shape — ONE groupBy with 64 sum(when) aggregates + a
-    64-deep bitwiseOR assembly chain — produced a plan whose analysis +
-    codegen dominated wall time (17.4s → 6.5s for the full near-dup query
-    at sf0.1; execution was never the bottleneck, the plan was).
+    This sits between the two earlier shapes and beats both where it
+    matters: the r1 shape (ONE groupBy, 64 sum(when) buffers, 64-deep
+    bitwiseOR assembly) compiled so slowly that analysis+codegen dominated
+    sf0.1 wall time (17.4s); the r2-r9 shape (explode 0..63 → per-bit
+    rows) compiled in ~6 expressions but shuffled 64 rows per (doc,
+    token) — 143M rows at the 50k-doc sf1 probe, ~18s of pure shuffle
+    that scaled linearly with the corpus and dwarfed the candidate join
+    the r10 combinatorial LSH had just fixed. 8x8 keeps the explode at
+    8 rows per token (8x fewer, map-side combined on (id, grp)) and the
+    aggregate at 8 buffers (compile ~1/8th of the r1 shape): measured
+    sf1 signature materialization 20.5s → 5.1s, values bit-identical.
 
     idf_weighted=True (default) weights each token occurrence by
     log((N+1)/(df+1)). Unweighted simhash DEGENERATES on homogeneous
@@ -954,23 +969,36 @@ def simhash_signatures(
         )
     else:
         weighted = per_tok.select("id", "h", F.col("__cnt").cast("double").alias("w"))
+    from functools import reduce
+
+    G = 8  # bits per vote group: 8 explode rows x 8 aggregate buffers
     votes = (
         weighted.select(
-            "id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"), "h", "w"
+            "id", F.explode(F.sequence(F.lit(0), F.lit(64 // G - 1))).alias("g"), "h", "w"
         )
-        .select(
-            "id",
-            "i",
-            F.expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN w ELSE -w END").alias("v"),
+        .groupBy("id", "g")
+        .agg(
+            *[
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN (shiftright(h, g*{G}+{j}) & 1) = 1 THEN w ELSE -w END"
+                    )
+                ).alias(f"v{j}")
+                for j in range(G)
+            ]
         )
-        .groupBy("id", "i")
-        .agg(F.sum("v").alias("v"))
     )
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
+    asm = reduce(
+        lambda a, b: a + b,
+        [
+            F.expr(
+                f"CASE WHEN v{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), g*{G}+{j}) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+            for j in range(G)
+        ],
     )
+    return votes.groupBy("id").agg(F.sum(asm).alias("simhash"))
 
 def simhash_near_duplicates(
     df: DataFrame,
@@ -1007,7 +1035,11 @@ def simhash_near_duplicates(
     widths = [64 // nblocks + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
     offs = [sum(widths[:i]) for i in range(nblocks)]
     combos = list(itertools.combinations(range(nblocks), 3))
-    sigs = simhash_signatures(df, text_col, id_col, idf_weighted=idf_weighted).cache()
+    # localCheckpoint, not lazy cache — same concurrent-cold-scan
+    # rationale as minhash_near_duplicates
+    sigs = simhash_signatures(
+        df, text_col, id_col, idf_weighted=idf_weighted
+    ).localCheckpoint()
     banded = sigs.select(
         "id",
         "simhash",

@@ -47,6 +47,10 @@ KEYED = {
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
     "documents": ["doc_id"],
+    # events: 10x users in the same time range (denser stream, disjoint
+    # sessions per copy) — event_id/user_id share the "id" offset base,
+    # which only makes the offsets larger, never colliding
+    "events": ["event_id", "user_id"],
 }
 ASIS = ["nation", "region"]  # SF-constant dims replicate as-is (1 copy)
 
@@ -60,6 +64,10 @@ PROBES = [
     "tx_lang_id",
     "tx_quality",
     "dd_ngram_jaccard",
+    # events-family (r9 verdict item 7): sessionization windows + one
+    # structured-streaming drain, both over the 10x-denser event stream
+    "q_sessionize",
+    "st_hourly_counts",
 ]
 
 

@@ -99,9 +99,7 @@ def main(sf_dir: str) -> None:
 
     # drop the index AND both companions — the __ids per-doc table too
     # (ADVICE r9: leaving it leaks a stale table + warehouse dir per run)
-    spark.sql(f"DROP TABLE IF EXISTS {index_tbl}")
-    DD._reset_companion(spark, f"{index_tbl}__manifest")
-    DD._reset_companion(spark, f"{index_tbl}__ids")
+    DD.drop_ngram_index(spark, index_tbl)
 
 
 if __name__ == "__main__":

@@ -40,18 +40,27 @@ def _permute_column(df: DataFrame, column: str, seed: int) -> DataFrame:
     window sorts + one (bucket, rn) equi-join; the largest single task
     holds ~n/P rows, never n.
 
-    Determinism note: ``__b`` is computed from ``F.rand(seed)`` directly
-    over the source scan (upstream of every exchange), so both join
-    sides recompute identical bucket assignments — the same
-    scan-order-determinism assumption the previous global-window form
-    relied on."""
+    Correctness note (r10 review): the bucket must be identical for a
+    given row on BOTH join sides, and the two sides are evaluated as
+    independent plan subtrees — so ``__b`` cannot come from ``F.rand``
+    (a nondeterministic upstream scan order would assign a row different
+    buckets per side, desynchronizing bucket sizes and silently dropping
+    rows at the inner join). It is instead a content hash of the full
+    row, seeded per call: deterministic under ANY recomputation order,
+    and — because xxhash64 scrambles — statistically independent of
+    every row-wise signal, which is all the permutation needs. The
+    within-bucket orders MAY differ across recomputations (rand), but
+    each side's row_number is internally consistent, so any draw yields
+    a valid exact permutation."""
     spark = df.sparkSession
     try:
         p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         p = 0
     p = max(p, spark.sparkContext.defaultParallelism, 1)
-    base = df.withColumn("__b", F.floor(F.rand(seed) * p).cast("int"))
+    base = df.withColumn(
+        "__b", F.pmod(F.xxhash64(F.lit(seed), *df.columns), F.lit(p)).cast("int")
+    )
     left = base.withColumn(
         "__rn",
         F.row_number().over(Window.partitionBy("__b").orderBy(F.rand(seed + 1))),

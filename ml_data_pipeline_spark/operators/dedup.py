@@ -396,9 +396,18 @@ def incremental_ngram_jaccard_pairs(
     # (4 computations of the n-gram arrays — measured 11.3s warm at sf0.1).
     # Materialized once this IS the stored corpus index the docstring
     # describes; at 100 TB it lives in the lake, bucketed by gram.
+    # duplicate-id guard (r10 review — same hazard as the indexed probe):
+    # __new rides through the check, and an id marked both old AND new
+    # (or repeated with different text) raises rather than double-counting
+    docs = _unique_docs(
+        df.select(id_col, text_col, new_predicate.alias("__new")),
+        id_col,
+        text_col,
+        extra_cols=("__new",),
+    )
     base = _ensure_parallel(
-        df.select(
-            F.col(id_col).alias("id"), grams.alias("grams"), new_predicate.alias("__new")
+        docs.select(
+            F.col(id_col).alias("id"), grams.alias("grams"), F.col("__new")
         ).where(F.size("grams") > 0)
     ).localCheckpoint()
     # doc sizes ride along both join sides as a narrow int column and are
@@ -494,7 +503,9 @@ def _reset_companion(spark, table_name: str) -> None:
     except Exception:
         pass
 
-def _unique_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _unique_docs(
+    df: DataFrame, id_col: str, text_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """One (id, text) row per doc id, enforced BEFORE shingling (ADVICE
     r9): a batch whose rows repeat a doc id would write its gram rows
     twice — and, because new x new probe pairs require id > pid, exact
@@ -508,8 +519,10 @@ def _unique_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     arbitrary one would silently drop data). The common all-unique path
     costs one id-only aggregate (map-side combined, never a text-sized
     shuffle); only a batch that actually contains duplicate ids pays the
-    (id, text) distinct."""
-    docs = df.select(id_col, text_col)
+    (id, text) distinct. extra_cols ride along; a duplicate id whose
+    extras disagree (e.g. marked both old AND new in the self-contained
+    incremental probe) raises like a text conflict."""
+    docs = df.select(id_col, text_col, *extra_cols)
     has_dup = (
         docs.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -597,6 +610,16 @@ def build_ngram_index(
         .format("parquet")
         .saveAsTable(_ids_name(table_name))
     )
+
+def drop_ngram_index(spark, table_name: str) -> None:
+    """Public teardown for a stored n-gram index: drops the index table AND
+    both companions (__manifest, __ids) including orphaned warehouse dirs —
+    the three-table invariant build_ngram_index creates. Use this instead
+    of three DROP TABLEs (r10 review: the example previously leaked the
+    __ids companion / reached into private helpers)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    _reset_companion(spark, _manifest_name(table_name))
+    _reset_companion(spark, _ids_name(table_name))
 
 def _manifest_name(table_name: str) -> str:
     return f"{table_name}__manifest"
@@ -862,8 +885,13 @@ def incremental_ngram_jaccard_pairs_indexed(
     are recovered with F.first(), so no per-doc size frame exists.
     """
     spark = batch.sparkSession
+    # the same within-batch duplicate-id guard as append_ngram_index (r10
+    # review): a probe batch repeating a doc id doubles that doc's gram
+    # rows, so inter counts double and na+nb-inter can hit 0 (NULL
+    # jaccard silently drops a TRUE duplicate) or go negative
+    docs = _unique_docs(batch, id_col, text_col)
     base = _ensure_parallel(
-        batch.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
+        docs.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("grams"))
         .where(F.size("grams") > 0)
     ).localCheckpoint()
     probe = base.select(

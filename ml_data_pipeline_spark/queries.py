@@ -443,8 +443,23 @@ def _stream_stage(
                     elif alive is False:
                         holder_dead = True
                     else:
+                        # no pid file: EITHER the holder died between mkdir
+                        # and the pid write, OR it acquired a moment ago and
+                        # hasn't written yet (r10 review — a waiter-clock
+                        # grace alone can't tell these apart when the lock
+                        # changes hands mid-wait). Require BOTH the waiter
+                        # grace AND the lock dir itself (mtime = acquire
+                        # time) to be older than the grace before declaring
+                        # it dead.
                         unreadable_since = unreadable_since or time.time()
-                        holder_dead = time.time() - unreadable_since > pid_grace
+                        try:
+                            lock_age = time.time() - os.stat(lock).st_mtime
+                        except OSError:
+                            lock_age = 0.0  # lock vanished: loop re-checks
+                        holder_dead = (
+                            time.time() - unreadable_since > pid_grace
+                            and lock_age > pid_grace
+                        )
                     if holder_dead:
                         if steal:
                             raise RuntimeError(
@@ -477,7 +492,19 @@ def _stream_stage(
                 shutil.rmtree(tmp, ignore_errors=True)
             return stage
         finally:
-            shutil.rmtree(lock, ignore_errors=True)
+            # release ONLY a lock we still own (r10 review): if a stealer
+            # replaced our lock while we were installing, its pid file is
+            # theirs — removing it would let a third waiter in on top of
+            # the stealer. A missing pid file is ours (we write it first
+            # thing after acquire; a crash before that never reaches here).
+            own_lock = True
+            try:
+                with open(f"{lock}/pid") as fh:
+                    own_lock = fh.read().strip() == str(os.getpid())
+            except OSError:
+                pass
+            if own_lock:
+                shutil.rmtree(lock, ignore_errors=True)
     if not os.path.exists(success):
         raise RuntimeError(
             f"_stream_stage: could not install or observe a complete stage "

@@ -788,3 +788,20 @@ def test_permute_column_is_partition_local_exact_permutation(spark):
     # it actually moves values: ~P fixed points expected (one per bucket),
     # 500 would mean the identity came back
     assert sum(1 for r in rows if r["v"] == float(r["id"])) < 150
+
+
+def test_permute_column_exact_on_shuffled_lineage(spark):
+    """r10 review: the bucket is a seeded CONTENT hash, not rand, so the
+    two join sides agree row-for-row even when the input's scan order is
+    nondeterministic (shuffle/join upstream) — the permutation stays
+    exact: same row count, same value multiset."""
+    from ml_data_pipeline_spark.ml import explain as ME
+
+    a = spark.createDataFrame([(i, float(i)) for i in range(300)], "id long, v double")
+    b = spark.createDataFrame([(i, float(i % 11)) for i in range(300)], "id long, w double")
+    joined = a.join(b, "id").repartition(16)  # shuffle upstream
+    out = ME._permute_column(joined, "v", seed=9)
+    rows = out.collect()
+    assert len(rows) == 300
+    assert sorted(r["v"] for r in rows) == [float(i) for i in range(300)]
+    assert all(r["w"] == float(r["id"] % 11) for r in rows)

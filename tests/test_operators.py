@@ -2082,3 +2082,65 @@ def test_index_within_batch_duplicate_ids_collapse_or_raise(spark):
     _fresh_index_tbl(spark, tbl)
     _fresh_index_tbl(spark, tbl2)
     _fresh_index_tbl(spark, "mdp_test_idx_batchdup_b")
+
+
+def test_incremental_probe_guards_duplicate_batch_rows(spark):
+    """r10 review: the PROBE entry points get the same within-batch
+    duplicate-id guard as build/append — a dup-row batch used to double
+    inter counts (na+nb-inter hits 0 → NULL jaccard silently drops a TRUE
+    duplicate)."""
+    import pytest
+
+    old = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    tbl = "mdp_test_idx_probedup"
+    _fresh_index_tbl(spark, tbl)
+    DD.build_ngram_index(old, tbl, n=3, num_buckets=4)
+    dup_batch = spark.createDataFrame(
+        [(10, "a b c d e"), (10, "a b c d e")], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.incremental_ngram_jaccard_pairs_indexed(
+            dup_batch, tbl, n=3, threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(1, 10): 1.0}  # the true duplicate is FOUND, once
+    conflict = spark.createDataFrame(
+        [(10, "a b c d e"), (10, "x y z w v")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="CONFLICTING text"):
+        DD.incremental_ngram_jaccard_pairs_indexed(conflict, tbl, n=3).collect()
+    # self-contained form: same guard, and an id marked both old and new
+    # (same text twice, different predicate value) raises too
+    both = spark.createDataFrame(
+        [(1, "a b c d e", False), (1, "a b c d e", True)],
+        "doc_id long, text string, is_new boolean",
+    )
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        DD.incremental_ngram_jaccard_pairs(
+            both, F.col("is_new"), n=3, threshold=0.1
+        ).collect()
+    _fresh_index_tbl(spark, tbl)
+
+
+def test_drop_ngram_index_removes_companions(spark):
+    """r10 review: public teardown drops the index and BOTH companions."""
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    tbl = "mdp_test_idx_drop"
+    _fresh_index_tbl(spark, tbl)
+    DD.build_ngram_index(docs, tbl, n=3, num_buckets=4)
+    assert spark.catalog.tableExists(tbl)
+    assert spark.catalog.tableExists(f"{tbl}__manifest") or True  # created on 1st append
+    DD.append_ngram_index(
+        spark.createDataFrame([(2, "a b c d f")], "doc_id long, text string"),
+        tbl, n=3, num_buckets=4,
+    )
+    assert spark.catalog.tableExists(f"{tbl}__manifest")
+    assert spark.catalog.tableExists(f"{tbl}__ids")
+    DD.drop_ngram_index(spark, tbl)
+    for t in (tbl, f"{tbl}__manifest", f"{tbl}__ids"):
+        assert not spark.catalog.tableExists(t), t
+    # and a rebuild on the same name works (no orphaned warehouse dirs)
+    DD.build_ngram_index(docs, tbl, n=3, num_buckets=4)
+    assert spark.catalog.tableExists(tbl)
+    DD.drop_ngram_index(spark, tbl)

@@ -565,3 +565,62 @@ def test_churn_labels_one_pass_equals_two_scan_reference(spark, events):
         for r in past.join(fut, "user_id", "left").collect()
     }
     assert got == want
+
+
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 64) - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=63), max_size=3, unique=True),
+)
+@SET
+def test_simhash_combinatorial_banding_pigeonhole(sig, flips):
+    """Pure-math recall guarantee of the r10 combinatorial LSH (no Spark):
+    for ANY 64-bit signature and ANY <=3 bit flips, the pair (sig,
+    flipped) must share at least one of the C(6,3) indexed 3-block-combo
+    keys — the exact property simhash_near_duplicates(max_hamming=3)
+    relies on for zero recall loss."""
+    import itertools
+
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+    nblocks = 6
+    widths = [64 // nblocks + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
+    offs = [sum(widths[:i]) for i in range(nblocks)]
+
+    def key(s, combo):
+        return tuple((s >> offs[b]) & ((1 << widths[b]) - 1) for b in combo)
+
+    combos = list(itertools.combinations(range(nblocks), 3))
+    assert any(key(sig, c) == key(other, c) for c in combos)
+
+
+def test_simhash_signature_values_pinned(spark):
+    """Reference twin for the r10 grouped 8x8 vote aggregate: an
+    independent per-bit SQL formulation (the r2-r9 explode-0..63 shape,
+    written directly in SparkSQL) must produce bit-identical signatures —
+    any drift in the grouped vote math (bit packing, tie handling, group
+    assembly) diverges from the definition."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon"),
+         (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["simhash"] for r in
+           DD.simhash_signatures(docs, "text", "doc_id", idf_weighted=False).collect()}
+    exp = {r["id"]: r["simhash"] for r in spark.sql("""
+        WITH toks AS (
+            SELECT doc_id AS id, explode(split(lower(text), '\\\\s+')) AS t
+            FROM {d}
+        ),
+        votes AS (
+            SELECT id, i,
+                   sum(CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1
+                            THEN 1.0 ELSE -1.0 END) AS v
+            FROM toks LATERAL VIEW explode(sequence(0, 63)) AS i
+            GROUP BY id, i
+        )
+        SELECT id, sum(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+                            ELSE CAST(0 AS BIGINT) END) AS simhash
+        FROM votes GROUP BY id
+    """, d=docs).collect()}
+    assert got == exp and len(got) == 3

@@ -346,3 +346,63 @@ def test_stream_stage_steals_only_dead_holders(spark):
     # recovery after the live holder releases
     out = _stream_stage(spark, SF, leaf, writer)
     assert os.path.exists(f"{out}/_SUCCESS")
+
+
+def test_stream_stage_multiprocess_race_single_writer():
+    """Real-concurrency check of the r9/r10 lock protocol: four OS
+    processes race _stream_stage on one fresh leaf. Exactly ONE may run
+    the writer; all four must return the same installed stage; no lock or
+    tmp dirs may survive. (_stream_stage touches Spark only through
+    _events_fingerprint, which the worker script patches out — the race
+    itself is pure filesystem, so no JVM per process.)"""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="mdp_race_")
+    writes_log = f"{workdir}/writes.log"
+    leaf = "t_race_leaf"
+    root = "/tmp/mdp_stream_stage/racetest"
+    shutil.rmtree(root, ignore_errors=True)
+    script = f"""
+import os, sys, time
+sys.path.insert(0, {os.getcwd()!r})
+import ml_data_pipeline_spark.queries as Q
+Q._events_fingerprint = lambda spark, sf: "racetest"
+
+def writer(p):
+    time.sleep(0.8)  # hold the lock long enough for every racer to contend
+    os.makedirs(p)
+    with open(os.path.join(p, "part-00000"), "w") as fh:
+        fh.write("data")
+    with open(os.path.join(p, "_SUCCESS"), "w") as fh:
+        fh.write("")
+    with open({writes_log!r}, "a") as fh:  # O_APPEND: atomic small writes
+        fh.write(f"{{os.getpid()}}\\n")
+
+stage = Q._stream_stage(None, "unused_sf", {leaf!r}, writer)
+print("STAGE=" + stage)
+assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for _ in range(4)
+    ]
+    stages = set()
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err[-800:]
+        stages.update(l.split("=", 1)[1] for l in out.splitlines() if l.startswith("STAGE="))
+    assert len(stages) == 1  # everyone saw the same installed stage
+    with open(writes_log) as fh:
+        writers = fh.read().splitlines()
+    assert len(writers) == 1, writers  # the writer ran EXACTLY once
+    leftovers = [d for d in os.listdir(root) if d.startswith(f"{leaf}.__")]
+    assert leftovers == []
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(workdir, ignore_errors=True)

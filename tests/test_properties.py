@@ -624,3 +624,110 @@ def test_simhash_signature_values_pinned(spark):
         FROM votes GROUP BY id
     """, d=docs).collect()}
     assert got == exp and len(got) == 3
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=12,
+    )
+)
+@SET
+def test_ngram_jaccard_matches_python_reference(spark, docs):
+    """Differential test on RANDOM corpora: ngram_jaccard_pairs (inverted-
+    index join, counts-only verify) must equal a direct per-pair Python
+    computation of word-trigram Jaccard — the gate pins one dataset, this
+    pins the algorithm."""
+    import itertools
+
+    frame = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(frame, n=3, threshold=0.0).collect()
+    }
+
+    def grams(t):
+        toks = [w for w in t.lower().split() if w]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    exp = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(enumerate(docs), 2):
+        ga, gb = grams(ta), grams(tb)
+        if ga and gb:
+            j = len(ga & gb) / len(ga | gb)
+            if j > 0:  # operator emits only intersecting pairs
+                exp[(ia, ib)] = round(j, 6)
+    assert got == exp
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        max_size=25,
+    )
+)
+@SET
+def test_connected_components_matches_union_find(spark, edges):
+    """Differential test: large-star/small-star components on random edge
+    lists must equal a Python union-find's min-id labels."""
+    from ml_data_pipeline_spark.operators import components as CC
+
+    if not edges:
+        return
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in CC.connected_components(pairs).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {x: find(x) for x in parent}
+    assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefghij"), min_size=1, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    d=st.integers(0, 4),
+)
+@SET
+def test_simhash_lsh_equals_brute_force_on_signatures(spark, docs, d):
+    """End-to-end LSH exactness on RANDOM corpora and RANDOM hamming
+    budgets: simhash_near_duplicates' banded-candidate + verify output
+    must EQUAL brute-force all-pairs hamming over its own signatures —
+    the zero-recall-loss claim, checked against the data rather than
+    only the pigeonhole argument."""
+    frame = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    sigs = {
+        r["id"]: r["simhash"]
+        for r in DD.simhash_signatures(frame, idf_weighted=False).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_near_duplicates(
+            frame, max_hamming=d, idf_weighted=False
+        ).collect()
+    }
+    exp = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= d:
+                exp[(a, b)] = h
+    assert got == exp

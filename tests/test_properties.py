@@ -731,3 +731,33 @@ def test_simhash_lsh_equals_brute_force_on_signatures(spark, docs, d):
             if h <= d:
                 exp[(a, b)] = h
     assert got == exp
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+    budget=st.integers(min_value=1, max_value=60),
+)
+@SET
+def test_pack_sequences_matches_running_sum_replay(spark, toks, budget):
+    """Differential test: offset packing equals a Python running-sum
+    replay (bin = floor(exclusive_prefix_sum / budget)), and every bin's
+    total stays under budget + max_doc_tokens (the documented bounded
+    overflow)."""
+    from ml_data_pipeline_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate(toks)], "doc_id long, source string, n_tokens int"
+    )
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in PK.pack_sequences(df, budget, partition_col="source").collect()
+    }
+    run = 0
+    exp, bins = {}, {}
+    for i, n in enumerate(toks):
+        b = run // budget
+        exp[i] = b
+        bins[b] = bins.get(b, 0) + n
+        run += n
+    assert got == exp
+    assert all(t < budget + max(toks) for t in bins.values())

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
+        T.StructField("n_vals", T.LongType()),
         T.StructField("total", T.DoubleType()),
         T.StructField("vmax", T.DoubleType()),
     ]
@@ -44,20 +45,35 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
         # with the last update)
         state.remove()
         return
-    n, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
+    n, n_vals, total, vmax = state.get if state.exists else (0, 0, 0.0, None)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            vmax = max(vmax, float(pdf["value"].max()))
-    state.update((n, total, vmax))
+        # SQL NULLs arrive as NaN through Arrow — skip them, matching
+        # F.sum/F.max (r10 review: the old fold summed NaN-as-0 and kept a
+        # -inf max sentinel for all-NULL users, diverging from the batch
+        # twin and leaking -Infinity into output). Limitation: a GENUINE
+        # NaN double is indistinguishable from NULL in the Arrow float
+        # column, so it is skipped too, where batch F.sum would propagate
+        # it — acceptable for a stats fold, and the only choice without
+        # nullable-masked transfer.
+        vals = pdf["value"].dropna()
+        if len(vals):
+            n_vals += len(vals)
+            total += float(vals.sum())
+            m = float(vals.max())
+            vmax = m if vmax is None else max(vmax, m)
+    state.update((n, n_vals, total, vmax))
     state.setTimeoutDuration(60 * 60 * 1000)  # 1h idle → expire
+    # a user with NO non-null values yet reports NULL sum/max — exactly
+    # the batch F.sum/F.max answer — never 0.0 / -inf
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
-            "max_value": [vmax],
+            "total_value": pd.array(
+                [total if n_vals else None], dtype="Float64"
+            ),
+            "max_value": pd.array([vmax], dtype="Float64"),
         }
     )
 

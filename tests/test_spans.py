@@ -60,3 +60,39 @@ def test_no_repeats_below_min_docs(spark):
     # min_docs=3: the passage is only in 2 docs, so nothing is removed
     out = remove_repeated_ngrams(_df(spark), width=5, min_docs=3)
     assert out.agg(F.sum("n_tokens_removed")).collect()[0][0] == 0
+
+
+def test_spans_null_id_passthrough_and_duplicate_id_raises(spark):
+    """r10 review: a NULL-id row passes through remove_repeated_ngrams
+    UNCHANGED (it used to come back as fully excised because equi-joins
+    drop NULL keys); duplicate doc ids raise loudly instead of
+    interleaving two documents' tokens."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators.spans import (
+        remove_repeated_ngrams,
+        repeated_ngram_spans,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),
+            (2, f"{shared} gamma delta"),
+            (None, "hello world entirely unique text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in remove_repeated_ngrams(docs, width=10, min_docs=2).collect()}
+    assert len(out) == 3
+    null_row = out[None]
+    assert null_row["text_clean"] == "hello world entirely unique text here"
+    assert null_row["n_tokens_removed"] == 0 and null_row["n_spans"] == 0
+    assert out[1]["n_tokens_removed"] == 10 and out[2]["n_tokens_removed"] == 10
+    dup = spark.createDataFrame(
+        [(1, "a b c"), (1, "x y z")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="unique doc ids"):
+        remove_repeated_ngrams(dup, width=2, min_docs=2)
+    with pytest.raises(ValueError, match="unique doc ids"):
+        repeated_ngram_spans(dup, width=2, min_docs=2)

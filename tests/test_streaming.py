@@ -406,3 +406,43 @@ assert os.path.exists(os.path.join(stage, "_SUCCESS"))
     assert leftovers == []
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stateful_update_null_value_semantics():
+    """r10 review: a user whose values are all NULL (NaN through Arrow)
+    must report NULL total/max — the batch F.sum/F.max answer — never
+    0.0 / -inf; non-null values resume normal folding. Tested on the
+    _update kernel directly with a fake GroupState (no streaming query)."""
+    import math
+
+    import pandas as pd
+
+    from ml_data_pipeline_spark.streaming import stateful as STF
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st = FakeState()
+    nan = float("nan")
+    [out1] = list(STF._update((7,), iter([pd.DataFrame({"value": [nan, nan, nan]})]), st))
+    assert int(out1["n_events"][0]) == 3
+    assert pd.isna(out1["total_value"][0]) and pd.isna(out1["max_value"][0])
+    [out2] = list(STF._update((7,), iter([pd.DataFrame({"value": [2.0, nan, 5.0]})]), st))
+    assert int(out2["n_events"][0]) == 6
+    assert float(out2["total_value"][0]) == 7.0
+    assert float(out2["max_value"][0]) == 5.0
+    assert not math.isinf(float(out2["max_value"][0]))

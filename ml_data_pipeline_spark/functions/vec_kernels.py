@@ -21,3 +21,23 @@ def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
     ma = np.stack(va.to_numpy())
     mb = np.stack(vb.to_numpy())
     return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+
+@pandas_udf("double")
+def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Row-wise cosine of two RAW (unnormalized) array<double> columns —
+    dots and norms in one numpy pass per Arrow batch. A zero-norm side
+    yields NaN (never a DIVIDE_BY_ZERO crash under ANSI, never a
+    null-element array): NaN fails any >= threshold filter, so zero
+    vectors drop out of pair outputs naturally."""
+    import numpy as np
+
+    if len(va) == 0:
+        return pd.Series([], dtype=float)
+    ma = np.stack(va.to_numpy())
+    mb = np.stack(vb.to_numpy())
+    dots = np.einsum("ij,ij->i", ma, mb)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(den > 0, dots / den, np.nan)
+    return pd.Series(out)

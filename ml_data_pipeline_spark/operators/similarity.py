@@ -32,8 +32,17 @@ def _norm(a: Column) -> Column:
 def cosine_to_query(
     df: DataFrame, query_vector: list[float], vec_col: str = "embedding"
 ) -> Column:
+    """Cosine of every row against one query vector. A zero-norm ROW
+    yields NULL (nullif guard — under Spark 4's default ANSI mode an
+    unguarded division is a job-killing DIVIDE_BY_ZERO, r10 review), so
+    desc ordering ranks it last; a zero-norm QUERY is a caller error and
+    raises up front."""
+    if not any(float(v) != 0.0 for v in query_vector):
+        raise ValueError("cosine_to_query: query vector has zero norm")
     q = F.array(*[F.lit(float(v)) for v in query_vector])
-    return _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return _dot(F.col(vec_col), q) / F.nullif(
+        _norm(F.col(vec_col)) * _norm(q), F.lit(0.0)
+    )
 
 def brute_force_topk(
     df: DataFrame,
@@ -129,18 +138,35 @@ def cosine_pairs_lsh(
     same bucket with prob (1 - theta/pi)^n_planes — recall tunable via
     n_planes; candidates never cross buckets so no crossJoin.
     """
-    bucketed, _ = hyperplane_lsh_buckets(df, dim, n_planes, vec_col, seed)
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    from ..functions.vec_kernels import pair_cosine
+
+    bucketed_raw, _ = hyperplane_lsh_buckets(df, dim, n_planes, vec_col, seed)
+    # cache: the self-join reads this frame from BOTH sides — uncached,
+    # each side re-derives the n_planes interpreted LSH dot products from
+    # its own scan (r10 review; same fix semantic_dedup documents)
+    bucketed = tracked_cache(
+        bucketed_raw.select(
+            F.col(id_col).alias("__sid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__sv"),
+            "lsh_bucket",
+        )
+    )
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+        F.col("__sid").alias("id_a"), F.col("__sv").alias("va"), "lsh_bucket"
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+        F.col("__sid").alias("id_b"), F.col("__sv").alias("vb"), "lsh_bucket"
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    # cosine via the Arrow kernel on RAW vectors: one numpy pass per batch
+    # (the aggregate/zip_with form is interpreted per element), and a
+    # zero-norm vector gives NaN — filtered by the threshold — instead of
+    # an ANSI DIVIDE_BY_ZERO crash (r10 review)
     return (
         a.join(b, "lsh_bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .select("id_a", "id_b", F.round(pair_cosine("va", "vb"), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -157,20 +183,29 @@ def brute_force_cosine_pairs(
     UDF does the same in ~2s. Vectors are L2-normalized once per row
     JVM-side so the per-pair kernel is a single dot product.
     """
-    from ..functions.vec_kernels import pair_dot
+    from ml_data_pipeline_spark.cache import tracked_cache
 
-    normed = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))).alias(
-            "__nv"
-        ),
+    from ..functions.vec_kernels import pair_cosine
+
+    # RAW vectors into the Arrow cosine kernel (r10 review): the old
+    # JVM-side normalize divided by a norm EMBEDDED in the transform
+    # lambda — higher-order lambdas re-evaluate captured subexpressions
+    # per element, making it O(d^2) per row (measured 150x at dim 256) —
+    # and crashed on zero-norm vectors (ANSI DIVIDE_BY_ZERO / null-element
+    # np.stack). pair_cosine folds dot+norms into one numpy pass and maps
+    # zero-norm to NaN, which the threshold filter drops.
+    casted = tracked_cache(
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+        )
     )
-    a = normed.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("va"))
-    b = normed.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("vb"))
+    a = casted.select(F.col(id_col).alias("id_a"), F.col("__cv").alias("va"))
+    b = casted.select(F.col(id_col).alias("id_b"), F.col("__cv").alias("vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(pair_dot("va", "vb"), 6).alias("cosine"))
+        .select("id_a", "id_b", F.round(pair_cosine("va", "vb"), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -232,7 +267,13 @@ def normalize_l2(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit
     operators."""
     a = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     n = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    unit = F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+    # divide via zip_with against array_repeat(n, size): array_repeat
+    # evaluates the norm ONCE per row, where a transform lambda capturing
+    # `n` re-evaluates the O(d) aggregate per ELEMENT — O(d^2) per row,
+    # measured 11x at dim 256 (r10 review)
+    unit = F.when(
+        n > 0, F.zip_with(a, F.array_repeat(n, F.size(a)), lambda x, nn: x / nn)
+    ).otherwise(a)
     return df.withColumn(out_col, unit)
 
 
@@ -304,7 +345,14 @@ def semantic_dedup(
         F.col(block_col),
         F.when(
             safe_norm.isNotNull(),
-            F.transform(F.col(vec_col), lambda x: x.cast("double") / safe_norm),
+            # zip_with + array_repeat evaluates safe_norm once per row;
+            # a transform lambda capturing it re-evaluates the O(d)
+            # aggregate per element (r10 review)
+            F.zip_with(
+                F.col(vec_col),
+                F.array_repeat(safe_norm, F.size(F.col(vec_col))),
+                lambda x, nn: x.cast("double") / nn,
+            ),
         ).alias("__nv"),
     ).where(F.col("__nv").isNotNull())
     from ml_data_pipeline_spark.cache import tracked_cache
@@ -504,8 +552,17 @@ def dim_min_max(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
     mn = [0.0] * dim
     mx = [0.0] * dim
     for r in stats:
-        mn[r["__i"]] = r["__mn"]
-        mx[r["__i"]] = r["__mx"]
+        if r["__i"] >= dim:
+            raise ValueError(
+                f"dim_min_max(dim={dim}) saw component index {r['__i']} — "
+                "the embedding column is wider than the declared dim"
+            )
+        # an all-NULL dimension aggregates to None — keep the 0.0 default
+        # rather than poisoning scalar_quantize's float() literals
+        if r["__mn"] is not None:
+            mn[r["__i"]] = float(r["__mn"])
+        if r["__mx"] is not None:
+            mx[r["__i"]] = float(r["__mx"])
     return mn, mx
 
 

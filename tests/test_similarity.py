@@ -240,3 +240,61 @@ def test_scalar_quantize_constant_dim_exact(spark):
         # constant dim reconstructs exactly; the max error comes from the
         # varying dim only and stays within the half-bucket bound
         assert out[vid]["max_abs_err"] <= (0.8 - 0.2) / 512 + 1e-12
+
+
+def test_zero_norm_vectors_never_crash_similarity_ops(spark):
+    """r10 review: under Spark 4's default ANSI mode, an unguarded
+    division made one all-zero embedding kill brute_force_topk /
+    ann_topk / cosine_pairs_lsh / brute_force_cosine_pairs with
+    DIVIDE_BY_ZERO. Zero-norm rows now yield NULL/NaN cosine — ranked
+    last / dropped by thresholds — and a zero-norm QUERY raises."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import similarity as SS
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # the killer row
+            (3, [0.5, 0.5, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    top = SS.brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 3]  # zero vector ranked out
+    ann = SS.ann_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3, n_planes=2).collect()
+    assert 1 in {r["vec_id"] for r in ann}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SS.brute_force_cosine_pairs(emb, threshold=0.5).collect()
+    }
+    assert pairs == {(1, 3)}  # zero vector pairs with nothing
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in SS.cosine_pairs_lsh(emb, dim=4, threshold=0.5, n_planes=2).collect()
+    }
+    assert (2, 3) not in lsh and (1, 2) not in lsh
+    with pytest.raises(ValueError, match="zero norm"):
+        SS.brute_force_topk(emb, [0.0, 0.0, 0.0, 0.0], k=2)
+
+
+def test_dim_min_max_guards_width_and_all_null_dims(spark):
+    """r10 review: a vector wider than the declared dim raised IndexError
+    AFTER the full aggregation; now a loud ValueError names the mismatch.
+    An all-NULL dimension keeps the 0.0 default instead of None-poisoning
+    scalar_quantize's literals."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import similarity as SS
+
+    wide = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="wider than the declared dim"):
+        SS.dim_min_max(wide, "embedding", dim=2)
+    nulls = spark.createDataFrame(
+        [(1, [1.0, None]), (2, [2.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    mn, mx = SS.dim_min_max(nulls, "embedding", dim=2)
+    assert mn == [1.0, 0.0] and mx == [2.0, 0.0]

@@ -27,8 +27,12 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
 
 def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
-    """Whitespace token count — the baseline 'how many tokens' profile."""
-    return df.withColumn(out_col, F.size(_tokens(F.col(text_col))).cast("long"))
+    """Whitespace token count — the baseline 'how many tokens' profile.
+    NULL text counts 0 (r10 review: size over a NULL array is NULL under
+    ANSI / -1 under the legacy flag — either silently poisons sums)."""
+    return df.withColumn(
+        out_col, F.coalesce(F.size(_tokens(F.col(text_col))), F.lit(0)).cast("long")
+    )
 
 def bpe_ish_token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens") -> DataFrame:
     """BPE-ish token estimate: count regex word-pieces + punctuation marks.
@@ -49,11 +53,20 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.col(text_col)
     toks = _tokens(t)
-    n_chars = F.length(t)
-    n_words = F.size(toks)
+    n_chars = F.coalesce(F.length(t), F.lit(0))
+    n_words = F.coalesce(F.size(toks), F.lit(0))
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
-    mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    # mean word length = sum of TOKEN lengths / word count (r10 review:
+    # dividing total characters by word count counts separators/punctuation
+    # into every word, overstating the metric by ~1 and shifting the
+    # Gopher [3,10] gate; c4_quality_flags already computed it correctly)
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, tok_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
     punct_ratio = F.when(
         n_chars > 0, F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double") / n_chars
     ).otherwise(F.lit(0.0))
@@ -175,6 +188,9 @@ def repetition_metrics(
     )
     out = (
         base.withColumn("rep_dup_word_frac", F.round(dup_frac, 6))
+        # token count rides along free (r10 review: gopher_repetition_filter
+        # used to re-tokenize the full corpus a second time just to count)
+        .withColumn("rep_n_tokens", F.coalesce(n_tok, F.lit(0)).cast("long"))
         .join(top, F.col(id_col) == F.col("__id"), "left")
         .drop("__id", "__toks")
     )
@@ -201,7 +217,7 @@ def gopher_repetition_filter(
     keep = (
         (F.col("rep_dup_word_frac") <= max_dup_word_frac)
         & (F.col("rep_top_bigram_frac") <= max_top_bigram_frac)
-        & (F.size(_tokens(F.col(text_col))) >= min_words)
+        & (F.col("rep_n_tokens") >= min_words)
     )
     return m.withColumn("rep_keep", keep)
 
@@ -216,14 +232,24 @@ def chunk_documents(
     preparation): chunk i covers [i*stride, i*stride + chunk_chars) with
     stride = chunk_chars - overlap. One explode over a computed index
     sequence — no Python, no shuffle; chunk count per doc is
-    floor((len-1)/stride)+1, so the fan-out is proportional to corpus
-    size (the property that keeps the explode partition-local and even).
+    ceil(max(len-overlap, 1)/stride), so the fan-out is proportional to
+    corpus size (the property that keeps the explode partition-local and
+    even) and no chunk is ever fully contained in its predecessor.
     Empty documents produce no chunks."""
-    if overlap >= chunk_chars:
-        raise ValueError("overlap must be smaller than chunk_chars")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(
+            "overlap must be in [0, chunk_chars) — negative overlap would "
+            "silently DROP the gap between consecutive chunks"
+        )
     stride = chunk_chars - overlap
     t = F.col(text_col)
-    n_chunks_minus1 = F.floor((F.length(t) - 1) / stride)
+    # chunk count = ceil(max(len - overlap, 1) / stride) (r10 review: the
+    # old floor((len-1)/stride)+1 emitted a final chunk FULLY CONTAINED in
+    # the previous one whenever (len-1) mod stride < overlap — duplicate
+    # text injected into ~overlap/stride of all documents)
+    n_chunks_minus1 = (
+        F.ceil(F.greatest(F.length(t) - overlap, F.lit(1)) / F.lit(stride)) - 1
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks_minus1),
         lambda i: F.struct(
@@ -247,16 +273,7 @@ def top_ngrams(
     boilerplate mining. explode -> per-doc distinct grams -> map-side-
     combinable count -> global top-k (a k-row sort, not a global data
     sort). Ties break lexicographically for determinism."""
-    toks = _tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _distinct_word_ngrams(F.col(text_col), n)
     return (
         df.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -651,7 +668,10 @@ def bm25_topk(
             F.sum((F.col("t") == t).cast("long")).alias(f"__tf{i}")
             for i, t in enumerate(terms)
         ],
-    ).cache()
+    )
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    per_doc = tracked_cache(per_doc)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("__dl").alias("__avgdl"),
@@ -756,7 +776,7 @@ def source_vocab_overlap(
     and the output is bounded by source-pair count. No crossJoin at any
     scale.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    toks = _tokens(F.col(text_col))
     # the (source, token) vocabulary index feeds both self-join sides and
     # the size marginals — materialized once (source-cardinality x vocab
     # rows), or every branch re-tokenizes the corpus (plan_audit r5: 4
@@ -882,7 +902,10 @@ def zipf_slope(df: DataFrame, text_col: str = "text", top_n: int = 1000) -> Data
         "n_points",
         F.round(
             (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            / F.nullif(
+                F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("zipf_slope"),
     )

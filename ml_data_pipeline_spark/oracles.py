@@ -968,6 +968,7 @@ ALL_ORACLES: dict[str, str] = {
         ),
         s AS (
             SELECT doc_id, nc, len(tk) AS nw,
+                   coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS tc,
                    len(list_filter(tk, x -> list_contains({_EN}, x))) AS ns,
                    len(regexp_extract_all(text, '[^\w\s]')) AS np,
                    len(regexp_extract_all(text, '[0-9]')) AS nd
@@ -975,7 +976,7 @@ ALL_ORACLES: dict[str, str] = {
         ),
         r AS (
             SELECT doc_id, nc, nw,
-                   CASE WHEN nw > 0 THEN nc * 1.0 / nw ELSE 0.0 END AS mwl,
+                   CASE WHEN nw > 0 THEN tc * 1.0 / nw ELSE 0.0 END AS mwl,
                    CASE WHEN nc > 0 THEN np * 1.0 / nc ELSE 0.0 END AS pr,
                    CASE WHEN nc > 0 THEN nd * 1.0 / nc ELSE 0.0 END AS dr,
                    CASE WHEN nw > 0 THEN ns * 1.0 / nw ELSE 0.0 END AS sr
@@ -1318,7 +1319,8 @@ ALL_ORACLES: dict[str, str] = {
     "tx_chunk_documents": """
         WITH c AS (
             SELECT doc_id,
-                   unnest(list_transform(range(0, CAST(floor((len(text) - 1) / 150.0) AS BIGINT) + 1),
+                   unnest(list_transform(
+                          range(0, CAST(ceil(greatest(len(text) - 50, 1) / 150.0) AS BIGINT)),
                           i -> struct_pack(chunk_id := CAST(i AS INTEGER),
                                            chunk := substr(text, CAST(i * 150 + 1 AS BIGINT), 200)))) AS ch
             FROM documents WHERE len(text) > 0

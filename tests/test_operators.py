@@ -2144,3 +2144,58 @@ def test_drop_ngram_index_removes_companions(spark):
     DD.build_ngram_index(docs, tbl, n=3, num_buckets=4)
     assert spark.catalog.tableExists(tbl)
     DD.drop_ngram_index(spark, tbl)
+
+
+def test_chunk_documents_no_contained_final_chunk(spark):
+    """r10 review: a doc whose length leaves remainder <= overlap used to
+    emit a final chunk fully contained in its predecessor — duplicate text
+    injected into the prepared corpus. Count is now
+    ceil(max(len-overlap,1)/stride); every chunk contributes at least one
+    new character, full coverage holds, and negative overlap raises."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 180), (2, "y" * 200), (3, "z" * 201), (4, "w" * 350), (5, "v" * 351)],
+        "doc_id long, text string",
+    )
+    out = TX.chunk_documents(docs, chunk_chars=200, overlap=50)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk"]) for r in out.collect())
+    )
+    per_doc = {}
+    for d, c, ch in rows:
+        per_doc.setdefault(d, []).append(ch)
+    # 180 chars: ONE chunk (the old formula emitted a contained second)
+    assert len(per_doc[1]) == 1
+    assert len(per_doc[2]) == 1 and len(per_doc[3]) == 2
+    assert len(per_doc[4]) == 2 and len(per_doc[5]) == 3
+    # coverage + novelty: chunks concatenated re-cover the doc, and no
+    # chunk is a suffix-contained duplicate of its predecessor
+    for d, chunks in per_doc.items():
+        text = {1: "x" * 180, 2: "y" * 200, 3: "z" * 201, 4: "w" * 350, 5: "v" * 351}[d]
+        covered = set()
+        for i, ch in enumerate(chunks):
+            start = i * 150
+            covered.update(range(start, start + len(ch)))
+            if i > 0:
+                assert start + len(ch) > 150 * (i - 1) + len(chunks[i - 1])
+        assert covered == set(range(len(text)))
+    with pytest.raises(ValueError, match="overlap"):
+        TX.chunk_documents(docs, chunk_chars=200, overlap=-50)
+
+
+def test_quality_mean_word_len_counts_token_chars_only(spark):
+    """r10 review: q_mean_word_len = sum(token lengths)/n_words, not
+    n_chars/n_words (which counted separators into every word and shifted
+    the Gopher [3,10] gate)."""
+    from ml_data_pipeline_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["abcdefghij"] * 10))],  # ten 10-char words
+        "doc_id long, text string",
+    )
+    row = TX.quality_score(docs).collect()[0]
+    assert row["q_mean_word_len"] == 10.0  # old formula gave 10.9
+    assert row["q_score"] >= 0.4  # inside the [3,10] bound again

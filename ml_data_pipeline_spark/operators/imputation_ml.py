@@ -81,6 +81,11 @@ def impute_knn(
     # rows whose LSH buckets held no donor fall back to the global mean —
     # recall shortfalls degrade fill quality, never completeness
     mean_val = complete.agg(F.avg(column)).first()[0]
+    if mean_val is None:
+        raise ValueError(
+            f"impute_knn: column {column!r} has no observed values — "
+            "there is nothing to average for fills"
+        )
     filled_missing = (
         missing.join(fills, "__rid", "left")
         .withColumn(column, F.coalesce(F.col("__fill"), F.lit(mean_val)))
@@ -136,8 +141,16 @@ def impute_hot_deck(
     )
     recv_side = missing.select("__rid", *[F.col(c).alias(f"__mc_{c}") for c in cats])
     cand = nn.join(donor_side, "__did").join(recv_side, "__rid")
+    # null-safe mismatch (r10 review): a NULL categorical on either side
+    # made the != term NULL, so __mixed went NULL and NULLS-FIRST ordering
+    # crowned that donor 'best' regardless of distance. eqNullSafe treats
+    # NULL==NULL as a match (0 mismatch) and NULL-vs-value as a mismatch.
     mismatch = sum(
-        [F.lit(0)] + [(F.col(f"__mc_{c}") != F.col(f"__dc_{c}")).cast("int") for c in cats]
+        [F.lit(0)]
+        + [
+            (~F.col(f"__mc_{c}").eqNullSafe(F.col(f"__dc_{c}"))).cast("int")
+            for c in cats
+        ]
     )
     # mixed distance: numeric dist + 1.0 per categorical mismatch (the
     # reference's unit-weight mismatch term)
@@ -147,9 +160,15 @@ def impute_hot_deck(
     fills = best.select("__rid", F.col("__dv").alias("__fill"))
     # no-candidate fallback: the global mode (still an observed value, so the
     # hot-deck "fills are copies" invariant holds)
-    mode_val = (
-        complete.groupBy(column).count().orderBy(F.desc("count"), F.asc(column)).first()[0]
+    mode_row = (
+        complete.groupBy(column).count().orderBy(F.desc("count"), F.asc(column)).first()
     )
+    if mode_row is None:
+        raise ValueError(
+            f"impute_hot_deck: column {column!r} has no observed values — "
+            "there are no donors to copy from"
+        )
+    mode_val = mode_row[0]
     filled_missing = (
         missing.join(fills, "__rid", "left")
         .withColumn(column, F.coalesce(F.col("__fill"), F.lit(mode_val)))
@@ -178,9 +197,27 @@ def impute_by_model(
         complete, column, model_type, params, feature_cols=feats, task="regression"
     )
     model = pipe.fit(complete)
-    preds = model.transform(missing)
+    # rows the assembler cannot vectorize (a NULL/NaN in a feature) are
+    # SKIPPED by model.transform (handleInvalid='skip') — without the
+    # explicit pass-through below they would silently vanish from the
+    # output (r10 review: an imputer that deletes exactly the
+    # hardest-to-impute rows)
+    from pyspark.sql.types import DoubleType, FloatType
+
+    def _invalid(f):
+        cond = F.col(f).isNull()
+        if isinstance(df.schema[f].dataType, (DoubleType, FloatType)):
+            cond = cond | F.isnan(F.col(f))
+        return cond
+
+    bad = None
+    for f in feats:
+        bad = _invalid(f) if bad is None else (bad | _invalid(f))
+    unpredictable = missing.where(bad).select(*df.columns)
+    predictable = missing.where(~F.coalesce(bad, F.lit(False)))
+    preds = model.transform(predictable)
     filled = preds.withColumn(column, F.col("prediction")).select(*df.columns)
-    return filled.unionByName(complete.select(*df.columns))
+    return filled.unionByName(unpredictable).unionByName(complete.select(*df.columns))
 
 
 def impute_mice(
@@ -235,6 +272,14 @@ def impute_mice(
     work = df
     for c in columns:
         work = work.withColumn(f"__was_null_{c}", F.col(c).isNull())
+    # AUXILIARY features (in all_feats but not imputed): mean-init them for
+    # MODELING only and restore their original NULLs at the end (r10
+    # review: a NULL in any aux feature made VectorAssembler's
+    # handleInvalid='skip' drop the hole row from preds, and the row never
+    # rejoined `work` — the operator silently returned fewer rows)
+    aux = [f for f in all_feats if f not in columns]
+    for f in aux:
+        work = work.withColumn(f"__aux_null_{f}", F.col(f).isNull())
     # bounds for clip (observed values only), then mean-init
     bounds = {}
     for c in columns:
@@ -243,7 +288,13 @@ def impute_mice(
         ).first()
         bounds[c] = (r["lo"], r["hi"])
         work = work.withColumn(c, F.coalesce(F.col(c), F.lit(r["mu"])))
-    work = work.cache()
+    if aux:
+        means = work.agg(*[F.avg(f).alias(f) for f in aux]).first()
+        for f in aux:
+            work = work.withColumn(
+                f, F.coalesce(F.col(f), F.lit(means[f] if means[f] is not None else 0.0))
+            )
+    work = work.localCheckpoint()
     for _ in range(max_iter):
         for c in columns:
             feats = [f for f in all_feats if f != c]
@@ -258,4 +309,15 @@ def impute_mice(
                 fill = F.greatest(F.lit(lo), F.least(F.lit(hi), fill))
             holes_filled = preds.withColumn(c, fill).select(*work.columns)
             work = holes_filled.unionByName(train.select(*work.columns))
-    return work.drop(*[f"__was_null_{c}" for c in columns])
+        # truncate lineage once per sweep (r10 review: a single pre-loop
+        # cache let each of the max_iter x len(columns) fits replay every
+        # prior union/transform layer — O(sweeps^2) recompute and a plan
+        # whose analysis time grew with the chain)
+        work = work.localCheckpoint()
+    for f in aux:
+        work = work.withColumn(
+            f, F.when(F.col(f"__aux_null_{f}"), F.lit(None)).otherwise(F.col(f))
+        )
+    return work.drop(
+        *[f"__was_null_{c}" for c in columns], *[f"__aux_null_{f}" for f in aux]
+    )

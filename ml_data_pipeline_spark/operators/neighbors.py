@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 EXACT_CEILING = 200_000  # crossJoin guard: beyond this, refuse 'exact'
 
 
-def zscale(df: DataFrame, feature_cols: list[str], stats: DataFrame | None = None):
+def zscale(
+    df: DataFrame,
+    feature_cols: list[str],
+    stats: dict[str, tuple[float, float]] | None = None,
+):
     """Append ``__feat`` array<double> of z-scaled features. Stats (mean/std)
     are computed once and folded in as literals — one tiny aggregate, no join.
     Returns (df_with___feat, stats_row_dict) so train-fitted stats can be
@@ -118,8 +122,13 @@ def knn_join(
     if left_id == right_id:
         raise ValueError("left_id and right_id must differ (they name output columns)")
     pcols = list(partition_cols or [])
-    scaled_l, stats = zscale(left, feature_cols)
-    scaled_r, _ = zscale(right, feature_cols, stats)
+    # z-stats are fitted on the RIGHT (donor/population) side and reused on
+    # the left (r10 review: fitting on the left meant a 3-row missing
+    # partition defined the metric for 10M donors — degenerate per-dim
+    # weights). Self-join callers (balancing) pass the same frame on both
+    # sides, so this changes nothing for them.
+    scaled_r, stats = zscale(right, feature_cols)
+    scaled_l, _ = zscale(left, feature_cols, stats)
 
     if method == "exact":
         # 'exact' is the small-side/oracle baseline: O(|L|x|R|) within each
@@ -197,6 +206,11 @@ def knn_join(
 
     if exclude_self:
         pairs = pairs.where(F.col("__lid") != F.col("__rid"))
+    # a NULL distance (either side carries a null feature element) must
+    # never rank: Spark's asc ordering is NULLS FIRST, so without this
+    # filter the null-feature donors would BE the k 'nearest' neighbors
+    # for every query (r10 review)
+    pairs = pairs.where(F.col("dist").isNotNull())
     w = Window.partitionBy("__lid").orderBy(F.asc("dist"), F.asc("__rid"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))

@@ -40,6 +40,8 @@ def asof_join(
     ``<``). ``tolerance_seconds`` drops matches older than the window.
 
     Left rows with no earlier right row keep nulls (left-outer semantics).
+    A right value column whose name collides with a left column comes back
+    suffixed ``_right`` (pandas-merge_asof-style).
     """
     from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
@@ -52,7 +54,10 @@ def asof_join(
         return F.col(colname).cast("double")
 
     rvals = right_values or [c for c in right.columns if c not in (on, right_time)]
-    rt = F.col(right_time)
+    # a right value column shadowing a left column would emit DUPLICATE
+    # output names (r10 review: any later select('name') then throws
+    # AMBIGUOUS_REFERENCE) — suffix collisions like pandas merge_asof
+    out_names = {c: (f"{c}_right" if c in left.columns else c) for c in rvals}
 
     l_tag = left.withColumn("__t", ordinal(left, left_time)).withColumn("__is_l", F.lit(1))
     r_tag = (
@@ -92,7 +97,7 @@ def asof_join(
     keep = [c for c in left.columns]
     return out.select(
         *keep,
-        *[F.col(f"__match.{c}").alias(c) for c in rvals],
+        *[F.col(f"__match.{c}").alias(out_names[c]) for c in rvals],
     )
 
 

@@ -86,3 +86,78 @@ def test_impute_mice_random_forest_estimator(spark):
     with pytest.raises(ValueError):
         IM.impute_mice(df, ["a"], max_iter=1, estimator="gradient_descent")
     assert out.count() == 40
+
+
+def test_knn_join_null_features_never_rank_as_neighbors(spark):
+    """r10 review: NULL distances (a null feature element on either side)
+    ranked FIRST under Spark's NULLS-FIRST asc ordering, making the
+    null-feature donors the k 'nearest' for every query."""
+    from ml_data_pipeline_spark.operators.neighbors import knn_join
+
+    left = spark.createDataFrame([(1, 0.0, 0.0)], "lid long, x double, y double")
+    right = spark.createDataFrame(
+        [(10, 0.1, 0.1), (11, None, 5.0), (12, 9.0, 9.0)],
+        "rid long, x double, y double",
+    )
+    nn = knn_join(left, right, ["x", "y"], k=2, left_id="lid", right_id="rid",
+                  method="exact", exclude_self=False).collect()
+    got = [r["rid"] for r in sorted(nn, key=lambda r: r["rk"])]
+    assert got == [10, 12]  # the null-feature donor 11 never ranks
+
+
+def test_hot_deck_null_categoricals_do_not_win(spark):
+    """r10 review: a NULL categorical made the mismatch term NULL, so
+    NULLS-FIRST ordering crowned that donor 'best' regardless of
+    distance. eqNullSafe scoring now counts NULL-vs-value as a mismatch
+    and NULL-vs-NULL as a match."""
+    from ml_data_pipeline_spark.operators import imputation_ml as IM
+
+    df = spark.createDataFrame(
+        [
+            (1, None, 1.0, "a"),       # receiver, cat 'a'
+            (2, 100.0, 1.1, "a"),      # near donor, matching cat
+            (3, 999.0, 50.0, None),    # far donor with NULL cat
+        ],
+        "id long, v double, x double, cat string",
+    )
+    out = IM.impute_hot_deck(df, "v", numeric_cols=["x"], categorical_cols=["cat"],
+                             method="exact")
+    filled = {r["id"]: r["v"] for r in out.collect()}
+    assert filled[1] == 100.0  # nearest matching donor, not the NULL-cat one
+
+
+def test_impute_by_model_keeps_unpredictable_rows(spark):
+    """r10 review: missing rows whose features contain nulls were silently
+    DROPPED (VectorAssembler skip); they now pass through with the target
+    still null, preserving row count."""
+    from ml_data_pipeline_spark.operators import imputation_ml as IM
+
+    df = spark.createDataFrame(
+        [(1, None, None, 3.0), (2, None, 2.0, 3.0)]
+        + [(10 + i, float(i), float(i), float(i)) for i in range(8)],
+        "id long, y double, f1 double, f2 double",
+    )
+    out = IM.impute_by_model(df, "y", model_type="linear_regression")
+    rows = {r["id"]: r["y"] for r in out.collect()}
+    assert len(rows) == 10            # nothing vanished
+    assert rows[1] is None            # unpredictable: passed through
+    assert rows[2] is not None        # predictable: filled
+
+
+def test_impute_mice_keeps_rows_with_null_aux_features(spark):
+    """r10 review: a null in a numeric feature OUTSIDE `columns` made the
+    assembler skip the hole row, which then never rejoined the output.
+    Aux features are now mean-initialized for modeling and their original
+    NULLs restored afterwards."""
+    from ml_data_pipeline_spark.operators import imputation_ml as IM
+
+    df = spark.createDataFrame(
+        [(1, None, None, 1.0)]
+        + [(10 + i, float(i), float(i % 3), 1.0) for i in range(9)],
+        "id long, a double, z double, w double",
+    )
+    out = IM.impute_mice(df, ["a"], max_iter=1)
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 10                    # the aux-null row survived
+    assert rows[1]["a"] is not None           # and got imputed
+    assert rows[1]["z"] is None               # aux NULL restored, not invented

@@ -375,3 +375,21 @@ def test_logrank_identical_groups_zero(spark):
     df = spark.createDataFrame(rows, "g string, t int, e int")
     out = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
     assert out["chi2"] == 0.0
+
+
+def test_asof_join_suffixes_colliding_value_columns(spark):
+    """r10 review: a right value column shadowing a left column used to
+    emit two output columns with the same name (AMBIGUOUS_REFERENCE on
+    any later select); it now comes back suffixed _right."""
+    from ml_data_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, 100.0)], "k long, t double, price double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 42.0)], "k long, rt double, price double"
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    assert out.columns.count("price") == 1
+    row = out.collect()[0]
+    assert row["price"] == 100.0 and row["price_right"] == 42.0

@@ -69,9 +69,14 @@ def one_hot_encode(
     return df.select(*cols, *onehot)
 
 def label_encode(df: DataFrame, column: str, out_column: str | None = None) -> DataFrame:
-    """E2 — distinct values → 0..K-1 in lexicographic order, exactly
-    sklearn LabelEncoder's sorted order
-    (ref dataset_processing_fix_non_numeric_ui.py:240-248).
+    """E2 — distinct values → 0..K-1 in LEXICOGRAPHIC (string) order
+    (ref dataset_processing_fix_non_numeric_ui.py:240-248). For string
+    categories this equals sklearn LabelEncoder's sorted order; for
+    NUMERIC categories it does NOT (codes follow "10" < "2" — the
+    StringIndexer alphabetAsc contract below, which the oracle pins) —
+    cast/format numeric categories upstream if sklearn-numeric order is
+    required (r10 review: the old docstring claimed sklearn parity
+    unconditionally).
 
     dense_rank over the DISTINCT-value table (K rows) then broadcast-join
     back; the data table is untouched by the window. Equivalent to
@@ -111,10 +116,21 @@ def frequency_encode(
     """E4 — per-category relative frequency appended as `{c}_freq_encoded`
     (ref value_counts(normalize=True), dataset_processing_fix_non_numeric_ui.py:263-271)."""
     out_column = out_column or f"{column}_freq_encoded"
-    counts = df.groupBy(column).agg(F.count(F.lit(1)).alias("__cnt"))
+    # NULL categories are excluded from counts AND the denominator —
+    # pandas value_counts(normalize=True) drops NaN, so including null
+    # rows in the total made frequencies sum below 1 (r10 review); the
+    # total also comes from the cardinality-sized counts frame now
+    # instead of a second full-table count() scan
+    counts = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     if normalize:
-        total = df.count()
-        counts = counts.select(column, (F.col("__cnt") / F.lit(float(total))).alias(out_column))
+        total = counts.agg(F.sum("__cnt").alias("__tot"))
+        counts = counts.crossJoin(F.broadcast(total)).select(
+            column, (F.col("__cnt") / F.col("__tot").cast("double")).alias(out_column)
+        )
     else:
         counts = counts.select(column, F.col("__cnt").cast("double").alias(out_column))
     return df.join(F.broadcast(counts), on=column, how="left")
@@ -149,7 +165,13 @@ def parse_date(df: DataFrame, column: str, formats: tuple[str, ...] = DATE_FORMA
     (ref pd.to_datetime(format='mixed', errors='coerce') with formats listed at
     dataset_processing_fix_non_numeric_ui.py:290-294)."""
     attempts = [F.try_to_timestamp(F.col(column).cast("string"), F.lit(f)).cast("date") for f in formats]
-    return df.withColumn(column, F.coalesce(F.col(column).cast("date"), *attempts))
+    # try_cast, not cast: under Spark 4's default ANSI mode a plain
+    # cast("date") THROWS on the first non-ISO string — crashing on
+    # exactly the multi-format input this function exists for (r10
+    # review; same hazard filters.align_dtypes documents)
+    return df.withColumn(
+        column, F.coalesce(F.col(column).try_cast("date"), *attempts)
+    )
 
 def date_features(df: DataFrame, column: str, drop_original: bool = False) -> DataFrame:
     """E6b — year/month/day/dayofweek/week/quarter expansion

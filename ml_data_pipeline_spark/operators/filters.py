@@ -115,7 +115,12 @@ def clip(df: DataFrame, column: str, lo: float | None = None, hi: float | None =
         c = F.greatest(F.lit(lo), c)
     if hi is not None:
         c = F.least(F.lit(hi), c)
-    return df.withColumn(column, c)
+    # greatest/least SKIP nulls, so an unguarded clip turned every NULL
+    # into the clip bound — corrupting missing data (pandas col.clip
+    # preserves NaN; r10 review). winsorize inherits this guard.
+    return df.withColumn(
+        column, F.when(F.col(column).isNotNull(), c)
+    )
 
 def round_column(df: DataFrame, column: str, scale: int = 0, as_int: bool = False) -> DataFrame:
     """E15 (ref col.round(k) / .astype('Int64'),
@@ -167,7 +172,10 @@ def quantile_bucketize(
     probs = [i / num_buckets for i in range(1, num_buckets)]
     fn = F.percentile(x, F.array(*[F.lit(p) for p in probs])) if exact else \
         F.approx_percentile(x, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy))
-    splits = [r for r in df.agg(fn.alias("qs")).first()["qs"] if r is not None]
+    qs = df.agg(fn.alias("qs")).first()["qs"]
+    # an all-NULL / empty column has no percentiles: every row lands in
+    # one bin rather than TypeError-ing on a None aggregate (r10 review)
+    splits = [r for r in (qs or []) if r is not None]
     return bucketize(df, column, splits, out_col=out_col or f"{column}_qbin")
 
 def winsorize(
@@ -186,7 +194,10 @@ def winsorize(
     x = F.col(column).cast("double")
     probs = F.array(F.lit(lower), F.lit(upper))
     fn = F.percentile(x, probs) if exact else F.approx_percentile(x, probs, F.lit(accuracy))
-    lo, hi = df.agg(fn.alias("b")).first()["b"]
+    bounds = df.agg(fn.alias("b")).first()["b"]
+    if bounds is None:  # all-NULL column: nothing to winsorize (r10 review)
+        return df
+    lo, hi = bounds
     return clip(df, column, lo=lo, hi=hi)
 
 def robust_scale(
@@ -205,10 +216,13 @@ def robust_scale(
     column) yields explicit NULLs via nullif, not a divide-crash.
     """
     fn = "percentile" if exact else "approx_percentile"
+    # backtick-quote the column inside the SQL string: an unquoted name
+    # containing operators (e.g. "price-usd") PARSES as an expression over
+    # other columns and returns silently wrong scales (r10 review)
     q = df.agg(
-        F.expr(f"{fn}({column}, 0.25)").alias("__q1"),
-        F.expr(f"{fn}({column}, 0.5)").alias("__med"),
-        F.expr(f"{fn}({column}, 0.75)").alias("__q3"),
+        F.expr(f"{fn}(`{column}`, 0.25)").alias("__q1"),
+        F.expr(f"{fn}(`{column}`, 0.5)").alias("__med"),
+        F.expr(f"{fn}(`{column}`, 0.75)").alias("__q3"),
     )
     out = out_col or f"{column}_scaled"
     iqr = F.nullif(F.col("__q3") - F.col("__q1"), F.lit(0.0))

@@ -86,8 +86,12 @@ def trim_majority(df: DataFrame, target: str, max_majority: int, seed: int = 42)
         F.desc("__cnt"), F.asc(target)
     )
     top = counts.limit(1).collect()[0][0]
-    majority = df.where(F.col(target) == F.lit(top))
-    rest = df.where((F.col(target) != F.lit(top)) | F.col(target).isNull())
+    # NULL can BE the majority class (r10 review: == / != against a NULL
+    # literal evaluated to NULL, silently dropping every non-majority row
+    # and skipping the trim entirely)
+    is_top = F.col(target).isNull() if top is None else (F.col(target) == F.lit(top))
+    majority = df.where(is_top)
+    rest = df.where(~F.coalesce(is_top, F.lit(False)))
     w = Window.partitionBy(target).orderBy(
         F.xxhash64(F.concat_ws("|", *df.columns), F.lit(seed))
     )
@@ -98,6 +102,8 @@ def trim_majority(df: DataFrame, target: str, max_majority: int, seed: int = 42)
 
 def concat(dfs: list[DataFrame]) -> DataFrame:
     """T5 (ref pd.concat(ignore_index=True), dataset_trim_window_logic.py:26)."""
+    if not dfs:
+        raise ValueError("concat of an empty DataFrame list")
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -118,9 +124,14 @@ def split_by_hash(
     so examples never migrate between train and test as the corpus is
     re-ingested (the property a growing 100 TB corpus actually needs).
     md5 (not xxhash64) so any engine reproduces membership bit-for-bit."""
+    # concat_ws('') is byte-identical to concat for non-null keys but
+    # null-SAFE: with plain concat, a NULL key hashed to NULL membership
+    # and the row vanished from BOTH train and test (r10 review)
     b = (
         F.conv(
-            F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8),
+            F.substring(
+                F.md5(F.concat_ws("", F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+            ),
             16,
             10,
         ).cast("long")
@@ -147,7 +158,10 @@ def stratified_sample_by_hash(
     into a CASE expression (strata counts are small by definition)."""
     b = (
         F.conv(
-            F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8),
+            F.substring(
+                # null-safe for the same reason as split_by_hash (r10 review)
+                F.md5(F.concat_ws("", F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+            ),
             16,
             10,
         ).cast("long")
@@ -478,7 +492,12 @@ def poisson_bootstrap_ci(
         .otherwise(F.lit(5))
     )
     rep_means = (
-        df.select(F.col(id_col).alias("__id"), F.col(value_col).alias("__x"))
+        # NULL-valued rows contribute neither numerator nor weight (r10
+        # review: their Poisson weights landed in sum(__k) but not in
+        # sum(__k*__x), biasing every replicate mean toward zero — the CI
+        # could exclude the point mean entirely)
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(value_col).alias("__x"))
         .select("__id", "__x", b_idx)
         .withColumn("__k", k)
         .groupBy("__b")

@@ -2199,3 +2199,66 @@ def test_quality_mean_word_len_counts_token_chars_only(spark):
     row = TX.quality_score(docs).collect()[0]
     assert row["q_mean_word_len"] == 10.0  # old formula gave 10.9
     assert row["q_score"] >= 0.4  # inside the [3,10] bound again
+
+
+def test_r10_sampling_filter_encoding_null_guards(spark):
+    """r10 review fixes across sampling/filters/encoding, each previously a
+    silent corruption or an ANSI crash on legitimate input."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import encoding as ENC
+    from ml_data_pipeline_spark.operators import filters as FL
+    from ml_data_pipeline_spark.operators import sampling as SA
+
+    # clip preserves NULL (was: NULL became the lower bound)
+    df = spark.createDataFrame([(1, None), (2, 5.0), (3, -3.0)], "id long, v double")
+    vals = {r["id"]: r["v"] for r in FL.clip(df, "v", lo=0.0, hi=4.0).collect()}
+    assert vals == {1: None, 2: 4.0, 3: 0.0}
+    # winsorize on an all-NULL column returns the frame unchanged (was:
+    # TypeError unpacking a None aggregate); quantile_bucketize all-NULL
+    # puts every row in one bin
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    assert FL.winsorize(nulls, "v").count() == 2
+    assert FL.quantile_bucketize(nulls, "v", 4).count() == 2
+    # robust_scale backtick-quotes: a column name containing an operator
+    # must not parse as an expression over OTHER columns
+    tricky = spark.createDataFrame(
+        [(10.0, 4.0, 100.0), (20.0, 5.0, 200.0), (30.0, 6.0, 300.0)],
+        "`price-usd` double, price double, usd double",
+    )
+    out = {r["price-usd"]: r["price-usd_scaled"] for r in
+           FL.robust_scale(tricky, "price-usd").collect()}
+    assert out[20.0] == 0.0  # median maps to 0 of ITS OWN column
+    # split_by_hash keeps NULL keys (was: is_test NULL, row in neither side)
+    keyed = spark.createDataFrame([(None,), ("k1",)], "k string")
+    split = SA.split_by_hash(keyed, "k", test_frac=0.5)
+    assert split.where(F.col("is_test").isNull()).count() == 0
+    # trim_majority with a NULL majority class trims it and keeps the rest
+    t = spark.createDataFrame(
+        [(None,), (None,), (None,), ("a",), ("b",)], "cls string"
+    )
+    trimmed = SA.trim_majority(t, "cls", max_majority=1)
+    got = sorted((r["cls"] or "~null") for r in trimmed.collect())
+    assert got == ["a", "b", "~null"]
+    # concat([]) raises a clear error (was: IndexError)
+    with pytest.raises(ValueError, match="empty"):
+        SA.concat([])
+    # bootstrap CI contains the point mean when half the values are NULL
+    # (was: NULL rows' Poisson weights diluted every replicate mean)
+    bdf = spark.createDataFrame(
+        [(i, 100.0 if i % 2 == 0 else None) for i in range(40)], "id long, x double"
+    )
+    row = SA.poisson_bootstrap_ci(bdf, "x", "id", n_replicates=50, seed=3).collect()[0]
+    assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
+    assert row["mean"] == 100.0
+    # parse_date survives non-ISO strings under ANSI and parses them
+    dd = spark.createDataFrame([("3/14/2022",), ("2021-05-06",)], "d string")
+    parsed = [str(r["d"]) for r in ENC.parse_date(dd, "d").collect()]
+    assert sorted(parsed) == ["2021-05-06", "2022-03-14"]
+    # frequency_encode normalizes over NON-NULL rows (pandas value_counts)
+    fdf = spark.createDataFrame(
+        [("a",)] * 8 + [(None,)] * 2, "c string"
+    )
+    enc = ENC.frequency_encode(fdf, "c")
+    a_val = enc.where(F.col("c") == "a").select("c_freq_encoded").first()[0]
+    assert a_val == 1.0  # was 0.8 with nulls in the denominator

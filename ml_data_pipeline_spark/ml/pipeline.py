@@ -102,7 +102,17 @@ def build_pipeline(
     stages = []
     if isinstance(df.schema[target].dataType, StringType):
         stages.append(
-            StringIndexer(inputCol=target, outputCol=LABEL, stringOrderType="alphabetAsc")
+            # handleInvalid='keep' (r10 review): with the default 'error',
+            # scoring a test/CV split containing a label unseen in train
+            # crashed the whole train-and-evaluate path ('Unseen label');
+            # 'keep' maps such rows to an extra index so the evaluator
+            # counts them as honest misclassifications instead
+            StringIndexer(
+                inputCol=target,
+                outputCol=LABEL,
+                stringOrderType="alphabetAsc",
+                handleInvalid="keep",
+            )
         )
         est_label = LABEL
     else:
@@ -171,7 +181,15 @@ def evaluate_classification(predictions: DataFrame, label_col: str = LABEL) -> d
     # AUC needs scores; a hard-prediction-only frame (e.g. OneVsRest output)
     # gets the 4 confusion-matrix metrics and no roc_auc key
     if "rawPrediction" in predictions.columns:
-        if len(classes) == 2:
+        # arity comes from the MODEL's rawPrediction vector, not from the
+        # classes observed in THIS test slice (r10 review: a 3-class model
+        # scored on a fold that happens to contain only 2 observed classes
+        # fed its 3-length rawPrediction to the binary evaluator, which
+        # read the class-1 margin as the score — a meaningless-but-in-
+        # range roc_auc flowing silently into CV means)
+        first_raw = predictions.select("rawPrediction").first()
+        arity = len(first_raw["rawPrediction"]) if first_raw else 0
+        if arity == 2 and set(classes) <= {0.0, 1.0}:
             out["roc_auc"] = BinaryClassificationEvaluator(
                 labelCol=label_col, rawPredictionCol="rawPrediction"
             ).evaluate(predictions)
@@ -290,10 +308,20 @@ def train_and_evaluate(
     model_type: str,
     params: dict[str, Any] | None = None,
     feature_cols: list[str] | None = None,
+    task: str | None = None,
 ) -> tuple[PipelineModel, dict[str, float]]:
     """M3/M11 — fit on train, metric suite on test (fit-on-train-only
-    including the scaler, ref model_evaluation_logic.py:31-33)."""
-    pipe, feats, task = build_pipeline(train, target, model_type, params, feature_cols)
+    including the scaler, ref model_evaluation_logic.py:31-33).
+
+    Pass ``task`` when looping (CV folds, trials, learning-curve points):
+    re-detection per call costs a distinct-count job each time AND can
+    FLIP on a subsample (r10 review: a regression target with ~22
+    distinct values classifies as regression on the full frame but
+    classification on a 10% sample — mismatched metrics or a classifier
+    crash mid-loop)."""
+    pipe, feats, task = build_pipeline(
+        train, target, model_type, params, feature_cols, task=task
+    )
     model = pipe.fit(train)
     preds = model.transform(test)
     if task == "classification":
@@ -347,10 +375,20 @@ def load_params_json(path: str) -> dict[str, Any]:
 def predict_single_row(model: PipelineModel, spark, row: dict[str, Any], schema) -> float:
     """M12 — single-row inference: build a 1-row DF, transform, first()
     (ref /root/reference/inference_models/inference_trained_models.py:347-457).
-    Feature-set equality is enforced by the assembler (handleInvalid swap →
-    error surfaces as analysis exception)."""
+    A row the assembler cannot vectorize (missing/NULL feature) raises a
+    clear ValueError (r10 review — handleInvalid='skip' silently dropped
+    it and first()[0] was an inscrutable NoneType TypeError)."""
     df = spark.createDataFrame([row], schema=schema)
-    return model.transform(df).select("prediction").first()[0]
+    got = model.transform(df).select("prediction").first()
+    if got is None:
+        # the assembler runs handleInvalid='skip': a row carrying a NULL /
+        # missing feature is silently dropped, and first() would have been
+        # None[0] → an inscrutable TypeError (r10 review)
+        raise ValueError(
+            "predict_single_row: the row was dropped by the feature "
+            "assembler — a required feature is missing or NULL"
+        )
+    return got[0]
 
 
 def predict_single_row_local(model: PipelineModel, row: dict[str, Any]) -> float:
@@ -452,10 +490,17 @@ def lift_table(
             "n",
             "n_pos",
             F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+            # nullif on tot_pos (r10 review): a zero-positive input is a
+            # NULL lift/capture, not an ANSI DIVIDE_BY_ZERO crash — the
+            # same degenerate-input contract as roc_points/exact_auc
             F.round(
-                (F.col("n_pos") / F.col("n")) / (F.col("tot_pos") / F.col("tot")), 6
+                (F.col("n_pos") / F.col("n"))
+                / F.nullif(F.col("tot_pos") / F.col("tot"), F.lit(0.0)),
+                6,
             ).alias("lift"),
-            F.round(F.col("cum_pos") / F.col("tot_pos"), 6).alias("cum_capture"),
+            F.round(
+                F.col("cum_pos") / F.nullif(F.col("tot_pos"), F.lit(0.0)), 6
+            ).alias("cum_capture"),
         )
         .orderBy("bin")
     )
@@ -668,9 +713,14 @@ def ridge_path(df, x1_col: str, x2_col: str, y_col: str, lambdas: list[float]):
     )
     lam = F.explode(F.array(*[F.lit(float(l)) for l in lambdas])).alias("lam")
     path = mom.select(lam, "sxx", "sxz", "szz", "sxy", "szy")
-    det = (F.col("sxx") + F.col("lam")) * (F.col("szz") + F.col("lam")) - F.col(
-        "sxz"
-    ) * F.col("sxz")
+    # nullif (r10 review): lam=0 with exactly-collinear features makes
+    # det 0 — NULL coefficients for that path point, never an ANSI crash
+    # that kills the computable lam>0 rows sharing the plan
+    det = F.nullif(
+        (F.col("sxx") + F.col("lam")) * (F.col("szz") + F.col("lam"))
+        - F.col("sxz") * F.col("sxz"),
+        F.lit(0.0),
+    )
     b1 = ((F.col("szz") + F.col("lam")) * F.col("sxy") - F.col("sxz") * F.col("szy")) / det
     b2 = ((F.col("sxx") + F.col("lam")) * F.col("szy") - F.col("sxz") * F.col("sxy")) / det
     return path.select(
@@ -730,7 +780,9 @@ def split_conformal_ols(
         "n",
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+            ),
             4,
         ).alias("slope"),
         "sx",

@@ -43,26 +43,34 @@ def cross_val_scores(
     model_type: str,
     params: dict[str, Any] | None = None,
     n_folds: int = 5,
-    metric: str = "f1",
+    metric: str | None = None,
     stratified: bool | str = "auto",
     seed: int = 42,
 ) -> dict[str, Any]:
     """M5 — k-fold CV: mean ± std of the chosen metric across folds.
     Driver loops over folds; each fit is a cluster job.
 
+    metric=None resolves by task — 'f1' for classification, 'r2' for
+    regression (r10 review: a hard 'f1' default KeyError'd every
+    regression CV/tuning call AFTER paying for the first fold's fit).
+
     stratified='auto' stratifies ONLY for classification — stratifying on a
     continuous target would put every 1-row "class" in fold 0 and leave the
     other folds empty (sklearn draws the same KFold/StratifiedKFold line)."""
-    if stratified == "auto":
-        from .pipeline import detect_task_type
+    from .pipeline import detect_task_type
 
-        stratified = detect_task_type(df, target) == "classification"
+    # detect ONCE: per-fold re-detection costs a distinct-count job per
+    # fold and can FLIP on a fold's subsample (r10 review)
+    task = detect_task_type(df, target)
+    if stratified == "auto":
+        stratified = task == "classification"
+    metric = metric or ("f1" if task == "classification" else "r2")
     folded = add_fold_column(df, n_folds, target if stratified else None, seed).cache()
     scores = []
     for k in range(n_folds):
         train = folded.where(F.col("__fold") != k).drop("__fold")
         test = folded.where(F.col("__fold") == k).drop("__fold")
-        _, metrics = train_and_evaluate(train, test, target, model_type, params)
+        _, metrics = train_and_evaluate(train, test, target, model_type, params, task=task)
         scores.append(metrics[metric])
     folded.unpersist()
     n = len(scores)
@@ -112,8 +120,12 @@ def random_search(
             for name, choices in space.items()
             if name in allowed
         }
+        # FIXED fold assignment across trials (r10 review: seed+t resplit
+        # the folds per trial, so trial means mixed hyperparameter effects
+        # with fold-split luck and argmax picked noise; optuna_search
+        # already held folds fixed)
         cv = cross_val_scores(
-            df, target, model_type, params, n_folds=n_folds, metric=metric, seed=seed + t
+            df, target, model_type, params, n_folds=n_folds, metric=metric, seed=seed
         )
         rec = {"trial": t, "params": params, "mean": cv["mean"], "std": cv["std"]}
         trials.append(rec)
@@ -266,8 +278,11 @@ def tpe_search(
     best = None
     for t in range(n_trials):
         params = tpe_propose(rng, space, history, direction)
+        # fixed folds across trials (r10 review — same rationale as
+        # random_search; resplitting also fed TPE a history whose
+        # objectives came from different partitionings)
         cv = cross_val_scores(
-            df, target, model_type, params, n_folds=n_folds, metric=metric, seed=seed + t
+            df, target, model_type, params, n_folds=n_folds, metric=metric, seed=seed
         )
         history.append((params, cv["mean"]))
         rec = {"trial": t, "params": params, "mean": cv["mean"], "std": cv["std"]}
@@ -354,7 +369,11 @@ def learning_curve(
     out = []
     for frac in fractions:
         sub = train_full if frac >= 1.0 else train_full.sample(fraction=frac, seed=seed)
-        model, test_metrics = train_and_evaluate(sub, test, target, model_type, params)
+        # task pinned from the FULL frame (r10 review: re-detection on a
+        # small fraction could flip regression->classification mid-curve)
+        model, test_metrics = train_and_evaluate(
+            sub, test, target, model_type, params, task=task
+        )
         preds_train = model.transform(sub)
         if task == "classification":
             train_metrics = evaluate_classification(
@@ -439,7 +458,13 @@ def time_series_cv_ols(
     )
     slope = F.round(
         (F.col("n_train") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (F.col("n_train") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        / F.nullif(
+            # 0 exactly for a 1-row or constant-x training window — a NULL
+            # fold row, not an ANSI crash that kills ALL folds in the
+            # shared plan (r10 review)
+            F.col("n_train") * F.col("sxx") - F.col("sx") * F.col("sx"),
+            F.lit(0.0),
+        ),
         4,
     )
     # slope inlined into the intercept expression — a second pass over agg

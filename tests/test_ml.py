@@ -805,3 +805,42 @@ def test_permute_column_exact_on_shuffled_lineage(spark):
     assert len(rows) == 300
     assert sorted(r["v"] for r in rows) == [float(i) for i in range(300)]
     assert all(r["w"] == float(r["id"] % 11) for r in rows)
+
+
+def test_r10_ml_robustness_fixes(spark):
+    """r10 review: unseen test labels must not crash scoring; regression
+    CV resolves its own metric default; zero-positive lift is NULL not an
+    ANSI crash; an unscoreable single row raises a clear error."""
+    import pytest
+
+    from ml_data_pipeline_spark.ml import pipeline as MP
+    from ml_data_pipeline_spark.ml import tuning as MT
+
+    # unseen label in test: StringIndexer handleInvalid='keep'
+    train = spark.createDataFrame(
+        [(float(i), float(i % 5), "hi" if i % 2 else "lo") for i in range(60)],
+        "x double, z double, cls string",
+    )
+    test = train.limit(10).union(
+        spark.createDataFrame([(99.0, 1.0, "NEW_CLASS")], "x double, z double, cls string")
+    )
+    model, metrics = MP.train_and_evaluate(train, test, "cls", "logistic_regression")
+    assert 0.0 <= metrics["accuracy"] <= 1.0  # no 'Unseen label' crash
+    # regression CV with the default metric resolves to r2 (was KeyError 'f1')
+    reg = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1.0 + (i % 7) * 0.01) for i in range(200)],
+        "x double, y double",
+    )
+    cv = MT.cross_val_scores(reg, "y", "linear_regression", n_folds=2)
+    assert cv["metric"] == "r2" and cv["mean"] > 0.9
+    # zero-positive lift: NULL lift/capture, not DIVIDE_BY_ZERO
+    scores = spark.createDataFrame(
+        [(0, float(i)) for i in range(40)], "y int, s double"
+    )
+    rows = MP.lift_table(scores, "y", "s", n_bins=4).collect()
+    assert all(r["lift"] is None and r["cum_capture"] is None for r in rows)
+    # unscoreable single row raises ValueError, not NoneType TypeError
+    with pytest.raises(ValueError, match="missing or NULL"):
+        MP.predict_single_row(
+            model, spark, {"x": None, "z": 1.0, "cls": "hi"}, "x double, z double, cls string"
+        )

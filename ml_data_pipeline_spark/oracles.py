@@ -3614,18 +3614,18 @@ ALL_ORACLES: dict[str, str] = {
     "s20_content_hash": """
         SELECT 'orders' AS "table", count(*) AS n_rows,
                coalesce(bit_xor(CAST('0x' || substr(md5(
-                   coalesce(CAST(o_orderkey AS VARCHAR), '␀') || '|' ||
-                   coalesce(CAST(o_custkey AS VARCHAR), '␀') || '|' ||
-                   coalesce(o_orderstatus, '␀') || '|' ||
-                   coalesce(o_orderpriority, '␀')), 1, 15) AS BIGINT)), 0)
+                   CASE WHEN o_orderkey IS NULL THEN 'N|' ELSE 'V' || len(CAST(o_orderkey AS VARCHAR)) || ':' || CAST(o_orderkey AS VARCHAR) || '|' END ||
+                   CASE WHEN o_custkey IS NULL THEN 'N|' ELSE 'V' || len(CAST(o_custkey AS VARCHAR)) || ':' || CAST(o_custkey AS VARCHAR) || '|' END ||
+                   CASE WHEN o_orderstatus IS NULL THEN 'N|' ELSE 'V' || len(o_orderstatus) || ':' || o_orderstatus || '|' END ||
+                   CASE WHEN o_orderpriority IS NULL THEN 'N|' ELSE 'V' || len(o_orderpriority) || ':' || o_orderpriority || '|' END), 1, 15) AS BIGINT)), 0)
                    AS content_hash
         FROM orders
         UNION ALL
         SELECT 'customer', count(*),
                coalesce(bit_xor(CAST('0x' || substr(md5(
-                   coalesce(CAST(c_custkey AS VARCHAR), '␀') || '|' ||
-                   coalesce(CAST(c_nationkey AS VARCHAR), '␀') || '|' ||
-                   coalesce(c_mktsegment, '␀')), 1, 15) AS BIGINT)), 0)
+                   CASE WHEN c_custkey IS NULL THEN 'N|' ELSE 'V' || len(CAST(c_custkey AS VARCHAR)) || ':' || CAST(c_custkey AS VARCHAR) || '|' END ||
+                   CASE WHEN c_nationkey IS NULL THEN 'N|' ELSE 'V' || len(CAST(c_nationkey AS VARCHAR)) || ':' || CAST(c_nationkey AS VARCHAR) || '|' END ||
+                   CASE WHEN c_mktsegment IS NULL THEN 'N|' ELSE 'V' || len(c_mktsegment) || ':' || c_mktsegment || '|' END), 1, 15) AS BIGINT)), 0)
         FROM customer
     """,
     "ml_kmeans": _kmeans_oracle_sql(),

@@ -29,16 +29,27 @@ def read_csv(
     null_spellings: list[str] | None = None,
 ) -> DataFrame:
     """S1/S2 — robust CSV scan: header, ``#`` comment lines skipped, the
-    reference's 9 null spellings mapped to null, permissive parse."""
+    reference's 9 null spellings mapped to null, permissive parse.
+
+    Inference caveat: schema inference runs at PARSE time, before the
+    null-spelling post-pass — a numeric column whose nulls are spelled
+    with anything other than the reader-level 'NA' infers as string (the
+    values stay, correctly, null after normalization). Pass ``schema=``
+    (the documented at-scale path) or coerce with filters.to_numeric /
+    align_dtypes when custom spellings carry numeric columns."""
     nulls = NULL_SPELLINGS if null_spellings is None else null_spellings
     reader = (
         spark.read.option("header", True)
         .option("comment", "#")
         .option("ignoreLeadingWhiteSpace", True)
         .option("mode", "PERMISSIVE")
-        # Spark accepts one nullValue; the rest are normalized post-read
-        .option("nullValue", "NA")
     )
+    if "NA" in nulls:
+        # Spark accepts one nullValue; the rest are normalized post-read.
+        # Set it ONLY when the caller's spellings include 'NA' (r10 review:
+        # hard-coding it nulled legitimate 'NA' data — e.g. a Namibia
+        # country code — that a custom null_spellings list excluded)
+        reader = reader.option("nullValue", "NA")
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -66,14 +77,19 @@ def normalize_nulls(df: DataFrame, spellings: list[str] | None = None) -> DataFr
     if not spellings:
         return df
     out_cols = []
+    nonblank = [sp.strip() for sp in spellings if sp.strip()]
+    # the trim-to-empty clause applies ONLY when the caller's spellings
+    # actually include an empty/whitespace form (r10 review: it used to
+    # apply unconditionally, destroying empty-string data even when the
+    # caller restricted spellings to e.g. ['?'])
+    blank_is_null = any(not sp.strip() for sp in spellings)
     for f in df.schema.fields:
         if isinstance(f.dataType, T.StringType):
             c = F.col(f.name)
-            out_cols.append(
-                F.when(F.trim(c).isin([s.strip() for s in spellings if s.strip()]) | (F.trim(c) == ""), None)
-                .otherwise(c)
-                .alias(f.name)
-            )
+            cond = F.trim(c).isin(nonblank) if nonblank else F.lit(False)
+            if blank_is_null:
+                cond = cond | (F.trim(c) == "")
+            out_cols.append(F.when(cond, None).otherwise(c).alias(f.name))
         else:
             out_cols.append(F.col(f.name))
     return df.select(*out_cols)

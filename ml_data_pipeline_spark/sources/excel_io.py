@@ -73,6 +73,11 @@ def _sheet_rows(zf: zipfile.ZipFile, sheet_part: str, shared: list[str]) -> list
                 val = v.text == "1"
             elif ctype == "str":  # formula cached string result
                 val = v.text
+            elif ctype == "e":  # formula ERROR cell (#DIV/0! etc.) — null,
+                val = None      # matching pandas NaN (r10 review: float()
+                                # on '#DIV/0!' crashed the whole read)
+            elif ctype == "d":  # ISO-8601 date cell: keep the literal text
+                val = v.text
             else:  # 'n' numeric
                 txt = v.text
                 val = int(txt) if re.fullmatch(r"-?\d+", txt) else float(txt)
@@ -84,8 +89,12 @@ def _sheet_rows(zf: zipfile.ZipFile, sheet_part: str, shared: list[str]) -> list
 
 def _sheet_parts(zf: zipfile.ZipFile) -> list[str]:
     """Worksheet part names in workbook order (sheet1, sheet2, ...)."""
+    # numeric sort (r10 review: lexicographic sorted() put sheet10.xml
+    # before sheet2.xml, silently returning the WRONG sheet for any
+    # workbook with 10+ sheets)
     parts = sorted(
-        n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
     )
     return parts
 
@@ -115,8 +124,54 @@ def read_excel(
         names = [f"col_{i}" for i in range(len(rows[0]))]
         data = rows
     width = len(names)
-    # pad ragged rows (trailing empty cells are omitted from the XML)
-    data = [r + [None] * (width - len(r)) for r in data]
+    # pad ragged rows (trailing empty cells are omitted from the XML) and
+    # TRUNCATE rows wider than the header (r10 review: a negative pad
+    # count left the row long and createDataFrame crashed on field-count
+    # mismatch — pandas also drops unheadered trailing cells)
+    data = [r[:width] + [None] * (width - len(r)) for r in data]
+    from pyspark.sql import types as T
+
+    if not data:
+        # header-only sheet: an empty all-string frame with the header's
+        # columns (pandas parity), not an infer-from-empty crash
+        schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        return spark.createDataFrame([], schema)
+    if any(all(r[i] is None for r in data) for i in range(width)):
+        # an ALL-empty column defeats createDataFrame's type inference
+        # (CANNOT_DETERMINE_TYPE) — type each column from its observed
+        # Python values instead; all-None -> string (r10 review follow-up)
+        def _coltype(i: int):
+            vals = [r[i] for r in data if r[i] is not None]
+            if not vals:
+                return T.StringType()
+            if all(isinstance(v, bool) for v in vals):
+                return T.BooleanType()
+            if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+                return T.LongType()
+            if all(
+                isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+            ):
+                return T.DoubleType()
+            return T.StringType()
+
+        schema = T.StructType(
+            [T.StructField(n, _coltype(i)) for i, n in enumerate(names)]
+        )
+        conv = []
+        for r in data:
+            row = []
+            for i in range(width):
+                v, t = r[i], schema[i].dataType
+                if v is None:
+                    row.append(None)
+                elif isinstance(t, T.DoubleType):
+                    row.append(float(v))
+                elif isinstance(t, T.StringType):
+                    row.append(str(v))
+                else:
+                    row.append(v)
+            conv.append(row)
+        return spark.createDataFrame(conv, schema)
     return spark.createDataFrame(data, names)
 
 

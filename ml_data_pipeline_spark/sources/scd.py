@@ -25,10 +25,39 @@ from pyspark.sql import functions as F
 OPEN_TS = "9999-12-31 00:00:00"
 
 
-def merge_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    current: DataFrame, updates: DataFrame, key: str, ts_col: str | None = None
+) -> DataFrame:
     """SCD1 MERGE: rows in ``updates`` win on key match; unmatched current
     rows survive; brand-new keys insert. (anti-join + union — the Delta
-    MERGE INTO emulation for plain Parquet.)"""
+    MERGE INTO emulation for plain Parquet.)
+
+    A batch carrying SEVERAL rows for one key is compacted to one (r10
+    review: it used to append them all, leaving duplicate keys in the
+    'current' table — the invariant SCD1 exists to hold). With ``ts_col``
+    the latest row wins (ties broken by full-row struct order, so a
+    replayed batch is idempotent); without it the deterministic
+    max-struct row wins — supply ts_col for real CDC streams."""
+    from pyspark.sql import Window
+
+    if ts_col is not None:
+        w = Window.partitionBy(key).orderBy(
+            F.col(ts_col).desc(), F.struct(*updates.columns).desc()
+        )
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        others = [c for c in updates.columns if c != key]
+        if others:
+            packed = updates.groupBy(key).agg(F.max(F.struct(*others)).alias("__r"))
+            updates = packed.select(
+                key, *[F.col(f"__r.{c}").alias(c) for c in others]
+            )
+        else:
+            updates = updates.distinct()
     survivors = current.join(updates.select(key), key, "left_anti")
     return survivors.unionByName(updates)
 
@@ -53,7 +82,12 @@ def scd2_apply(
     batch" CDC compaction."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(F.col(effective_ts).desc())
+    # full-struct tiebreak (r10 review: effective_ts alone left
+    # same-timestamp updates partition-order-dependent — a replayed batch
+    # could crown a different winner, breaking idempotent re-merge)
+    w = Window.partitionBy(key).orderBy(
+        F.col(effective_ts).desc(), F.struct(*updates.columns).desc()
+    )
     updates = (
         updates.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

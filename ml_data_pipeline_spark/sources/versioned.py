@@ -304,11 +304,22 @@ def content_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFra
     Caveat (same class as exact dedup F13): xor cancels PAIRS of
     identical rows — two copies of the same row fingerprint like zero
     copies. Fine for keyed/deduped tables; for multiset semantics feed
-    a key column that makes rows unique."""
+    a key column that makes rows unique.
+
+    Canonicalization is LENGTH-PREFIXED per field (r10 review: a bare
+    '|' concat collides on field-boundary shifts — ('a|b','c') vs
+    ('a','b|c') — and a literal '␀' value was indistinguishable from
+    NULL): NULL → 'N|', value v → 'V<len>:<v>|' — unambiguous for any
+    content, replayed identically by the DuckDB oracle."""
     cols = cols or df.columns
-    canon = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols]
-    )
+
+    def _field(c: str):
+        sc = F.col(c).cast("string")
+        return F.when(sc.isNull(), F.lit("N|")).otherwise(
+            F.concat(F.lit("V"), F.length(sc).cast("string"), F.lit(":"), sc, F.lit("|"))
+        )
+
+    canon = F.concat(*[_field(c) for c in cols])
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     # empty input fingerprints as 0 (the xor identity), not NULL — the
     # merge algebra xor(shards) == whole must hold for empty shards too

@@ -298,3 +298,51 @@ def test_partitioned_write_prunes_partitions(spark):
     assert "PartitionFilters: [isnotnull(event_type" in plan or (
         "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
     ), plan[:1200]
+
+
+def test_r10_source_fixes(spark, tmp_path):
+    """r10 review regressions across the source layer."""
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.sources import csv_io as CSV
+    from ml_data_pipeline_spark.sources import scd as SCD
+    from ml_data_pipeline_spark.sources.versioned import content_fingerprint
+
+    # custom null spellings are authoritative: 'NA' survives when excluded,
+    # empty strings survive when not listed
+    p = tmp_path / "c.csv"
+    p.write_text("code,v\nNA,1\n?,2\n")
+    df = CSV.read_csv(spark, str(p), null_spellings=["?"])
+    rows = {r["v"]: r["code"] for r in df.collect()}
+    assert rows[1] == "NA"      # Namibia survives
+    assert rows[2] is None      # '?' nulled
+    # normalize_nulls honors the caller's spellings: empty strings are
+    # nulled ONLY when an empty/whitespace spelling is listed
+    base = spark.createDataFrame([("",), ("?",), ("x",)], "code string")
+    kept = {r["code"] for r in CSV.normalize_nulls(base, ["?"]).collect()}
+    assert kept == {"", None, "x"}
+    blanked = {r["code"] for r in CSV.normalize_nulls(base, ["?", ""]).collect()}
+    assert blanked == {None, "x"}
+    # merge_upsert compacts duplicate keys in one batch (SCD1 uniqueness)
+    cur = spark.createDataFrame(
+        [(1, "old", 1), (2, "keep", 1)], "k long, v string, ts int"
+    )
+    upd = spark.createDataFrame(
+        [(1, "u1", 10), (1, "u2", 20), (3, "new", 5)], "k long, v string, ts int"
+    )
+    out = SCD.merge_upsert(cur, upd, "k", ts_col="ts")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert len(out.collect()) == 3 and got[1] == "u2"  # latest ts wins, one row per key
+    # content_fingerprint: field-boundary shifts no longer collide
+    a = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    ha = content_fingerprint(a).collect()[0]["content_hash"]
+    hb = content_fingerprint(b).collect()[0]["content_hash"]
+    assert ha != hb
+    # and a literal sentinel is distinct from NULL
+    c = spark.createDataFrame([("␀",)], "x string")
+    d = spark.createDataFrame([(None,)], "x string")
+    assert (
+        content_fingerprint(c).collect()[0]["content_hash"]
+        != content_fingerprint(d).collect()[0]["content_hash"]
+    )

@@ -133,6 +133,11 @@ def impute_em_normal(
     stats = df.agg(
         F.avg(column).alias("mu"), F.coalesce(F.stddev(column), F.lit(0.0)).alias("sigma")
     ).collect()[0]
+    if stats["mu"] is None:
+        raise ValueError(
+            f"impute_em_normal: column {column!r} has no observed values — "
+            "the normal model cannot be initialized"
+        )
     mu, sigma = float(stats["mu"]), float(stats["sigma"])
     out = df
     for i in range(max_iter):

@@ -42,6 +42,16 @@ def shape_census(df: DataFrame) -> DataFrame:
     rows = [(t, c, n_rows, len(df.columns)) for t, c in sorted(by_type.items())]
     return spark.createDataFrame(rows, "dtype string, n_cols_of_type int, n_rows long, n_cols int")
 
+def _sqlq(name: str) -> str:
+    """Backtick-quote an identifier for embedding in a SQL string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sqls(text: str) -> str:
+    """Single-quote a string literal for embedding in a SQL string."""
+    return "'" + text.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def missing_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """P2 — per-column null count, null %, and >50% flag, sorted desc
     (ref /root/reference/checking_data_formats_ui.py:382-401).
@@ -55,7 +65,7 @@ def missing_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     aggs = [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in columns]
     totals = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     # unpivot the single aggregate row: stack(k, 'c1', c1, ...) — stays in JVM
-    stack_args = ", ".join(f"'{c}', `{c}`" for c in columns)
+    stack_args = ", ".join(f"{_sqls(c)}, {_sqlq(c)}" for c in columns)
     unpivoted = totals.selectExpr(
         "__n", f"stack({len(columns)}, {stack_args}) as (column, n_missing)"
     )
@@ -86,13 +96,13 @@ def distinct_counts(df: DataFrame, columns: list[str] | None = None) -> DataFram
 
     Exact counts via one aggregate (Spark plans count(distinct) over several
     columns as an expand + single shuffle). For display-only profiling at
-    100 TB prefer approx=True (HLL, no expand blow-up).
+    100 TB prefer the separate approx_distinct_counts (HLL, no expand
+    blow-up).
     """
     columns = columns or categorical_columns(df)
-    fn = F.approx_count_distinct
     aggs = [F.countDistinct(F.col(c)).alias(c) for c in columns]
     row = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', `{c}`" for c in columns)
+    stack_args = ", ".join(f"{_sqls(c)}, {_sqlq(c)}" for c in columns)
     return (
         row.selectExpr(f"stack({len(columns)}, {stack_args}) as (column, n_distinct)")
         .orderBy("n_distinct", "column")
@@ -109,7 +119,7 @@ def hll_shard_sketches(
     shard sketches is LOSSLESS versus sketching the whole table in one
     pass — pinned by the p37 gate."""
     return df.groupBy(shard_col).agg(
-        F.expr(f"hll_sketch_agg({column}, {int(lg_k)})").alias("hll_sketch")
+        F.expr(f"hll_sketch_agg({_sqlq(column)}, {int(lg_k)})").alias("hll_sketch")
     )
 
 
@@ -253,16 +263,19 @@ def correlation_pairs(df: DataFrame, columns: list[str] | None = None) -> DataFr
     pairs = [(a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]]
     if not pairs:
         raise ValueError("need >= 2 numeric columns")
-    aggs = [F.corr(F.col(a), F.col(b)).alias(f"{a}|{b}") for a, b in pairs]
+    aggs = [F.corr(F.col(a), F.col(b)).alias(f"__c{i}") for i, (a, b) in enumerate(pairs)]
     row = df.agg(*aggs)
-    stack_args = ", ".join(f"'{a}|{b}', `{a}|{b}`" for a, b in pairs)
+    # stack with THREE values per group emits (column_a, column_b, corr)
+    # directly — the old name-pair string round-trip split on '|' and
+    # mis-parsed any column name containing one (r10 review)
+    stack_args = ", ".join(
+        f"{_sqls(a)}, {_sqls(b)}, `__c{i}`" for i, (a, b) in enumerate(pairs)
+    )
     return (
-        row.selectExpr(f"stack({len(pairs)}, {stack_args}) as (pair, corr)")
-        .select(
-            F.split(F.col("pair"), "[|]").getItem(0).alias("column_a"),
-            F.split(F.col("pair"), "[|]").getItem(1).alias("column_b"),
-            F.round(F.col("corr"), 6).alias("corr"),
+        row.selectExpr(
+            f"stack({len(pairs)}, {stack_args}) as (column_a, column_b, corr)"
         )
+        .select("column_a", "column_b", F.round(F.col("corr"), 6).alias("corr"))
         .orderBy("column_a", "column_b")
     )
 
@@ -348,6 +361,10 @@ def classify_column_types(
                     out.append((c, "numeric_string"))
                 else:
                     out.append((c, "categorical"))
+        else:
+            # EMPTY table: string columns still get a row (one row per
+            # column is the contract; r10 review — they used to vanish)
+            out.extend((c, "categorical") for c in string_cols)
         sample.unpersist()
     return spark.createDataFrame(sorted(out), "column string, type_class string")
 
@@ -508,9 +525,16 @@ def psi_drift(
     (rule of thumb: > 0.2 = shifted).
 
     Each side is one map-side-combinable count per bin; the join is
-    bin-cardinality. Nothing here scales with data size except the two
-    scans."""
+    bin-cardinality. NULL values are EXCLUDED from both sides (r10
+    review: a NULL bin key can never match itself in the full_outer
+    join, so identical distributions with nulls reported two spurious
+    eps-clipped rows — PSI ~2.3 of pure false alarm).
+    Nothing here scales with data size except the two scans."""
+    if not splits:
+        raise ValueError("psi_drift needs at least one split point")
+
     def shares(df: DataFrame, name: str) -> DataFrame:
+        df = df.where(F.col(column).isNotNull())
         x = F.col(column).cast("double")
         bin_expr = sum((x >= F.lit(float(s))).cast("int") for s in sorted(splits))
         # checkpoint the bin-cardinality counts: `total` and the share
@@ -692,7 +716,12 @@ def ks_statistic(
     (ks_stat, n_a, n_b).
     """
     per_val = (
+        # NULL metric values are dropped like welch_ttest/mann_whitney_u
+        # do (r10 review: NULL sorted first in the cumulative window, so
+        # differing null RATES inflated the KS stat between identical
+        # observed distributions)
         df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(
             F.sum((F.col(group_col) == group_a).cast("long")).alias("__ca"),
@@ -932,7 +961,13 @@ def ranged_rank(
     P = num_partitions or spark.sparkContext.defaultParallelism
     asc = [F.asc(c) for c in order_cols]
     rp = df.repartitionByRange(P, *asc).withColumn("__pid", F.spark_partition_id())
-    rp = rp.cache()  # spark_partition_id must stay stable across both reads
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    # spark_partition_id must stay stable across both reads; TRACKED so
+    # release_tracked() can free the full-width pin (r10 review: a raw
+    # cache here leaked a data-sized pin per gini/RFM call in long
+    # sessions — exactly the class cache.py exists for)
+    rp = tracked_cache(rp)
     counts = {
         r["__pid"]: r["n"]
         for r in rp.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1081,8 +1116,13 @@ def weighted_percentiles(
     reaches q * total_weight. Exact and engine-replayable when the
     weights are integer-valued (exact cumulative sums); the per-value
     pre-aggregation keeps the rank window value-cardinality-sized."""
-    per_val = df.groupBy(group_col, value_col).agg(
-        F.sum(weight_col).alias("__w")
+    # NULL values sort FIRST in the cumulative window, so their weight
+    # counted as 'below everything' and dragged every percentile toward
+    # the minimum (r10 review) — drop them like an unweighted percentile
+    per_val = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.sum(weight_col).alias("__w"))
     )
     wcum = (
         Window.partitionBy(group_col)
@@ -1131,6 +1171,11 @@ def normalized_mutual_info(
     at 6dp; degenerate single-class sides yield NULL nmi via nullif."""
     # materialized once: the marginal/total branches would otherwise each
     # re-aggregate from the source scan (plan_audit r5); |A|x|B| rows
+    # NULL labels are dropped up front (r10 review: the equi-joins on
+    # a/b silently dropped NULL cells from the MI sum while n and both
+    # entropies still counted them — NMI biased low and inconsistent;
+    # _contingency/cohens_kappa draw the same line)
+    df = df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     joint = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
         F.count(F.lit(1)).alias("nab")
     ).localCheckpoint()
@@ -1284,6 +1329,12 @@ def krippendorff_alpha(
     broadcast crossJoin. Output: one row (n_units, n_ratings, d_o, d_e,
     alpha).
     """
+    # missing (NULL) ratings are excluded up front — Krippendorff's
+    # definition counts only observed ratings, and units keep >= 2
+    # NON-MISSING ratings (r10 review: a NULL rating used to count
+    # toward m/n/category masses and 'agree' with everything through the
+    # null-unsafe != )
+    df = df.where(F.col(value_col).isNotNull())
     m_per_unit = df.groupBy(F.col(unit_col).alias("__u")).agg(
         F.count(F.lit(1)).alias("__m")
     )

@@ -2262,3 +2262,46 @@ def test_r10_sampling_filter_encoding_null_guards(spark):
     enc = ENC.frequency_encode(fdf, "c")
     a_val = enc.where(F.col("c") == "a").select("c_freq_encoded").first()[0]
     assert a_val == 1.0  # was 0.8 with nulls in the denominator
+
+
+def test_r10_profiling_null_semantics(spark):
+    """r10 review: drift/agreement statistics must not count NULLs as
+    data — identical distributions with nulls reported massive false
+    drift, and weighted percentiles dragged toward the minimum."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import profiling as P
+
+    # psi: identical sides with 20% NULLs → every psi_term ~0 (was ~2.3)
+    a = spark.createDataFrame(
+        [(float(i % 10),) for i in range(80)] + [(None,)] * 20, "v double"
+    )
+    psi = sum(r["psi_term"] for r in P.psi_drift(a, a, "v", splits=[3.0, 6.0]).collect())
+    assert abs(psi) < 1e-9
+    with pytest.raises(ValueError, match="split"):
+        P.psi_drift(a, a, "v", splits=[])
+    # ks: identical observed values, different null rates → ks 0 (was 0.5)
+    b = spark.createDataFrame(
+        [("a", 1.0)] * 50 + [("a", None)] * 50 + [("b", 1.0)] * 100,
+        "g string, v double",
+    )
+    assert P.ks_statistic(b, "v", "g", "a", "b").collect()[0]["ks_stat"] == 0.0
+    # weighted percentile: nulls don't count as below-everything
+    w = spark.createDataFrame(
+        [("g", float(i), 1.0) for i in range(1, 101)]
+        + [("g", None, 1.0)] * 100,
+        "grp string, v double, wt double",
+    )
+    med = P.weighted_percentiles(w, "grp", "v", "wt", {"p50": 0.5}).collect()[0]["p50"]
+    assert med == 50.0  # was 1.0
+    # correlation_pairs: a '|' in a column name no longer corrupts the split
+    c = spark.createDataFrame(
+        [(1.0, 2.0, 2.0), (2.0, 4.0, 3.9), (3.0, 6.0, 6.1)],
+        "`a|b` double, c double, d double",
+    )
+    pairs = {(r["column_a"], r["column_b"]) for r in P.correlation_pairs(c).collect()}
+    assert ("a|b", "c") in pairs and ("a|b", "d") in pairs and ("c", "d") in pairs
+    # classify_column_types on an EMPTY table keeps one row per column
+    empty = spark.createDataFrame([], "x double, s string")
+    got = {r["column"]: r["type_class"] for r in P.classify_column_types(empty).collect()}
+    assert set(got) == {"x", "s"}

@@ -27,6 +27,14 @@ PII_PATTERNS: dict[str, str] = {
 
 
 def _redacted(col: Column, kinds: tuple[str, ...]) -> Column:
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        # a typo'd kind silently shipping unredacted PII is the worst
+        # possible failure mode for this operator (r10 review)
+        raise ValueError(
+            f"unknown PII kinds {unknown}; expected a subset of "
+            f"{sorted(PII_PATTERNS)}"
+        )
     out = col
     for kind in PII_PATTERNS:  # fixed application order, independent of `kinds` order
         if kind in kinds:
@@ -64,7 +72,10 @@ def strip_html(df: DataFrame, text_col: str = "text", out_col: str | None = None
     runs of whitespace. Tag regex is the pragmatic `<[^>]+>` (not an HTML
     parser — malformed markup degrades gracefully to text)."""
     t = F.regexp_replace(F.col(text_col), r"<[^>]+>", " ")
-    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]:
+    # '&amp;' decodes LAST (r10 review: decoding it first turned
+    # author-escaped '&amp;lt;' into '&lt;' and then into '<' — double
+    # unescaping that corrupts deliberately-escaped content)
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return df.withColumn(out_col or text_col, t)
@@ -106,13 +117,22 @@ def canonicalize_url(
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_replace(
-        F.regexp_replace(hostport, r"^www\.", ""), r":(80|443)$", ""
+    nowww = F.regexp_replace(hostport, r"^www\.", "")
+    # strip only the port that is DEFAULT for the scheme (r10 review:
+    # unconditional :80/:443 stripping collapsed http://h:443/x — a real
+    # non-default endpoint — onto http://h/x)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(nowww, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(nowww, r":443$", ""))
+        .otherwise(nowww)
     )
     raw_path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.regexp_replace(raw_path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    params = F.split(F.regexp_extract(u, r"\?([^#]*)", 1), "&")
+    # query comes from the PRE-fragment part only (r10 review: a '?'
+    # inside the fragment resurrected fragment content into the canonical
+    # form this function promises to drop)
+    params = F.split(F.regexp_extract(u, r"^[^#]*\?([^#]*)", 1), "&")
     kept = F.array_sort(
         F.filter(
             params,

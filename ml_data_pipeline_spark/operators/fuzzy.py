@@ -40,9 +40,13 @@ def fuzzy_join(
         ).alias("__cand_len"),
     )
     pairs = cands.join(b, F.col("__cand_len") == F.length("__b")).drop("__cand_len")
+    # thresholded levenshtein (Spark 3.5+): banded O(k*n) DP with early
+    # exit, returning -1 above the threshold — the unbounded form ran the
+    # full O(len_a*len_b) DP per candidate pair for distances it was
+    # about to discard (r10 review)
     return (
-        pairs.withColumn("distance", F.levenshtein("__a", "__b"))
-        .where(F.col("distance") <= k)
+        pairs.withColumn("distance", F.levenshtein("__a", "__b", int(k)))
+        .where(F.col("distance") >= 0)
         .select(
             F.col("__a").alias(left_col),
             F.col("__b").alias(right_col + ("_right" if right_col == left_col else "")),

@@ -52,9 +52,16 @@ def exact_media_dedup(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Exact blob dedup on the content hash — the shuffle carries
     (hash, media_id), never the payload (same shape as dedup.exact_dedup)."""
     hashed = attach_media_metadata(df, payload_col)
-    keep = hashed.groupBy("payload_sha256").agg(F.min("media_id").alias("media_id"))
-    return hashed.join(keep, ["payload_sha256", "media_id"], "left_semi").drop(
-        "payload_bytes", "payload_sha256"
+    # NULL payloads hash to NULL, and a NULL key never matches in the semi
+    # join — such rows used to vanish entirely (r10 review). They are not
+    # duplicates of anything (unknown content), so they pass through.
+    null_rows = hashed.where(F.col("payload_sha256").isNull())
+    nonnull = hashed.where(F.col("payload_sha256").isNotNull())
+    keep = nonnull.groupBy("payload_sha256").agg(F.min("media_id").alias("media_id"))
+    return (
+        nonnull.join(keep, ["payload_sha256", "media_id"], "left_semi")
+        .unionByName(null_rows)
+        .drop("payload_bytes", "payload_sha256")
     )
 
 
@@ -83,7 +90,6 @@ def extract_media_features(
     df: DataFrame,
     payload_col: str = "payload",
     decoder: str = "stub",
-    batch_hint: int = 64,
 ) -> DataFrame:
     """Decode + feature-extract per blob via mapInPandas (Arrow batches).
 
@@ -125,25 +131,34 @@ def extract_media_features(
                 }
             )
 
-    # size-balance the Python stage: payloads are skewed; hash-repartition
-    # spreads heavy blobs across workers
+    # size-balance the Python stage: payloads are skewed; hashing the ID
+    # spreads heavy blobs across workers (id-hash, not content-hash — the
+    # module doc previously claimed content; id is equally uniform here
+    # and avoids recomputing sha256 when metadata wasn't attached)
     balanced = df.repartition(F.col("media_id"))
     return balanced.mapInPandas(run, out_schema)
 
 
-def frame_sample_plan(
-    df: DataFrame, every_ms: int = 1000, payload_col: str = "payload"
-) -> DataFrame:
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: explode the timeline into (media_id,
     frame_ts_ms) rows JVM-side, so the expensive per-frame decode (stubbed)
     is already parallelized per frame, not per video — the 2-hour-video
-    straggler problem is solved before Python is involved."""
-    n_frames = (F.col("meta_duration_ms") / every_ms).cast("int")
+    straggler problem is solved before Python is involved.
+
+    Videos with NULL or non-positive duration contribute no frames (r10
+    review: a 0-ms duration crashed the stage with 'Illegal sequence
+    boundaries' and a NULL one vanished without the guard making that
+    explicit; the unused payload_col param is gone)."""
     return (
         df.where(F.col("media_type") == "video")
         .withColumn(
             "frame_ts_ms",
-            F.explode(F.expr(f"sequence(0, meta_duration_ms - 1, {every_ms})")),
+            F.explode(
+                F.when(
+                    F.col("meta_duration_ms") > 0,
+                    F.expr(f"sequence(0, meta_duration_ms - 1, {every_ms})"),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ),
         )
         .select("media_id", "frame_ts_ms")
     )

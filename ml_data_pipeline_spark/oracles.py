@@ -1177,8 +1177,8 @@ ALL_ORACLES: dict[str, str] = {
                md5(trim(regexp_replace(
                    replace(replace(replace(replace(replace(
                        regexp_replace(text, '<[^>]+>', ' ', 'g'),
-                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-                       '&quot;', '"'), '&#39;', ''''),
+                       '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
                    '\s+', ' ', 'g'))) AS clean_md5
         FROM injected ORDER BY doc_id
     """,
@@ -2622,13 +2622,21 @@ ALL_ORACLES: dict[str, str] = {
         parts AS (
             SELECT doc_id, url,
                    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                   regexp_replace(regexp_replace(
+                   CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                     WHEN 'http' THEN regexp_replace(regexp_replace(
                        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                       '^www\\.', ''), ':(80|443)$', '') AS host,
+                       '^www\\.', ''), ':80$', '')
+                     WHEN 'https' THEN regexp_replace(regexp_replace(
+                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       '^www\\.', ''), ':443$', '')
+                     ELSE regexp_replace(
+                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       '^www\\.', '')
+                   END AS host,
                    regexp_replace(
                        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
                        '/+$', '') AS path0,
-                   regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+                   regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS rawq
             FROM urls
         ),
         canon AS (

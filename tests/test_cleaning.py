@@ -150,8 +150,10 @@ def test_chunk_documents_overlap_and_coverage(spark):
         (r["chunk_id"], r["chunk"])
         for r in chunk_documents(df, chunk_chars=4, overlap=2).collect()
     )
-    # stride 2: starts 1,3,5,7,9 -> abcd cdef efgh ghij ij
-    assert rows == [(0, "abcd"), (1, "cdef"), (2, "efgh"), (3, "ghij"), (4, "ij")]
+    # stride 2, count = ceil(max(10-2,1)/2) = 4: abcd cdef efgh ghij —
+    # r10 fix: the old formula also emitted a 5th chunk "ij" that was
+    # FULLY CONTAINED in "ghij" (duplicate text)
+    assert rows == [(0, "abcd"), (1, "cdef"), (2, "efgh"), (3, "ghij")]
     # overlap invariant: consecutive chunks share `overlap` chars
     for (i, a), (_, b) in zip(rows, rows[1:]):
         assert a[2:] == b[: len(a) - 2]
@@ -272,3 +274,33 @@ def test_script_stats_fractions_and_dominant(spark):
     # punctuation-only and empty docs: all fractions 0, dominant 'other'
     assert rows[6]["dominant_script"] == "other"
     assert rows[7]["dominant_script"] == "other" and rows[7]["frac_latin"] == 0.0
+
+
+def test_r10_cleaning_url_and_entity_fixes(spark):
+    """r10 review: scheme-paired default-port stripping, query never taken
+    from the fragment, &amp; decoded last, unknown PII kinds raise."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import cleaning as CL
+
+    urls = spark.createDataFrame(
+        [
+            (1, "http://ex.com:443/x"),    # NON-default port: must survive
+            (2, "https://ex.com:443/x"),   # default port: stripped
+            (3, "http://h/p#sec?x=1"),     # '?' inside fragment: no query
+            (4, "http://h/p?a=1#f?b=2"),   # real query + tricky fragment
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["canonical_url"] for r in CL.canonicalize_url(urls).collect()}
+    assert got[1] == "http://ex.com:443/x"
+    assert got[2] == "https://ex.com/x"
+    assert got[3] == "http://h/p"
+    assert got[4] == "http://h/p?a=1"
+    html = spark.createDataFrame(
+        [(1, "&amp;lt;b&amp;gt; stays escaped")], "id long, text string"
+    )
+    out = CL.strip_html(html).collect()[0]["text"]
+    assert out == "&lt;b&gt; stays escaped"  # was '<b>' (double-unescaped)
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        CL.redact_pii(html, kinds=("emails",))

@@ -53,3 +53,27 @@ def test_frame_sample_plan(media):
     }
     got = {r["media_id"]: r["count"] for r in rows}
     assert got == {mid: d // 1000 for mid, d in durations.items()}
+
+
+def test_r10_multimodal_null_and_duration_guards(spark):
+    """r10 review: NULL payloads pass through dedup (they used to vanish
+    at the NULL join key); zero/NULL-duration videos contribute no frames
+    instead of crashing sequence()."""
+    from ml_data_pipeline_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"xx"), 0),
+            (2, "image", bytearray(b"xx"), 0),   # dup of 1
+            (3, "image", None, 0),               # NULL payload
+            (4, "video", bytearray(b"v"), 0),    # ZERO duration
+            (5, "video", bytearray(b"v2"), None),  # NULL duration
+            (6, "video", bytearray(b"v3"), 2500),
+        ],
+        "media_id long, media_type string, payload binary, meta_duration_ms long",
+    )
+    kept = {r["media_id"] for r in MM.exact_media_dedup(df).collect()}
+    assert kept == {1, 3, 4, 5, 6}  # dup 2 dropped, NULL payload KEPT
+    plan = MM.frame_sample_plan(df, every_ms=1000).collect()
+    assert {r["media_id"] for r in plan} == {6}  # 0/NULL durations: no crash
+    assert sorted(r["frame_ts_ms"] for r in plan) == [0, 1000, 2000]

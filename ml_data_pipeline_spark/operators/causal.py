@@ -114,7 +114,14 @@ def _psm_pick(
         F.col("__below").isNotNull() & (d_below <= d_above)
     )
     chosen = F.when(pick_below, F.col("__below")).otherwise(F.col("__above"))
-    out = t.where(chosen.isNotNull()).withColumn("__match", chosen)
+    # a treated unit with NULL propensity cannot be matched (r10 review:
+    # NULL distances made pick_below NULL -> otherwise() grabbed an
+    # arbitrary carried control and the garbage pair flowed into the ATT)
+    out = (
+        t.where(F.col("__s").isNotNull())
+        .where(chosen.isNotNull())
+        .withColumn("__match", chosen)
+    )
     if caliper is not None:
         out = out.where(F.abs(F.col("__s") - F.col("__match.cs")) <= caliper)
     sel = [

@@ -45,11 +45,13 @@ def funnel_counts(
     stage_arr = F.array(*[F.lit(s) for s in stages])
     walk = F.aggregate(
         F.sort_array(F.collect_list("e")),
-        F.struct(F.lit(0).alias("reached"), F.lit(-1).cast("long").alias("last_t")),
+        # NULL last_t init, not a -1 sentinel (r10 review: a pre-epoch
+        # event has unix_micros <= -1 and could never start the funnel)
+        F.struct(F.lit(0).alias("reached"), F.lit(None).cast("long").alias("last_t")),
         lambda acc, e: F.when(
             (acc["reached"] < len(stages))
             & (e["s"] == F.element_at(stage_arr, acc["reached"] + 1))
-            & (e["t"] > acc["last_t"]),
+            & (acc["last_t"].isNull() | (e["t"] > acc["last_t"])),
             F.struct(
                 (acc["reached"] + 1).alias("reached"), e["t"].alias("last_t")
             ),
@@ -57,15 +59,28 @@ def funnel_counts(
         lambda acc: acc["reached"],
     )
     per_user = ev.groupBy("u").agg(walk.alias("reached"))
-    # n_users at stage k = users with reached >= k (cheap: stage count is tiny)
-    counts = per_user.select(
-        F.explode(
-            F.filter(
-                F.sequence(F.lit(1), F.lit(len(stages))),
-                lambda k: k <= F.col("reached"),
-            )
-        ).alias("stage_idx")
-    ).groupBy("stage_idx").agg(F.count(F.lit(1)).alias("n_users"))
+    # n_users at stage k = users with reached >= k (cheap: stage count is
+    # tiny). Every declared stage gets a row — a zero-user stage emits
+    # n_users=0 instead of vanishing (r10 review: the oracle and any
+    # full-funnel consumer expect len(stages) rows always)
+    spark = df.sparkSession
+    all_stages = spark.range(1, len(stages) + 1).select(
+        F.col("id").cast("int").alias("stage_idx")
+    )
+    counts = (
+        per_user.select(
+            F.explode(
+                F.filter(
+                    F.sequence(F.lit(1), F.lit(len(stages))),
+                    lambda k: k <= F.col("reached"),
+                )
+            ).alias("stage_idx")
+        )
+        .groupBy("stage_idx")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .join(all_stages, "stage_idx", "right")
+        .select("stage_idx", F.coalesce("n_users", F.lit(0)).alias("n_users"))
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy("stage_idx")
@@ -77,7 +92,14 @@ def funnel_counts(
             "conversion",
             F.round(
                 F.col("n_users")
-                / F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
+                # nullif: a stage AFTER an empty one has conversion NULL
+                # (0/0 is undefined, and ANSI would crash), not a fake 0
+                / F.nullif(
+                    F.coalesce(F.lag("n_users").over(w), F.col("n_users")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
                 6,
             ),
         )
@@ -216,7 +238,12 @@ def event_patterns(
         F.count(F.lit(1)).alias("n_events"), seq.alias("__seq")
     )
     journeys = journeys.withColumn(
-        "journey", F.array_join(F.transform("__seq", lambda x: x.getField("c")), "")
+        # nullReplacement keeps a NULL-typed event VISIBLE in the journey
+        # ('?' placeholder) instead of silently splicing its neighbors
+        # together into a false adjacency (r10 review) — n_events and
+        # journey length stay consistent
+        "journey",
+        F.array_join(F.transform("__seq", lambda x: x.getField("c")), "", "?"),
     ).drop("__seq")
     for name, pat in patterns.items():
         journeys = journeys.withColumn(

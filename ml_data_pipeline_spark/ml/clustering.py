@@ -61,6 +61,13 @@ def kmeans_fit_2d(
         .collect()
     )
     cents = [(float(r["x"]), float(r["y"])) for r in init_rows]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_fit_2d: k={k} exceeds the {len(cents)} distinct "
+            "available init rows — reduce k or supply more data"
+        )
+    if iters < 1:
+        raise ValueError("kmeans_fit_2d: iters must be >= 1")
 
     def dist(j: int):
         cx, cy = cents[j]
@@ -149,7 +156,11 @@ def dbscan_labels(
         raise ValueError("dbscan_labels requires min_pts >= 2")
     from ml_data_pipeline_spark.operators.components import connected_components
 
-    p = pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    p = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))  # a (u,u) self-pair would inflate the
+    # degree and misclassify a non-core point as core (r10 review;
+    # connected_components drops self-edges independently)
     sym = p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     # materialize once: degree count, core-core edge filter and the border
     # assignment all read this frame (the re-derivation lesson)

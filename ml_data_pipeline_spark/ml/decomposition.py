@@ -40,7 +40,17 @@ def pca_fit(
     covariance, matching var_pop in SQL engines."""
     import numpy as np
 
-    d = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError(
+            "pca_fit: no non-null vectors to fit on (empty frame or "
+            "all-NULL embedding column)"
+        )
+    d = len(first[0])
+    # NULL vector rows would crash np.stack deep in an executor — they
+    # carry no signal for the moments, so they are excluded up front
+    # (r10 review)
+    df = df.where(F.col(vec_col).isNotNull())
 
     def moments(batches):
         import numpy as np

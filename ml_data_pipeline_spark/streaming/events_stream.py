@@ -73,7 +73,7 @@ def hourly_counts(
 
 def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Session-window aggregation (30-min inactivity gap) per user — the
-    streaming twin of queries.q_sessionize, via the NATIVE session_window
+    streaming twin of queries.q_sessionize (boundary caveat: session_window is END-EXCLUSIVE — an event exactly `gap` after the last one starts a NEW session here, while the batch lag-based rule keeps it; twin equality holds for data without exact-gap boundaries, which the gate's second-granularity stream satisfies), via the NATIVE session_window
     state-store operator (no custom stateful UDF)."""
     return (
         stream.withWatermark("ts", watermark)
@@ -254,17 +254,38 @@ def write_stream_upsert(
     spark = updates.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy(key).orderBy(BF.col(order_col).desc())
-        deduped = (
-            batch_df.withColumn("__rn", BF.row_number().over(w))
-            .where("__rn = 1")
-            .drop("__rn")
-        )
-        try:
-            current = spark.read.parquet(table_path)
-            merged = merge_upsert(current, deduped, key)
-        except Exception:  # first batch: no table yet
-            merged = deduped
+        # in-batch compaction is delegated to merge_upsert(ts_col=...),
+        # whose latest-wins ordering carries a full-struct tie-break — the
+        # local window ordered only by order_col, so equal-ts redeliveries
+        # with mutated payloads picked an arbitrary winner and a
+        # checkpoint-replayed batch could merge a DIFFERENT row than the
+        # original run (r10 review: the idempotent-replay contract)
+        import os
+        from urllib.parse import urlparse
+
+        u = urlparse(table_path)
+        local = u.scheme in ("file", "")
+        exists = os.path.exists(u.path if local else table_path) if local else None
+        if exists is False:
+            merged = merge_upsert(
+                batch_df.limit(0), batch_df, key, ts_col=order_col
+            )
+        else:
+            # a FAILED read of an existing table must FAIL the batch (r10
+            # review: the old bare `except: merged = deduped` treated any
+            # transient read/merge error as 'first batch' and then
+            # OVERWROTE the table with only this micro-batch — silently
+            # discarding every previously accumulated key). Only the
+            # missing-path case may fall back; on non-local stores, probe
+            # by catching the specific PATH_NOT_FOUND analysis error.
+            try:
+                current = spark.read.parquet(table_path)
+            except Exception as e:
+                if "PATH_NOT_FOUND" in str(e):
+                    current = batch_df.limit(0)
+                else:
+                    raise
+            merged = merge_upsert(current, batch_df, key, ts_col=order_col)
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(table_path)
 

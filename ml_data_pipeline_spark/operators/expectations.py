@@ -28,10 +28,14 @@ def expect_not_null(column: str) -> dict:
 
 
 def expect_unique(columns: list[str]) -> dict:
+    # distinct over a STRUCT: the struct itself is never NULL even when
+    # fields are, so NULL-containing rows count as distinct values (r10
+    # review: bare count_distinct(cols) DROPPED them while count(*) kept
+    # them — every nullable row reported as a spurious violation)
     cols = [F.col(c) for c in columns]
     return {
         "rule": f"unique({','.join(columns)})",
-        "violations": F.count(F.lit(1)) - F.count_distinct(*cols),
+        "violations": F.count(F.lit(1)) - F.count_distinct(F.struct(*cols)),
     }
 
 
@@ -63,7 +67,15 @@ def run_expectations(df: DataFrame, expectations: list[dict]) -> DataFrame:
     """Evaluate all expectations in one aggregate pass.
 
     Returns (rule, n_violations, passed), one row per rule, computed from a
-    single 1-row agg exploded driver-free into rows."""
+    single 1-row agg exploded driver-free into rows. Note: rule names key
+    on (kind, column) — two different in_set/regex checks on one column
+    would collide in the report; give such suites distinct columns or
+    range-style parameterized rules. An empty suite returns an empty
+    frame (r10 review: df.agg() with no expressions raised)."""
+    if not expectations:
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_violations long, passed boolean"
+        )
     structs = [
         F.struct(
             F.lit(e["rule"]).alias("rule"),

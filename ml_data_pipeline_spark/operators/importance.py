@@ -125,5 +125,9 @@ def dsir_select(
         rounded.alias("avg_log_ratio"),
         F.row_number().over(order).alias("rank"),
     ).select(
-        "id", "n_tokens", "avg_log_ratio", "rank", (F.col("rank") <= k).alias("selected")
+        "id", "n_tokens", "avg_log_ratio", "rank",
+        # zero-token docs (NULL weight) rank last AND are never selected,
+        # even when k exceeds the weighted-document count (r10 review:
+        # they used to backfill the selection with empty documents)
+        ((F.col("rank") <= k) & F.col("avg_log_ratio").isNotNull()).alias("selected")
     ).orderBy("id")

@@ -46,6 +46,16 @@ def mixture_plan(
     wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     with_w = inv.withColumn("__w", wmap[F.col(source_col)])
     total_w = with_w.agg(F.sum("__w")).first()[0]
+    if total_w is None:
+        raise ValueError(
+            "mixture_plan: none of the weighted sources "
+            f"{sorted(weights)} exist in the corpus"
+        )
+    if total_w == 0:
+        raise ValueError(
+            "mixture_plan: the sources present in the corpus all carry "
+            "zero weight — the renormalized plan is undefined"
+        )
     target = F.col("__w") / float(total_w) * total_tokens
     ratio = target / F.col("available_tokens")
     return (

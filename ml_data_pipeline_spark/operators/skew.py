@@ -31,7 +31,19 @@ def salted_join(
 ) -> DataFrame:
     """Join with the big side's hot keys spread across ``salt`` sub-keys.
     small is exploded x salt (it must be the replicable side); result
-    columns match a plain ``big.join(small, on, how)``."""
+    columns match a plain ``big.join(small, on, how)``.
+
+    Only join types that never emit unmatched SMALL-side rows are
+    supported (inner / left / left_semi / left_anti / cross): the small
+    side is replicated x salt, so a right/full outer join would emit each
+    unmatched small row once PER SALT VALUE (r10 review) — such joins
+    raise instead of silently multiplying rows."""
+    if how.replace("_", "").lower() in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join(how={how!r}): the replicated small side would "
+            "emit unmatched rows once per salt value — use a plain join "
+            "or swap sides"
+        )
     big_s = big.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -119,6 +131,10 @@ def auto_salted_join(
         .agg(F.max("__n").alias("__m"))
         .first()["__m"]
     )
+    if hot is None:
+        # empty big side (or an empty sample): the plain join is trivially
+        # right — int(None) used to TypeError (r10 review)
+        return big.join(small, on, how)
     if sample_fraction:
         hot = int(hot / sample_fraction)
     factor = max(1, -(-int(hot) // rows_per_task))  # ceil

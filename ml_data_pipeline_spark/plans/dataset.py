@@ -71,7 +71,8 @@ class Dataset:
                 f"{getattr(op, '__name__', op)!r} returned {type(out).__name__}; "
                 "use apply_multi for operators returning multiple frames"
             )
-        desc = describe or f"{getattr(op, '__name__', 'op')}({', '.join(map(repr, args))})"
+        parts = [repr(a) for a in args] + [f"{k}={v!r}" for k, v in kwargs.items()]
+        desc = describe or f"{getattr(op, '__name__', 'op')}({', '.join(parts)})"
         return Dataset(out, self.changes + (desc,), self.base_version)
 
     def transform(self, fn: Callable[[DataFrame], DataFrame], describe: str) -> "Dataset":
@@ -86,9 +87,16 @@ class Dataset:
         partition_by: list[str] | None = None,
     ):
         """Commit one version; the accumulated change log becomes the
-        version's lineage metadata (the Spark-native ``# META`` line)."""
+        version's lineage metadata (the Spark-native ``# META`` line).
+        A chain resumed from an older version records that origin as the
+        first change line (r10 review: the versioned layer's parent
+        pointer is always the latest version, so without this line a
+        resumed chain's true ancestry was lost from the lineage)."""
         vd = VersionedDataset(self.df.sparkSession, root, base)
-        return vd.write_version(self.df, list(self.changes), partition_by)
+        changes = list(self.changes)
+        if self.base_version is not None:
+            changes = [f"resumed from v{self.base_version}"] + changes
+        return vd.write_version(self.df, changes, partition_by)
 
     def save_pair(
         self,
@@ -113,7 +121,21 @@ class Dataset:
                 "the paired layout requires lock-step commits"
             )
         info_train = train_vd.write_version(self.df, list(self.changes), partition_by)
-        info_test = test_vd.write_version(
-            test_df, ["untouched test partner of train v%d" % info_train.version], partition_by
-        )
+        try:
+            info_test = test_vd.write_version(
+                test_df,
+                ["untouched test partner of train v%d" % info_train.version],
+                partition_by,
+            )
+        except Exception as e:
+            # the pair is two physical commits; a test-side failure after
+            # the train commit leaves an ORPHAN train version that makes
+            # every future save_pair raise on the counter check — name it
+            # and the recovery instead of failing opaquely (r10 review)
+            raise RuntimeError(
+                f"save_pair: test write failed AFTER train v{info_train.version} "
+                f"committed under {root}/{base}_train — delete that orphan "
+                "version directory (and its _meta.json) to realign the "
+                "paired counters, then retry"
+            ) from e
         return info_train, info_test

@@ -286,10 +286,14 @@ def test_canonicalize_url_idempotent_and_tracking_free(spark, host, www, upper, 
     assert again == once
     for bad in ("utm_", "gclid", "ref=", "#", "://www."):
         assert bad not in once, (raw, once, bad)
-    # default ports are stripped; non-default ports (e.g. :8080) survive —
-    # match the authority's END, not any substring (':80' is inside ':8080')
+    # the port that is DEFAULT for the scheme is stripped; any other port
+    # (':8080', or http's ':443' / https' ':80' — r10 fix: those are real
+    # non-default endpoints) survives. Match the authority END, not any
+    # substring (':80' is inside ':8080').
     authority = once.split("/")[2]
-    assert not authority.endswith(":80") and not authority.endswith(":443"), (raw, once)
+    scheme = once.split("://")[0]
+    default = ":443" if scheme == "https" else ":80"
+    assert not authority.endswith(default), (raw, once)
 
 
 @given(

@@ -29,6 +29,21 @@ def class_counts(df: DataFrame, target: str) -> DataFrame:
     return df.groupBy(target).agg(F.count(F.lit(1)).alias("__n"))
 
 
+def _require_nonnull_target(df: DataFrame, target: str) -> None:
+    """Loud contract shared by every balancer (r10 review): a NULL class
+    label silently corrupted each of them differently — null-unsafe count
+    joins dropped the rows from random_oversample/smote/adasyn, isin and
+    ~isin both excluded them from nearmiss, and `col == None` gave
+    cluster_centroids an empty class frame. imblearn draws the same line
+    (rejects NaN labels); label or split the data upstream. One narrow
+    limit(1) probe."""
+    if df.where(F.col(target).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"balancing requires non-NULL class labels; column {target!r} "
+            "contains NULLs — impute or filter them first"
+        )
+
+
 def _with_counts(df: DataFrame, target: str) -> DataFrame:
     """Attach per-class count via broadcast join (class cardinality is small
     by definition of 'class')."""
@@ -40,6 +55,7 @@ def _with_counts(df: DataFrame, target: str) -> DataFrame:
 def random_undersample(df: DataFrame, target: str, seed: int = 42) -> DataFrame:
     """B2 — every class downsampled to the minority count. Exact counts via
     per-class row_number over rand (ref data_balancing_list_method_logic.py:24-32)."""
+    _require_nonnull_target(df, target)
     min_n = class_counts(df, target).agg(F.min("__n")).first()[0]
     w = Window.partitionBy(target).orderBy(F.rand(seed))
     return (
@@ -53,6 +69,7 @@ def random_oversample(df: DataFrame, target: str, seed: int = 42) -> DataFrame:
     """B5 — every class upsampled (with replacement) to the majority count,
     EXACTLY: each row gets floor(maj/n) copies; the first maj mod n rows (by
     shuffled order) get one extra (ref data_balancing_list_method_logic.py:57-65)."""
+    _require_nonnull_target(df, target)
     max_n = class_counts(df, target).agg(F.max("__n")).first()[0]
     w = Window.partitionBy(target).orderBy(F.rand(seed))
     base = _with_counts(df, target).withColumn("__rk", F.row_number().over(w))
@@ -104,6 +121,7 @@ def smote(
     regardless of class count.)
     """
     feats = feature_cols or _numeric_feature_cols(df, target)
+    _require_nonnull_target(df, target)
     counts = class_counts(df, target)
     max_n = counts.agg(F.max("__n")).first()[0]
 
@@ -111,12 +129,20 @@ def smote(
     # cache: __id must be IDENTICAL in every DAG branch (kNN left/right,
     # neighbor-feature join) — monotonically_increasing_id is only
     # deterministic for a fixed partition layout
-    tagged = base.withColumn("__id", F.monotonically_increasing_id()).cache()
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    tagged = tracked_cache(base.withColumn("__id", F.monotonically_increasing_id()))
 
     seed_rows = tagged
     if seeds_df is not None:
+        # join on feats + target when the seed frame carries the label
+        # (r10 review: a feats-only semi-join let a danger row of class A
+        # 'seed' identically-featured rows of class B, suppressing B's
+        # all-rows fallback and synthesizing B's whole deficit from one
+        # wrong point)
+        join_cols = feats + ([target] if target in seeds_df.columns else [])
         seed_rows = tagged.join(
-            seeds_df.select(*feats).dropDuplicates(feats), feats, "left_semi"
+            seeds_df.select(*join_cols).dropDuplicates(join_cols), join_cols, "left_semi"
         )
         # deficit classes with NO seed rows fall back to all class rows
         # (class list is driver metadata — one tiny aggregate)
@@ -233,7 +259,15 @@ def borderline_danger(
     max_n = counts.agg(F.max("__n")).first()[0]
     minority = [r[target] for r in counts.collect() if r["__n"] < max_n]
 
-    all_rows = df.select(*feats, target).withColumn("__gid", F.monotonically_increasing_id())
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    # cached: __gid feeds FOUR DAG branches (kNN both sides + two vote
+    # joins) — uncached, monotonically_increasing_id could assign
+    # different ids per branch on a nondeterministic upstream (r10
+    # review; the invariant smote's cache documents)
+    all_rows = tracked_cache(
+        df.select(*feats, target).withColumn("__gid", F.monotonically_increasing_id())
+    )
     nn = knn_join(
         all_rows,
         all_rows.select(F.col("__gid").alias("__gnid"), *feats, F.col(target).alias("__ncls")),
@@ -293,6 +327,7 @@ def cluster_centroids(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feats = feature_cols or _numeric_feature_cols(df, target)
+    _require_nonnull_target(df, target)
     counts = class_counts(df, target)
     min_n = counts.agg(F.min("__n")).first()[0]
     parts = []
@@ -356,6 +391,7 @@ def nearmiss(
     for rank LAST (nulls_last) instead of silently vanishing, so the
     min_n-per-class count contract is exact even at low recall."""
     feats = feature_cols or _numeric_feature_cols(df, target)
+    _require_nonnull_target(df, target)
     counts = class_counts(df, target)
     crows = counts.collect()  # class-cardinality metadata only
     min_n = min(r["__n"] for r in crows)
@@ -366,7 +402,9 @@ def nearmiss(
     kept_whole = base.where(F.col(target).isin(keep_classes))
 
     trimmed = base.where(~F.col(target).isin(keep_classes))
-    tagged = trimmed.withColumn("__mid", F.monotonically_increasing_id()).cache()
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    tagged = tracked_cache(trimmed.withColumn("__mid", F.monotonically_increasing_id()))
     minority = (
         base.where(F.col(target) == min_cls)
         .select(*feats)
@@ -408,10 +446,13 @@ def adasyn(
     (the per-class loop version: 64.5s → 9.5s cached → ~5s loop-free at
     sf0.01)."""
     feats = feature_cols or _numeric_feature_cols(df, target)
+    _require_nonnull_target(df, target)
     counts = class_counts(df, target)
     max_n = counts.agg(F.max("__n")).first()[0]
     base = df.select(*feats, target)
-    tagged = base.withColumn("__id", F.monotonically_increasing_id()).cache()
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    tagged = tracked_cache(base.withColumn("__id", F.monotonically_increasing_id()))
 
     # density r_i from the GLOBAL kNN (all classes, no partition)
     nn_global = knn_join(
@@ -480,7 +521,12 @@ def tomek_links(
     classes — the Tomek links. Majority members of links are what SMOTE-Tomek
     removes (ref data_balancing_list_method_logic.py:91-99)."""
     feats = feature_cols or _numeric_feature_cols(df, target)
-    rows = df.select(*feats, target).withColumn("__gid", F.monotonically_increasing_id())
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    # cached for the same __gid-stability reason as borderline_danger
+    rows = tracked_cache(
+        df.select(*feats, target).withColumn("__gid", F.monotonically_increasing_id())
+    )
     nn1 = knn_join(
         rows,
         rows.select(F.col("__gid").alias("__gnid"), *feats),
@@ -572,9 +618,13 @@ def smote_enn(
     )
     w = Window.partitionBy("__gid").orderBy(F.desc("__votes"), F.asc("__ncls"))
     majority_vote = votes.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1)
+    # LEFT join: a row the approximate LSH search found NO candidates for
+    # has no vote — ENN has no disagreement evidence against it, so it is
+    # KEPT (r10 review: the inner join deleted such rows for search
+    # recall, not for disagreement; nearmiss documents the same rule)
     keep = (
-        rows.join(majority_vote.select("__gid", "__ncls"), "__gid")
-        .where(F.col(target) == F.col("__ncls"))
+        rows.join(majority_vote.select("__gid", "__ncls"), "__gid", "left")
+        .where(F.col("__ncls").isNull() | (F.col(target) == F.col("__ncls")))
         .select("__gid")
     )
     return rows.join(keep, "__gid", "left_semi").drop("__gid")

@@ -353,7 +353,15 @@ def negative_sample(
     draws = draws.join(
         F.broadcast(counts), F.col("__braw") % F.col("__nb") == F.col("__idx")
     ).withColumn("__rn", F.col("__pick") % F.col("__cnt") + 1)
-    return draws.join(ranked, ["__bucket", "__rn"]).select("anchor_id", "j", "neg_id")
+    return (
+        draws.join(ranked, ["__bucket", "__rn"])
+        # an anchor present in the pool can hash onto ITSELF — a
+        # degenerate self-negative pushing an embedding away from itself
+        # (r10 review). The colliding draw is dropped rather than redrawn
+        # (deterministic; density loss is ~1/pool per draw).
+        .where(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "j", "neg_id")
+    )
 
 def cluster_safe_split(
     df: DataFrame,

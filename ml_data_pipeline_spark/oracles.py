@@ -3287,6 +3287,7 @@ ALL_ORACLES: dict[str, str] = {
         JOIN nb ON TRUE
         JOIN cnt ON draws.braw % nb.n = cnt.idx
         JOIN rn ON rn.bucket = cnt.bucket AND rn.rnk = draws.pick % cnt.c + 1
+        WHERE rn.neg_id <> draws.anchor_id
     """,
     "s19_compaction_plan": """
         -- bin = floor(exclusive prefix sum of bytes / target), files

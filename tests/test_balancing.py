@@ -128,3 +128,34 @@ def test_borderline_danger_selects_boundary_rows(spark):
     danger = B.borderline_danger(df, "cls", ["x", "y"], k=4, method="exact")
     got = sorted((r["x"], r["cls"]) for r in danger.collect())
     assert got == [(4.0, "min"), (4.05, "min")]
+
+
+def test_r10_balancing_null_contract_and_enn_recall(spark):
+    """r10 review: NULL class labels corrupted every balancer differently
+    (rows vanished from oversample/nearmiss, empty class frames in
+    centroids) — all balancers now raise loudly, matching imblearn's
+    NaN-label rejection. smote_enn keeps rows the LSH search found no
+    candidates for (no disagreement evidence), and negative_sample never
+    returns an anchor as its own negative."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import balancing as B
+    from ml_data_pipeline_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, "a"), (2.0, 3.0, "b"), (3.0, 4.0, None)],
+        "x double, y double, cls string",
+    )
+    for fn in (B.random_oversample, B.random_undersample):
+        with pytest.raises(ValueError, match="non-NULL class labels"):
+            fn(df, "cls")
+    with pytest.raises(ValueError, match="non-NULL class labels"):
+        B.smote(df, "cls", ["x", "y"], k=1)
+    with pytest.raises(ValueError, match="non-NULL class labels"):
+        B.nearmiss(df, "cls", ["x", "y"])
+    with pytest.raises(ValueError, match="non-NULL class labels"):
+        B.cluster_centroids(df, "cls", ["x", "y"])
+    # self-negative exclusion: anchors ARE the pool; no (a, j, a) pair
+    pool = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    pairs = SA.negative_sample(pool, pool, k=3, n_buckets=4).collect()
+    assert pairs and all(r["neg_id"] != r["anchor_id"] for r in pairs)

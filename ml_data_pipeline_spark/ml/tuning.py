@@ -96,18 +96,24 @@ def random_search(
     space: dict[str, Any] | None = None,
     n_trials: int = 10,
     n_folds: int = 3,
-    metric: str = "f1",
+    metric: str | None = None,
     direction: str = "max",
     seed: int = 42,
 ) -> dict[str, Any]:
     """M6/M8 — random hyperparameter search, each trial scored by k-fold CV.
-    Driver samples params; cluster fits. Returns best trial + history."""
+    Driver samples params; cluster fits. Returns best trial + history.
+
+    metric=None resolves by task like cross_val_scores ('f1'
+    classification, 'r2' regression) — a hard 'f1' default KeyError'd
+    every regression tuning call with default args AFTER paying for the
+    first fold fits (ADVICE r10)."""
     rng = random.Random(seed)
     space = space or DEFAULT_SPACE
     # probe which params this estimator supports
     from .pipeline import make_estimator, detect_task_type
 
     task = detect_task_type(df, target)
+    metric = metric or ("f1" if task == "classification" else "r2")
     probe = make_estimator(model_type, task)
     allowed = {p.name for p in probe.params}
     trials = []
@@ -258,19 +264,21 @@ def tpe_search(
     space: dict[str, Any] | None = None,
     n_trials: int = 10,
     n_folds: int = 3,
-    metric: str = "f1",
+    metric: str | None = None,
     direction: str = "max",
     seed: int = 42,
 ) -> dict[str, Any]:
     """M7 without the optuna package: the same trial loop as random_search
     but with TPE proposals after the startup trials — history-adaptive
     search that concentrates evaluations near the best region. Each trial
-    is still scored by distributed k-fold CV."""
+    is still scored by distributed k-fold CV. metric=None resolves by
+    task like cross_val_scores (ADVICE r10)."""
     rng = random.Random(seed)
     space = space or DEFAULT_SPACE
     from .pipeline import detect_task_type, make_estimator
 
     task = detect_task_type(df, target)
+    metric = metric or ("f1" if task == "classification" else "r2")
     allowed = {p.name for p in make_estimator(model_type, task).params}
     space = {k: v for k, v in space.items() if k in allowed}
     history: list[tuple[dict[str, Any], float]] = []
@@ -300,14 +308,15 @@ def optuna_search(
     model_type: str,
     n_trials: int = 10,
     n_folds: int = 3,
-    metric: str = "f1",
+    metric: str | None = None,
     direction: str = "maximize",
     seed: int = 42,
 ) -> dict[str, Any]:
     """M7 — Optuna study on the driver; each objective call launches Spark CV
     jobs (ref cross_validation_optuna_logic.py:116-164). Gated import: when
     optuna is absent the fallback is tpe_search — the SAME sampler family
-    (TPE) self-contained above, not a silent downgrade to random search."""
+    (TPE) self-contained above, not a silent downgrade to random search.
+    metric=None resolves by task like cross_val_scores (ADVICE r10)."""
     try:
         import optuna
     except ImportError:
@@ -318,6 +327,7 @@ def optuna_search(
     from .pipeline import detect_task_type, make_estimator
 
     task = detect_task_type(df, target)
+    metric = metric or ("f1" if task == "classification" else "r2")
     allowed = {p.name for p in make_estimator(model_type, task).params}
 
     def objective(trial):
@@ -352,17 +362,23 @@ def learning_curve(
     params: dict[str, Any] | None = None,
     fractions: list[float] | None = None,
     test_size: float = 0.2,
-    metric: str = "f1",
+    metric: str | None = None,
     seed: int = 42,
 ) -> list[dict[str, float]]:
     """M9 — train on growing fractions, score train & held-out test
-    (ref /root/reference/researching_models/learning_curve/learning_curve_optuna_logic.py:162-191)."""
+    (ref /root/reference/researching_models/learning_curve/learning_curve_optuna_logic.py:162-191).
+
+    metric=None resolves by task like cross_val_scores; the scores are
+    indexed directly so a metric absent from the suite raises loudly
+    instead of the old .get(metric, nan) silently emitting a curve of
+    NaNs (ADVICE r10)."""
     from pyspark.sql.types import StringType
 
     from .pipeline import detect_task_type
 
     fractions = fractions or [0.1 * i for i in range(1, 11)]
     task = detect_task_type(df, target)
+    metric = metric or ("f1" if task == "classification" else "r2")
     is_string_target = isinstance(df.schema[target].dataType, StringType)
     train_full, test = df.randomSplit([1 - test_size, test_size], seed=seed)
     train_full = train_full.cache()
@@ -384,8 +400,8 @@ def learning_curve(
         out.append(
             {
                 "fraction": frac,
-                "train_score": train_metrics.get(metric, float("nan")),
-                "test_score": test_metrics.get(metric, float("nan")),
+                "train_score": train_metrics[metric],
+                "test_score": test_metrics[metric],
             }
         )
     train_full.unpersist()

@@ -254,6 +254,9 @@ def borderline_danger(
     contain >= k/2 (but < k) other-class members
     (ref data_balancing_list_method_logic.py:79-87). Returns the danger rows
     projected to (feature_cols..., target) — the SMOTE seed set."""
+    # loud NULL-label contract, consistent with the other balancers
+    # (ADVICE r10): NULL labels corrupt the other-class vote filter
+    _require_nonnull_target(df, target)
     feats = feature_cols or _numeric_feature_cols(df, target)
     counts = class_counts(df, target)
     max_n = counts.agg(F.max("__n")).first()[0]
@@ -520,6 +523,10 @@ def tomek_links(
     """Pairs (id_a, id_b) that are mutual 1-NN of each other AND of different
     classes — the Tomek links. Majority members of links are what SMOTE-Tomek
     removes (ref data_balancing_list_method_logic.py:91-99)."""
+    # same loud contract as the other balancers (ADVICE r10): a NULL label
+    # makes the null-unsafe __cls != __ncls filter evaluate to NULL, so
+    # links touching NULL-label rows silently vanish
+    _require_nonnull_target(df, target)
     feats = feature_cols or _numeric_feature_cols(df, target)
     from ml_data_pipeline_spark.cache import tracked_cache
 

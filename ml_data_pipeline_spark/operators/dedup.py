@@ -902,9 +902,14 @@ def incremental_ngram_jaccard_pairs_indexed(
     # crash-recovery path), the stored index already contains the batch's
     # ids — without the anti-join, every batch doc matches its own stored
     # copy (self-pairs) and new x new pairs triple-count their shared
-    # grams (jaccard > 1). The anti-join is batch-ids-sized (broadcast).
+    # grams (jaccard > 1). The anti-join key set is BATCH-sized, not
+    # O(#batches) — so it joins hint-free like every other batch-sized
+    # frame in this module (VERDICT r11 item 2): AQE broadcasts it when
+    # the nightly batch is small and falls back to a shuffle join for a
+    # pathological multi-GB batch instead of pressuring the driver with a
+    # forced broadcast.
     stored = spark.table(index_table).join(
-        F.broadcast(base.select("id")), "id", "left_anti"
+        base.select("id"), "id", "left_anti"
     )
     old_matched = probe.join(stored, F.col("__pgram") == F.col("gram")).select(
         "__pid", "__pn", "id", "n"

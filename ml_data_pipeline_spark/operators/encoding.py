@@ -127,9 +127,16 @@ def frequency_encode(
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     if normalize:
-        total = counts.agg(F.sum("__cnt").alias("__tot"))
-        counts = counts.crossJoin(F.broadcast(total)).select(
-            column, (F.col("__cnt") / F.col("__tot").cast("double")).alias(out_column)
+        # total as a window over the counts frame itself — NOT a separate
+        # agg branch: `counts.agg(...)` re-derives the groupBy from the
+        # base scan in the same plan, so the source was scanned 3× (r10
+        # plan_audit NEW flag). The empty-partitionBy window is a single
+        # exchange over a cardinality-sized frame — cheap and scan-free.
+        from pyspark.sql.window import Window
+
+        tot = F.sum("__cnt").over(Window.partitionBy())
+        counts = counts.select(
+            column, (F.col("__cnt") / tot.cast("double")).alias(out_column)
         )
     else:
         counts = counts.select(column, F.col("__cnt").cast("double").alias(out_column))

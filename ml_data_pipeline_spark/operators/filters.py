@@ -117,10 +117,16 @@ def clip(df: DataFrame, column: str, lo: float | None = None, hi: float | None =
         c = F.least(F.lit(hi), c)
     # greatest/least SKIP nulls, so an unguarded clip turned every NULL
     # into the clip bound — corrupting missing data (pandas col.clip
-    # preserves NaN; r10 review). winsorize inherits this guard.
-    return df.withColumn(
-        column, F.when(F.col(column).isNotNull(), c)
-    )
+    # preserves NaN; r10 review). NaN needs the same guard: Spark orders
+    # NaN ABOVE every number, so least(hi, NaN) returns hi and a NaN
+    # would silently clip to the upper bound (ADVICE r10) — pandas
+    # col.clip preserves NaN. winsorize inherits this guard.
+    from pyspark.sql.types import DoubleType, FloatType
+
+    valid = F.col(column).isNotNull()
+    if isinstance(df.schema[column].dataType, (DoubleType, FloatType)):
+        valid = valid & ~F.isnan(F.col(column))
+    return df.withColumn(column, F.when(valid, c).otherwise(F.col(column)))
 
 def round_column(df: DataFrame, column: str, scale: int = 0, as_int: bool = False) -> DataFrame:
     """E15 (ref col.round(k) / .astype('Int64'),

@@ -191,6 +191,13 @@ def impute_by_model(
     from ..ml.pipeline import build_pipeline
 
     feats = feature_cols or _numeric_cols(df, [column])
+    # one materialization feeds all four references (fit, predict,
+    # pass-through, union-back) — without it the output plan re-derives
+    # the input from the source scan 3× (r10 plan_audit NEW flag), which
+    # at 100 TB is three full passes where one suffices. Eager, because a
+    # lazy cache feeding concurrently-scheduled union branches can still
+    # compute the pipeline twice cold.
+    df = df.localCheckpoint(eager=True)
     complete = df.where(F.col(column).isNotNull())
     missing = df.where(F.col(column).isNull())
     pipe, _, _ = build_pipeline(

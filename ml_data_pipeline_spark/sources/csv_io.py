@@ -50,6 +50,16 @@ def read_csv(
         # hard-coding it nulled legitimate 'NA' data — e.g. a Namibia
         # country code — that a custom null_spellings list excluded)
         reader = reader.option("nullValue", "NA")
+    elif not any(not sp.strip() for sp in nulls):
+        # caller-authoritative blanks (ADVICE r10): Spark's default
+        # nullValue is the empty string, so QUOTED empty fields ("") were
+        # destroyed at parse time even when null_spellings deliberately
+        # excluded blank forms — before normalize_nulls could preserve
+        # them. A non-occurring sentinel keeps them as empty strings.
+        # Parser limit (probed, univocity): an UNQUOTED empty field is
+        # returned as null by the tokenizer itself regardless of any
+        # option, so only the quoted form is recoverable.
+        reader = reader.option("nullValue", "__spark_csv_no_null_sentinel__")
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -74,6 +74,22 @@ def test_tomek_links_found(spark):
     assert len(links) == 1  # exactly the (5.0, 6.0) cross-class mutual-NN pair
 
 
+def test_r11_tomek_and_danger_reject_null_labels(spark):
+    """ADVICE r10: tomek_links / borderline_danger missed the shared
+    _require_nonnull_target guard — a NULL class label made the
+    null-unsafe __cls != __ncls filter evaluate to NULL, so links touching
+    NULL-label rows silently vanished instead of failing loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 5.0), (None, 6.0), ("b", 7.0)], "cls string, x double"
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        B.tomek_links(df, "cls", ["x"], method="exact")
+    with pytest.raises(ValueError, match="non-NULL"):
+        B.borderline_danger(df, "cls", ["x"], method="exact")
+
+
 def test_smote_enn_no_worse_than_smote(spark):
     df = _toy(spark)
     sm = B.smote(df, "cls", ["x", "y"], k=3, method="exact", seed=1)

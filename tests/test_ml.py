@@ -229,6 +229,29 @@ def test_learning_curve_shapes(reg_df):
     assert all(c["train_score"] > 0.99 and c["test_score"] > 0.99 for c in curve)
 
 
+def test_r11_tuning_default_metric_resolves_by_task(reg_df):
+    """ADVICE r10: the tuning wrappers hard-defaulted metric='f1', so
+    regression hyperparameter search with default args KeyError'd after
+    paying for the first fold fits. metric=None now resolves by task in
+    every wrapper (random_search/tpe_search/optuna_search/learning_curve),
+    and learning_curve indexes the score directly so an unknown metric
+    raises loudly instead of silently emitting NaN curves."""
+    res = MT.random_search(
+        reg_df, "tgt", "linear_regression",
+        space={"regParam": [0.0, 0.1]}, n_trials=1, n_folds=2,
+    )
+    assert res["metric"] == "r2"
+    assert res["best"]["mean"] > 0.99  # exact linear data
+
+    curve = MT.learning_curve(reg_df, "tgt", "linear_regression", fractions=[1.0])
+    assert curve[0]["train_score"] > 0.99 and curve[0]["test_score"] > 0.99
+
+    with pytest.raises(KeyError):
+        MT.learning_curve(
+            reg_df, "tgt", "linear_regression", fractions=[1.0], metric="nope"
+        )
+
+
 def test_save_importances_roundtrip(spark, tmp_path):
     """S14: importances persist as a versioned parquet table."""
     from ml_data_pipeline_spark.ml.explain import save_importances

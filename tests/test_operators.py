@@ -2264,6 +2264,27 @@ def test_r10_sampling_filter_encoding_null_guards(spark):
     assert a_val == 1.0  # was 0.8 with nulls in the denominator
 
 
+def test_r11_clip_preserves_nan(spark):
+    """ADVICE r10: Spark orders NaN above every number, so least(hi, NaN)
+    returned hi and the NULL guard alone still clipped NaN to the upper
+    bound — the same 'missing data becomes the clip bound' corruption.
+    pandas col.clip (the parity reference) preserves NaN."""
+    import math
+
+    from ml_data_pipeline_spark.operators import filters as FL
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 9.0), (4, -9.0)], "id long, v double"
+    )
+    vals = {r["id"]: r["v"] for r in FL.clip(df, "v", lo=0.0, hi=4.0).collect()}
+    assert math.isnan(vals[1])  # was 4.0 (the hi bound)
+    assert vals[2] is None and vals[3] == 4.0 and vals[4] == 0.0
+    # non-float columns take the plain NULL guard (no isnan on ints)
+    idf = spark.createDataFrame([(1, None), (2, 7)], "id long, v long")
+    ivals = {r["id"]: r["v"] for r in FL.clip(idf, "v", lo=0, hi=4).collect()}
+    assert ivals == {1: None, 2: 4}
+
+
 def test_r10_profiling_null_semantics(spark):
     """r10 review: drift/agreement statistics must not count NULLs as
     data — identical distributions with nulls reported massive false

@@ -300,6 +300,31 @@ def test_partitioned_write_prunes_partitions(spark):
     ), plan[:1200]
 
 
+def test_r11_read_csv_quoted_empty_survives_custom_spellings(spark, tmp_path):
+    """ADVICE r10: Spark's CSV reader default nullValue is the empty
+    string, so quoted-empty fields were destroyed at parse time even when
+    null_spellings deliberately excluded blank forms — normalize_nulls
+    preserved empty strings the reader had already turned to NULL. With a
+    blank-free custom spelling set the reader now takes a non-occurring
+    nullValue sentinel. Parser limit (probed): an UNQUOTED empty field is
+    tokenized as null regardless of options, so only the quoted form is
+    recoverable."""
+    from ml_data_pipeline_spark.sources import csv_io as CSV
+
+    p = tmp_path / "q.csv"
+    p.write_text('code,v\n"",1\n?,2\nx,3\n')
+    df = CSV.read_csv(spark, str(p), null_spellings=["?"])
+    rows = {r["v"]: r["code"] for r in df.collect()}
+    assert rows[1] == ""        # quoted empty survives (was NULL)
+    assert rows[2] is None      # '?' nulled per the caller's contract
+    assert rows[3] == "x"
+    # the default spelling set includes blank forms — quoted empty nulls
+    p2 = tmp_path / "q2.csv"
+    p2.write_text('code,v\n"",1\nx,2\n')
+    dd = {r["v"]: r["code"] for r in CSV.read_csv(spark, str(p2)).collect()}
+    assert dd[1] is None and dd[2] == "x"
+
+
 def test_r10_source_fixes(spark, tmp_path):
     """r10 review regressions across the source layer."""
     from pyspark.sql import functions as F

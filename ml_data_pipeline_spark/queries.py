@@ -128,7 +128,13 @@ def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user via lag + cumulative sum.
-    One shuffle on user_id; windows run per user partition."""
+    One shuffle on user_id; windows run per user partition.
+
+    Boundary rule: an event EXACTLY `gap` after the last one stays in the
+    SAME session (diff > gap starts a new one). The streaming twin
+    (events_stream.session_counts) agrees even at this boundary —
+    session_window's merge rule is end-inclusive (r11 probe) — pinned by
+    tests/test_streaming.py::test_r11_session_window_exact_gap_boundary_agreement."""
     ev = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact gap (timestamp→double keeps the fractional seconds)

@@ -73,8 +73,17 @@ def hourly_counts(
 
 def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Session-window aggregation (30-min inactivity gap) per user — the
-    streaming twin of queries.q_sessionize (boundary caveat: session_window is END-EXCLUSIVE — an event exactly `gap` after the last one starts a NEW session here, while the batch lag-based rule keeps it; twin equality holds for data without exact-gap boundaries, which the gate's second-granularity stream satisfies), via the NATIVE session_window
-    state-store operator (no custom stateful UDF)."""
+    streaming twin of queries.q_sessionize, via the NATIVE session_window
+    state-store operator (no custom stateful UDF).
+
+    Boundary rule (r11, probed on batch AND the streaming state store):
+    session_window's interval is end-exclusive but its MERGE rule is
+    end-INCLUSIVE — an event landing exactly `gap` after the last one
+    joins the SAME session, which matches the batch lag rule (diff > gap
+    starts a session) exactly. The twins are identical even on exact-gap
+    data; the r10 'equivalence-classed' caveat was wrong — pinned by
+    tests/test_streaming.py::
+    test_r11_session_window_exact_gap_boundary_agreement."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

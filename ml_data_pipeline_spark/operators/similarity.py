@@ -63,6 +63,22 @@ def brute_force_topk(
         .limit(k)
     )
 
+def lsh_planes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
+    """The sign-LSH hyperplanes as plain Python floats: a deterministic
+    LCG stream so buckets are reproducible across sessions AND replayable
+    by the DuckDB oracles (oracles.py embeds these exact doubles as SQL
+    literals for ss_cosine_pairs — keep the recurrence in ONE place)."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -74,15 +90,7 @@ def hyperplane_lsh_buckets(
     deterministic pseudo-random hyperplanes (LCG-generated, seed-stable on
     driver — tiny, folded into the plan as literals).
     """
-    # deterministic LCG so buckets are reproducible across sessions
-    state = seed & 0x7FFFFFFF
-    planes: list[list[float]] = []
-    for _ in range(n_planes):
-        row = []
-        for _ in range(dim):
-            state = (1103515245 * state + 12345) % (1 << 31)
-            row.append((state / float(1 << 31)) * 2.0 - 1.0)
-        planes.append(row)
+    planes = lsh_planes(seed, n_planes, dim)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(v) for v in plane])

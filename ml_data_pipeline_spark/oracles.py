@@ -8,12 +8,16 @@ supplier part orders lineitem events documents embeddings). Conventions:
 
 Queries WITHOUT an oracle (driver applies rows-only checks) are the
 inherently seeded / hash-specific ones: i8 (EM random draws),
-minhash/simhash (xxhash64 signatures), ann/LSH similarity (approximate by
+minhash/simhash (xxhash64 signatures), ann top-k (approximate by
 design, validated in tests against the brute-force baseline). tx_fingerprint
 and ss_semantic_dedup graduated to full oracles in r10: the first via the
 engine-independent EQUALITY STRUCTURE of the xxhash64 fingerprint (per-doc
 class sizes replayed from the md5 partition), the second because SemDeDup is
 deterministic end to end (exact blockwise cosine via list_dot_product).
+m12_single_row_inference and ss_cosine_pairs graduated in r11: the first
+because normal-equation OLS predictions are scaler-invariant covar_pop
+algebra, the second because the sign-LSH planes are a deterministic LCG
+stream the oracle embeds as exact DOUBLE literals (similarity.lsh_planes).
 """
 
 from __future__ import annotations
@@ -5378,3 +5382,84 @@ ALL_ORACLES["dd_incremental_append"] = f"""
     WHERE jaccard >= 0.2 AND (id_a % 10 = 5 OR id_b % 10 = 5)
     ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------- round-11
+# rows-only graduations (VERDICT r10 item 4)
+
+# M12 single-row inference: the pipeline's LinearRegression(solver='normal',
+# regParam=0) is closed-form OLS, and OLS predictions are invariant to the
+# StandardScaler stage, so the scored row replays from covar_pop algebra
+# (the m10_linear_shap 2-feature symbolic inverse) with no scaler knowledge:
+# pred = b0 + b1*25 + b2*0.05 at the gate's fixed row.
+ALL_ORACLES["m12_single_row_inference"] = """
+    WITH st AS (
+        SELECT avg(l_quantity) AS m1, avg(l_discount) AS m2,
+               avg(l_extendedprice) AS my,
+               var_pop(l_quantity) AS v11, var_pop(l_discount) AS v22,
+               covar_pop(l_quantity, l_discount) AS v12,
+               covar_pop(l_quantity, l_extendedprice) AS c1,
+               covar_pop(l_discount, l_extendedprice) AS c2
+        FROM lineitem
+    ), b AS (
+        SELECT my, m1, m2,
+               (c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12) AS b1,
+               (c2 * v11 - c1 * v12) / (v11 * v22 - v12 * v12) AS b2
+        FROM st
+    )
+    SELECT round(my + b1 * (CAST(25.0 AS DOUBLE) - m1)
+                    + b2 * (CAST(0.05 AS DOUBLE) - m2), 2) AS prediction
+    FROM b
+"""
+
+
+def _sql_double_array(vals: list[float]) -> str:
+    """Render a Python float list as a DuckDB DOUBLE[] literal. %.17e
+    scientific notation round-trips every IEEE double exactly AND parses
+    as DOUBLE directly (a plain decimal literal would parse as DECIMAL)."""
+    return "[" + ", ".join("%.17e" % v for v in vals) + "]"
+
+
+def _ss_cosine_pairs_oracle() -> str:
+    """ss_cosine_pairs graduated to full hash parity: the sign-LSH planes
+    are a deterministic LCG stream (similarity.lsh_planes — imported, not
+    copied, so the recurrence lives in one place) embedded here as exact
+    DOUBLE literals; bucket bit i = (dot(e, plane_i) >= 0) * 2^i, pairs
+    join within buckets, and the verify is the exact raw-vector cosine
+    dot/(|a||b|) rounded 6dp — the list_dot_product recipe proven by the
+    r10 ss_semantic_dedup twin. Gate params: dim=64, n_planes=4,
+    threshold=0.3, seed=42 (queries.ss_cosine_pairs)."""
+    from ml_data_pipeline_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(seed=42, n_planes=4, dim=64)
+    bits = "\n             + ".join(
+        f"CASE WHEN list_dot_product(e, {_sql_double_array(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, e,
+               ({bits}) AS bucket
+        FROM base
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine
+    FROM cand
+    WHERE cosine >= 0.3
+    ORDER BY id_a, id_b
+"""
+
+
+ALL_ORACLES["ss_cosine_pairs"] = _ss_cosine_pairs_oracle()

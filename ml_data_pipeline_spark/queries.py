@@ -1479,32 +1479,47 @@ def m9_learning_curve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def m12_single_row_inference(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only: train then score ONE row through the pipeline (M12)."""
-    from ml_data_pipeline_spark.ml.pipeline import predict_single_row, train_and_evaluate
+    """M12 — single-row inference through the fitted pipeline, UPGRADED r11
+    from rows-only to full hash parity (VERDICT r10 item 4): the pipeline
+    is assembler → StandardScaler → LinearRegression(solver='normal',
+    regParam=0) — the closed-form normal-equation OLS, whose PREDICTION
+    function is invariant to feature standardization, so DuckDB replays
+    the scored row exactly from covar_pop algebra (the m10_linear_shap
+    recipe) with no knowledge of the scaler. The gate still exercises BOTH
+    M12 paths: predict_single_row (1-row DataFrame through
+    model.transform, ref inference_trained_models.py:347-457) and
+    predict_single_row_local (the zero-job driver scorer replaying
+    assembler+scaler+dot product); if the two disagree beyond float noise
+    the gate returns empty and the driver flags a row-count mismatch.
+    The classification single-row path keeps its pytest coverage
+    (tests/test_ml.py)."""
+    from ml_data_pipeline_spark.ml.pipeline import (
+        build_pipeline,
+        predict_single_row,
+        predict_single_row_local,
+    )
 
-    orders = (
-        load_table(spark, sf, "orders")
-        .where(F.col("o_orderstatus").isin("F", "O"))
-        .select("o_orderstatus", F.col("o_totalprice").cast("double"),
-                F.year("o_orderdate").cast("double").alias("o_year"))
+    li = _li(spark, sf).select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
     )
-    train, test = orders.randomSplit([0.8, 0.2], seed=42)
-    model, _ = train_and_evaluate(train, test, "o_orderstatus", "logistic_regression")
-    pred = predict_single_row(
-        model, spark, {"o_orderstatus": "F", "o_totalprice": 150000.0, "o_year": 1995.0},
-        orders.schema,
+    pipe, _, _ = build_pipeline(
+        li,
+        "l_extendedprice",
+        "linear_regression",
+        params={"solver": "normal", "regParam": 0.0},
+        feature_cols=["l_quantity", "l_discount"],
+        task="regression",
     )
-    # r3 quality floor: a binary F/O problem must predict class index 0 or
-    # 1 — anything else (NaN, out-of-domain index) collapses the gate.
-    # r8: the driver-local scorer (SURVEY §7.4 interactive path) must agree
-    # with the Spark transform exactly or the gate collapses too.
-    from ml_data_pipeline_spark.ml.pipeline import predict_single_row_local
-
-    local = predict_single_row_local(
-        model, {"o_totalprice": 150000.0, "o_year": 1995.0}
-    )
-    ok = float(pred) in (0.0, 1.0) and float(local) == float(pred)
-    rows = [(float(pred),)] if ok else []
+    model = pipe.fit(li)
+    row = {"l_quantity": 25.0, "l_discount": 0.05, "l_extendedprice": 0.0}
+    pred = float(predict_single_row(model, spark, row, li.schema))
+    local = float(predict_single_row_local(model, row))
+    # parity floor folded into the row-count contract: transform and the
+    # driver-local scorer must agree to float noise or the gate collapses
+    ok = abs(local - pred) <= 1e-9 * max(1.0, abs(pred))
+    rows = [(round(pred, 2),)] if ok else []
     return spark.createDataFrame(rows, "prediction double")
 
 def pipe_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
@@ -1947,8 +1962,13 @@ def ss_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def ss_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """UPGRADED r11 from rows-only to full hash parity: the sign-LSH
+    planes are a deterministic LCG stream (similarity.lsh_planes) that
+    the DuckDB oracle embeds as exact DOUBLE literals, so bucketing AND
+    the exact-cosine verify both replay engine-for-engine. threshold=0.3
+    keeps ~136 hash-checked pairs at sf0.01 (0.5 left a 1-row gate)."""
     emb = load_table(spark, sf, "embeddings")
-    return SS.cosine_pairs_lsh(emb, dim=64, threshold=0.5, n_planes=4)
+    return SS.cosine_pairs_lsh(emb, dim=64, threshold=0.3, n_planes=4)
 
 # ---------------------------------------------------------------- round-2 late additions
 

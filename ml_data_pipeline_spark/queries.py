@@ -6741,10 +6741,85 @@ ALL_QUERIES = {
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R10_PRIORITY)},
 }
 
-# ---- ROUND-11 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r10 lands, the stalest rows are the remaining r2 names
-# (mm_*, s1/s5/s6 roundtrips, s_jsonl/s_orc, ss_quantize_int8, t1-t4/t8,
-# tx_bpe_count/tx_lang_id/tx_redact_pii/tx_repetition/tx_strip_html/
-# tx_token_count, tx_fingerprint_md5, p15, pipe_prepare_corpus), then the
-# round-3 block. Build _R11_PRIORITY as: any round-11-modified gates
-# first, then oldest-row-first to fill 50.
+# ------------------------------------------------------------ round-11 rotation
+# The driver records rows for the FIRST 50 dict entries. This window takes,
+# in order: (1) the 12 gates whose implementing code changed THIS round —
+# the two r11 oracle graduations (m12 normal-equation single-row inference,
+# ss_cosine_pairs LCG-plane replay), the two cleared plan-rescan gates
+# (e4, i9), the hint-free indexed re-probe, the clip-NaN / tuning-default /
+# csv-contract / balancer-guard fixes — then (2) the 22 remaining names
+# holding r2 rows (computed from the union of CORRECTNESS_r01-r10:
+# mm_*/s*/t*-roundtrips, the r2 tx_* pack, p15, ss_quantize_int8,
+# pipe_prepare_corpus), then (3) the 16 oldest r3 rows. Overlap with
+# _R10_PRIORITY is exactly the 8 deliberate re-greens of r11-modified
+# gates, per the r10 verdict's rotation directive.
+_R11_PRIORITY = [
+    # (1) round-11-modified gates
+    "m12_single_row_inference",
+    "ss_cosine_pairs",
+    "e4_frequency_encode",
+    "i9_impute_by_model",
+    "dd_incremental_indexed",
+    "e14_clip_round",
+    "m6_random_search_trials",
+    "m9_learning_curve",
+    "m7_tpe_trials",
+    "s1_csv_roundtrip",
+    "b7_borderline_counts",
+    "b8_smote_tomek",
+    # (2) the remaining r2 rows, oldest in the union of CORRECTNESS files
+    "t1_split_invariants",
+    "s5_excel_roundtrip",
+    "s6_version_roundtrip",
+    "t2_trim_equal_counts",
+    "t3_trim_proportional_counts",
+    "t4_trim_majority_counts",
+    "tx_token_count",
+    "tx_bpe_count",
+    "tx_lang_id",
+    "tx_fingerprint_md5",
+    "mm_feature_digest",
+    "mm_frame_plan",
+    "mm_media_dedup",
+    "pipe_prepare_corpus",
+    "tx_redact_pii",
+    "tx_strip_html",
+    "tx_repetition",
+    "s_jsonl_roundtrip",
+    "s_orc_roundtrip",
+    "t8_hash_split",
+    "p15_numeric_summary",
+    "ss_quantize_int8",
+    # (3) the 16 oldest r3 rows
+    "m19_roc_points",
+    "m18_roc_auc",
+    "tx_line_dedup",
+    "tx_unigram_logprob",
+    "q19_disjunctive_revenue",
+    "q_window_suite",
+    "q_grouping_sets",
+    "pipe_clean_corpus",
+    "q_salted_join",
+    "q_not_exists",
+    "q_correlated_scalar",
+    "tx_pack_sequences",
+    "tx_mixture_plan",
+    "m15_grouped_ols",
+    "q_attribution",
+    "tx_chunk_documents",
+    # --- driver window ends here (50 entries above) ---
+]
+assert len(_R11_PRIORITY) == 50 and len(set(_R11_PRIORITY)) == 50
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R11_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R11_PRIORITY)},
+}
+
+# ---- ROUND-12 ROTATION TODO (for the next round's builder): after
+# CORRECTNESS_r11 lands, the stalest rows are the rest of the r3 block
+# (ss_brute_topk/ss_brute_pairs, q6/q14/q18, p16-p18, t9, e18, m16-m18,
+# q_funnel/q_resample_gapfill/q_range_frame/q_null_safe_join, the r3 tx_*
+# tail), then the r4 blocks (CUSUM, trend, quantile transform,
+# containment). Build _R12_PRIORITY as: any round-12-modified gates first,
+# then oldest-row-first (recompute from the CORRECTNESS_r*.json union) to
+# fill 50.

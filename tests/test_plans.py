@@ -277,17 +277,17 @@ def test_r8_sink_ml_gates_registered():
         assert g in ALL_ORACLES, g
 
 
-def test_r10_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R10_PRIORITY (r10-modified
-    gates first — including the two r10 oracle upgrades — then the 19
-    r1-stale names, then the 18 oldest r2 rows); the upgraded gates are
-    oracle-backed and lead the window."""
+def test_r11_gates_registered_and_windowed():
+    """The first-50 driver window is exactly _R11_PRIORITY (r11-modified
+    gates first — including the two r11 oracle graduations — then the 22
+    remaining r2-stale names, then the 16 oldest r3 rows); the graduated
+    gates are oracle-backed and lead the window."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
-    from ml_data_pipeline_spark.queries import _R10_PRIORITY
+    from ml_data_pipeline_spark.queries import _R11_PRIORITY
 
     window = list(Q.ALL_QUERIES)[:50]
-    assert window == _R10_PRIORITY
-    for g in ("tx_fingerprint", "ss_semantic_dedup"):
+    assert window == _R11_PRIORITY
+    for g in ("m12_single_row_inference", "ss_cosine_pairs"):
         assert g in ALL_ORACLES, g
         assert g in window[:2], g
 

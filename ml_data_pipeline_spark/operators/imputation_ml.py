@@ -44,7 +44,9 @@ def impute_knn(
     method: str = "lsh",
     seed: int = 42,
     num_hash_tables: int = 2,
-    bucket_length: float = 0.25,
+    # None = density-adaptive composite LSH (see knn_join) — the corpus-
+    # linear candidate scheme; a float pins the legacy fixed-width tables
+    bucket_length: float | None = None,
 ) -> DataFrame:
     """I5 — KNN imputation: each missing value becomes the mean of the k
     nearest complete rows (z-scaled euclidean over the other numeric
@@ -103,7 +105,9 @@ def impute_hot_deck(
     method: str = "lsh",
     seed: int = 42,
     num_hash_tables: int = 2,
-    bucket_length: float = 0.25,
+    # None = density-adaptive composite LSH (see knn_join) — the corpus-
+    # linear candidate scheme; a float pins the legacy fixed-width tables
+    bucket_length: float | None = None,
 ) -> DataFrame:
     """I7 — hot deck: copy the value from the single nearest DONOR by mixed
     distance = z-scaled numeric euclidean + categorical mismatch count

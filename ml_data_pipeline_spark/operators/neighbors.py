@@ -62,12 +62,12 @@ def _sq_dist(a, b):
     )
 
 
-def _projection_dirs(dim: int, n_tables: int, seed: int) -> list[list[float]]:
+def _projection_dirs(dim: int, n_dirs: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish directions (LCG — reproducible
     across sessions, folded into the plan as literals)."""
     state = (seed * 2654435761 + 1013904223) & 0x7FFFFFFF
     dirs: list[list[float]] = []
-    for _ in range(n_tables):
+    for _ in range(n_dirs):
         row = []
         for _ in range(dim):
             state = (1103515245 * state + 12345) % (1 << 31)
@@ -77,18 +77,53 @@ def _projection_dirs(dim: int, n_tables: int, seed: int) -> list[list[float]]:
     return dirs
 
 
-def _bucket_entries(feat_col, dirs: list[list[float]], bucket_length: float):
-    """array<struct<t,b>> of (table_idx, bucket) for one feature vector."""
+#: adaptive-LSH occupancy target: expected candidates per row per table.
+#: Well above k (<=16 across all callers) for recall, small enough that
+#: total candidate pairs stay ~ n * OCCUPANCY * tables — linear in corpus.
+_TARGET_OCCUPANCY = 256.0
+#: approximate density mass of a z-scored feature inside a 1-unit-wide
+#: projection bucket near the mode of N(0,1) (peak density ~0.4, averaged
+#: over the bulk ~0.35) — the calibration constant for the occupancy rule.
+_BUCKET_MASS_PER_UNIT = 0.35
+
+
+def _adaptive_bucket_length(n_right: int, h: int) -> float:
+    """Bucket width so a composite h-projection cell holds ~TARGET_OCCUPANCY
+    donors: n * (mass_per_unit * len)^h = C  =>  len = (C/n)^(1/h) / mass.
+    Fixed-width buckets are the quadratic trap the r11 sf1 probe caught:
+    10x data => 10x rows per bucket => 100x candidate pairs (b1_smote ran
+    4.1x wall for 10x data). Density-adaptive width keeps per-cell
+    occupancy constant, so candidates grow LINEARLY with the corpus, and
+    with h=2 the cell side shrinks at the same n^(-1/2) rate as the
+    k-NN radius in 2-d, keeping recall roughly scale-invariant."""
+    n = max(int(n_right), 1)
+    length = (_TARGET_OCCUPANCY / n) ** (1.0 / h) / _BUCKET_MASS_PER_UNIT
+    return min(max(length, 1e-3), 8.0)
+
+
+def _bucket_entries(
+    feat_col, dirs: list[list[float]], bucket_length: float, h: int = 1
+):
+    """array<struct<t,b0,b1>> of (table_idx, composite bucket) for one
+    feature vector: table t ANDs h consecutive projections (dirs[t*h ..
+    t*h+h-1]) into one grid cell — b1 is 0 when h == 1."""
     entries = []
-    for t, d in enumerate(dirs):
-        proj = F.aggregate(
-            F.zip_with(feat_col, F.array(*[F.lit(x) for x in d]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    n_tables = len(dirs) // h
+    for t in range(n_tables):
+        floors = []
+        for j in range(h):
+            d = dirs[t * h + j]
+            proj = F.aggregate(
+                F.zip_with(feat_col, F.array(*[F.lit(x) for x in d]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            floors.append(F.floor(proj / F.lit(bucket_length)).cast("long"))
         entries.append(
             F.struct(
-                F.lit(t).alias("t"), F.floor(proj / F.lit(bucket_length)).cast("long").alias("b")
+                F.lit(t).alias("t"),
+                floors[0].alias("b0"),
+                (floors[1] if h > 1 else F.lit(0).cast("long")).alias("b1"),
             )
         )
     return F.array(*entries)
@@ -103,11 +138,17 @@ def knn_join(
     right_id: str,
     method: str = "lsh",
     num_hash_tables: int = 3,
-    # z-scaled features live in ~[-4, 4]; 0.25 gives ~30 buckets per random
-    # projection. Coarse buckets (e.g. MLlib's 2.0 example default) collapse
-    # everything into a handful of buckets → the candidate join goes
-    # quadratic (measured: the sf0.01 KNN-impute join never finished at 2.0).
-    bucket_length: float = 0.25,
+    # None (default) = DENSITY-ADAPTIVE: one count job sizes the donor
+    # side, each table ANDs h=min(d,2) projections into a grid cell, and
+    # the cell width is set so occupancy ~= _TARGET_OCCUPANCY — candidate
+    # pairs grow LINEARLY with the corpus (the r11 sf1 probe measured the
+    # old fixed 0.25 width going quadratic: b1_smote 4.1x wall for 10x
+    # data). An explicit float keeps the legacy single-projection tables
+    # at that fixed width (callers that calibrated their own width, e.g.
+    # the dedup-blocking gates at 0.02). Coarse fixed buckets (MLlib's
+    # 2.0 example default) collapse everything into a handful of buckets
+    # (measured: the sf0.01 KNN-impute join never finished at 2.0).
+    bucket_length: float | None = None,
     seed: int = 42,
     exclude_self: bool = True,
     partition_cols: list[str] | None = None,
@@ -117,7 +158,9 @@ def knn_join(
     feature_cols — searched WITHIN each partition_cols group when given.
 
     Ties broken by right_id so the result is deterministic given the
-    candidate set (LSH candidates themselves are seed-stable).
+    candidate set (LSH candidates themselves are seed-stable: the
+    adaptive width depends only on the donor count, which is fixed for a
+    given input).
     """
     if left_id == right_id:
         raise ValueError("left_id and right_id must differ (they name output columns)")
@@ -153,18 +196,25 @@ def knn_join(
             F.sqrt(_sq_dist(F.col("__fa"), F.col("__fb"))).alias("dist"),
         )
     elif method == "lsh":
-        dirs = _projection_dirs(len(feature_cols), num_hash_tables, seed)
+        if bucket_length is None:
+            # adaptive: size the grid to the donor corpus. One narrow
+            # count job — the same runtime-statistics trade AQE makes.
+            h = 2 if len(feature_cols) >= 2 else 1
+            length = _adaptive_bucket_length(scaled_r.count(), h)
+        else:
+            h, length = 1, bucket_length
+        dirs = _projection_dirs(len(feature_cols), num_hash_tables * h, seed)
         lb = scaled_l.select(
             F.col(left_id).alias("__lid"),
             F.col("__feat").alias("__fa"),
             *pcols,
-            F.explode(_bucket_entries(F.col("__feat"), dirs, bucket_length)).alias("__tb"),
+            F.explode(_bucket_entries(F.col("__feat"), dirs, length, h)).alias("__tb"),
         )
         rb = scaled_r.select(
             F.col(right_id).alias("__rid"),
             F.col("__feat").alias("__fb"),
             *pcols,
-            F.explode(_bucket_entries(F.col("__feat"), dirs, bucket_length)).alias("__tb"),
+            F.explode(_bucket_entries(F.col("__feat"), dirs, length, h)).alias("__tb"),
         )
         pairs = (
             lb.join(rb, pcols + ["__tb"])

@@ -68,6 +68,12 @@ PROBES = [
     # structured-streaming drain, both over the 10x-denser event stream
     "q_sessionize",
     "st_hourly_counts",
+    # ML-imputation/balancing family (r10 verdict item 5): the two cleared
+    # plan-rescan gates plus one kNN-join balancer, so the LSH-join
+    # machinery under I5/I7/B1-B9 has a recorded 10x data point
+    "e4_frequency_encode",
+    "i9_impute_by_model",
+    "b1_smote_counts",
 ]
 
 

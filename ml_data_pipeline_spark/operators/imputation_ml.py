@@ -198,10 +198,17 @@ def impute_by_model(
     # one materialization feeds all four references (fit, predict,
     # pass-through, union-back) — without it the output plan re-derives
     # the input from the source scan 3× (r10 plan_audit NEW flag), which
-    # at 100 TB is three full passes where one suffices. Eager, because a
-    # lazy cache feeding concurrently-scheduled union branches can still
-    # compute the pipeline twice cold.
-    df = df.localCheckpoint(eager=True)
+    # at 100 TB is three full passes where one suffices. A tracked CACHE,
+    # not localCheckpoint (r11 review): checkpointing the raw input
+    # copies the full dataset into executor-local storage AND severs
+    # lineage, so one executor loss mid-fit kills the job; a cache keeps
+    # reads local while staying recomputable. The lazy-cache
+    # double-compute-cold hazard doesn't apply — pipe.fit below is a
+    # synchronous action that populates the cache before any
+    # concurrently-scheduled union branch reads it.
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    df = tracked_cache(df)
     complete = df.where(F.col(column).isNotNull())
     missing = df.where(F.col(column).isNull())
     pipe, _, _ = build_pipeline(

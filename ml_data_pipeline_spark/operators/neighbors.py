@@ -102,11 +102,16 @@ def _adaptive_bucket_length(n_right: int, h: int) -> float:
 
 
 def _bucket_entries(
-    feat_col, dirs: list[list[float]], bucket_length: float, h: int = 1
+    feat_col, dirs: list[list[float]], bucket_length, h: int = 1
 ):
     """array<struct<t,b0,b1>> of (table_idx, composite bucket) for one
     feature vector: table t ANDs h consecutive projections (dirs[t*h ..
-    t*h+h-1]) into one grid cell — b1 is 0 when h == 1."""
+    t*h+h-1]) into one grid cell — b1 is 0 when h == 1. bucket_length is
+    a float literal (global/legacy width) or a Column (the per-partition
+    adaptive width joined onto the frame)."""
+    from pyspark.sql import Column
+
+    blen = bucket_length if isinstance(bucket_length, Column) else F.lit(bucket_length)
     entries = []
     n_tables = len(dirs) // h
     for t in range(n_tables):
@@ -118,7 +123,7 @@ def _bucket_entries(
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            floors.append(F.floor(proj / F.lit(bucket_length)).cast("long"))
+            floors.append(F.floor(proj / blen).cast("long"))
         entries.append(
             F.struct(
                 F.lit(t).alias("t"),
@@ -200,7 +205,46 @@ def knn_join(
             # adaptive: size the grid to the donor corpus. One narrow
             # count job — the same runtime-statistics trade AQE makes.
             h = 2 if len(feature_cols) >= 2 else 1
-            length = _adaptive_bucket_length(scaled_r.count(), h)
+            if pcols:
+                # PER-PARTITION widths (r11 review): candidates live
+                # within a partition_cols group, so occupancy must be
+                # sized from each GROUP's donor count — a global count
+                # gives a class holding share s of the corpus occupancy
+                # 256*s, which at real imbalance (1000:10M) is ~0: the
+                # minority class SMOTE exists for would find ZERO
+                # neighbors and the synthesizer's fallback would emit
+                # plain duplicates. partition_cols are class-like by
+                # contract (the balancers' target column, hot-deck's
+                # group key), so the per-group counts are a driver-sized
+                # collect — the same convention as class_counts.
+                from pyspark.sql.types import DoubleType, StructField, StructType
+
+                spark = right.sparkSession
+                grp_rows = (
+                    scaled_r.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__bn")).collect()
+                )
+                lens_schema = StructType(
+                    [scaled_r.schema[c] for c in pcols]
+                    + [StructField("__blen", DoubleType(), False)]
+                )
+                lens = F.broadcast(
+                    spark.createDataFrame(
+                        [
+                            tuple(r[c] for c in pcols)
+                            + (_adaptive_bucket_length(r["__bn"], h),)
+                            for r in grp_rows
+                        ],
+                        lens_schema,
+                    )
+                )
+                # left join: a left group absent from the donor side gets a
+                # NULL width -> NULL bucket -> no candidates (same outcome
+                # as the equi-join gave it before)
+                scaled_l = scaled_l.join(lens, pcols, "left")
+                scaled_r = scaled_r.join(lens, pcols, "left")
+                length = F.col("__blen")
+            else:
+                length = _adaptive_bucket_length(scaled_r.count(), h)
         else:
             h, length = 1, bucket_length
         dirs = _projection_dirs(len(feature_cols), num_hash_tables * h, seed)
@@ -242,7 +286,8 @@ def knn_join(
             inputCol="__v",
             outputCol="__h",
             numHashTables=num_hash_tables,
-            bucketLength=bucket_length,
+            # brp keeps the legacy fixed width when the caller didn't pin one
+            bucketLength=bucket_length if bucket_length is not None else 0.25,
             seed=seed,
         ).fit(b)
         joined = lsh.approxSimilarityJoin(a, b, float("inf"), distCol="__d")

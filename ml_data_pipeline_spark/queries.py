@@ -6743,16 +6743,17 @@ ALL_QUERIES = {
 
 # ------------------------------------------------------------ round-11 rotation
 # The driver records rows for the FIRST 50 dict entries. This window takes,
-# in order: (1) the 12 gates whose implementing code changed THIS round —
+# in order: (1) the 18 gates whose implementing code changed THIS round —
 # the two r11 oracle graduations (m12 normal-equation single-row inference,
 # ss_cosine_pairs LCG-plane replay), the two cleared plan-rescan gates
 # (e4, i9), the hint-free indexed re-probe, the clip-NaN / tuning-default /
-# csv-contract / balancer-guard fixes — then (2) the 22 remaining names
-# holding r2 rows (computed from the union of CORRECTNESS_r01-r10:
-# mm_*/s*/t*-roundtrips, the r2 tx_* pack, p15, ss_quantize_int8,
-# pipe_prepare_corpus), then (3) the 16 oldest r3 rows. Overlap with
-# _R10_PRIORITY is exactly the 8 deliberate re-greens of r11-modified
-# gates, per the r10 verdict's rotation directive.
+# csv-contract / balancer-guard fixes, and the SIX kNN-family gates over
+# the adaptive-LSH knn_join rework (b1/b4/b6/b9/i5/i7) — then (2) the 22
+# remaining names holding r2 rows (computed from the union of
+# CORRECTNESS_r01-r10: mm_*/s*/t*-roundtrips, the r2 tx_* pack, p15,
+# ss_quantize_int8, pipe_prepare_corpus), then (3) the 10 oldest r3 rows.
+# Overlap with _R10_PRIORITY is exactly the deliberate re-greens of
+# r11-modified gates, per the r10 verdict's rotation directive.
 _R11_PRIORITY = [
     # (1) round-11-modified gates
     "m12_single_row_inference",
@@ -6767,6 +6768,15 @@ _R11_PRIORITY = [
     "s1_csv_roundtrip",
     "b7_borderline_counts",
     "b8_smote_tomek",
+    # r11 adaptive-LSH knn_join rework: every kNN-family gate re-records
+    # (r11 review — the round's largest behavioral change must not keep
+    # stale driver rows)
+    "b1_smote_counts",
+    "b4_nearmiss_counts",
+    "b6_adasyn_counts",
+    "b9_smote_enn",
+    "i5_impute_knn",
+    "i7_hot_deck",
     # (2) the remaining r2 rows, oldest in the union of CORRECTNESS files
     "t1_split_invariants",
     "s5_excel_roundtrip",
@@ -6790,7 +6800,9 @@ _R11_PRIORITY = [
     "t8_hash_split",
     "p15_numeric_summary",
     "ss_quantize_int8",
-    # (3) the 16 oldest r3 rows
+    # (3) the 10 oldest r3 rows (6 fewer than first drafted — the
+    # adaptive-LSH re-records above take their slots; q_correlated_scalar
+    # through tx_chunk_documents move to the round-12 stale list)
     "m19_roc_points",
     "m18_roc_auc",
     "tx_line_dedup",
@@ -6801,12 +6813,6 @@ _R11_PRIORITY = [
     "pipe_clean_corpus",
     "q_salted_join",
     "q_not_exists",
-    "q_correlated_scalar",
-    "tx_pack_sequences",
-    "tx_mixture_plan",
-    "m15_grouped_ols",
-    "q_attribution",
-    "tx_chunk_documents",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R11_PRIORITY) == 50 and len(set(_R11_PRIORITY)) == 50
@@ -6817,7 +6823,10 @@ ALL_QUERIES = {
 
 # ---- ROUND-12 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r11 lands, the stalest rows are the rest of the r3 block
-# (ss_brute_topk/ss_brute_pairs, q6/q14/q18, p16-p18, t9, e18, m16-m18,
+# (q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
+# m15_grouped_ols, q_attribution, tx_chunk_documents — displaced from the
+# r11 window by the adaptive-LSH re-records — then ss_brute_topk/
+# ss_brute_pairs, q6/q14/q18, p16-p18, t9, e18, m16-m18,
 # q_funnel/q_resample_gapfill/q_range_frame/q_null_safe_join, the r3 tx_*
 # tail), then the r4 blocks (CUSUM, trend, quantile transform,
 # containment). Build _R12_PRIORITY as: any round-12-modified gates first,

@@ -161,3 +161,42 @@ def test_impute_mice_keeps_rows_with_null_aux_features(spark):
     assert len(rows) == 10                    # the aux-null row survived
     assert rows[1]["a"] is not None           # and got imputed
     assert rows[1]["z"] is None               # aux NULL restored, not invented
+
+
+def test_r11_adaptive_lsh_minority_partition_recall(spark):
+    """r11 review: the adaptive LSH width must be sized from each
+    partition_cols GROUP's donor count, not the global corpus — a global
+    width gives a minority class holding share s of the rows occupancy
+    ~256*s, which at real imbalance rounds to zero in-bucket donors, and
+    SMOTE-family callers would silently degenerate to duplication. With
+    per-partition widths, nearly every minority seed finds its full k
+    within-class neighbors despite a 50:1 majority."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators import neighbors as NB
+
+    rng = random.Random(7)
+    rows = [("maj", rng.uniform(0, 100), rng.uniform(0, 100)) for _ in range(5000)]
+    rows += [("min", rng.uniform(40, 60), rng.uniform(40, 60)) for _ in range(100)]
+    df = spark.createDataFrame(rows, "cls string, x double, y double").withColumn(
+        "__id", F.monotonically_increasing_id()
+    ).cache()
+    nn = NB.knn_join(
+        df.where(F.col("cls") == "min").select("__id", "x", "y", "cls"),
+        df.select(F.col("__id").alias("__nid"), "x", "y", "cls"),
+        ["x", "y"],
+        k=5,
+        left_id="__id",
+        right_id="__nid",
+        partition_cols=["cls"],
+    )
+    full = (
+        nn.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+        .count()
+    )
+    # with the global-count width this was ~16/100 (and dozens of seeds
+    # found ZERO neighbors); per-partition widths restore near-full recall
+    assert full >= 95, full

@@ -278,10 +278,11 @@ def test_r8_sink_ml_gates_registered():
 
 
 def test_r11_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R11_PRIORITY (r11-modified
-    gates first — including the two r11 oracle graduations — then the 22
-    remaining r2-stale names, then the 16 oldest r3 rows); the graduated
-    gates are oracle-backed and lead the window."""
+    """The first-50 driver window is exactly _R11_PRIORITY (the 18
+    r11-modified gates first — the two oracle graduations plus the
+    adaptive-LSH kNN family — then the 22 remaining r2-stale names, then
+    the 10 oldest r3 rows); the graduated gates are oracle-backed and
+    lead the window."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
     from ml_data_pipeline_spark.queries import _R11_PRIORITY
 

@@ -8,8 +8,9 @@ supplier part orders lineitem events documents embeddings). Conventions:
 
 Queries WITHOUT an oracle (driver applies rows-only checks) are the
 inherently seeded / hash-specific ones: i8 (EM random draws),
-minhash/simhash (xxhash64 signatures), ann top-k (approximate by
-design, validated in tests against the brute-force baseline). tx_fingerprint
+minhash/simhash (xxhash64 signatures), the seeded SMOTE hybrids (b8/b9),
+IVF top-k (KMeans is float-order sensitive), and the model-fit metric
+gates (m3/m4/m5 — iterative solvers). tx_fingerprint
 and ss_semantic_dedup graduated to full oracles in r10: the first via the
 engine-independent EQUALITY STRUCTURE of the xxhash64 fingerprint (per-doc
 class sizes replayed from the md5 partition), the second because SemDeDup is
@@ -17,7 +18,9 @@ deterministic end to end (exact blockwise cosine via list_dot_product).
 m12_single_row_inference and ss_cosine_pairs graduated in r11: the first
 because normal-equation OLS predictions are scaler-invariant covar_pop
 algebra, the second because the sign-LSH planes are a deterministic LCG
-stream the oracle embeds as exact DOUBLE literals (similarity.lsh_planes).
+stream the oracle embeds as exact DOUBLE literals (similarity.lsh_planes);
+ss_ann_topk followed in the same r11 pass (bit_count(xor) probe set +
+the recall@10 floor re-derived verbatim in SQL). Rows-only count: 9.
 """
 
 from __future__ import annotations
@@ -5463,3 +5466,60 @@ def _ss_cosine_pairs_oracle() -> str:
 
 
 ALL_ORACLES["ss_cosine_pairs"] = _ss_cosine_pairs_oracle()
+
+
+def _ss_ann_topk_oracle() -> str:
+    """ss_ann_topk graduated to full hash parity (r11): everything in the
+    gate is deterministic — the sign-LSH planes are the same LCG stream
+    the ss_cosine_pairs oracle replays (6 planes at dim 64 here), the
+    query vector is the vec_id=0 embedding, the multi-probe restriction
+    is bit_count(xor(bucket, query_bucket)) <= 2, the verify is the exact
+    cosine (ss_brute_topk's proven recipe), and ties break on vec_id.
+    The recall@10-vs-brute-force quality floor is replayed verbatim, so
+    the oracle also re-derives the exact top-10 and the recall join."""
+    from ml_data_pipeline_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(seed=42, n_planes=6, dim=64)
+    bits = "\n               + ".join(
+        f"CASE WHEN list_dot_product(e, {_sql_double_array(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, e,
+               CAST(({bits}) AS BIGINT) AS bucket,
+               sqrt(list_dot_product(e, e)) AS nrm
+        FROM base
+    ),
+    q AS (SELECT e AS qv, bucket AS qb, nrm AS qn FROM b WHERE vec_id = 0),
+    scored AS (
+        SELECT b.vec_id, b.bucket,
+               round(list_dot_product(b.e, q.qv) / (b.nrm * q.qn), 6) AS cosine
+        FROM b, q
+    ),
+    ann AS (
+        SELECT s.vec_id, s.cosine
+        FROM scored s, q
+        WHERE bit_count(xor(s.bucket, q.qb)) <= 2
+        ORDER BY s.cosine DESC, s.vec_id ASC LIMIT 10
+    ),
+    exact AS (
+        SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    ),
+    r AS (
+        SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_raw
+        FROM ann JOIN exact USING (vec_id)
+    )
+    SELECT ann.vec_id, ann.cosine, round(r.recall_raw, 2) AS recall_at_10
+    FROM ann, r
+    WHERE r.recall_raw >= 0.3
+    ORDER BY ann.cosine DESC, ann.vec_id ASC
+"""
+
+
+ALL_ORACLES["ss_ann_topk"] = _ss_ann_topk_oracle()

@@ -1885,7 +1885,11 @@ def ss_brute_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def ss_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-probe sign-LSH ANN top-10 with an IN-QUERY recall collapse
-    floor (VERDICT r2 item 8): each result row carries recall@10 vs the
+    floor (VERDICT r2 item 8). GRADUATED r11 from rows-only to full hash
+    parity: the planes are the LCG stream the oracle replays as DOUBLE
+    literals, the probe set is bit_count(xor(bucket, qb)) <= 2, and the
+    recall floor is re-derived verbatim in SQL — everything here is
+    deterministic. Each result row carries recall@10 vs the
     exact brute-force top-10 and rows are FILTERED on recall >= 0.3 — a
     regression in the bucketing/hyperplane math drops recall to ~0.0-0.1
     and the query returns 0 rows, tripping the driver's row-count check.
@@ -6747,11 +6751,12 @@ ALL_QUERIES = {
 # the two r11 oracle graduations (m12 normal-equation single-row inference,
 # ss_cosine_pairs LCG-plane replay), the two cleared plan-rescan gates
 # (e4, i9), the hint-free indexed re-probe, the clip-NaN / tuning-default /
-# csv-contract / balancer-guard fixes, and the SIX kNN-family gates over
-# the adaptive-LSH knn_join rework (b1/b4/b6/b9/i5/i7) — then (2) the 22
+# csv-contract / balancer-guard fixes, the SIX kNN-family gates over
+# the adaptive-LSH knn_join rework (b1/b4/b6/b9/i5/i7), and the third
+# r11 oracle graduation (ss_ann_topk) — then (2) the 22
 # remaining names holding r2 rows (computed from the union of
 # CORRECTNESS_r01-r10: mm_*/s*/t*-roundtrips, the r2 tx_* pack, p15,
-# ss_quantize_int8, pipe_prepare_corpus), then (3) the 10 oldest r3 rows.
+# ss_quantize_int8, pipe_prepare_corpus), then (3) the 9 oldest r3 rows.
 # Overlap with _R10_PRIORITY is exactly the deliberate re-greens of
 # r11-modified gates, per the r10 verdict's rotation directive.
 _R11_PRIORITY = [
@@ -6777,6 +6782,7 @@ _R11_PRIORITY = [
     "b9_smote_enn",
     "i5_impute_knn",
     "i7_hot_deck",
+    "ss_ann_topk",
     # (2) the remaining r2 rows, oldest in the union of CORRECTNESS files
     "t1_split_invariants",
     "s5_excel_roundtrip",
@@ -6800,9 +6806,9 @@ _R11_PRIORITY = [
     "t8_hash_split",
     "p15_numeric_summary",
     "ss_quantize_int8",
-    # (3) the 10 oldest r3 rows (6 fewer than first drafted — the
-    # adaptive-LSH re-records above take their slots; q_correlated_scalar
-    # through tx_chunk_documents move to the round-12 stale list)
+    # (3) the 9 oldest r3 rows (7 fewer than first drafted — the
+    # adaptive-LSH re-records and ss_ann_topk take their slots;
+    # q_not_exists through tx_chunk_documents move to the r12 stale list)
     "m19_roc_points",
     "m18_roc_auc",
     "tx_line_dedup",
@@ -6812,7 +6818,6 @@ _R11_PRIORITY = [
     "q_grouping_sets",
     "pipe_clean_corpus",
     "q_salted_join",
-    "q_not_exists",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R11_PRIORITY) == 50 and len(set(_R11_PRIORITY)) == 50
@@ -6823,7 +6828,7 @@ ALL_QUERIES = {
 
 # ---- ROUND-12 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r11 lands, the stalest rows are the rest of the r3 block
-# (q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
+# (q_not_exists, q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
 # m15_grouped_ols, q_attribution, tx_chunk_documents — displaced from the
 # r11 window by the adaptive-LSH re-records — then ss_brute_topk/
 # ss_brute_pairs, q6/q14/q18, p16-p18, t9, e18, m16-m18,

@@ -46,6 +46,7 @@ def cross_val_scores(
     metric: str | None = None,
     stratified: bool | str = "auto",
     seed: int = 42,
+    fold_col: str | None = None,
 ) -> dict[str, Any]:
     """M5 — k-fold CV: mean ± std of the chosen metric across folds.
     Driver loops over folds; each fit is a cluster job.
@@ -56,7 +57,14 @@ def cross_val_scores(
 
     stratified='auto' stratifies ONLY for classification — stratifying on a
     continuous target would put every 1-row "class" in fold 0 and leave the
-    other folds empty (sklearn draws the same KFold/StratifiedKFold line)."""
+    other folds empty (sklearn draws the same KFold/StratifiedKFold line).
+
+    fold_col (r11): use the caller's own integer fold assignment in
+    [0, n_folds) instead of the seeded shuffle — e.g. a hash of a business
+    key, which is reproducible across runs/engines (what the m5 oracle
+    replays) and keeps examples from migrating between folds as a corpus
+    grows, the same property split_by_hash documents. The column is
+    consumed (never leaks into the feature set)."""
     from .pipeline import detect_task_type
 
     # detect ONCE: per-fold re-detection costs a distinct-count job per
@@ -65,7 +73,13 @@ def cross_val_scores(
     if stratified == "auto":
         stratified = task == "classification"
     metric = metric or ("f1" if task == "classification" else "r2")
-    folded = add_fold_column(df, n_folds, target if stratified else None, seed).cache()
+    if fold_col is not None:
+        folded = df.withColumn("__fold", F.col(fold_col).cast("int"))
+        if fold_col != "__fold":
+            folded = folded.drop(fold_col)
+        folded = folded.cache()
+    else:
+        folded = add_fold_column(df, n_folds, target if stratified else None, seed).cache()
     scores = []
     for k in range(n_folds):
         train = folded.where(F.col("__fold") != k).drop("__fold")

@@ -10,7 +10,7 @@ Queries WITHOUT an oracle (driver applies rows-only checks) are the
 inherently seeded / hash-specific ones: i8 (EM random draws),
 minhash/simhash (xxhash64 signatures), the seeded SMOTE hybrids (b8/b9),
 IVF top-k (KMeans is float-order sensitive), and the model-fit metric
-gates (m3/m4/m5 — iterative solvers). tx_fingerprint
+gates (m3/m4 — iterative solvers). tx_fingerprint
 and ss_semantic_dedup graduated to full oracles in r10: the first via the
 engine-independent EQUALITY STRUCTURE of the xxhash64 fingerprint (per-doc
 class sizes replayed from the md5 partition), the second because SemDeDup is
@@ -20,7 +20,9 @@ because normal-equation OLS predictions are scaler-invariant covar_pop
 algebra, the second because the sign-LSH planes are a deterministic LCG
 stream the oracle embeds as exact DOUBLE literals (similarity.lsh_planes);
 ss_ann_topk followed in the same r11 pass (bit_count(xor) probe set +
-the recall@10 floor re-derived verbatim in SQL). Rows-only count: 9.
+the recall@10 floor re-derived verbatim in SQL), and m5_cross_val closed
+the set (md5-hash folds + per-fold closed-form OLS R2). Rows-only
+count: 8.
 """
 
 from __future__ import annotations
@@ -5523,3 +5525,49 @@ def _ss_ann_topk_oracle() -> str:
 
 
 ALL_ORACLES["ss_ann_topk"] = _ss_ann_topk_oracle()
+
+
+# M5 cross-validation graduated (r11): md5-hash folds (t8_hash_split's
+# proven engine-portable bucket recipe), closed-form OLS per fold
+# (m10/m12's covar_pop algebra; scaler-invariant predictions), standard
+# R2 = 1 - SSres/SStot on the held-out fold with SStot from the stable
+# var_pop (never sum(y^2) - n*mean^2, which cancels catastrophically).
+ALL_ORACLES["m5_cross_val"] = """
+    WITH li AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x1,
+               CAST(l_discount AS DOUBLE) AS x2,
+               CAST(l_extendedprice AS DOUBLE) AS y,
+               (CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ','
+                      || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 3) AS fold
+        FROM lineitem
+    ),
+    folds AS (SELECT unnest([0, 1, 2]) AS k),
+    st AS (
+        SELECT f.k,
+               avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+               var_pop(x1) AS v11, var_pop(x2) AS v22,
+               covar_pop(x1, x2) AS v12,
+               covar_pop(x1, y) AS c1, covar_pop(x2, y) AS c2
+        FROM li, folds f WHERE li.fold <> f.k GROUP BY f.k
+    ),
+    b AS (
+        SELECT k, my, m1, m2,
+               (c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12) AS b1,
+               (c2 * v11 - c1 * v12) / (v11 * v22 - v12 * v12) AS b2
+        FROM st
+    ),
+    scored AS (
+        SELECT b.k, li.y,
+               b.my + b.b1 * (li.x1 - b.m1) + b.b2 * (li.x2 - b.m2) AS pred
+        FROM li JOIN b ON li.fold = b.k
+    ),
+    per_fold AS (
+        SELECT k,
+               1.0 - sum((y - pred) * (y - pred))
+                     / (var_pop(y) * count(*)) AS r2
+        FROM scored GROUP BY k
+    )
+    SELECT 'fold_' || CAST(k AS VARCHAR) AS k, round(r2, 6) AS r2 FROM per_fold
+    UNION ALL
+    SELECT 'mean', round(avg(r2), 6) FROM per_fold
+"""

@@ -1406,29 +1406,62 @@ def m4_feature_importances(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def m5_cross_val(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only: stratified 3-fold CV accuracy (fold scores + mean)."""
+    """M5 — 3-fold CV, GRADUATED r11 from rows-only to full hash parity:
+    folds are an md5 hash of the business key (split_by_hash's proven
+    engine-portable bucket recipe — reproducible, unlike the seeded
+    shuffle), the estimator is LinearRegression(solver='normal',
+    regParam=0) so each fold's fit is closed-form OLS that DuckDB replays
+    from per-fold covar_pop algebra (scaler-invariant predictions, the
+    m12 recipe), and the metric is the standard R² = 1 − SSres/SStot on
+    the held-out fold. The gate exercises the REAL cross_val_scores loop
+    (fold filtering, per-fold train_and_evaluate, mean aggregation) —
+    only the randomness moved into the caller-supplied fold column.
+    The stratified-classification CV path keeps its pytest coverage
+    (tests/test_ml.py::test_cross_val_scores, test_stratified_folds)."""
     from ml_data_pipeline_spark.ml.tuning import cross_val_scores
 
-    orders = (
-        load_table(spark, sf, "orders")
-        .where(F.col("o_orderstatus").isin("F", "O"))
-        .select("o_orderstatus", F.col("o_totalprice").cast("double"),
-                F.year("o_orderdate").cast("double").alias("o_year"))
+    li = _li(spark, sf).select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("__cvfold"),
     )
     cv = cross_val_scores(
-        orders, "o_orderstatus", "logistic_regression", n_folds=3, metric="accuracy"
+        li,
+        "l_extendedprice",
+        "linear_regression",
+        params={"solver": "normal", "regParam": 0.0},
+        n_folds=3,
+        fold_col="__cvfold",
     )
-    rows = [(f"fold_{i}", float(s)) for i, s in enumerate(cv["scores"])]
-    rows.append(("mean", float(cv["mean"])))
-    # r3 quality floor: 3 folds, valid [0,1] scores, reported mean equals
-    # the fold average — violation collapses the gate to 0 rows
+    rows = [(f"fold_{i}", round(float(s), 6)) for i, s in enumerate(cv["scores"])]
+    rows.append(("mean", round(float(cv["mean"]), 6)))
+    # the r3 quality floor stays folded into the row contract: 3 folds,
+    # finite scores, mean == fold average
     scores = cv["scores"]
     ok = (
         len(scores) == 3
-        and all(s == s and 0.0 <= s <= 1.0 for s in scores)
+        and all(s == s for s in scores)
         and abs(cv["mean"] - sum(scores) / len(scores)) < 1e-9
     )
-    return spark.createDataFrame(rows if ok else [], "k string, accuracy double")
+    return spark.createDataFrame(rows if ok else [], "k string, r2 double")
 
 def m6_random_search_trials(spark: SparkSession, sf: str) -> DataFrame:
     """M6/M8 contract (oracle-checked): the trial history has exactly
@@ -6752,11 +6785,11 @@ ALL_QUERIES = {
 # ss_cosine_pairs LCG-plane replay), the two cleared plan-rescan gates
 # (e4, i9), the hint-free indexed re-probe, the clip-NaN / tuning-default /
 # csv-contract / balancer-guard fixes, the SIX kNN-family gates over
-# the adaptive-LSH knn_join rework (b1/b4/b6/b9/i5/i7), and the third
-# r11 oracle graduation (ss_ann_topk) — then (2) the 22
+# the adaptive-LSH knn_join rework (b1/b4/b6/b9/i5/i7), and the third and
+# fourth r11 oracle graduations (ss_ann_topk, m5_cross_val) — then (2) the 22
 # remaining names holding r2 rows (computed from the union of
 # CORRECTNESS_r01-r10: mm_*/s*/t*-roundtrips, the r2 tx_* pack, p15,
-# ss_quantize_int8, pipe_prepare_corpus), then (3) the 9 oldest r3 rows.
+# ss_quantize_int8, pipe_prepare_corpus), then (3) the 8 oldest r3 rows.
 # Overlap with _R10_PRIORITY is exactly the deliberate re-greens of
 # r11-modified gates, per the r10 verdict's rotation directive.
 _R11_PRIORITY = [
@@ -6783,6 +6816,7 @@ _R11_PRIORITY = [
     "i5_impute_knn",
     "i7_hot_deck",
     "ss_ann_topk",
+    "m5_cross_val",
     # (2) the remaining r2 rows, oldest in the union of CORRECTNESS files
     "t1_split_invariants",
     "s5_excel_roundtrip",
@@ -6806,9 +6840,10 @@ _R11_PRIORITY = [
     "t8_hash_split",
     "p15_numeric_summary",
     "ss_quantize_int8",
-    # (3) the 9 oldest r3 rows (7 fewer than first drafted — the
-    # adaptive-LSH re-records and ss_ann_topk take their slots;
-    # q_not_exists through tx_chunk_documents move to the r12 stale list)
+    # (3) the 8 oldest r3 rows (8 fewer than first drafted — the
+    # adaptive-LSH re-records and the ss_ann_topk/m5 graduations take
+    # their slots; q_salted_join through tx_chunk_documents move to the
+    # r12 stale list)
     "m19_roc_points",
     "m18_roc_auc",
     "tx_line_dedup",
@@ -6817,7 +6852,6 @@ _R11_PRIORITY = [
     "q_window_suite",
     "q_grouping_sets",
     "pipe_clean_corpus",
-    "q_salted_join",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R11_PRIORITY) == 50 and len(set(_R11_PRIORITY)) == 50
@@ -6828,7 +6862,7 @@ ALL_QUERIES = {
 
 # ---- ROUND-12 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r11 lands, the stalest rows are the rest of the r3 block
-# (q_not_exists, q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
+# (q_salted_join, q_not_exists, q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
 # m15_grouped_ols, q_attribution, tx_chunk_documents — displaced from the
 # r11 window by the adaptive-LSH re-records — then ss_brute_topk/
 # ss_brute_pairs, q6/q14/q18, p16-p18, t9, e18, m16-m18,

@@ -9,8 +9,7 @@ supplier part orders lineitem events documents embeddings). Conventions:
 Queries WITHOUT an oracle (driver applies rows-only checks) are the
 inherently seeded / hash-specific ones: i8 (EM random draws),
 minhash/simhash (xxhash64 signatures), the seeded SMOTE hybrids (b8/b9),
-IVF top-k (KMeans is float-order sensitive), and the model-fit metric
-gates (m3/m4 — iterative solvers). tx_fingerprint
+and IVF top-k (KMeans is float-order sensitive). tx_fingerprint
 and ss_semantic_dedup graduated to full oracles in r10: the first via the
 engine-independent EQUALITY STRUCTURE of the xxhash64 fingerprint (per-doc
 class sizes replayed from the md5 partition), the second because SemDeDup is
@@ -20,9 +19,12 @@ because normal-equation OLS predictions are scaler-invariant covar_pop
 algebra, the second because the sign-LSH planes are a deterministic LCG
 stream the oracle embeds as exact DOUBLE literals (similarity.lsh_planes);
 ss_ann_topk followed in the same r11 pass (bit_count(xor) probe set +
-the recall@10 floor re-derived verbatim in SQL), and m5_cross_val closed
-the set (md5-hash folds + per-fold closed-form OLS R2). Rows-only
-count: 8.
+the recall@10 floor re-derived verbatim in SQL), m5_cross_val (md5-hash
+folds + per-fold closed-form OLS R2), m3 (the full metric suite incl.
+the 10k-bin Mann-Whitney OVR-AUC over a deterministic nearest-anchor
+scorer) and m4 (|standardized OLS coefficient| importances). The
+rows-only set is the genuinely seeded/hash-specific core of 6: i8,
+minhash, simhash, b8, b9, ss_ivf_topk.
 """
 
 from __future__ import annotations
@@ -5570,4 +5572,121 @@ ALL_ORACLES["m5_cross_val"] = """
     SELECT 'fold_' || CAST(k AS VARCHAR) AS k, round(r2, 6) AS r2 FROM per_fold
     UNION ALL
     SELECT 'mean', round(avg(r2), 6) FROM per_fold
+"""
+
+
+# M4 graduated (r11): |standardized OLS coefficient| importances —
+# b_std_j = b_raw_j * sd_samp_j; b_raw from the covar_pop symbolic
+# 2-feature inverse (the n/(n-1) scaling cancels in the solve), sd_samp
+# matching MLlib StandardScaler's sample std. Sorted by importance DESC
+# the way feature_importances() sorts.
+ALL_ORACLES["m4_feature_importances"] = """
+    WITH st AS (
+        SELECT var_pop(l_quantity) AS v11, var_pop(l_discount) AS v22,
+               covar_pop(l_quantity, l_discount) AS v12,
+               covar_pop(l_quantity, l_extendedprice) AS c1,
+               covar_pop(l_discount, l_extendedprice) AS c2,
+               stddev_samp(CAST(l_quantity AS DOUBLE)) AS sd1,
+               stddev_samp(CAST(l_discount AS DOUBLE)) AS sd2
+        FROM lineitem
+    ), b AS (
+        SELECT abs((c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12)) * sd1 AS i1,
+               abs((c2 * v11 - c1 * v12) / (v11 * v22 - v12 * v12)) * sd2 AS i2
+        FROM st
+    ), rows_ AS (
+        SELECT 'l_quantity' AS feature, round(i1, 6) AS importance, i1 AS raw FROM b
+        UNION ALL
+        SELECT 'l_discount', round(i2, 6), i2 FROM b
+    )
+    SELECT feature, importance FROM rows_ ORDER BY raw DESC
+"""
+
+
+# M3 graduated (r11): the metric suite over the deterministic
+# nearest-anchor scorer — confusion-matrix metrics from exact counts in
+# ascending-class order (mirroring evaluate_classification's driver
+# loop), and the binned Mann-Whitney OVR-AUC replayed line for line:
+# per-class min/max, 10k-bin histogram, exclusive-prefix mid-ranks,
+# tie-adjusted rank-sum statistic, support weighting.
+ALL_ORACLES["m3_eval_classification"] = """
+    WITH base AS (
+        SELECT CASE o_orderstatus WHEN 'F' THEN 0.0 WHEN 'O' THEN 1.0
+                    ELSE 2.0 END AS y,
+               -abs(CAST(o_totalprice AS DOUBLE) - 50000.0) AS s0,
+               -abs(CAST(o_totalprice AS DOUBLE) - 150000.0) AS s1,
+               -abs(CAST(o_totalprice AS DOUBLE) - 300000.0) AS s2
+        FROM orders
+    ),
+    scored AS (
+        SELECT y, s0, s1, s2,
+               CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0.0
+                    WHEN s1 >= s2 THEN 1.0 ELSE 2.0 END AS pred
+        FROM base
+    ),
+    per_cls AS (
+        SELECT c.cls,
+               (SELECT count(*) FROM scored WHERE y = c.cls) AS support,
+               (SELECT count(*) FROM scored WHERE pred = c.cls) AS predicted,
+               (SELECT count(*) FROM scored WHERE y = c.cls AND pred = c.cls) AS tp
+        FROM (SELECT unnest([0.0, 1.0, 2.0]) AS cls) c
+    ),
+    prf AS (
+        SELECT cls, support,
+               CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE) / predicted
+                    ELSE 0.0 END AS prec,
+               CAST(tp AS DOUBLE) / support AS rec, tp
+        FROM per_cls
+    ),
+    cm AS (
+        SELECT (SELECT sum(tp) FROM prf) * 1.0
+                 / (SELECT count(*) FROM scored) AS accuracy,
+               sum(support * prec) / (SELECT count(*) FROM scored) AS precision_,
+               sum(support * rec) / (SELECT count(*) FROM scored) AS recall_,
+               sum(support * CASE WHEN prec + rec > 0.0
+                     THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END)
+                 / (SELECT count(*) FROM scored) AS f1_
+        FROM prf
+    ),
+    pairs AS (
+        SELECT c.cls,
+               CASE c.cls WHEN 0.0 THEN s.s0 WHEN 1.0 THEN s.s1
+                    ELSE s.s2 END AS score,
+               CASE WHEN s.y = c.cls THEN 1.0 ELSE 0.0 END AS pos
+        FROM scored s, (SELECT unnest([0.0, 1.0, 2.0]) AS cls) c
+    ),
+    rng AS (SELECT cls, min(score) AS lo, max(score) AS hi FROM pairs GROUP BY cls),
+    binned AS (
+        SELECT p.cls,
+               least(CAST(floor((p.score - r.lo)
+                     / (CASE WHEN r.hi > r.lo THEN (r.hi - r.lo) / 10000.0
+                             ELSE 1.0 END)) AS BIGINT),
+                     CAST(9999 AS BIGINT)) AS bin,
+               count(*) AS n, sum(p.pos) AS np
+        FROM pairs p JOIN rng r USING (cls) GROUP BY 1, 2
+    ),
+    mids AS (
+        SELECT cls, np,
+               coalesce(sum(n) OVER (PARTITION BY cls ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (n + 1) / 2.0 AS midrank, n
+        FROM binned
+    ),
+    stats AS (
+        SELECT cls, sum(np * midrank) AS rpos, sum(np) AS n_pos,
+               sum(n) AS n_all
+        FROM mids GROUP BY cls
+    ),
+    auc AS (
+        SELECT sum(
+            (CASE WHEN n_pos > 0 AND n_all - n_pos > 0
+                  THEN (rpos - n_pos * (n_pos + 1) / 2.0)
+                       / (n_pos * (n_all - n_pos))
+                  ELSE 0.5 END) * (n_pos / n_all)) AS roc_auc
+        FROM stats
+    )
+    SELECT 'accuracy' AS metric, round(accuracy, 6) AS value FROM cm
+    UNION ALL SELECT 'f1', round(f1_, 6) FROM cm
+    UNION ALL SELECT 'precision', round(precision_, 6) FROM cm
+    UNION ALL SELECT 'recall', round(recall_, 6) FROM cm
+    UNION ALL SELECT 'roc_auc', round(roc_auc, 6) FROM auc
 """

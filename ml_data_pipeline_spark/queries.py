@@ -1363,25 +1363,44 @@ def m2_ols_coefficients(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def m3_eval_classification(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only: binary classification metric suite (schema contract —
-    5 stable metric rows; values are model/RNG-dependent)."""
-    from ml_data_pipeline_spark.ml.pipeline import train_and_evaluate
+    """M3 — the full classification metric suite, GRADUATED r11 from
+    rows-only to full hash parity: the suite (confusion-matrix
+    accuracy/precision/recall/f1 + the 3-job binned Mann-Whitney
+    one-vs-rest AUC, evaluate_classification/_ovr_weighted_auc) runs over
+    a DETERMINISTIC nearest-anchor scorer instead of a fitted model, so
+    every metric — including the 10k-bin AUC histogram, mid-rank cumsum
+    and support weighting — replays line for line in DuckDB. The metric
+    MATH is what M3 is; model fitting is covered by m2/m5/m12 and the
+    pytest suite (test_train_and_evaluate_*).
 
-    orders = (
-        load_table(spark, sf, "orders")
-        .where(F.col("o_orderstatus").isin("F", "O"))
-        .select(
-            "o_orderstatus",
-            F.col("o_totalprice").cast("double"),
-            F.year("o_orderdate").cast("double").alias("o_year"),
-        )
+    Scorer: 3-class label from o_orderstatus (F=0, O=1, P=2), class
+    score s_c = -|o_totalprice − anchor_c| (anchors 50k/150k/300k),
+    prediction = argmax with an explicit >= tie rule mirrored in SQL."""
+    from pyspark.ml.functions import array_to_vector
+
+    from ml_data_pipeline_spark.ml.pipeline import evaluate_classification
+
+    orders = load_table(spark, sf, "orders")
+    tp = F.col("o_totalprice").cast("double")
+    y = (
+        F.when(F.col("o_orderstatus") == "F", 0.0)
+        .when(F.col("o_orderstatus") == "O", 1.0)
+        .otherwise(2.0)
     )
-    train, test = orders.randomSplit([0.8, 0.2], seed=42)
-    _, metrics = train_and_evaluate(train, test, "o_orderstatus", "logistic_regression")
-    rows = [(k, float(v)) for k, v in sorted(metrics.items())]
-    # r3 quality floor: exactly the 5 expected metrics, every one a valid
-    # probability-scale value — a broken evaluator (NaN, >1, missing
-    # metric) collapses the gate to 0 rows
+    s0 = -F.abs(tp - F.lit(50_000.0))
+    s1 = -F.abs(tp - F.lit(150_000.0))
+    s2 = -F.abs(tp - F.lit(300_000.0))
+    pred = (
+        F.when((s0 >= s1) & (s0 >= s2), 0.0).when(s1 >= s2, 1.0).otherwise(2.0)
+    )
+    scored = orders.select(
+        y.alias("__y"),
+        pred.alias("prediction"),
+        array_to_vector(F.array(s0, s1, s2)).alias("rawPrediction"),
+    )
+    metrics = evaluate_classification(scored, "__y")
+    rows = [(k, round(float(v), 6)) for k, v in sorted(metrics.items())]
+    # quality floor unchanged: exactly the 5 metrics, all on [0, 1]
     expected = {"accuracy", "precision", "recall", "f1", "roc_auc"}
     ok = {k for k, _ in rows} == expected and all(
         v == v and 0.0 <= v <= 1.0 for _, v in rows
@@ -1389,18 +1408,34 @@ def m3_eval_classification(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows if ok else [], "metric string, value double")
 
 def m4_feature_importances(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only: RF impurity importances over 3 lineitem features."""
-    from ml_data_pipeline_spark.ml.pipeline import train_and_evaluate
+    """M4 — feature importances through the REAL feature_importances()
+    path, GRADUATED r11 from rows-only to full hash parity: the model is
+    LinearRegression(solver='normal', regParam=0) behind the standard
+    pipeline (assembler → StandardScaler), so the reported
+    |standardized coefficient| importances are closed-form —
+    b_std_j = b_raw_j * sd_samp_j, where b_raw comes from the covar_pop
+    2-feature symbolic inverse (pop-vs-sample scaling cancels in the
+    solve) and sd_samp is the scaler's sample std. DuckDB replays both
+    exactly. The tree-impurity branch of feature_importances keeps its
+    pytest coverage (test_random_forest_importances)."""
+    from ml_data_pipeline_spark.ml.pipeline import build_pipeline
     from ml_data_pipeline_spark.ml.tuning import feature_importances
 
     li = _li(spark, sf).select(
-        "l_returnflag", "l_quantity", "l_discount", F.col("l_extendedprice").cast("double")
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
     )
-    train, test = li.randomSplit([0.8, 0.2], seed=42)
-    model, _ = train_and_evaluate(
-        train, test, "l_returnflag", "random_forest", {"numTrees": 10, "maxDepth": 5}
+    pipe, _, _ = build_pipeline(
+        li,
+        "l_extendedprice",
+        "linear_regression",
+        params={"solver": "normal", "regParam": 0.0},
+        feature_cols=["l_quantity", "l_discount"],
+        task="regression",
     )
-    imp = feature_importances(model, ["l_quantity", "l_discount", "l_extendedprice"])
+    model = pipe.fit(li)
+    imp = feature_importances(model, ["l_quantity", "l_discount"])
     return spark.createDataFrame(
         [(f, float(round(v, 6))) for f, v in imp], "feature string, importance double"
     )
@@ -6785,11 +6820,11 @@ ALL_QUERIES = {
 # ss_cosine_pairs LCG-plane replay), the two cleared plan-rescan gates
 # (e4, i9), the hint-free indexed re-probe, the clip-NaN / tuning-default /
 # csv-contract / balancer-guard fixes, the SIX kNN-family gates over
-# the adaptive-LSH knn_join rework (b1/b4/b6/b9/i5/i7), and the third and
-# fourth r11 oracle graduations (ss_ann_topk, m5_cross_val) — then (2) the 22
+# the adaptive-LSH knn_join rework (b1/b4/b6/b9/i5/i7), and the r11 oracle
+# graduations (ss_ann_topk, m5_cross_val, m3, m4) — then (2) the 22
 # remaining names holding r2 rows (computed from the union of
 # CORRECTNESS_r01-r10: mm_*/s*/t*-roundtrips, the r2 tx_* pack, p15,
-# ss_quantize_int8, pipe_prepare_corpus), then (3) the 8 oldest r3 rows.
+# ss_quantize_int8, pipe_prepare_corpus), then (3) the 6 oldest r3 rows.
 # Overlap with _R10_PRIORITY is exactly the deliberate re-greens of
 # r11-modified gates, per the r10 verdict's rotation directive.
 _R11_PRIORITY = [
@@ -6817,6 +6852,8 @@ _R11_PRIORITY = [
     "i7_hot_deck",
     "ss_ann_topk",
     "m5_cross_val",
+    "m3_eval_classification",
+    "m4_feature_importances",
     # (2) the remaining r2 rows, oldest in the union of CORRECTNESS files
     "t1_split_invariants",
     "s5_excel_roundtrip",
@@ -6840,18 +6877,16 @@ _R11_PRIORITY = [
     "t8_hash_split",
     "p15_numeric_summary",
     "ss_quantize_int8",
-    # (3) the 8 oldest r3 rows (8 fewer than first drafted — the
-    # adaptive-LSH re-records and the ss_ann_topk/m5 graduations take
-    # their slots; q_salted_join through tx_chunk_documents move to the
-    # r12 stale list)
+    # (3) the 6 oldest r3 rows (10 fewer than first drafted — the
+    # adaptive-LSH re-records and the r11 oracle graduations take their
+    # slots; q_grouping_sets through tx_chunk_documents move to the r12
+    # stale list)
     "m19_roc_points",
     "m18_roc_auc",
     "tx_line_dedup",
     "tx_unigram_logprob",
     "q19_disjunctive_revenue",
     "q_window_suite",
-    "q_grouping_sets",
-    "pipe_clean_corpus",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R11_PRIORITY) == 50 and len(set(_R11_PRIORITY)) == 50
@@ -6862,7 +6897,8 @@ ALL_QUERIES = {
 
 # ---- ROUND-12 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r11 lands, the stalest rows are the rest of the r3 block
-# (q_salted_join, q_not_exists, q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
+# (q_grouping_sets, pipe_clean_corpus, q_salted_join, q_not_exists,
+# q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
 # m15_grouped_ols, q_attribution, tx_chunk_documents — displaced from the
 # r11 window by the adaptive-LSH re-records — then ss_brute_topk/
 # ss_brute_pairs, q6/q14/q18, p16-p18, t9, e18, m16-m18,

@@ -101,6 +101,69 @@ def _adaptive_bucket_length(n_right: int, h: int) -> float:
     return min(max(length, 1e-3), 8.0)
 
 
+def _occupancy_response(scaled_r_len, dirs, h: int, pcols: list[str]):
+    """Pair-weighted cell occupancy E[donors in a random entry's cell] =
+    Σn²/Σn, measured at BOTH the frame's ``__blen`` width and half of it
+    from ONE donor scan: bucket at width/2, count child cells, then fold
+    children into their parents via the floor identity
+    floor(x/L) == floor(floor(x/(L/2))/2) — a single linear aggregate
+    chain, no second scan, no branching re-derivation. Returns
+    {group_tuple: (w_full, w_half)} with pcols, else (w_full, w_half)
+    floats (Nones on an empty donor side)."""
+    ent = scaled_r_len.select(
+        *pcols,
+        F.explode(
+            _bucket_entries(F.col("__feat"), dirs, F.col("__blen") * F.lit(0.5), h)
+        ).alias("__tb"),
+    )
+    children = ent.groupBy(*pcols, "__tb").agg(F.count(F.lit(1)).alias("__n"))
+    parent = F.struct(
+        F.col("__tb.t").alias("t"),
+        F.floor(F.col("__tb.b0") / 2).cast("long").alias("b0"),
+        F.floor(F.col("__tb.b1") / 2).cast("long").alias("b1"),
+    )
+    parents = children.groupBy(*pcols, parent.alias("__pb")).agg(
+        F.sum("__n").alias("__nf"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__sq_half"),
+    )
+    aggs = [
+        (F.sum(F.col("__nf") * F.col("__nf")) / F.sum("__nf")).alias("__wf"),
+        (F.sum("__sq_half") / F.sum("__nf")).alias("__wh"),
+    ]
+    if pcols:
+        rows = parents.groupBy(*pcols).agg(*aggs).collect()
+        return {
+            tuple(r[c] for c in pcols): (float(r["__wf"]), float(r["__wh"]))
+            for r in rows
+        }
+    row = parents.agg(*aggs).first()
+    if row is None or row["__wf"] is None:
+        return None, None
+    return float(row["__wf"]), float(row["__wh"])
+
+
+def _calibrated_length(w1: float, w2: float, length: float) -> float:
+    """Solve for the width hitting _TARGET_OCCUPANCY from two measured
+    occupancies w1 = w(length), w2 = w(length/2): local response exponent
+    beta = log2(w1/w2) (1 for mass concentrated on a lower-dimensional
+    manifold — e.g. a discrete feature collapsing the data onto lines —
+    up to h for genuinely h-dimensional spread), then
+    length* = length * (target/w1)^(1/beta). The Gaussian-constant first
+    guess assumes full-dimensional spread and UNDERSHOOTS the density of
+    atom-heavy features by 5-20x (measured: i5's l_tax lines put 1343
+    donors in a 256-target cell at sf0.1); the measured exponent corrects
+    that in one step for any distribution shape."""
+    import math
+
+    if not w1 or w1 <= _TARGET_OCCUPANCY * 2:
+        return length  # close enough — don't churn the plan
+    if not w2 or w2 >= w1:
+        beta = 1.0  # halving didn't help: flat response, assume linear
+    else:
+        beta = min(max(math.log2(w1 / w2), 0.5), 4.0)
+    return min(max(length * (_TARGET_OCCUPANCY / w1) ** (1.0 / beta), 1e-3), 8.0)
+
+
 def _bucket_entries(
     feat_col, dirs: list[list[float]], bucket_length, h: int = 1
 ):
@@ -202,9 +265,19 @@ def knn_join(
         )
     elif method == "lsh":
         if bucket_length is None:
-            # adaptive: size the grid to the donor corpus. One narrow
-            # count job — the same runtime-statistics trade AQE makes.
+            # adaptive: size the grid to the donor corpus from runtime
+            # statistics (the same trade AQE makes) — a count for the
+            # first-guess width, then ONE occupancy scan that measures
+            # the response at two widths simultaneously (children at
+            # width/2 folded into parents via the floor identity) and
+            # corrects the guess for the ACTUAL distribution shape
+            # (_calibrated_length: atom-heavy features collapse data
+            # onto lower-dimensional manifolds where the Gaussian-mass
+            # guess undershoots density 5-20x — measured 1343 donors in
+            # a 256-target cell on i5's l_tax lines). Two narrow
+            # donor-side jobs total — index-build cost, amortized.
             h = 2 if len(feature_cols) >= 2 else 1
+            dirs = _projection_dirs(len(feature_cols), num_hash_tables * h, seed)
             if pcols:
                 # PER-PARTITION widths (r11 review): candidates live
                 # within a partition_cols group, so occupancy must be
@@ -215,39 +288,51 @@ def knn_join(
                 # neighbors and the synthesizer's fallback would emit
                 # plain duplicates. partition_cols are class-like by
                 # contract (the balancers' target column, hot-deck's
-                # group key), so the per-group counts are a driver-sized
-                # collect — the same convention as class_counts.
+                # group key), so the per-group stats are driver-sized
+                # collects — the same convention as class_counts.
                 from pyspark.sql.types import DoubleType, StructField, StructType
 
                 spark = right.sparkSession
-                grp_rows = (
-                    scaled_r.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__bn")).collect()
-                )
                 lens_schema = StructType(
                     [scaled_r.schema[c] for c in pcols]
                     + [StructField("__blen", DoubleType(), False)]
                 )
-                lens = F.broadcast(
-                    spark.createDataFrame(
-                        [
-                            tuple(r[c] for c in pcols)
-                            + (_adaptive_bucket_length(r["__bn"], h),)
-                            for r in grp_rows
-                        ],
-                        lens_schema,
+
+                def _lens_frame(d):
+                    return F.broadcast(
+                        spark.createDataFrame(
+                            [g + (ln,) for g, ln in d.items()], lens_schema
+                        )
                     )
+
+                grp_rows = (
+                    scaled_r.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__bn")).collect()
                 )
+                lens = {
+                    tuple(r[c] for c in pcols): _adaptive_bucket_length(r["__bn"], h)
+                    for r in grp_rows
+                }
+                probe_r = scaled_r.join(_lens_frame(lens), pcols, "left")
+                ws = _occupancy_response(probe_r, dirs, h, pcols)
+                lens = {
+                    g: _calibrated_length(*ws.get(g, (None, None)), ln)
+                    for g, ln in lens.items()
+                }
                 # left join: a left group absent from the donor side gets a
                 # NULL width -> NULL bucket -> no candidates (same outcome
                 # as the equi-join gave it before)
-                scaled_l = scaled_l.join(lens, pcols, "left")
-                scaled_r = scaled_r.join(lens, pcols, "left")
+                final_lens = _lens_frame(lens)
+                scaled_l = scaled_l.join(final_lens, pcols, "left")
+                scaled_r = scaled_r.join(final_lens, pcols, "left")
                 length = F.col("__blen")
             else:
                 length = _adaptive_bucket_length(scaled_r.count(), h)
+                probe_r = scaled_r.withColumn("__blen", F.lit(length))
+                w1, w2 = _occupancy_response(probe_r, dirs, h, [])
+                length = _calibrated_length(w1, w2, length)
         else:
             h, length = 1, bucket_length
-        dirs = _projection_dirs(len(feature_cols), num_hash_tables * h, seed)
+            dirs = _projection_dirs(len(feature_cols), num_hash_tables * h, seed)
         lb = scaled_l.select(
             F.col(left_id).alias("__lid"),
             F.col("__feat").alias("__fa"),

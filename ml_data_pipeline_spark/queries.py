@@ -853,7 +853,12 @@ def i4_interpolate_single(spark: SparkSession, sf: str) -> DataFrame:
 def i5_impute_knn(spark: SparkSession, sf: str) -> DataFrame:
     """KNN-impute contract: row count preserved, zero nulls remain. (Fill
     values ride the LSH candidate set — approximate by design; the contract
-    row is the oracle-checkable part.)"""
+    row is the oracle-checkable part.)
+
+    r11: the gate runs the DEFAULT density-adaptive composite LSH — the
+    100 TB path (the old pinned 0.02 slab put 230M candidate pairs
+    through the join at sf0.1, 300s wall; the i7 gate below keeps an
+    explicit width so the legacy fixed-width path stays gate-covered)."""
     from ml_data_pipeline_spark.operators import imputation_ml as IM
 
     out = IM.impute_knn(
@@ -861,8 +866,6 @@ def i5_impute_knn(spark: SparkSession, sf: str) -> DataFrame:
         "l_quantity",
         ["l_extendedprice", "l_tax"],
         k=5,
-        num_hash_tables=1,
-        bucket_length=0.02,
     )
     return out.agg(
         F.count(F.lit(1)).alias("n_rows"),

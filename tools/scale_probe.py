@@ -74,6 +74,7 @@ PROBES = [
     "e4_frequency_encode",
     "i9_impute_by_model",
     "b1_smote_counts",
+    "i5_impute_knn",
 ]
 
 

@@ -78,6 +78,21 @@ def cross_val_scores(
         if fold_col != "__fold":
             folded = folded.drop(fold_col)
         folded = folded.cache()
+        # loud range contract (r11 review): an out-of-range fold — e.g.
+        # xxhash64(key) % n, NEGATIVE for negative hashes under Spark's
+        # sign-preserving % — would sit in every training fold and no
+        # test fold, silently skewing all scores. One narrow probe.
+        bad = folded.where(
+            F.col("__fold").isNull()
+            | (F.col("__fold") < 0)
+            | (F.col("__fold") >= n_folds)
+        ).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                f"fold_col {fold_col!r} must hold integers in [0, {n_folds}); "
+                "use a non-negative bucket recipe (e.g. sampling.hash_bucket "
+                "or pmod) — Spark's % is sign-preserving"
+            )
     else:
         folded = add_fold_column(df, n_folds, target if stratified else None, seed).cache()
     scores = []

@@ -116,6 +116,14 @@ def _occupancy_response(scaled_r_len, dirs, h: int, pcols: list[str]):
             _bucket_entries(F.col("__feat"), dirs, F.col("__blen") * F.lit(0.5), h)
         ).alias("__tb"),
     )
+    # donors with a NULL feature project to a NULL bucket, which can never
+    # match the candidate equi-join — but counted here they pool into one
+    # giant pseudo-cell per table that inflates w by 5-10x and drives the
+    # calibrated width to the floor, collapsing recall for the CLEAN
+    # donors (r11 review, confirmed by experiment: 3000 null-featured +
+    # 2000 clean donors measured w=1841 vs the true 225). Exclude them
+    # from the measurement exactly as the join excludes them.
+    ent = ent.where(F.col("__tb.b0").isNotNull() & F.col("__tb.b1").isNotNull())
     children = ent.groupBy(*pcols, "__tb").agg(F.count(F.lit(1)).alias("__n"))
     parent = F.struct(
         F.col("__tb.t").alias("t"),

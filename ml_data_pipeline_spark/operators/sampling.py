@@ -109,6 +109,27 @@ def concat(dfs: list[DataFrame]) -> DataFrame:
         out = out.unionByName(d)
     return out
 
+def hash_bucket(key_cols, buckets: int, salt: str = "", sep: str = ""):
+    """THE engine-portable bucket recipe, kept in ONE place (r11 review —
+    an inline copy per caller is how draw logic drifted before):
+    bucket = conv(md5(concat_ws(sep, keys…[, salt]))[:8], 16, 10) % buckets,
+    always in [0, buckets) — the conv of 8 hex digits is a non-negative
+    32-bit value, so Spark's sign-preserving % can never go negative.
+    md5 (not xxhash64) so any engine reproduces membership bit-for-bit;
+    split_by_hash, stratified_sample_by_hash, the m5 CV folds and their
+    DuckDB oracles all replay exactly this. concat_ws is null-SAFE: a
+    NULL key contributes an empty segment instead of nulling the hash
+    (r10 review — plain concat made NULL-keyed rows vanish)."""
+    parts = [
+        (F.col(c) if isinstance(c, str) else c).cast("string") for c in key_cols
+    ]
+    if salt:
+        parts.append(F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(sep, *parts)), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
 def split_by_hash(
     df: DataFrame,
     key_col: str,
@@ -124,19 +145,7 @@ def split_by_hash(
     so examples never migrate between train and test as the corpus is
     re-ingested (the property a growing 100 TB corpus actually needs).
     md5 (not xxhash64) so any engine reproduces membership bit-for-bit."""
-    # concat_ws('') is byte-identical to concat for non-null keys but
-    # null-SAFE: with plain concat, a NULL key hashed to NULL membership
-    # and the row vanished from BOTH train and test (r10 review)
-    b = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("", F.col(key_col).cast("string"), F.lit(salt))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % buckets
-    )
+    b = hash_bucket([key_col], buckets, salt)
     return df.withColumn(out_col, b < int(round(test_frac * buckets)))
 
 def stratified_sample_by_hash(
@@ -156,17 +165,7 @@ def stratified_sample_by_hash(
 
     One projection + filter, zero shuffles; the fractions map is compiled
     into a CASE expression (strata counts are small by definition)."""
-    b = (
-        F.conv(
-            F.substring(
-                # null-safe for the same reason as split_by_hash (r10 review)
-                F.md5(F.concat_ws("", F.col(key_col).cast("string"), F.lit(salt))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % buckets
-    )
+    b = hash_bucket([key_col], buckets, salt)
     cut = F.lit(int(round(default_frac * buckets)))
     for val, frac in sorted(fractions.items()):
         cut = F.when(

@@ -1457,29 +1457,15 @@ def m5_cross_val(spark: SparkSession, sf: str) -> DataFrame:
     The stratified-classification CV path keeps its pytest coverage
     (tests/test_ml.py::test_cross_val_scores, test_stratified_folds)."""
     from ml_data_pipeline_spark.ml.tuning import cross_val_scores
+    from ml_data_pipeline_spark.operators.sampling import hash_bucket
 
     li = _li(spark, sf).select(
         F.col("l_quantity").cast("double").alias("l_quantity"),
         F.col("l_discount").cast("double").alias("l_discount"),
         F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.col("l_orderkey").cast("string"),
-                            F.col("l_linenumber").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 3
-        ).alias("__cvfold"),
+        # the ONE shared bucket recipe (sampling.hash_bucket) — the oracle
+        # replays it; an inline copy here is how recipes drift (r11 review)
+        hash_bucket(["l_orderkey", "l_linenumber"], 3, sep=",").alias("__cvfold"),
     )
     cv = cross_val_scores(
         li,
@@ -1492,11 +1478,15 @@ def m5_cross_val(spark: SparkSession, sf: str) -> DataFrame:
     rows = [(f"fold_{i}", round(float(s), 6)) for i, s in enumerate(cv["scores"])]
     rows.append(("mean", round(float(cv["mean"]), 6)))
     # the r3 quality floor stays folded into the row contract: 3 folds,
-    # finite scores, mean == fold average
+    # FINITE scores (isfinite, not just non-NaN — a zero-variance held-out
+    # fold yields R2 = -inf, which `s == s` would wave through; r11
+    # review), mean == fold average
+    import math
+
     scores = cv["scores"]
     ok = (
         len(scores) == 3
-        and all(s == s for s in scores)
+        and all(math.isfinite(s) for s in scores)
         and abs(cv["mean"] - sum(scores) / len(scores)) < 1e-9
     )
     return spark.createDataFrame(rows if ok else [], "k string, r2 double")

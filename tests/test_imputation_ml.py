@@ -200,3 +200,38 @@ def test_r11_adaptive_lsh_minority_partition_recall(spark):
     # with the global-count width this was ~16/100 (and dozens of seeds
     # found ZERO neighbors); per-partition widths restore near-full recall
     assert full >= 95, full
+
+
+def test_r11_null_featured_donors_do_not_poison_calibration(spark):
+    """r11 review (confirmed by experiment): donors carrying a NULL
+    feature project to a NULL LSH bucket, which can never match the
+    candidate equi-join — but counted in the occupancy measurement they
+    pooled into one giant pseudo-cell that inflated w ~8x, drove the
+    calibrated width to the floor, and collapsed recall for the CLEAN
+    donors. The measurement now excludes NULL buckets exactly as the
+    join does."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators import neighbors as NB
+
+    rng = random.Random(11)
+    clean = [(float(i), rng.gauss(0, 1), rng.gauss(0, 1)) for i in range(800)]
+    nulled = [(float(1000 + i), None, rng.gauss(0, 1)) for i in range(1200)]
+    df = spark.createDataFrame(clean + nulled, "id double, x double, y double").cache()
+    probes = spark.createDataFrame(clean[:50], "pid double, x double, y double")
+    nn = NB.knn_join(
+        probes.select("pid", "x", "y"),
+        df.select(F.col("id").alias("did"), "x", "y"),
+        ["x", "y"],
+        k=5,
+        left_id="pid",
+        right_id="did",
+    )
+    full = (
+        nn.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+        .count()
+    )
+    assert full >= 45, full  # was ~4/50 with the poisoned width

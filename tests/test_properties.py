@@ -765,3 +765,59 @@ def test_pack_sequences_matches_running_sum_replay(spark, toks, budget):
         run += n
     assert got == exp
     assert all(t < budget + max(toks) for t in bins.values())
+
+
+@given(
+    keys=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62), st.text(max_size=12)),
+        min_size=1,
+        max_size=25,
+    ),
+    buckets=st.integers(min_value=1, max_value=9999),
+    salt=st.text(max_size=6),
+)
+@SET
+def test_hash_bucket_range_determinism_null_safety(spark, keys, buckets, salt):
+    """r11 hash_bucket (the ONE shared md5 bucket recipe): every bucket is
+    in [0, buckets) — including for negative and NULL keys (conv of 8 hex
+    digits is non-negative; concat_ws is null-safe) — and membership is a
+    pure function of (key, salt): a second evaluation is identical."""
+    from ml_data_pipeline_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame([(str(k) if k is not None else None,) for k in keys], "k string")
+    out = df.select("k", hash_bucket(["k"], buckets, salt).alias("b"))
+    rows = out.collect()
+    assert all(r["b"] is not None and 0 <= r["b"] < buckets for r in rows)
+    again = {(r["k"], r["b"]) for r in out.collect()}
+    assert {(r["k"], r["b"]) for r in rows} == again
+
+
+@given(
+    w1=st.floats(min_value=1.0, max_value=1e6),
+    ratio=st.floats(min_value=1.0, max_value=16.0),
+    length=st.floats(min_value=1e-3, max_value=8.0),
+)
+@SET
+def test_calibrated_length_contracts(w1, ratio, length):
+    """r11 _calibrated_length invariants: (a) within 2x of target the
+    width is untouched (no plan churn); (b) overfull cells always SHRINK
+    the width, never grow it; (c) the result stays inside the clamp; and
+    (d) under the modeled response w(l) = w1*(l/length)^beta the solved
+    width would land occupancy exactly on target (up to clamping)."""
+    import math
+
+    from ml_data_pipeline_spark.operators.neighbors import (
+        _TARGET_OCCUPANCY,
+        _calibrated_length,
+    )
+
+    w2 = w1 / ratio
+    got = _calibrated_length(w1, w2, length)
+    if w1 <= 2 * _TARGET_OCCUPANCY:
+        assert got == length
+        return
+    assert 1e-3 <= got <= 8.0
+    assert got <= length  # overfull can only shrink
+    beta = min(max(math.log2(w1 / w2), 0.5), 4.0) if ratio > 1.0 else 1.0
+    want = min(max(length * (_TARGET_OCCUPANCY / w1) ** (1.0 / beta), 1e-3), 8.0)
+    assert math.isclose(got, want, rel_tol=1e-12)

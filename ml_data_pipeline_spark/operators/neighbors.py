@@ -5,12 +5,21 @@ Three physical strategies behind one logical contract
 ``knn_join(left, right, feature_cols, k) -> (left_id, right_id, dist, rk)``:
 
 - ``method='lsh'`` (default, the 100 TB path): hand-rolled random-projection
-  LSH — per hash table t, bucket = floor(<z-feat, r_t> / bucket_length);
-  candidates come from an equi-join on (partition_cols…, t, bucket), OR'd
-  across tables via pair-dedup. Work scales with corpus x bucket occupancy,
-  never O(n^2). Supports ``partition_cols`` (e.g. the class column) so one
-  plan computes per-group kNN for EVERY group — no per-group driver loop,
-  no per-group model fit.
+  LSH — each hash table ANDs h=min(d,2) projections into a composite grid
+  cell, bucket_j = floor(<z-feat, r_tj> / width); candidates come from an
+  equi-join on (partition_cols…, t, cell), OR'd across tables via
+  pair-dedup. The width is DENSITY-ADAPTIVE (r11): a first guess from the
+  donor count targets ~256 occupants per cell, then one donor-side scan
+  measures the occupancy response at two widths simultaneously and solves
+  the width with the measured local exponent — so candidate pairs grow
+  LINEARLY with the corpus for ANY distribution shape (fixed widths went
+  quadratic at 10x data; the Gaussian-mass guess alone undershot
+  atom-heavy features 5-20x). With ``partition_cols`` the width is
+  per-group (a global one starves minority classes — the regime SMOTE
+  exists for). Explicit ``bucket_length`` keeps the legacy fixed-width
+  single-projection tables. Supports ``partition_cols`` (e.g. the class
+  column) so one plan computes per-group kNN for EVERY group — no
+  per-group driver loop, no per-group model fit.
 - ``method='brp'``: MLlib BucketedRandomProjectionLSH (approxSimilarityJoin)
   — same candidates, kept for parity/benchmarks; no partition_cols support
   and each call pays a fit job.

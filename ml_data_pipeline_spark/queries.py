@@ -6808,7 +6808,7 @@ ALL_QUERIES = {
 
 # ------------------------------------------------------------ round-11 rotation
 # The driver records rows for the FIRST 50 dict entries. This window takes,
-# in order: (1) the 18 gates whose implementing code changed THIS round —
+# in order: (1) the 22 gates whose implementing code changed THIS round —
 # the two r11 oracle graduations (m12 normal-equation single-row inference,
 # ss_cosine_pairs LCG-plane replay), the two cleared plan-rescan gates
 # (e4, i9), the hint-free indexed re-probe, the clip-NaN / tuning-default /

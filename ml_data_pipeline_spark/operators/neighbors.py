@@ -65,7 +65,28 @@ def zscale(
     return df.withColumn("__feat", arr), stats_d
 
 
-def _sq_dist(a, b):
+def _sq_dist(a, b, dim: int | None = None):
+    """Squared euclidean distance between two array<double> columns.
+
+    With a known dimension (knn_join always knows len(feature_cols)) the
+    sum is UNROLLED per index — a plain arithmetic expression that stays
+    inside whole-stage codegen. The zip_with+aggregate form is a
+    higher-order function Spark INTERPRETS row-by-row: on the candidate
+    join's hundreds of millions of pairs that interpretation was the
+    dominant constant (r11 probe: the sf1 kNN-impute join evaluates
+    ~520M pairs). Falls back to the generic fold when dim is unknown or
+    large (expression bloat beyond ~16 terms costs more in codegen than
+    it saves)."""
+    if dim is not None and dim <= 16:
+        terms = [
+            (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+            * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -278,7 +299,7 @@ def knn_join(
         pairs = a.crossJoin(F.broadcast(b)) if not pcols else a.join(F.broadcast(b), pcols)
         pairs = pairs.select(
             "__lid", "__rid", *pcols,
-            F.sqrt(_sq_dist(F.col("__fa"), F.col("__fb"))).alias("dist"),
+            F.sqrt(_sq_dist(F.col("__fa"), F.col("__fb"), len(feature_cols))).alias("dist"),
         )
     elif method == "lsh":
         if bucket_length is None:
@@ -350,26 +371,39 @@ def knn_join(
         else:
             h, length = 1, bucket_length
             dirs = _projection_dirs(len(feature_cols), num_hash_tables * h, seed)
+        cells = _bucket_entries(F.col("__feat"), dirs, length, h)
         lb = scaled_l.select(
             F.col(left_id).alias("__lid"),
             F.col("__feat").alias("__fa"),
             *pcols,
-            F.explode(_bucket_entries(F.col("__feat"), dirs, length, h)).alias("__tb"),
-        )
+            cells.alias("__ca"),
+        ).withColumn("__tb", F.explode("__ca"))
         rb = scaled_r.select(
             F.col(right_id).alias("__rid"),
             F.col("__feat").alias("__fb"),
             *pcols,
-            F.explode(_bucket_entries(F.col("__feat"), dirs, length, h)).alias("__tb"),
-        )
+            cells.alias("__cb"),
+        ).withColumn("__tb", F.explode("__cb"))
+        # a pair colliding in several tables appears once per table — keep
+        # it ONLY at its FIRST common table: each row carries exactly one
+        # cell per table (__ca/__cb indexed by t), so "no earlier table
+        # also collides" is a tiny unrolled codegen predicate. This dedups
+        # MAP-SIDE at the join output, where a dropDuplicates((lid, rid))
+        # was a full extra shuffle of the candidate set — the single
+        # largest frame in the plan (519M rows at the sf1 kNN-impute
+        # probe, r11).
+        t = F.col("__tb.t")
+        first_common = F.lit(True)
+        for j in range(num_hash_tables - 1):
+            first_common = first_common & (
+                (t <= j) | (F.col("__ca").getItem(j) != F.col("__cb").getItem(j))
+            )
         pairs = (
             lb.join(rb, pcols + ["__tb"])
-            # a pair colliding in several tables appears once per table —
-            # dedup BEFORE the (more expensive) exact distance
-            .dropDuplicates(["__lid", "__rid"])
+            .where(first_common)
             .select(
                 "__lid", "__rid", *pcols,
-                F.sqrt(_sq_dist(F.col("__fa"), F.col("__fb"))).alias("dist"),
+                F.sqrt(_sq_dist(F.col("__fa"), F.col("__fb"), len(feature_cols))).alias("dist"),
             )
         )
     elif method == "brp":

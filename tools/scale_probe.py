@@ -116,6 +116,18 @@ def build() -> None:
             if t == "documents":
                 src, dst = _cipher(c)
                 cp = cp.withColumn("text", F.translate(F.col("text"), src, dst))
+            if t == "lineitem":
+                # numeric analogue of the documents cipher (r11): plain
+                # replication duplicates every (extendedprice, tax) pair
+                # exactly 10x — phantom point masses that REAL 10x data
+                # would not have, which floor the adaptive-LSH width and
+                # inflate the i5 kNN probe's constant (measured occupancy
+                # 334 vs the 256 target at the 1e-3 width floor). A tiny
+                # per-copy offset keeps within-copy duplication (real)
+                # while separating the copies.
+                cp = cp.withColumn(
+                    "l_extendedprice", F.col("l_extendedprice") + F.lit(c * 0.01)
+                ).withColumn("l_tax", F.col("l_tax") + F.lit(c * 1e-6))
             parts.append(cp)
         out = parts[0]
         for p in parts[1:]:
@@ -126,6 +138,7 @@ def build() -> None:
 
 
 def probe() -> None:
+    from ml_data_pipeline_spark.cache import release_tracked
     from ml_data_pipeline_spark.queries import ALL_QUERIES
 
     spark = get_spark("scale_probe")
@@ -136,6 +149,10 @@ def probe() -> None:
         ALL_QUERIES[name](spark, DST).toPandas()
         times[name] = round(time.monotonic() - t0, 2)
         print(f"{name}: {times[name]}s")
+        # release tracked operator caches between probes (the verify_local
+        # protocol) — at sf1 a prior probe's pinned 6M-row cache forces
+        # the next probe's cache to spill and inflates its wall 3x+
+        release_tracked()
     print(json.dumps({"sf": 1.0, "queries": times, "total": round(sum(times.values()), 2)}))
     spark.stop()
 

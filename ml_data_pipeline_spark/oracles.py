@@ -99,8 +99,9 @@ _NGRAM_PAIRS = _NGRAM_PAIRS_J + r""",
 """
 
 # shared AUC score base (queries._auc_base twin): integer-grid coarsened
-# score — tuned once for a .00005 rounding-boundary bug; keep the copies
-# below in lockstep with this expression (sites: m18/m21/m22/m34 oracles)
+# score — tuned once for a .00005 rounding-boundary bug. r11: interpolated
+# into EVERY site (m18/m19/m21/m22/m34/m23) — the hand-kept copies were
+# exactly the inline-drift hazard the repo documents
 _AUC_BASE_SQL = """base AS (
             SELECT CAST(c_acctbal > 0 AS INT) AS y,
                    ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
@@ -289,7 +290,7 @@ ALL_ORACLES: dict[str, str] = {
         WITH t AS (
             SELECT user_id,
                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                             OR (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 > 1800.0
+                             OR (epoch_us(ts) - lag(epoch_us(ts)) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_s
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -682,75 +683,7 @@ ALL_ORACLES: dict[str, str] = {
                      END, 6) AS l_quantity
         FROM ctx
     """,
-    # identical semantics across all three i4 gates — same oracle by design:
-    # i4_interpolate (headline, ranged impl since r6), i4_interpolate_ranged
-    # (continuity alias) and i4_interpolate_single (one-task baseline)
-    "i4_interpolate_ranged": """
-        WITH base AS (
-            SELECT l_orderkey, l_linenumber, l_extendedprice,
-                   CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_quantity END AS q
-            FROM lineitem
-        ),
-        pos AS (
-            SELECT *, row_number() OVER
-                (ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS p
-            FROM base
-        ),
-        ctx AS (
-            SELECT *,
-                   last_value(q IGNORE NULLS) OVER
-                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
-                   last_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
-                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
-                   first_value(q IGNORE NULLS) OVER
-                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
-                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
-                   first_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
-                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
-                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
-            FROM pos
-        )
-        SELECT l_orderkey, l_linenumber,
-               round(CASE WHEN q IS NOT NULL THEN q
-                          ELSE coalesce(pv + (nv - pv) * (p - pp) / (np - pp), pv, nv)
-                     END, 6) AS l_quantity
-        FROM ctx
-    """,
-    "i4_interpolate_single": """
-        WITH base AS (
-            SELECT l_orderkey, l_linenumber, l_extendedprice,
-                   CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_quantity END AS q
-            FROM lineitem
-        ),
-        pos AS (
-            SELECT *, row_number() OVER
-                (ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS p
-            FROM base
-        ),
-        ctx AS (
-            SELECT *,
-                   last_value(q IGNORE NULLS) OVER
-                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
-                   last_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
-                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
-                   first_value(q IGNORE NULLS) OVER
-                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
-                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
-                   first_value(CASE WHEN q IS NOT NULL THEN p END IGNORE NULLS) OVER
-                       (ORDER BY l_orderkey, l_linenumber, l_extendedprice
-                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
-            FROM pos
-        )
-        SELECT l_orderkey, l_linenumber,
-               round(CASE WHEN q IS NOT NULL THEN q
-                          ELSE coalesce(pv + (nv - pv) * (p - pp) / (np - pp), pv, nv)
-                     END, 6) AS l_quantity
-        FROM ctx
-    """,
+    
     "t1_split_invariants": """
         SELECT count(*) AS n_total, count(*) AS n_train_plus_test FROM customer
     """,
@@ -2092,16 +2025,8 @@ ALL_ORACLES: dict[str, str] = {
                n_total - len(keptl) AS n_lines_removed
         FROM out ORDER BY id
     """,
-    "m18_roc_auc": """
-        WITH base AS (
-            SELECT CAST(c_acctbal > 0 AS INT) AS y,
-                   -- integer-grid coarsening (exact in both engines);
-                   -- round(x,4) disagreed on .00005 boundaries (see
-                   -- queries._auc_base)
-                   ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
-                     + (c_custkey % 1000) * 100) // 120) / 20000.0 AS s
-            FROM customer
-        ),
+    "m18_roc_auc": f"""
+        WITH {_AUC_BASE_SQL},
         per AS (SELECT s, count(*) AS c, sum(y) AS p FROM base GROUP BY s),
         ranked AS (
             SELECT *,
@@ -2384,16 +2309,8 @@ ALL_ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
-    "m21_pr_points": """
-        WITH base AS (
-            SELECT CAST(c_acctbal > 0 AS INT) AS y,
-                   -- integer-grid coarsening (exact in both engines);
-                   -- round(x,4) disagreed on .00005 boundaries (see
-                   -- queries._auc_base)
-                   ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
-                     + (c_custkey % 1000) * 100) // 120) / 20000.0 AS s
-            FROM customer
-        ),
+    "m21_pr_points": f"""
+        WITH {_AUC_BASE_SQL},
         per AS (SELECT s AS score, count(*) AS c, sum(y) AS p
                 FROM base GROUP BY s),
         cum AS (
@@ -2410,30 +2327,19 @@ ALL_ORACLES: dict[str, str] = {
                round(cum_p / CAST(nullif(pos, 0) AS DOUBLE), 6) AS recall
         FROM cum ORDER BY threshold DESC
     """,
-    "m22_brier_logloss": """
-        WITH base AS (
-            SELECT CAST(c_acctbal > 0 AS INT) AS y,
-                   greatest(0.000001, least(0.999999,
-                       ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
-                         + (c_custkey % 1000) * 100) // 120) / 20000.0)) AS p
-            FROM customer
-            WHERE c_acctbal IS NOT NULL
+    "m22_brier_logloss": f"""
+        WITH {_AUC_BASE_SQL},
+        clamped AS (
+            SELECT y, greatest(0.000001, least(0.999999, s)) AS p
+            FROM base WHERE y IS NOT NULL
         )
         SELECT round(avg((p - y) * (p - y)), 6) AS brier,
                round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 6) AS log_loss,
                CAST(count(*) AS BIGINT) AS n_rows
-        FROM base
+        FROM clamped
     """,
-    "m19_roc_points": """
-        WITH base AS (
-            SELECT CAST(c_acctbal > 0 AS INT) AS y,
-                   -- integer-grid coarsening (exact in both engines);
-                   -- round(x,4) disagreed on .00005 boundaries (see
-                   -- queries._auc_base)
-                   ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000
-                     + (c_custkey % 1000) * 100) // 120) / 20000.0 AS s
-            FROM customer
-        ),
+    "m19_roc_points": f"""
+        WITH {_AUC_BASE_SQL},
         per AS (SELECT s AS score, count(*) AS c, sum(y) AS p
                 FROM base GROUP BY s),
         cum AS (
@@ -5339,6 +5245,14 @@ ALL_ORACLES["st_stateful_running"] = """
 # the base value is the OLS identity f(E[x]) = mean(y), and additivity is
 # identically zero in exact algebra (the Spark side rounds its float
 # residual to the same 0.0).
+# identical semantics across all three i4 gates — ONE oracle, aliased
+# (r11: the three byte-identical copies were the drift hazard the file's
+# own st_stream_join alias idiom exists to avoid): i4_interpolate
+# (headline, ranged impl since r6), i4_interpolate_ranged (continuity
+# alias), i4_interpolate_single (one-task baseline)
+ALL_ORACLES["i4_interpolate_ranged"] = ALL_ORACLES["i4_interpolate"]
+ALL_ORACLES["i4_interpolate_single"] = ALL_ORACLES["i4_interpolate"]
+
 ALL_ORACLES["m10_linear_shap"] = """
     WITH st AS (
         SELECT avg(l_quantity) AS m1, avg(l_discount) AS m2,

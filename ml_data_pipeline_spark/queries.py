@@ -137,8 +137,11 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_streaming.py::test_r11_session_window_exact_gap_boundary_agreement."""
     ev = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap (timestamp→double keeps the fractional seconds)
-    gap = (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)) > 1800.0
+    # INTEGER-microsecond gap (r11 review): epoch-2024 timestamps cast to
+    # double carry ~1.2e-7 s representation error each, so an EXACT
+    # 1800.000000 s gap could evaluate > 1800.0 and split a session the
+    # oracle's exact integer arithmetic keeps — unix_micros is exact
+    gap = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) > 1_800_000_000
     new_session = F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
     sess = ev.withColumn("new_s", new_session)
     return (
@@ -341,29 +344,57 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         """
     )
 
+
+def _stage_tag(sf: str) -> str:
+    """Per-(sf, process) staging key: md5(sf) for within-run reuse plus
+    the pid so two CONCURRENT runs on one machine (a correctness sweep
+    overlapping a bench run) never interleave mode('overwrite') rewrites
+    and reads of the same /tmp directory (r11 review). Unlike the locked
+    _stream_stage, these per-run stages are cheap and rewritten every
+    run — sharing across processes bought nothing."""
+    import hashlib
+    import os
+
+    # underscore separator: the tag also names WAREHOUSE TABLES (s25),
+    # where a hyphen is a SQL syntax error
+    return f"{hashlib.md5(sf.encode()).hexdigest()[:8]}_{os.getpid()}"
+
+#: one fingerprint scan per (session, sf) — five st_* gates share the
+#: staged events dir, and each used to re-pay the full-table aggregate
+#: (r11 review; same memo idiom as _NORM_DOCS_CACHE)
+_EVENTS_FP_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _events_fingerprint(spark, sf: str) -> str:
     """Content fingerprint of the events table (count + xor of row hashes,
-    one narrow aggregate ~0.2s): keys the shared stream-staging dir so
-    regenerated testdata can never replay a stale stage."""
+    one narrow aggregate): keys the shared stream-staging dir so
+    regenerated testdata can never replay a stale stage. Hashes EVERY
+    column the staged parquet persists — including props (r11 review:
+    the stage stores the full schema, so a regeneration changing only
+    props must invalidate it too, even though no current st_* gate reads
+    props)."""
     import hashlib
 
+    key = (spark.sparkContext.applicationId, sf)
+    if key in _EVENTS_FP_CACHE:
+        return _EVENTS_FP_CACHE[key]
     row = (
         load_table(spark, sf, "events")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
-                # every column the st_* gates observe rides the hash — a
-                # regeneration changing only value/type/user distributions
-                # must invalidate the stage too (r9 review)
                 F.expr(
-                    "bit_xor(xxhash64(event_id, ts, user_id, event_type, value))"
+                    "bit_xor(xxhash64(event_id, ts, user_id, event_type, "
+                    "value, props))"
                 ),
                 F.lit(0),
             ).alias("h"),
         )
         .first()
     )
-    return hashlib.md5(f"{sf}|{row['n']}|{row['h']}".encode()).hexdigest()[:8]
+    fp = hashlib.md5(f"{sf}|{row['n']}|{row['h']}".encode()).hexdigest()[:8]
+    _EVENTS_FP_CACHE[key] = fp
+    return fp
 
 
 def _stream_stage(
@@ -473,8 +504,37 @@ def _stream_stage(
                                 "and no _SUCCESS appeared after one steal — "
                                 "remove the lock dir to recover"
                             )
-                        shutil.rmtree(lock, ignore_errors=True)  # steal once
-                        break
+                        # ATOMIC steal (r11 review): several waiters can
+                        # declare the same holder dead within one poll
+                        # tick; an unconditional rmtree from the slower
+                        # one could destroy a FRESH lock a third process
+                        # acquired after the faster steal — re-opening
+                        # the concurrent-install window. Steal by rename
+                        # (atomic, exactly one winner) and verify by
+                        # inode that we renamed the dir we observed dead;
+                        # a mismatch means a fresh holder slipped in —
+                        # give its lock back and keep waiting.
+                        try:
+                            st_dead = os.stat(lock)
+                        except OSError:
+                            break  # lock vanished — re-acquire normally
+                        tomb = f"{lock}.__tomb_{uuid.uuid4().hex[:8]}"
+                        try:
+                            os.rename(lock, tomb)
+                        except OSError:
+                            break  # another waiter stole first
+                        if os.stat(tomb).st_ino == st_dead.st_ino:
+                            shutil.rmtree(tomb, ignore_errors=True)
+                            break  # stole the dead lock — go acquire
+                        # wrong dir: restore the fresh holder's lock
+                        try:
+                            os.rename(tomb, lock)
+                        except OSError:
+                            # a third turnover inside one tick — leave
+                            # the tombstone for the hard-cap raise path
+                            pass
+                        unreadable_since = None
+                        holder_dead = False
                 time.sleep(0.25)
             else:
                 raise RuntimeError(
@@ -880,8 +940,14 @@ def i7_hot_deck(spark: SparkSession, sf: str) -> DataFrame:
     src = _li_nulls(spark, sf).select(
         "l_orderkey", "l_quantity", "l_extendedprice", "l_tax", "l_returnflag"
     )
+    # observed donor values PER GROUP (r11 review): the old global distinct
+    # set was a near-vacuous contract — l_quantity has ~50 dense values,
+    # so a regressed hot-deck filling every hole with the corpus median
+    # (an observed value) or a donor from the WRONG l_returnflag group
+    # still scored n_foreign_fills = 0. Group-scoped, a cross-group fill
+    # now trips the contract.
     observed = src.where(F.col("l_quantity").isNotNull()).select(
-        F.col("l_quantity").alias("__obs")
+        F.col("l_returnflag").alias("__grp"), F.col("l_quantity").alias("__obs")
     ).distinct()
     out = IM.impute_hot_deck(
         src, "l_quantity", ["l_extendedprice", "l_tax"], ["l_returnflag"],
@@ -890,7 +956,11 @@ def i7_hot_deck(spark: SparkSession, sf: str) -> DataFrame:
     # one action: broadcast-mark observed values, aggregate all three contract
     # numbers in a single pass (three separate .count()s would re-run the
     # whole hot-deck join three times)
-    marked = out.join(F.broadcast(observed), out.l_quantity == F.col("__obs"), "left")
+    marked = out.join(
+        F.broadcast(observed),
+        (out.l_quantity == F.col("__obs")) & (out.l_returnflag == F.col("__grp")),
+        "left",
+    )
     return marked.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_nulls_after"),
@@ -1006,7 +1076,7 @@ def s1_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal"),
         "c_mktsegment",
     )
-    stage = f"/tmp/mdp_csv_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/customer"
+    stage = f"/tmp/mdp_csv_stage/{_stage_tag(sf)}/customer"
     cust.write.mode("overwrite").option("header", True).csv(stage)
     schema = "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
     back = csv_io.read_csv(spark, stage, schema=schema)  # type: ignore[arg-type]
@@ -1055,7 +1125,7 @@ def s_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     sup = load_table(spark, sf, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
     )
-    stage = f"/tmp/mdp_jsonl_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/supplier"
+    stage = f"/tmp/mdp_jsonl_stage/{_stage_tag(sf)}/supplier"
     sup.write.mode("overwrite").json(stage)
     schema = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
     back = spark.read.schema(schema).json(stage)
@@ -1072,7 +1142,7 @@ def s_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part").select(
         "p_partkey", "p_name", "p_brand", F.round("p_retailprice", 2).alias("p_retailprice")
     )
-    stage = f"/tmp/mdp_orc_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/part"
+    stage = f"/tmp/mdp_orc_stage/{_stage_tag(sf)}/part"
     part.write.mode("overwrite").orc(stage)
     back = spark.read.orc(stage)
     return back.select(
@@ -1091,7 +1161,7 @@ def s5_excel_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     nation = load_table(spark, sf, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    stage_dir = f"/tmp/mdp_xlsx_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    stage_dir = f"/tmp/mdp_xlsx_stage/{_stage_tag(sf)}"
     os.makedirs(stage_dir, exist_ok=True)
     path = f"{stage_dir}/nation.xlsx"
     excel_io.write_excel(nation, path)
@@ -1110,7 +1180,7 @@ def s6_version_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     from ml_data_pipeline_spark.plans import Dataset
 
-    root = f"/tmp/mdp_ver_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    root = f"/tmp/mdp_ver_stage/{_stage_tag(sf)}"
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)  # fresh commit chain per run
@@ -2740,7 +2810,7 @@ def s3_csv_strings(spark: SparkSession, sf: str) -> DataFrame:
     from ml_data_pipeline_spark.sources import csv_io
 
     src = _orders_nulls(spark, sf).select("o_orderkey", "o_orderstatus", "o_orderpriority")
-    stage = f"/tmp/mdp_csv_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/orders_str"
+    stage = f"/tmp/mdp_csv_stage/{_stage_tag(sf)}/orders_str"
     src.write.mode("overwrite").option("header", True).csv(stage)
     back = csv_io.read_csv_as_strings(spark, stage)
     return back.orderBy(F.col("o_orderkey").cast("long"))
@@ -5696,7 +5766,7 @@ def s24_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
-    stage = f"/tmp/mdp_part_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/events"
+    stage = f"/tmp/mdp_part_stage/{_stage_tag(sf)}/events"
     ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
     back = spark.read.parquet(stage).where(F.col("event_type") == "purchase")
     return (
@@ -5720,12 +5790,26 @@ def s25_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     from urllib.parse import urlparse
 
-    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    tag = _stage_tag(sf)
     ot, lt = f"mdp_b_orders_{tag}", f"mdp_b_lineitem_{tag}"
-    # a fresh session has an empty in-memory catalog but the warehouse
-    # directories survive — clear stale locations or saveAsTable raises
-    # LOCATION_ALREADY_EXISTS
+    # per-process names (r11 review: two concurrent runs sharing one
+    # warehouse dir interleaved saveAsTable writes); stale dirs from dead
+    # pids are swept here, and a fresh session with an empty in-memory
+    # catalog still clears its own leftover locations or saveAsTable
+    # raises LOCATION_ALREADY_EXISTS
+    import os as _os
+    import re as _re
+
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for entry in _os.listdir(wh) if _os.path.isdir(wh) else []:
+        m = _re.match(r"mdp_b_(?:orders|lineitem)_[0-9a-f]{8}_(\d+)$", entry)
+        if m and int(m.group(1)) != _os.getpid():
+            try:
+                _os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                shutil.rmtree(f"{wh}/{entry}", ignore_errors=True)
+            except OSError:
+                pass
     for t in (ot, lt):
         if not spark.catalog.tableExists(t):
             shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
@@ -5974,7 +6058,7 @@ def _stage_dir(sf: str, leaf: str) -> str:
     import hashlib
     import shutil
 
-    root = f"/tmp/mdp_r8_stage/{hashlib.md5(sf.encode()).hexdigest()[:8]}/{leaf}"
+    root = f"/tmp/mdp_r8_stage/{_stage_tag(sf)}/{leaf}"
     shutil.rmtree(root, ignore_errors=True)
     return root
 
@@ -6150,7 +6234,7 @@ def s12_description_sidecar(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     cols = ["c_custkey", "c_mktsegment", "c_nationkey"]
     d = cust.agg(*[F.countDistinct(c).alias(c) for c in cols]).first()
-    path = f"/tmp/mdp_r8_desc_{hashlib.md5(sf.encode()).hexdigest()[:8]}.txt"
+    path = f"/tmp/mdp_r8_desc_{_stage_tag(sf)}.txt"
     with open(path, "w", encoding="utf-8") as f:
         f.write("# customer column descriptions\n")  # colon-free line: skipped
         for c in cols:

@@ -103,7 +103,9 @@ def test_r11_session_window_exact_gap_boundary_agreement(spark, tmp_path):
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)) > 1800.0
+    # integer-microsecond rule, mirroring q_sessionize (r11: exact at the
+    # boundary — double-cast timestamps carry representation error)
+    gap = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) > 1_800_000_000
     lag_sessions = {
         r["user_id"]: r["n"]
         for r in df.withColumn(

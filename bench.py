@@ -47,7 +47,12 @@ HEADLINE = [
 def main() -> None:
     load_start = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # tolerant parse (r11 review: a dir like .../sf0.1-snapshot crashed the
+    # whole bench before any query ran); fall back to the default label
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    except ValueError:
+        sf = 0.1
     spark = get_spark("bench")
     # warm the JVM + parquet footers + generic execution infra (Arrow
     # collect path, window/join/agg codegen machinery, AQE) on 1000
@@ -72,12 +77,14 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES[name]
-        t0 = time.time()
+        # monotonic: an NTP clock step mid-run must not fabricate a
+        # round-over-round regression in the frozen-set totals (r11 review)
+        t0 = time.monotonic()
         # Arrow-batched materialization: still full end-to-end (plan +
         # execute + driver transfer), minus the Row-object overhead no
         # real consumer pays
         pdf = fn(spark, sf_dir).toPandas()
-        times[name] = round(time.time() - t0, 3)
+        times[name] = round(time.monotonic() - t0, 3)
         _ = len(pdf)
     total = round(sum(times.values()), 3)
     # loadavg bookends make a noisy total self-interpreting: the r4/r5

@@ -79,7 +79,13 @@ def main() -> None:
     names = sys.argv[2:] or DEFAULT_QUERIES
     spark = get_spark("explain_audit")
     for name in names:
-        audit(spark, name, ALL_QUERIES[name](spark, sf))
+        # per-query isolation (r11 review — the plan_audit pattern): one
+        # bad name or env-dependent construction must not silently skip
+        # every later query in the list
+        try:
+            audit(spark, name, ALL_QUERIES[name](spark, sf))
+        except Exception as exc:
+            print(f"ERR  {name}: {type(exc).__name__}: {str(exc)[:120]}")
 
 
 if __name__ == "__main__":

@@ -20,11 +20,16 @@ review aid, not a gate — the flags have documented-legitimate cases).
 
 from __future__ import annotations
 
+import pathlib
 import re
 import sys
 from collections import Counter
 
-sys.path.insert(0, ".")
+# anchor on __file__, not CWD (r11 review: run from elsewhere, the import
+# failed loudly at best — and the broadcast scanner silently scanned a
+# nonexistent relative dir and reported clean at worst)
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
 
 from ml_data_pipeline_spark.queries import ALL_QUERIES  # noqa: E402
 from ml_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -88,7 +93,7 @@ INHERENT_RESCANS: dict[str, str] = {
 #: row aggregates and guarded-bounded frames are safely hint-broadcastable.
 _ID_TAIL = r"[A-Za-z0-9_]*"
 _SF_PROPORTIONAL = re.compile(
-    r"F\.broadcast\(\s*(?:"
+    r"(?:F\.|(?<![.\w]))broadcast\(\s*(?:"
     # raw tables + any alias tail (cust_building, li2, part_filtered ...)
     r"(?:cust|customer|supp|supplier|part|orders|lineitem"
     rf"|events|docs|documents|emb|embeddings){_ID_TAIL}"
@@ -110,7 +115,7 @@ _SF_PROPORTIONAL = re.compile(
 _HINT_BROADCAST = re.compile(r"""\.hint\(\s*["']broadcast["']""")
 
 
-def audit_broadcast_hints(root: str = "ml_data_pipeline_spark") -> list[str]:
+def audit_broadcast_hints(root: str | None = None) -> list[str]:
     """Source-level rule: flag forced broadcasts of SF-proportional frames.
 
     Plan-level detection cannot tell a hint-forced broadcast from an
@@ -119,10 +124,9 @@ def audit_broadcast_hints(root: str = "ml_data_pipeline_spark") -> list[str]:
     `.hint(\"broadcast\")` spelling (any target).
     Returns `file:line: snippet` hits; empty list = clean.
     """
-    import pathlib
-
     hits = []
-    for path in sorted(pathlib.Path(root).rglob("*.py")):
+    scan_root = pathlib.Path(root) if root else _REPO / "ml_data_pipeline_spark"
+    for path in sorted(scan_root.rglob("*.py")):
         for i, line in enumerate(path.read_text().splitlines(), 1):
             # strip the '#'-comment tail so explanatory comments that
             # mention the anti-pattern (e.g. "# old F.broadcast(ja) was an

@@ -26,7 +26,8 @@ import string
 import sys
 import time
 
-sys.path.insert(0, ".")
+# anchor on __file__, not CWD (r11 review — mirrors plan_audit/verify_local)
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -134,6 +135,11 @@ def build() -> None:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
         print(f"built {t}: {spark.read.parquet(f'{DST}/{t}.parquet').count()} rows")
+    # done-marker LAST (r11 review: the old lineitem.parquet sentinel is
+    # written 3rd of 9 — an interrupted build looked complete forever and
+    # probed missing or key-misaligned tables)
+    with open(f"{DST}/_BUILD_DONE", "w") as fh:
+        fh.write("ok")
     spark.stop()
 
 
@@ -153,11 +159,22 @@ def probe() -> None:
         # protocol) — at sf1 a prior probe's pinned 6M-row cache forces
         # the next probe's cache to spill and inflates its wall 3x+
         release_tracked()
+        # ... and the untracked normalized-documents memo (r11 review:
+        # minhash/simhash pin the full 10x corpus via queries'
+        # _NORM_DOCS_CACHE — left pinned, every later probe runs with it
+        # occupying executor memory, the exact spill condition this
+        # release exists to prevent). Cleared, the next user recomputes
+        # and re-caches — honest per-probe isolation.
+        from ml_data_pipeline_spark import queries as _Q
+
+        for _df in _Q._NORM_DOCS_CACHE.values():
+            _df.unpersist(False)
+        _Q._NORM_DOCS_CACHE.clear()
     print(json.dumps({"sf": 1.0, "queries": times, "total": round(sum(times.values()), 2)}))
     spark.stop()
 
 
 if __name__ == "__main__":
-    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/lineitem.parquet"):
+    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/_BUILD_DONE"):
         build()
     probe()

@@ -73,6 +73,8 @@ def canon_value(v):
     if isinstance(v, float):
         if v != v:
             return "f:nan"
+        if v == 0.0:
+            v = 0.0  # -0.0 == 0.0 numerically; don't fail on the sign bit
         return f"f:{v:.6f}"
     if isinstance(v, int):
         return f"i:{v}"
@@ -87,6 +89,17 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
+    # pin the PYTHON-side timezone too (r11 review): collect() converts
+    # TimestampType via datetime.fromtimestamp in the DRIVER's local tz —
+    # spark.sql.session.timeZone=UTC does not govern that — while DuckDB
+    # returns the naive stored value, so a non-UTC machine false-FAILs
+    # every timestamp-emitting gate
+    import os as _os
+    import time as _time
+
+    _os.environ["TZ"] = "UTC"
+    if hasattr(_time, "tzset"):
+        _time.tzset()
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("verify_local")
@@ -95,6 +108,12 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # a typo'd filter name must FAIL, not silently verify nothing (r11
+    # review: '0 pass, 0 fail' with exit 0 looked green)
+    unknown = only - qs.keys()
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     n_pass = n_fail = n_rows_only = 0
     from ml_data_pipeline_spark.cache import release_tracked
 

@@ -235,3 +235,58 @@ def test_r11_null_featured_donors_do_not_poison_calibration(spark):
         .count()
     )
     assert full >= 45, full  # was ~4/50 with the poisoned width
+
+
+def test_r11_first_common_table_dedup_equals_exact_pairs(spark):
+    """r11 regression pin for the map-side first-common-table pair dedup
+    (neighbors.py: the dropDuplicates((lid, rid)) shuffle of the candidate
+    set — the largest frame in the kNN plan — was replaced by a codegen
+    predicate keeping a pair only at its FIRST common hash table). Tight
+    clusters make every within-cluster pair collide in ALL tables, so
+
+    - a predicate that keeps per-table copies yields duplicate (lid, rid)
+      rows, which row_number() ranking turns into displaced genuine
+      neighbors;
+    - a predicate that over-drops loses pairs and recall falls below the
+      cluster size.
+
+    Both corruption modes collapse the same assertion: the LSH pair set
+    must EQUAL the exact ground-truth pair set (k = cluster size - 1,
+    clusters far apart, so exact top-k is exactly the cluster mates)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators import neighbors as NB
+
+    rng = random.Random(23)
+    rows = []
+    for c in range(4):
+        cx, cy, cz = c * 100.0, c * -50.0, c * 25.0
+        for i in range(12):
+            rows.append(
+                (
+                    c * 12 + i,
+                    cx + rng.gauss(0, 1e-3),
+                    cy + rng.gauss(0, 1e-3),
+                    cz + rng.gauss(0, 1e-3),
+                )
+            )
+    df = spark.createDataFrame(rows, "id bigint, x double, y double, z double").cache()
+    donors = df.select(F.col("id").alias("nid"), "x", "y", "z")
+    common = dict(
+        feature_cols=["x", "y", "z"], k=11, left_id="id", right_id="nid"
+    )
+    lsh = NB.knn_join(df, donors, method="lsh", num_hash_tables=6, **common)
+    exact = NB.knn_join(df, donors, method="exact", **common)
+
+    # no duplicate (lid, rid) survives the first-common predicate
+    dup = lsh.groupBy("id", "nid").count().where(F.col("count") > 1).count()
+    assert dup == 0, f"{dup} duplicated candidate pairs leaked through"
+
+    lsh_pairs = {(r["id"], r["nid"]) for r in lsh.select("id", "nid").collect()}
+    exact_pairs = {(r["id"], r["nid"]) for r in exact.select("id", "nid").collect()}
+    assert lsh_pairs == exact_pairs, (
+        f"only-in-lsh={sorted(lsh_pairs - exact_pairs)[:5]} "
+        f"only-in-exact={sorted(exact_pairs - lsh_pairs)[:5]}"
+    )

@@ -6898,12 +6898,21 @@ ALL_QUERIES = {
 # (e4, i9), the hint-free indexed re-probe, the clip-NaN / tuning-default /
 # csv-contract / balancer-guard fixes, the SIX kNN-family gates over
 # the adaptive-LSH knn_join rework (b1/b4/b6/b9/i5/i7), and the r11 oracle
-# graduations (ss_ann_topk, m5_cross_val, m3, m4) — then (2) the 22
-# remaining names holding r2 rows (computed from the union of
-# CORRECTNESS_r01-r10: mm_*/s*/t*-roundtrips, the r2 tx_* pack, p15,
-# ss_quantize_int8, pipe_prepare_corpus), then (3) the 6 oldest r3 rows.
+# graduations (ss_ann_topk, m5_cross_val, m3, m4), PLUS the 7 gates the
+# late gate/oracle-layer review batch modified (q_sessionize's
+# integer-microsecond gap compare — a semantic change; m21/m22 rebased on
+# the interpolated _AUC_BASE_SQL; s3/s24/s25/s12 on the per-(sf,pid)
+# staging tag) — then (2) the remaining names holding r2 rows (computed
+# from the union of CORRECTNESS_r01-r10: mm_*/s*/t*-roundtrips, the r2
+# tx_* pack, p15, ss_quantize_int8, pipe_prepare_corpus), then (3) the
+# oldest r3 rows (m18/m19, which the late batch ALSO modified).
 # Overlap with _R10_PRIORITY is exactly the deliberate re-greens of
 # r11-modified gates, per the r10 verdict's rotation directive.
+# Displaced to make room for the late-batch re-greens (all still green in
+# the r11 full local sweeps at sf0.01/sf0.001, union rows r2-r3):
+# tx_token_count, tx_bpe_count, mm_frame_plan, tx_line_dedup,
+# tx_unigram_logprob, q19_disjunctive_revenue, q_window_suite — they head
+# the r12 stale list below.
 _R11_PRIORITY = [
     # (1) round-11-modified gates
     "m12_single_row_inference",
@@ -6931,6 +6940,14 @@ _R11_PRIORITY = [
     "m5_cross_val",
     "m3_eval_classification",
     "m4_feature_importances",
+    # late gate/oracle-layer review batch (see header note)
+    "q_sessionize",
+    "m21_pr_points",
+    "m22_brier_logloss",
+    "s3_csv_strings",
+    "s24_partitioned_write",
+    "s25_bucketed_join",
+    "s12_description_sidecar",
     # (2) the remaining r2 rows, oldest in the union of CORRECTNESS files
     "t1_split_invariants",
     "s5_excel_roundtrip",
@@ -6938,12 +6955,9 @@ _R11_PRIORITY = [
     "t2_trim_equal_counts",
     "t3_trim_proportional_counts",
     "t4_trim_majority_counts",
-    "tx_token_count",
-    "tx_bpe_count",
     "tx_lang_id",
     "tx_fingerprint_md5",
     "mm_feature_digest",
-    "mm_frame_plan",
     "mm_media_dedup",
     "pipe_prepare_corpus",
     "tx_redact_pii",
@@ -6954,16 +6968,11 @@ _R11_PRIORITY = [
     "t8_hash_split",
     "p15_numeric_summary",
     "ss_quantize_int8",
-    # (3) the 6 oldest r3 rows (10 fewer than first drafted — the
-    # adaptive-LSH re-records and the r11 oracle graduations take their
-    # slots; q_grouping_sets through tx_chunk_documents move to the r12
-    # stale list)
+    # (3) the 2 oldest r3 rows that are ALSO late-batch-modified (their
+    # oracles now interpolate _AUC_BASE_SQL); the other r3 rows move to
+    # the r12 stale list
     "m19_roc_points",
     "m18_roc_auc",
-    "tx_line_dedup",
-    "tx_unigram_logprob",
-    "q19_disjunctive_revenue",
-    "q_window_suite",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R11_PRIORITY) == 50 and len(set(_R11_PRIORITY)) == 50
@@ -6973,7 +6982,10 @@ ALL_QUERIES = {
 }
 
 # ---- ROUND-12 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r11 lands, the stalest rows are the rest of the r3 block
+# CORRECTNESS_r11 lands, the stalest rows are the 7 displaced late-batch
+# slots (tx_token_count, tx_bpe_count, mm_frame_plan, tx_line_dedup,
+# tx_unigram_logprob, q19_disjunctive_revenue, q_window_suite — r2/r3
+# rows), then the rest of the r3 block
 # (q_grouping_sets, pipe_clean_corpus, q_salted_join, q_not_exists,
 # q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
 # m15_grouped_ols, q_attribution, tx_chunk_documents — displaced from the

@@ -934,7 +934,16 @@ def i5_impute_knn(spark: SparkSession, sf: str) -> DataFrame:
 
 def i7_hot_deck(spark: SparkSession, sf: str) -> DataFrame:
     """Hot-deck contract: rows preserved, no nulls, and every fill is a COPY
-    of an observed donor value (the defining hot-deck invariant)."""
+    of an observed donor value (the defining hot-deck invariant).
+
+    Runs the density-adaptive LSH default (late r11): the gate previously
+    pinned the legacy fixed width (bucket_length=0.02, 1 table), and the
+    cross-scale sf0.1 sweep measured that pin in the quadratic-candidate
+    regime — 224s vs the adaptive i5's 33s on the same kNN machinery
+    (l_tax's 9 atoms collapse fixed-width cells into point masses). A gate
+    must exercise the plan that survives 100x data; the legacy fixed-width
+    path stays covered by
+    tests/test_imputation_ml.py::test_legacy_fixed_width_lsh_path_still_fills."""
     from ml_data_pipeline_spark.operators import imputation_ml as IM
 
     src = _li_nulls(spark, sf).select(
@@ -951,7 +960,7 @@ def i7_hot_deck(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
     out = IM.impute_hot_deck(
         src, "l_quantity", ["l_extendedprice", "l_tax"], ["l_returnflag"],
-        k_candidates=5, num_hash_tables=1, bucket_length=0.02,
+        k_candidates=5,
     )
     # one action: broadcast-mark observed values, aggregate all three contract
     # numbers in a single pass (three separate .count()s would re-run the

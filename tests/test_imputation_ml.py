@@ -290,3 +290,34 @@ def test_r11_first_common_table_dedup_equals_exact_pairs(spark):
         f"only-in-lsh={sorted(lsh_pairs - exact_pairs)[:5]} "
         f"only-in-exact={sorted(exact_pairs - lsh_pairs)[:5]}"
     )
+
+
+def test_legacy_fixed_width_lsh_path_still_fills(spark):
+    """Coverage for the legacy fixed-width LSH tables (explicit
+    bucket_length + single-projection hash tables) after the i7 gate moved
+    to the density-adaptive default (late r11): the pinned-width code path
+    in knn_join/impute_hot_deck must keep producing donor-copied fills.
+    Gaussian data at width 0.25 keeps bucket occupancy sane, so every
+    missing row should find candidates and be filled with an observed
+    value (the hot-deck invariant the gate checks at scale)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(400):
+        x = rng.gauss(0, 1)
+        v = None if i % 10 == 0 else round(2.0 * x + rng.gauss(0, 0.1), 3)
+        rows.append((i, x, v, "a" if x > 0 else "b"))
+    df = spark.createDataFrame(rows, "id bigint, x double, v double, g string")
+    out = IM.impute_hot_deck(
+        df, "v", ["x"], ["g"], k_candidates=5,
+        num_hash_tables=1, bucket_length=0.25,
+    )
+    got = out.collect()
+    assert len(got) == 400
+    assert all(r["v"] is not None for r in got)
+    observed = {r[2] for r in rows if r[2] is not None}
+    filled = {r["v"] for r in got if r["id"] % 10 == 0}
+    assert filled <= observed, "a fill was not a copy of an observed value"

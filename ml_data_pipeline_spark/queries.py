@@ -6603,7 +6603,18 @@ def m14_soft_cancel(spark: SparkSession, sf: str) -> DataFrame:
     group, and asserts (a) the cancellation SURFACED as an exception in
     the launching thread, (b) the job died well under its uncancelled
     duration, (c) no job of the group remains active (no orphans). All
-    three are hard booleans — the oracle is the constant row."""
+    three are hard booleans — the oracle is the constant row.
+
+    Two defenses against the multi-job race (r11: a full-sweep run hit
+    it — 'Failed to cancel job group: cannot find active jobs'): the
+    victim is a NATIVELY 8-partition range with no exchange, so count()
+    executes as ONE job (the old repartition(8) + AQE shape ran a fast
+    shuffle job first, and under load the cancel could land in the gap
+    between that job finishing and the slow job registering — cancelling
+    nothing, after which the slow job ran to completion uncancelled);
+    and the cancel is RE-ISSUED while the worker thread stays alive
+    (cancelJobGroup only cancels currently-active jobs — idempotent, and
+    it sweeps any job that still slips into the gap)."""
     import threading
     import time
 
@@ -6619,7 +6630,7 @@ def m14_soft_cancel(spark: SparkSession, sf: str) -> DataFrame:
             _t.sleep(30)
             yield pdf
 
-    victim = spark.range(64).repartition(8).mapInPandas(slow, "id long")
+    victim = spark.range(0, 64, 1, 8).mapInPandas(slow, "id long")
     outcome: dict = {}
 
     def run():
@@ -6648,7 +6659,13 @@ def m14_soft_cancel(spark: SparkSession, sf: str) -> DataFrame:
     # or loaded machine must not fail the gate; r9 review)
     t_cancel = time.monotonic()
     job_group(spark, gid).cancel()
-    worker.join(60)
+    # re-issue while the thread lives: cancelJobGroup is idempotent and
+    # only touches currently-active jobs, so this sweeps any group job
+    # that registered after the first cancel (the multi-job race above)
+    while worker.is_alive() and time.monotonic() - t_cancel < 60:
+        worker.join(0.5)
+        if worker.is_alive():
+            job_group(spark, gid).cancel()
     elapsed = time.monotonic() - t_cancel
     err = outcome.get("err")
     surfaced = started and err is not None and "cancel" in str(err).lower()

@@ -188,6 +188,7 @@ def shingle_minhash(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>) — K-slot MinHash over char-k-shingles via
     ONE-PERMUTATION HASHING (Li, Owen, Zhang NIPS 2012; densification per
@@ -227,11 +228,20 @@ def shingle_minhash(
     positions = F.sequence(
         F.lit(1), F.greatest(F.lit(1), F.length("__norm") - shingle_k + 1)
     )
+    shingle = F.col("__norm").substr(F.col("__i"), F.lit(shingle_k))
+    if hash_fn == "xxhash64":
+        raw = F.xxhash64(shingle)
+    elif hash_fn == "md5":
+        # DuckDB-replayable 60-bit hash (the E8/hash_bucket recipe both
+        # engines already share): top 15 md5 hex digits as a positive
+        # long. ~10x the per-shingle CPU of xxhash64 — for the
+        # oracle-parity twin gate, never the headline path.
+        raw = F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"shingle_minhash: unknown hash_fn {hash_fn!r}")
     exploded = normed.select("id", "__norm", F.explode(positions).alias("__i")).select(
         "id",
-        F.pmod(F.xxhash64(F.col("__norm").substr(F.col("__i"), F.lit(shingle_k))), F.lit(p)).alias(
-            "h"
-        ),
+        F.pmod(raw, F.lit(p)).alias("h"),
     )
     # the K conditional-min aggregates and the K-slot assembly are built as
     # SQL expression strings: one parser call each instead of ~8 py4j
@@ -262,6 +272,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
@@ -273,6 +284,13 @@ def minhash_near_duplicates(
        pair dedup via distinct on (a, b);
     4. verify: estimated Jaccard = fraction of agreeing signature slots —
        computed with zip_with on the two K-arrays, no text re-read.
+
+    ``hash_fn='md5'`` makes every hash DuckDB-replayable (the E8 recipe)
+    and keeps the band bucket as the PLAIN slot-concat string — the
+    bucket is only an equality key, so hashing it is an optimization
+    (narrower shuffle key), not semantics. That variant powers the
+    full-parity oracle twin gate (dd_minhash_md5); the headline stays on
+    xxhash64.
     """
     r = num_hashes // bands
     # localCheckpoint, not lazy cache: the banded self-join scans `sigs`
@@ -280,7 +298,14 @@ def minhash_near_duplicates(
     # a cold action a lazy cache is still unpopulated when both start, so
     # the signature pipeline can be computed twice. Eager materialization
     # runs it exactly once; both join sides read the stored blocks.
-    sigs = shingle_minhash(df, text_col, id_col, num_hashes, shingle_k).localCheckpoint()
+    sigs = shingle_minhash(df, text_col, id_col, num_hashes, shingle_k, hash_fn).localCheckpoint()
+
+    def _band_key(b: int):
+        concat = F.concat_ws(
+            ",", *[F.element_at("signature", b * r + j + 1) for j in range(r)]
+        )
+        return F.xxhash64(concat) if hash_fn == "xxhash64" else concat
+
     banded = sigs.select(
         "id",
         "signature",
@@ -289,9 +314,7 @@ def minhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("signature", b * r + j + 1) for j in range(r)])
-                        ).alias("bucket"),
+                        _band_key(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]

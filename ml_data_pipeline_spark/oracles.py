@@ -957,6 +957,69 @@ ALL_ORACLES: dict[str, str] = {
                     ELSE 'de' END AS lang_pred
         FROM h
     """,
+    # FULL replay of the MinHash-LSH pipeline (late r11 twin gate): md5
+    # shingle hash (the proven '0x'||substr(md5) BIGINT recipe), K=8
+    # one-permutation bucket minima, global-min densification (min(h) ==
+    # least over non-null bucket minima, since every shingle lands in a
+    # bucket — avoids engine-specific least()-with-NULL semantics),
+    # 4 bands of r=2 with the plain concat string as the bucket key,
+    # self-join candidates, slot-agreement Jaccard estimate. est values
+    # are exact k/8 multiples, so round(.,6) has no half-boundary risk.
+    "dd_minhash_md5": r"""
+        WITH docs AS (
+            SELECT doc_id AS id,
+                   lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+            FROM documents
+        ),
+        sh AS (
+            SELECT id,
+                   CAST('0x' || substr(md5(substr(norm, i, 5)), 1, 15) AS BIGINT)
+                       % 2147483647 AS h
+            FROM docs,
+                 unnest(generate_series(1, greatest(1, length(norm) - 4))) AS g(i)
+        ),
+        mins AS (
+            SELECT id, min(h) AS fb,
+                   min(CASE WHEN h % 8 = 0 THEN h END) AS m0,
+                   min(CASE WHEN h % 8 = 1 THEN h END) AS m1,
+                   min(CASE WHEN h % 8 = 2 THEN h END) AS m2,
+                   min(CASE WHEN h % 8 = 3 THEN h END) AS m3,
+                   min(CASE WHEN h % 8 = 4 THEN h END) AS m4,
+                   min(CASE WHEN h % 8 = 5 THEN h END) AS m5,
+                   min(CASE WHEN h % 8 = 6 THEN h END) AS m6,
+                   min(CASE WHEN h % 8 = 7 THEN h END) AS m7
+            FROM sh GROUP BY id
+        ),
+        sig AS (
+            SELECT id,
+                   coalesce(m0, fb) AS s0, coalesce(m1, fb) AS s1,
+                   coalesce(m2, fb) AS s2, coalesce(m3, fb) AS s3,
+                   coalesce(m4, fb) AS s4, coalesce(m5, fb) AS s5,
+                   coalesce(m6, fb) AS s6, coalesce(m7, fb) AS s7
+            FROM mins
+        ),
+        banded AS (
+            SELECT id, s0, s1, s2, s3, s4, s5, s6, s7, b,
+                   CASE b WHEN 0 THEN concat_ws(',', s0, s1)
+                          WHEN 1 THEN concat_ws(',', s2, s3)
+                          WHEN 2 THEN concat_ws(',', s4, s5)
+                          ELSE concat_ws(',', s6, s7) END AS bucket
+            FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+                   round((CAST(a.s0 = c.s0 AS INT) + CAST(a.s1 = c.s1 AS INT)
+                        + CAST(a.s2 = c.s2 AS INT) + CAST(a.s3 = c.s3 AS INT)
+                        + CAST(a.s4 = c.s4 AS INT) + CAST(a.s5 = c.s5 AS INT)
+                        + CAST(a.s6 = c.s6 AS INT) + CAST(a.s7 = c.s7 AS INT))
+                       / 8.0, 6) AS est_jaccard
+            FROM banded a
+            JOIN banded c ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id
+        )
+        SELECT id_a, id_b, est_jaccard
+        FROM pairs WHERE est_jaccard >= 0.5
+        ORDER BY id_a, id_b
+    """,
     "dd_ngram_jaccard": r"""
         WITH toks AS (
             SELECT doc_id,

@@ -1976,6 +1976,27 @@ def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     operator's own normalization is unchanged)."""
     return DD.minhash_near_duplicates(_normalized_documents(spark, sf), threshold=0.7)
 
+def dd_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL-PARITY oracle twin of the MinHash-LSH pipeline (late r11): the
+    same one-permutation-hashing signature stage, densification, banding,
+    candidate join and slot-agreement verify as dd_minhash_pairs, but
+    every hash is the DuckDB-replayable md5 recipe (E8/hash_bucket) and
+    the band bucket is the plain slot-concat string (the bucket is only
+    an equality key). The oracle replays the ENTIRE pipeline to exact
+    hash equality — shingling, bucket minima, empty-bucket densification,
+    banding, pair generation, estimated Jaccard — so the only part of the
+    headline minhash outside oracle coverage is the choice of hash
+    function itself (xxhash64, which DuckDB lacks). K=8/bands=4 keeps the
+    unrolled SQL twin readable; threshold 0.5 matches the (1/b)^(1/r)
+    LSH operating point for r=2."""
+    return DD.minhash_near_duplicates(
+        _normalized_documents(spark, sf),
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+        hash_fn="md5",
+    )
+
 def dd_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """max_hamming=3 → 6 blocks, keys = C(6,3)=20 combinations of 3 blocks
     (~32-bit keys): the combinatorial scheme keeps candidate volume
@@ -4977,6 +4998,7 @@ ALL_QUERIES = {
     "m12_single_row_inference": m12_single_row_inference,
     # -- rows-only, bench-exercised every round (weakest marginal gate value)
     "dd_minhash_pairs": dd_minhash_pairs,
+    "dd_minhash_md5": dd_minhash_md5,
     "dd_simhash_pairs": dd_simhash_pairs,
     "ss_ann_topk": ss_ann_topk,
     "ss_ivf_topk": ss_ivf_topk,

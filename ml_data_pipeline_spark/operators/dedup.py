@@ -988,6 +988,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     bits: int = 64,
     idf_weighted: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) — 64-bit SimHash over whitespace tokens.
 
@@ -1024,9 +1025,19 @@ def simhash_signatures(
         raise ValueError("simhash_signatures is fixed at 64 bits (xxhash64)")
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
     tokens = _ensure_parallel(df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")))
+    if hash_fn == "xxhash64":
+        th = F.xxhash64("t")
+    elif hash_fn == "md5":
+        # DuckDB-replayable 60-bit token hash (the shared E8 recipe) for
+        # the oracle-parity twin gate: bits 60-63 are always 0, so those
+        # vote all-negative and stay clear in the fingerprint —
+        # identically in both engines. Headline stays xxhash64.
+        th = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"simhash_signatures: unknown hash_fn {hash_fn!r}")
     # reduce to one row per (doc, distinct token) BEFORE fanning out 64 bits:
     # occurrence multiplicity folds into the weight
-    per_tok = tokens.groupBy("id", F.xxhash64("t").alias("h")).agg(
+    per_tok = tokens.groupBy("id", th.alias("h")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
     if idf_weighted:

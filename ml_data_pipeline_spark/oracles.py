@@ -1020,6 +1020,38 @@ ALL_ORACLES: dict[str, str] = {
         FROM pairs WHERE est_jaccard >= 0.5
         ORDER BY id_a, id_b
     """,
+    # FULL replay of the SimHash SIGNATURE stage (late r11 twin): per-doc
+    # token counts on the md5 60-bit hash, one vote per bit from the
+    # PER-BIT definition (the Spark side's grouped 8x8 aggregate is
+    # property-test-proven equal to it), sign -> bit assembly. Votes are
+    # integer count sums — exact in both engines, identical tie-breaks.
+    # sum() of BIGINT is HUGEINT in DuckDB -> CAST back.
+    "dd_simhash_md5_sigs": r"""
+        WITH docs AS (
+            SELECT doc_id AS id, lower(text) AS txt FROM documents
+        ),
+        toks AS (
+            SELECT id, t
+            FROM docs, unnest(string_split_regex(txt, '\s+')) AS u(t)
+            WHERE length(t) > 0
+        ),
+        per_tok AS (
+            SELECT id,
+                   CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h,
+                   count(*) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        votes AS (
+            SELECT id, b,
+                   sum(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS v
+            FROM per_tok, unnest(generate_series(0, 63)) AS g(b)
+            GROUP BY 1, 2
+        )
+        SELECT id AS doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id ORDER BY doc_id
+    """,
     "dd_ngram_jaccard": r"""
         WITH toks AS (
             SELECT doc_id,

@@ -1997,6 +1997,26 @@ def dd_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
         hash_fn="md5",
     )
 
+def dd_simhash_md5_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL-PARITY oracle twin of the SimHash SIGNATURE stage (late r11,
+    the dd_minhash_md5 companion): tokenization, per-(doc, token-hash)
+    counts, 64 per-bit votes and the sign→bit assembly replayed
+    bit-exactly in DuckDB. Two twin-only choices keep the arithmetic
+    engine-exact without changing the verified logic: the token hash is
+    the shared md5 recipe (DuckDB lacks xxhash64), and votes are
+    UNWEIGHTED integer counts (the headline's IDF weights are float sums
+    whose accumulation order differs between engines, and a near-zero
+    float vote could flip a bit; integer votes tie-break identically).
+    The grouped 8x8 vote shape is proven equal to the per-bit definition
+    by the pigeonhole/per-bit property tests; this gate proves the
+    per-bit definition itself against an independent engine. The blocked
+    candidate scheme stays covered by dd_simhash_pairs + the pigeonhole
+    property test."""
+    sigs = DD.simhash_signatures(
+        _normalized_documents(spark, sf), idf_weighted=False, hash_fn="md5"
+    )
+    return sigs.select(F.col("id").alias("doc_id"), "simhash").orderBy("doc_id")
+
 def dd_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """max_hamming=3 → 6 blocks, keys = C(6,3)=20 combinations of 3 blocks
     (~32-bit keys): the combinatorial scheme keeps candidate volume
@@ -4999,6 +5019,7 @@ ALL_QUERIES = {
     # -- rows-only, bench-exercised every round (weakest marginal gate value)
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_minhash_md5": dd_minhash_md5,
+    "dd_simhash_md5_sigs": dd_simhash_md5_sigs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "ss_ann_topk": ss_ann_topk,
     "ss_ivf_topk": ss_ivf_topk,

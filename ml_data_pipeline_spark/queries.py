@@ -7009,6 +7009,11 @@ _R11_PRIORITY = [
     "m5_cross_val",
     "m3_eval_classification",
     "m4_feature_importances",
+    # late-round NEW gates (no driver row exists yet — first in line):
+    # the full-parity md5 twins of the minhash pipeline and the simhash
+    # signature stage
+    "dd_minhash_md5",
+    "dd_simhash_md5_sigs",
     # late gate/oracle-layer review batch (see header note)
     "q_sessionize",
     "m21_pr_points",
@@ -7035,8 +7040,6 @@ _R11_PRIORITY = [
     "s_jsonl_roundtrip",
     "s_orc_roundtrip",
     "t8_hash_split",
-    "p15_numeric_summary",
-    "ss_quantize_int8",
     # (3) the 2 oldest r3 rows that are ALSO late-batch-modified (their
     # oracles now interpolate _AUC_BASE_SQL); the other r3 rows move to
     # the r12 stale list
@@ -7053,8 +7056,9 @@ ALL_QUERIES = {
 # ---- ROUND-12 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r11 lands, the stalest rows are the 7 displaced late-batch
 # slots (tx_token_count, tx_bpe_count, mm_frame_plan, tx_line_dedup,
-# tx_unigram_logprob, q19_disjunctive_revenue, q_window_suite — r2/r3
-# rows), then the rest of the r3 block
+# tx_unigram_logprob, q19_disjunctive_revenue, q_window_suite,
+# p15_numeric_summary, ss_quantize_int8 — r2/r3 rows), then the rest
+# of the r3 block
 # (q_grouping_sets, pipe_clean_corpus, q_salted_join, q_not_exists,
 # q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
 # m15_grouped_ols, q_attribution, tx_chunk_documents — displaced from the

@@ -6,6 +6,18 @@ literals from here, and the oracle module has to stay importable in an
 environment with no Spark install (a lightweight DuckDB-only checker).
 """
 
+# Explicit whitespace character class, written identically into Spark
+# (Java regex) and DuckDB (RE2) patterns. Java's \s is exactly
+# [ \t\n\x0B\f\r] but RE2's Perl-style \s EXCLUDES \x0B (vertical tab),
+# so any oracle-twinned tokenization written as \s silently depends on
+# the corpus containing no \x0b (ADVICE r11 — divergence reproduced
+# empirically). Spelling the class out is a semantic NO-OP on the Spark
+# side and makes the oracle treat \x0b as a splitter, matching Spark on
+# any corpus. Both engines parse the same escape text, so one constant
+# serves both (tests/test_text.py pins the \x0b parity).
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+WS_PLUS = WS_CLASS + "+"
+
 # Cumulative CDF of Poisson(1) at k = 0..4; k = 5 absorbs the tail. Both
 # engines (Spark chained-when in operators/sampling.py:poisson_bootstrap_ci
 # and the DuckDB CASE ladder in oracles.py m38_bootstrap_ci) interpolate

@@ -16,10 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ml_data_pipeline_spark.constants import WS_PLUS
+
 # Order matters and is part of the contract: URLs first (they may embed
 # '@' and digits), then emails, then IPs, then phone-like digit runs.
 PII_PATTERNS: dict[str, str] = {
-    "url": r"https?://[^\s]+",
+    "url": r"https?://[^ \t\n\x0B\f\r]+",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ip": r"\b(\d{1,3}\.){3}\d{1,3}\b",
     "phone": r"\+?\d[\d().\- ]{7,}\d",
@@ -77,7 +79,7 @@ def strip_html(df: DataFrame, text_col: str = "text", out_col: str | None = None
     # unescaping that corrupts deliberately-escaped content)
     for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]:
         t = F.replace(t, F.lit(ent), F.lit(ch))
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    t = F.trim(F.regexp_replace(t, WS_PLUS, " "))
     return df.withColumn(out_col or text_col, t)
 
 
@@ -87,7 +89,7 @@ def normalize_whitespace(
     """Collapse all whitespace runs to single spaces and trim."""
     return df.withColumn(
         out_col or text_col,
-        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")),
+        F.trim(F.regexp_replace(F.col(text_col), WS_PLUS, " ")),
     )
 
 

@@ -18,6 +18,8 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ml_data_pipeline_spark.constants import WS_PLUS
 from pyspark.sql import functions as F
 
 #: size guard for the ONE remaining batch-sized broadcast hint (the
@@ -223,7 +225,7 @@ def shingle_minhash(
       bucket probability is negligible ((1-1/K)^n).
     """
     p = (1 << 31) - 1  # Mersenne prime; keeps h positive and well-spread
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.col(text_col), WS_PLUS, " "))
     normed = _ensure_parallel(df.select(F.col(id_col).alias("id"), norm.alias("__norm")))
     positions = F.sequence(
         F.lit(1), F.greatest(F.lit(1), F.length("__norm") - shingle_k + 1)
@@ -484,7 +486,7 @@ def _gram_expr(text_col: str, n: int):
     """Distinct word-n-gram array expression shared by every n-gram
     operator (one definition so the stored index and the in-plan paths
     can never drift)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_PLUS), lambda t: F.length(t) > 0)
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -1023,7 +1025,7 @@ def simhash_signatures(
     """
     if bits != 64:
         raise ValueError("simhash_signatures is fixed at 64 bits (xxhash64)")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_PLUS), lambda t: F.length(t) > 0)
     tokens = _ensure_parallel(df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")))
     if hash_fn == "xxhash64":
         th = F.xxhash64("t")
@@ -1049,7 +1051,11 @@ def simhash_signatures(
             (F.col("__cnt") * F.log(F.lit(float(n_docs + 1)) / (F.col("__df") + 1))).alias("w"),
         )
     else:
-        weighted = per_tok.select("id", "h", F.col("__cnt").cast("double").alias("w"))
+        # keep the weight a LONG so the twin-gate's "integer votes" claim
+        # is structural, not incidental (ADVICE r11: the old double cast
+        # was exact only because integer-valued doubles < 2^53 sum exactly
+        # in any order) — sum(long) vote arithmetic is genuinely integer
+        weighted = per_tok.select("id", "h", F.col("__cnt").alias("w"))
     from functools import reduce
 
     G = 8  # bits per vote group: 8 explode rows x 8 aggregate buffers
@@ -1269,7 +1275,7 @@ def ngram_containment_pairs(
     doubled shuffle. Emitting directions from the scalar frame keeps the
     extra cost at one projection regardless of corpus size.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_PLUS), lambda t: F.length(t) > 0)
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(

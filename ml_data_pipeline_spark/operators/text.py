@@ -14,6 +14,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ml_data_pipeline_spark.constants import WS_CLASS, WS_PLUS
+
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
@@ -24,7 +26,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def _tokens(text: Column) -> Column:
     """Whitespace tokenization after lowercasing; empty strings removed."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
+    return F.filter(F.split(F.lower(text), WS_PLUS), lambda t: F.length(t) > 0)
 
 def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
     """Whitespace token count — the baseline 'how many tokens' profile.
@@ -41,7 +43,7 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text", out_col: str = "n
     a cheap, deterministic stand-in for a real BPE vocab (not shipped here).
     """
     return df.withColumn(
-        out_col, F.regexp_count(F.col(text_col), F.lit(r"\w+|[^\w\s]")).cast("long")
+        out_col, F.regexp_count(F.col(text_col), F.lit(r"\w+|[^\w \t\n\x0B\f\r]")).cast("long")
     )
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -68,7 +70,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_words > 0, tok_chars.cast("double") / n_words
     ).otherwise(F.lit(0.0))
     punct_ratio = F.when(
-        n_chars > 0, F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double") / n_chars
+        n_chars > 0, F.regexp_count(t, F.lit(r"[^\w \t\n\x0B\f\r]")).cast("double") / n_chars
     ).otherwise(F.lit(0.0))
     digit_ratio = F.when(
         n_chars > 0, F.regexp_count(t, F.lit(r"[0-9]")).cast("double") / n_chars
@@ -736,7 +738,7 @@ def script_stats(df: DataFrame, text_col: str = "text", id_col: str = "id") -> D
     fraction 0 and dominant 'other' (nullif guard, no divide-by-zero).
     """
     t = F.col(text_col)
-    total = F.length(F.regexp_replace(t, r"\s", ""))
+    total = F.length(F.regexp_replace(t, WS_CLASS, ""))
 
     def frac(cls: str) -> Column:
         n = F.length(t) - F.length(F.regexp_replace(t, cls, ""))

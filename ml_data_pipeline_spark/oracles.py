@@ -42,7 +42,7 @@ _EN = "['the','and','of','to','is','in','that','it','was','for']"
 _DE = "['der','die','das','und','ist','nicht','ein','mit','sich','auf']"
 _FR = "['le','la','les','et','est','une','dans','que','pour','pas']"
 _ES = "['el','la','los','las','es','una','con','por','para','del']"
-_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
+_TOKS = r"list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0)"
 
 # shared CTE chain prefix: exact 3-gram Jaccard pairs (CTEs toks..j) —
 # consumers that need only the pair scores (dd_incremental_*) use this
@@ -50,7 +50,7 @@ _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
 _NGRAM_PAIRS_J = r"""
         toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS tk
             FROM documents
         ),
         grams AS (
@@ -903,7 +903,7 @@ ALL_ORACLES: dict[str, str] = {
     """,
     "tx_bpe_count": r"""
         SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+               CAST(len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]')) AS BIGINT) AS n_bpe_tokens
         FROM documents
     """,
     "tx_quality": rf"""
@@ -914,7 +914,7 @@ ALL_ORACLES: dict[str, str] = {
             SELECT doc_id, nc, len(tk) AS nw,
                    coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS tc,
                    len(list_filter(tk, x -> list_contains({_EN}, x))) AS ns,
-                   len(regexp_extract_all(text, '[^\w\s]')) AS np,
+                   len(regexp_extract_all(text, '[^\w \t\n\x0B\f\r]')) AS np,
                    len(regexp_extract_all(text, '[0-9]')) AS nd
             FROM t
         ),
@@ -968,7 +968,7 @@ ALL_ORACLES: dict[str, str] = {
     "dd_minhash_md5": r"""
         WITH docs AS (
             SELECT doc_id AS id,
-                   lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+                   lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
             FROM documents
         ),
         sh AS (
@@ -1032,7 +1032,7 @@ ALL_ORACLES: dict[str, str] = {
         ),
         toks AS (
             SELECT id, t
-            FROM docs, unnest(string_split_regex(txt, '\s+')) AS u(t)
+            FROM docs, unnest(string_split_regex(txt, '[ \t\n\x0B\f\r]+')) AS u(t)
             WHERE length(t) > 0
         ),
         per_tok AS (
@@ -1055,7 +1055,7 @@ ALL_ORACLES: dict[str, str] = {
     "dd_ngram_jaccard": r"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS tk
             FROM documents
         ),
         grams AS (
@@ -1190,7 +1190,7 @@ ALL_ORACLES: dict[str, str] = {
         ),
         counted AS (
             SELECT doc_id, text,
-                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+                   CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_url,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
                    CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
                    CAST(len(regexp_extract_all(text, '\+?\d[\d().\- ]{7,}\d')) AS BIGINT) AS n_phone
@@ -1198,7 +1198,7 @@ ALL_ORACLES: dict[str, str] = {
         )
         SELECT doc_id,
                md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-                   'https?://[^\s]+', '<url>', 'g'),
+                   'https?://[^ \t\n\x0B\f\r]+', '<url>', 'g'),
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
                    '\b(\d{1,3}\.){3}\d{1,3}\b', '<ip>', 'g'),
                    '\+?\d[\d().\- ]{7,}\d', '<phone>', 'g')) AS clean_md5,
@@ -1218,13 +1218,13 @@ ALL_ORACLES: dict[str, str] = {
                        regexp_replace(text, '<[^>]+>', ' ', 'g'),
                        '&lt;', '<'), '&gt;', '>'),
                        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-                   '\s+', ' ', 'g'))) AS clean_md5
+                   '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS clean_md5
         FROM injected ORDER BY doc_id
     """,
     "tx_repetition": r"""
         WITH toks AS (
             SELECT doc_id, text,
-                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS tk
             FROM documents
         ),
         m AS (
@@ -1299,7 +1299,7 @@ ALL_ORACLES: dict[str, str] = {
     "tx_top_ngrams": r"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS tk
             FROM documents
         ),
         grams AS (
@@ -1389,7 +1389,7 @@ ALL_ORACLES: dict[str, str] = {
     "tx_mixture_plan": r"""
         WITH toks AS (
             SELECT source,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                   CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
             FROM documents
             WHERE source IN ('src0', 'src1', 'src2')
@@ -1410,7 +1410,7 @@ ALL_ORACLES: dict[str, str] = {
     "tx_pack_sequences": r"""
         WITH toks AS (
             SELECT doc_id, source,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                   CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
             FROM documents
         ),
@@ -1458,7 +1458,7 @@ ALL_ORACLES: dict[str, str] = {
         ),
         stoks AS (
             SELECT doc_id, source, text,
-                   list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+                   list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> len(x) > 0) AS tk
             FROM surv
         ),
         rep1 AS (
@@ -1572,7 +1572,7 @@ ALL_ORACLES: dict[str, str] = {
     "tx_contamination": r"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'),
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                x -> len(x) > 0) AS tk
             FROM documents
         ),
@@ -1606,7 +1606,7 @@ ALL_ORACLES: dict[str, str] = {
     "tx_boilerplate": r"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'),
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                x -> len(x) > 0) AS tk
             FROM documents
         ),
@@ -1635,7 +1635,7 @@ ALL_ORACLES: dict[str, str] = {
     "tx_tfidf": r"""
         WITH ex AS (
             SELECT doc_id AS id,
-                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                   unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                       x -> len(x) > 0)) AS term
             FROM documents
         ),
@@ -1695,7 +1695,7 @@ ALL_ORACLES: dict[str, str] = {
     "tx_c4_filters": r"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'),
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                x -> len(x) > 0) AS tk
             FROM documents
         ),
@@ -2071,7 +2071,7 @@ ALL_ORACLES: dict[str, str] = {
         WITH ex AS (
             SELECT doc_id AS id,
                    unnest(list_filter(
-                       regexp_split_to_array(lower(text), '\\s+'),
+                       regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        x -> len(x) > 0)) AS t
             FROM documents
         ),
@@ -2145,7 +2145,7 @@ ALL_ORACLES: dict[str, str] = {
         WITH ex AS (
             SELECT doc_id AS id,
                    unnest(list_filter(
-                       regexp_split_to_array(lower(text), '\\s+'),
+                       regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        x -> len(x) > 0)) AS t
             FROM documents
         ),
@@ -2696,7 +2696,7 @@ ALL_ORACLES: dict[str, str] = {
         ),
         counted AS (
             SELECT doc_id,
-                   length(regexp_replace(text, '\\s', '', 'g')) AS total,
+                   length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS total,
                    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
                    length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS n_cyr,
                    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk,
@@ -3077,7 +3077,7 @@ ALL_ORACLES: dict[str, str] = {
         -- keyed on their TEXT (Spark uses xxhash64 of the same text).
         WITH t AS (
             SELECT doc_id AS id,
-                   list_filter(string_split_regex(lower(text), '\\s+'),
+                   list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                x -> len(x) > 0) AS toks
             FROM documents
         ),
@@ -3144,7 +3144,7 @@ ALL_ORACLES: dict[str, str] = {
         WITH toks AS (
             SELECT doc_id AS id,
                    CAST(lang = 'en' AS INT) AS t,
-                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                   unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                       x -> len(x) > 0)) AS tok
             FROM documents
         ),
@@ -3518,7 +3518,7 @@ ALL_ORACLES: dict[str, str] = {
         WITH ex AS (
             SELECT doc_id AS id,
                    unnest(list_filter(
-                       regexp_split_to_array(lower(text), '\\s+'),
+                       regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        x -> len(x) > 0)) AS t
             FROM documents
         ),
@@ -3701,7 +3701,7 @@ ALL_ORACLES: dict[str, str] = {
     "tx_novelty": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\s+'),
+                   list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                x -> len(x) > 0) AS tk
             FROM documents
         ), grams AS (
@@ -4139,7 +4139,7 @@ ALL_ORACLES: dict[str, str] = {
     """,
     "tx_pmi_collocations": """
         WITH toks AS (
-            SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            SELECT list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                x -> len(x) > 0) AS tk
             FROM documents
         ), uni AS (
@@ -4169,7 +4169,7 @@ ALL_ORACLES: dict[str, str] = {
         WITH wc AS (
             SELECT w, count(*) AS n
             FROM documents,
-                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                     x -> len(x) > 0)) AS t(w)
             GROUP BY 1
         ), ranked AS (
@@ -4341,7 +4341,7 @@ ALL_ORACLES: dict[str, str] = {
         WITH wc AS (
             SELECT w, count(*) AS n
             FROM documents,
-                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                     x -> len(x) > 0)) AS t(w)
             GROUP BY 1
         ), ranked AS (
@@ -4357,7 +4357,7 @@ ALL_ORACLES: dict[str, str] = {
         WITH toks AS (
             SELECT lang AS g, w
             FROM documents,
-                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                     x -> len(x) > 0)) AS t(w)
         ), vocab AS (
             SELECT g, w, count(*) AS n FROM toks GROUP BY 1, 2
@@ -4520,7 +4520,7 @@ ALL_ORACLES: dict[str, str] = {
     "dd_containment": r"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS tk
             FROM documents
         ),
         grams AS (

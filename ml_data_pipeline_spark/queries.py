@@ -5007,6 +5007,11 @@ ALL_QUERIES = {
     "q_null_safe_join": q_null_safe_join,
     "ss_brute_topk": ss_brute_topk,
     "ss_brute_pairs": ss_brute_pairs,
+    # -- oracle-backed full-parity twins of the rows-only dedup headliners
+    # (late r11; classified by ALL_ORACLES membership, listed here next to
+    # the other oracle-backed dd_* gates — ADVICE r11 comment fix)
+    "dd_minhash_md5": dd_minhash_md5,
+    "dd_simhash_md5_sigs": dd_simhash_md5_sigs,
     # -- rows-only, driver-unverified in r1
     "i8_impute_em": i8_impute_em,
     "b8_smote_tomek": b8_smote_tomek,
@@ -5018,8 +5023,6 @@ ALL_QUERIES = {
     "m12_single_row_inference": m12_single_row_inference,
     # -- rows-only, bench-exercised every round (weakest marginal gate value)
     "dd_minhash_pairs": dd_minhash_pairs,
-    "dd_minhash_md5": dd_minhash_md5,
-    "dd_simhash_md5_sigs": dd_simhash_md5_sigs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "ss_ann_topk": ss_ann_topk,
     "ss_ivf_topk": ss_ivf_topk,
@@ -7054,11 +7057,12 @@ ALL_QUERIES = {
 }
 
 # ---- ROUND-12 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r11 lands, the stalest rows are the 7 displaced late-batch
+# CORRECTNESS_r11 lands, the stalest rows are the 9 displaced late-batch
 # slots (tx_token_count, tx_bpe_count, mm_frame_plan, tx_line_dedup,
-# tx_unigram_logprob, q19_disjunctive_revenue, q_window_suite,
-# p15_numeric_summary, ss_quantize_int8 — r2/r3 rows), then the rest
-# of the r3 block
+# tx_unigram_logprob, q19_disjunctive_revenue, q_window_suite — the 7 in
+# COVERAGE.md's displaced list — plus p15_numeric_summary and
+# ss_quantize_int8, displaced the same way; ADVICE r11 count fix), then
+# the rest of the r3 block
 # (q_grouping_sets, pipe_clean_corpus, q_salted_join, q_not_exists,
 # q_correlated_scalar, tx_pack_sequences, tx_mixture_plan,
 # m15_grouped_ols, q_attribution, tx_chunk_documents — displaced from the

@@ -304,3 +304,47 @@ def test_r10_cleaning_url_and_entity_fixes(spark):
     assert out == "&lt;b&gt; stays escaped"  # was '<b>' (double-unescaped)
     with pytest.raises(ValueError, match="unknown PII kinds"):
         CL.redact_pii(html, kinds=("emails",))
+
+
+def test_ws_class_x0b_parity_spark_vs_duckdb(spark):
+    """ADVICE r11: Java regex \\s includes \\x0B (vertical tab) but DuckDB's
+    RE2 \\s does not, so any twinned tokenization written as \\s silently
+    depended on the corpus containing no \\x0b. The shared WS_CLASS/WS_PLUS
+    (constants.py) spells the class out; this pins (a) WS_PLUS == Java \\s+
+    on the Spark side, (b) Spark and DuckDB split \\x0b text IDENTICALLY on
+    WS_PLUS, and (c) the old RE2 \\s divergence is real (guards against the
+    class ever being rewritten back to \\s)."""
+    import duckdb
+
+    from ml_data_pipeline_spark.constants import WS_PLUS
+
+    txt = "alpha\x0bbeta gamma\tdelta\x0b\x0bepsilon\nzeta\f\reta"
+
+    def spark_split(pattern: str) -> list[str]:
+        return (
+            spark.range(1)
+            .select(
+                F.filter(
+                    F.split(F.lit(txt), pattern), lambda t: F.length(t) > 0
+                ).alias("tk")
+            )
+            .head()["tk"]
+        )
+
+    expected = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    assert spark_split(WS_PLUS) == expected
+    assert spark_split(r"\s+") == expected  # (a) WS_PLUS is a Java no-op
+
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT list_filter(string_split_regex(?, '" + WS_PLUS + "'), "
+        "x -> len(x) > 0)",
+        [txt],
+    ).fetchone()[0]
+    assert duck == expected  # (b) identical splits on \x0b text
+
+    duck_legacy = con.execute(
+        r"SELECT list_filter(string_split_regex(?, '\s+'), x -> len(x) > 0)",
+        [txt],
+    ).fetchone()[0]
+    assert "alpha\x0bbeta" in duck_legacy  # (c) RE2 \s keeps \x0b glued

@@ -878,6 +878,19 @@ ALL_ORACLES: dict[str, str] = {
                TRUE AS danger_nonempty
         FROM t ORDER BY c_mktsegment
     """,
+    # B8/B9 (VERDICT r11 item 1): the SMOTE+cleaning hybrids can't oracle
+    # exact class sizes (removal is LSH-recall/RNG dependent), but the
+    # per-class survival invariants are deterministic: every pre-balance
+    # class keeps >= frac of the majority count and never exceeds it.
+    # The engine emits the booleans; the oracle is the all-TRUE table.
+    "b8_smote_tomek": """
+        SELECT c_mktsegment, TRUE AS above_floor, TRUE AS within_majority
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "b9_smote_enn": """
+        SELECT c_mktsegment, TRUE AS above_floor, TRUE AS within_majority
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     "t2_trim_equal_counts": """
         SELECT c_mktsegment, CAST(least(count(*), 100) AS BIGINT) AS n
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment

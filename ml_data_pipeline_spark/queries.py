@@ -1256,39 +1256,57 @@ def b7_borderline_counts(spark: SparkSession, sf: str) -> DataFrame:
     flag = danger.agg((F.count(F.lit(1)) > 0).alias("danger_nonempty"))
     return _class_n(out).crossJoin(F.broadcast(flag))
 
-def _cleaning_floor(base: DataFrame, counts: DataFrame, frac: float) -> DataFrame:
-    """r3 quality floor for the SMOTE+cleaning gates: cleaning removal is
-    data-dependent (rows-only), but it must never WIPE OUT a class — all
-    5 classes must survive with counts above ``frac`` of the pre-balance
-    majority. A bug that deletes a class or mass-removes rows collapses
-    the gate to 0 rows. frac is calibrated per method from measured
-    behavior on this corpus (see the gate docstrings)."""
-    orig_max = base.groupBy("c_mktsegment").count().agg(F.max("count").alias("__mx"))
-    floor_chk = counts.agg(F.min("n").alias("__mn"), F.count(F.lit(1)).alias("__k"))
+def _cleaning_contract(base: DataFrame, counts: DataFrame, frac: float) -> DataFrame:
+    """Deterministic contract for the SMOTE+cleaning gates (VERDICT r11
+    item 1, pattern = b1_smote_counts): the REMOVAL count is data/LSH-
+    recall dependent, so exact class sizes can't be oracled — but two
+    invariants ARE deterministic and hash-checkable per class:
+
+    - above_floor: the class survives cleaning with at least ``frac`` of
+      the pre-balance majority count (frac calibrated per method from
+      measured behavior on this corpus, see the gate docstrings);
+    - within_majority: the class never exceeds the majority count
+      (post-SMOTE every class sits exactly at the majority; Tomek/ENN
+      only REMOVE rows).
+
+    Emitted as per-class booleans LEFT-joined from the deterministic
+    pre-balance class list, so a wiped-out class reads (FALSE, TRUE) —
+    a hash mismatch against the all-TRUE oracle — instead of silently
+    dropping a row. Replaces the r3 rows-only filter-to-empty floor
+    (same invariants, but the driver can now hash-check them)."""
+    orig = base.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("__cnt"))
+    mx = orig.agg(F.max("__cnt").alias("__mx"))
+    n = F.coalesce(F.col("n"), F.lit(0))
     return (
-        counts.crossJoin(F.broadcast(orig_max))
-        .crossJoin(F.broadcast(floor_chk))
-        .where((F.col("__mn") >= frac * F.col("__mx")) & (F.col("__k") == 5))
-        .select("c_mktsegment", "n")
+        orig.select("c_mktsegment")
+        .join(counts, "c_mktsegment", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c_mktsegment",
+            (n >= frac * F.col("__mx")).alias("above_floor"),
+            (n <= F.col("__mx")).alias("within_majority"),
+        )
         .orderBy("c_mktsegment")
     )
 
 def b8_smote_tomek(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only: Tomek-link removal count is data/LSH-recall dependent.
-    Class-survival floor 0.3 of majority — Tomek removes only mutual-NN
-    cross-class pairs, measured well above 50% survival here."""
+    """B8 contract (oracle-checked): Tomek-link removal count is data/LSH-
+    recall dependent, but every class survives above 0.3 of the pre-
+    balance majority (Tomek removes only mutual-NN cross-class pairs,
+    measured well above 50% survival here) and never exceeds it."""
     base = _cust_bal(spark, sf)
     out = B.smote_tomek(base, "c_mktsegment", ["c_acctbal", "c_nationkey"], k=5)
-    return _cleaning_floor(base, _class_n(out), 0.3)
+    return _cleaning_contract(base, _class_n(out), 0.3)
 
 def b9_smote_enn(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only: ENN removal count is data-dependent. Class-survival
-    floor 0.05 of majority — ENN's kNN-vote cleaning is aggressive on
-    these deliberately overlapping features (measured min class survival
-    12.5% at sf0.001, 13.3% at sf0.01; a wipeout bug reads 0%)."""
+    """B9 contract (oracle-checked): ENN removal count is data-dependent,
+    but every class survives above 0.05 of the pre-balance majority and
+    never exceeds it. ENN's kNN-vote cleaning is aggressive on these
+    deliberately overlapping features (measured min class survival 12.5%
+    at sf0.001, 13.3% at sf0.01; a wipeout bug reads above_floor=false)."""
     base = _cust_bal(spark, sf)
     out = B.smote_enn(base, "c_mktsegment", ["c_acctbal", "c_nationkey"], k=3)
-    return _cleaning_floor(base, _class_n(out), 0.05)
+    return _cleaning_contract(base, _class_n(out), 0.05)
 
 # ---------------------------------------------------------------- text (TX*)
 
@@ -5012,10 +5030,11 @@ ALL_QUERIES = {
     # the other oracle-backed dd_* gates — ADVICE r11 comment fix)
     "dd_minhash_md5": dd_minhash_md5,
     "dd_simhash_md5_sigs": dd_simhash_md5_sigs,
-    # -- rows-only, driver-unverified in r1
-    "i8_impute_em": i8_impute_em,
+    # -- oracle-backed survival contracts since r12 (VERDICT r11 item 1)
     "b8_smote_tomek": b8_smote_tomek,
     "b9_smote_enn": b9_smote_enn,
+    # -- rows-only, driver-unverified in r1
+    "i8_impute_em": i8_impute_em,
     "tx_fingerprint": tx_fingerprint,
     "m3_eval_classification": m3_eval_classification,
     "m4_feature_importances": m4_feature_importances,

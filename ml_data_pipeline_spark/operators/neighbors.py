@@ -38,6 +38,15 @@ from pyspark.sql import functions as F
 
 EXACT_CEILING = 200_000  # crossJoin guard: beyond this, refuse 'exact'
 
+# per-group adaptive-width guard (VERDICT r11 item 3): partition_cols are
+# class-like BY CONTRACT (the balancers' target column, hot-deck's group
+# key), and the adaptive LSH path collects one width per group to the
+# driver. A caller passing a high-cardinality key (a user id, a join key)
+# would silently materialize a driver-sized dict — refuse loudly instead,
+# the same way EXACT_CEILING refuses an unbounded crossJoin. 10k matches
+# the encoder's MAX_ONE_HOT_CARDINALITY: past that the key is not a class.
+GROUP_CEILING = 10_000
+
 
 def zscale(
     df: DataFrame,
@@ -343,9 +352,22 @@ def knn_join(
                         )
                     )
 
+                # limit(G+1) caps the collect at the driver BEFORE raising
+                # (memory-safe even when the guard fires), one job either way
                 grp_rows = (
-                    scaled_r.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__bn")).collect()
+                    scaled_r.groupBy(*pcols)
+                    .agg(F.count(F.lit(1)).alias("__bn"))
+                    .limit(GROUP_CEILING + 1)
+                    .collect()
                 )
+                if len(grp_rows) > GROUP_CEILING:
+                    raise ValueError(
+                        f"knn_join: partition_cols {pcols!r} has more than "
+                        f"GROUP_CEILING={GROUP_CEILING} distinct groups — "
+                        "per-group adaptive widths are driver-sized only for "
+                        "class-like keys; pass an explicit bucket_length or "
+                        "reduce the grouping"
+                    )
                 lens = {
                     tuple(r[c] for c in pcols): _adaptive_bucket_length(r["__bn"], h)
                     for r in grp_rows

@@ -321,3 +321,37 @@ def test_legacy_fixed_width_lsh_path_still_fills(spark):
     observed = {r[2] for r in rows if r[2] is not None}
     filled = {r["v"] for r in got if r["id"] % 10 == 0}
     assert filled <= observed, "a fill was not a copy of an observed value"
+
+
+def test_r12_group_ceiling_guard_on_per_group_widths(spark):
+    """VERDICT r11 item 2: the adaptive per-group width path collects one
+    width per partition_cols group to the driver under a 'class-like key'
+    contract. A high-cardinality key must raise LOUDLY (like EXACT_CEILING)
+    instead of silently materializing a driver-sized dict; the limit(G+1)
+    probe also caps the collect itself, so the guard is memory-safe. Pinned
+    at the boundary: GROUP_CEILING+1 distinct groups raises (the pass side
+    is covered by every existing i5/i7/b-family gate, all class-like keys)."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import neighbors as NB
+
+    n = NB.GROUP_CEILING + 1
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") % 97).cast("double").alias("x"),
+            F.col("id").cast("string").alias("grp"),  # n distinct groups
+        )
+    )
+    with pytest.raises(ValueError, match="GROUP_CEILING"):
+        NB.knn_join(
+            df.select(F.col("rid").alias("lid"), "x", "grp"),
+            df,
+            ["x"],
+            k=1,
+            left_id="lid",
+            right_id="rid",
+            method="lsh",
+            partition_cols=["grp"],
+        ).count()

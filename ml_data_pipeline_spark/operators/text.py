@@ -836,10 +836,16 @@ def ndcg_at_k(
     terms = sorted({t.lower() for t in query_terms})
     # ONE corpus pass: bm25's cached per-doc frame carries both the score
     # and the capped term-count relevance (with_rel=True) — the review
-    # pass caught the original second tokenize scan here
+    # pass caught the original second tokenize scan here.
+    # localCheckpoint (VERDICT r11 item 3 review class): the two top-k
+    # branches below (DCG ranking, ideal ranking) each re-printed the
+    # full tokenize lineage under bm25's nested InMemoryRelation (4 plan
+    # references); checkpointing the doc-sized (id, bm25, rel) frame
+    # truncates it once. No self-join follows, so the kept exprIds are
+    # safe (the dcg/idcg branches meet only as fresh aggregate outputs).
     scored = bm25_topk(
         df, terms, k=k, text_col=text_col, id_col=id_col, with_rel=True
-    )
+    ).localCheckpoint()
     ranked = (
         scored.orderBy(F.desc("bm25"), F.asc("id"))
         .limit(k)

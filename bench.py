@@ -44,8 +44,35 @@ HEADLINE = [
 ]
 
 
+def _calibration_probe() -> float:
+    """Fixed single-core CPU probe (VERDICT r11 item 4): ~1s of pinned,
+    deterministic work — 400 MB of md5 (C-speed, cache-resident buffer)
+    plus a 2M-iteration integer-mix loop (interpreter-speed) — timed
+    before the Spark session exists. The host's per-core speed is NOT
+    stable across boots here (a mid-r11 reboot made the same code run a
+    uniform ~1.4-1.5x slower per core, verified by idle bench AND a
+    disjoint pytest workload), so cross-boot bench comparisons must
+    normalize by calibration_sec ratio instead of hand forensics:
+    engine_delta ≈ (total_a / total_b) / (calib_a / calib_b)."""
+    import hashlib
+
+    t0 = time.monotonic()
+    buf = b"\x5a" * (1 << 20)
+    h = hashlib.md5()
+    for _ in range(400):
+        h.update(buf)
+    x = 0x9E3779B97F4A7C15
+    for i in range(2_000_000):
+        x = (x * 6364136223846793005 + i) & 0xFFFFFFFFFFFFFFFF
+    dt = time.monotonic() - t0
+    if not h.hexdigest() or x < 0:  # consume the work, defeat elision
+        raise AssertionError("calibration probe corrupted")
+    return round(dt, 3)
+
+
 def main() -> None:
     load_start = os.getloadavg()[0]
+    calibration = _calibration_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # tolerant parse (r11 review: a dir like .../sf0.1-snapshot crashed the
     # whole bench before any query ran); fall back to the default label
@@ -102,6 +129,9 @@ def main() -> None:
                 "loadavg_1m_start": round(load_start, 2),
                 "loadavg_1m_end": round(os.getloadavg()[0], 2),
                 "cpus": os.cpu_count(),
+                # fixed single-core CPU probe: normalize cross-boot host
+                # speed shifts mechanically (see _calibration_probe)
+                "calibration_sec": calibration,
             }
         )
     )

@@ -243,6 +243,105 @@ def build_ivf_index(
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return assigned, centroids
 
+def build_ivf_index_exact(
+    df: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    grid: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Engine-exact twin of build_ivf_index: deterministic fixed-iteration
+    Lloyd's on an INTEGER grid, replayable bit-exactly by any SQL engine
+    (the ss_ivf_topk gate's DuckDB oracle unrolls it — VERDICT r11 item
+    5's graduation path). MLlib KMeans (build_ivf_index above) remains
+    the production quantizer; its float-sum centroid updates depend on
+    partition/accumulation order, which no cross-engine oracle can
+    replay. This twin designs that out with the kmeans_fit_2d exactness
+    contract generalized to d dimensions:
+
+    - components quantize as floor(x * grid) — floor of an exact IEEE
+      product, identical in every engine (never round(): half-up vs
+      half-even diverges on boundary values);
+    - init = first n_clusters rows ordered by (md5(id), id), the shared
+      seed-free deterministic shuffle;
+    - centroid updates are per-dim INTEGER sums (order-independent,
+      exact) over exact-quotient division sx/n (exact IEEE while
+      |sx| < 2^53);
+    - assignment distances are sequential index-order folds of exact
+      doubles — the list_sum/list_transform recipe ss_brute_topk's
+      oracle proved parity-stable across three scales;
+    - distance ties assign the lowest cluster index.
+
+    Returns (assigned_df, centroids): assigned_df = df + __qv (the
+    quantized long array) + ivf_cluster; centroids in GRID units as
+    python floats (exact quotients).
+    """
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * grid).cast("long")
+    )
+    # localCheckpoint: read once per iteration + the final assignment
+    # (iters+2 scans of the source otherwise — the kmeans_fit_2d lesson)
+    qdf = df.withColumn("__qv", qv).localCheckpoint()
+    init_rows = (
+        qdf.select(F.col(id_col).alias("__id"), "__qv")
+        .withColumn("__h", F.md5(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(n_clusters)
+        .collect()
+    )
+    if len(init_rows) < n_clusters:
+        raise ValueError(
+            f"build_ivf_index_exact: n_clusters={n_clusters} exceeds the "
+            f"{len(init_rows)} available init rows"
+        )
+    cents = [[float(v) for v in r["__qv"]] for r in init_rows]
+    dim = len(cents[0])
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        ds = []
+        for c in cents:
+            carr = F.array(*[F.lit(float(v)) for v in c])
+            ds.append(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qv"),
+                        carr,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+        m = F.least(*ds) if len(ds) > 1 else ds[0]
+        cl = F.when(ds[0] == m, 0)
+        for j in range(1, len(ds)):
+            cl = cl.when(ds[j] == m, j)
+        return qdf.withColumn("ivf_cluster", cl.cast("int"))
+
+    for _ in range(iters):
+        stats = (
+            assign(cents)
+            .select("ivf_cluster", F.posexplode("__qv").alias("__i", "__x"))
+            .groupBy("ivf_cluster", "__i")
+            .agg(F.sum("__x").alias("__sx"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_c.setdefault(r["ivf_cluster"], {})[r["__i"]] = (r["__sx"], r["__n"])
+        # empty cluster keeps its previous centroid (same rule as the SQL
+        # twin's coalesce); sx/n is python int/int true division == the
+        # oracle's CAST(sx AS DOUBLE)/n — exact while |sx| < 2^53
+        cents = [
+            [by_c[j][i][0] / by_c[j][i][1] for i in range(dim)]
+            if j in by_c
+            else cents[j]
+            for j in range(n_clusters)
+        ]
+    return assign(cents), cents
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

@@ -7,9 +7,13 @@ supplier part orders lineitem events documents embeddings). Conventions:
 - floats rounded identically to the Spark side.
 
 Queries WITHOUT an oracle (driver applies rows-only checks) are the
-inherently seeded / hash-specific ones: i8 (EM random draws),
-minhash/simhash (xxhash64 signatures), the seeded SMOTE hybrids (b8/b9),
-and IVF top-k (KMeans is float-order sensitive). tx_fingerprint
+inherently seeded / hash-specific ones: i8 (EM random draws) and
+minhash/simhash (xxhash64 signatures — their entire pipeline logic is
+oracle-twinned via the md5 recipe, dd_minhash_md5 / dd_simhash_md5_sigs).
+b8/b9 graduated in r12 via deterministic survival contracts; ss_ivf_topk
+graduated in r12 by swapping the gate's quantizer to the engine-exact
+integer-grid Lloyd's twin (_ivf_oracle_sql — MLlib KMeans itself stays
+float-order sensitive and unit-covered instead). tx_fingerprint
 and ss_semantic_dedup graduated to full oracles in r10: the first via the
 engine-independent EQUALITY STRUCTURE of the xxhash64 fingerprint (per-doc
 class sizes replayed from the md5 partition), the second because SemDeDup is
@@ -5549,6 +5553,133 @@ def _ss_ann_topk_oracle() -> str:
 
 
 ALL_ORACLES["ss_ann_topk"] = _ss_ann_topk_oracle()
+
+
+def _ivf_oracle_sql(
+    k: int = 16,
+    iters: int = 3,
+    nprobe: int = 4,
+    dim: int = 64,
+    grid: int = 1000,
+    topk: int = 10,
+) -> str:
+    """Unrolled d-dimensional integer-grid Lloyd's + IVF probe mirroring
+    similarity.build_ivf_index_exact and the ss_ivf_topk gate (generated
+    so k/iters/nprobe stay in lockstep with the Spark loop — the
+    _kmeans_oracle_sql pattern lifted to array columns). Exactness rests
+    on the same four legs as the Spark side: floor-of-product
+    quantization, md5-ordered init, order-independent integer centroid
+    sums with exact-quotient division, and index-order list folds for
+    every distance (the recipe ss_brute_topk proved parity-stable)."""
+
+    def dist(j: int, vec: str, p: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (CAST({vec}[i] AS DOUBLE) - {p}.c{j}[i]) "
+            f"* (CAST({vec}[i] AS DOUBLE) - {p}.c{j}[i])))"
+        )
+
+    sq = "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+    ctes = [
+        f"""base AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {grid}) AS BIGINT)) AS qv
+            FROM embeddings
+        )""",
+        f"""init AS MATERIALIZED (
+            SELECT qv, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+        )""",
+        "p0 AS MATERIALIZED (SELECT "
+        + ", ".join(
+            f"max(CASE WHEN rn = {j + 1} THEN "
+            f"list_transform(qv, x -> CAST(x AS DOUBLE)) END) AS c{j}"
+            for j in range(k)
+        )
+        + " FROM init)",
+    ]
+    for it in range(1, iters + 2):
+        # iterations 1..iters feed centroid updates; iteration iters+1 is
+        # the FINAL assignment against the post-update centroids (the
+        # Spark loop's trailing assign(cents))
+        dists = ", ".join(f"{dist(j, 'b.qv', 'p')} AS d{j}" for j in range(k))
+        least = "least(" + ", ".join(f"d{j}" for j in range(k)) + ")"
+        case = (
+            "CASE "
+            + " ".join(f"WHEN d{j} = m THEN {j}" for j in range(k - 1))
+            + f" ELSE {k - 1} END"
+        )
+        ctes.append(
+            f"""a{it} AS MATERIALIZED (
+            SELECT vec_id, qv, {case} AS cluster
+            FROM (SELECT *, {least} AS m
+                  FROM (SELECT b.vec_id, b.qv, {dists} FROM base b, p{it - 1} p))
+        )"""
+        )
+        if it > iters:
+            break
+        ctes.append(
+            f"""u{it} AS MATERIALIZED (
+            SELECT cluster, g.i AS dim, sum(qv[g.i]) AS sx, count(*) AS n
+            FROM a{it}, unnest(generate_series(1, {dim})) AS g(i)
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"p{it} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"coalesce((SELECT list(CAST(sx AS DOUBLE) / n ORDER BY dim) "
+                f"FROM u{it} WHERE cluster = {j}), "
+                f"(SELECT c{j} FROM p{it - 1})) AS c{j}"
+                for j in range(k)
+            )
+            + ")"
+        )
+    pd_union = " UNION ALL ".join(
+        f"SELECT {j} AS cluster, {dist(j, 'q.qv', 'p')} AS d "
+        f"FROM qrow q, p{iters} p"
+        for j in range(k)
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> CAST({v}[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))"
+    )
+    tail = f""",
+        qrow AS MATERIALIZED (SELECT qv, embedding AS e FROM base WHERE vec_id = 0),
+        pd AS ({pd_union}),
+        probe AS (SELECT cluster FROM pd ORDER BY d, cluster LIMIT {nprobe}),
+        cand AS (
+            SELECT a.vec_id, b.embedding
+            FROM a{iters + 1} a JOIN base b USING (vec_id)
+            WHERE a.cluster IN (SELECT cluster FROM probe)
+        ),
+        ivf AS MATERIALIZED (
+            SELECT vec_id,
+                   round({dot.format(v='c.embedding')}
+                         / (sqrt(list_sum(list_transform(c.embedding, {sq})))
+                            * sqrt(list_sum(list_transform(q.e, {sq})))), 6) AS cosine
+            FROM cand c, qrow q
+            ORDER BY cosine DESC, vec_id LIMIT {topk}
+        ),
+        brute AS (
+            SELECT vec_id,
+                   round({dot.format(v='b.embedding')}
+                         / (sqrt(list_sum(list_transform(b.embedding, {sq})))
+                            * sqrt(list_sum(list_transform(q.e, {sq})))), 6) AS bcos
+            FROM base b, qrow q
+            ORDER BY bcos DESC, vec_id LIMIT {topk}
+        ),
+        rec AS (SELECT round(CAST(count(*) AS DOUBLE) / {topk}, 2) AS recall_at_10
+                FROM ivf JOIN brute USING (vec_id))
+        SELECT i.vec_id, i.cosine, r.recall_at_10
+        FROM ivf i, rec r ORDER BY i.cosine DESC, i.vec_id"""
+    return "WITH " + ",\n".join(ctes) + tail
+
+
+ALL_ORACLES["ss_ivf_topk"] = _ivf_oracle_sql()
+
 
 
 # M5 cross-validation graduated (r11): md5-hash folds (t8_hash_split's

@@ -2130,36 +2130,55 @@ def ss_brute_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 def ss_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only: IVF ANN top-k (KMeans cells, nprobe probing) with an
-    IN-QUERY recall collapse floor (VERDICT r2 item 8) — rows are filtered
-    on recall@10 >= 0.3 vs the exact brute-force ranking, so a recall
-    collapse (broken cell assignment / probe selection) yields 0 rows and
-    trips the driver's row-count check. Still rows-only (KMeans clustering
-    is float-order sensitive), but the row-count gate is now a quality
-    gate.
+    """GRADUATED r12 from rows-only to full hash parity (VERDICT r11 item
+    5): the gate's coarse quantizer is now the ENGINE-EXACT integer-grid
+    Lloyd's twin (similarity.build_ivf_index_exact — floor(x*1000)
+    components, md5-ordered init, integer-sum/exact-quotient centroid
+    updates, index-order distance folds), which the DuckDB oracle unrolls
+    iteration by iteration to the same assignments, probes and cosines.
+    MLlib KMeans (build_ivf_index, the production quantizer) stays
+    unit-covered by test_similarity.test_ivf_topk_recall; its float-sum
+    centroids are accumulation-order dependent — the one part no
+    cross-engine oracle can replay, exactly like the xxhash64 choice the
+    dd_* md5 twins carve out.
 
-    Config chosen by measurement on the isotropic synthetic corpus:
-    n_clusters=16, nprobe=4 (25% scan) measures recall@10 = 0.4 at
-    sf0.001 (50 vecs — cells too small to matter), 1.0 at sf0.01, 0.5 at
-    sf0.1. Data-adaptive cells beat sign-LSH at equal scan fraction (LSH
-    at 34% scan: 0.4-0.6 across the same scales); the 0.3 floor is below
-    every natural value, far above any collapse (~0.1). See ss_ann_topk
-    for why a fixed 0.9 floor would encode data luck on this corpus."""
+    Output carries recall@10 vs the exact brute-force top-10 UNFILTERED
+    (the old rows-only floor filtered on it; with hash parity the exact
+    recall value itself is pinned, so a probe/assignment regression now
+    shows as a value mismatch, strictly stronger than the 0.3 floor).
+    Config: n_clusters=16, iters=3, nprobe=4 (25% scan) — the measured
+    r2 operating point."""
+    import math
+
     emb = load_table(spark, sf, "embeddings")
     q = _query_vector(spark, sf)
-    assigned, cents = SS.build_ivf_index(emb, dim=len(q), n_clusters=16)
+    assigned, cents = SS.build_ivf_index_exact(emb, n_clusters=16, iters=3, grid=1000)
+    # probe selection in GRID units, python floats == exact IEEE doubles:
+    # same left-to-right fold and (dist, cluster) tie-break as the oracle
+    qq = [float(math.floor(v * 1000)) for v in q]
+    dq = [
+        (j, sum((qq[i] - c[i]) * (qq[i] - c[i]) for i in range(len(c))))
+        for j, c in enumerate(cents)
+    ]
+    probe = [j for j, _ in sorted(dq, key=lambda t: (t[1], t[0]))[:4]]
+    sim = SS.cosine_to_query(assigned, q)
     # checkpoint the k-row IVF result: recall join + output both branch
     # from it (plan_audit: embeddings x3 untruncated)
-    ivf = SS.ivf_topk(assigned, cents, q, k=10, nprobe=4).localCheckpoint()
+    ivf = (
+        assigned.where(F.col("ivf_cluster").isin(probe))
+        .select("vec_id", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .localCheckpoint()
+    )
     exact = SS.brute_force_topk(emb, q, k=10)
     recall = (
         ivf.select("vec_id")
         .join(exact.select("vec_id"), "vec_id")
-        .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10"))
+        .agg((F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"))
     )
     return (
         ivf.crossJoin(F.broadcast(recall))
-        .where(F.col("recall_at_10") >= 0.3)
         .select("vec_id", "cosine", F.round("recall_at_10", 2).alias("recall_at_10"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
     )
@@ -5067,9 +5086,12 @@ ALL_QUERIES = {
     "m4_feature_importances": m4_feature_importances,
     "m5_cross_val": m5_cross_val,
     "m12_single_row_inference": m12_single_row_inference,
-    # -- rows-only, bench-exercised every round (weakest marginal gate value)
+    # -- rows-only, bench-exercised every round (weakest marginal gate
+    # value; xxhash64 headliners whose full logic the md5 twins replay)
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
+    # -- oracle-backed (ss_ivf_topk graduated r12: engine-exact
+    # integer-grid Lloyd's twin; ann/cosine graduated r11)
     "ss_ann_topk": ss_ann_topk,
     "ss_ivf_topk": ss_ivf_topk,
     "ss_cosine_pairs": ss_cosine_pairs,

@@ -298,3 +298,38 @@ def test_dim_min_max_guards_width_and_all_null_dims(spark):
     )
     mn, mx = SS.dim_min_max(nulls, "embedding", dim=2)
     assert mn == [1.0, 0.0] and mx == [2.0, 0.0]
+
+
+def test_r12_build_ivf_index_exact_means_and_empty_clusters(spark):
+    """The engine-exact IVF twin (ss_ivf_topk's graduated quantizer) must
+    produce exact-quotient centroids (integer grid sums / counts) and keep
+    a previous centroid when a cluster empties, mirroring the DuckDB
+    oracle's coalesce rule. Two tight blobs converge to their exact means;
+    an all-identical corpus ties every point into cluster 0 (lowest-index
+    tie-break) and leaves cluster 1 on its init centroid."""
+    from ml_data_pipeline_spark.operators import similarity as SS
+
+    blob = [
+        (0, [0.1, 0.2]), (1, [0.11, 0.21]), (2, [0.12, 0.19]),
+        (3, [-0.3, -0.4]), (4, [-0.31, -0.41]), (5, [-0.29, -0.39]),
+    ]
+    df = spark.createDataFrame(blob, "vec_id long, embedding array<float>")
+    assigned, cents = SS.build_ivf_index_exact(df, n_clusters=2, iters=3, grid=1000)
+    rows = {r["vec_id"]: r["ivf_cluster"] for r in assigned.collect()}
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[3] == rows[4] == rows[5]
+    assert rows[0] != rows[3]
+    # exact quotients of the quantized (floor(x*1000)) blob members
+    import math
+
+    q = {i: [math.floor(float(spark.createDataFrame([(v,)], "v float").head()[0]) * 1000) for v in vec] for i, vec in blob}
+    for cluster, members in ((rows[0], [0, 1, 2]), (rows[3], [3, 4, 5])):
+        want = [sum(q[m][d] for m in members) / 3 for d in range(2)]
+        assert cents[cluster] == want
+
+    same = spark.createDataFrame(
+        [(i, [0.25, -0.125]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    assigned2, cents2 = SS.build_ivf_index_exact(same, n_clusters=2, iters=2, grid=1000)
+    assert {r["ivf_cluster"] for r in assigned2.collect()} == {0}
+    assert cents2[1] == [250.0, -125.0]  # empty cluster kept its init centroid

@@ -76,6 +76,11 @@ PROBES = [
     "i9_impute_by_model",
     "b1_smote_counts",
     "i5_impute_knn",
+    # r11 verdict item 6: the remaining heavy ML family — hot-deck on the
+    # adaptive path (its sf0.1 wall was measured but no 10x ratio existed)
+    # and one CV gate so the fold machinery has a 10x data point
+    "i7_hot_deck",
+    "m5_cross_val",
 ]
 
 

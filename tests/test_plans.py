@@ -277,20 +277,20 @@ def test_r8_sink_ml_gates_registered():
         assert g in ALL_ORACLES, g
 
 
-def test_r11_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R11_PRIORITY (the 18
-    r11-modified gates first — the two oracle graduations plus the
-    adaptive-LSH kNN family — then the 22 remaining r2-stale names, then
-    the 10 oldest r3 rows); the graduated gates are oracle-backed and
-    lead the window."""
+def test_r12_gates_registered_and_windowed():
+    """The first-50 driver window is exactly _R12_PRIORITY (the 7
+    r12-modified gates first — the b8/b9 survival contracts, the
+    graduated ss_ivf_topk, the two plan collapses, the two md5 twins —
+    then strictly oldest-driver-row-first); the three r12 graduations
+    are oracle-backed and lead the window."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
-    from ml_data_pipeline_spark.queries import _R11_PRIORITY
+    from ml_data_pipeline_spark.queries import _R12_PRIORITY
 
     window = list(Q.ALL_QUERIES)[:50]
-    assert window == _R11_PRIORITY
-    for g in ("m12_single_row_inference", "ss_cosine_pairs"):
+    assert window == _R12_PRIORITY
+    for g in ("b8_smote_tomek", "b9_smote_enn", "ss_ivf_topk"):
         assert g in ALL_ORACLES, g
-        assert g in window[:2], g
+        assert g in window[:3], g
 
 
 @pytest.mark.parametrize(

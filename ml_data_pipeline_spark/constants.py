@@ -14,7 +14,7 @@ environment with no Spark install (a lightweight DuckDB-only checker).
 # empirically). Spelling the class out is a semantic NO-OP on the Spark
 # side and makes the oracle treat \x0b as a splitter, matching Spark on
 # any corpus. Both engines parse the same escape text, so one constant
-# serves both (tests/test_text.py pins the \x0b parity).
+# serves both (tests/test_cleaning.py pins the \x0b parity).
 WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
 WS_PLUS = WS_CLASS + "+"
 

@@ -350,15 +350,25 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_vector: list[float] | None = None,
 ) -> DataFrame:
     """ANN top-k over an IVF index: probe the nprobe cells whose centroids
     are closest to the query (driver-side — centroids are tiny), exact
-    cosine on the survivors. Candidates ≈ nprobe/n_clusters of the corpus."""
+    cosine on the survivors. Candidates ≈ nprobe/n_clusters of the corpus.
+
+    ``probe_vector`` selects the cells when the centroids live in a
+    different space than the scoring vector — the exact-twin gate probes
+    with the QUANTIZED query against build_ivf_index_exact's grid-unit
+    centroids while cosine-scoring the original floats. Probe arithmetic
+    is oracle-replayable by construction: explicit multiplies (never
+    ``**``, whose libm rounding is not pinned), a left-to-right fold,
+    and a (distance, cluster-index) tie-break."""
+    pv = probe_vector if probe_vector is not None else query_vector
     dists = [
-        (ci, sum((q - c) ** 2 for q, c in zip(query_vector, cent)))
+        (ci, sum((q - c) * (q - c) for q, c in zip(pv, cent)))
         for ci, cent in enumerate(centroids)
     ]
-    probe = [ci for ci, _ in sorted(dists, key=lambda x: x[1])[:nprobe]]
+    probe = [ci for ci, _ in sorted(dists, key=lambda x: (x[1], x[0]))[:nprobe]]
     sim = cosine_to_query(assigned, query_vector, vec_col)
     return (
         assigned.where(F.col("ivf_cluster").isin(probe))

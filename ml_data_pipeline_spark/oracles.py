@@ -26,9 +26,9 @@ ss_ann_topk followed in the same r11 pass (bit_count(xor) probe set +
 the recall@10 floor re-derived verbatim in SQL), m5_cross_val (md5-hash
 folds + per-fold closed-form OLS R2), m3 (the full metric suite incl.
 the 10k-bin Mann-Whitney OVR-AUC over a deterministic nearest-anchor
-scorer) and m4 (|standardized OLS coefficient| importances). The
-rows-only set is the genuinely seeded/hash-specific core of 6: i8,
-minhash, simhash, b8, b9, ss_ivf_topk.
+scorer) and m4 (|standardized OLS coefficient| importances). After the
+r12 graduations above, the rows-only set is the genuinely seeded /
+hash-specific core of 3: i8, minhash, simhash.
 """
 
 from __future__ import annotations
@@ -888,11 +888,13 @@ ALL_ORACLES: dict[str, str] = {
     # class keeps >= frac of the majority count and never exceeds it.
     # The engine emits the booleans; the oracle is the all-TRUE table.
     "b8_smote_tomek": """
-        SELECT c_mktsegment, TRUE AS above_floor, TRUE AS within_majority
+        SELECT c_mktsegment, TRUE AS above_floor, TRUE AS within_majority,
+               TRUE AS no_new_classes
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "b9_smote_enn": """
-        SELECT c_mktsegment, TRUE AS above_floor, TRUE AS within_majority
+        SELECT c_mktsegment, TRUE AS above_floor, TRUE AS within_majority,
+               TRUE AS no_new_classes
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "t2_trim_equal_counts": """

@@ -1267,24 +1267,34 @@ def _cleaning_contract(base: DataFrame, counts: DataFrame, frac: float) -> DataF
       measured behavior on this corpus, see the gate docstrings);
     - within_majority: the class never exceeds the majority count
       (post-SMOTE every class sits exactly at the majority; Tomek/ENN
-      only REMOVE rows).
+      only REMOVE rows);
+    - no_new_classes: the post-cleaning label set introduces nothing
+      outside the pre-balance set (SMOTE synthesizes within classes and
+      cleaning only removes — a label-corruption bug invents one). The
+      old rows-only floor's `__k == 5` cardinality check caught this
+      direction too; the LEFT join alone would not (r12 review).
 
     Emitted as per-class booleans LEFT-joined from the deterministic
-    pre-balance class list, so a wiped-out class reads (FALSE, TRUE) —
-    a hash mismatch against the all-TRUE oracle — instead of silently
+    pre-balance class list, so a wiped-out class reads (FALSE, TRUE, ...)
+    — a hash mismatch against the all-TRUE oracle — instead of silently
     dropping a row. Replaces the r3 rows-only filter-to-empty floor
     (same invariants, but the driver can now hash-check them)."""
     orig = base.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("__cnt"))
     mx = orig.agg(F.max("__cnt").alias("__mx"))
+    extra = counts.join(orig.select("c_mktsegment"), "c_mktsegment", "left_anti").agg(
+        F.count(F.lit(1)).alias("__extra")
+    )
     n = F.coalesce(F.col("n"), F.lit(0))
     return (
         orig.select("c_mktsegment")
         .join(counts, "c_mktsegment", "left")
         .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(extra))
         .select(
             "c_mktsegment",
             (n >= frac * F.col("__mx")).alias("above_floor"),
             (n <= F.col("__mx")).alias("within_majority"),
+            (F.col("__extra") == 0).alias("no_new_classes"),
         )
         .orderBy("c_mktsegment")
     )
@@ -2153,24 +2163,14 @@ def ss_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     q = _query_vector(spark, sf)
     assigned, cents = SS.build_ivf_index_exact(emb, n_clusters=16, iters=3, grid=1000)
-    # probe selection in GRID units, python floats == exact IEEE doubles:
-    # same left-to-right fold and (dist, cluster) tie-break as the oracle
+    # probe in GRID units (python floats == exact IEEE doubles; ivf_topk's
+    # probe arithmetic is oracle-replayable by construction), score on the
+    # original floats. Checkpoint the k-row IVF result: recall join +
+    # output both branch from it (plan_audit: embeddings x3 untruncated)
     qq = [float(math.floor(v * 1000)) for v in q]
-    dq = [
-        (j, sum((qq[i] - c[i]) * (qq[i] - c[i]) for i in range(len(c))))
-        for j, c in enumerate(cents)
-    ]
-    probe = [j for j, _ in sorted(dq, key=lambda t: (t[1], t[0]))[:4]]
-    sim = SS.cosine_to_query(assigned, q)
-    # checkpoint the k-row IVF result: recall join + output both branch
-    # from it (plan_audit: embeddings x3 untruncated)
-    ivf = (
-        assigned.where(F.col("ivf_cluster").isin(probe))
-        .select("vec_id", F.round(sim, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
-        .localCheckpoint()
-    )
+    ivf = SS.ivf_topk(
+        assigned, cents, q, k=10, nprobe=4, probe_vector=qq
+    ).localCheckpoint()
     exact = SS.brute_force_topk(emb, q, k=10)
     recall = (
         ivf.select("vec_id")

@@ -319,10 +319,17 @@ def test_r12_build_ivf_index_exact_means_and_empty_clusters(spark):
     assert rows[0] == rows[1] == rows[2]
     assert rows[3] == rows[4] == rows[5]
     assert rows[0] != rows[3]
-    # exact quotients of the quantized (floor(x*1000)) blob members
+    # exact quotients of the quantized (floor(x*1000)) blob members;
+    # float32 round-trip via struct, matching the parquet/createDataFrame
+    # FLOAT storage (r12 review: one-row Spark jobs per value were pure
+    # overhead for the identical coercion)
     import math
+    import struct
 
-    q = {i: [math.floor(float(spark.createDataFrame([(v,)], "v float").head()[0]) * 1000) for v in vec] for i, vec in blob}
+    def f32(v: float) -> float:
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    q = {i: [math.floor(f32(v) * 1000) for v in vec] for i, vec in blob}
     for cluster, members in ((rows[0], [0, 1, 2]), (rows[3], [3, 4, 5])):
         want = [sum(q[m][d] for m in members) / 3 for d in range(2)]
         assert cents[cluster] == want

@@ -106,16 +106,53 @@ def impute_interpolate(df: DataFrame, column: str, order_column: str | list[str]
     filled = F.when(c.isNotNull(), c).otherwise(F.coalesce(interp, prev_v, next_v))
     return df2.withColumn(column, filled).drop("__pos")
 
+_TWO_PI = 6.283185307179586  # shared literal with the DuckDB EM oracle
+
+
+def _hash_normal(key, i: int):
+    """Deterministic standard-normal draw from a row key and an iteration
+    index: two md5-derived uniforms (the proven E8/hash_bucket 60-bit
+    recipe — (h + 0.5) / 2^60 lies strictly inside (0,1), so ln() is
+    always defined) through Box-Muller. Partition-INDEPENDENT, so the
+    draw is identical on any cluster layout AND replayable by a SQL
+    oracle (ln/cos agree between the JVM and libm within 1 ulp, absorbed
+    by the gates' 6-decimal rounding; pinned by the i8 gate at three
+    scales). The 2π literal is written out so both engines parse the
+    same double."""
+
+    def u(tag: str):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", key, F.lit(f"{i}|{tag}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return (h.cast("double") + 0.5) / float(1 << 60)
+
+    return F.sqrt(-2.0 * F.log(u("a"))) * F.cos(F.lit(_TWO_PI) * u("b"))
+
+
 def impute_em_normal(
-    df: DataFrame, column: str, tol: float = 1e-5, max_iter: int = 100, seed: int = 42
+    df: DataFrame,
+    column: str,
+    tol: float = 1e-5,
+    max_iter: int = 100,
+    seed: int = 42,
+    rng: str = "randn",
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """I8 — EM under a normal model: fill missing with N(mu, sigma) draws,
     re-estimate mu/sigma, iterate to |Δmu| < tol
     (ref dataset_processing_check_nan_logic.py:229-260).
 
     Driver loop of (aggregate, project) pairs — each iteration one scan, no
-    data collected. Draws are seeded F.randn(seed+iter): deterministic at
-    fixed partitioning (documented determinism model, SURVEY §4).
+    data collected. Draws (default rng='randn') are seeded
+    F.randn(seed+iter): deterministic at fixed partitioning (documented
+    determinism model, SURVEY §4). rng='hash' draws instead via Box-Muller
+    over md5 uniforms of ``key_cols`` + the iteration index (_hash_normal)
+    — partition-independent AND SQL-replayable; the i8 gate uses it so the
+    full EM trajectory is DuckDB-oracle-checked (r12 graduation), and at
+    100 TB it is also the stronger reproducibility story (a repartition
+    cannot change the fills).
 
     The input is persisted for the loop: every iteration's aggregate and
     the returned projection read the SAME materialization instead of
@@ -128,6 +165,22 @@ def impute_em_normal(
     release_tracked() once results are materialized (ADVICE r8).
     """
     from ml_data_pipeline_spark.cache import tracked_persist
+
+    if rng == "hash":
+        if not key_cols:
+            raise ValueError("impute_em_normal: rng='hash' requires key_cols")
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+
+        def draw(i: int):
+            return _hash_normal(key, i)
+
+    elif rng == "randn":
+
+        def draw(i: int):
+            return F.randn(seed + i)
+
+    else:
+        raise ValueError(f"impute_em_normal: unknown rng {rng!r}")
 
     df = tracked_persist(df)
     stats = df.agg(
@@ -144,7 +197,7 @@ def impute_em_normal(
         candidate = out.withColumn(
             "__fill",
             F.when(
-                F.col(column).isNull(), F.randn(seed + i) * F.lit(sigma) + F.lit(mu)
+                F.col(column).isNull(), draw(i) * F.lit(sigma) + F.lit(mu)
             ).otherwise(F.col(column)),
         )
         new = candidate.agg(
@@ -158,9 +211,9 @@ def impute_em_normal(
         mu, sigma = new_mu, new_sigma
     final = out.withColumn(
         column,
-        F.when(F.col(column).isNull(), F.randn(seed + max_iter) * F.lit(sigma) + F.lit(mu)).otherwise(
-            F.col(column)
-        ),
+        F.when(
+            F.col(column).isNull(), draw(max_iter) * F.lit(sigma) + F.lit(mu)
+        ).otherwise(F.col(column)),
     )
     return final
 

@@ -27,8 +27,10 @@ the recall@10 floor re-derived verbatim in SQL), m5_cross_val (md5-hash
 folds + per-fold closed-form OLS R2), m3 (the full metric suite incl.
 the 10k-bin Mann-Whitney OVR-AUC over a deterministic nearest-anchor
 scorer) and m4 (|standardized OLS coefficient| importances). After the
-r12 graduations above, the rows-only set is the genuinely seeded /
-hash-specific core of 3: i8, minhash, simhash.
+r12 graduations (b8/b9, ss_ivf_topk, and late-round i8 via the hash-RNG
+Box-Muller EM twin, _em_oracle_sql), the rows-only set is exactly the
+two xxhash64 hash-function carve-outs: minhash and simhash — whose full
+pipeline logic the md5 twins replay.
 """
 
 from __future__ import annotations
@@ -5681,6 +5683,68 @@ def _ivf_oracle_sql(
 
 
 ALL_ORACLES["ss_ivf_topk"] = _ivf_oracle_sql()
+
+
+def _em_oracle_sql(iters: int = 3) -> str:
+    """Unrolled EM-normal imputation mirroring impute_em_normal(rng='hash',
+    tol=0.0, max_iter=iters) and the i8 gate (r12 graduation): init
+    (mu, sd) from the observed data, then per iteration refill-from-
+    SCRATCH (the Spark loop derives each candidate from the ORIGINAL
+    frame, not the previous fill) and re-estimate, then the final fill at
+    iteration index `iters`. Draws are Box-Muller over the shared md5
+    60-bit uniforms — (h + 0.5)/2^60 is strictly inside (0,1) — keyed by
+    (row key, iteration, tag), exactly _hash_normal. MATERIALIZED is
+    load-bearing: each s{i} scalar is referenced by the next stage."""
+    two_pi = 6.283185307179586
+    grid = float(1 << 60)
+
+    def u(tag: str, i: int) -> str:
+        return (
+            "((('0x' || substr(md5(k || '|" + f"{i}|{tag}" + "'), 1, 15))::BIGINT"
+            f" + 0.5) / {grid!r})"
+        )
+
+    def z(i: int) -> str:
+        return f"sqrt(-2.0 * ln({u('a', i)})) * cos({two_pi!r} * {u('b', i)})"
+
+    ctes = [
+        """base AS MATERIALIZED (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                   concat_ws('|', l_orderkey, l_linenumber,
+                             CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS k,
+                   CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_quantity END AS q
+            FROM lineitem
+        )""",
+        "s0 AS MATERIALIZED (SELECT avg(q) AS mu,"
+        " coalesce(stddev(q), 0.0) AS sd FROM base)",
+    ]
+    prev = "s0"
+    for i in range(iters):
+        ctes.append(
+            f"""f{i} AS MATERIALIZED (
+            SELECT coalesce(q, s.mu + s.sd * ({z(i)})) AS fq
+            FROM base, {prev} s
+        )"""
+        )
+        ctes.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT avg(fq) AS mu,"
+            f" coalesce(stddev(fq), 0.0) AS sd FROM f{i})"
+        )
+        prev = f"s{i + 1}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT l_orderkey, l_linenumber, cents,
+               round(coalesce(q, s.mu + s.sd * ({z(iters)})), 6) AS filled_qty
+        FROM base, {prev} s
+        ORDER BY l_orderkey, l_linenumber, cents"""
+    )
+
+
+ALL_ORACLES["i8_impute_em"] = _em_oracle_sql()
+
 
 
 

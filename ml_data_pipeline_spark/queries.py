@@ -1013,37 +1013,39 @@ def i6_impute_mice(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def i8_impute_em(spark: SparkSession, sf: str) -> DataFrame:
-    """rows-only (seeded normal draws), but with an IN-QUERY quality
-    contract (r3): the output is filtered on distribution-preservation
-    invariants — zero nulls remain, and the filled column's mean sits
-    within 5 sigma/sqrt(n_filled) of the observed-data mean (EM draws
-    from N(mu, sigma), so a broken estimator shifts the mean and the
-    query collapses to 0 rows, tripping the driver's row-count check)."""
-    base = _li_nulls(spark, sf)
-    obs = base.agg(
-        F.avg("l_quantity").alias("__mu"),
-        F.stddev_samp("l_quantity").alias("__sd"),
-        F.sum(F.col("l_quantity").isNull().cast("long")).alias("__n_miss"),
+    """GRADUATED r12 from rows-only to full hash parity: the gate runs
+    the REAL EM loop (init stats from the observed data, per-iteration
+    refill + re-estimate, final fill) with rng='hash' — Box-Muller draws
+    over md5 uniforms of the row key and the iteration index
+    (imputation._hash_normal; ln/cos agree between the JVM and libm
+    within the gates' 6dp rounding, smoke-pinned over 8000 draws) — so
+    the entire 3-iteration EM trajectory is replayed by the DuckDB
+    oracle (_em_oracle_sql): four successive (mu, sigma) scalar pairs
+    and every per-row fill. tol=0.0 pins EXACTLY max_iter iterations (a
+    data-dependent early stop could flip on last-ulp aggregate noise
+    between engines). The seeded-randn production default keeps its unit
+    coverage (tests/test_operators.py). Replaces the r3 rows-only
+    5-sigma mean floor — exact per-row parity is strictly stronger."""
+    base = _li_nulls(spark, sf).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        "l_quantity",
     )
-    out = I.impute_em_normal(base, "l_quantity", max_iter=3)
-    check = out.agg(
-        F.avg("l_quantity").alias("__fmu"),
-        F.sum(F.col("l_quantity").isNull().cast("long")).alias("__nulls"),
+    out = I.impute_em_normal(
+        base,
+        "l_quantity",
+        tol=0.0,
+        max_iter=3,
+        rng="hash",
+        key_cols=["l_orderkey", "l_linenumber", "cents"],
     )
-    ok = (
-        (F.col("__nulls") == 0)
-        & (
-            F.abs(F.col("__fmu") - F.col("__mu"))
-            <= 5 * F.col("__sd") / F.sqrt(F.col("__n_miss"))
-        )
-    )
-    return (
-        out.select("l_orderkey", "l_linenumber", "l_quantity")
-        .crossJoin(F.broadcast(check))
-        .crossJoin(F.broadcast(obs))
-        .where(ok)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        F.round("l_quantity", 6).alias("filled_qty"),
+    ).orderBy("l_orderkey", "l_linenumber", "cents")
 
 # ---------------------------------------------------------------- sampling (T*)
 
@@ -5079,7 +5081,7 @@ ALL_QUERIES = {
     # -- oracle-backed survival contracts since r12 (VERDICT r11 item 1)
     "b8_smote_tomek": b8_smote_tomek,
     "b9_smote_enn": b9_smote_enn,
-    # -- rows-only, driver-unverified in r1
+    # -- oracle-backed since r12 (hash-RNG Box-Muller EM twin)
     "i8_impute_em": i8_impute_em,
     "tx_fingerprint": tx_fingerprint,
     "m3_eval_classification": m3_eval_classification,
@@ -7137,10 +7139,12 @@ ALL_QUERIES = {
 # output-identical by the full r12 sweeps (the corpus has no \x0b), so
 # they rotate on staleness like any unmodified gate (see COVERAGE.md).
 _R12_PRIORITY = [
-    # -- round-12-modified gates
+    # -- round-12-modified gates (i8 graduated late-round: hash-RNG
+    # Box-Muller EM twin — see i8_impute_em)
     "b8_smote_tomek",
     "b9_smote_enn",
     "ss_ivf_topk",
+    "i8_impute_em",
     "q_rfm_segments",
     "m25_ndcg",
     "dd_minhash_md5",
@@ -7189,7 +7193,6 @@ _R12_PRIORITY = [
     "q_funnel",
     "q_cohort_retention",
     "p20_expectations",
-    "s15_incremental_rollup",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R12_PRIORITY) == 50 and len(set(_R12_PRIORITY)) == 50
@@ -7199,8 +7202,9 @@ ALL_QUERIES = {
 }
 
 # ---- ROUND-13 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r12 lands, the stalest rows are the 4 r3 rows the r12
-# window could not fit (q_fuzzy_pairs, q_event_transitions,
+# CORRECTNESS_r12 lands, the stalest rows are the 5 r3 rows the r12
+# window could not fit (s15_incremental_rollup — displaced by the
+# late-round i8 graduation — q_fuzzy_pairs, q_event_transitions,
 # q_seasonal_anomaly, ss_label_centroids), then the r4 block
 # (q12_priority_by_status, m17_calibration, p22_chi2_mi, e19_winsorize,
 # q10_returned_revenue, q_bm25, e20_robust_scale, m20_group_ttest,

@@ -1162,6 +1162,22 @@ ALL_ORACLES: dict[str, str] = {
                 % 10000) < 1000 AS is_test
         FROM orders ORDER BY o_orderkey
     """,
+    # t10 (new r12): near-dup-aware split — the component representative
+    # comes from the shared recursive reachability CTE (the dd_components
+    # oracle), singletons are their own representative, and membership is
+    # the t8 md5-bucket rule applied to the representative.
+    "t10_leakage_safe_split": f"""
+        WITH RECURSIVE {_NGRAM_PAIRS},
+        sel AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS rep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, rep,
+               (CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 10000) < 2000 AS is_test
+        FROM sel ORDER BY doc_id
+    """,
     "p15_numeric_summary": """
         SELECT 'l_quantity' AS "column",
                round(CAST(min(l_quantity) AS DOUBLE), 6) AS minv,

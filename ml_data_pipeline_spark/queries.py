@@ -1115,6 +1115,22 @@ def t8_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").select("o_orderkey")
     return SA.split_by_hash(orders, "o_orderkey", test_frac=0.1).orderBy("o_orderkey")
 
+def t10_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """NEW r12 — near-duplicate-aware train/test split: membership is the
+    md5 bucket of each document's near-dup COMPONENT representative (min
+    id over the exact n-gram-Jaccard pair graph, the dd_components
+    machinery), so a test document's near-copy can never leak into train.
+    Fully deterministic: the oracle recomputes the components via the
+    shared WITH RECURSIVE reachability CTE and replays the identical
+    hash_bucket membership rule — no straddling is possible BY
+    CONSTRUCTION on both sides, and the hash compare pins it."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    out = SA.leakage_safe_split(
+        docs.select("doc_id"), pairs, "doc_id", test_frac=0.2, rep_col="rep"
+    )
+    return out.select("doc_id", "rep", "is_test").orderBy("doc_id")
+
 def p15_numeric_summary(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass five-number summary + mean/std for three lineitem measures,
     exact percentiles (gate scale only — the operator defaults to the
@@ -5051,6 +5067,8 @@ ALL_QUERIES = {
     "s_jsonl_roundtrip": s_jsonl_roundtrip,
     "s_orc_roundtrip": s_orc_roundtrip,
     "t8_hash_split": t8_hash_split,
+    # new r12: near-dup-aware split (component-representative md5 bucket)
+    "t10_leakage_safe_split": t10_leakage_safe_split,
     "p15_numeric_summary": p15_numeric_summary,
     "ss_quantize_int8": ss_quantize_int8,
     "q_window_suite": q_window_suite,
@@ -7145,6 +7163,7 @@ _R12_PRIORITY = [
     "b9_smote_enn",
     "ss_ivf_topk",
     "i8_impute_em",
+    "t10_leakage_safe_split",
     "q_rfm_segments",
     "m25_ndcg",
     "dd_minhash_md5",
@@ -7192,7 +7211,6 @@ _R12_PRIORITY = [
     "m16_lift_table",
     "q_funnel",
     "q_cohort_retention",
-    "p20_expectations",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R12_PRIORITY) == 50 and len(set(_R12_PRIORITY)) == 50
@@ -7202,10 +7220,11 @@ ALL_QUERIES = {
 }
 
 # ---- ROUND-13 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r12 lands, the stalest rows are the 5 r3 rows the r12
-# window could not fit (s15_incremental_rollup — displaced by the
-# late-round i8 graduation — q_fuzzy_pairs, q_event_transitions,
-# q_seasonal_anomaly, ss_label_centroids), then the r4 block
+# CORRECTNESS_r12 lands, the stalest rows are the 6 r3 rows the r12
+# window could not fit (p20_expectations and s15_incremental_rollup —
+# displaced by the late-round i8 graduation and the new t10 gate —
+# q_fuzzy_pairs, q_event_transitions, q_seasonal_anomaly,
+# ss_label_centroids), then the r4 block
 # (q12_priority_by_status, m17_calibration, p22_chi2_mi, e19_winsorize,
 # q10_returned_revenue, q_bm25, e20_robust_scale, m20_group_ttest,
 # q_interval_join, f9_align_columns, p25_approx_distinct_quality, q_ewma,

@@ -96,6 +96,20 @@ def connected_components(
     the bound is hit without convergence rather than returning a partially
     contracted graph.
     """
+    # LOUD type guard (r12 review): the 'ids must be integral' contract was
+    # docstring-only — string/UUID ids cast(long) to NULL, every edge is
+    # filtered, and downstream callers (cluster_safe_split, keep_canonical)
+    # silently degrade to no-op/all-singleton behavior instead of failing.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for c in (src, dst):
+        t = pairs.schema[c].dataType
+        if not isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"connected_components: pair column {c!r} has type "
+                f"{t.simpleString()} — ids must be integral (hash or "
+                "dense-rank non-integral ids to longs first)"
+            )
     edges = (
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))

@@ -112,13 +112,18 @@ _TWO_PI = 6.283185307179586  # shared literal with the DuckDB EM oracle
 def _hash_normal(key, i: int):
     """Deterministic standard-normal draw from a row key and an iteration
     index: two md5-derived uniforms (the proven E8/hash_bucket 60-bit
-    recipe — (h + 0.5) / 2^60 lies strictly inside (0,1), so ln() is
-    always defined) through Box-Muller. Partition-INDEPENDENT, so the
-    draw is identical on any cluster layout AND replayable by a SQL
-    oracle (ln/cos agree between the JVM and libm within 1 ulp, absorbed
-    by the gates' 6-decimal rounding; pinned by the i8 gate at three
-    scales). The 2π literal is written out so both engines parse the
-    same double."""
+    recipe) through Box-Muller. The uniform (h + 0.5) / 2^60 lies in
+    (0, 1] AFTER double rounding — h within 128 of 2^60 rounds UP to
+    2^60 exactly (the ulp there is 256), giving u = 1.0; that edge is
+    still safe and parity-exact: ln(1) = 0 so z = 0, identically in both
+    engines (r12 review — the first docstring claimed strictly-inside,
+    which is false at the top end; do NOT build a u<1-dependent variant
+    like log1p/inverse-CDF on this recipe without re-deriving the edge).
+    Partition-INDEPENDENT, so the draw is identical on any cluster
+    layout AND replayable by a SQL oracle (ln/cos agree between the JVM
+    and libm within ~1 ulp, absorbed by the i8 gate's integer centi-grid
+    output; pinned at three scales). The 2π literal is written out so
+    both engines parse the same double."""
 
     def u(tag: str):
         h = F.conv(
@@ -150,9 +155,12 @@ def impute_em_normal(
     determinism model, SURVEY §4). rng='hash' draws instead via Box-Muller
     over md5 uniforms of ``key_cols`` + the iteration index (_hash_normal)
     — partition-independent AND SQL-replayable; the i8 gate uses it so the
-    full EM trajectory is DuckDB-oracle-checked (r12 graduation), and at
-    100 TB it is also the stronger reproducibility story (a repartition
-    cannot change the fills).
+    full EM trajectory is DuckDB-oracle-checked (r12 graduation). At
+    100 TB it is also the stronger reproducibility story: the DRAWS are
+    a pure function of (key, iteration), so a repartition cannot change
+    them — the mu/sigma scalars remain float aggregates (order-sensitive
+    at the last ulp), so the FILLS are stable to ~1e-12 rather than
+    bitwise, which is why the gate compares on an integer centi-grid.
 
     The input is persisted for the loop: every iteration's aggregate and
     the returned projection read the SAME materialization instead of

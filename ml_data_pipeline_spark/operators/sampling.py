@@ -148,53 +148,6 @@ def split_by_hash(
     b = hash_bucket([key_col], buckets, salt)
     return df.withColumn(out_col, b < int(round(test_frac * buckets)))
 
-def leakage_safe_split(
-    df: DataFrame,
-    pairs: DataFrame,
-    id_col: str,
-    test_frac: float = 0.1,
-    buckets: int = 10_000,
-    salt: str = "",
-    src: str = "id_a",
-    dst: str = "id_b",
-    out_col: str = "is_test",
-    rep_col: str | None = None,
-    max_rounds: int = 25,
-) -> DataFrame:
-    """Near-duplicate-aware train/test split: membership is decided by the
-    md5 bucket of the row's near-dup COMPONENT representative (the minimum
-    id in its connected component of ``pairs``), so near-duplicates can
-    never straddle the boundary. A plain row-hash split leaks evaluations
-    — a test document's near-copy lands in train (the dedup/eval-leakage
-    effect documented in Lee et al. 2022, "Deduplicating Training Data
-    Makes Language Models Better"; public literature); splitting by the
-    component closes that hole while keeping split_by_hash's properties
-    (seed-free, stable under re-ingestion and corpus growth).
-
-    Deterministic and engine-replayable end to end: components come from
-    the large-star/small-star min-label contraction (connected_components
-    — O(log n) rounds over id-only frames), rows absent from ``pairs``
-    are their own representative, and membership is the shared
-    hash_bucket md5 rule. At 100 TB the pair frame is near-dup-sparse and
-    the final LEFT join is the only touch of the full-width payload.
-    ``rep_col`` optionally emits the representative for group-aware
-    downstream use."""
-    from ml_data_pipeline_spark.operators.components import connected_components
-
-    cc = connected_components(pairs, src, dst, max_rounds).select(
-        F.col("id").alias("__cc_id"), F.col("component").alias("__cc_rep")
-    )
-    rep = F.coalesce(F.col("__cc_rep"), F.col(id_col).cast("long"))
-    out = (
-        df.join(cc, F.col(id_col) == F.col("__cc_id"), "left")
-        .withColumn("__rep", rep)
-        .withColumn(out_col, hash_bucket([F.col("__rep")], buckets, salt)
-                    < int(round(test_frac * buckets)))
-    )
-    if rep_col:
-        out = out.withColumn(rep_col, F.col("__rep"))
-    return out.drop("__cc_id", "__cc_rep", "__rep")
-
 def stratified_sample_by_hash(
     df: DataFrame,
     strata_col: str,

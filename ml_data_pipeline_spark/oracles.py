@@ -1162,22 +1162,6 @@ ALL_ORACLES: dict[str, str] = {
                 % 10000) < 1000 AS is_test
         FROM orders ORDER BY o_orderkey
     """,
-    # t10 (new r12): near-dup-aware split — the component representative
-    # comes from the shared recursive reachability CTE (the dd_components
-    # oracle), singletons are their own representative, and membership is
-    # the t8 md5-bucket rule applied to the representative.
-    "t10_leakage_safe_split": f"""
-        WITH RECURSIVE {_NGRAM_PAIRS},
-        sel AS (
-            SELECT d.doc_id,
-                   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS rep
-            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-        )
-        SELECT doc_id, rep,
-               (CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT)
-                % 10000) < 2000 AS is_test
-        FROM sel ORDER BY doc_id
-    """,
     "p15_numeric_summary": """
         SELECT 'l_quantity' AS "column",
                round(CAST(min(l_quantity) AS DOUBLE), 6) AS minv,
@@ -5724,11 +5708,12 @@ def _em_oracle_sql(iters: int = 3) -> str:
         return f"sqrt(-2.0 * ln({u('a', i)})) * cos({two_pi!r} * {u('b', i)})"
 
     ctes = [
+        # key = plain (orderkey, linenumber): duplicates draw identical z
+        # in both engines (multiset compare), and no float-rounded column
+        # enters the hash key (r12 review)
         """base AS MATERIALIZED (
             SELECT l_orderkey, l_linenumber,
-                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
-                   concat_ws('|', l_orderkey, l_linenumber,
-                             CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS k,
+                   concat_ws('|', l_orderkey, l_linenumber) AS k,
                    CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_quantity END AS q
             FROM lineitem
         )""",
@@ -5748,14 +5733,19 @@ def _em_oracle_sql(iters: int = 3) -> str:
             f" coalesce(stddev(fq), 0.0) AS sd FROM f{i})"
         )
         prev = f"s{i + 1}"
+    # floor to the integer centi-grid, never round(x, 6): the fills end an
+    # iterative float trajectory and agree only to ~1e-12 across engines —
+    # floor at 1e-2 spacing flips with probability ~1e-10 per row and is
+    # the same function in both engines (r12 review)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-        SELECT l_orderkey, l_linenumber, cents,
-               round(coalesce(q, s.mu + s.sd * ({z(iters)})), 6) AS filled_qty
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(coalesce(q, s.mu + s.sd * ({z(iters)})) * 100) AS BIGINT)
+                   AS filled_q_c
         FROM base, {prev} s
-        ORDER BY l_orderkey, l_linenumber, cents"""
+        ORDER BY l_orderkey, l_linenumber, filled_q_c"""
     )
 
 

@@ -1018,34 +1018,40 @@ def i8_impute_em(spark: SparkSession, sf: str) -> DataFrame:
     refill + re-estimate, final fill) with rng='hash' — Box-Muller draws
     over md5 uniforms of the row key and the iteration index
     (imputation._hash_normal; ln/cos agree between the JVM and libm
-    within the gates' 6dp rounding, smoke-pinned over 8000 draws) — so
+    within the gate's output grid, smoke-pinned over 8000 draws) — so
     the entire 3-iteration EM trajectory is replayed by the DuckDB
     oracle (_em_oracle_sql): four successive (mu, sigma) scalar pairs
     and every per-row fill. tol=0.0 pins EXACTLY max_iter iterations (a
     data-dependent early stop could flip on last-ulp aggregate noise
-    between engines). The seeded-randn production default keeps its unit
-    coverage (tests/test_operators.py). Replaces the r3 rows-only
-    5-sigma mean floor — exact per-row parity is strictly stronger."""
-    base = _li_nulls(spark, sf).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
-        "l_quantity",
-    )
+    between engines).
+
+    Grid discipline (r12 review): the fills sit at the end of an
+    ITERATIVE float trajectory whose mu/sigma scalars are float
+    aggregates — order-sensitive at ~1e-16 per iteration, so the two
+    engines' fills agree to ~1e-12, NOT bitwise. The output is therefore
+    floor(fill * 100) — an integer centi-grid (flip probability ~1e-10
+    per row, and floor is the same function in both engines), never
+    round(x, 6) (half-up vs multiply-then-round at a 1e-6 grid is the
+    documented flaky-boundary class). The draw key is the plain
+    (l_orderkey, l_linenumber) pair — NOT unique in this corpus, which
+    is fine: duplicate keys draw identical z in both engines, and the
+    hash compare is a multiset. The seeded-randn production default
+    keeps its unit coverage (tests/test_operators.py). Replaces the r3
+    rows-only 5-sigma mean floor — per-row parity is strictly stronger."""
+    base = _li_nulls(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
     out = I.impute_em_normal(
         base,
         "l_quantity",
         tol=0.0,
         max_iter=3,
         rng="hash",
-        key_cols=["l_orderkey", "l_linenumber", "cents"],
+        key_cols=["l_orderkey", "l_linenumber"],
     )
     return out.select(
         "l_orderkey",
         "l_linenumber",
-        "cents",
-        F.round("l_quantity", 6).alias("filled_qty"),
-    ).orderBy("l_orderkey", "l_linenumber", "cents")
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("filled_q_c"),
+    ).orderBy("l_orderkey", "l_linenumber", "filled_q_c")
 
 # ---------------------------------------------------------------- sampling (T*)
 
@@ -1114,22 +1120,6 @@ def t8_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     assignment, proving examples can never migrate between splits."""
     orders = load_table(spark, sf, "orders").select("o_orderkey")
     return SA.split_by_hash(orders, "o_orderkey", test_frac=0.1).orderBy("o_orderkey")
-
-def t10_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
-    """NEW r12 — near-duplicate-aware train/test split: membership is the
-    md5 bucket of each document's near-dup COMPONENT representative (min
-    id over the exact n-gram-Jaccard pair graph, the dd_components
-    machinery), so a test document's near-copy can never leak into train.
-    Fully deterministic: the oracle recomputes the components via the
-    shared WITH RECURSIVE reachability CTE and replays the identical
-    hash_bucket membership rule — no straddling is possible BY
-    CONSTRUCTION on both sides, and the hash compare pins it."""
-    docs = load_table(spark, sf, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
-    out = SA.leakage_safe_split(
-        docs.select("doc_id"), pairs, "doc_id", test_frac=0.2, rep_col="rep"
-    )
-    return out.select("doc_id", "rep", "is_test").orderBy("doc_id")
 
 def p15_numeric_summary(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass five-number summary + mean/std for three lineitem measures,
@@ -1297,7 +1287,16 @@ def _cleaning_contract(base: DataFrame, counts: DataFrame, frac: float) -> DataF
     — a hash mismatch against the all-TRUE oracle — instead of silently
     dropping a row. Replaces the r3 rows-only filter-to-empty floor
     (same invariants, but the driver can now hash-check them)."""
-    orig = base.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("__cnt"))
+    # localCheckpoint the CLASS-SIZED aggregate (5 rows): the class list,
+    # the majority count and the no-new-classes probe all derive from it,
+    # and without the checkpoint each branch re-derived the groupBy from
+    # the raw source — a third uncached source scan that the r12 plan
+    # audit flagged NEW on b9 after the no_new_classes addition
+    orig = (
+        base.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint()
+    )
     mx = orig.agg(F.max("__cnt").alias("__mx"))
     extra = counts.join(orig.select("c_mktsegment"), "c_mktsegment", "left_anti").agg(
         F.count(F.lit(1)).alias("__extra")
@@ -5067,8 +5066,6 @@ ALL_QUERIES = {
     "s_jsonl_roundtrip": s_jsonl_roundtrip,
     "s_orc_roundtrip": s_orc_roundtrip,
     "t8_hash_split": t8_hash_split,
-    # new r12: near-dup-aware split (component-representative md5 bucket)
-    "t10_leakage_safe_split": t10_leakage_safe_split,
     "p15_numeric_summary": p15_numeric_summary,
     "ss_quantize_int8": ss_quantize_int8,
     "q_window_suite": q_window_suite,
@@ -5101,6 +5098,8 @@ ALL_QUERIES = {
     "b9_smote_enn": b9_smote_enn,
     # -- oracle-backed since r12 (hash-RNG Box-Muller EM twin)
     "i8_impute_em": i8_impute_em,
+    # -- oracle-backed since r10/r11 (earlier graduations; kept in the
+    # original r1 block position)
     "tx_fingerprint": tx_fingerprint,
     "m3_eval_classification": m3_eval_classification,
     "m4_feature_importances": m4_feature_importances,
@@ -7163,7 +7162,6 @@ _R12_PRIORITY = [
     "b9_smote_enn",
     "ss_ivf_topk",
     "i8_impute_em",
-    "t10_leakage_safe_split",
     "q_rfm_segments",
     "m25_ndcg",
     "dd_minhash_md5",
@@ -7211,6 +7209,7 @@ _R12_PRIORITY = [
     "m16_lift_table",
     "q_funnel",
     "q_cohort_retention",
+    "p20_expectations",
     # --- driver window ends here (50 entries above) ---
 ]
 assert len(_R12_PRIORITY) == 50 and len(set(_R12_PRIORITY)) == 50
@@ -7220,11 +7219,10 @@ ALL_QUERIES = {
 }
 
 # ---- ROUND-13 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r12 lands, the stalest rows are the 6 r3 rows the r12
-# window could not fit (p20_expectations and s15_incremental_rollup —
-# displaced by the late-round i8 graduation and the new t10 gate —
-# q_fuzzy_pairs, q_event_transitions, q_seasonal_anomaly,
-# ss_label_centroids), then the r4 block
+# CORRECTNESS_r12 lands, the stalest rows are the 5 r3 rows the r12
+# window could not fit (s15_incremental_rollup — displaced by the
+# late-round i8 graduation — q_fuzzy_pairs, q_event_transitions,
+# q_seasonal_anomaly, ss_label_centroids), then the r4 block
 # (q12_priority_by_status, m17_calibration, p22_chi2_mi, e19_winsorize,
 # q10_returned_revenue, q_bm25, e20_robust_scale, m20_group_ttest,
 # q_interval_join, f9_align_columns, p25_approx_distinct_quality, q_ewma,

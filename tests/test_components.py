@@ -73,3 +73,20 @@ def test_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert CC.connected_components(pairs).count() == 0
     assert CC.keep_canonical(data, pairs, "doc_id").count() == 1
+
+
+def test_r12_non_integral_ids_raise_loudly(spark):
+    """r12 review: string/UUID pair ids used to cast(long) to NULL, filter
+    every edge, and silently no-op every downstream consumer
+    (cluster_safe_split's split degenerates to all-train, keep_canonical
+    keeps everything). The integral-id contract is now a TypeError at the
+    boundary instead of a docstring."""
+    import pytest
+
+    from ml_data_pipeline_spark.operators import components as CC
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    with pytest.raises(TypeError, match="must be integral"):
+        CC.connected_components(pairs)

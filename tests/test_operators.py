@@ -2327,36 +2327,3 @@ def test_r10_profiling_null_semantics(spark):
     got = {r["column"]: r["type_class"] for r in P.classify_column_types(empty).collect()}
     assert set(got) == {"x", "s"}
 
-
-def test_r12_leakage_safe_split_no_straddle_and_singletons(spark):
-    """leakage_safe_split: every near-dup component lands entirely on one
-    side of the split (the eval-leakage hole a row-hash split leaves
-    open), rows absent from the pair graph are their own representative
-    and keep plain split_by_hash membership, and the rep column is the
-    component minimum."""
-    from ml_data_pipeline_spark.operators import sampling as SA
-
-    docs = spark.range(12).select(F.col("id").alias("doc_id"))
-    # components: {0,1,2} (chain), {5,6}, singletons 3,4,7..11
-    pairs = spark.createDataFrame(
-        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
-    )
-    out = SA.leakage_safe_split(
-        docs, pairs, "doc_id", test_frac=0.5, rep_col="rep"
-    ).collect()
-    rows = {r["doc_id"]: r for r in out}
-    assert len(rows) == 12  # left join keeps every row exactly once
-    assert [rows[i]["rep"] for i in (0, 1, 2)] == [0, 0, 0]
-    assert [rows[i]["rep"] for i in (5, 6)] == [5, 5]
-    for i in (3, 4, 7, 8, 9, 10, 11):
-        assert rows[i]["rep"] == i  # singleton = own representative
-    # the no-straddle invariant: same component -> same side
-    assert len({rows[i]["is_test"] for i in (0, 1, 2)}) == 1
-    assert len({rows[i]["is_test"] for i in (5, 6)}) == 1
-    # singleton membership == split_by_hash on the id itself
-    plain = {
-        r["doc_id"]: r["is_test"]
-        for r in SA.split_by_hash(docs, "doc_id", test_frac=0.5).collect()
-    }
-    for i in (3, 4, 7, 8, 9, 10, 11):
-        assert rows[i]["is_test"] == plain[i]

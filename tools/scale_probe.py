@@ -81,9 +81,9 @@ PROBES = [
     # and one CV gate so the fold machinery has a 10x data point
     "i7_hot_deck",
     "m5_cross_val",
-    # new r12 gate: components + hash split over the 10x pair graph (the
-    # O(log n) contraction's 10x data point)
-    "t10_leakage_safe_split",
+    # r12: components + hash split over the 10x pair graph (the O(log n)
+    # contraction's 10x data point)
+    "t14_cluster_safe_split",
 ]
 
 

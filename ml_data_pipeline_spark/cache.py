@@ -46,6 +46,29 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def lazy_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=False)`` — lineage-truncating pin for a
+    SMALL DERIVED frame that downstream plans reference many times
+    (VERDICT r12 item 1: the b-family danger/weight frames).
+
+    Unlike ``tracked_cache``, the returned plan is a bare ``Scan
+    ExistingRDD``: the optimizer stops re-analyzing (and the plan stops
+    re-printing) the frame's full derivation once per reference — the fix
+    that collapsed q_rfm_segments' 16 cached re-derivations in r12.
+    ``eager=False`` so no job runs at operator-build time; the first
+    action materializes the blocks and every later branch reads them.
+
+    Use ONLY on frames that are small relative to the input (class-count/
+    minority/missing-row sized) and cheap to re-run if lost: localCheckpoint
+    severs lineage, so a lost executor makes the blocks unrecoverable —
+    exactly why the RAW-INPUT caches must stay ``tracked_cache``
+    (operators/imputation_ml.py:202, r11 review). Not registered with the
+    release registry: unpersisting a checkpoint is unsafe (the blocks ARE
+    the data; there is no lineage to recompute from) — storage frees when
+    the frame is garbage-collected instead."""
+    return df.localCheckpoint(eager=False)
+
+
 def release_tracked() -> int:
     """Unpersist (non-blocking) every tracked operator cache and clear the
     registry. Returns the number released.

@@ -199,6 +199,16 @@ def _synthesize_within_class(
     - LEFT join: a seed with no within-class neighbor still yields its
       copies (as plain duplicates) so count contracts stay exact.
     """
+    from ml_data_pipeline_spark.cache import lazy_local_checkpoint
+
+    # The seed/weight frame is deficit-row-sized but its LINEAGE carries the
+    # whole upstream derivation (ADASYN's global density kNN, Borderline's
+    # danger vote) — referenced twice below (kNN left + expand), the
+    # optimizer re-analyzed that tree per branch and the plan re-printed the
+    # source scan under every reference (plan audit: b6 x15, b7 x22 cached
+    # re-derivations — VERDICT r12 item 1). Checkpointing truncates it; the
+    # frame is minority-sized so the materialization is cheap at any SF.
+    seeded = lazy_local_checkpoint(seeded)
     nn = knn_join(
         seeded.select("__id", *feats, target),
         tagged.select(F.col("__id").alias("__nid"), *feats, target),
@@ -291,7 +301,17 @@ def borderline_danger(
         (F.col("__other") * 2 >= F.lit(k)) & (F.col("__other") < F.lit(k))
         & F.col("__cls").isin(minority)
     ).select("__gid")
-    return all_rows.join(danger_ids, "__gid").select(*feats, target)
+    from ml_data_pipeline_spark.cache import lazy_local_checkpoint
+
+    # checkpoint the danger stage (VERDICT r12 item 1): the seed set is
+    # minority-sized but its lineage is the full-corpus vote kNN, and the
+    # callers act on it up to three times (smote's semi-join, its seeded-
+    # class collect, the gate's non-empty flag) — uncheckpointed, each
+    # action re-ran the kNN and each plan reference re-printed the source
+    # scan (the x22 cached re-derivations on b7_borderline_counts).
+    return lazy_local_checkpoint(
+        all_rows.join(danger_ids, "__gid").select(*feats, target)
+    )
 
 
 def borderline_smote(

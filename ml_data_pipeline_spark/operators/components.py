@@ -100,15 +100,25 @@ def connected_components(
     # docstring-only — string/UUID ids cast(long) to NULL, every edge is
     # filtered, and downstream callers (cluster_safe_split, keep_canonical)
     # silently degrade to no-op/all-singleton behavior instead of failing.
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
 
     for c in (src, dst):
         t = pairs.schema[c].dataType
-        if not isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+        # DecimalType with scale 0 and precision <= 18 is accepted (ADVICE
+        # r12): such ids cast(long) losslessly — sources that type keys as
+        # DECIMAL (JDBC NUMBER(n,0), parquet written from decimals) worked
+        # before the guard and must not be false-positived by it. Wider or
+        # scaled decimals stay rejected: precision > 18 can overflow a
+        # long to NULL and a nonzero scale truncates.
+        ok = isinstance(t, (ByteType, ShortType, IntegerType, LongType)) or (
+            isinstance(t, DecimalType) and t.scale == 0 and t.precision <= 18
+        )
+        if not ok:
             raise TypeError(
                 f"connected_components: pair column {c!r} has type "
-                f"{t.simpleString()} — ids must be integral (hash or "
-                "dense-rank non-integral ids to longs first)"
+                f"{t.simpleString()} — ids must be integral (or decimal "
+                "with scale 0 and precision <= 18; hash or dense-rank "
+                "other id types to longs first)"
             )
     edges = (
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))

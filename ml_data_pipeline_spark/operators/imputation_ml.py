@@ -161,7 +161,14 @@ def impute_hot_deck(
     scored = cand.withColumn("__mixed", F.col("dist") + mismatch.cast("double"))
     w = Window.partitionBy("__rid").orderBy(F.asc("__mixed"), F.asc("__did"))
     best = scored.withColumn("__rk2", F.row_number().over(w)).where(F.col("__rk2") == 1)
-    fills = best.select("__rid", F.col("__dv").alias("__fill"))
+    from ml_data_pipeline_spark.cache import lazy_local_checkpoint
+
+    # checkpoint the fill vector (VERDICT r12 item 1 generalized): it is
+    # missing-row-sized (two columns) but its lineage is the whole donor
+    # kNN + mixed-distance re-rank, which the output plan re-printed under
+    # the join-back (plan audit: lineitem x7 cached re-derivations). The
+    # RAW input stays a tracked_cache (recomputable) — see the i9 note.
+    fills = lazy_local_checkpoint(best.select("__rid", F.col("__dv").alias("__fill")))
     # no-candidate fallback: the global mode (still an observed value, so the
     # hot-deck "fills are copies" invariant holds)
     mode_row = (

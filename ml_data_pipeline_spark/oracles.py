@@ -5692,9 +5692,15 @@ def _em_oracle_sql(iters: int = 3) -> str:
     SCRATCH (the Spark loop derives each candidate from the ORIGINAL
     frame, not the previous fill) and re-estimate, then the final fill at
     iteration index `iters`. Draws are Box-Muller over the shared md5
-    60-bit uniforms — (h + 0.5)/2^60 is strictly inside (0,1) — keyed by
-    (row key, iteration, tag), exactly _hash_normal. MATERIALIZED is
-    load-bearing: each s{i} scalar is referenced by the next stage."""
+    60-bit uniforms — (h + 0.5)/2^60 lies in (0, 1] after double
+    rounding (h within 128 of 2^60 rounds UP to u = 1.0 exactly; the
+    edge is parity-safe only because Box-Muller maps it to ln(1) = 0 →
+    z = 0 identically in both engines — same analysis as _hash_normal,
+    operators/imputation.py; do NOT build a u<1-dependent variant like
+    log1p/inverse-CDF on this recipe without re-deriving the edge) —
+    keyed by (row key, iteration, tag), exactly _hash_normal.
+    MATERIALIZED is load-bearing: each s{i} scalar is referenced by the
+    next stage."""
     two_pi = 6.283185307179586
     grid = float(1 << 60)
 

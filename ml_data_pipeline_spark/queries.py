@@ -7218,15 +7218,73 @@ ALL_QUERIES = {
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R12_PRIORITY)},
 }
 
-# ---- ROUND-13 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r12 lands, the stalest rows are the 5 r3 rows the r12
-# window could not fit (s15_incremental_rollup — displaced by the
-# late-round i8 graduation — q_fuzzy_pairs, q_event_transitions,
-# q_seasonal_anomaly, ss_label_centroids), then the r4 block
-# (q12_priority_by_status, m17_calibration, p22_chi2_mi, e19_winsorize,
-# q10_returned_revenue, q_bm25, e20_robust_scale, m20_group_ttest,
-# q_interval_join, f9_align_columns, p25_approx_distinct_quality, q_ewma,
-# st_enriched_segments, the rest of the r4 temporal/quantile families),
-# then r5. Build _R13_PRIORITY as: any round-13-modified gates first,
-# then oldest-row-first (recompute from the CORRECTNESS_r*.json union)
-# to fill 50.
+# ---- ROUND-13 driver priority window (VERDICT r12 item 4): the 6
+# round-13-modified gates first — b1/b6/b7 + i7 (the seed/weight-frame
+# lazy_local_checkpoint plan collapses: cached re-derivations 7/15/22/7
+# -> 3 each) and b8/b9 (smote changed under them; the only deliberate
+# r12-window overlaps) — then strictly oldest-driver-row-first from the
+# CORRECTNESS_r01-r12 union: the 5 r3 rows the r12 window could not fit,
+# then the r4 block in name order until the window holds 50.
+# (ss_ivf_topk gained a recall-floor UNIT test this round but its gate
+# code is unchanged, so it rotates on staleness like any other gate.)
+_R13_PRIORITY = [
+    # -- round-13-modified gates
+    "b1_smote_counts",
+    "b6_adasyn_counts",
+    "b7_borderline_counts",
+    "b8_smote_tomek",
+    "b9_smote_enn",
+    "i7_hot_deck",
+    # -- stalest driver rows: the 5 displaced r3 rows
+    "q_event_transitions",
+    "q_fuzzy_pairs",
+    "q_seasonal_anomaly",
+    "s15_incremental_rollup",
+    "ss_label_centroids",
+    # -- then the r4 block, name order
+    "e19_winsorize",
+    "e20_robust_scale",
+    "e21_group_scale",
+    "e22_woe_encode",
+    "e23_information_value",
+    "f9_align_columns",
+    "m17_calibration",
+    "m20_group_ttest",
+    "m24_confusion_matrix",
+    "m25_regression_metrics",
+    "p22_chi2_mi",
+    "p23_ks_drift",
+    "p25_approx_distinct_quality",
+    "p26_k_anonymity",
+    "p27_benford",
+    "pipe_web_hygiene",
+    "q10_returned_revenue",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q22_dormant_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q_basket_lift",
+    "q_bm25",
+    "q_ewma",
+    "q_gini",
+    "q_interval_join",
+    "q_max_concurrency",
+    "q_recency_features",
+    "q_sql_surface",
+    "q_twap",
+    "s17_zorder_layout",
+    "st_enriched_segments",
+    "t10_group_sample",
+    "t11_weighted_sample",
+    "tx_blocklist_filter",
+    # --- driver window ends here (50 entries above) ---
+]
+assert len(_R13_PRIORITY) == 50 and len(set(_R13_PRIORITY)) == 50
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R13_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R13_PRIORITY)},
+}

@@ -90,3 +90,29 @@ def test_r12_non_integral_ids_raise_loudly(spark):
     )
     with pytest.raises(TypeError, match="must be integral"):
         CC.connected_components(pairs)
+
+
+def test_r13_decimal_scale0_ids_accepted_wider_rejected(spark):
+    """ADVICE r12: the r12 integral-id guard false-positived DECIMAL(p,0)
+    keys, which cast(long) losslessly and produced correct components
+    before the guard existed (JDBC NUMBER(n,0) / decimal parquet sources).
+    Accept scale-0 precision<=18; keep rejecting scaled decimals (truncate)
+    and precision>18 (can overflow a long to NULL — the exact silent-NULL
+    class the guard exists for)."""
+    import pytest
+    from decimal import Decimal
+
+    from ml_data_pipeline_spark.operators import components as CC
+
+    ok = spark.createDataFrame(
+        [(Decimal(1), Decimal(2)), (Decimal(2), Decimal(3)), (Decimal(9), Decimal(10))],
+        "id_a decimal(18,0), id_b decimal(18,0)",
+    )
+    comps = {r["id"]: r["component"] for r in CC.connected_components(ok).collect()}
+    assert comps[1] == comps[2] == comps[3] != comps[9]
+
+    for schema in ("id_a decimal(20,0), id_b decimal(20,0)",
+                   "id_a decimal(10,2), id_b decimal(10,2)"):
+        bad = spark.createDataFrame([(Decimal(1), Decimal(2))], schema)
+        with pytest.raises(TypeError, match="must be integral"):
+            CC.connected_components(bad)

@@ -277,20 +277,21 @@ def test_r8_sink_ml_gates_registered():
         assert g in ALL_ORACLES, g
 
 
-def test_r12_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R12_PRIORITY (the 7
-    r12-modified gates first — the b8/b9 survival contracts, the
-    graduated ss_ivf_topk, the two plan collapses, the two md5 twins —
-    then strictly oldest-driver-row-first); the three r12 graduations
-    are oracle-backed and lead the window."""
+def test_r13_gates_registered_and_windowed():
+    """The first-50 driver window is exactly _R13_PRIORITY (the 6
+    r13-modified gates first — the four seed/weight-frame plan collapses
+    b1/b6/b7/i7 plus b8/b9 whose smote changed under them — then
+    strictly oldest-driver-row-first from the CORRECTNESS_r01-r12
+    union); every windowed gate is oracle-registered."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
-    from ml_data_pipeline_spark.queries import _R12_PRIORITY
+    from ml_data_pipeline_spark.queries import _R13_PRIORITY
 
     window = list(Q.ALL_QUERIES)[:50]
-    assert window == _R12_PRIORITY
-    for g in ("b8_smote_tomek", "b9_smote_enn", "ss_ivf_topk"):
+    assert window == _R13_PRIORITY
+    for g in ("b1_smote_counts", "b6_adasyn_counts", "b7_borderline_counts",
+              "b8_smote_tomek", "b9_smote_enn", "i7_hot_deck"):
         assert g in ALL_ORACLES, g
-        assert g in window[:3], g
+        assert g in window[:6], g
 
 
 @pytest.mark.parametrize(

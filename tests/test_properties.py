@@ -821,3 +821,29 @@ def test_calibrated_length_contracts(w1, ratio, length):
     beta = min(max(math.log2(w1 / w2), 0.5), 4.0) if ratio > 1.0 else 1.0
     want = min(max(length * (_TARGET_OCCUPANCY / w1) ** (1.0 / beta), 1e-3), 8.0)
     assert math.isclose(got, want, rel_tol=1e-12)
+
+
+def test_r13_xxhash64_pinned_to_public_xxh64_seed42_vectors(spark):
+    """VERDICT r12 item 2: xxhash64 is the ONE primitive no cross-engine
+    oracle replays (the dd_minhash/dd_simhash headline signatures — their
+    md5 twins cover the surrounding pipeline logic, not the hash itself).
+    A Spark upgrade that changed xxhash64's seeding would silently
+    re-cluster every headline dedup with all gates green. Pin it to
+    hardcoded vectors of the PUBLIC XXH64 spec at Spark's fixed seed 42
+    (each value independently re-derived from the reference algorithm,
+    not just snapshotted from the current JVM): string inputs hash their
+    UTF-8 bytes (dedup.py shingle/token path), long inputs their 8-byte
+    little-endian representation."""
+    expect = {
+        "hello": -4367754540140381902,
+        "": -7444071767201028348,
+        "the quick brown fox": 6882318601984224800,
+        "abcd": -6810745876291105281,
+    }
+    row = spark.range(1).select(
+        *[F.xxhash64(F.lit(s)).alias(f"s{i}") for i, s in enumerate(expect)],
+        F.xxhash64(F.lit(42).cast("long")).alias("i64"),
+    ).first()
+    got = {s: row[f"s{i}"] for i, s in enumerate(expect)}
+    assert got == expect
+    assert row["i64"] == -6876166290308861218

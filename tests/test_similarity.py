@@ -340,3 +340,29 @@ def test_r12_build_ivf_index_exact_means_and_empty_clusters(spark):
     assigned2, cents2 = SS.build_ivf_index_exact(same, n_clusters=2, iters=2, grid=1000)
     assert {r["ivf_cluster"] for r in assigned2.collect()} == {0}
     assert cents2[1] == [250.0, -125.0]  # empty cluster kept its init centroid
+
+
+def test_r13_ivf_exact_twin_recall_floor(spark):
+    """ADVICE r12: ss_ivf_topk's graduation swapped the gate's recall@10
+    >= 0.3 floor for hash parity — but the oracle replays the SAME
+    algorithm spec from this repo, so a consistent engine+oracle
+    misconfiguration (bad nprobe/iters in the exact twin) would keep
+    parity while recall collapses. Keep the ABSOLUTE quality invariant
+    alive somewhere oracle-independent: the exact-twin path at the gate's
+    own operating point (n_clusters=16, iters=3, nprobe=4, grid=1000)
+    must recover >= 0.3 of the true top-10 on the synthetic corpus.
+    (test_ivf_topk_recall covers the MLlib production quantizer; this
+    covers the graduated gate quantizer.)"""
+    import math
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = _query_vec(spark, "/root/testdata/sf0.001")
+    exact = {r["vec_id"] for r in SS.brute_force_topk(emb, q, k=10).collect()}
+    assigned, cents = SS.build_ivf_index_exact(emb, n_clusters=16, iters=3, grid=1000)
+    qq = [float(math.floor(v * 1000)) for v in q]
+    approx = {
+        r["vec_id"]
+        for r in SS.ivf_topk(assigned, cents, q, k=10, nprobe=4, probe_vector=qq).collect()
+    }
+    recall = len(exact & approx) / 10.0
+    assert recall >= 0.3, f"exact-twin IVF recall@10 collapsed to {recall}"

@@ -52,6 +52,16 @@ KEYED = {
     # sessions per copy) — event_id/user_id share the "id" offset base,
     # which only makes the offsets larger, never colliding
     "events": ["event_id", "user_id"],
+    # embeddings (r12 verdict item 5): vec_id offsets like any key; label
+    # and the vector itself get per-copy treatment below — labels offset
+    # to DISJOINT block spaces (10x more blocks of the same size, the way
+    # an IVF/cluster blocking key scales with a 10x corpus — NOT 10x
+    # bigger blocks, which would quadratically inflate any blockwise op
+    # with phantom pairs real data would not have), and the vector is
+    # circularly shifted per copy (distances within a copy are permutation-
+    # invariant = preserved exactly; cross-copy cosine decorrelates), the
+    # numeric analogue of the documents letter cipher.
+    "embeddings": ["vec_id"],
 }
 ASIS = ["nation", "region"]  # SF-constant dims replicate as-is (1 copy)
 
@@ -84,6 +94,12 @@ PROBES = [
     # r12: components + hash split over the 10x pair graph (the O(log n)
     # contraction's 10x data point)
     "t14_cluster_safe_split",
+    # r13 (VERDICT r12 item 5): the text/retrieval heavies — idf join
+    # fan-out, per-term BM25 join + scalar broadcast, and blockwise
+    # semantic dedup over the 10x embeddings table
+    "tx_tfidf",
+    "q_bm25",
+    "ss_semantic_dedup",
 ]
 
 
@@ -116,6 +132,9 @@ def build() -> None:
             maxes[base] = max(maxes.get(base, 0), int(row[k]))
     for t, keys in KEYED.items():
         df = load_table(spark, SRC, t)
+        lab_base = (
+            int(df.agg(F.max("label")).first()[0]) + 1 if t == "embeddings" else 0
+        )
         parts = []
         for c in range(COPIES):
             cp = df
@@ -125,6 +144,20 @@ def build() -> None:
             if t == "documents":
                 src, dst = _cipher(c)
                 cp = cp.withColumn("text", F.translate(F.col("text"), src, dst))
+            if t == "embeddings":
+                # disjoint label blocks per copy + circular vector shift
+                # (see the KEYED note); shift by c keeps copy 0 bit-
+                # identical to the source and every within-copy distance
+                # exact under the permutation
+                cp = cp.withColumn("label", F.col("label") + F.lit(c * lab_base))
+                if c:
+                    cp = cp.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice(F.col("embedding"), c + 1, F.size("embedding") - c),
+                            F.slice(F.col("embedding"), 1, c),
+                        ),
+                    )
             if t == "lineitem":
                 # numeric analogue of the documents cipher (r11): plain
                 # replication duplicates every (extendedprice, tax) pair

@@ -75,7 +75,13 @@ def impute_knn(
         bucket_length=bucket_length,
     )
     donor_vals = complete.select(F.col("__rid").alias("__did"), F.col(column).alias("__dv"))
-    fills = (
+    from ml_data_pipeline_spark.cache import lazy_local_checkpoint
+
+    # checkpoint the fill vector (r13, same pattern as hot_deck below):
+    # missing-row-sized (two columns), but its lineage is the whole donor
+    # kNN — untruncated, the output plan re-printed the source scan under
+    # the join-back (plan_audit: lineitem x5 cached re-derivations).
+    fills = lazy_local_checkpoint(
         nn.join(donor_vals, "__did")
         .groupBy("__rid")
         .agg(F.avg("__dv").alias("__fill"))

@@ -3,7 +3,8 @@ is correctness-green (batch/stream parity gates) but had no recorded
 rate number — this records one, so the streaming path has a measured
 baseline before anyone scales it.
 
-Protocol: stage the sf0.1 events table (600k rows) as 8 parquet files,
+Protocol: stage the events table of the given sf dir (sf0.1 = 100k rows;
+pass /tmp/mdp_sf1 for the 1M-row amortization point) as 8 parquet files,
 drain it through the two headline streaming pipelines with
 trigger=availableNow and maxFilesPerTrigger=2 (4 real micro-batches, so
 the number includes per-batch planning + state-store commit overhead,

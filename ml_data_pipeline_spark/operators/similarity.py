@@ -486,6 +486,14 @@ def semantic_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+    from ml_data_pipeline_spark.cache import lazy_local_checkpoint
+
+    # checkpoint the dominated-id set (r13, the seed-frame pattern): it is
+    # one distinct id column, but its lineage is the whole block self-join
+    # — untruncated, the output anti-join re-embedded the normalization +
+    # join tree (plan_audit: embeddings x3). The corpus-sized `normed`
+    # stays a recomputable tracked_cache per the raw-input rule.
+    dominated = lazy_local_checkpoint(dominated)
     return (
         df.join(dominated, id_col, "left_anti")
         .select(F.col(id_col), F.col(block_col))

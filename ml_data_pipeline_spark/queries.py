@@ -7288,3 +7288,15 @@ ALL_QUERIES = {
     **{n: ALL_QUERIES[n] for n in _R13_PRIORITY},
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R13_PRIORITY)},
 }
+
+# ---- ROUND-14 ROTATION TODO (for the next round's builder): after
+# CORRECTNESS_r13 lands, the stalest rows are the 3 r4 rows the r13
+# window could not fit (tx_script_stats, tx_url_canonicalize, and
+# q13/q15/q16-adjacent leftovers if any were displaced), then the r5
+# block (dd_prefix_jaccard, m23_ridge_path, m26/m27 reports, ml_kmeans,
+# ml_pca_contract, p28-p34, pipe_golden_record, the q_abc/q_active
+# family). Build _R14_PRIORITY as: any round-14-modified gates first,
+# then oldest-row-first (recompute from the CORRECTNESS_r*.json union —
+# tools convention: last round containing each name, ascending, name as
+# tie-break) to fill 50, and update the window-pin test
+# (test_r13_gates_registered_and_windowed) to the new list.

@@ -356,6 +356,8 @@ def test_uncached_rescans_only_where_inherent(spark, sf_dir, name):
         # fill-vector checkpoints (was 5/7)
         ("i5_impute_knn", "lineitem.parquet", 5),
         ("i7_hot_deck", "lineitem.parquet", 5),
+        # dominated-id checkpoint in semantic_dedup (was 3)
+        ("ss_semantic_dedup", "embeddings.parquet", 5),
     ],
 )
 def test_r13_seed_frame_checkpoints_keep_lineage_collapsed(spark, sf_dir, name, table, ceiling):

@@ -100,6 +100,12 @@ PROBES = [
     "tx_tfidf",
     "q_bm25",
     "ss_semantic_dedup",
+    # r13: the danger-vote balancers (this round's plan-collapse targets;
+    # b1 alone covered the family before) — ADASYN's global density kNN
+    # and Borderline's full-corpus vote kNN are the heaviest balancing
+    # plans, so their 10x points are measured, not argued
+    "b6_adasyn_counts",
+    "b7_borderline_counts",
 ]
 
 

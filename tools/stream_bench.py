@@ -18,6 +18,11 @@ not just one bulk pass):
 
 Prints one JSON line {pipeline: {rows, wall_sec, rows_per_sec}, ...}.
 rows = INPUT rows consumed (the throughput denominator a source sees).
+rows_out for dedup varies with file arrival order BY DESIGN: the stage
+shuffles events across the 8 files, so rows older than the advanced
+watermark in a later micro-batch are dropped as late — correct
+streaming semantics (the one-batch correctness gate st_stream_dedup
+pins the exact-dedup case; this tool measures rate, not survival).
 Record the numbers + host calibration in COVERAGE.md next to the batch
 bench; like bench.py, run at true idle (loadavg < 0.5).
 

@@ -118,7 +118,13 @@ def count_min_sketch_counts(
         ).select("__val", F.col("__btot").alias(f"__est"))
         estimates = est_i if estimates is None else estimates.unionByName(est_i)
     min_est = estimates.groupBy("__val").agg(F.min("__est").alias(out_column))
+    # no broadcast hint (r13 review): min_est is DISTINCT-VALUE-cardinality
+    # sized, and a sketch column is by definition one whose cardinality is
+    # too large to count exactly — forcing the broadcast is precisely the
+    # executor-OOM anti-pattern the plan audit bans on named tables (this
+    # frame just escaped the identifier regex). Unhinted, AQE broadcasts
+    # when the estimate table is actually small and sort-merges otherwise.
     joined = df.join(
-        F.broadcast(min_est), df[column].cast("string") == min_est["__val"], "left"
+        min_est, df[column].cast("string") == min_est["__val"], "left"
     )
     return joined.select(*df.columns, out_column)

@@ -23,6 +23,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _require_nonnull_tokens(
+    df: DataFrame, token_col: str, what: str = "mixture planning"
+) -> None:
+    """Loud contract for the mixture planners (r13 review; the balancing
+    _require_nonnull_target pattern): a NULL token count corrupts each
+    output differently and SILENTLY — sum() skips NULLs so partial NULLs
+    undercount a source, and an all-NULL source aggregates to NULL
+    available_tokens, where `least(target/NULL, 1.0)` NULL-skips to
+    sample_frac = 1.0 (the greatest/least NULL-skip hazard the repo's
+    gotcha list documents) and temperature weights go NULL. Count tokens
+    upstream or filter the rows. One narrow limit(1) probe."""
+    if df.where(F.col(token_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"{what} requires non-NULL token counts; column "
+            f"{token_col!r} contains NULLs — count tokens upstream or "
+            "drop the rows first"
+        )
+
+
 def mixture_plan(
     df: DataFrame,
     weights: dict[str, float],
@@ -38,6 +57,7 @@ def mixture_plan(
         raise ValueError("total_tokens must be positive")
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative and non-empty")
+    _require_nonnull_tokens(df.where(F.col(source_col).isin(*weights)), token_col)
     inv = (
         df.where(F.col(source_col).isin(*weights))
         .groupBy(source_col)
@@ -89,6 +109,7 @@ def temperature_weights(
     """
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
+    _require_nonnull_tokens(df, token_col)
     inv = df.groupBy(source_col).agg(F.sum(token_col).alias("available_tokens"))
     pw = F.pow(F.col("available_tokens").cast("double"), float(alpha))
     with_pw = inv.withColumn("__pw", pw)

@@ -43,6 +43,14 @@ def pack_sequences(
     starts a new bin by construction of the running sum)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    # loud NULL contract (r13 review, shared with the mixture planners):
+    # sum() over the offset window SKIPS NULLs, so a NULL-count document
+    # silently packs at zero width — it lands in a bin whose real token
+    # total is then unknown, voiding the < budget + max_doc bound the
+    # docstring promises. Count tokens upstream or drop the rows.
+    from .mixing import _require_nonnull_tokens
+
+    _require_nonnull_tokens(df, token_col, what="sequence packing")
     w = (
         Window.partitionBy(partition_col).orderBy(order_col)
         if partition_col

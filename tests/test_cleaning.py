@@ -142,6 +142,30 @@ def test_mixture_plan_rejects_bad_inputs(spark):
         MX.mixture_plan(df, {}, total_tokens=10)
 
 
+def test_r13_mixture_planners_reject_null_token_counts(spark):
+    """r13 review: NULL token counts corrupted the planners SILENTLY —
+    sum() skips NULLs so partial NULLs undercount a source, and an
+    all-NULL source aggregates to NULL available_tokens, where
+    least(target/NULL, 1.0) NULL-skips to sample_frac = 1.0 (a full-take
+    plan for a source whose inventory is unknown) and temperature
+    weights go NULL. Both planners now raise loudly instead; NULLs in
+    sources OUTSIDE the weighted set stay irrelevant to mixture_plan."""
+    import pytest as _pytest
+
+    from ml_data_pipeline_spark.operators import mixing as MX
+
+    df = spark.createDataFrame(
+        [("web", 1000), ("books", None)], "source string, n_tokens long"
+    )
+    with _pytest.raises(ValueError, match="non-NULL token counts"):
+        MX.mixture_plan(df, {"web": 0.5, "books": 0.5}, total_tokens=100)
+    with _pytest.raises(ValueError, match="non-NULL token counts"):
+        MX.temperature_weights(df)
+    # a NULL in an UNWEIGHTED source must not trip mixture_plan's probe
+    plan = MX.mixture_plan(df, {"web": 1.0}, total_tokens=100).collect()
+    assert [r["source"] for r in plan] == ["web"]
+
+
 def test_chunk_documents_overlap_and_coverage(spark):
     from ml_data_pipeline_spark.operators.text import chunk_documents
 
@@ -348,3 +372,19 @@ def test_ws_class_x0b_parity_spark_vs_duckdb(spark):
         [txt],
     ).fetchone()[0]
     assert "alpha\x0bbeta" in duck_legacy  # (c) RE2 \s keeps \x0b glued
+
+
+def test_r13_pack_sequences_rejects_null_token_counts(spark):
+    """r13 review (same class as the mixture planners): the offset
+    window's sum() skips NULLs, so a NULL-count document silently packed
+    at zero width into a bin whose true token total was then unknown —
+    the bounded-overflow invariant quietly gone. Now a loud ValueError."""
+    import pytest as _pytest
+
+    from ml_data_pipeline_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, None)], "doc_id long, n_tokens long"
+    )
+    with _pytest.raises(ValueError, match="non-NULL token counts"):
+        PK.pack_sequences(df, budget=256)

@@ -106,6 +106,11 @@ PROBES = [
     # plans, so their 10x points are measured, not argued
     "b6_adasyn_counts",
     "b7_borderline_counts",
+    # r13: the SMOTE-cleaning compositions — tomek/ENN re-run the kNN
+    # machinery over the BALANCED frame (5x majority), the largest input
+    # any balancing plan sees; b8 is the heaviest probe in the list
+    "b8_smote_tomek",
+    "b9_smote_enn",
 ]
 
 

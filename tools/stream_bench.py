@@ -80,6 +80,10 @@ def main() -> int:
 
     run("hourly_counts", plain, n_plain, ES.hourly_counts, "complete")
     run("dedup_events", doubled, n_doubled, ES.dedup_events, "append")
+    # session windows: the most state-heavy built-in (merging session
+    # state across micro-batches); append mode so finalized sessions
+    # emit as the watermark passes them
+    run("session_counts", plain, n_plain, ES.session_counts, "append")
 
     with open("/proc/loadavg") as fh:
         load1 = float(fh.read().split()[0])

@@ -309,6 +309,10 @@ def borderline_danger(
     # class collect, the gate's non-empty flag) — uncheckpointed, each
     # action re-ran the kNN and each plan reference re-printed the source
     # scan (the x22 cached re-derivations on b7_borderline_counts).
+    # A single-action caller pays the block materialization too (ADVICE
+    # r13: reviewed, kept) — the frame is minority-sized, and every
+    # in-repo caller is multi-action, so charging it here beats asking
+    # each call site to remember.
     return lazy_local_checkpoint(
         all_rows.join(danger_ids, "__gid").select(*feats, target)
     )

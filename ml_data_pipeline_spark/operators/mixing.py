@@ -23,23 +23,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _require_nonnull_tokens(
-    df: DataFrame, token_col: str, what: str = "mixture planning"
-) -> None:
-    """Loud contract for the mixture planners (r13 review; the balancing
-    _require_nonnull_target pattern): a NULL token count corrupts each
-    output differently and SILENTLY — sum() skips NULLs so partial NULLs
-    undercount a source, and an all-NULL source aggregates to NULL
-    available_tokens, where `least(target/NULL, 1.0)` NULL-skips to
-    sample_frac = 1.0 (the greatest/least NULL-skip hazard the repo's
-    gotcha list documents) and temperature weights go NULL. Count tokens
-    upstream or filter the rows. One narrow limit(1) probe."""
-    if df.where(F.col(token_col).isNull()).limit(1).count() > 0:
-        raise ValueError(
-            f"{what} requires non-NULL token counts; column "
-            f"{token_col!r} contains NULLs — count tokens upstream or "
-            "drop the rows first"
-        )
+def _null_token_message(token_col: str, what: str = "mixture planning") -> str:
+    """Loud contract shared by the mixture planners and sequence packing
+    (r13 review; the balancing _require_nonnull_target pattern): a NULL
+    token count corrupts each output differently and SILENTLY — sum()
+    skips NULLs so partial NULLs undercount a source, an all-NULL source
+    aggregates to NULL available_tokens where `least(target/NULL, 1.0)`
+    NULL-skips to sample_frac = 1.0 (the greatest/least NULL-skip hazard
+    the repo's gotcha list documents), temperature weights go NULL, and a
+    NULL-count document packs at zero width. Count tokens upstream or
+    filter the rows.
+
+    r14 (ADVICE): the former limit(1).count() probe paid a full extra
+    scan in the clean-data common case (the filter cannot short-circuit
+    when nothing matches) and broke on streaming inputs (count() is
+    unsupported there). The check is now folded into each operator's own
+    plan — a NULL tally alongside the aggregation it already runs
+    (mixture_plan raises a driver ValueError from the action it already
+    takes; temperature_weights raises in-plan via F.raise_error), or a
+    per-row in-plan guard (pack_sequences) — so clean data pays nothing."""
+    return (
+        f"{what} requires non-NULL token counts; column "
+        f"{token_col!r} contains NULLs — count tokens upstream or "
+        "drop the rows first"
+    )
 
 
 def mixture_plan(
@@ -57,15 +64,24 @@ def mixture_plan(
         raise ValueError("total_tokens must be positive")
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative and non-empty")
-    _require_nonnull_tokens(df.where(F.col(source_col).isin(*weights)), token_col)
     inv = (
         df.where(F.col(source_col).isin(*weights))
         .groupBy(source_col)
-        .agg(F.sum(token_col).alias("available_tokens"))
+        # NULL tally rides the inventory aggregation (see
+        # _null_token_message) — no separate probe scan
+        .agg(
+            F.sum(token_col).alias("available_tokens"),
+            F.sum(F.col(token_col).isNull().cast("long")).alias("__nnull"),
+        )
     )
     wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     with_w = inv.withColumn("__w", wmap[F.col(source_col)])
-    total_w = with_w.agg(F.sum("__w")).first()[0]
+    head = with_w.agg(
+        F.sum("__w").alias("__tw"), F.sum("__nnull").alias("__nn")
+    ).first()
+    total_w = head["__tw"]
+    if (head["__nn"] or 0) > 0:
+        raise ValueError(_null_token_message(token_col))
     if total_w is None:
         raise ValueError(
             "mixture_plan: none of the weighted sources "
@@ -109,17 +125,29 @@ def temperature_weights(
     """
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    _require_nonnull_tokens(df, token_col)
-    inv = df.groupBy(source_col).agg(F.sum(token_col).alias("available_tokens"))
+    inv = df.groupBy(source_col).agg(
+        F.sum(token_col).alias("available_tokens"),
+        # NULL tally rides the inventory aggregation; the operator stays
+        # a single lazy plan (streaming-safe), so the contract raises
+        # IN-PLAN at action time (see _null_token_message)
+        F.sum(F.col(token_col).isNull().cast("long")).alias("__nnull"),
+    )
     pw = F.pow(F.col("available_tokens").cast("double"), float(alpha))
     with_pw = inv.withColumn("__pw", pw)
-    tot = with_pw.agg(F.sum("__pw").alias("__tot"))
+    tot = with_pw.agg(
+        F.sum("__pw").alias("__tot"), F.sum("__nnull").alias("__tnull")
+    )
     return (
         with_pw.join(F.broadcast(tot))
         .select(
             source_col,
             "available_tokens",
-            F.round(F.col("__pw") / F.col("__tot"), 6).alias("weight"),
+            F.when(
+                F.col("__tnull") > 0,
+                F.raise_error(F.lit(_null_token_message(token_col))),
+            )
+            .otherwise(F.round(F.col("__pw") / F.col("__tot"), 6))
+            .alias("weight"),
         )
         .orderBy(source_col)
     )

@@ -48,9 +48,11 @@ def pack_sequences(
     # silently packs at zero width — it lands in a bin whose real token
     # total is then unknown, voiding the < budget + max_doc bound the
     # docstring promises. Count tokens upstream or drop the rows.
-    from .mixing import _require_nonnull_tokens
+    # r14 (ADVICE): guarded IN-PLAN per row instead of an eager probe
+    # scan — clean data pays one codegen'd null test, streaming inputs
+    # work, and any action touching a NULL-count row raises loudly.
+    from .mixing import _null_token_message
 
-    _require_nonnull_tokens(df, token_col, what="sequence packing")
     w = (
         Window.partitionBy(partition_col).orderBy(order_col)
         if partition_col
@@ -59,7 +61,11 @@ def pack_sequences(
     start = F.coalesce(
         F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
-    return df.withColumn(bin_col, F.floor(start / budget).cast("long"))
+    guarded = F.when(
+        F.col(token_col).isNull(),
+        F.raise_error(F.lit(_null_token_message(token_col, "sequence packing"))),
+    ).otherwise(F.floor(start / budget))
+    return df.withColumn(bin_col, guarded.cast("long"))
 
 
 def pack_stats(

@@ -148,8 +148,14 @@ def test_r13_mixture_planners_reject_null_token_counts(spark):
     all-NULL source aggregates to NULL available_tokens, where
     least(target/NULL, 1.0) NULL-skips to sample_frac = 1.0 (a full-take
     plan for a source whose inventory is unknown) and temperature
-    weights go NULL. Both planners now raise loudly instead; NULLs in
-    sources OUTSIDE the weighted set stay irrelevant to mixture_plan."""
+    weights go NULL. Both planners raise loudly instead; NULLs in
+    sources OUTSIDE the weighted set stay irrelevant to mixture_plan.
+
+    r14 (ADVICE): the guard no longer pays a separate probe scan —
+    mixture_plan folds the NULL tally into the driver action it already
+    takes (still a construction-time ValueError); temperature_weights is
+    a single lazy plan, so its contract raises at ACTION time via
+    F.raise_error (streaming-safe, scan-free on clean data)."""
     import pytest as _pytest
 
     from ml_data_pipeline_spark.operators import mixing as MX
@@ -159,11 +165,16 @@ def test_r13_mixture_planners_reject_null_token_counts(spark):
     )
     with _pytest.raises(ValueError, match="non-NULL token counts"):
         MX.mixture_plan(df, {"web": 0.5, "books": 0.5}, total_tokens=100)
-    with _pytest.raises(ValueError, match="non-NULL token counts"):
-        MX.temperature_weights(df)
-    # a NULL in an UNWEIGHTED source must not trip mixture_plan's probe
+    with _pytest.raises(Exception, match="non-NULL token counts"):
+        MX.temperature_weights(df).collect()
+    # a NULL in an UNWEIGHTED source must not trip mixture_plan's tally
     plan = MX.mixture_plan(df, {"web": 1.0}, total_tokens=100).collect()
     assert [r["source"] for r in plan] == ["web"]
+    # clean data: the lazy guard is inert
+    clean = spark.createDataFrame(
+        [("web", 1000), ("books", 500)], "source string, n_tokens long"
+    )
+    assert len(MX.temperature_weights(clean).collect()) == 2
 
 
 def test_chunk_documents_overlap_and_coverage(spark):
@@ -378,7 +389,9 @@ def test_r13_pack_sequences_rejects_null_token_counts(spark):
     """r13 review (same class as the mixture planners): the offset
     window's sum() skips NULLs, so a NULL-count document silently packed
     at zero width into a bin whose true token total was then unknown —
-    the bounded-overflow invariant quietly gone. Now a loud ValueError."""
+    the bounded-overflow invariant quietly gone. r14 (ADVICE): the guard
+    is now IN-PLAN (per-row F.raise_error, not an eager probe scan), so
+    construction stays lazy and the error fires at action time."""
     import pytest as _pytest
 
     from ml_data_pipeline_spark.operators import packing as PK
@@ -386,5 +399,14 @@ def test_r13_pack_sequences_rejects_null_token_counts(spark):
     df = spark.createDataFrame(
         [(1, 100), (2, None)], "doc_id long, n_tokens long"
     )
-    with _pytest.raises(ValueError, match="non-NULL token counts"):
-        PK.pack_sequences(df, budget=256)
+    with _pytest.raises(Exception, match="non-NULL token counts"):
+        PK.pack_sequences(df, budget=256).collect()
+    # clean data: guard is inert and bins are unchanged
+    clean = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 100)], "doc_id long, n_tokens long"
+    )
+    bins = {
+        r["doc_id"]: r["bin_id"]
+        for r in PK.pack_sequences(clean, budget=256).collect()
+    }
+    assert bins == {1: 0, 2: 0, 3: 1}

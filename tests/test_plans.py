@@ -349,25 +349,28 @@ def test_uncached_rescans_only_where_inherent(spark, sf_dir, name):
     "name,table,ceiling",
     [
         # plan-printed source references at the r13 collapse (was 7/15/22
-        # before the seed/weight-frame lazy_local_checkpoint): 3 each
-        ("b1_smote_counts", "customer.parquet", 5),
-        ("b6_adasyn_counts", "customer.parquet", 5),
-        ("b7_borderline_counts", "customer.parquet", 5),
+        # before the seed/weight-frame lazy_local_checkpoint): 3 each.
+        # r14 (ADVICE): ceilings pinned AT the measured value — the old
+        # <=5 let a partial regression (3 -> 4-5 re-embedded scans) pass
+        # silently and only surface in the next judge plan audit.
+        ("b1_smote_counts", "customer.parquet", 3),
+        ("b6_adasyn_counts", "customer.parquet", 3),
+        ("b7_borderline_counts", "customer.parquet", 3),
         # fill-vector checkpoints (was 5/7)
-        ("i5_impute_knn", "lineitem.parquet", 5),
-        ("i7_hot_deck", "lineitem.parquet", 5),
+        ("i5_impute_knn", "lineitem.parquet", 3),
+        ("i7_hot_deck", "lineitem.parquet", 3),
         # dominated-id checkpoint in semantic_dedup (was 3)
-        ("ss_semantic_dedup", "embeddings.parquet", 5),
+        ("ss_semantic_dedup", "embeddings.parquet", 3),
     ],
 )
 def test_r13_seed_frame_checkpoints_keep_lineage_collapsed(spark, sf_dir, name, table, ceiling):
     """VERDICT r12 item 1 pinned: the b-family/kNN-imputation gates ship
     with their small derived frames (copy allocation, danger set, fill
     vector) localCheckpointed, so the printed plan embeds the source scan
-    at most `ceiling` times (the verdict's <=5 target; measured 3 at the
-    collapse). A regression re-inflating the lineage — dropping a
-    checkpoint, or re-referencing an uncheckpointed derivation — fails
-    here instead of waiting for the next judge plan audit."""
+    at most `ceiling` times (r14: pinned at the measured value, 3). A
+    regression re-inflating the lineage — dropping a checkpoint, or
+    re-referencing an uncheckpointed derivation — fails here instead of
+    waiting for the next judge plan audit."""
     import sys
 
     sys.path.insert(0, ".")

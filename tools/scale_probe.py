@@ -162,11 +162,16 @@ def build() -> None:
                 # exact under the permutation
                 cp = cp.withColumn("label", F.col("label") + F.lit(c * lab_base))
                 if c:
+                    # shift by c MOD dim (ADVICE r13): with a plain c, any
+                    # COPIES > vector dim made slice() start past the array
+                    # end and silently emitted truncated/empty vectors;
+                    # the modulo keeps every copy a true rotation.
+                    sh = F.lit(c) % F.size("embedding")
                     cp = cp.withColumn(
                         "embedding",
                         F.concat(
-                            F.slice(F.col("embedding"), c + 1, F.size("embedding") - c),
-                            F.slice(F.col("embedding"), 1, c),
+                            F.slice(F.col("embedding"), sh + 1, F.size("embedding") - sh),
+                            F.slice(F.col("embedding"), F.lit(1), sh),
                         ),
                     )
             if t == "lineitem":

@@ -436,7 +436,12 @@ def max_concurrency(
     sort BEFORE starts at the same instant (half-open [start, end)
     intervals — back-to-back sessions don't double-count). The classic
     capacity-planning question (peak concurrent sessions/jobs) in two
-    window functions; per-group when group_col is given."""
+    window functions; per-group when group_col is given.
+
+    Scale note: the grouped form is partition-parallel (one window per
+    group). The UNGROUPED form runs one global ordered window — a single
+    sort task at boundary-stream scale; use max_concurrency_ranged for
+    the plan that survives 100x data (same answer, tested hash-equal)."""
     keys = [group_col] if group_col else []
     starts = df.select(*keys, F.col(start_col).alias("at"), F.lit(1).alias("delta"))
     ends = df.select(*keys, F.col(end_col).alias("at"), F.lit(-1).alias("delta"))
@@ -446,6 +451,37 @@ def max_concurrency(
     )
     running = events.withColumn("c", F.sum("delta").over(w))
     return running.groupBy(*keys).agg(F.max("c").alias("max_concurrent"))
+
+
+def max_concurrency_ranged(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Ungrouped sweep line at scale (VERDICT r13 item 1) — identical
+    semantics to max_concurrency(group_col=None) but the running sum over
+    the boundary stream is a ranged prefix sum (profiling.ranged_cumsum:
+    repartitionByRange on (at, delta), per-range parallel windows, P-row
+    total carry), never a single global sort task.
+
+    Equivalence: the global max of the running sum is invariant to the
+    order WITHIN a tie group of equal (at, delta) rows — all rows in a
+    tie carry the same delta, so the running sum is monotone across the
+    group and its extremum sits at a group boundary in every order. Ends
+    still sort before starts at the same instant (delta -1 < +1), the
+    half-open-interval convention of the global twin."""
+    starts = df.select(F.col(start_col).alias("at"), F.lit(1).alias("delta"))
+    ends = df.select(F.col(end_col).alias("at"), F.lit(-1).alias("delta"))
+    events = starts.unionByName(ends)
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
+    running = ranged_cumsum(
+        events, ["at", "delta"], ["delta"], num_partitions=num_partitions
+    )
+    return running.agg(
+        F.max("__cum_delta").cast("long").alias("max_concurrent")
+    )
 
 
 def cusum_changepoint(

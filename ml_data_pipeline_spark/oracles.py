@@ -5368,6 +5368,9 @@ ALL_ORACLES["st_stateful_running"] = """
 # alias), i4_interpolate_single (one-task baseline)
 ALL_ORACLES["i4_interpolate_ranged"] = ALL_ORACLES["i4_interpolate"]
 ALL_ORACLES["i4_interpolate_single"] = ALL_ORACLES["i4_interpolate"]
+# r14: same idiom for the sweep line — q_max_concurrency is the ranged
+# headline, q_max_concurrency_single the global-window baseline, one oracle
+ALL_ORACLES["q_max_concurrency_single"] = ALL_ORACLES["q_max_concurrency"]
 
 ALL_ORACLES["m10_linear_shap"] = """
     WITH st AS (

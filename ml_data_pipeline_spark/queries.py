@@ -4628,7 +4628,29 @@ def m30_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
 def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     """Peak concurrent user-day activity intervals (first event to last
     event + 1 minute, half-open) via the sweep line — ends sort before
-    starts at ties, so back-to-back intervals never double-count."""
+    starts at ties, so back-to-back intervals never double-count.
+
+    Headline runs the SCALE-SAFE ranged plan (r14, per the r13 verdict —
+    the i4 pattern): the running sum over the boundary stream is a ranged
+    prefix sum, never one global sort task over user-day cardinality.
+    q_max_concurrency_single keeps the global-window baseline on the same
+    oracle so the hash-equality proof stays machine-checked."""
+    from ml_data_pipeline_spark.operators.temporal import max_concurrency_ranged
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 1 MINUTE")).alias("e"),
+    )
+    return max_concurrency_ranged(iv, "s", "e")
+
+
+def q_max_concurrency_single(spark: SparkSession, sf: str) -> DataFrame:
+    """The documented single-sort-task baseline (one global ordered
+    window over the boundary stream) — fine at gate scale, kept as a gate
+    so ranged-vs-global hash equality is driver-checked on the shared
+    oracle; not the headline because one sort task cannot hold the 100 TB
+    boundary stream."""
     from ml_data_pipeline_spark.operators.temporal import max_concurrency
 
     ev = load_table(spark, sf, "events")
@@ -5302,6 +5324,7 @@ ALL_QUERIES = {
     "q_revenue_bridge": q_revenue_bridge,
     "m30_kaplan_meier": m30_kaplan_meier,
     "q_max_concurrency": q_max_concurrency,
+    "q_max_concurrency_single": q_max_concurrency_single,
     "ml_silhouette": ml_silhouette,
     "m31_nmi": m31_nmi,
     "m32_ari": m32_ari,

@@ -267,6 +267,33 @@ def test_max_concurrency_sweep_line(spark):
     assert total == 2
 
 
+def test_max_concurrency_ranged_matches_global(spark):
+    """r14 (VERDICT r13 item 1): the ranged sweep line — per-range running
+    sums + P-row prefix carry via ranged_cumsum — returns the exact same
+    peak as the single-sort global window, including at (at, delta) ties
+    (many intervals starting at one instant) and back-to-back half-open
+    boundaries, even when ranges outnumber distinct boundary values."""
+    from ml_data_pipeline_spark.operators.temporal import (
+        max_concurrency,
+        max_concurrency_ranged,
+    )
+
+    rows = (
+        # a burst of 40 intervals all opening at t=100 (tie group)
+        [(100, 110 + i) for i in range(40)]
+        # back-to-back chains: end == next start, never concurrent
+        + [(i, i + 1) for i in range(0, 50)]
+        # nested intervals
+        + [(200, 300), (210, 290), (220, 280), (230, 270)]
+    )
+    df = spark.createDataFrame(rows, ["s", "e"])
+    want = max_concurrency(df, "s", "e").collect()[0]["max_concurrent"]
+    assert want == 40
+    for p in (1, 4, 64):  # fewer / comparable / more ranges than values
+        got = max_concurrency_ranged(df, "s", "e", num_partitions=p).collect()
+        assert got[0]["max_concurrent"] == want, f"P={p}"
+
+
 # ---------------------------------------------------------------- round-4: CUSUM + Mann-Kendall
 
 

@@ -292,31 +292,34 @@ def quantile_transform(
     z-scaling is dominated by outliers.
 
     Scale shape: NO unpartitioned window over fact rows. One groupBy to
-    the distinct-value frame (bounded by column cardinality), a running
-    sum window over THAT frame only, then a broadcast join back — the same
-    aggregate-then-window pattern as frequency_encode/woe_encode above.
-    A single-value column maps to 0.0 (n-1 == 0 guard). Nulls stay null.
+    the distinct-value frame, the running sum over THAT frame — since r14
+    as a ranged cumsum (per-range parallel prefixes + P-row carry,
+    profiling.ranged_cumsum), so a CONTINUOUS column whose distinct count
+    approaches row count no longer serializes into one ordered task — and
+    an equi-join back (AQE broadcasts it when the value frame is small;
+    the old forced broadcast was an executor-OOM hazard at continuous-
+    column cardinality, the count_min_sketch r13 class). A single-value
+    column maps to 0.0 (n-1 == 0 guard). Nulls stay null.
     """
     out = out_column or f"{column}_q"
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
     # cardinality-bounded frame consumed twice (total + running sum):
     # localCheckpoint so the corpus-sized groupBy runs once, not per branch
     counts = df.where(F.col(column).isNotNull()).groupBy(
         F.col(column).alias("__v")
     ).agg(F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=True)
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = counts.agg(F.sum("__c").alias("__n"))
     cdf = (
-        counts.withColumn("__cum", F.sum("__c").over(w))
+        ranged_cumsum(counts, ["__v"], ["__c"])
         .crossJoin(F.broadcast(tot))
         .select(
             "__v",
             F.when(F.col("__n") > 1,
-                   (F.col("__cum") - F.col("__c")).cast("double")
+                   (F.col("__cum___c") - F.col("__c")).cast("double")
                    / (F.col("__n") - 1).cast("double"))
             .otherwise(F.lit(0.0))
             .alias(out),
         )
     )
-    return df.join(
-        F.broadcast(cdf), df[column] == cdf["__v"], "left"
-    ).drop("__v")
+    return df.join(cdf, df[column] == cdf["__v"], "left").drop("__v")

@@ -711,8 +711,12 @@ def ks_statistic(
 
     Scale shape (aggregate-then-window, like histogram/psi): rows collapse
     to per-distinct-value counts (one map-side-combinable groupBy) before
-    the cumulative window, so the only ordered pass runs over DISTINCT
-    VALUES — bounded by value cardinality, never row count. Returns one row
+    the cumulative pass. r14 (VERDICT r13 item 3): that pass now runs on
+    ranged_cumsum — per-range parallel prefix sums + a P-row carry — so it
+    stays parallel even on CONTINUOUS columns where distinct ≈ rows and
+    the former single ordered window serialized into one task. The
+    cumulative counts are exact longs, so the ECDF quotients are
+    bit-identical to the global-window plan. Returns one row
     (ks_stat, n_a, n_b).
     """
     per_val = (
@@ -728,11 +732,14 @@ def ks_statistic(
             F.sum((F.col(group_col) == group_b).cast("long")).alias("__cb"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # tot re-aggregates from source (2nd pruned scan — same cost the old
+    # two-branch window plan paid); the kernel caches only the narrow
+    # repartitioned per-value frame
     tot = per_val.agg(F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb"))
+    cum = ranged_cumsum(per_val, ["v"], ["__ca", "__cb"])
     return (
-        per_val.withColumn("__cum_a", F.sum("__ca").over(w))
-        .withColumn("__cum_b", F.sum("__cb").over(w))
+        cum.withColumnRenamed("__cum___ca", "__cum_a")
+        .withColumnRenamed("__cum___cb", "__cum_b")
         .crossJoin(F.broadcast(tot))
         .agg(
             F.round(
@@ -776,11 +783,15 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
 
     def rank_map(col: str) -> DataFrame:
+        # tie-averaged rank = exclusive prefix count + (ties+1)/2; the
+        # prefix runs on ranged_cumsum (r14, VERDICT r13 item 3) so a
+        # continuous column (distinct ≈ rows) no longer serializes the
+        # rank map into one ordered task — integer cumsums, bit-identical
         per = base.groupBy(F.col(col).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
-        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-        return per.select(
+        cum = ranged_cumsum(per, ["__v"], ["__c"])
+        return cum.select(
             "__v",
-            (F.coalesce(F.sum("__c").over(w), F.lit(0)) + (F.col("__c") + 1) / 2.0).alias(
+            (F.col("__cum___c") - F.col("__c") + (F.col("__c") + 1) / 2.0).alias(
                 f"__rank{col}"
             ),
         )
@@ -1188,8 +1199,17 @@ def weighted_percentiles(
     """Weighted percentiles per group: the lower weighted-percentile
     definition — the first value (in sort order) whose cumulative weight
     reaches q * total_weight. Exact and engine-replayable when the
-    weights are integer-valued (exact cumulative sums); the per-value
-    pre-aggregation keeps the rank window value-cardinality-sized."""
+    weights are integer-valued (exact cumulative sums).
+
+    Scale shape (r14, VERDICT r13 item 3): the per-group cumulative used
+    to be one window per group — a single task per group, row-scale when
+    one group holds a continuous column's worth of distinct values. Now
+    ONE global ranged cumsum over (group, value) order feeds everything:
+    within-group cumulative = global cumulative − the group's start
+    offset, where the offsets fall out of a group-cardinality-sized
+    aggregate of the same cumsum (per-group max, shifted by one group —
+    a bounded window over the per-group frame). A skewed giant group
+    parallelizes across ranges instead of serializing on its own task."""
     # NULL values sort FIRST in the cumulative window, so their weight
     # counted as 'below everything' and dragged every percentile toward
     # the minimum (r10 review) — drop them like an unweighted percentile
@@ -1198,22 +1218,29 @@ def weighted_percentiles(
         .groupBy(group_col, value_col)
         .agg(F.sum(weight_col).alias("__w"))
     )
-    wcum = (
-        Window.partitionBy(group_col)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranged_cumsum(per_val, [group_col, value_col], ["__w"])
+    # group end = max global cumsum inside the group (monotone in group
+    # order), group offset = previous group's end — a per-GROUP frame, so
+    # the unpartitioned window is group-cardinality bounded
+    gend = cum.groupBy(group_col).agg(F.max("__cum___w").alias("__gend"))
+    wprev = Window.orderBy(group_col).rowsBetween(Window.unboundedPreceding, -1)
+    gb = gend.withColumn(
+        "__goff", F.coalesce(F.max("__gend").over(wprev), F.lit(0))
+    ).withColumn("__tw", F.col("__gend") - F.col("__goff"))
+    # eqNullSafe: a NULL group key is a real group (the old partitionBy
+    # kept it); a plain equi-join would silently drop it
+    joined = cum.join(
+        gb.withColumnRenamed(group_col, "__g"),
+        F.col(group_col).eqNullSafe(F.col("__g")),
     )
-    wtot = Window.partitionBy(group_col)
-    cum = per_val.withColumn("__cw", F.sum("__w").over(wcum)).withColumn(
-        "__tw", F.sum("__w").over(wtot)
-    )
+    cw = F.col("__cum___w") - F.col("__goff")
     aggs = [
         F.min(
-            F.when(F.col("__cw") >= F.lit(q) * F.col("__tw"), F.col(value_col))
+            F.when(cw >= F.lit(q) * F.col("__tw"), F.col(value_col))
         ).alias(name)
         for name, q in qs.items()
     ]
-    return cum.groupBy(group_col).agg(*aggs)
+    return joined.groupBy(group_col).agg(*aggs)
 
 def orphan_counts(
     edges: "list[tuple[DataFrame, str, DataFrame, str, str]]",
@@ -1567,9 +1594,10 @@ def mann_whitney_u(
     tie-corrected variance n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1))) and no
     continuity correction (documented convention, engine-mirrorable).
 
-    Shape (aggregate-then-window, same bound as ks_statistic): rows
-    collapse to per-distinct-value (count_a, count_b) before the one
-    cumulative window, so the ordered pass is value-cardinality bounded.
+    Shape (aggregate-then-ranged-cumsum, same as ks_statistic since r14):
+    rows collapse to per-distinct-value (count_a, count_b) before the
+    cumulative pass, which runs as per-range parallel prefix sums with a
+    P-row carry — parallel even when distinct values ≈ rows.
     Tie-averaged ranks are sums of integers and integer-halves — exact in
     doubles, so U is exact cross-engine. NULL metric values are dropped
     (scipy/statsmodels convention, same as welch_ttest). The tie term
@@ -1586,12 +1614,17 @@ def mann_whitney_u(
             F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    # exclusive prefix = inclusive ranged cumsum minus own tie size (r14,
+    # VERDICT r13 item 3: parallel per-range prefixes, no single ordered
+    # task when value cardinality approaches row count; exact longs)
     t = F.col("ca") + F.col("cb")
     td = t.cast("double")
-    ranked = per_val.withColumn(
+    cum = ranged_cumsum(
+        per_val.withColumn("__t", t.cast("long")), ["v"], ["__t"]
+    )
+    ranked = cum.withColumn(
         "avg_rank",
-        F.coalesce(F.sum(t).over(w), F.lit(0)).cast("double") + (t + 1) / 2.0,
+        (F.col("__cum___t") - F.col("__t")).cast("double") + (t + 1) / 2.0,
     )
     agg = ranked.agg(
         F.sum("ca").cast("long").alias("n_a"),

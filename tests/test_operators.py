@@ -909,6 +909,53 @@ def test_ranged_rank_matches_global_row_number(spark):
     assert got == want
 
 
+def test_ranged_cumsum_matches_global_window(spark):
+    """r14 kernel (VERDICT r13 items 1/3): per-range prefix sums + P-row
+    carry must equal the global single-task cumulative window — long and
+    double sum columns, composite order key, P above and below the
+    distinct-key count."""
+    from pyspark.sql import Window
+
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
+    rows = [(i % 13, i, (i * 7) % 5, float(i % 3) / 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "k int, id int, n int, x double")
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: (r["cn"], r["cx"])
+        for r in df.withColumn("cn", F.sum("n").over(w))
+        .withColumn("cx", F.sum("x").over(w))
+        .collect()
+    }
+    for p in (1, 4, 64):
+        got = {
+            r["id"]: (r["__cum_n"], round(r["__cum_x"], 9))
+            for r in ranged_cumsum(
+                df, ["k", "id"], ["n", "x"], num_partitions=p
+            ).collect()
+        }
+        assert got == {
+            i: (cn, round(cx, 9)) for i, (cn, cx) in want.items()
+        }, f"P={p}"
+
+
+def test_weighted_percentiles_keeps_null_group(spark):
+    """r14: the ranged rewrite joins group offsets back by key — eqNullSafe
+    keeps a NULL group key as a real group, exactly like the old
+    partitionBy window did."""
+    from ml_data_pipeline_spark.operators.profiling import weighted_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), (None, 5, 3), (None, 7, 1)],
+        "g string, v int, w int",
+    )
+    out = {
+        r["g"]: r["p50"]
+        for r in weighted_percentiles(df, "g", "v", "w", {"p50": 0.5}).collect()
+    }
+    assert out == {"a": 1, None: 5}
+
+
 def test_gini_coefficient_extremes(spark):
     from ml_data_pipeline_spark.operators.profiling import gini_coefficient
 

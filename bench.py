@@ -72,6 +72,20 @@ def _calibration_probe() -> float:
 
 def main() -> None:
     load_start = os.getloadavg()[0]
+    # standing bench discipline (VERDICT r13 item 7 / r12-r13 "what's
+    # wrong"): the official per-round number kept landing on a loaded
+    # host (loadavg 3.9 vs the judge's idle 0.16 sample). If the 1-min
+    # load is above 1 at start, wait — bounded — for it to decay before
+    # measuring, and flag the run either way so a loaded artifact is
+    # self-describing rather than a forensic exercise.
+    settle_wait = 0.0
+    if load_start > 1.0:
+        cap = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_CAP", "180"))
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < cap and os.getloadavg()[0] > 1.0:
+            time.sleep(5)
+        settle_wait = round(time.monotonic() - t0, 1)
+        load_start = os.getloadavg()[0]
     calibration = _calibration_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # tolerant parse (r11 review: a dir like .../sf0.1-snapshot crashed the
@@ -128,6 +142,10 @@ def main() -> None:
                 "sf": sf,
                 "loadavg_1m_start": round(load_start, 2),
                 "loadavg_1m_end": round(os.getloadavg()[0], 2),
+                # true only when the settle wait capped out with the host
+                # still loaded — read this number with the calibration
+                "host_loaded": load_start > 1.0,
+                "settle_wait_sec": settle_wait,
                 "cpus": os.cpu_count(),
                 # fixed single-core CPU probe: normalize cross-boot host
                 # speed shifts mechanically (see _calibration_probe)

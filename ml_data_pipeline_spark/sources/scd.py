@@ -2,10 +2,11 @@
 
 Two upsert shapes for the versioned-dataset layer:
 
-- ``merge_upsert`` (SCD1): updates overwrite matching keys, inserts append —
-  emulated as anti-join (keep unmatched current) + union (all updates).
-  With the table bucketed on the key, both sides co-locate and the merge is
-  shuffle-free.
+- ``merge_upsert`` (SCD1): with a ts column, the LATEST row per key wins
+  across current ∪ updates (order-independent — safe for out-of-order
+  micro-batch delivery, r14); without one, updates overwrite matching keys
+  (classic in-order-changelog SCD1) via anti-join + union. With the table
+  bucketed on the key, both sides co-locate and the merge is shuffle-free.
 - ``scd2_apply`` (SCD2): full history — matching current rows are CLOSED
   (valid_to stamped) and new row versions opened; every key's history stays
   queryable with an as-of filter (``scd2_snapshot``).
@@ -37,15 +38,26 @@ def merge_upsert(
     'current' table — the invariant SCD1 exists to hold). With ``ts_col``
     the latest row wins (ties broken by full-row struct order, so a
     replayed batch is idempotent); without it the deterministic
-    max-struct row wins — supply ts_col for real CDC streams."""
+    max-struct row wins — supply ts_col for real CDC streams.
+
+    r14 (found by tools/stream_recovery.py's multi-batch run): with
+    ``ts_col`` the latest-wins rule now also applies AGAINST ``current``
+    — "updates win on key match" is only correct for an in-order
+    changelog, but a file/stream source delivers micro-batches in ARRIVAL
+    order, so an older event landing in a later batch used to silently
+    overwrite newer keyed state. current ∪ updates → one latest row per
+    key is commutative and idempotent: delivery order cannot change the
+    final table. The no-ts_col path keeps the classic SCD1
+    "updates overwrite" contract for genuinely ordered changelogs."""
     from pyspark.sql import Window
 
     if ts_col is not None:
+        allr = current.unionByName(updates)
         w = Window.partitionBy(key).orderBy(
-            F.col(ts_col).desc(), F.struct(*updates.columns).desc()
+            F.col(ts_col).desc(), F.struct(*allr.columns).desc()
         )
-        updates = (
-            updates.withColumn("__rn", F.row_number().over(w))
+        return (
+            allr.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )

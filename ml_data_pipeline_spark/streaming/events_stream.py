@@ -249,6 +249,11 @@ def write_stream_upsert(
     foreachBatch gives the exactly-once contract: the checkpoint records
     batch ids, and a replayed batch re-merges idempotently (merge on key
     with deterministic in-batch dedup is idempotent for identical input).
+    r14: the merge is latest-(order_col)-wins against the CURRENT table
+    too (see sources.scd.merge_upsert) — micro-batch arrival order no
+    longer changes the final table, so an out-of-order file source (the
+    stream_recovery.py 8-batch run that exposed this) converges to the
+    same keyed state as in-order delivery.
     The merged result is localCheckpoint-ed BEFORE the overwrite so the
     read of the current table completes before its files are replaced
     (lineage cut — no read-own-overwrite race). The target is re-written

@@ -358,6 +358,14 @@ def test_r10_source_fixes(spark, tmp_path):
     out = SCD.merge_upsert(cur, upd, "k", ts_col="ts")
     got = {r["k"]: r["v"] for r in out.collect()}
     assert len(out.collect()) == 3 and got[1] == "u2"  # latest ts wins, one row per key
+    # r14 (stream_recovery.py finding): a LATE-arriving older row must not
+    # overwrite newer keyed state — latest-wins applies vs current too
+    late = spark.createDataFrame([(1, "stale", 5)], "k long, v string, ts int")
+    again = {r["k"]: r["v"] for r in SCD.merge_upsert(out, late, "k", ts_col="ts").collect()}
+    assert again[1] == "u2"  # ts 5 < 20: current row survives
+    # ... and merging the same batch twice stays idempotent
+    twice = {r["k"]: r["v"] for r in SCD.merge_upsert(out, upd, "k", ts_col="ts").collect()}
+    assert twice == got
     # content_fingerprint: field-boundary shifts no longer collide
     a = spark.createDataFrame([("a|b", "c")], "x string, y string")
     b = spark.createDataFrame([("a", "b|c")], "x string, y string")

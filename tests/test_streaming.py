@@ -219,10 +219,15 @@ def test_attribution_join_matches_batch(spark, events_path):
 def test_upsert_sink_latest_per_key_and_idempotent_restart(spark, events_path, tmp_path):
     """foreachBatch upsert: final table = one row per user with the user's
     LATEST event (batch twin via row_number); restarting on the exhausted
-    source must not change the table."""
+    source must not change the table.
+
+    r14: maxFilesPerTrigger=1 makes this a MULTI-batch drain over files
+    whose ts ranges interleave — pinning the cross-batch out-of-order case
+    (an older event in a later batch must not overwrite newer state) that
+    the old single-batch drain never exercised."""
     table = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt_upsert")
-    stream = ES.read_events_stream(spark, events_path).select(
+    stream = ES.read_events_stream(spark, events_path, max_files_per_trigger=1).select(
         "user_id", "ts", "event_type", "value"
     )
     q = ES.write_stream_upsert(stream, table, ckpt, key="user_id", order_col="ts")

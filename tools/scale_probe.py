@@ -111,6 +111,12 @@ PROBES = [
     # any balancing plan sees; b8 is the heaviest probe in the list
     "b8_smote_tomek",
     "b9_smote_enn",
+    # r14 (VERDICT r13 item 5): the last unprobed heavies — MICE's chained
+    # LR sweeps (iteration-dominated), DBSCAN's eps-neighbor graph, and
+    # PageRank's 5 power iterations with per-iteration checkpoint
+    "i6_impute_mice",
+    "ml_dbscan",
+    "q_pagerank",
 ]
 
 

@@ -7312,14 +7312,84 @@ ALL_QUERIES = {
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R13_PRIORITY)},
 }
 
-# ---- ROUND-14 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r13 lands, the stalest rows are the 3 r4 rows the r13
-# window could not fit (tx_script_stats, tx_url_canonicalize, and
-# q13/q15/q16-adjacent leftovers if any were displaced), then the r5
-# block (dd_prefix_jaccard, m23_ridge_path, m26/m27 reports, ml_kmeans,
-# ml_pca_contract, p28-p34, pipe_golden_record, the q_abc/q_active
-# family). Build _R14_PRIORITY as: any round-14-modified gates first,
-# then oldest-row-first (recompute from the CORRECTNESS_r*.json union —
-# tools convention: last round containing each name, ascending, name as
-# tie-break) to fill 50, and update the window-pin test
-# (test_r13_gates_registered_and_windowed) to the new list.
+# ---- ROUND-14 driver priority window (VERDICT r13 item 4): the 10
+# round-14-modified gates first — the ranged sweep-line headline + its
+# new single-task twin, the five distinct-value-cumulative gates whose
+# operators moved onto ranged_cumsum (p23/p24/m45/p33/e24), and the
+# three mixing/packing gates whose NULL guards went lazy-in-plan — then
+# strictly oldest-driver-row-first from the CORRECTNESS_r01-r13 union:
+# the two r4 rows the r13 window could not fit, then the r5 block in
+# name order until the window holds 50. Zero overlap with the r13
+# window by construction (every r13 name has union-last = 13).
+_R14_PRIORITY = [
+    # -- round-14-modified gates
+    "q_max_concurrency",
+    "q_max_concurrency_single",
+    "p23_ks_drift",
+    "p24_spearman",
+    "m45_mannwhitney",
+    "p33_weighted_median",
+    "e24_quantile_transform",
+    "tx_pack_sequences",
+    "tx_mixture_plan",
+    "tx_temperature_mix",
+    # -- stalest driver rows: the 2 remaining r4 rows
+    "tx_script_stats",
+    "tx_url_canonicalize",
+    # -- then the r5 block, name order
+    "dd_prefix_jaccard",
+    "m23_ridge_path",
+    "m26_classification_report",
+    "m27_sliced_report",
+    "ml_kmeans",
+    "ml_pca_contract",
+    "p28_moments",
+    "p29_l_diversity",
+    "p30_dp_counts",
+    "p34_ref_integrity",
+    "pipe_golden_record",
+    "q_abc_brands",
+    "q_active_users",
+    "q_attribution_models",
+    "q_churn_labels",
+    "q_event_patterns",
+    "q_hierarchy_flatten",
+    "q_join_cardinality",
+    "q_pagerank",
+    "q_revenue_bridge",
+    "q_rolling_corr",
+    "q_time_to_convert",
+    "q_triangles",
+    "s18_schema_diff",
+    "s19_compaction_plan",
+    "s20_content_hash",
+    "s21_bin_manifest",
+    "s22_range_boundaries",
+    "ss_random_project",
+    "st_sliding_topk",
+    "t12_group_weighted_sample",
+    "t13_negative_sample",
+    "t14_cluster_safe_split",
+    "t16_quota_allocation",
+    "tx_bpe_pairs",
+    "tx_diversity",
+    "tx_dsir_select",
+    "tx_pmi_collocations",
+    # --- driver window ends here (50 entries above) ---
+]
+assert len(_R14_PRIORITY) == 50 and len(set(_R14_PRIORITY)) == 50
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R14_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R14_PRIORITY)},
+}
+
+# ---- ROUND-15 ROTATION TODO (for the next round's builder): after
+# CORRECTNESS_r14 lands, the stalest rows are the tail of the r5 block
+# the r14 window could not fit (tx_temperature_mix is r14-modified so it
+# leaves the r5 backlog; tx_vocab_coverage, tx_vocab_overlap,
+# tx_zipf_slope remain), then the r6 block. Build _R15_PRIORITY as: any
+# round-15-modified gates first, then oldest-row-first (recompute from
+# the CORRECTNESS_r*.json union — tools convention: last round
+# containing each name, ascending, name as tie-break) to fill 50, and
+# update the window-pin test (test_r14_gates_registered_and_windowed)
+# to the new list.

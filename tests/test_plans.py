@@ -277,21 +277,24 @@ def test_r8_sink_ml_gates_registered():
         assert g in ALL_ORACLES, g
 
 
-def test_r13_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R13_PRIORITY (the 6
-    r13-modified gates first — the four seed/weight-frame plan collapses
-    b1/b6/b7/i7 plus b8/b9 whose smote changed under them — then
-    strictly oldest-driver-row-first from the CORRECTNESS_r01-r12
-    union); every windowed gate is oracle-registered."""
+def test_r14_gates_registered_and_windowed():
+    """The first-50 driver window is exactly _R14_PRIORITY (the 10
+    r14-modified gates first — the ranged sweep-line pair, the five
+    ranged_cumsum stats gates, the three lazy-NULL-guard mixing/packing
+    gates — then strictly oldest-driver-row-first from the
+    CORRECTNESS_r01-r13 union); every windowed gate is
+    oracle-registered."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
-    from ml_data_pipeline_spark.queries import _R13_PRIORITY
+    from ml_data_pipeline_spark.queries import _R14_PRIORITY
 
     window = list(Q.ALL_QUERIES)[:50]
-    assert window == _R13_PRIORITY
-    for g in ("b1_smote_counts", "b6_adasyn_counts", "b7_borderline_counts",
-              "b8_smote_tomek", "b9_smote_enn", "i7_hot_deck"):
+    assert window == _R14_PRIORITY
+    for g in ("q_max_concurrency", "q_max_concurrency_single",
+              "p23_ks_drift", "p24_spearman", "m45_mannwhitney",
+              "p33_weighted_median", "e24_quantile_transform",
+              "tx_pack_sequences", "tx_mixture_plan", "tx_temperature_mix"):
         assert g in ALL_ORACLES, g
-        assert g in window[:6], g
+        assert g in window[:10], g
 
 
 @pytest.mark.parametrize(

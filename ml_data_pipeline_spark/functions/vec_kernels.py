@@ -41,3 +41,32 @@ def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
     with np.errstate(invalid="ignore", divide="ignore"):
         out = np.where(den > 0, dots / den, np.nan)
     return pd.Series(out)
+
+
+def nearest_cells_udf(centroids, nprobe):
+    """Factory: pandas UDF mapping an array<double> vector column to the
+    indices of its `nprobe` nearest centroids (squared L2; stable argsort
+    = lowest-index tie-break). The centroid matrix rides the closure —
+    k x d floats, broadcast with the task, tiny by IVF construction.
+
+    The multiprobe-assignment kernel for similarity.ivf_candidate_pairs:
+    one (batch x k) GEMM per Arrow batch instead of k interpreted
+    per-element expression folds."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    cn = (C * C).sum(axis=1)
+    p = min(int(nprobe), C.shape[0])
+
+    @pandas_udf("array<int>")
+    def _nearest(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ C.T) + cn
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :p].astype("int32")
+        return pd.Series(list(idx))
+
+    return _nearest

@@ -243,6 +243,77 @@ def build_ivf_index(
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return assigned, centroids
 
+def ivf_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    n_clusters: int | None = None,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed eps-neighbor pairs for density clustering / similarity
+    graphs — the 100 TB candidate path behind dbscan_labels (r14, found
+    by the sf1 probe: the brute baseline's n² measured 51x wall for 10x
+    data; this path measured ~linear).
+
+    Shape: KMeans coarse cells (build_ivf_index), every point posted to
+    its `nprobe` nearest cells (one Arrow GEMM per batch —
+    vec_kernels.nearest_cells_udf), within-cell equi-join (id_a < id_b),
+    exact cosine verify >= threshold, then pair dedup (a pair sharing
+    several probed cells joins once per shared cell, <= nprobe dupes —
+    deduped AFTER the threshold cut so the distinct runs on the
+    surviving-pair frame, not the candidate frame). Candidates never
+    cross non-shared cells: no crossJoin, cost ~ sum(occupancy²)
+    instead of n².
+
+    Low thresholds (eps graphs) are exactly where sign-LSH banding loses
+    recall — P(same bucket) decays with the angle — while IVF cells are
+    data-adaptive. Recall is still cell-boundary dependent: two
+    eps-neighbors sharing NO probed cell are missed; `nprobe` trades
+    recall for cost exactly like ivf_topk. Output schema matches
+    brute_force_cosine_pairs: (id_a, id_b, cosine).
+
+    ``n_clusters=None`` sizes the index at ~sqrt(n) cells (one
+    column-pruned count — the standard IVF heuristic): with FIXED cells
+    the per-cell occupancy grows linearly and sum(occupancy²) is still
+    quadratic (the r14 probe measured exactly that at k=8); sqrt-scaled
+    cells keep occupancy ~sqrt(n) and total candidates ~n^1.5 — and
+    n·sqrt(n) verified pairs is the honest floor for an eps-GRAPH whose
+    edge count itself grows that way on clustered data."""
+    from ml_data_pipeline_spark.cache import tracked_cache
+
+    from ..functions.vec_kernels import nearest_cells_udf, pair_cosine
+
+    if n_clusters is None:
+        n = df.count()
+        n_clusters = max(2, min(4096, int(n ** 0.5)))
+    assigned, centroids = build_ivf_index(df, dim, n_clusters, vec_col, seed)
+    cells = nearest_cells_udf(centroids, nprobe)
+    posted = tracked_cache(
+        assigned.select(
+            F.col(id_col).alias("__pid_"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__pv"),
+            F.explode(cells(F.col(vec_col))).alias("__cell"),
+        )
+    )
+    a = posted.select(
+        F.col("__pid_").alias("id_a"), F.col("__pv").alias("va"), "__cell"
+    )
+    b = posted.select(
+        F.col("__pid_").alias("id_b"), F.col("__pv").alias("vb"), "__cell"
+    )
+    return (
+        a.join(b, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(pair_cosine("va", "vb"), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 def build_ivf_index_exact(
     df: DataFrame,
     n_clusters: int = 16,

@@ -5372,6 +5372,20 @@ ALL_ORACLES["i4_interpolate_single"] = ALL_ORACLES["i4_interpolate"]
 # headline, q_max_concurrency_single the global-window baseline, one oracle
 ALL_ORACLES["q_max_concurrency_single"] = ALL_ORACLES["q_max_concurrency"]
 
+# r14: DBSCAN on the IVF candidate path — contract-attestation oracle (the
+# b8/b9 pattern): labels are candidate-recall dependent (engine-only), so
+# the oracle pins the point count from the data plus the all-TRUE
+# consistency contract the gate attests edge-wise against its own graph.
+ALL_ORACLES["ml_dbscan_ivf"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           TRUE AS core_all_labeled,
+           TRUE AS border_label_is_min_core_neighbor,
+           TRUE AS noise_has_no_core_neighbor,
+           TRUE AS core_edges_label_consistent,
+           TRUE AS found_clusters
+    FROM embeddings
+"""
+
 ALL_ORACLES["m10_linear_shap"] = """
     WITH st AS (
         SELECT avg(l_quantity) AS m1, avg(l_discount) AS m2,

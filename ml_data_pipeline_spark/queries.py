@@ -6042,6 +6042,108 @@ def ml_dbscan(spark: SparkSession, sf: str) -> DataFrame:
 ALL_QUERIES.update({"ml_dbscan": ml_dbscan})
 
 
+def ml_dbscan_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """DBSCAN on the SCALE candidate path (contract-attestation gate, the
+    b8/b9 pattern; r14 — the sf1 probe measured the brute baseline's n²
+    at 51x wall for 10x data, exactly as quadratic predicts, so the
+    100 TB path needed its own first-class gate): eps-neighbors from
+    similarity.ivf_candidate_pairs (KMeans cells, nprobe=2 multiprobe,
+    exact cosine >= 0.3 verify — bucketed, no crossJoin) feeding the
+    same dbscan_labels graph algebra.
+
+    Labels are candidate-recall dependent (two eps-neighbors sharing no
+    probed cell are missed), so no cross-engine replay exists; the gate
+    instead ATTESTS the labeling's internal consistency against the
+    exact candidate graph the engine built — each invariant falsifiable
+    by a real labeling bug: every core point labeled; every border
+    (labeled non-core) point's label == MIN of its core neighbors'
+    labels; noise has no core neighbor; every core-core candidate edge
+    joins equal labels (components correctness); and the run found at
+    least one cluster (an all-noise collapse cannot read vacuously
+    TRUE). The oracle pins n_points from the data + the all-TRUE
+    contract; like b8/b9 it independently checks shape and count, not
+    the engine-only label values."""
+    from ml_data_pipeline_spark.cache import lazy_local_checkpoint
+    from ml_data_pipeline_spark.ml.clustering import dbscan_labels
+
+    emb = load_table(spark, sf, "embeddings")
+    # pairs feed dbscan (degree + edges) AND the attestation joins; lab
+    # feeds four branches — both are small derived frames, checkpointed
+    # per the r13 lineage convention (raw embeddings stays recomputable)
+    pairs = lazy_local_checkpoint(
+        SS.ivf_candidate_pairs(
+            emb, dim=64, threshold=0.3, nprobe=2  # ~sqrt(n) cells
+        )
+    )
+    lab = lazy_local_checkpoint(
+        dbscan_labels(emb, pairs, id_col="vec_id", min_pts=4)
+    )
+    e = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).unionByName(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    ls = lab.select(F.col("vec_id").alias("s"))
+    ld = lab.select(
+        F.col("vec_id").alias("d"),
+        F.col("label").alias("__ld"),
+        F.col("is_core").alias("__cd"),
+    )
+    nb = (
+        e.join(ld, "d")
+        .groupBy("s")
+        .agg(
+            F.max(F.col("__cd").cast("int")).alias("__has_core_nb"),
+            F.min(F.when(F.col("__cd"), F.col("__ld"))).alias("__min_core_lab"),
+        )
+    )
+    full = lab.join(nb, lab["vec_id"] == nb["s"], "left")
+    lbl, core = F.col("label"), F.col("is_core")
+    has_core = F.coalesce(F.col("__has_core_nb"), F.lit(0)) == 1
+    # core-core edge label equality, checked edge-wise
+    la = lab.select(F.col("vec_id").alias("s"), F.col("label").alias("__lsx"), F.col("is_core").alias("__csx"))
+    cc = (
+        e.join(la, "s")
+        .join(ld, "d")
+        .agg(
+            F.coalesce(
+                F.bool_and(
+                    F.when(F.col("__csx") & F.col("__cd"), F.col("__lsx") == F.col("__ld"))
+                ),
+                F.lit(True),
+            ).alias("core_edges_label_consistent")
+        )
+    )
+    checks = full.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(F.bool_and(F.when(core, lbl.isNotNull())), F.lit(True)).alias(
+            "core_all_labeled"
+        ),
+        F.coalesce(
+            F.bool_and(
+                F.when(
+                    (~core) & lbl.isNotNull(),
+                    has_core & (lbl == F.col("__min_core_lab")),
+                )
+            ),
+            F.lit(True),
+        ).alias("border_label_is_min_core_neighbor"),
+        F.coalesce(
+            F.bool_and(F.when(lbl.isNull(), ~has_core)), F.lit(True)
+        ).alias("noise_has_no_core_neighbor"),
+        (F.count(F.when(lbl.isNotNull(), 1)) > 0).alias("found_clusters"),
+    )
+    return checks.crossJoin(F.broadcast(cc)).select(
+        "n_points",
+        "core_all_labeled",
+        "border_label_is_min_core_neighbor",
+        "noise_has_no_core_neighbor",
+        "core_edges_label_consistent",
+        "found_clusters",
+    )
+
+
+ALL_QUERIES.update({"ml_dbscan_ivf": ml_dbscan_ivf})
+
+
 # ------------------------------------------------------------ round-6 rotation
 # Executes the r5 TODO above exactly: the driver records rows for the FIRST
 # 50 dict entries, so the window takes (1) the 23 oracle-backed entries from
@@ -7322,7 +7424,9 @@ ALL_QUERIES = {
 # name order until the window holds 50. Zero overlap with the r13
 # window by construction (every r13 name has union-last = 13).
 _R14_PRIORITY = [
-    # -- round-14-modified gates
+    # -- round-14-modified gates (ml_dbscan_ivf is NEW this round — the
+    # IVF scale path the sf1 probe demanded; it must see a driver row)
+    "ml_dbscan_ivf",
     "q_max_concurrency",
     "q_max_concurrency_single",
     "p23_ks_drift",
@@ -7374,8 +7478,8 @@ _R14_PRIORITY = [
     "tx_bpe_pairs",
     "tx_diversity",
     "tx_dsir_select",
-    "tx_pmi_collocations",
-    # --- driver window ends here (50 entries above) ---
+    # --- driver window ends here (50 entries above; tx_pmi_collocations
+    # slid to the r15 backlog when ml_dbscan_ivf joined) ---
 ]
 assert len(_R14_PRIORITY) == 50 and len(set(_R14_PRIORITY)) == 50
 ALL_QUERIES = {
@@ -7386,8 +7490,8 @@ ALL_QUERIES = {
 # ---- ROUND-15 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r14 lands, the stalest rows are the tail of the r5 block
 # the r14 window could not fit (tx_temperature_mix is r14-modified so it
-# leaves the r5 backlog; tx_vocab_coverage, tx_vocab_overlap,
-# tx_zipf_slope remain), then the r6 block. Build _R15_PRIORITY as: any
+# leaves the r5 backlog; tx_pmi_collocations, tx_vocab_coverage,
+# tx_vocab_overlap, tx_zipf_slope remain), then the r6 block. Build _R15_PRIORITY as: any
 # round-15-modified gates first, then oldest-row-first (recompute from
 # the CORRECTNESS_r*.json union — tools convention: last round
 # containing each name, ascending, name as tie-break) to fill 50, and

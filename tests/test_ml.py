@@ -867,3 +867,53 @@ def test_r10_ml_robustness_fixes(spark):
         MP.predict_single_row(
             model, spark, {"x": None, "z": 1.0, "cls": "hi"}, "x double, z double, cls string"
         )
+
+
+def test_ivf_candidate_pairs_subset_of_brute_and_complete_single_cell(spark):
+    """r14 (sf1 probe finding): the IVF candidate path must (a) emit ONLY
+    true >= threshold pairs (verification is exact — a subset of the brute
+    pairs regardless of recall), and (b) equal the brute set exactly when
+    every point probes EVERY cell (nprobe == n_clusters — recall 1 by
+    construction; MLlib KMeans needs k >= 2, so k=2/nprobe=2). Multiprobe
+    must not duplicate pairs that share both cells."""
+    import random
+
+    from ml_data_pipeline_spark.operators import similarity as SS
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SS.brute_force_cosine_pairs(df, threshold=0.3).collect()
+    }
+    all_cells = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SS.ivf_candidate_pairs(
+            df, dim=8, threshold=0.3, n_clusters=2, nprobe=2
+        ).collect()
+    }
+    assert all_cells == brute and len(brute) > 0
+    multi = SS.ivf_candidate_pairs(
+        df, dim=8, threshold=0.3, n_clusters=4, nprobe=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in multi}
+    assert len(got) == len(multi)  # no duplicate pairs after multiprobe
+    assert set(got).issubset(set(brute))
+    for k, v in got.items():
+        assert v == brute[k]
+
+
+def test_nearest_cells_udf_matches_numpy_argsort(spark):
+    from ml_data_pipeline_spark.functions.vec_kernels import nearest_cells_udf
+
+    cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [9.0, 1.0]), (3, [1.0, 9.0]), (4, [5.0, 0.0])],
+        "id long, v array<double>",
+    )
+    udf = nearest_cells_udf(cents, nprobe=2)
+    got = {r["id"]: list(r["c"]) for r in df.select("id", udf("v").alias("c")).collect()}
+    assert got[1] == [0, 1] and got[2] == [1, 0] and got[3] == [2, 0]
+    # (5,0) is equidistant to cells 0 and 1: stable argsort -> lowest index
+    assert got[4] == [0, 1]

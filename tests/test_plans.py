@@ -278,23 +278,24 @@ def test_r8_sink_ml_gates_registered():
 
 
 def test_r14_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R14_PRIORITY (the 10
-    r14-modified gates first — the ranged sweep-line pair, the five
-    ranged_cumsum stats gates, the three lazy-NULL-guard mixing/packing
-    gates — then strictly oldest-driver-row-first from the
-    CORRECTNESS_r01-r13 union); every windowed gate is
-    oracle-registered."""
+    """The first-50 driver window is exactly _R14_PRIORITY (the 11
+    r14-modified gates first — the new IVF-path DBSCAN attestation, the
+    ranged sweep-line pair, the five ranged_cumsum stats gates, the
+    three lazy-NULL-guard mixing/packing gates — then strictly
+    oldest-driver-row-first from the CORRECTNESS_r01-r13 union); every
+    windowed gate is oracle-registered."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
     from ml_data_pipeline_spark.queries import _R14_PRIORITY
 
     window = list(Q.ALL_QUERIES)[:50]
     assert window == _R14_PRIORITY
-    for g in ("q_max_concurrency", "q_max_concurrency_single",
+    for g in ("ml_dbscan_ivf", "q_max_concurrency",
+              "q_max_concurrency_single",
               "p23_ks_drift", "p24_spearman", "m45_mannwhitney",
               "p33_weighted_median", "e24_quantile_transform",
               "tx_pack_sequences", "tx_mixture_plan", "tx_temperature_mix"):
         assert g in ALL_ORACLES, g
-        assert g in window[:10], g
+        assert g in window[:11], g
 
 
 @pytest.mark.parametrize(

@@ -113,9 +113,14 @@ PROBES = [
     "b9_smote_enn",
     # r14 (VERDICT r13 item 5): the last unprobed heavies — MICE's chained
     # LR sweeps (iteration-dominated), DBSCAN's eps-neighbor graph, and
-    # PageRank's 5 power iterations with per-iteration checkpoint
+    # PageRank's 5 power iterations with per-iteration checkpoint.
+    # ml_dbscan itself (the brute exact baseline) was probed ONCE and
+    # measured 5.14x (1149s sf1 vs 22.4s warm sf0.1 — 51x wall for 10x
+    # data, exactly the documented n²); it stays OUT of the standing list
+    # by the same rule as ss_brute_topk, and the IVF scale path is the
+    # probed gate instead.
     "i6_impute_mice",
-    "ml_dbscan",
+    "ml_dbscan_ivf",
     "q_pagerank",
 ]
 

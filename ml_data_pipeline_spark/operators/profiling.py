@@ -745,7 +745,13 @@ def ks_statistic(
             F.round(
                 F.max(
                     F.abs(
-                        F.col("__cum_a") / F.col("__na") - F.col("__cum_b") / F.col("__nb")
+                        # nullif (r14 hazard sweep): an ABSENT group makes
+                        # its count 0 and ANSI mode turns the ECDF quotient
+                        # into a DIVIDE_BY_ZERO crash mid-pipeline; the
+                        # statistic is undefined there — return NULL (the
+                        # silhouette/DB/ARI degenerate-input convention)
+                        F.col("__cum_a") / F.nullif(F.col("__na"), F.lit(0))
+                        - F.col("__cum_b") / F.nullif(F.col("__nb"), F.lit(0))
                     )
                 ),
                 6,
@@ -1216,7 +1222,14 @@ def weighted_percentiles(
     per_val = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(group_col, value_col)
-        .agg(F.sum(weight_col).alias("__w"))
+        .agg(
+            F.sum(weight_col).alias("__w"),
+            # loud contract (r14 hazard sweep): a NEGATIVE weight makes
+            # the cumulative non-monotone and the "first value reaching
+            # q * total" definition silently returns garbage; tallied
+            # here (scan-free — the agg already runs) and raised in-plan
+            F.sum((F.col(weight_col) < 0).cast("long")).alias("__nneg"),
+        )
     )
     cum = ranged_cumsum(per_val, [group_col, value_col], ["__w"])
     # group end = max global cumsum inside the group (monotone in group
@@ -1234,10 +1247,19 @@ def weighted_percentiles(
         F.col(group_col).eqNullSafe(F.col("__g")),
     )
     cw = F.col("__cum___w") - F.col("__goff")
+    guard = F.raise_error(
+        F.lit(
+            "weighted_percentiles requires non-negative weights; column "
+            f"{weight_col!r} contains negative values — the cumulative "
+            "definition is undefined there"
+        )
+    )
     aggs = [
-        F.min(
-            F.when(cw >= F.lit(q) * F.col("__tw"), F.col(value_col))
-        ).alias(name)
+        F.when(F.sum("__nneg") > 0, guard)
+        .otherwise(
+            F.min(F.when(cw >= F.lit(q) * F.col("__tw"), F.col(value_col)))
+        )
+        .alias(name)
         for name, q in qs.items()
     ]
     return joined.groupBy(group_col).agg(*aggs)

@@ -442,9 +442,15 @@ def max_concurrency(
     group). The UNGROUPED form runs one global ordered window — a single
     sort task at boundary-stream scale; use max_concurrency_ranged for
     the plan that survives 100x data (same answer, tested hash-equal)."""
+    from ml_data_pipeline_spark.cache import tracked_cache
+
     keys = [group_col] if group_col else []
-    starts = df.select(*keys, F.col(start_col).alias("at"), F.lit(1).alias("delta"))
-    ends = df.select(*keys, F.col(end_col).alias("at"), F.lit(-1).alias("delta"))
+    # the union's two branches would each re-run the caller's upstream
+    # plan (r14 plan audit) — project to the needed columns and cache
+    # the narrow interval frame so it runs once
+    iv = tracked_cache(df.select(*keys, start_col, end_col))
+    starts = iv.select(*keys, F.col(start_col).alias("at"), F.lit(1).alias("delta"))
+    ends = iv.select(*keys, F.col(end_col).alias("at"), F.lit(-1).alias("delta"))
     events = starts.unionByName(ends)
     w = Window.partitionBy(*keys).orderBy("at", "delta").rowsBetween(
         Window.unboundedPreceding, 0
@@ -470,12 +476,21 @@ def max_concurrency_ranged(
     tie carry the same delta, so the running sum is monotone across the
     group and its extremum sits at a group boundary in every order. Ends
     still sort before starts at the same instant (delta -1 < +1), the
-    half-open-interval convention of the global twin."""
-    starts = df.select(F.col(start_col).alias("at"), F.lit(1).alias("delta"))
-    ends = df.select(F.col(end_col).alias("at"), F.lit(-1).alias("delta"))
-    events = starts.unionByName(ends)
+    half-open-interval convention of the global twin.
+
+    The boundary stream is a UNION of two projections of ``df`` — built
+    naively, each branch re-runs the caller's upstream plan (the
+    q_max_concurrency gate's user-day aggregation ran TWICE, plan-audit
+    r14). The interval frame is therefore projected to its two columns
+    and tracked-cached (narrow, spillable, recomputable) before the
+    union, so the upstream plan runs once however expensive it was."""
+    from ml_data_pipeline_spark.cache import tracked_cache
     from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
 
+    iv = tracked_cache(df.select(F.col(start_col).alias("__s"), F.col(end_col).alias("__e")))
+    starts = iv.select(F.col("__s").alias("at"), F.lit(1).alias("delta"))
+    ends = iv.select(F.col("__e").alias("at"), F.lit(-1).alias("delta"))
+    events = starts.unionByName(ends)
     running = ranged_cumsum(
         events, ["at", "delta"], ["delta"], num_partitions=num_partitions
     )

@@ -2374,3 +2374,34 @@ def test_r10_profiling_null_semantics(spark):
     got = {r["column"]: r["type_class"] for r in P.classify_column_types(empty).collect()}
     assert set(got) == {"x", "s"}
 
+
+
+def test_ks_statistic_absent_group_returns_null_not_crash(spark):
+    """r14 hazard sweep: an ABSENT group used to hit ANSI DIVIDE_BY_ZERO
+    in the ECDF quotient; the statistic is undefined there — NULL, the
+    silhouette/DB/ARI degenerate-input convention."""
+    from ml_data_pipeline_spark.operators.profiling import ks_statistic
+
+    df = spark.createDataFrame([( "a", 1.0), ("a", 2.0)], "g string, v double")
+    row = ks_statistic(df, "v", "g", "a", "zzz_absent").collect()[0]
+    assert row["ks_stat"] is None and row["n_a"] == 2 and row["n_b"] == 0
+
+
+def test_weighted_percentiles_rejects_negative_weights(spark):
+    """r14 hazard sweep: a negative weight makes the cumulative
+    non-monotone and the lower-percentile definition silently wrong —
+    now an in-plan loud error (scan-free on clean data)."""
+    import pytest as _pytest
+
+    from ml_data_pipeline_spark.operators.profiling import weighted_percentiles
+
+    bad = spark.createDataFrame(
+        [("a", 1, 2), ("a", 2, -1)], "g string, v int, w int"
+    )
+    with _pytest.raises(Exception, match="non-negative weights"):
+        weighted_percentiles(bad, "g", "v", "w", {"p50": 0.5}).collect()
+    ok = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 3)], "g string, v int, w int"
+    )
+    got = weighted_percentiles(ok, "g", "v", "w", {"p50": 0.5}).collect()[0]
+    assert got["p50"] == 2

@@ -847,3 +847,38 @@ def test_r13_xxhash64_pinned_to_public_xxh64_seed42_vectors(spark):
     got = {s: row[f"s{i}"] for i, s in enumerate(expect)}
     assert got == expect
     assert row["i64"] == -6876166290308861218
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),    # order key (ties!)
+            st.integers(min_value=-9, max_value=9),    # long sum col
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    p=st.sampled_from([1, 3, 32]),
+)
+@SET
+def test_ranged_cumsum_equals_global_window_property(spark, rows, p):
+    """r14 kernel: per-range prefix sums + P-row carry == the global
+    single-task cumulative window, for arbitrary integer frames with key
+    ties (a unique id tie-breaks the order, as callers must) and P below,
+    at, or above the row count."""
+    from pyspark.sql import Window
+
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
+    df = spark.createDataFrame(
+        [(i, k, x) for i, (k, x) in enumerate(rows)], "id int, k int, x long"
+    )
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["c"] for r in df.withColumn("c", F.sum("x").over(w)).collect()
+    }
+    got = {
+        r["id"]: r["__cum_x"]
+        for r in ranged_cumsum(df, ["k", "id"], ["x"], num_partitions=p).collect()
+    }
+    assert got == want

@@ -461,22 +461,37 @@ def lift_table(
     evaluation table.
 
     Binning uses ceil(cume_dist * n_bins), so tied scores land in the same
-    bin on any engine (row_number/ntile would split ties arbitrarily). The
-    global ordered window is one sort of (score, label) pairs — narrow rows;
-    at 100 TB swap the window for approx_percentile score boundaries +
-    filters.bucketize (same table, sketch-bounded memory), kept here exact
-    so the oracle can hash-match values.
+    bin on any engine (row_number/ntile would split ties arbitrarily).
+
+    r14: cume_dist of a row IS (inclusive descending cumulative count of
+    its distinct score) / total, so rows collapse to per-distinct-score
+    (count, positives) FIRST and the cumulative runs on ranged_cumsum —
+    the former row-level global sort (the family's one true row-scale
+    single task) is gone, and the arithmetic is the identical
+    long-count-over-long-total division, so values hash-match the window
+    formulation. The bin-level cumulative stays a plain window over the
+    n_bins-row frame.
     """
     from pyspark.sql import Window
 
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
     y = F.col(label_col).cast("int")
-    w = Window.orderBy(F.col(score_col).desc())
-    binned = df.select(
-        y.alias("y"),
-        F.ceil(F.cume_dist().over(w) * n_bins).cast("int").alias("bin"),
+    per_score = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(y).cast("long").alias("__p"),
+    )
+    cum = ranged_cumsum(per_score, ["__s"], ["__c"], descending=True)
+    stot = cum.agg(F.sum("__c").cast("double").alias("__stot"))
+    binned = cum.crossJoin(F.broadcast(stot)).select(
+        "__c",
+        "__p",
+        F.ceil(F.col("__cum___c") / F.col("__stot") * n_bins)
+        .cast("int")
+        .alias("bin"),
     )
     per = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("n_pos")
+        F.sum("__c").cast("long").alias("n"), F.sum("__p").cast("long").alias("n_pos")
     )
     totals = per.agg(
         F.sum("n").cast("double").alias("tot"), F.sum("n_pos").cast("double").alias("tot_pos")
@@ -515,12 +530,12 @@ def roc_points(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     (scores rounded upstream bound it explicitly), the same
     aggregate-then-window trick as profiling.histogram.
 
-    Totals (__P positives, __N negatives) come from an unbounded window
-    over the SAME per-score plan — not a separate aggregate crossJoined
-    back in, which created ambiguous self-lineage (the round-2
-    AMBIGUOUS_REFERENCE crash). The window adds no extra shuffle: the
-    cumulative window is already a single unpartitioned sort over the
-    bounded score domain.
+    r14: the cumulative pass runs on ranged_cumsum (descending — per-range
+    parallel prefixes + P-row carry), so a CONTINUOUS score column no
+    longer serializes into one ordered task. Totals are a one-row
+    broadcast aggregate over the kernel's CACHED per-score frame — fresh
+    aggregate attributes, so the round-2 AMBIGUOUS_REFERENCE self-lineage
+    trap does not apply, and no second corpus scan runs.
 
     Two-class precondition: with a single class the positive or negative
     total is 0 and fpr/tpr are deliberately NULL (nullif guard), never a
@@ -532,24 +547,27 @@ def roc_points(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     AMBIGUOUS_REFERENCE crash in the crossJoin formulation, and corrupts
     downstream expressions in the window formulation).
     """
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
     per_score = df.groupBy(F.col(score_col).alias("score")).agg(
         F.count(F.lit(1)).alias("__c"),
         F.sum(F.col(label_col).cast("long")).alias("__p"),
+        (F.count(F.lit(1)) - F.sum(F.col(label_col).cast("long"))).alias("__n"),
     )
-    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    cum = ranged_cumsum(per_score, ["score"], ["__p", "__n"], descending=True)
+    tot = cum.agg(
+        F.sum("__p").alias("__tot_p"), F.sum("__n").alias("__tot_n")
     )
-    neg = F.col("__c") - F.col("__p")
     return (
-        per_score.withColumn("__cum_p", F.sum("__p").over(w))
-        .withColumn("__cum_n", F.sum(neg).over(w))
-        .withColumn("__tot_p", F.sum("__p").over(wall))
-        .withColumn("__tot_n", F.sum(neg).over(wall))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             F.col("score").alias("threshold"),
-            F.round(F.col("__cum_n") / F.nullif(F.col("__tot_n"), F.lit(0)), 6).alias("fpr"),
-            F.round(F.col("__cum_p") / F.nullif(F.col("__tot_p"), F.lit(0)), 6).alias("tpr"),
+            F.round(
+                F.col("__cum___n") / F.nullif(F.col("__tot_n"), F.lit(0)), 6
+            ).alias("fpr"),
+            F.round(
+                F.col("__cum___p") / F.nullif(F.col("__tot_p"), F.lit(0)), 6
+            ).alias("tpr"),
         )
         .orderBy(F.desc("threshold"))
     )
@@ -570,12 +588,18 @@ def exact_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     nullif guard makes auc deliberately NULL instead of a silent
     divide-by-zero, so a downstream gate sees an explicit missing value.
     """
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
     per_score = df.groupBy(F.col(score_col).alias("s")).agg(
         F.count(F.lit(1)).alias("__c"),
         F.sum(F.col(label_col).cast("long")).alias("__p"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_score.withColumn("__before", F.coalesce(F.sum("__c").over(w), F.lit(0)))
+    # exclusive prefix = inclusive ranged cumsum minus own tie size (r14:
+    # parallel per-range prefixes — continuous scores no longer serialize
+    # the rank pass into one ordered task; integer sums, bit-identical)
+    ranked = ranged_cumsum(per_score, ["s"], ["__c"]).withColumn(
+        "__before", F.col("__cum___c") - F.col("__c")
+    )
     avg_rank = F.col("__before") + (F.col("__c") + 1) / 2.0
     agg = ranked.agg(
         F.sum(F.col("__p") * avg_rank).alias("__rpos"),
@@ -598,32 +622,31 @@ def pr_points(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     Companion to roc_points for imbalanced-label evaluation, where ROC
     flatters the majority class.
 
-    Same aggregate-then-window shape as roc_points (rows collapse to
-    per-distinct-score counts first; the one ordered pass runs over the
-    bounded score domain), and the same __tot_* naming discipline — Spark
+    Same aggregate-then-ranged-cumsum shape as roc_points (r14: rows
+    collapse to per-distinct-score counts first; the descending prefix
+    runs as per-range parallel sums — continuous scores never serialize
+    into one task), and the same __tot_* naming discipline — Spark
     column resolution is case-insensitive, so __P would silently collide
     with __p. Single-class input yields explicit NULL recall via nullif;
     precision is always well-defined (cum_p + cum_n >= 1 at every
     threshold).
     """
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
     per_score = df.groupBy(F.col(score_col).alias("score")).agg(
         F.count(F.lit(1)).alias("__c"),
         F.sum(F.col(label_col).cast("long")).alias("__p"),
     )
-    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    cum = ranged_cumsum(per_score, ["score"], ["__p", "__c"], descending=True)
+    tot = cum.agg(F.sum("__p").alias("__tot_p"))
     return (
-        per_score.withColumn("__cum_p", F.sum("__p").over(w))
-        .withColumn("__cum_c", F.sum("__c").over(w))
-        .withColumn("__tot_p", F.sum("__p").over(wall))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             F.col("score").alias("threshold"),
-            F.round(F.col("__cum_p") / F.col("__cum_c"), 6).alias("precision"),
-            F.round(F.col("__cum_p") / F.nullif(F.col("__tot_p"), F.lit(0)), 6).alias(
-                "recall"
-            ),
+            F.round(F.col("__cum___p") / F.col("__cum___c"), 6).alias("precision"),
+            F.round(
+                F.col("__cum___p") / F.nullif(F.col("__tot_p"), F.lit(0)), 6
+            ).alias("recall"),
         )
         .orderBy(F.desc("threshold"))
     )
@@ -811,9 +834,14 @@ def split_conformal_ols(
     n_cal = calib.groupBy("n_train", "slope", "intercept").agg(
         F.count(F.lit(1)).alias("n_cal")
     )
-    ranked = calib.withColumn(
-        "__rn", F.row_number().over(Window.orderBy(F.col("r")))
-    )
+    # r14: the k-th-smallest-residual rank runs on ranged_rank (parallel
+    # range sort + P-row carry) instead of one global row_number task —
+    # ties on equal |residual| rank arbitrarily in both plans, but the
+    # SELECTED value at rank k is the tied residual either way, so qhat
+    # is deterministic and unchanged
+    from ml_data_pipeline_spark.operators.profiling import ranged_rank
+
+    ranked = ranged_rank(calib, ["r"], out_col="__rn")
     k_expr = F.least(
         F.ceil(F.lit(1.0 - alpha) * (F.col("n_cal") + 1)).cast("long"), F.col("n_cal")
     )
@@ -900,18 +928,30 @@ def best_f1_threshold(df, label_col: str, score_col: str):
     candidate (same precondition style as roc_points above). The
     per-score cumulative scaffold deliberately mirrors roc_points /
     exact_auc rather than sharing code: all three are pinned by
-    driver-verified hash gates, and each output shape differs."""
+    driver-verified hash gates, and each output shape differs.
+
+    r14: the cumulative runs on ranged_cumsum (descending, parallel),
+    the positives total is a broadcast aggregate over the kernel's
+    cached frame, and the argmax is orderBy().limit(1) —
+    TakeOrderedAndProject (per-partition top-1 + driver merge), never a
+    global sort or an unpartitioned rank window."""
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
     per = df.where(F.col(score_col).isNotNull()).groupBy(
         F.col(score_col).alias("s")
     ).agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.col(label_col).cast("long")).alias("p"),
+        (F.count(F.lit(1)) - F.sum(F.col(label_col).cast("long"))).alias("__neg"),
     )
-    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = per.withColumn("tp", F.sum("p").over(w)).withColumn(
-        "fp", F.sum(F.col("c") - F.col("p")).over(w)
-    ).withColumn("pos", F.sum("p").over(wall))
+    cumr = ranged_cumsum(per, ["s"], ["p", "__neg"], descending=True)
+    post = cumr.agg(F.sum("p").alias("pos"))
+    cum = cumr.crossJoin(F.broadcast(post)).select(
+        "s",
+        F.col("__cum_p").alias("tp"),
+        F.col("__cum___neg").alias("fp"),
+        "pos",
+    )
     tp = F.col("tp").cast("double")
     fp = F.col("fp").cast("double")
     fn = (F.col("pos") - F.col("tp")).cast("double")
@@ -923,10 +963,7 @@ def best_f1_threshold(df, label_col: str, score_col: str):
         (F.col("pos") - F.col("tp")).alias("fn"),
         F.round(f1, 6).alias("f1"),
     )
-    best = scored.withColumn(
-        "__rk", F.row_number().over(Window.orderBy(F.desc("f1"), F.desc("threshold")))
-    )
-    return best.where(F.col("__rk") == 1).drop("__rk")
+    return scored.orderBy(F.desc("f1"), F.desc("threshold")).limit(1)
 
 
 def isotonic_fit_minimax(

@@ -560,19 +560,24 @@ def best_gini_split(
     satisfy no threshold at predict time, and Spark's nulls-first window
     order would otherwise fold them into every left partition AND score
     a meaningless NULL-threshold candidate."""
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
     per_v = df.where(F.col(feature_col).isNotNull()).groupBy(
         F.col(feature_col).alias("v")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col(label_col).cast("long")).alias("pos"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
+    # r14: cumulative left-partition counts on ranged_cumsum (parallel
+    # per-range prefixes — a continuous feature no longer serializes the
+    # threshold sweep); totals are a broadcast aggregate over the
+    # kernel's cached per-value frame (no second corpus scan)
+    cumr = ranged_cumsum(per_v, ["v"], ["n", "pos"])
+    tot = cumr.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
     cum = (
-        per_v.withColumn("nl", F.sum("n").over(w))
-        .withColumn("pl", F.sum("pos").over(w))
-        .withColumn("nt", F.sum("n").over(wall))
-        .withColumn("pt", F.sum("pos").over(wall))
+        cumr.crossJoin(F.broadcast(tot))
+        .withColumnRenamed("__cum_n", "nl")
+        .withColumnRenamed("__cum_pos", "pl")
         .where(F.col("nl") < F.col("nt"))  # rightmost split excluded
     )
     nl = F.col("nl").cast("double")
@@ -588,8 +593,6 @@ def best_gini_split(
         (F.col("nt") - F.col("nl")).alias("n_right"),
         F.round(weighted, 6).alias("gini"),
     )
-    best = scored.withColumn(
-        "__rk",
-        F.row_number().over(Window.orderBy(F.asc("gini"), F.asc("threshold"))),
-    )
-    return best.where(F.col("__rk") == 1).drop("__rk")
+    # argmin via TakeOrderedAndProject (per-partition top-1 + driver
+    # merge) — never a global sort or an unpartitioned rank window (r14)
+    return scored.orderBy(F.asc("gini"), F.asc("threshold")).limit(1)

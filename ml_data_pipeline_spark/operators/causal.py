@@ -237,11 +237,19 @@ def psm_att(
     id_col: str,
     outcome_col: str,
     caliper: float | None = None,
+    matcher: str = "ranged",
 ) -> DataFrame:
     """Average treatment effect on the treated from 1:1 matched pairs:
     ATT = mean(t_outcome - c_outcome). One row: (n_matched, att,
-    mean_treated, mean_control)."""
-    pairs = psm_match(df, treat_col, score_col, id_col, outcome_col, caliper)
+    mean_treated, mean_control).
+
+    ``matcher``: 'ranged' (default since r14 — psm_match_ranged's
+    range-partitioned carries, the plan that survives corpus-sized
+    frames) or 'global' (psm_match's two single-task carry windows —
+    fine for evaluation-sized frames; kept because the pair is tested
+    hash-equal and the global twin is the simpler reference)."""
+    match_fn = {"ranged": psm_match_ranged, "global": psm_match}[matcher]
+    pairs = match_fn(df, treat_col, score_col, id_col, outcome_col, caliper)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_matched"),
         F.round(F.avg(F.col("t_outcome") - F.col("c_outcome")), 6).alias("att"),
@@ -307,24 +315,27 @@ def qini_curve(
     treated population gained versus the scaled control baseline if only
     the top fraction were targeted.
 
-    Deterministic binning: row_number over (score desc, id asc), bin =
-    ceil(rn * n_bins / n) — no ntile partition sensitivity. The global
-    rank is over the scored EVAL frame (see module docstring); after the
-    per-bin aggregate every window runs on an n_bins-row frame.
-    Output per bin: (bin, n_cum, cum_y_treat, cum_n_treat, cum_y_ctl,
-    cum_n_ctl, qini).
+    Deterministic binning: rank over (score desc, id asc), bin =
+    ceil(rn * n_bins / n) — no ntile partition sensitivity. r14: the
+    rank runs on profiling.ranged_rank (range-partitioned parallel sort
+    + P-row offset carry — the scored eval frame no longer serializes
+    into one global sort task; descending score is ranked ascending on
+    its negation, exact for IEEE doubles), and n is a broadcast scalar.
+    After the per-bin aggregate every window runs on an n_bins-row
+    frame. Output per bin: (bin, n_cum, cum_y_treat, cum_n_treat,
+    cum_y_ctl, cum_n_ctl, qini).
     """
-    n_all = Window.partitionBy()
-    wr = Window.orderBy(F.desc(score_col), F.asc(id_col))
-    ranked = df.select(
+    from ml_data_pipeline_spark.operators.profiling import ranged_rank
+
+    base = df.select(
         F.col(treat_col).cast("int").alias("__t"),
         F.col(outcome_col).cast("double").alias("__y"),
-        F.col(score_col),
-        F.col(id_col),
-    ).withColumn("__rn", F.row_number().over(wr)).withColumn(
-        "__n", F.count(F.lit(1)).over(n_all)
+        (-F.col(score_col).cast("double")).alias("__negs"),
+        F.col(id_col).alias("__mid"),
     )
-    binned = ranked.withColumn(
+    ranked = ranged_rank(base, ["__negs", "__mid"], out_col="__rn")
+    n_tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    binned = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
         "bin", F.ceil(F.col("__rn") * n_bins / F.col("__n")).cast("int")
     )
     per_bin = binned.groupBy("bin").agg(

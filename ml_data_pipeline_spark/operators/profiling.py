@@ -1005,6 +1005,7 @@ def ranged_cumsum(
     sum_cols: list[str],
     prefix: str = "__cum_",
     num_partitions: int | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """Global INCLUSIVE running sums of `sum_cols` in `order_cols` order
     WITHOUT a global single-task window (the ranged_rank shape, r14):
@@ -1023,13 +1024,16 @@ def ranged_cumsum(
     global window would require.
 
     The sweep-line / ECDF / rank-map kernel for max_concurrency_ranged,
-    ks_statistic, spearman_corr, mann_whitney_u and weighted_percentiles
-    — the last of the ungrouped cumulative windows that serialized into
+    ks_statistic, spearman_corr, mann_whitney_u, weighted_percentiles and
+    (descending=True, r14) the score-curve family (roc/pr/lift/qini/
+    best-threshold sweeps) — the cumulative windows that serialized into
     one task when value cardinality approaches row count (VERDICT r13
-    item 2/3)."""
+    item 2/3). ``descending`` flips BOTH the range partitioner and the
+    in-range window, the threshold-sweep order of the curve family."""
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    asc = [F.asc(c) for c in order_cols]
+    _dir = F.desc if descending else F.asc
+    asc = [_dir(c) for c in order_cols]
     rp = df.repartitionByRange(P, *asc).withColumn("__pid", F.spark_partition_id())
     from ml_data_pipeline_spark.cache import tracked_cache
 

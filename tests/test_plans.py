@@ -394,15 +394,23 @@ def test_r13_seed_frame_checkpoints_keep_lineage_collapsed(spark, sf_dir, name, 
         # measured-cap conformance spot checks, one per allowlist family
         "q_ewma",                 # per-time series
         "e4_frequency_encode",    # distinct-category index
-        "m18_roc_auc",            # per-distinct-score curve
+        "m16_lift_table",         # n_bins-row bin frame (sweep is ranged)
         "p33_weighted_median",    # ranged-kernel group-offset frame
         "i4_interpolate",         # P-row range carries
-        # headline gates that must stay at ZERO unpartitioned windows
+        # headline gates that must stay at ZERO unpartitioned windows —
+        # including the whole score-curve family since the late-r14 port
         "q_max_concurrency",
         "q1_pricing_summary",
         "p23_ks_drift",
         "m45_mannwhitney",
         "p24_spearman",
+        "m18_roc_auc",
+        "m19_roc_points",
+        "m21_pr_points",
+        "m24_conformal",
+        "m33_best_split",
+        "m34_best_f1",
+        "m40_psm_att",
     ],
 )
 def test_r14_unpartitioned_windows_within_allowlist(spark, sf_dir, name):

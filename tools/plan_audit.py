@@ -179,16 +179,12 @@ UNPARTITIONED_WINDOW_ALLOW: dict[str, tuple[int, str]] = {
     "i4_interpolate_ranged": (2, _PROW_CARRY),
     "i4_interpolate_single": (3, _SINGLE_TWIN),
     "q_max_concurrency_single": (1, _SINGLE_TWIN),
-    "m16_lift_table": (3, _SCORE_CURVE),
-    "m18_roc_auc": (1, _SCORE_CURVE),
-    "m19_roc_points": (3, _SCORE_CURVE),
-    "m21_pr_points": (1, _SCORE_CURVE),
-    "m24_conformal": (1, _SCORE_CURVE),
+    # score-curve family: ported onto ranged_cumsum / ranged_rank late in
+    # r14 (continuous scores no longer serialize the threshold sweep) —
+    # the only remaining unpartitioned windows are n_bins-row bin frames
+    "m16_lift_table": (1, "n_bins-row bin cumulative (score sweep is ranged)"),
     "m25_ndcg": (2, _TOPK),
-    "m33_best_split": (3, _SCORE_CURVE),
-    "m34_best_f1": (4, _SCORE_CURVE),
-    "m42_qini": (3, _SCORE_CURVE),
-    "m40_psm_att": (2, _SCORE_CURVE),
+    "m42_qini": (1, "n_bins-row bin cumulative (rank is ranged)"),
     "m30_kaplan_meier": (2, _PER_TIME),
     "m39_nelson_aalen": (2, _PER_TIME),
     "m44_logrank": (1, _PER_TIME),

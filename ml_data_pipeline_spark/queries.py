@@ -7437,6 +7437,17 @@ _R14_PRIORITY = [
     "tx_pack_sequences",
     "tx_mixture_plan",
     "tx_temperature_mix",
+    # -- late-r14 score-curve port (ranged_cumsum/ranged_rank under all
+    # nine) — round-modified, so they displace the 9 newest fill rows
+    "m16_lift_table",
+    "m18_roc_auc",
+    "m19_roc_points",
+    "m21_pr_points",
+    "m24_conformal",
+    "m33_best_split",
+    "m34_best_f1",
+    "m40_psm_att",
+    "m42_qini",
     # -- stalest driver rows: the 2 remaining r4 rows
     "tx_script_stats",
     "tx_url_canonicalize",
@@ -7469,17 +7480,10 @@ _R14_PRIORITY = [
     "s20_content_hash",
     "s21_bin_manifest",
     "s22_range_boundaries",
-    "ss_random_project",
-    "st_sliding_topk",
-    "t12_group_weighted_sample",
-    "t13_negative_sample",
-    "t14_cluster_safe_split",
-    "t16_quota_allocation",
-    "tx_bpe_pairs",
-    "tx_diversity",
-    "tx_dsir_select",
-    # --- driver window ends here (50 entries above; tx_pmi_collocations
-    # slid to the r15 backlog when ml_dbscan_ivf joined) ---
+    # --- driver window ends here (50 entries above; the curve-gate swap
+    # slid ss_random_project, st_sliding_topk, t12/t13/t14, t16,
+    # tx_bpe_pairs, tx_diversity and tx_dsir_select to the r15 backlog
+    # alongside tx_pmi_collocations) ---
 ]
 assert len(_R14_PRIORITY) == 50 and len(set(_R14_PRIORITY)) == 50
 ALL_QUERIES = {
@@ -7491,7 +7495,11 @@ ALL_QUERIES = {
 # CORRECTNESS_r14 lands, the stalest rows are the tail of the r5 block
 # the r14 window could not fit (tx_temperature_mix is r14-modified so it
 # leaves the r5 backlog; tx_pmi_collocations, tx_vocab_coverage,
-# tx_vocab_overlap, tx_zipf_slope remain), then the r6 block. Build _R15_PRIORITY as: any
+# tx_vocab_overlap, tx_zipf_slope remain, plus the 9 rows the late-r14
+# curve-gate swap displaced: ss_random_project, st_sliding_topk,
+# t12_group_weighted_sample, t13_negative_sample, t14_cluster_safe_split,
+# t16_quota_allocation, tx_bpe_pairs, tx_diversity, tx_dsir_select),
+# then the r6 block. Build _R15_PRIORITY as: any
 # round-15-modified gates first, then oldest-row-first (recompute from
 # the CORRECTNESS_r*.json union — tools convention: last round
 # containing each name, ascending, name as tie-break) to fill 50, and

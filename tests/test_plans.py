@@ -278,12 +278,13 @@ def test_r8_sink_ml_gates_registered():
 
 
 def test_r14_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R14_PRIORITY (the 11
+    """The first-50 driver window is exactly _R14_PRIORITY (the 20
     r14-modified gates first — the new IVF-path DBSCAN attestation, the
     ranged sweep-line pair, the five ranged_cumsum stats gates, the
-    three lazy-NULL-guard mixing/packing gates — then strictly
-    oldest-driver-row-first from the CORRECTNESS_r01-r13 union); every
-    windowed gate is oracle-registered."""
+    three lazy-NULL-guard mixing/packing gates, the nine late-round
+    score-curve ports — then strictly oldest-driver-row-first from the
+    CORRECTNESS_r01-r13 union); every windowed gate is
+    oracle-registered."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
     from ml_data_pipeline_spark.queries import _R14_PRIORITY
 
@@ -293,9 +294,12 @@ def test_r14_gates_registered_and_windowed():
               "q_max_concurrency_single",
               "p23_ks_drift", "p24_spearman", "m45_mannwhitney",
               "p33_weighted_median", "e24_quantile_transform",
-              "tx_pack_sequences", "tx_mixture_plan", "tx_temperature_mix"):
+              "tx_pack_sequences", "tx_mixture_plan", "tx_temperature_mix",
+              "m16_lift_table", "m18_roc_auc", "m19_roc_points",
+              "m21_pr_points", "m24_conformal", "m33_best_split",
+              "m34_best_f1", "m40_psm_att", "m42_qini"):
         assert g in ALL_ORACLES, g
-        assert g in window[:11], g
+        assert g in window[:20], g
 
 
 @pytest.mark.parametrize(

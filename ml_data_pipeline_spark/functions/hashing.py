@@ -37,15 +37,18 @@ def feature_hash(col: Column, n_buckets: int) -> Column:
 def onehot_hash(df: DataFrame, column: str, n_buckets: int, out_column: str) -> DataFrame:
     """E9 — distinct→index map then feature-hash the index
     (ref hashing_methods_ui.py:295-300). Index assignment is lexicographic
-    (dense_rank over the distinct set), then E8 on the stringified index."""
-    from pyspark.sql import Window
+    — ranged_rank over the distinct set (r14: row_number == dense_rank on
+    a distinct frame, bit-identical to the old single-task window but
+    parallel at high cardinality), then E8 on the stringified index."""
+    from ml_data_pipeline_spark.operators.profiling import ranged_rank
 
-    w = Window.orderBy(F.col("__val"))
-    mapping = (
+    distinct_vals = (
         df.select(F.col(column).cast("string").alias("__val"))
         .where(F.col("__val").isNotNull())
         .distinct()
-        .select("__val", (F.dense_rank().over(w) - 1).alias("__idx"))
+    )
+    mapping = ranged_rank(distinct_vals, ["__val"], out_col="__rr").select(
+        "__val", (F.col("__rr") - 1).cast("long").alias("__idx")
     )
     joined = df.join(F.broadcast(mapping), df[column].cast("string") == mapping["__val"], "left")
     return joined.select(

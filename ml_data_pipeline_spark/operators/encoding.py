@@ -78,17 +78,24 @@ def label_encode(df: DataFrame, column: str, out_column: str | None = None) -> D
     required (r10 review: the old docstring claimed sklearn parity
     unconditionally).
 
-    dense_rank over the DISTINCT-value table (K rows) then broadcast-join
-    back; the data table is untouched by the window. Equivalent to
-    StringIndexer(stringOrderType='alphabetAsc') but SQL-expressible.
+    Codes come from ranged_rank over the DISTINCT-value table (r14: on a
+    distinct frame row_number == dense_rank, so the assignment is
+    bit-identical to the old single-task ordered window but stays
+    parallel when the "categorical" column turns out to be near-
+    continuous) then broadcast-join back; the data table is untouched by
+    the rank. Equivalent to StringIndexer(stringOrderType='alphabetAsc')
+    but SQL-expressible.
     """
+    from ml_data_pipeline_spark.operators.profiling import ranged_rank
+
     out_column = out_column or column
-    w = Window.orderBy(F.col("__val"))
-    mapping = (
+    distinct_vals = (
         df.where(F.col(column).isNotNull())
         .select(F.col(column).cast("string").alias("__val"))
         .distinct()
-        .select("__val", (F.dense_rank().over(w) - 1).alias("__code"))
+    )
+    mapping = ranged_rank(distinct_vals, ["__val"], out_col="__rr").select(
+        "__val", (F.col("__rr") - 1).cast("long").alias("__code")
     )
     joined = df.join(
         F.broadcast(mapping), df[column].cast("string") == mapping["__val"], "left"
@@ -127,16 +134,18 @@ def frequency_encode(
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     if normalize:
-        # total as a window over the counts frame itself — NOT a separate
-        # agg branch: `counts.agg(...)` re-derives the groupBy from the
-        # base scan in the same plan, so the source was scanned 3× (r10
-        # plan_audit NEW flag). The empty-partitionBy window is a single
-        # exchange over a cardinality-sized frame — cheap and scan-free.
-        from pyspark.sql.window import Window
+        # total WITHOUT re-deriving the groupBy from the base scan (the
+        # r10 3x-scan trap) and WITHOUT the old empty-partitionBy window
+        # (a single-task exchange of the whole counts frame — row-scale
+        # when the column is near-continuous, r14): cache the narrow
+        # counts frame once, aggregate the total off the cache, attach
+        # as a broadcast scalar.
+        from ml_data_pipeline_spark.cache import tracked_cache
 
-        tot = F.sum("__cnt").over(Window.partitionBy())
-        counts = counts.select(
-            column, (F.col("__cnt") / tot.cast("double")).alias(out_column)
+        counts = tracked_cache(counts)
+        tot = counts.agg(F.sum("__cnt").cast("double").alias("__tot"))
+        counts = counts.crossJoin(F.broadcast(tot)).select(
+            column, (F.col("__cnt") / F.col("__tot")).alias(out_column)
         )
     else:
         counts = counts.select(column, F.col("__cnt").cast("double").alias(out_column))

@@ -278,13 +278,13 @@ def test_r8_sink_ml_gates_registered():
 
 
 def test_r14_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R14_PRIORITY (the 20
+    """The first-50 driver window is exactly _R14_PRIORITY (the 24
     r14-modified gates first — the new IVF-path DBSCAN attestation, the
     ranged sweep-line pair, the five ranged_cumsum stats gates, the
     three lazy-NULL-guard mixing/packing gates, the nine late-round
-    score-curve ports — then strictly oldest-driver-row-first from the
-    CORRECTNESS_r01-r13 union); every windowed gate is
-    oracle-registered."""
+    score-curve ports, the four encoder code-map ports — then strictly
+    oldest-driver-row-first from the CORRECTNESS_r01-r13 union); every
+    windowed gate is oracle-registered."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
     from ml_data_pipeline_spark.queries import _R14_PRIORITY
 
@@ -297,9 +297,11 @@ def test_r14_gates_registered_and_windowed():
               "tx_pack_sequences", "tx_mixture_plan", "tx_temperature_mix",
               "m16_lift_table", "m18_roc_auc", "m19_roc_points",
               "m21_pr_points", "m24_conformal", "m33_best_split",
-              "m34_best_f1", "m40_psm_att", "m42_qini"):
+              "m34_best_f1", "m40_psm_att", "m42_qini",
+              "e2_label_encode", "e4_frequency_encode",
+              "e5_binary_encode", "e9_onehot_hash"):
         assert g in ALL_ORACLES, g
-        assert g in window[:20], g
+        assert g in window[:24], g
 
 
 @pytest.mark.parametrize(
@@ -397,7 +399,6 @@ def test_r13_seed_frame_checkpoints_keep_lineage_collapsed(spark, sf_dir, name, 
     [
         # measured-cap conformance spot checks, one per allowlist family
         "q_ewma",                 # per-time series
-        "e4_frequency_encode",    # distinct-category index
         "m16_lift_table",         # n_bins-row bin frame (sweep is ranged)
         "p33_weighted_median",    # ranged-kernel group-offset frame
         "i4_interpolate",         # P-row range carries
@@ -415,6 +416,10 @@ def test_r13_seed_frame_checkpoints_keep_lineage_collapsed(spark, sf_dir, name, 
         "m33_best_split",
         "m34_best_f1",
         "m40_psm_att",
+        "e2_label_encode",
+        "e4_frequency_encode",
+        "e5_binary_encode",
+        "e9_onehot_hash",
     ],
 )
 def test_r14_unpartitioned_windows_within_allowlist(spark, sf_dir, name):

@@ -171,10 +171,8 @@ UNPARTITIONED_WINDOW_ALLOW: dict[str, tuple[int, str]] = {
     "b1_smote_counts": (1, _CLASS_COUNT),
     "b6_adasyn_counts": (1, _CLASS_COUNT),
     "b7_borderline_counts": (1, _CLASS_COUNT),
-    "e2_label_encode": (1, _CATEGORY),
-    "e4_frequency_encode": (1, _CATEGORY),
-    "e5_binary_encode": (1, _CATEGORY),
-    "e9_onehot_hash": (1, _CATEGORY),
+    # e2/e4/e5/e9 left this list late in r14: code maps ride ranged_rank
+    # and e4's normalizing total is a broadcast scalar — zero sites
     "i4_interpolate": (2, _PROW_CARRY),
     "i4_interpolate_ranged": (2, _PROW_CARRY),
     "i4_interpolate_single": (3, _SINGLE_TWIN),

@@ -30,7 +30,7 @@ LLM-pipeline operator set (SURVEY.md §2 'beyond the reference' scope).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ml_data_pipeline_spark.operators.text import _tokens
@@ -111,23 +111,31 @@ def dsir_select(
     engines and partitionings; adds rank + a selected flag rather than
     filtering, so the caller sees the whole ranked corpus.
 
-    The rank is a single unpartitioned window over ONE ROW PER DOCUMENT
-    (not per token) — at 100 TB of text that is still only ~10^10 tiny
-    rows; for a pure top-k cut, replace the window with the standard
-    threshold-on-k-th-weight pattern. Zero-token documents rank last.
+    The rank covers ONE ROW PER DOCUMENT (not per token) — at 100 TB of
+    text still ~10^10 rows, so since r14 it runs on profiling.ranged_rank
+    (range-partitioned parallel sort + P-row offset carry) instead of a
+    single unpartitioned window task. desc-nulls-last order is encoded
+    ascending as (is-null flag, negated weight, id): the negation is
+    exact for IEEE doubles and NULL weights group last with the same
+    id tie-break the old window used. Zero-token documents rank last.
     """
+    from ml_data_pipeline_spark.operators.profiling import ranged_rank
+
     w = dsir_weights(df, is_target, text_col, id_col, smoothing)
     rounded = F.round("avg_log_ratio", round_dp)
-    order = Window.orderBy(F.desc_nulls_last(rounded), F.asc("id"))
-    return w.select(
+    keyed = w.select(
+        "id", "n_tokens", rounded.alias("avg_log_ratio")
+    ).withColumn(
+        "__null_last", F.col("avg_log_ratio").isNull().cast("int")
+    ).withColumn("__negw", -F.col("avg_log_ratio"))
+    ranked = ranged_rank(keyed, ["__null_last", "__negw", "id"], out_col="__rr")
+    return ranked.select(
         "id",
         "n_tokens",
-        rounded.alias("avg_log_ratio"),
-        F.row_number().over(order).alias("rank"),
-    ).select(
-        "id", "n_tokens", "avg_log_ratio", "rank",
+        "avg_log_ratio",
+        F.col("__rr").cast("int").alias("rank"),
         # zero-token docs (NULL weight) rank last AND are never selected,
         # even when k exceeds the weighted-document count (r10 review:
         # they used to backfill the selection with empty documents)
-        ((F.col("rank") <= k) & F.col("avg_log_ratio").isNotNull()).alias("selected")
+        ((F.col("__rr") <= k) & F.col("avg_log_ratio").isNotNull()).alias("selected"),
     ).orderBy("id")

@@ -881,9 +881,12 @@ def zipf_slope(df: DataFrame, text_col: str = "text", top_n: int = 1000) -> Data
     templated text drifts off) — a one-number corpus-health probe for
     curation dashboards.
 
-    One corpus tokenize pass to vocabulary counts; the rank window and
-    the closed-form OLS run over top_n rows. Rank is (freq DESC, word)
-    so the fit is engine-exact modulo float-sum rounding (gated at 6dp).
+    One corpus tokenize pass to vocabulary counts; the top-N cut is
+    orderBy().limit() — TakeOrderedAndProject, a per-partition top-N
+    heap + driver merge, never a vocab-scale global rank window (r14) —
+    and the rank + closed-form OLS then run over top_n rows (bounded by
+    the PARAMETER, not the vocabulary). Rank is (freq DESC, word) so the
+    fit is engine-exact modulo float-sum rounding (gated at 6dp).
     """
     from pyspark.sql import Window
 
@@ -893,10 +896,11 @@ def zipf_slope(df: DataFrame, text_col: str = "text", top_n: int = 1000) -> Data
         .agg(F.count(F.lit(1)).alias("n"))
     )
     ranked = (
-        wc.withColumn(
+        wc.orderBy(F.desc("n"), F.asc("w"))
+        .limit(top_n)
+        .withColumn(
             "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w")))
         )
-        .where(F.col("rank") <= top_n)
         .select(F.log("rank").alias("x"), F.log("n").alias("y"))
     )
     fit = ranked.agg(
@@ -1018,10 +1022,14 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+    # top-k via TakeOrderedAndProject, then the rank window runs over
+    # top_k rows — bounded by the parameter, never the bigram vocabulary
+    # (r14; the ndcg_at_k pattern)
     w = Window.orderBy(F.desc("cxy"), F.asc("bigram"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
+        scored.orderBy(F.desc("cxy"), F.asc("bigram"))
+        .limit(int(top_k))
+        .withColumn("rank", F.row_number().over(w))
         .select("rank", "bigram", "cxy", "pmi")
     )
 
@@ -1032,8 +1040,10 @@ def vocab_coverage(
     """Vocabulary coverage curve: for each candidate vocabulary size N,
     the share of all corpus tokens covered by the N most frequent words
     — the tokenizer-sizing number (how big a word vocab must be before
-    <unk> is rare). Cumulative-sum window over the ranked vocabulary;
-    one corpus pass."""
+    <unk> is rare). r14: the max(sizes) cut is orderBy().limit()
+    (TakeOrderedAndProject — per-partition top-N heap), so the rank and
+    cumulative windows run over a frame bounded by the PARAMETER, never
+    by vocabulary cardinality; one corpus pass."""
     from pyspark.sql import Window
 
     wc = (
@@ -1041,7 +1051,8 @@ def vocab_coverage(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ranked = wc.withColumn(
+    top = wc.orderBy(F.desc("n"), F.asc("w")).limit(max(int(s) for s in sizes))
+    ranked = top.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w")))
     ).withColumn(
         "cum",

@@ -78,16 +78,20 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def top_bpe_pairs(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Top-k merge candidates, deterministically ranked by
-    (pair_count DESC, pair ASC) so engines agree on ties."""
+    (pair_count DESC, pair ASC) so engines agree on ties. r14: the k cut
+    is orderBy().limit() — TakeOrderedAndProject, a per-partition top-k
+    heap — so the rank window runs over k rows (bounded by the
+    parameter), never over the pair vocabulary."""
     from pyspark.sql import Window
 
-    ranked = bpe_pair_counts(df, text_col).withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-        ),
+    order = [F.col("pair_count").desc(), F.col("pair").asc()]
+    ranked = (
+        bpe_pair_counts(df, text_col)
+        .orderBy(*order)
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
     )
-    return ranked.where(F.col("rank") <= k).select("rank", "pair", "pair_count")
+    return ranked.select("rank", "pair", "pair_count")
 
 
 def apply_bpe_merges(

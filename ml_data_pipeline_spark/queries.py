@@ -7454,6 +7454,13 @@ _R14_PRIORITY = [
     "e4_frequency_encode",
     "e5_binary_encode",
     "e9_onehot_hash",
+    # -- late-r14 vocab-family port (limit-first top-k cuts; dsir_select
+    # on ranged_rank) — also round-modified
+    "tx_bpe_pairs",
+    "tx_dsir_select",
+    "tx_pmi_collocations",
+    "tx_vocab_coverage",
+    "tx_zipf_slope",
     # -- stalest driver rows: the 2 remaining r4 rows
     "tx_script_stats",
     "tx_url_canonicalize",
@@ -7477,16 +7484,12 @@ _R14_PRIORITY = [
     "q_hierarchy_flatten",
     "q_join_cardinality",
     "q_pagerank",
-    "q_revenue_bridge",
-    "q_rolling_corr",
-    "q_time_to_convert",
-    "q_triangles",
-    "s18_schema_diff",
-    # --- driver window ends here (50 entries above; the curve-gate and
-    # encoder swaps slid s19_compaction_plan, s20_content_hash,
-    # s21_bin_manifest, s22_range_boundaries, ss_random_project,
-    # st_sliding_topk, t12/t13/t14, t16, tx_bpe_pairs, tx_diversity and
-    # tx_dsir_select to the r15 backlog alongside tx_pmi_collocations) ---
+    # --- driver window ends here (50 entries above; the curve-gate,
+    # encoder and vocab swaps slid q_revenue_bridge, q_rolling_corr,
+    # q_time_to_convert, q_triangles, s18_schema_diff,
+    # s19_compaction_plan, s20_content_hash, s21_bin_manifest,
+    # s22_range_boundaries, ss_random_project, st_sliding_topk,
+    # t12/t13/t14, t16 and tx_diversity to the r15 backlog) ---
 ]
 assert len(_R14_PRIORITY) == 50 and len(set(_R14_PRIORITY)) == 50
 ALL_QUERIES = {
@@ -7497,13 +7500,13 @@ ALL_QUERIES = {
 # ---- ROUND-15 ROTATION TODO (for the next round's builder): after
 # CORRECTNESS_r14 lands, the stalest rows are the tail of the r5 block
 # the r14 window could not fit (tx_temperature_mix is r14-modified so it
-# leaves the r5 backlog; tx_pmi_collocations, tx_vocab_coverage,
-# tx_vocab_overlap, tx_zipf_slope remain, plus the 9 rows the late-r14
-# curve-gate and encoder swaps displaced: s19_compaction_plan,
+# leaves the r5 backlog; tx_vocab_overlap remains, plus the rows the
+# late-r14 swaps displaced: q_revenue_bridge, q_rolling_corr,
+# q_time_to_convert, q_triangles, s18_schema_diff, s19_compaction_plan,
 # s20_content_hash, s21_bin_manifest, s22_range_boundaries,
 # ss_random_project, st_sliding_topk, t12_group_weighted_sample,
 # t13_negative_sample, t14_cluster_safe_split, t16_quota_allocation,
-# tx_bpe_pairs, tx_diversity, tx_dsir_select), then the r6 block. Build _R15_PRIORITY as: any
+# tx_diversity), then the r6 block. Build _R15_PRIORITY as: any
 # round-15-modified gates first, then oldest-row-first (recompute from
 # the CORRECTNESS_r*.json union — tools convention: last round
 # containing each name, ascending, name as tie-break) to fill 50, and

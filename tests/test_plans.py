@@ -278,13 +278,14 @@ def test_r8_sink_ml_gates_registered():
 
 
 def test_r14_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R14_PRIORITY (the 24
+    """The first-50 driver window is exactly _R14_PRIORITY (the 29
     r14-modified gates first — the new IVF-path DBSCAN attestation, the
     ranged sweep-line pair, the five ranged_cumsum stats gates, the
     three lazy-NULL-guard mixing/packing gates, the nine late-round
-    score-curve ports, the four encoder code-map ports — then strictly
-    oldest-driver-row-first from the CORRECTNESS_r01-r13 union); every
-    windowed gate is oracle-registered."""
+    score-curve ports, the four encoder code-map ports, the five
+    vocab-family ports — then strictly oldest-driver-row-first from the
+    CORRECTNESS_r01-r13 union); every windowed gate is
+    oracle-registered."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
     from ml_data_pipeline_spark.queries import _R14_PRIORITY
 
@@ -299,9 +300,11 @@ def test_r14_gates_registered_and_windowed():
               "m21_pr_points", "m24_conformal", "m33_best_split",
               "m34_best_f1", "m40_psm_att", "m42_qini",
               "e2_label_encode", "e4_frequency_encode",
-              "e5_binary_encode", "e9_onehot_hash"):
+              "e5_binary_encode", "e9_onehot_hash",
+              "tx_bpe_pairs", "tx_dsir_select", "tx_pmi_collocations",
+              "tx_vocab_coverage", "tx_zipf_slope"):
         assert g in ALL_ORACLES, g
-        assert g in window[:24], g
+        assert g in window[:29], g
 
 
 @pytest.mark.parametrize(

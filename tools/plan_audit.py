@@ -67,29 +67,40 @@ def count_unpartitioned_windows(plan: str) -> int:
     plan string instead of a runtime WARN).
 
     A Window node prints its argument lists as top-level bracket groups:
-    `Window [exprs], [partitionSpec], [orderSpec]` when partitioned but
-    `Window [exprs], [orderSpec]` when not — so an unpartitioned window
-    is exactly a Window node with fewer than three groups. Such a window
-    moves ALL rows to one task; it is legitimate ONLY over frames bounded
-    by construction (P-row range carries, per-time/per-group aggregates,
-    top-k cuts) — UNPARTITIONED_WINDOW_ALLOW names each allowed query
-    with the bounding argument, so a new row-scale global window fails
-    the audit test instead of waiting for a judge plan read."""
+    `Window [exprs], [partitionSpec], [orderSpec]` when both are present,
+    `Window [exprs], [orderSpec]` when unpartitioned, and
+    `Window [exprs], [partitionSpec]` for a partition-only window (e.g.
+    count over partitionBy with no ordering — tx_fingerprint's class
+    sizes; found as a false positive in r14). Two-group nodes are
+    disambiguated by the second group's content: an order spec carries
+    ` ASC`/` DESC` direction markers, a partition spec never does. An
+    unpartitioned window moves ALL rows to one task; it is legitimate
+    ONLY over frames bounded by construction (P-row range carries,
+    per-time/per-group aggregates, top-k cuts) —
+    UNPARTITIONED_WINDOW_ALLOW names each allowed query with the
+    bounding argument, so a new row-scale global window fails the audit
+    test instead of waiting for a judge plan read."""
     n = 0
     for line in plan.splitlines():
         m = re.search(r"\bWindow (\[.*)$", line)
         if not m:
             continue
-        rest, depth, groups = m.group(1), 0, 0
+        rest, depth = m.group(1), 0
+        groups: list[str] = []
         for ch in rest:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append("")
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
-            n += 1
+            if depth > 0 and groups:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue  # partitioned + ordered
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)\b", groups[1]):
+            continue  # partition-only window: partitioned, no ordering
+        n += 1
     return n
 
 
@@ -165,7 +176,6 @@ _SCORE_CURVE = (
 )
 _PER_TIME = "per-time/per-period table (already-aggregated series contract)"
 _TOPK = "top-k / limit-capped frame"
-_VOCAB = "vocab/type-cardinality frame (token statistics)"
 _GROUPS = "group/stage-cardinality frame"
 UNPARTITIONED_WINDOW_ALLOW: dict[str, tuple[int, str]] = {
     "b1_smote_counts": (1, _CLASS_COUNT),
@@ -199,12 +209,15 @@ UNPARTITIONED_WINDOW_ALLOW: dict[str, tuple[int, str]] = {
     "q_rank_fusion": (2, _TOPK),
     "q_skyline": (1, _TOPK),
     "t16_quota_allocation": (1, _GROUPS),
-    "tx_bpe_pairs": (1, _VOCAB),
-    "tx_dsir_select": (1, _VOCAB),
-    "tx_fingerprint": (1, _VOCAB),
-    "tx_pmi_collocations": (1, _VOCAB),
-    "tx_vocab_coverage": (1, _VOCAB),
-    "tx_zipf_slope": (1, _VOCAB),
+    # vocab family, late r14: the big rank/cumulative windows moved to
+    # limit-first (TakeOrderedAndProject) or ranged_rank; what remains is
+    # one k-row rank window per query, bounded by the caller's parameter.
+    # tx_dsir_select (ranged_rank) and tx_fingerprint (partition-only
+    # window, a former detector false positive) left the list entirely.
+    "tx_bpe_pairs": (1, _TOPK),
+    "tx_pmi_collocations": (1, _TOPK),
+    "tx_vocab_coverage": (1, _TOPK),
+    "tx_zipf_slope": (1, _TOPK),
 }
 
 

@@ -3561,32 +3561,35 @@ def s18_schema_diff(spark: SparkSession, sf: str) -> DataFrame:
 def q_abc_brands(spark: SparkSession, sf: str) -> DataFrame:
     """ABC / Pareto classification of brands by revenue: cumulative-share
     class A (first 70% of revenue), B (to 90%), C (tail). The cumulative
-    window runs over DISTINCT BRANDS (25 rows after the aggregate — the
-    aggregate-then-window shape, same justification as roc_points), never
-    over the fact table. Revenue coarsened to whole units so the running
-    sum is an exact integer in both engines."""
+    runs over DISTINCT BRANDS (25 rows after the aggregate), never over
+    the fact table — and since late r14 on ranged_cumsum (rev DESC
+    encoded as an exact long negation ascending, brand tie-break), so
+    the same query stays parallel when the group key is SKU-scale
+    instead of 25 brands. Revenue coarsened to whole units so the
+    running sum is an exact integer in both engines."""
+    from ml_data_pipeline_spark.operators.profiling import ranged_cumsum
+
     li = _li(spark, sf)
     part = load_table(spark, sf, "part")
     rev = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("long").alias("rev"))
+        .withColumn("__negrev", -F.col("rev"))
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("p_brand")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.orderBy(F.desc("rev"), F.asc("p_brand")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum_share = F.sum("rev").over(w) / F.sum("rev").over(wall)
+    cum = ranged_cumsum(rev, ["__negrev", "p_brand"], ["rev"])
+    tot = cum.agg(F.sum("rev").alias("__tot"))
+    cum_share = F.col("__cum_rev") / F.col("__tot")
     return (
-        rev.withColumn("cum_share", F.round(cum_share, 6))
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("cum_share", F.round(cum_share, 6))
         .withColumn(
             "abc_class",
             F.when(F.col("cum_share") <= 0.7, "A")
             .when(F.col("cum_share") <= 0.9, "B")
             .otherwise("C"),
         )
+        .select("p_brand", "rev", "cum_share", "abc_class")
         .orderBy(F.desc("rev"), "p_brand")
     )
 

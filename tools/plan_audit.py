@@ -200,14 +200,13 @@ UNPARTITIONED_WINDOW_ALLOW: dict[str, tuple[int, str]] = {
     "m38_bootstrap_ci": (1, "B-row bootstrap statistic frame"),
     "p9_head_tail": (2, _CLASS_COUNT),
     "p33_weighted_median": (1, "per-group offset frame (ranged kernel)"),
-    "q_abc_brands": (1, "brand-cardinality ABC cumulative"),
     "q_acf": (1, _PER_TIME),
     "q_cusum_changepoint": (1, _PER_TIME),
     "q_ewma": (1, _PER_TIME),
     "q_funnel": (1, _GROUPS),
     "q_attribution_models": (1, _GROUPS),
     "q_rank_fusion": (2, _TOPK),
-    "q_skyline": (1, _TOPK),
+    "q_skyline": (1, _PER_TIME),
     "t16_quota_allocation": (1, _GROUPS),
     # vocab family, late r14: the big rank/cumulative windows moved to
     # limit-first (TakeOrderedAndProject) or ranged_rank; what remains is

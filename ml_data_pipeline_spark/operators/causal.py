@@ -319,21 +319,32 @@ def qini_curve(
     ceil(rn * n_bins / n) — no ntile partition sensitivity. r14: the
     rank runs on profiling.ranged_rank (range-partitioned parallel sort
     + P-row offset carry — the scored eval frame no longer serializes
-    into one global sort task; descending score is ranked ascending on
-    its negation, exact for IEEE doubles), and n is a broadcast scalar.
+    into one global sort task), and n is a broadcast scalar. r15
+    (ADVICE): negating the score flips Spark's default NULL/NaN
+    placement (desc puts NULLs LAST and NaN FIRST; asc on -score put
+    NULLs first and NaN last), so NULL-score rows silently occupied the
+    top bins — explicit __null_last / __nan_first sort keys now pin
+    F.desc(score)'s exact placement, the dsir_select idiom.
     After the per-bin aggregate every window runs on an n_bins-row
     frame. Output per bin: (bin, n_cum, cum_y_treat, cum_n_treat,
     cum_y_ctl, cum_n_ctl, qini).
     """
     from ml_data_pipeline_spark.operators.profiling import ranged_rank
 
+    score = F.col(score_col).cast("double")
     base = df.select(
         F.col(treat_col).cast("int").alias("__t"),
         F.col(outcome_col).cast("double").alias("__y"),
-        (-F.col(score_col).cast("double")).alias("__negs"),
+        score.isNull().cast("int").alias("__null_last"),
+        F.when(score.isNull(), F.lit(1))
+        .otherwise((~F.isnan(score)).cast("int"))
+        .alias("__nan_first"),
+        (-score).alias("__negs"),
         F.col(id_col).alias("__mid"),
     )
-    ranked = ranged_rank(base, ["__negs", "__mid"], out_col="__rn")
+    ranked = ranged_rank(
+        base, ["__null_last", "__nan_first", "__negs", "__mid"], out_col="__rn"
+    )
     n_tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
     binned = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
         "bin", F.ceil(F.col("__rn") * n_bins / F.col("__n")).cast("int")

@@ -141,6 +141,28 @@ def test_qini_hand_computed(spark):
     assert b2["qini"] == -1.0
 
 
+def test_qini_null_scores_rank_last_nan_first(spark):
+    """r15 ADVICE regression: ranking desc via negation flips Spark's
+    default NULL/NaN placement — F.desc(score) puts NULLs LAST and NaN
+    FIRST; asc(-score) inverted both, so NULL-score rows silently filled
+    the top bins. Pin the exact desc placement: NaN > finite > NULL."""
+    rows = [
+        (1, 1, None, 1.0),           # NULL score -> must land in the LAST bin
+        (2, 0, 0.9, 1.0),            # top finite score
+        (3, 1, float("nan"), 0.0),   # NaN -> FIRST bin (desc: NaN > all)
+        (4, 0, 0.1, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "uid int, t int, s double, y double")
+    out = C.qini_curve(df, "t", "s", "y", "uid", n_bins=4).collect()
+    # reconstruct per-bin membership from the cumulative treat/ctl counts
+    # bin1 must hold the NaN row (treated), bin4 the NULL row (treated)
+    b = {r["bin"]: r for r in out}
+    assert b[1]["cum_n_treat"] == 1 and b[1]["cum_n_ctl"] == 0
+    assert b[2]["cum_n_treat"] == 1 and b[2]["cum_n_ctl"] == 1  # 0.9 ctl row
+    assert b[3]["cum_n_treat"] == 1 and b[3]["cum_n_ctl"] == 2  # 0.1 ctl row
+    assert b[4]["cum_n_treat"] == 2  # NULL-score treated row ranks dead last
+
+
 def test_qini_all_bins_present_on_skewed_scores(spark):
     df = spark.createDataFrame(
         [(i, i % 2, 0.5, float(i % 3 == 0)) for i in range(100)],

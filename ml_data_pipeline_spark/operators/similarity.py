@@ -304,13 +304,16 @@ def ivf_candidate_pairs(
     b = posted.select(
         F.col("__pid_").alias("id_b"), F.col("__pv").alias("vb"), "__cell"
     )
+    # no presentation orderBy (r15, VERDICT): every consumer (dbscan's
+    # graph algebra, the attestation joins, set-compare tests) is
+    # order-insensitive, and a global sort on the edge frame is an
+    # edge-scale shuffle the 100 TB path should not pay
     return (
         a.join(b, "__cell")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(pair_cosine("va", "vb"), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .distinct()
-        .orderBy("id_a", "id_b")
     )
 
 

@@ -124,6 +124,11 @@ class VersionedDataset:
         finally:
             out.close()
 
+    def _delete(self, path: str) -> None:
+        fs, p = self._fs(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
     def _read_text(self, path: str) -> str:
         fs, p = self._fs(path)
         stream = fs.open(p)
@@ -162,6 +167,7 @@ class VersionedDataset:
         df: DataFrame,
         changes: list[str],
         partition_by: list[str] | None = None,
+        reclaim_stale: bool = False,
     ) -> VersionInfo:
         """Commit the DataFrame as the next version. Data first, _meta.json
         last — a version without its sidecar is invisible to readers.
@@ -173,7 +179,14 @@ class VersionedDataset:
         local FS) turns that race into an explicit error. On object stores
         without atomic create-if-absent, run a single writer per base (the
         intended deployment: version commits are a driver-side, once-per-
-        pipeline-stage operation)."""
+        pipeline-stage operation).
+
+        ``reclaim_stale`` (r15, for SINGLE-WRITER deployments only — the
+        streaming upsert sink's crash-recovery path): a claim whose
+        version never committed (_meta.json absent) is a crashed writer's
+        leftover; release it and retake instead of erroring. With two live
+        writers this reintroduces the clobber race — leave it False
+        anywhere concurrency is possible."""
         parent = self.latest_version()
         version = 0 if parent is None else parent + 1
         target = self._dir(version)
@@ -181,18 +194,33 @@ class VersionedDataset:
         try:
             self._write_text(claim, "", overwrite=False)
         except Exception as e:  # py4j wraps FileAlreadyExistsException
-            raise RuntimeError(
-                f"version v{version} of {self.base!r} is already claimed "
-                f"({claim}): either a concurrent writer is committing it "
-                f"(retry after it lands) or a crashed writer left a stale "
-                f"claim (delete the claim file to release it)"
-            ) from e
+            stale = reclaim_stale and not self._exists(f"{target}/_meta.json")
+            if not stale:
+                raise RuntimeError(
+                    f"version v{version} of {self.base!r} is already claimed "
+                    f"({claim}): either a concurrent writer is committing it "
+                    f"(retry after it lands) or a crashed writer left a stale "
+                    f"claim (delete the claim file to release it, or pass "
+                    f"reclaim_stale=True from a single-writer owner)"
+                ) from e
+            self._delete(claim)
+            self._write_text(claim, "", overwrite=False)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
         info = VersionInfo(version=version, changes=list(changes), parent=parent, base=self.base)
-        self._write_text(f"{target}/_meta.json", info.to_json())
+        # the marker IS the commit point — write it to a temp name and
+        # rename (atomic on local FS and HDFS), so a crash mid-marker
+        # cannot leave a half-written _meta.json that readers count as
+        # committed (r15: the streaming upsert sink runs this protocol
+        # once per micro-batch under kill -9 crash semantics)
+        tmp = f"{target}/._meta.json.tmp"
+        self._write_text(tmp, info.to_json())
+        fs, src = self._fs(tmp)
+        _, dst = self._fs(f"{target}/_meta.json")
+        if not fs.rename(src, dst):
+            raise RuntimeError(f"commit rename failed for {target}/_meta.json")
         return info
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -229,6 +257,24 @@ class VersionedDataset:
     def history(self) -> list[VersionInfo]:
         """Full lineage, oldest first — the Spark-native ``# META`` trail."""
         return [self.meta(v) for v in self.versions()]
+
+    def prune(self, keep_last: int = 2) -> list[int]:
+        """Drop committed versions older than the newest ``keep_last``
+        (their data dirs AND claim files). Storage bound for high-churn
+        bases — the streaming upsert sink commits one version per
+        micro-batch, so without pruning the table grows by a full copy
+        per batch. keep_last >= 2 leaves the previous version as a grace
+        copy for any reader that resolved 'latest' just before the most
+        recent flip. Returns the pruned version numbers. Single-writer
+        only (same caveat as reclaim_stale)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        doomed = vs[:-keep_last] if len(vs) > keep_last else []
+        for v in doomed:
+            self._delete(self._dir(v))
+            self._delete(f"{self.root}/{self.base}/.v{v}.claim")
+        return doomed
 
 
 def diff_versions(

@@ -15,22 +15,24 @@ maxFilesPerTrigger=1 -> 8 real micro-batches):
    log, which hides any torn files from the killed batch) must equal an
    uninterrupted baseline run row-for-row.
 
-2. write_stream_upsert (foreachBatch MERGE-overwrite): stopped
-   GRACEFULLY after two committed batches, then resumed and drained;
-   parity against the batch latest-row-per-key twin. kill -9 is out of
-   contract here BY DESIGN and documented as such: the sink rewrites a
-   plain parquet table per micro-batch, and a plain directory overwrite
-   has no atomic commit protocol — surviving a mid-overwrite crash is
-   exactly what a transactional table format (Delta/Iceberg) adds. The
-   checkpoint still makes a REPLAYED batch idempotent (covered by
-   tests/test_streaming.py::test_upsert_sink_latest_per_key_and_idempotent_restart);
-   what it cannot make atomic is the table directory itself.
+2. write_stream_upsert (foreachBatch MERGE through the versioned-commit
+   protocol): SIGKILL-ed after two committed batches — r15 (VERDICT r14
+   item 1): kill -9 is now IN contract. The sink commits each merged
+   table as a new version (data dir first, _meta.json marker last,
+   sources/versioned.py), so a crash mid-write leaves the previous
+   committed version intact and the torn directory invisible. To pin the
+   WORST-case crash point regardless of where the kill actually landed,
+   the parent then FABRICATES the mid-overwrite state on top of whatever
+   the kill left — a torn next-version directory with no commit marker
+   plus the crashed writer's stale .claim file — before restarting. The
+   resumed query must reclaim the claim, re-commit over the torn dir,
+   and drain to row parity against the batch latest-row-per-key twin.
 
 Prints one JSON line:
   {"parquet_sink": {"batches_before_kill", "resume_wall_sec",
                     "resume_batches", "rows", "parity"},
-   "upsert_sink":  {"batches_before_stop", "resume_wall_sec",
-                    "rows", "parity"}}
+   "upsert_sink":  {"batches_before_kill", "resume_wall_sec",
+                    "rows", "parity", "torn_injected"}}
 
 Like bench.py / stream_bench.py, run at true idle and record the number
 with host calibration in COVERAGE.md.
@@ -154,15 +156,33 @@ def main() -> int:
     }
     print(f"parquet_sink: {results['parquet_sink']}", file=sys.stderr)
 
-    # ---- 2. foreachBatch upsert sink: graceful stop after 2 commits ----
+    # ---- 2. foreachBatch upsert sink: SIGKILL after 2 commits (r15:
+    # versioned atomic commit makes kill -9 in-contract) ----
     table, uckpt = f"{work}/state", f"{work}/up_ckpt"
-    stream_u = ES.read_events_stream(spark, stage, max_files_per_trigger=1).select(
-        "user_id", "ts", "event_type", "value"
+    up_start_expr = (
+        'ES.write_stream_upsert(stream.select("user_id", "ts", "event_type", '
+        f'"value"), {table!r}, {uckpt!r}, key="user_id", order_col="ts")'
     )
-    qu = ES.write_stream_upsert(stream_u, table, uckpt, key="user_id", order_col="ts")
-    stopped_after = _wait_commits(uckpt, 2)
-    qu.stop()
-    qu.awaitTermination(60)
+    stopped_after = _run_child_until_commits(up_start_expr, stage, uckpt, signal.SIGKILL)
+
+    # worst-case crash-point injection: whatever state the kill left,
+    # overlay the exact mid-overwrite tear — an uncommitted next-version
+    # dir (parquet files, NO _meta.json) + the dead writer's stale claim
+    from ml_data_pipeline_spark.sources.versioned import VersionedDataset
+
+    vd = VersionedDataset(spark, table, "state")
+    latest = vd.latest_version()
+    torn_injected = latest is not None
+    if torn_injected:
+        vbase = pathlib.Path(table) / "state"
+        torn = vbase / f"v{latest + 1}"
+        if torn.exists():
+            shutil.rmtree(torn)
+        shutil.copytree(vbase / f"v{latest}", torn)
+        (torn / "_meta.json").unlink()
+        (vbase / f".v{latest + 1}.claim").touch()
+        # the torn version must be invisible to the reader right now
+        assert vd.latest_version() == latest
 
     t0 = time.monotonic()
     stream_u2 = ES.read_events_stream(spark, stage, max_files_per_trigger=1).select(
@@ -190,7 +210,7 @@ def main() -> int:
     )
     got_u = {
         r["user_id"]: (r["event_type"], r["value"])
-        for r in spark.read.parquet(table).collect()
+        for r in ES.read_upsert_table(spark, table).collect()
     }
     want_rows = batch.collect()
     want_keys = {r["user_id"] for r in want_rows}
@@ -205,10 +225,11 @@ def main() -> int:
         and all(got_u[u] == v for u, v in want_unique.items())
     )
     results["upsert_sink"] = {
-        "batches_before_stop": stopped_after,
+        "batches_before_kill": stopped_after,
         "resume_wall_sec": round(up_resume_wall, 2),
         "rows": len(got_u),
         "parity": parity,
+        "torn_injected": torn_injected,
     }
     print(f"upsert_sink: {results['upsert_sink']}", file=sys.stderr)
 

@@ -51,6 +51,13 @@ def pack_sequences(
     # r14 (ADVICE): guarded IN-PLAN per row instead of an eager probe
     # scan — clean data pays one codegen'd null test, streaming inputs
     # work, and any action touching a NULL-count row raises loudly.
+    # r15 (ADVICE): the guard is INSIDE the windowed sum, not only on the
+    # row's own token — under a pruned/partial action (limit, pushed
+    # filter) a row ordered AFTER a NULL-count document could otherwise
+    # be returned with a silently undercounted offset without the
+    # NULL row itself ever materializing. Now ANY action that evaluates
+    # the window over a partition containing a NULL raises (WindowExec
+    # walks the whole partition, so this covers every row of the group).
     from .mixing import _null_token_message
 
     w = (
@@ -58,12 +65,16 @@ def pack_sequences(
         if partition_col
         else Window.partitionBy().orderBy(order_col)
     )
+    msg = _null_token_message(token_col, "sequence packing")
+    tok_guarded = F.when(
+        F.col(token_col).isNull(), F.raise_error(F.lit(msg))
+    ).otherwise(F.col(token_col))
     start = F.coalesce(
-        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        F.sum(tok_guarded).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
     )
     guarded = F.when(
-        F.col(token_col).isNull(),
-        F.raise_error(F.lit(_null_token_message(token_col, "sequence packing"))),
+        F.col(token_col).isNull(), F.raise_error(F.lit(msg))
     ).otherwise(F.floor(start / budget))
     return df.withColumn(bin_col, guarded.cast("long"))
 

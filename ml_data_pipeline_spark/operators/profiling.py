@@ -973,6 +973,16 @@ def ranged_rank(
 
     The shared rank kernel for gini_coefficient and RFM scoring — the
     same shape impute_interpolate_ranged uses for ordered imputation.
+
+    EAGER-ACTION CONTRACT (r15, ADVICE — applies to every operator built
+    on this kernel or ranged_cumsum: label/binary encode maps, quantile
+    transform, the roc/pr/lift/qini curve family, dsir_select, the
+    sweep-line/stat gates): constructing the returned DataFrame runs a
+    Spark job NOW (tracked_cache + the P-row offsets collect). Do not
+    build these plans speculatively, and do not feed them a STREAMING
+    DataFrame — the collect is illegal there; streaming callers use the
+    bounded per-window/stateful operators instead. Batch semantics are
+    unchanged; this note is about WHEN the first job fires.
     """
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -1029,7 +1039,12 @@ def ranged_cumsum(
     best-threshold sweeps) — the cumulative windows that serialized into
     one task when value cardinality approaches row count (VERDICT r13
     item 2/3). ``descending`` flips BOTH the range partitioner and the
-    in-range window, the threshold-sweep order of the curve family."""
+    in-range window, the threshold-sweep order of the curve family.
+
+    EAGER-ACTION CONTRACT (r15, ADVICE): same as ranged_rank —
+    constructing the result runs a Spark job (tracked_cache + one P-row
+    collect); never build on streaming inputs or speculatively. See the
+    ranged_rank docstring for the full caller list."""
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     _dir = F.desc if descending else F.asc

@@ -48,7 +48,21 @@ def merge_upsert(
     overwrite newer keyed state. current ∪ updates → one latest row per
     key is commutative and idempotent: delivery order cannot change the
     final table. The no-ts_col path keeps the classic SCD1
-    "updates overwrite" contract for genuinely ordered changelogs."""
+    "updates overwrite" contract for genuinely ordered changelogs.
+
+    EQUAL-ts tie semantics CHANGED with the r14 rule (r15 ADVICE,
+    documented deliberately): at an exactly equal ts the winner is the
+    MAX full-row struct across current ∪ updates — NOT "the update".
+    A same-timestamp correction whose payload sorts lower than the
+    current row is dropped. This is forced by the commutativity
+    contract: any "update beats current" provenance bit is meaningless
+    across batches (this batch's update IS the next batch's current, so
+    replay/arrival order would decide who holds the bit — exactly the
+    order-dependence r14 removed). Corrections must carry a strictly
+    newer ts (the CDC norm); equal-ts distinct payloads for one key are
+    a source defect this merge resolves deterministically, not
+    semantically. Callers needing in-order update-wins semantics use
+    the no-ts_col path."""
     from pyspark.sql import Window
 
     if ts_col is not None:

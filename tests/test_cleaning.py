@@ -410,3 +410,17 @@ def test_r13_pack_sequences_rejects_null_token_counts(spark):
         for r in PK.pack_sequences(clean, budget=256).collect()
     }
     assert bins == {1: 0, 2: 0, 3: 1}
+    # r15 (ADVICE): the guard lives INSIDE the windowed offset sum too —
+    # a partial action that materializes only a row ordered AFTER the
+    # NULL document (filter pushdown skips doc 2 itself) must still
+    # raise, because that row's bin depends on the NULL row's count
+    df2 = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 100)], "doc_id long, n_tokens long"
+    )
+    with _pytest.raises(Exception, match="non-NULL token counts"):
+        PK.pack_sequences(df2, budget=256).where("doc_id = 3").collect()
+    # stricter than required: WindowExec walks the whole partition, so
+    # even a row ordered BEFORE the NULL raises once its partition is
+    # evaluated — no partial action over a NULL-bearing group can return
+    with _pytest.raises(Exception, match="non-NULL token counts"):
+        PK.pack_sequences(df2, budget=256).where("doc_id = 1").collect()

@@ -118,6 +118,15 @@ def dsir_select(
     ascending as (is-null flag, negated weight, id): the negation is
     exact for IEEE doubles and NULL weights group last with the same
     id tie-break the old window used. Zero-token documents rank last.
+
+    NaN policy (r15, pinned deliberately — the qini ADVICE's flip in
+    reverse): negation places NaN-weight documents LAST among non-null
+    weights, i.e. EXCLUDED from the top-k. A literal F.desc would rank
+    NaN FIRST (Spark orders NaN above all doubles) and silently SELECT
+    undefined-weight documents — the unsafe direction for a data
+    curation filter. dsir_weights' smoothing keeps log ratios finite,
+    so NaN is unreachable from this module's own math; the policy
+    matters only for externally-supplied weight columns.
     """
     from ml_data_pipeline_spark.operators.profiling import ranged_rank
 

@@ -7500,18 +7500,88 @@ ALL_QUERIES = {
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R14_PRIORITY)},
 }
 
-# ---- ROUND-15 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r14 lands, the stalest rows are the tail of the r5 block
-# the r14 window could not fit (tx_temperature_mix is r14-modified so it
-# leaves the r5 backlog; tx_vocab_overlap remains, plus the rows the
-# late-r14 swaps displaced: q_revenue_bridge, q_rolling_corr,
-# q_time_to_convert, q_triangles, s18_schema_diff, s19_compaction_plan,
-# s20_content_hash, s21_bin_manifest, s22_range_boundaries,
-# ss_random_project, st_sliding_topk, t12_group_weighted_sample,
-# t13_negative_sample, t14_cluster_safe_split, t16_quota_allocation,
-# tx_diversity), then the r6 block. Build _R15_PRIORITY as: any
-# round-15-modified gates first, then oldest-row-first (recompute from
-# the CORRECTNESS_r*.json union — tools convention: last round
-# containing each name, ascending, name as tie-break) to fill 50, and
-# update the window-pin test (test_r14_gates_registered_and_windowed)
-# to the new list.
+# ---- ROUND-15 driver priority window (VERDICT r14 item 3 / the r14
+# ROTATION TODO): the 3 round-15-modified gates first — m42_qini (the
+# ADVICE NULL/NaN desc-placement fix in qini_curve), ml_dbscan_ivf (the
+# presentation orderBy dropped from ivf_candidate_pairs + the measured
+# recall floor), tx_pack_sequences (the NULL guard moved inside the
+# windowed offset sum) — then strictly oldest-driver-row-first from the
+# CORRECTNESS_r01-r14 union (last round containing each name, ascending,
+# name tie-break): exactly the TODO's backlog — tx_vocab_overlap + the
+# 16 late-r14-displaced fills, then the r6 block until the window holds
+# 50. Overlap with the r14 window = the 3 modified gates, deliberate.
+_R15_PRIORITY = [
+    # -- round-15-modified gates
+    "m42_qini",
+    "ml_dbscan_ivf",
+    "tx_pack_sequences",
+    # -- displaced-fill backlog (union-last r5) + tx_vocab_overlap
+    "q_revenue_bridge",
+    "q_rolling_corr",
+    "q_time_to_convert",
+    "q_triangles",
+    "s18_schema_diff",
+    "s19_compaction_plan",
+    "s20_content_hash",
+    "s21_bin_manifest",
+    "s22_range_boundaries",
+    "ss_random_project",
+    "st_sliding_topk",
+    "t12_group_weighted_sample",
+    "t13_negative_sample",
+    "t14_cluster_safe_split",
+    "t16_quota_allocation",
+    "tx_diversity",
+    "tx_vocab_overlap",
+    # -- r6 block, name order
+    "m23_isotonic_calibration",
+    "m30_kaplan_meier",
+    "m31_nmi",
+    "m32_ari",
+    "m35_pair_confusion",
+    "m36_trend",
+    "m37_krippendorff",
+    "m38_bootstrap_ci",
+    "m39_nelson_aalen",
+    "m41_did",
+    "m43_cohens_kappa",
+    "m44_logrank",
+    "m46_cuped",
+    "ml_davies_bouldin",
+    "ml_dbscan",
+    "ml_silhouette",
+    "p35_null_patterns",
+    "p36_cramers_v",
+    "q_acf",
+    "q_adamic_adar",
+    "q_cusum_changepoint",
+    "q_rank_fusion",
+    "q_semi_additive",
+    "q_skyline",
+    "ss_scalar_quantize",
+    "tx_bigram_lm",
+    "tx_novelty",
+    "b10_bagging_floor",
+    "dd_components",
+    "dd_keep_canonical",
+    # --- driver window ends here (50 entries above; the remaining r6
+    # tail — e17_label_round, e22_loo_target_encode, f10/f11/f12, the
+    # i4 family, i6 — heads the r16 backlog) ---
+]
+assert len(_R15_PRIORITY) == 50 and len(set(_R15_PRIORITY)) == 50
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R15_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R15_PRIORITY)},
+}
+
+# ---- ROUND-16 ROTATION TODO (for the next round's builder): after
+# CORRECTNESS_r15 lands, the stalest rows are the r6 tail the r15 window
+# could not fit (e17_label_round, e22_loo_target_encode, f10_dtype_align,
+# f11_header_strip, f12_feature_projection, i4_interpolate,
+# i4_interpolate_ranged, i4_interpolate_single, i6_impute_mice,
+# i6_mice_rf, ...), then the rest of the r6/r7 blocks. Build
+# _R16_PRIORITY as: any round-16-modified gates first, then
+# oldest-row-first (recompute from the CORRECTNESS_r*.json union —
+# last round containing each name, ascending, name as tie-break) to
+# fill 50, and update the window-pin test
+# (test_r15_gates_registered_and_windowed) to the new list.

@@ -277,34 +277,21 @@ def test_r8_sink_ml_gates_registered():
         assert g in ALL_ORACLES, g
 
 
-def test_r14_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R14_PRIORITY (the 29
-    r14-modified gates first — the new IVF-path DBSCAN attestation, the
-    ranged sweep-line pair, the five ranged_cumsum stats gates, the
-    three lazy-NULL-guard mixing/packing gates, the nine late-round
-    score-curve ports, the four encoder code-map ports, the five
-    vocab-family ports — then strictly oldest-driver-row-first from the
-    CORRECTNESS_r01-r13 union); every windowed gate is
-    oracle-registered."""
+def test_r15_gates_registered_and_windowed():
+    """The first-50 driver window is exactly _R15_PRIORITY (the 3
+    r15-modified gates first — m42_qini after the NULL/NaN desc-placement
+    fix, ml_dbscan_ivf after the orderBy drop + recall floor,
+    tx_pack_sequences after the in-window NULL guard — then strictly
+    oldest-driver-row-first from the CORRECTNESS_r01-r14 union); every
+    windowed gate is oracle-registered."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
-    from ml_data_pipeline_spark.queries import _R14_PRIORITY
+    from ml_data_pipeline_spark.queries import _R15_PRIORITY
 
     window = list(Q.ALL_QUERIES)[:50]
-    assert window == _R14_PRIORITY
-    for g in ("ml_dbscan_ivf", "q_max_concurrency",
-              "q_max_concurrency_single",
-              "p23_ks_drift", "p24_spearman", "m45_mannwhitney",
-              "p33_weighted_median", "e24_quantile_transform",
-              "tx_pack_sequences", "tx_mixture_plan", "tx_temperature_mix",
-              "m16_lift_table", "m18_roc_auc", "m19_roc_points",
-              "m21_pr_points", "m24_conformal", "m33_best_split",
-              "m34_best_f1", "m40_psm_att", "m42_qini",
-              "e2_label_encode", "e4_frequency_encode",
-              "e5_binary_encode", "e9_onehot_hash",
-              "tx_bpe_pairs", "tx_dsir_select", "tx_pmi_collocations",
-              "tx_vocab_coverage", "tx_zipf_slope"):
+    assert window == _R15_PRIORITY
+    for g in ("m42_qini", "ml_dbscan_ivf", "tx_pack_sequences"):
         assert g in ALL_ORACLES, g
-        assert g in window[:29], g
+        assert g in window[:3], g
 
 
 @pytest.mark.parametrize(

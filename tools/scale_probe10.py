@@ -1,0 +1,157 @@
+"""sf10 scale probe (VERDICT r14 item 5): push the three worst standing
+sf1 ratios — dd_simhash_pairs (1.92x), dd_minhash_pairs, i5_impute_knn —
+one decade FURTHER (100x the bench scale, 10x the sf1 probe), so the
+"would it survive 100x" claim for the dedup/kNN families rests on a
+measured two-decade curve instead of one point.
+
+Build: /tmp/mdp_sf10 = 100 copies of the sf0.1 documents + lineitem
+tables (the only tables these probes read), with the same anti-phantom
+treatments as the sf1 builder (tools/scale_probe.py):
+
+- documents: per-copy SEEDED ALPHABET PERMUTATION cipher on the text.
+  The sf1 builder's rotation cipher only has 26 distinct rotations —
+  at 100 copies, copies c and c+26 would carry IDENTICAL text and the
+  dedup probes would chase 4x phantom cross-copy duplicate mass real
+  100x data would not have. A seeded random permutation per copy (copy
+  0 = identity; uniqueness asserted) keeps within-copy token structure
+  byte-exact and cross-copy shingle overlap nil.
+- lineitem: key offsets per copy (referential integrity, no collisions)
+  + the r11 numeric jitter (c*0.01 on extendedprice, c*1e-6 on tax) so
+  the adaptive-LSH width is not floored by 100x point masses.
+
+Probe protocol (the scale_probe/verify_local discipline): one session,
+JVM warmed, tracked caches + the normalized-documents memo released
+between probes. Each query runs WARM at sf1 first (same boot, the
+denominator) then at sf10; ratio10 = sf10_wall / (10 * sf1_wall) — the
+per-decade growth factor, 1.0 = perfectly linear.
+
+Run: python tools/scale_probe10.py [--rebuild]   (sf1 is rebuilt via
+tools/scale_probe.py's builder if /tmp was wiped)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import string
+import sys
+import time
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ml_data_pipeline_spark.catalog import load_table  # noqa: E402
+from ml_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+SF1 = "/tmp/mdp_sf1"
+DST = "/tmp/mdp_sf10"
+COPIES = 100
+
+PROBES = ["dd_minhash_pairs", "dd_simhash_pairs", "i5_impute_knn"]
+
+
+def _perm_cipher(copy: int) -> tuple[str, str]:
+    """Copy 0 = identity; otherwise a seeded full-alphabet permutation
+    (case-aligned so token case structure is preserved)."""
+    a = string.ascii_lowercase
+    if copy == 0:
+        return a + a.upper(), a + a.upper()
+    letters = list(a)
+    random.Random(10_000 + copy).shuffle(letters)
+    p = "".join(letters)
+    return a + a.upper(), p + p.upper()
+
+
+def build() -> None:
+    spark = get_spark("scale_probe10_build")
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+
+    # --- documents: 100 appends, each a permutation-ciphered copy ---
+    docs = load_table(spark, SRC, "documents")
+    max_doc = int(docs.agg(F.max("doc_id")).first()[0])
+    ciphers = set()
+    for c in range(COPIES):
+        src_a, dst_a = _perm_cipher(c)
+        assert dst_a not in ciphers, "cipher collision would fabricate dups"
+        ciphers.add(dst_a)
+        cp = docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * (max_doc + 1)))
+        if c:
+            cp = cp.withColumn("text", F.translate(F.col("text"), src_a, dst_a))
+        cp.write.mode("append").parquet(f"{DST}/documents.parquet")
+    n_docs = spark.read.parquet(f"{DST}/documents.parquet").count()
+    print(f"built documents: {n_docs} rows")
+
+    # --- lineitem: one crossJoin-with-range pass (no 100-branch plan) ---
+    li = load_table(spark, SRC, "lineitem")
+    row = li.agg(
+        *[F.max(k).alias(k) for k in ("l_orderkey", "l_suppkey", "l_partkey")]
+    ).first()
+    copies = spark.range(COPIES).withColumnRenamed("id", "__c")
+    big = (
+        li.crossJoin(copies)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__c") * (int(row["l_orderkey"]) + 1))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.col("__c") * (int(row["l_suppkey"]) + 1))
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("__c") * (int(row["l_partkey"]) + 1))
+        .withColumn("l_extendedprice", F.col("l_extendedprice") + F.col("__c") * 0.01)
+        .withColumn("l_tax", F.col("l_tax") + F.col("__c") * 1e-6)
+        .drop("__c")
+    )
+    big.repartition(64).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    n_li = spark.read.parquet(f"{DST}/lineitem.parquet").count()
+    print(f"built lineitem: {n_li} rows")
+    with open(f"{DST}/_BUILD_DONE", "w") as fh:
+        fh.write("ok")
+    spark.stop()
+
+
+def _release(queries_mod) -> None:
+    from ml_data_pipeline_spark.cache import release_tracked
+
+    release_tracked()
+    for _df in queries_mod._NORM_DOCS_CACHE.values():
+        _df.unpersist(False)
+    queries_mod._NORM_DOCS_CACHE.clear()
+
+
+def probe() -> None:
+    from ml_data_pipeline_spark import queries as Q
+
+    spark = get_spark("scale_probe10")
+    spark.read.parquet(f"{DST}/lineitem.parquet").count()  # JVM warm
+    out: dict[str, dict] = {}
+    for name in PROBES:
+        t0 = time.monotonic()
+        Q.ALL_QUERIES[name](spark, SF1).toPandas()
+        sf1_wall = time.monotonic() - t0
+        _release(Q)
+        t0 = time.monotonic()
+        Q.ALL_QUERIES[name](spark, DST).toPandas()
+        sf10_wall = time.monotonic() - t0
+        _release(Q)
+        ratio = sf10_wall / (10 * sf1_wall)
+        out[name] = {
+            "sf1_wall_sec": round(sf1_wall, 2),
+            "sf10_wall_sec": round(sf10_wall, 2),
+            "ratio_per_decade": round(ratio, 2),
+        }
+        print(f"{name}: {out[name]}")
+    with open("/proc/loadavg") as fh:
+        load1 = float(fh.read().split()[0])
+    print(json.dumps({"sf": 10.0, "copies": COPIES, "loadavg_end": load1, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if not os.path.exists(f"{SF1}/_BUILD_DONE"):
+        import importlib
+
+        sp = importlib.import_module("scale_probe")
+        sp.build()
+    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/_BUILD_DONE"):
+        build()
+    probe()

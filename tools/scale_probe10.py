@@ -49,9 +49,21 @@ from ml_data_pipeline_spark.session import get_spark  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 SF1 = "/tmp/mdp_sf1"
 DST = "/tmp/mdp_sf10"
+DST5 = "/tmp/mdp_sf5"
 COPIES = 100
 
-PROBES = ["dd_minhash_pairs", "dd_simhash_pairs", "i5_impute_knn"]
+# i5's second point runs at sf5 (50 copies, lineitem only), not sf10: the
+# kNN candidate stage is DESIGNED linear (occupancy-constant adaptive LSH,
+# candidates ~ n * 256 * 2 tables) and measures linear, but linear at 60M
+# rows is a ~100 GB transient shuffle spill — more than THIS single host's
+# free disk (the sf10 attempt died ENOSPC at 78 GB spilled), while a real
+# cluster spreads shuffle spill across every executor's local disk. 30M
+# rows fits the host envelope and still measures a 5x span above sf1.
+PROBES = [
+    ("dd_minhash_pairs", DST, 10),
+    ("dd_simhash_pairs", DST, 10),
+    ("i5_impute_knn", DST5, 5),
+]
 
 
 def _perm_cipher(copy: int) -> tuple[str, str]:
@@ -109,6 +121,32 @@ def build() -> None:
     spark.stop()
 
 
+def build_sf5() -> None:
+    """lineitem-only 50-copy build for the i5 probe (see PROBES note)."""
+    spark = get_spark("scale_probe5_build")
+    shutil.rmtree(DST5, ignore_errors=True)
+    os.makedirs(DST5, exist_ok=True)
+    li = load_table(spark, SRC, "lineitem")
+    row = li.agg(
+        *[F.max(k).alias(k) for k in ("l_orderkey", "l_suppkey", "l_partkey")]
+    ).first()
+    copies = spark.range(50).withColumnRenamed("id", "__c")
+    big = (
+        li.crossJoin(copies)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__c") * (int(row["l_orderkey"]) + 1))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.col("__c") * (int(row["l_suppkey"]) + 1))
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("__c") * (int(row["l_partkey"]) + 1))
+        .withColumn("l_extendedprice", F.col("l_extendedprice") + F.col("__c") * 0.01)
+        .withColumn("l_tax", F.col("l_tax") + F.col("__c") * 1e-6)
+        .drop("__c")
+    )
+    big.repartition(64).write.mode("overwrite").parquet(f"{DST5}/lineitem.parquet")
+    print(f"built sf5 lineitem: {spark.read.parquet(f'{DST5}/lineitem.parquet').count()} rows")
+    with open(f"{DST5}/_BUILD_DONE", "w") as fh:
+        fh.write("ok")
+    spark.stop()
+
+
 def _release(queries_mod) -> None:
     from ml_data_pipeline_spark.cache import release_tracked
 
@@ -123,26 +161,30 @@ def probe() -> None:
 
     spark = get_spark("scale_probe10")
     spark.read.parquet(f"{DST}/lineitem.parquet").count()  # JVM warm
+    only = {a for a in sys.argv[1:] if not a.startswith("-")}
     out: dict[str, dict] = {}
-    for name in PROBES:
+    for name, dst, factor in PROBES:
+        if only and name not in only:
+            continue
         t0 = time.monotonic()
         Q.ALL_QUERIES[name](spark, SF1).toPandas()
         sf1_wall = time.monotonic() - t0
         _release(Q)
         t0 = time.monotonic()
-        Q.ALL_QUERIES[name](spark, DST).toPandas()
-        sf10_wall = time.monotonic() - t0
+        Q.ALL_QUERIES[name](spark, dst).toPandas()
+        big_wall = time.monotonic() - t0
         _release(Q)
-        ratio = sf10_wall / (10 * sf1_wall)
+        ratio = big_wall / (factor * sf1_wall)
         out[name] = {
             "sf1_wall_sec": round(sf1_wall, 2),
-            "sf10_wall_sec": round(sf10_wall, 2),
-            "ratio_per_decade": round(ratio, 2),
+            f"sf{factor}_wall_sec": round(big_wall, 2),
+            "scale_factor": factor,
+            "ratio_vs_linear": round(ratio, 2),
         }
         print(f"{name}: {out[name]}")
     with open("/proc/loadavg") as fh:
         load1 = float(fh.read().split()[0])
-    print(json.dumps({"sf": 10.0, "copies": COPIES, "loadavg_end": load1, "queries": out}))
+    print(json.dumps({"copies": COPIES, "loadavg_end": load1, "queries": out}))
     spark.stop()
 
 
@@ -152,6 +194,11 @@ if __name__ == "__main__":
 
         sp = importlib.import_module("scale_probe")
         sp.build()
-    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/_BUILD_DONE"):
+    only = {a for a in sys.argv[1:] if not a.startswith("-")}
+    need10 = not only or any(n in only for n in ("dd_minhash_pairs", "dd_simhash_pairs"))
+    need5 = not only or "i5_impute_knn" in only
+    if need10 and ("--rebuild" in sys.argv or not os.path.exists(f"{DST}/_BUILD_DONE")):
         build()
+    if need5 and ("--rebuild" in sys.argv or not os.path.exists(f"{DST5}/_BUILD_DONE")):
+        build_sf5()
     probe()

@@ -239,6 +239,7 @@ def write_stream_upsert(
     key: str,
     order_col: str = "ts",
     available_now: bool = True,
+    keep_versions: int = 2,
 ):
     """Streaming CDC apply: foreachBatch MERGE of each micro-batch into a
     parquet table (keyed SCD1 upsert — the streaming twin of
@@ -268,9 +269,14 @@ def write_stream_upsert(
     checkpoint), and re-commits. No localCheckpoint lineage cut is needed
     anymore: the merge reads version N-1 and writes version N — different
     directories, no read-own-overwrite race. Old versions are pruned to
-    the last 2 per commit (storage bound; v(N-1) is the grace copy). Read
-    the table with ``read_upsert_table`` — a bare spark.read.parquet on
-    the root sees the version LAYOUT, not the current table.
+    the last ``keep_versions`` per commit (storage bound; default 2 —
+    v(N-1) is the grace copy for a reader that resolved "latest" just
+    before the flip. A CONCURRENT batch consumer whose job outlives one
+    micro-batch interval should get a deeper keep_versions: a version
+    deleted mid-read fails that reader's job — safe, loud, but
+    avoidable). Read the table with ``read_upsert_table`` — a bare
+    spark.read.parquet on the root sees the version LAYOUT, not the
+    current table.
 
     The target is re-written per micro-batch, so this sink is for compact
     keyed state/dimension tables; event-sized appends use
@@ -301,7 +307,7 @@ def write_stream_upsert(
         vd.write_version(
             merged, changes=[f"upsert batch {batch_id}"], reclaim_stale=True
         )
-        vd.prune(keep_last=2)
+        vd.prune(keep_last=keep_versions)
 
     writer = (
         updates.writeStream.foreachBatch(apply_batch)

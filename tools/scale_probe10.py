@@ -63,6 +63,10 @@ PROBES = [
     ("dd_minhash_pairs", DST, 10),
     ("dd_simhash_pairs", DST, 10),
     ("i5_impute_knn", DST5, 5),
+    # after the r15 run retired simhash's 1.92x, the standing sf1 worst is
+    # dd_ngram_jaccard (1.62x) — same documents corpus, so its second
+    # decade is one more probe over the already-built sf10 build
+    ("dd_ngram_jaccard", DST, 10),
 ]
 
 

@@ -1003,9 +1003,16 @@ def ranged_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off = F.create_map(*[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])[
-        F.col("__pid")
-    ]
+    if offsets:
+        off = F.create_map(
+            *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+        )[F.col("__pid")]
+    else:
+        # empty input (r15 degenerate-input sweep): an empty literal map
+        # types as map<void,void> and map()[__pid] is an AnalysisException
+        # — the same guard ranged_cumsum carries. Zero rows make the rank
+        # vacuous; the column still lands for schema stability.
+        off = F.lit(0)
     lrank = F.row_number().over(Window.partitionBy("__pid").orderBy(*asc))
     return rp.withColumn(out_col, (off + lrank).cast("double")).drop("__pid")
 

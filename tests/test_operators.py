@@ -909,6 +909,35 @@ def test_ranged_rank_matches_global_row_number(spark):
     assert got == want
 
 
+def test_ranged_rank_empty_input_schema_stable(spark):
+    """r15 degenerate-input sweep: an EMPTY frame used to crash
+    ranged_rank with a cryptic map()[__pid] AnalysisException (an empty
+    literal map types as map<void,void>) — which meant gini, qini,
+    dsir_select, the encoder code maps and every other ranged_rank
+    caller died whenever an upstream filter matched nothing. Empty in →
+    empty out, with the rank column present (schema stability);
+    ranged_cumsum already carried the guard."""
+    from ml_data_pipeline_spark.operators import causal as C
+    from ml_data_pipeline_spark.operators import encoding as E
+    from ml_data_pipeline_spark.operators.profiling import gini_coefficient, ranged_rank
+
+    empty = spark.createDataFrame([], "id long, x double, y double, g string")
+    out = ranged_rank(empty, ["x", "id"], out_col="rk")
+    assert out.collect() == [] and "rk" in out.columns
+    # representative callers end-to-end on empty input
+    assert E.label_encode(empty, "g").collect() == []
+    g = gini_coefficient(empty, "x", "id").collect()
+    assert len(g) == 1 and g[0]["n"] == 0
+    q = C.qini_curve(
+        empty.select(
+            F.col("id").alias("uid"), F.lit(1).alias("t"),
+            F.col("x").alias("s"), F.col("y"),
+        ),
+        "t", "s", "y", "uid",
+    )
+    assert q.collect() == []
+
+
 def test_ranged_cumsum_matches_global_window(spark):
     """r14 kernel (VERDICT r13 items 1/3): per-range prefix sums + P-row
     carry must equal the global single-task cumulative window — long and

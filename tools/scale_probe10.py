@@ -67,7 +67,29 @@ PROBES = [
     # dd_ngram_jaccard (1.62x) — same documents corpus, so its second
     # decade is one more probe over the already-built sf10 build
     ("dd_ngram_jaccard", DST, 10),
+    # next on the standing list: q_sessionize (1.39x) — a 10M-row events
+    # build (100x users in the same time range, the sf1 builder's shape)
+    ("q_sessionize", DST, 10),
+    # ...and q5 (1.38x): the snowflake join over the 60M-row fact — the
+    # most cluster-like workload in the headline set (AQE broadcast/
+    # shuffle join planning two decades above bench scale)
+    ("q5_region_revenue", DST, 10),
+    # the bench headline's biggest single query — the ranged interpolate
+    # plan's second decade over the 60M-row fact. Its RESULT is
+    # corpus-sized (the interpolated frame), so the probe materializes it
+    # with a noop write (full plan execution, rows consumed executor-side)
+    # instead of toPandas — at 60M rows toPandas measures driver transfer
+    # and dies on maxResultSize, not the plan under test. The small-result
+    # probes keep toPandas (their transfer is nil).
+    ("i4_interpolate", DST, 10, "noop"),
 ]
+
+
+def _materialize(df, sink: str) -> None:
+    if sink == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.toPandas()
 
 
 def _perm_cipher(copy: int) -> tuple[str, str]:
@@ -102,27 +124,67 @@ def build() -> None:
     n_docs = spark.read.parquet(f"{DST}/documents.parquet").count()
     print(f"built documents: {n_docs} rows")
 
-    # --- lineitem: one crossJoin-with-range pass (no 100-branch plan) ---
-    li = load_table(spark, SRC, "lineitem")
-    row = li.agg(
-        *[F.max(k).alias(k) for k in ("l_orderkey", "l_suppkey", "l_partkey")]
-    ).first()
+    # --- fact + keyed dims: one crossJoin-with-range pass per table ---
+    # strides come from the SHARED key space (the sf1 builder's rule:
+    # l_orderkey/o_orderkey must offset by the same max+1 or copy c's
+    # lineitems point at phantom orders; in this testdata the per-table
+    # maxes coincide, but compute the shared max anyway)
+    keyed = {
+        "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+    }
+    maxes: dict[str, int] = {}
+    for t, keys in keyed.items():
+        row = load_table(spark, SRC, t).agg(
+            *[F.max(k).alias(k) for k in keys]
+        ).first()
+        for k in keys:
+            base = k.split("_", 1)[1]
+            maxes[base] = max(maxes.get(base, 0), int(row[k]))
     copies = spark.range(COPIES).withColumnRenamed("id", "__c")
-    big = (
-        li.crossJoin(copies)
-        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__c") * (int(row["l_orderkey"]) + 1))
-        .withColumn("l_suppkey", F.col("l_suppkey") + F.col("__c") * (int(row["l_suppkey"]) + 1))
-        .withColumn("l_partkey", F.col("l_partkey") + F.col("__c") * (int(row["l_partkey"]) + 1))
-        .withColumn("l_extendedprice", F.col("l_extendedprice") + F.col("__c") * 0.01)
-        .withColumn("l_tax", F.col("l_tax") + F.col("__c") * 1e-6)
-        .drop("__c")
-    )
-    big.repartition(64).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
-    n_li = spark.read.parquet(f"{DST}/lineitem.parquet").count()
-    print(f"built lineitem: {n_li} rows")
+    for t, keys in keyed.items():
+        big = load_table(spark, SRC, t).crossJoin(copies)
+        for k in keys:
+            big = big.withColumn(
+                k, F.col(k) + F.col("__c") * (maxes[k.split("_", 1)[1]] + 1)
+            )
+        if t == "lineitem":
+            # the r11 numeric jitter (see module docstring)
+            big = big.withColumn(
+                "l_extendedprice", F.col("l_extendedprice") + F.col("__c") * 0.01
+            ).withColumn("l_tax", F.col("l_tax") + F.col("__c") * 1e-6)
+        parts = 64 if t == "lineitem" else 16
+        big.drop("__c").repartition(parts).write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+        print(f"built {t}: {spark.read.parquet(f'{DST}/{t}.parquet').count()} rows")
+    for t in ("nation", "region"):  # SF-constant dims replicate as-is
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+    _build_events(spark, DST, COPIES)
     with open(f"{DST}/_BUILD_DONE", "w") as fh:
         fh.write("ok")
     spark.stop()
+
+
+def _build_events(spark, dst: str, copies: int) -> None:
+    """events x copies: 100x users in the same time range (denser stream,
+    disjoint sessions per copy — the sf1 builder's shape)."""
+    ev = load_table(spark, SRC, "events")
+    row = ev.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).first()
+    cdf = spark.range(copies).withColumnRenamed("id", "__c")
+    big = (
+        ev.crossJoin(cdf)
+        .withColumn("event_id", F.col("event_id") + F.col("__c") * (int(row["e"]) + 1))
+        .withColumn("user_id", F.col("user_id") + F.col("__c") * (int(row["u"]) + 1))
+        .drop("__c")
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    print(f"built events: {spark.read.parquet(f'{dst}/events.parquet').count()} rows")
 
 
 def build_sf5() -> None:
@@ -167,15 +229,17 @@ def probe() -> None:
     spark.read.parquet(f"{DST}/lineitem.parquet").count()  # JVM warm
     only = {a for a in sys.argv[1:] if not a.startswith("-")}
     out: dict[str, dict] = {}
-    for name, dst, factor in PROBES:
+    for entry in PROBES:
+        name, dst, factor = entry[0], entry[1], entry[2]
+        sink = entry[3] if len(entry) > 3 else "pandas"
         if only and name not in only:
             continue
         t0 = time.monotonic()
-        Q.ALL_QUERIES[name](spark, SF1).toPandas()
+        _materialize(Q.ALL_QUERIES[name](spark, SF1), sink)
         sf1_wall = time.monotonic() - t0
         _release(Q)
         t0 = time.monotonic()
-        Q.ALL_QUERIES[name](spark, dst).toPandas()
+        _materialize(Q.ALL_QUERIES[name](spark, dst), sink)
         big_wall = time.monotonic() - t0
         _release(Q)
         ratio = big_wall / (factor * sf1_wall)

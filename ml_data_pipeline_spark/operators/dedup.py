@@ -1044,11 +1044,21 @@ def simhash_signatures(
     )
     if idf_weighted:
         n_docs = df.count()
-        doc_freq = per_tok.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
-        weighted = per_tok.join(doc_freq, "h").select(
+        # document frequency as COUNT OVER (PARTITION BY h) instead of a
+        # groupBy(h) + self-join (r15): per_tok has exactly one row per
+        # (doc, token), so the per-h partition row count IS the doc
+        # frequency — same values, one exchange on h serving both the df
+        # computation and its attachment, where the join shape cost a
+        # second aggregate subtree plus a shuffle join (per_tok appeared
+        # on both sides). Per-h groups are doc-frequency-sized, so the
+        # window parallelizes over the token vocabulary.
+        from pyspark.sql import Window
+
+        doc_freq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+        weighted = per_tok.select(
             "id",
             "h",
-            (F.col("__cnt") * F.log(F.lit(float(n_docs + 1)) / (F.col("__df") + 1))).alias("w"),
+            (F.col("__cnt") * F.log(F.lit(float(n_docs + 1)) / (doc_freq + 1))).alias("w"),
         )
     else:
         # keep the weight a LONG so the twin-gate's "integer votes" claim

@@ -257,10 +257,22 @@ def _split_points(df: DataFrame, order_cols: list[str], P: int) -> list[tuple]:
     dt = df.schema[order_cols[0]].dataType
     if isinstance(dt, T.NumericType):
         fracs = [i / P for i in range(1, P)]
-        # accuracy 2000 bounds rank error at 0.05% — far finer than range
-        # balance needs, and the sketch builds measurably faster than the
-        # 10000 default
-        qs = df.agg(F.percentile_approx(order_cols[0], fracs, 2000).alias("q")).first()["q"]
+        # r15: quantiles of a 2% SAMPLE (seeded — deterministic at fixed
+        # partitioning), accuracy 2000 kept on the sampled rows. The split
+        # points only steer range BALANCE — any consistent boundaries are
+        # correct (see caller) — so a sketch over 2% of rows is plenty,
+        # and the per-row percentile_approx update (the dominant cost of
+        # this job after the scan: 0.37s vs 0.24s bare scan at sf0.1) now
+        # touches 50x fewer rows. Sample-induced boundary jitter moves
+        # work between ranges, never values between results.
+        qs = df.sample(0.02, seed=1715).agg(
+            F.percentile_approx(order_cols[0], fracs, 2000).alias("q")
+        ).first()["q"]
+        if qs is None or not any(v is not None for v in qs):
+            # degenerate sample (tiny input): fall back to the full scan
+            qs = df.agg(
+                F.percentile_approx(order_cols[0], fracs, 2000).alias("q")
+            ).first()["q"]
         splits: list[tuple] = []
         for v in qs or []:
             if v is not None and (not splits or splits[-1][0] != v):
@@ -501,12 +513,23 @@ def impute_interpolate_ranged(
     local_next_v = F.last(F.when(c.isNotNull(), c), ignorenulls=True).over(w_bwd)
     local_next_p = F.last(val_pos, ignorenulls=True).over(w_bwd)
 
+    # All four window columns in ONE projection (r15): sequential
+    # withColumn calls left four separate Window nodes in the physical
+    # plan (each last() forced its own pass over the sorted partition
+    # because the _w0 pre-projection between them defeated window
+    # grouping); a single select lets ExtractWindowExpressions group them
+    # by spec — 2 Window nodes (one asc, one desc) instead of 4, two
+    # fewer full passes over every range partition. Same expressions,
+    # same values.
     joined = (
         ann
-        .withColumn("__lprev_v", local_prev_v)
-        .withColumn("__lprev_p", local_prev_p)
-        .withColumn("__lnext_v", local_next_v)
-        .withColumn("__lnext_p", local_next_p)
+        .select(
+            "*",
+            local_prev_v.alias("__lprev_v"),
+            local_prev_p.alias("__lprev_p"),
+            local_next_v.alias("__lnext_v"),
+            local_next_p.alias("__lnext_p"),
+        )
         .join(F.broadcast(carries), "__pid")
     )
     gpos = F.col("__off") + F.col("__lpos")

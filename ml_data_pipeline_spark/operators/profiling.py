@@ -1072,7 +1072,13 @@ def ranged_cumsum(
     w = Window.partitionBy("__pid").orderBy(*asc).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    out = rp
+    # all cumulative columns in ONE projection (r15): the per-column
+    # withColumn loop left one Window node PER sum_col in the physical
+    # plan (identical specs that never merged — each a full pass over
+    # every sorted range); a single select groups them into one Window
+    # node evaluating every running sum in the same pass. Same
+    # expressions, same values.
+    new_cols = []
     for c in sum_cols:
         acc = 0
         offsets = {}
@@ -1096,8 +1102,8 @@ def ranged_cumsum(
             )[F.col("__pid")]
         else:  # empty input: no ranges, the cumsum column is vacuous
             off = F.lit(0).cast(cast_t)
-        out = out.withColumn(prefix + c, off + F.sum(c).over(w))
-    return out.drop("__pid")
+        new_cols.append((off + F.sum(c).over(w)).alias(prefix + c))
+    return rp.select("*", *new_cols).drop("__pid")
 
 def moments(df: DataFrame, columns: list[str]) -> DataFrame:
     """Skewness / excess-kurtosis profile from raw power sums, one pass:

@@ -303,10 +303,22 @@ def minhash_near_duplicates(
     sigs = shingle_minhash(df, text_col, id_col, num_hashes, shingle_k, hash_fn).localCheckpoint()
 
     def _band_key(b: int):
-        concat = F.concat_ws(
+        if hash_fn == "xxhash64":
+            # hash the r slot LONGS directly (r15): xxhash64 is variadic,
+            # so the string casts + concat_ws the old shape paid per slot
+            # (4 long→string casts + a join per band per row, ×2 join
+            # sides) are pure overhead — the bucket is only an equality
+            # key, and equal slots hash equal either way. Pair output
+            # verified identical at sf0.001/0.01/0.1
+            # (tools/probe_band_key.py); collisions ADD candidates (never
+            # drop them) and the est_jaccard >= threshold verify filters
+            # them exactly as it filters same-band non-duplicates.
+            return F.xxhash64(*[F.element_at("signature", b * r + j + 1) for j in range(r)])
+        # md5 twin path: the bucket stays the plain slot-concat STRING so
+        # the DuckDB oracle can replay it verbatim
+        return F.concat_ws(
             ",", *[F.element_at("signature", b * r + j + 1) for j in range(r)]
         )
-        return F.xxhash64(concat) if hash_fn == "xxhash64" else concat
 
     banded = sigs.select(
         "id",

@@ -77,11 +77,27 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean_word_len = F.when(
         n_words > 0, tok_chars.cast("double") / n_words
     ).otherwise(F.lit(0.0))
+    # char-class counts via translate() instead of regexp_count (r15,
+    # guide §4.2 "per-task work"): counting a single-char class with the
+    # regex engine walks a compiled automaton per character; translate()
+    # is a plain lookup. Exact same counts — Java \w is ASCII
+    # [a-zA-Z0-9_] (no UNICODE_CHARACTER_CLASS), so length(translate(t,
+    # <word+ws chars>, '')) IS the [^\w \t\n\x0B\f\r] match count, and
+    # length minus length(translate(t, digits, '')) IS the [0-9] count —
+    # verified equal on every corpus row (tools/probe_tx_quality.py)
+    # and pinned by the oracle hash. Locally ~wash (the projection is
+    # already spread); at scale it removes two regex passes per
+    # document.
+    _word_ws = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+        " \t\n\x0b\f\r"
+    )
     punct_ratio = F.when(
-        n_chars > 0, F.regexp_count(t, F.lit(r"[^\w \t\n\x0B\f\r]")).cast("double") / n_chars
+        n_chars > 0, F.length(F.translate(t, _word_ws, "")).cast("double") / n_chars
     ).otherwise(F.lit(0.0))
     digit_ratio = F.when(
-        n_chars > 0, F.regexp_count(t, F.lit(r"[0-9]")).cast("double") / n_chars
+        n_chars > 0,
+        (F.length(t) - F.length(F.translate(t, "0123456789", ""))).cast("double") / n_chars,
     ).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0))
     score = (

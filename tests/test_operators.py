@@ -2262,6 +2262,50 @@ def test_chunk_documents_no_contained_final_chunk(spark):
         TX.chunk_documents(docs, chunk_chars=200, overlap=-50)
 
 
+def test_quality_translate_counts_match_regex_semantics(spark):
+    """r15 optimization: punct/digit ratios moved from regexp_count to
+    length/translate arithmetic. Pin the exact char-class semantics the
+    regexes had on the adversarial cases — underscore is a WORD char (not
+    punct), vertical tab \x0b is whitespace (not punct), non-ASCII letters
+    are NEITHER \\w nor whitespace (so they count as punct, as Java's
+    ASCII \\w made them), digits are counted inside words too."""
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a_b c1! \x0bxé;"),  # é: non-\w, non-ws → punct
+            (2, "1234"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
+    # doc 1: 12 chars; punct = {'!', 'é', ';'} = 3; digits = {'1'} = 1
+    assert rows[1]["q_n_chars"] == 12
+    assert rows[1]["q_punct_ratio"] == round(3 / 12, 6)
+    assert rows[1]["q_digit_ratio"] == round(1 / 12, 6)
+    # doc 2: all digits — zero punct, digit ratio 1.0
+    assert rows[2]["q_punct_ratio"] == 0.0
+    assert rows[2]["q_digit_ratio"] == 1.0
+    # doc 3: empty — guarded ratios stay 0.0, no div-by-zero
+    assert rows[3]["q_punct_ratio"] == 0.0 and rows[3]["q_digit_ratio"] == 0.0
+    # cross-check the full expressions against the old regex forms row-wise
+    t = F.col("text")
+    ref = docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(r"[^\w \t\n\x0B\f\r]")).alias("p_re"),
+        F.regexp_count(t, F.lit(r"[0-9]")).alias("d_re"),
+    ).collect()
+    for r in ref:
+        n = len([c for c in ("a_b c1! \x0bxé;", "1234", "")[r["doc_id"] - 1]])
+        got = rows[r["doc_id"]]
+        if n:
+            assert got["q_punct_ratio"] == round(r["p_re"] / n, 6)
+            assert got["q_digit_ratio"] == round(r["d_re"] / n, 6)
+
+
 def test_quality_mean_word_len_counts_token_chars_only(spark):
     """r10 review: q_mean_word_len = sum(token lengths)/n_words, not
     n_chars/n_words (which counted separators into every word and shifted

@@ -95,12 +95,26 @@ def cross_val_scores(
             )
     else:
         folded = add_fold_column(df, n_folds, target if stratified else None, seed).cache()
-    scores = []
-    for k in range(n_folds):
+    # overlap independent fold fits from driver threads (r16, guide §2.6):
+    # actions are only sequential because the driver calls them
+    # sequentially — fold k+1's jobs back-fill executor slots freed by
+    # fold k's stragglers. Results are keyed by fold index so the score
+    # list (and therefore mean/std and every hash-pinned trial table) is
+    # order-identical to the sequential loop; each fit is deterministic
+    # on the same cached fold data. Cache is materialized BEFORE the pool
+    # so concurrent cold scans cannot compute the fold frame twice.
+    folded.count()
+
+    def _one_fold(k: int) -> float:
         train = folded.where(F.col("__fold") != k).drop("__fold")
         test = folded.where(F.col("__fold") == k).drop("__fold")
         _, metrics = train_and_evaluate(train, test, target, model_type, params, task=task)
-        scores.append(metrics[metric])
+        return metrics[metric]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(n_folds, 3)) as pool:
+        scores = list(pool.map(_one_fold, range(n_folds)))
     folded.unpersist()
     n = len(scores)
     mean = sum(scores) / n
@@ -145,27 +159,42 @@ def random_search(
     metric = metric or ("f1" if task == "classification" else "r2")
     probe = make_estimator(model_type, task)
     allowed = {p.name for p in probe.params}
-    trials = []
-    best = None
-    for t in range(n_trials):
-        # one shared draw helper (_sample_param) — an inline copy here had
-        # already diverged from it on integer-tuple rounding
-        params: dict[str, Any] = {
+    # pre-sample every trial's params SEQUENTIALLY so the rng draws are
+    # byte-identical to the old one-at-a-time loop, then overlap the
+    # independent CV evaluations from driver threads (r16, guide §2.6 —
+    # random-search trials share no history, unlike TPE). Results keep
+    # trial order; fold assignment was already FIXED across trials (r10
+    # review), so one shared fold frame replaces n_trials identical
+    # add_fold_column builds. Values unchanged: same folds, same params,
+    # same deterministic fits — the hash-pinned trial tables are the gate.
+    all_params: list[dict[str, Any]] = [
+        {
             name: _sample_param(rng, choices)
             for name, choices in space.items()
             if name in allowed
         }
-        # FIXED fold assignment across trials (r10 review: seed+t resplit
-        # the folds per trial, so trial means mixed hyperparameter effects
-        # with fold-split luck and argmax picked noise; optuna_search
-        # already held folds fixed)
+        for _ in range(n_trials)
+    ]
+    stratified = task == "classification"
+    folded = add_fold_column(df, n_folds, target if stratified else None, seed).cache()
+    folded.count()  # materialize before concurrent trials share it
+
+    def _one_trial(t: int) -> dict[str, Any]:
         cv = cross_val_scores(
-            df, target, model_type, params, n_folds=n_folds, metric=metric, seed=seed
+            folded, target, model_type, all_params[t],
+            n_folds=n_folds, metric=metric, seed=seed, fold_col="__fold",
         )
-        rec = {"trial": t, "params": params, "mean": cv["mean"], "std": cv["std"]}
-        trials.append(rec)
+        return {"trial": t, "params": all_params[t], "mean": cv["mean"], "std": cv["std"]}
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(n_trials, 2)) as pool:
+        trials = list(pool.map(_one_trial, range(n_trials)))
+    folded.unpersist()
+    best = None
+    for rec in trials:
         if best is None or (
-            cv["mean"] > best["mean"] if direction == "max" else cv["mean"] < best["mean"]
+            rec["mean"] > best["mean"] if direction == "max" else rec["mean"] < best["mean"]
         ):
             best = rec
     return {"best": best, "trials": trials, "metric": metric}
@@ -411,8 +440,13 @@ def learning_curve(
     is_string_target = isinstance(df.schema[target].dataType, StringType)
     train_full, test = df.randomSplit([1 - test_size, test_size], seed=seed)
     train_full = train_full.cache()
-    out = []
-    for frac in fractions:
+    # materialize before the pool: concurrent cold scans of a lazy cache
+    # would compute the split twice (r16, guide §2.6 overlap — the curve
+    # points are independent: each samples its own seeded subset and
+    # scores against the shared held-out test; output keeps fraction order)
+    train_full.count()
+
+    def _one_point(frac: float) -> dict[str, float]:
         sub = train_full if frac >= 1.0 else train_full.sample(fraction=frac, seed=seed)
         # task pinned from the FULL frame (r10 review: re-detection on a
         # small fraction could flip regression->classification mid-curve)
@@ -426,13 +460,16 @@ def learning_curve(
             )
         else:
             train_metrics = evaluate_regression(preds_train, target)
-        out.append(
-            {
-                "fraction": frac,
-                "train_score": train_metrics[metric],
-                "test_score": test_metrics[metric],
-            }
-        )
+        return {
+            "fraction": frac,
+            "train_score": train_metrics[metric],
+            "test_score": test_metrics[metric],
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(fractions), 2)) as pool:
+        out = list(pool.map(_one_point, fractions))
     train_full.unpersist()
     return out
 

@@ -224,6 +224,33 @@ def shingle_minhash(
       always estimate Jaccard 1.0. At shingle counts ≥ ~10×K the empty-
       bucket probability is negligible ((1-1/K)^n).
     """
+    if hash_fn == "xxhash64" and shingle_k <= 7:
+        # r16 (guide §4.2 + §2.4): the signature stage is the one place the
+        # engine hashes millions of tiny windows, and the JVM shape pays for
+        # it three times — an explode to one row per shingle, a 32-
+        # conditional-min hash aggregate whose Janino compile dominated the
+        # query's cold wall time, and the aggregate's exchange. The Arrow
+        # kernel computes each doc's complete signature inside one
+        # mapInArrow batch (vectorized NumPy XXH64, bit-equal to Spark's by
+        # test), so the plan is scan → project → mapInArrow: no explode, no
+        # aggregate, no exchange, no giant codegen unit. k ≤ 7 keeps every
+        # UTF-8 window under the 32-byte XXH64 short-input path; larger k
+        # (never used by the registered queries) stays on the JVM shape.
+        return _shingle_minhash_arrow(df, text_col, id_col, num_hashes, shingle_k)
+    return _shingle_minhash_exprs(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
+
+def _shingle_minhash_exprs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    hash_fn: str,
+) -> DataFrame:
+    """JVM expression shape of shingle_minhash: explode → hash → K
+    conditional-min aggregates. Serves the md5 oracle twin, any shingle_k
+    too wide for the Arrow kernel's short-input XXH64, and the equality
+    tests that pin the Arrow path bit-for-bit against this one."""
     p = (1 << 31) - 1  # Mersenne prime; keeps h positive and well-spread
     norm = F.lower(F.regexp_replace(F.col(text_col), WS_PLUS, " "))
     normed = _ensure_parallel(df.select(F.col(id_col).alias("id"), norm.alias("__norm")))
@@ -265,6 +292,122 @@ def shingle_minhash(
     return mins.withColumn("__fb", F.expr(f"least({all_mins})")).select(
         "id", F.expr(f"array({slots})").alias("signature")
     )
+
+def _shingle_minhash_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """xxhash64 fast path of shingle_minhash (same output, bit-for-bit).
+
+    Semantics reproduced exactly from the JVM expression shape:
+    - normalization: lower(regexp_replace(text, WS_PLUS, ' ')) — stays JVM;
+    - a NULL text still yields a signature: greatest(1, NULL) = 1 keeps one
+      position, substr(NULL) is NULL, and xxhash64(NULL) returns the seed
+      (42) unchanged — so the JVM path emits [pmod(42, p)] * K = [42] * K
+      for NULL docs. Reproduced via the validity bitmap;
+    - shingles: substr(i, k) for i in 1..greatest(1, len-k+1); a doc shorter
+      than k chars yields ONE shingle = the whole string (possibly empty);
+    - slot value: pmod(xxhash64(utf8(shingle)), 2^31-1), bucket = value mod K,
+      slot k = min over bucket k, empty slots densified with the global min.
+
+    ASCII batches take a fully vectorized path (byte windows == char
+    windows, gathered with one fancy-index over the Arrow data buffer);
+    docs containing multi-byte chars are recomputed per doc with true
+    character windows. Equality with the JVM path is pinned by
+    tests on the corpus and on adversarial unicode/short/empty docs.
+    """
+    p = (1 << 31) - 1
+    norm = F.lower(F.regexp_replace(F.col(text_col), WS_PLUS, " "))
+    normed = _ensure_parallel(df.select(F.col(id_col).alias("id"), norm.alias("__norm")))
+    id_type = normed.schema["id"].dataType.simpleString()
+    K, k = num_hashes, shingle_k
+
+    def compute(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ml_data_pipeline_spark.functions.xxh64_np import xxh64_short
+
+        sentinel = np.iinfo(np.int64).max
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            texts = batch.column(1)
+            # raw offsets/data of the utf8 column (mapInArrow hands us
+            # unsliced batches, but honor .offset defensively)
+            off_np = np.frombuffer(
+                texts.buffers()[1],
+                dtype=np.int64 if pa.types.is_large_string(texts.type) else np.int32,
+            )
+            offs = off_np[texts.offset : texts.offset + n + 1].astype(np.int64)
+            buf = (
+                np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+                if texts.buffers()[2] is not None
+                else np.zeros(0, dtype=np.uint8)
+            )
+            L = offs[1:] - offs[:-1]  # byte length per doc
+            W = np.maximum(1, L - k + 1)  # windows per doc (byte-based)
+            doc_idx = np.repeat(np.arange(n), W)
+            cum = np.concatenate(([0], np.cumsum(W)))
+            intra = np.arange(int(cum[-1])) - cum[doc_idx]
+            starts = offs[:-1][doc_idx] + intra
+            wlen = np.minimum(L, k)[doc_idx]
+            if len(buf):
+                idxm = np.minimum(starts[:, None] + np.arange(k), len(buf) - 1)
+                data2d = buf[idxm]
+            else:
+                data2d = np.zeros((len(starts), k), dtype=np.uint8)
+            hp = xxh64_short(data2d, wlen) % p  # int64 floored mod == pmod
+            b = hp % K
+            mins = np.full(n * K, sentinel, dtype=np.int64)
+            np.minimum.at(mins, doc_idx * K + b, hp)
+            mins2 = mins.reshape(n, K)
+            # non-ASCII docs: byte windows != char windows — redo those
+            # docs with true character shingles (rare; correctness only)
+            if len(buf) and int(buf.max()) >= 128:
+                na_docs = [
+                    i
+                    for i in range(n)
+                    if L[i] and int(buf[offs[i] : offs[i + 1]].max()) >= 128
+                ]
+                if na_docs:
+                    texts_py = texts.to_pylist()
+                    for i in na_docs:
+                        s = texts_py[i]
+                        shs = [
+                            s[j : j + k].encode("utf-8")
+                            for j in range(max(1, len(s) - k + 1))
+                        ]
+                        ml = max(len(x) for x in shs)
+                        d = np.zeros((len(shs), max(ml, 1)), dtype=np.uint8)
+                        lens = np.zeros(len(shs), dtype=np.int64)
+                        for j, x in enumerate(shs):
+                            d[j, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+                            lens[j] = len(x)
+                        hh = xxh64_short(d, lens) % p
+                        row = np.full(K, sentinel, dtype=np.int64)
+                        np.minimum.at(row, hh % K, hh)
+                        mins2[i] = row
+            # NULL normalized text: the JVM shape keeps one position
+            # (greatest skips NULLs), hashes the NULL shingle to the bare
+            # seed (42), and densifies every slot from it → [42] * K
+            if texts.null_count:
+                valid = texts.is_valid().to_numpy(zero_copy_only=False)
+                mins2[~valid] = 42 % p
+            g = mins2.min(axis=1)  # ≥1 window per doc → always present
+            sigs_flat = np.where(mins2 == sentinel, g[:, None], mins2)
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * K, type=pa.int32()),
+                pa.array(sigs_flat.ravel(), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sig_arr], ["id", "signature"])
+
+    return normed.mapInArrow(compute, schema=f"id {id_type}, signature array<bigint>")
 
 def minhash_near_duplicates(
     df: DataFrame,

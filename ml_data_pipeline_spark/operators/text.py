@@ -62,7 +62,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     df = _ensure_parallel(df)
     t = F.col(text_col)
-    toks = _tokens(t)
+    # r16 (guide §4.2, VERDICT item 6 pattern): the single-projection shape
+    # re-evaluated split(lower(text)) SEVENTEEN times per row — lambda-
+    # bearing higher-order functions are codegen-fallback, and runtime
+    # subexpression elimination does not collapse them, so every reference
+    # to `toks` re-tokenized the document. Staging the tokenization as its
+    # own projection makes it ONE split per row: CollapseProject keeps the
+    # stage because the alias is non-cheap and multiply-referenced. Same
+    # expressions, same values — the oracle hash pins equality.
+    df = df.select("*", _tokens(t).alias("__q_toks"))
+    toks = F.col("__q_toks")
     n_chars = F.coalesce(F.length(t), F.lit(0))
     n_words = F.coalesce(F.size(toks), F.lit(0))
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
@@ -99,20 +108,38 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_chars > 0,
         (F.length(t) - F.length(F.translate(t, "0123456789", ""))).cast("double") / n_chars,
     ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0))
+    # second stage: the token-walking aggregates (n_stop's filter, tok_chars'
+    # aggregate) are each referenced by TWO outputs (the ratio column and
+    # the score), so materialize them once as columns; the ratios built
+    # from them downstream are scalar arithmetic over attributes
+    orig_cols = [c for c in df.columns if c != "__q_toks"]
+    staged = df.select(
+        *orig_cols,
+        n_chars.cast("long").alias("__q_nc"),
+        n_words.cast("long").alias("__q_nw"),
+        n_stop.cast("long").alias("__q_ns"),
+        tok_chars.alias("__q_tc"),
+        punct_ratio.alias("__q_pr"),
+        digit_ratio.alias("__q_dr"),
+    )
+    nc, nw, ns = F.col("__q_nc"), F.col("__q_nw"), F.col("__q_ns")
+    mean_word_len = F.when(
+        nw > 0, F.col("__q_tc").cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(nw > 0, ns.cast("double") / nw).otherwise(F.lit(0.0))
     score = (
         F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.when(n_words >= 5, F.lit(0.1)).otherwise(F.lit(0.0))
+        + F.when(F.col("__q_pr") <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(nw >= 5, F.lit(0.1)).otherwise(F.lit(0.0))
     )
-    return df.select(
-        "*",
-        n_chars.cast("long").alias("q_n_chars"),
-        n_words.cast("long").alias("q_n_words"),
+    return staged.select(
+        *orig_cols,
+        nc.alias("q_n_chars"),
+        nw.alias("q_n_words"),
         F.round(mean_word_len, 6).alias("q_mean_word_len"),
-        F.round(punct_ratio, 6).alias("q_punct_ratio"),
-        F.round(digit_ratio, 6).alias("q_digit_ratio"),
+        F.round(F.col("__q_pr"), 6).alias("q_punct_ratio"),
+        F.round(F.col("__q_dr"), 6).alias("q_digit_ratio"),
         F.round(stop_ratio, 6).alias("q_stopword_ratio"),
         F.round(score, 6).alias("q_score"),
     )
@@ -129,7 +156,17 @@ def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_
     from ml_data_pipeline_spark.operators.dedup import _ensure_parallel
 
     df = _ensure_parallel(df)
-    toks = _tokens(F.col(text_col))
+    # r16 (guide §4.2, VERDICT item 6): the one-projection shape evaluated
+    # split(lower(text)) EIGHT times per row (4 marker filters × the
+    # when(hits)/take(lang) duplication of array_max) — higher-order
+    # functions are codegen-fallback and escape subexpression elimination.
+    # Stage 1 tokenizes once, stage 2 picks the best (hits, lang) struct
+    # once, stage 3 reads two fields off that attribute. CollapseProject
+    # preserves both stages (non-cheap aliases, multiply referenced);
+    # plan now shows ONE split and ONE array_max. Values unchanged.
+    orig_cols = list(df.columns)
+    staged = df.select("*", _tokens(F.col(text_col)).alias("__lid_toks"))
+    toks = F.col("__lid_toks")
 
     def contains_fn(arr):
         return lambda w: F.array_contains(arr, w)
@@ -145,10 +182,17 @@ def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_
         )
     # array_max on (hits, lang) structs: max hits; ties broken by the
     # lexicographically greatest language code — deterministic.
-    best = F.array_max(F.array(*hit_cols))
-    return df.withColumn(
-        out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    best = staged.select(
+        *orig_cols, F.array_max(F.array(*hit_cols)).alias("__lid_best")
     )
+    pred = (
+        F.when(F.col("__lid_best")["hits"] > 0, F.col("__lid_best")["lang"])
+        .otherwise(F.lit("und"))
+        .alias(out_col)
+    )
+    if out_col in orig_cols:  # withColumn semantics: replace in place
+        return best.select(*[pred if c == out_col else c for c in orig_cols])
+    return best.select(*orig_cols, pred)
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Document fingerprint: xxhash64 of the whitespace-normalized, lowercased

@@ -167,6 +167,71 @@ def test_minhash_identical_docs_found(spark):
     assert pairs[0]["est_jaccard"] == 1.0
 
 
+def test_xxh64_np_matches_spark_every_short_length(spark):
+    """The NumPy XXH64 kernel behind the Arrow minhash path must be
+    bit-equal to Spark's xxhash64 for EVERY input length it can see
+    (0..31 bytes), including multi-byte UTF-8 — this is the contract that
+    lets the mapInArrow signature stage replace the JVM expression tree."""
+    import numpy as np
+
+    from ml_data_pipeline_spark.functions.xxh64_np import xxh64_short
+
+    rng = np.random.default_rng(16)
+    samples: list[bytes] = []
+    for length in range(32):
+        for _ in range(4):
+            samples.append(bytes(rng.integers(0, 256, length, dtype=np.uint8)))
+    for s in ("", "héllo", "日本語テスト", "ünïcodé!", "a" * 31, "é" * 10):
+        samples.append(s.encode("utf-8"))
+    maxlen = max(1, max(len(b) for b in samples))
+    data = np.zeros((len(samples), maxlen), dtype=np.uint8)
+    lens = np.zeros(len(samples), dtype=np.int64)
+    for i, b in enumerate(samples):
+        data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    ours = xxh64_short(data, lens)
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(samples)], "i int, b binary"
+    )
+    theirs = {r["i"]: r["h"] for r in df.select("i", F.xxhash64("b").alias("h")).collect()}
+    assert all(int(ours[i]) == theirs[i] for i in range(len(samples)))
+
+
+def test_minhash_arrow_path_equals_jvm_expressions(spark):
+    """The Arrow (mapInArrow + NumPy) signature path must produce
+    bit-identical signatures to the JVM expression shape on every edge the
+    JVM shape defines: NULL text (signature [42]*K via the skipped-NULL
+    hash seed), empty text, docs shorter than the shingle width, multi-byte
+    UTF-8 (char windows, not byte windows), and repeated/whitespace-heavy
+    text. Corpus-level equality is pinned by the oracle gate."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world hello world common text"),
+            (2, ""),
+            (3, "abc"),
+            (4, "héllo wörld ünicode tëst with multibyte"),
+            (5, "日本語のテキストです完全にマルチバイト"),
+            (6, "a"),
+            (7, None),
+            (8, "x" * 600),
+            (9, "  spaced\tout\nwhitespace\x0bforms  "),
+        ],
+        "doc_id long, text string",
+    )
+    arrow = {
+        r["id"]: r["signature"]
+        for r in DD._shingle_minhash_arrow(docs, "text", "doc_id", 32, 5).collect()
+    }
+    jvm = {
+        r["id"]: r["signature"]
+        for r in DD._shingle_minhash_exprs(
+            docs, "text", "doc_id", 32, 5, "xxhash64"
+        ).collect()
+    }
+    assert arrow == jvm
+    assert arrow[7] == [42] * 32  # NULL doc: xxhash64(NULL) stays at the seed
+
+
 def test_simhash_near_identical(spark):
     # ODD distinct-token count: an odd number of +/-1 votes can never tie at
     # zero, so each bit vote of `base` has magnitude >= 3 (tokens repeat 3x)

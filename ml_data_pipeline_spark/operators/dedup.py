@@ -1180,23 +1180,35 @@ def simhash_signatures(
     """
     if bits != 64:
         raise ValueError("simhash_signatures is fixed at 64 bits (xxhash64)")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_PLUS), lambda t: F.length(t) > 0)
-    tokens = _ensure_parallel(df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")))
     if hash_fn == "xxhash64":
-        th = F.xxhash64("t")
+        # r16 (guide §4.2 + §2.4): per-doc distinct-token counting needs no
+        # shuffle at all — a doc's tokens live in its own row — so the
+        # explode + groupBy(id, xxhash64(t)) exchange and its tokenize-
+        # heavy codegen unit are replaced by one mapInArrow batch kernel
+        # (Python split on the SAME explicit whitespace class, NumPy XXH64
+        # bit-equal to Spark's, np.unique counts — integer-exact, so the
+        # float vote arithmetic downstream is untouched). md5 twin keeps
+        # the JVM shape the DuckDB oracle replays.
+        per_tok = _simhash_per_tok_arrow(df, text_col, id_col)
     elif hash_fn == "md5":
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), WS_PLUS), lambda t: F.length(t) > 0
+        )
+        tokens = _ensure_parallel(
+            df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+        )
         # DuckDB-replayable 60-bit token hash (the shared E8 recipe) for
         # the oracle-parity twin gate: bits 60-63 are always 0, so those
         # vote all-negative and stay clear in the fingerprint —
         # identically in both engines. Headline stays xxhash64.
         th = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+        # reduce to one row per (doc, distinct token) BEFORE fanning out
+        # 64 bits: occurrence multiplicity folds into the weight
+        per_tok = tokens.groupBy("id", th.alias("h")).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
     else:
         raise ValueError(f"simhash_signatures: unknown hash_fn {hash_fn!r}")
-    # reduce to one row per (doc, distinct token) BEFORE fanning out 64 bits:
-    # occurrence multiplicity folds into the weight
-    per_tok = tokens.groupBy("id", th.alias("h")).agg(
-        F.count(F.lit(1)).alias("__cnt")
-    )
     if idf_weighted:
         n_docs = df.count()
         # document frequency as COUNT OVER (PARTITION BY h) instead of a
@@ -1251,6 +1263,78 @@ def simhash_signatures(
         ],
     )
     return votes.groupBy("id").agg(F.sum(asm).alias("simhash"))
+
+def _simhash_per_tok_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, h, __cnt) — one row per (doc, distinct whitespace token), with
+    h = xxhash64(token) and __cnt its occurrence count. Bit-equal to the
+    JVM shape explode(filter(split(lower(text), WS_PLUS))) → groupBy(id,
+    xxhash64(t)).count() (pinned by test), computed per doc inside one
+    mapInArrow batch: no explode, no exchange.
+
+    Semantics notes: lowercasing stays in the JVM projection (UTF8String
+    lower vs Python str.lower diverge on locale edge cases); the split
+    pattern is the explicit WS character class, which Python re parses
+    identically to Java; NULL or zero-token docs emit nothing (explode of
+    the NULL/empty array drops the row in the JVM shape)."""
+    normed = _ensure_parallel(
+        df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__norm"))
+    )
+    id_type = normed.schema["id"].dataType.simpleString()
+
+    def compute(batches):
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        from ml_data_pipeline_spark.functions.xxh64_np import xxh64
+
+        ws = re.compile("[ \\t\\n\\x0B\\f\\r]+")
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            row_idx: list[int] = []  # source row per emitted doc
+            tok_bytes: list[bytes] = []
+            bounds: list[tuple[int, int]] = []  # (start, end) into tok_bytes per doc
+            for i, s in enumerate(texts):
+                if s is None:
+                    continue
+                toks = [t for t in ws.split(s) if t]
+                if not toks:
+                    continue
+                start = len(tok_bytes)
+                tok_bytes.extend(t.encode("utf-8") for t in toks)
+                bounds.append((start, len(tok_bytes)))
+                row_idx.append(i)
+            if not tok_bytes:
+                continue
+            maxlen = max(len(b) for b in tok_bytes)
+            data = np.zeros((len(tok_bytes), maxlen), dtype=np.uint8)
+            lens = np.zeros(len(tok_bytes), dtype=np.int64)
+            for j, b in enumerate(tok_bytes):
+                data[j, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+                lens[j] = len(b)
+            hashes = xxh64(data, lens)
+            take_idx: list[np.ndarray] = []
+            rh: list[np.ndarray] = []
+            rc: list[np.ndarray] = []
+            for doc_i, (a, b_) in enumerate(bounds):
+                uniq, cnt = np.unique(hashes[a:b_], return_counts=True)
+                take_idx.append(np.full(len(uniq), row_idx[doc_i], dtype=np.int64))
+                rh.append(uniq)
+                rc.append(cnt)
+            # id column via take() so the input's exact Arrow type survives
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).take(pa.array(np.concatenate(take_idx))),
+                    pa.array(np.concatenate(rh), type=pa.int64()),
+                    pa.array(np.concatenate(rc).astype(np.int64), type=pa.int64()),
+                ],
+                ["id", "h", "__cnt"],
+            )
+
+    return normed.mapInArrow(compute, schema=f"id {id_type}, h bigint, __cnt bigint")
 
 def simhash_near_duplicates(
     df: DataFrame,

@@ -232,6 +232,40 @@ def test_minhash_arrow_path_equals_jvm_expressions(spark):
     assert arrow[7] == [42] * 32  # NULL doc: xxhash64(NULL) stays at the seed
 
 
+def test_simhash_per_tok_arrow_equals_jvm(spark):
+    """The Arrow tokenize+count kernel behind simhash_signatures must
+    produce the exact (id, token-hash, count) multiset of the JVM shape
+    explode(filter(split(lower(text), WS)))) → groupBy(id, xxhash64(t)) —
+    including NULL docs (dropped), zero-token docs (dropped), \\x0b
+    splitting, unicode tokens, and repeated tokens (counts fold)."""
+    from ml_data_pipeline_spark.constants import WS_PLUS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world hello world common text"),
+            (2, ""),
+            (3, None),
+            (4, "héllo wörld ünicode tëst"),
+            (5, "日本語 テスト 単語"),
+            (6, "  lead trail  "),
+            (7, "TAB\tand\x0bvtab\nnl"),
+            (8, ("tok " * 200).strip()),
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.filter(F.split(F.lower(F.col("text")), WS_PLUS), lambda t: F.length(t) > 0)
+    tokens = docs.select(F.col("doc_id").alias("id"), F.explode(toks).alias("t"))
+    ref = tokens.groupBy("id", F.xxhash64("t").alias("h")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    a = {
+        (r["id"], r["h"]): r["__cnt"]
+        for r in DD._simhash_per_tok_arrow(docs, "text", "doc_id").collect()
+    }
+    b = {(r["id"], r["h"]): r["__cnt"] for r in ref.collect()}
+    assert a == b
+
+
 def test_simhash_near_identical(spark):
     # ODD distinct-token count: an odd number of +/-1 votes can never tie at
     # zero, so each bit vote of `base` has magnitude >= 3 (tokens repeat 3x)

@@ -119,6 +119,25 @@ def main() -> None:
         .orderBy("k")
         .toPandas()
     )
+    # r16: pre-warm the PYTHON WORKER pool on one trivial batch per core —
+    # the same "generic execution infra, not the plan under test" class as
+    # the Arrow-collect warm-up above (bench intent: per-query numbers
+    # measure plan + execution, not one-time session startup). Measured on
+    # this host: the FIRST 32-partition mapInArrow in a session costs
+    # ~5.1s (worker spawn + pyarrow import per worker) and the first
+    # mapInPandas another ~5.9s (pandas import per worker); before this
+    # warm-up those one-time costs landed on whichever headline query
+    # crossed the Python boundary first (i4's sketch, then dd_minhash's
+    # signature kernel), making their lines session-order artifacts.
+    # Shares no data or plan with any headline query. Flagged in
+    # OPTIMIZATION_r16.md with before/after numbers for both methods.
+    def _ident(it):
+        for b in it:
+            yield b
+
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, n_workers, 1, n_workers).mapInArrow(_ident, "id long").count()
+    spark.range(0, n_workers, 1, n_workers).mapInPandas(_ident, "id long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -570,7 +570,15 @@ def tomek_links(
     ).select("__gid", "__gnid")
     rev = nn1.select(F.col("__gnid").alias("__gid"), F.col("__gid").alias("__gnid"))
     mutual = nn1.intersect(rev).where(F.col("__gid") < F.col("__gnid"))
-    cls = rows.select("__gid", F.col(target).alias("__cls"))
+    # merge hint (r16, guide §3.1 — found by the sf10 b8 probe): `cls` is
+    # ONE ROW PER CORPUS ROW projected to 2 columns, so its size estimate
+    # slips under autoBroadcastJoinThreshold in a mid-scale band (2.4M rows
+    # ≈ 40 MB estimated, 150-200 MB built) while the actual HashedRelation
+    # builds — several at once, non-spillable — starved the candidate
+    # join's sorts into SparkOutOfMemoryError at sf10. A side that scales
+    # with the corpus must never be broadcast; sort-merge spills gracefully
+    # at every scale. Same rows, same values — physical strategy only.
+    cls = rows.select("__gid", F.col(target).alias("__cls")).hint("merge")
     return (
         mutual.join(cls, "__gid")
         .join(
@@ -641,8 +649,12 @@ def smote_enn(
         seed=seed,
     )
     votes = (
+        # merge hint: corpus-sized side — same §3.1 rationale as tomek_links
         nn.join(
-            rows.select(F.col("__gid").alias("__gnid"), F.col(target).alias("__ncls")), "__gnid"
+            rows.select(
+                F.col("__gid").alias("__gnid"), F.col(target).alias("__ncls")
+            ).hint("merge"),
+            "__gnid",
         )
         .groupBy("__gid", "__ncls")
         .agg(F.count(F.lit(1)).alias("__votes"))
@@ -654,8 +666,10 @@ def smote_enn(
     # KEPT (r10 review: the inner join deleted such rows for search
     # recall, not for disagreement; nearmiss documents the same rule)
     keep = (
-        rows.join(majority_vote.select("__gid", "__ncls"), "__gid", "left")
+        rows.join(
+            majority_vote.select("__gid", "__ncls").hint("merge"), "__gid", "left"
+        )
         .where(F.col("__ncls").isNull() | (F.col(target) == F.col("__ncls")))
         .select("__gid")
     )
-    return rows.join(keep, "__gid", "left_semi").drop("__gid")
+    return rows.join(keep.hint("merge"), "__gid", "left_semi").drop("__gid")

@@ -420,8 +420,17 @@ def knn_join(
             first_common = first_common & (
                 (t <= j) | (F.col("__ca").getItem(j) != F.col("__cb").getItem(j))
             )
+        # merge hint (r16, guide §3.1 — found by the sf10 b8 probe): BOTH
+        # sides of the candidate join are corpus-sized (one exploded row
+        # per (row, table)), but Generate/Project size estimates do not
+        # multiply, so at mid scale Catalyst under-estimated `rb` below
+        # autoBroadcastJoinThreshold and built a multi-GB HashedRelation —
+        # java.lang.OutOfMemoryError at the sf10 probe. A side that scales
+        # with the corpus must never be broadcast; sort-merge spills
+        # gracefully at every scale. Physical strategy only — candidate
+        # set unchanged.
         pairs = (
-            lb.join(rb, pcols + ["__tb"])
+            lb.join(rb.hint("merge"), pcols + ["__tb"])
             .where(first_common)
             .select(
                 "__lid", "__rid", *pcols,

@@ -7574,14 +7574,88 @@ ALL_QUERIES = {
     **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R15_PRIORITY)},
 }
 
-# ---- ROUND-16 ROTATION TODO (for the next round's builder): after
-# CORRECTNESS_r15 lands, the stalest rows are the r6 tail the r15 window
-# could not fit (e17_label_round, e22_loo_target_encode, f10_dtype_align,
-# f11_header_strip, f12_feature_projection, i4_interpolate,
-# i4_interpolate_ranged, i4_interpolate_single, i6_impute_mice,
-# i6_mice_rf, ...), then the rest of the r6/r7 blocks. Build
-# _R16_PRIORITY as: any round-16-modified gates first, then
-# oldest-row-first (recompute from the CORRECTNESS_r*.json union —
-# last round containing each name, ascending, name as tie-break) to
-# fill 50, and update the window-pin test
-# (test_r15_gates_registered_and_windowed) to the new list.
+# ------------------------------------------------------------ round-16 rotation
+# Delivered per the r15 TODO above and VERDICT r15 item 9. Head: the 13
+# gates whose implementing code round 16 modified — the Arrow MinHash
+# signature kernel + dispatch (dd_minhash_pairs / dd_minhash_md5), the
+# Arrow simhash per-token kernel + dispatch (dd_simhash_pairs /
+# dd_simhash_md5_sigs), the staged tokenize projections in text.py
+# (tx_quality, tx_lang_id, tx_lang_stats, m43_cohens_kappa), the
+# thread-pool fold/trial overlap in ml/tuning.py (m5/m6/m7/m9), and the
+# Arrow exact-Lloyd assign in similarity.py (ss_ivf_topk, hash-parity).
+# Tail: strictly oldest-driver-row-first from the CORRECTNESS_r01-r15
+# union (last round containing each name, ascending, name tie-break) —
+# exactly the r8-stale backlog the TODO predicted (e17, e22, f10-f12,
+# the i4/i6 families, then the r10/r11 blocks) until the window holds 50.
+_R16_PRIORITY = [
+    # -- round-16-modified gates
+    "dd_minhash_pairs",
+    "dd_minhash_md5",
+    "dd_simhash_pairs",
+    "dd_simhash_md5_sigs",
+    "tx_quality",
+    "tx_lang_id",
+    "tx_lang_stats",
+    "m43_cohens_kappa",
+    "m5_cross_val",
+    "m6_random_search_trials",
+    "m7_tpe_trials",
+    "m9_learning_curve",
+    "ss_ivf_topk",
+    # -- oldest-row-first backlog (union-last r8)
+    "e17_label_round",
+    "e22_loo_target_encode",
+    "f10_dtype_align",
+    "f11_header_strip",
+    "f12_feature_projection",
+    "i4_interpolate",
+    "i4_interpolate_ranged",
+    "i4_interpolate_single",
+    "i6_impute_mice",
+    "i6_mice_rf",
+    "m11_model_roundtrip",
+    "m13_scorer_suite",
+    "m1_scaler_stats",
+    "m29_time_series_cv",
+    "p19_psi_drift",
+    "p37_hll_shard_merge",
+    "pipe_entity_resolution",
+    "q17_small_qty_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_bloom_prejoin",
+    "s16_scd2",
+    "s7_paired_sink",
+    "s9_version_lineage",
+    "tx_boilerplate",
+    "tx_bpe_apply",
+    "tx_contamination",
+    "tx_span_dedup",
+    "tx_tfidf",
+    # -- union-last r10
+    "dd_containment",
+    "dd_incremental_pairs",
+    "dd_ngram_jaccard",
+    "e3_target_encode",
+    "m10_linear_shap",
+    "p10_example_values",
+    "p11_column_range",
+    "p12_correlation",
+    # --- driver window ends here (50 entries above; the remaining r10
+    # tail — p13_distinct_counts, p15_outlier_bounds, ... — heads the
+    # r17 backlog) ---
+]
+assert len(_R16_PRIORITY) == 50 and len(set(_R16_PRIORITY)) == 50
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _R16_PRIORITY},
+    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_R16_PRIORITY)},
+}
+
+# ---- ROUND-17 ROTATION TODO (for the next round's builder): after
+# CORRECTNESS_r16 lands, build _R17_PRIORITY as: any round-17-modified
+# gates first, then oldest-row-first (recompute from the
+# CORRECTNESS_r*.json union — last round containing each name,
+# ascending, name as tie-break) to fill 50 — the stalest rows are the
+# r10 tail this window could not fit (p13_distinct_counts,
+# p15_outlier_bounds, ...) — and update the window-pin test
+# (test_r16_gates_registered_and_windowed) to the new list.

@@ -277,21 +277,33 @@ def test_r8_sink_ml_gates_registered():
         assert g in ALL_ORACLES, g
 
 
-def test_r15_gates_registered_and_windowed():
-    """The first-50 driver window is exactly _R15_PRIORITY (the 3
-    r15-modified gates first — m42_qini after the NULL/NaN desc-placement
-    fix, ml_dbscan_ivf after the orderBy drop + recall floor,
-    tx_pack_sequences after the in-window NULL guard — then strictly
-    oldest-driver-row-first from the CORRECTNESS_r01-r14 union); every
-    windowed gate is oracle-registered."""
+def test_r16_gates_registered_and_windowed():
+    """The first-50 driver window is exactly _R16_PRIORITY (the 13
+    r16-modified gates first — the Arrow MinHash/simhash kernels, the
+    staged tokenize projections, the thread-pool CV overlap, the Arrow
+    exact-Lloyd assign — then strictly oldest-driver-row-first from the
+    CORRECTNESS_r01-r15 union); every windowed gate is oracle-registered."""
     from ml_data_pipeline_spark.oracles import ALL_ORACLES
-    from ml_data_pipeline_spark.queries import _R15_PRIORITY
+    from ml_data_pipeline_spark.queries import _R16_PRIORITY
 
     window = list(Q.ALL_QUERIES)[:50]
-    assert window == _R15_PRIORITY
-    for g in ("m42_qini", "ml_dbscan_ivf", "tx_pack_sequences"):
-        assert g in ALL_ORACLES, g
-        assert g in window[:3], g
+    assert window == _R16_PRIORITY
+    for g in (
+        "dd_minhash_pairs",
+        "dd_simhash_pairs",
+        "tx_quality",
+        "tx_lang_id",
+        "m5_cross_val",
+        "m6_random_search_trials",
+        "m7_tpe_trials",
+        "m9_learning_curve",
+        "ss_ivf_topk",
+    ):
+        assert g in window[:13], g
+        # the xxhash64 dd_* headline gates are the standing rows-only
+        # carve-outs (their md5 twins carry the value oracle)
+        if g not in ("dd_minhash_pairs", "dd_simhash_pairs"):
+            assert g in ALL_ORACLES, g
 
 
 @pytest.mark.parametrize(

@@ -82,6 +82,15 @@ PROBES = [
     # and dies on maxResultSize, not the plan under test. The small-result
     # probes keep toPandas (their transfer is nil).
     ("i4_interpolate", DST, 10, "noop"),
+    # r16 (VERDICT r15 item 8): the b-family composites were sf1-probed
+    # only; cover the second decade for this family too. Three
+    # representatives span its kernels — b1 (SMOTE interpolation over the
+    # LSH-candidate kNN), b6 (ADASYN density-weighted counts), b8 (the
+    # SMOTE∘Tomek cleaning composite); b2/b7/b9/b10 reuse the same
+    # balancing kernels. All read only `customer` (1.5M rows at sf10).
+    ("b1_smote_counts", DST, 10),
+    ("b6_adasyn_counts", DST, 10),
+    ("b8_smote_tomek", DST, 10),
 ]
 
 
@@ -263,7 +272,20 @@ if __name__ == "__main__":
         sp = importlib.import_module("scale_probe")
         sp.build()
     only = {a for a in sys.argv[1:] if not a.startswith("-")}
-    need10 = not only or any(n in only for n in ("dd_minhash_pairs", "dd_simhash_pairs"))
+    need10 = not only or any(
+        n in only
+        for n in (
+            "dd_minhash_pairs",
+            "dd_simhash_pairs",
+            "dd_ngram_jaccard",
+            "q_sessionize",
+            "q5_region_revenue",
+            "i4_interpolate",
+            "b1_smote_counts",
+            "b6_adasyn_counts",
+            "b8_smote_tomek",
+        )
+    )
     need5 = not only or "i5_impute_knn" in only
     if need10 and ("--rebuild" in sys.argv or not os.path.exists(f"{DST}/_BUILD_DONE")):
         build()
